@@ -1,0 +1,513 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.util.Cols._
+
+/** Core relational operator inventory over the driver star schema.
+  *
+  * Each query is tagged with the SURVEY.md §2 operator IDs it covers;
+  * together they exercise every scan/filter/join/agg/sort/limit/set-op
+  * semantic the duo reference executes (plus the window/rollup/percentile
+  * extensions called out in §2.4/§2.5), re-expressed as idiomatic Spark
+  * DataFrame pipelines. Oracle SQL lives in [[Relational.oracle]] and is
+  * kept structurally identical so DuckDB computes bit-equal results
+  * (see [[graft.util.Cols]] for the decimal-sum convention).
+  *
+  * Scale notes (100 TB design): every aggregate here is a partial-agg
+  * friendly hash aggregate; dimension joins broadcast the small side
+  * explicitly; semi/anti joins are expressed as left_semi/left_anti so
+  * Catalyst can pick broadcast-hash variants; all filters/projections sit
+  * directly on the parquet scan so pushdown + column pruning apply.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1-style pricing summary. SURVEY §2.4 A2 (grouped agg with aliases),
+    * §2.2 F9 (time-range predicate), ref duo/src/web/logs.rs:64-98.
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    val charge = dec4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) <= lit("1999-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        asD(sum(charge)).as("sum_disc_price"),
+        asD(sum(charge * (lit(1) + dec2(col("l_tax"))))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Facet histogram: group-count top-K with deterministic tiebreak.
+    * SURVEY §2.4 A2 + §2.6 O2/O3, ref duo/src/web/logs.rs:84-89.
+    */
+  def facetTopK(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value"))
+      .limit(20)
+
+  /** Distinct values. SURVEY §2.4 A1 / §2.6 O6 (span-name listing),
+    * ref duo/src/query.rs:138-152.
+    */
+  def distinctValues(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_type")).distinct().orderBy(col("p_type"))
+
+  /** Prefix LIKE filter (service-prefix analog). SURVEY §2.2 F1,
+    * ref duo/src/web/services.rs:22.
+    */
+  def prefixLike(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_name").like("Customer#0000001%"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** IN-list filter. SURVEY §2.2 F3, ref duo/src/web/services.rs:70. */
+  def inList(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .limit(200)
+
+  /** Conjunctive range predicates over a scan (TPC-H Q6 shape).
+    * SURVEY §2.2 F4/F9/F10 + filter pushdown §4.
+    */
+  def rangeRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        to_date(col("l_shipdate")).between(lit("1996-01-01"), lit("1996-12-31")) &&
+        col("l_discount").between(0.03, 0.06) && col("l_quantity") < 24)
+      .agg(asD(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))).as("revenue"))
+
+  /** User-supplied SQL filter expression parsed against the schema —
+    * the one place user text enters the planner. SURVEY §2.2 F6,
+    * ref duo/src/web/logs.rs:45-57. Falls back to an ILIKE-contains
+    * filter when the expression does not parse (F5).
+    */
+  def exprFilter(s: SparkSession, d: String): DataFrame = {
+    val userExpr = "event_type = 'click' AND value > 100.0"
+    val ev = Tables.events(s, d)
+    val pred = scala.util.Try(expr(userExpr))
+      .getOrElse(col("event_type").ilike("%click%"))
+    ev.filter(pred)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+      .limit(500)
+  }
+
+  /** ILIKE contains fallback path itself. SURVEY §2.2 F5,
+    * ref duo/src/web/logs.rs:54.
+    */
+  def ilikeContains(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").ilike("%SPARK%"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+
+  /** Left-outer join + IS NULL filter (root-span-predicate analog over a
+    * join). SURVEY §2.2 F8 + §2.3. Customers with no high-value order.
+    */
+  def outerNull(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey")).distinct()
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === big("o_custkey"), "left_outer")
+      .filter(big("o_custkey").isNull)
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Manual semi-join made native: lineitems of expensive orders.
+    * SURVEY §2.3 J1 (trace-scoped fetch), ref duo/src/web/services.rs:68-76.
+    * left_semi keeps the probe side unexpanded; the build side is small
+    * and broadcastable.
+    */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val expensive = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(expensive), Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("tot"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Anti join: parts that never shipped in bulk. SURVEY §2.3 (J1
+    * complement); left_anti with a broadcastable build side.
+    */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val bulk = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_partkey"))
+    Tables.part(s, d)
+      .join(bulk, col("p_partkey") === bulk("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Trace-assembly analog: per-user event rollup with error flag and a
+    * deterministic member digest. SURVEY §2.3 J2/J3 + §2.4 A3,
+    * ref duo/src/models.rs:80-94, duo/src/web/services.rs:33-66.
+    */
+  def groupAssembly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("has_error"),
+        min(nsToUs("ts")).as("first_us"),
+        max(nsToUs("ts")).as("last_us"),
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"))
+      .orderBy(col("user_id"))
+
+  /** Multi-way dimension join with broadcast small sides: revenue per
+    * region/nation. SURVEY §2.3 + §4 (broadcast is the 100 TB-safe plan:
+    * nation/region/customer are tiny vs the lineitem fact).
+    */
+  def regionRevenue(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(asD(sum(dec4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): left outer join
+    * + two-level aggregation. SURVEY §2.3/§2.4.
+    */
+  def custDist(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    counts.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Union of two filtered subsets. SURVEY §2.6 O5 (memory ∪ parquet
+    * union), ref duo/src/query.rs:110 — expressed with unionByName as the
+    * schema-drift-safe form.
+    */
+  def unionSubsets(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hi = ev.filter(col("value") >= 150.0)
+      .select(col("event_id"), lit("hi").as("bucket"))
+    val lo = ev.filter(col("value") < 50.0)
+      .select(col("event_id"), lit("lo").as("bucket"))
+    hi.unionByName(lo)
+      .orderBy(col("event_id"), col("bucket"))
+      .limit(500)
+  }
+
+  /** Sort desc + offset/limit pagination. SURVEY §2.6 O1/O3,
+    * ref duo/src/query.rs:91-97,127-134 (conventional
+    * filter→sort→offset→limit order; the reference's sort-after-limit
+    * quirk is deliberately not reproduced, see SURVEY §2.4).
+    */
+  def sortPage(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ts_us", nsToUs("ts"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .select(col("event_id"), col("ts_us"), col("event_type"), col("value"))
+      .offset(100)
+      .limit(50)
+
+  /** Ranking window: top-3 orders per customer. SURVEY §2.5 extension. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running-sum window per user ordered by event time. SURVEY §2.5. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("running", asD(sum(dec2(col("value"))).over(w)))
+      .select(col("user_id"), col("event_id"), col("running"))
+      .orderBy(col("user_id"), col("event_id"))
+      .limit(1000)
+  }
+
+  /** Exact grouped count-distinct. SURVEY §2.4 extension. */
+  def countDistinct_(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("uniq_custs"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Approximate distinct (HLL). No oracle — algorithm-specific result;
+    * the driver records a rows-only check. SURVEY §2.4 note.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** CASE WHEN severity mapping (level enum analog). SURVEY §2.7 C5. */
+  def caseWhen(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("sev",
+        when(col("o_orderpriority") === "1-URGENT", 1)
+          .when(col("o_orderpriority") === "2-HIGH", 2)
+          .otherwise(3))
+      .groupBy(col("sev"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("sev"))
+
+  /** JSON field extraction from the props column (tags JSON analog).
+    * SURVEY §2.7 C4, ref duo/src/arrow.rs:33.
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_n"))
+      .orderBy(col("event_type"))
+
+  /** Event-time day bucketing (storage-partition cadence analog).
+    * SURVEY §2.7 C3 + §2.10; ts is epoch-ns long (see [[graft.Tables]]),
+    * bucketed with pure integer arithmetic shared with the oracle.
+    */
+  def timeBucket(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", to_date(timestamp_micros(nsToUs("ts"))))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .orderBy(col("day"))
+
+  /** Rollup over two group keys. SURVEY §2.4 extension (grouping sets). */
+  def rollup_(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Exact interpolated median over integer cents — integer interpolation
+    * is bit-deterministic in both engines. SURVEY §2.4 extension
+    * (percentiles called out as the Spark built-in to reach for).
+    */
+  def medianCents(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(cents, 0.5)").as("median_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Session counting via lag window + gap threshold (30 min, in ns) —
+    * streaming-sessionization analog computed in batch. SURVEY §2.8 note
+    * (the reference has no event-time windows; this is the extended
+    * scope's version).
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", nsToUs("ts"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("ts_us") - col("prev_ts") > 1800000000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg((sum(col("brk")) + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_facet_topk" -> (facetTopK _),
+    "q03_distinct" -> (distinctValues _),
+    "q04_prefix_like" -> (prefixLike _),
+    "q05_in_list" -> (inList _),
+    "q06_range_revenue" -> (rangeRevenue _),
+    "q07_expr_filter" -> (exprFilter _),
+    "q08_ilike_contains" -> (ilikeContains _),
+    "q09_outer_null" -> (outerNull _),
+    "q10_semi_join" -> (semiJoin _),
+    "q11_anti_join" -> (antiJoin _),
+    "q12_group_assembly" -> (groupAssembly _),
+    "q13_region_revenue" -> (regionRevenue _),
+    "q14_custdist" -> (custDist _),
+    "q15_union" -> (unionSubsets _),
+    "q16_sort_page" -> (sortPage _),
+    "q17_window_rank" -> (windowRank _),
+    "q18_window_running" -> (windowRunning _),
+    "q19_count_distinct" -> (countDistinct_ _),
+    "q20_approx_distinct" -> (approxDistinct _),
+    "q21_case_when" -> (caseWhen _),
+    "q22_json_extract" -> (jsonExtract _),
+    "q23_time_bucket" -> (timeBucket _),
+    "q25_rollup" -> (rollup_ _),
+    "q26_median_cents" -> (medianCents _),
+    "q27_sessionize" -> (sessionize _)
+  )
+
+  // DuckDB oracle SQL — structurally identical pipelines. Decimal-sum
+  // convention mirrors graft.util.Cols (see scaladoc there).
+  private val D2 = "DECIMAL(18,2)"
+  private val D4 = "DECIMAL(18,4)"
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS $D2)) AS DOUBLE) AS sum_base_price,
+         | CAST(SUM(CAST(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2)) AS $D4)) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM(CAST(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2)) AS $D4) * (1 + CAST(l_tax AS $D2))) AS DOUBLE) AS sum_charge,
+         | CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         | CAST(SUM(CAST(l_extendedprice AS $D2)) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1999-12-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_facet_topk" ->
+      """SELECT event_type AS value, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, value LIMIT 20""".stripMargin,
+    "q03_distinct" ->
+      "SELECT DISTINCT p_type FROM part ORDER BY p_type",
+    "q04_prefix_like" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_name LIKE 'Customer#0000001%' ORDER BY c_custkey""".stripMargin,
+    "q05_in_list" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |ORDER BY o_orderkey LIMIT 200""".stripMargin,
+    "q06_range_revenue" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS $D2) * CAST(l_discount AS $D2)) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         |  AND l_discount BETWEEN 0.03 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q07_expr_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'click' AND value > 100.0
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+    "q08_ilike_contains" ->
+      """SELECT lang, COUNT(*) AS n FROM documents
+        |WHERE text ILIKE '%SPARK%' GROUP BY lang ORDER BY lang""".stripMargin,
+    "q09_outer_null" ->
+      """SELECT c_custkey, c_name FROM customer
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000.0) b
+        |  ON c_custkey = b.o_custkey
+        |WHERE b.o_custkey IS NULL ORDER BY c_custkey""".stripMargin,
+    "q10_semi_join" ->
+      s"""SELECT l_orderkey, COUNT(*) AS n_lines,
+         | CAST(SUM(CAST(l_extendedprice AS $D2)) AS DOUBLE) AS tot
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48)
+        |ORDER BY p_partkey""".stripMargin,
+    "q12_group_assembly" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        | MAX(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS has_error,
+        | MIN(epoch_ns(ts)//1000) AS first_us,
+        | MAX(epoch_ns(ts)//1000) AS last_us,
+        | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q13_region_revenue" ->
+      s"""SELECT r_name, n_name,
+         | CAST(SUM(CAST(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2)) AS $D4)) AS DOUBLE) AS revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q14_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority='1-URGENT') o
+        |    ON c_custkey = o.o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_union" ->
+      """SELECT * FROM (
+        |  SELECT event_id, 'hi' AS bucket FROM events WHERE value >= 150.0
+        |  UNION ALL
+        |  SELECT event_id, 'lo' AS bucket FROM events WHERE value < 50.0) t
+        |ORDER BY event_id, bucket LIMIT 500""".stripMargin,
+    "q16_sort_page" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+        |ORDER BY ts_us DESC, event_id DESC LIMIT 50 OFFSET 100""".stripMargin,
+    "q17_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q18_window_running" ->
+      s"""SELECT user_id, event_id,
+         | CAST(SUM(CAST(value AS $D2)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+         |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
+    "q19_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS uniq_custs, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q21_case_when" ->
+      """SELECT CASE WHEN o_orderpriority='1-URGENT' THEN 1
+        |            WHEN o_orderpriority='2-HIGH' THEN 2 ELSE 3 END AS sev,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY sev""".stripMargin,
+    "q22_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        | COUNT(CAST(props->>'$.k' AS BIGINT)) AS k_n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q23_time_bucket" ->
+      s"""SELECT CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day,
+         | COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
+         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q25_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         | CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) AS qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q26_median_cents" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q27_sessionize" ->
+      """SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
