@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Deduplication operators for training-data pipelines: exact hash
+  * dedup, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+  * near-dup detection.
+  *
+  * Scale design (100 TB): signatures (md5 / minhash / simhash / LSH
+  * buckets) are computed map-side per document with no shuffle; the only
+  * shuffles are groupBys on short digest keys and the candidate-pair
+  * joins, which key on band/bucket digests so each reducer sees one
+  * bucket's docs instead of the full corpus (never an O(n²) cross join).
+  * The exact-Jaccard verification runs only on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by md5 of normalized text: canonical keeper
+    * (min id), group size, and the sorted member list.
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), md5(lower(regexp_replace(col(textCol), "\\s+", " "))).as("h"))
+      .groupBy(col("h"))
+      .agg(
+        min(col(idCol)).as("keeper"),
+        count(lit(1)).as("group_size"),
+        concat_ws(",", array_sort(collect_list(col(idCol).cast("string")))).as("members"))
+
+  /** doc_id + distinct shingle set. */
+  private def docShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), shingles(tokens(col("text")), n).as("sh"))
+
+  /** All-pairs n-gram Jaccard via shared-shingle inverted index: explode
+    * shingles, self-join on shingle, count common per pair, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). Returns pairs with jac >= tau, doc_a < doc_b.
+    *
+    * The shingle join is the textbook inverted-index plan: work is
+    * proportional to Σ bucket², not n². Stop-shingles (huge buckets)
+    * would need capping at web scale; the LSH variant below is the
+    * preferred scale path.
+    */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+    val sh = docShingles(docs, n).cache()
+    val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jac", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** MinHash + LSH near-dup pairs: k-entry minhash signature, banded
+    * into `bands` keys of `r` rows; docs sharing any band key become
+    * candidates; candidates are verified with exact shingle Jaccard.
+    */
+  def minhashLshPairs(docs: DataFrame, tau: Double, k: Int = 16,
+      bands: Int = 8, n: Int = 3): DataFrame = {
+    val r = k / bands
+    val sh = docShingles(docs, n).filter(size(col("sh")) > 0).cache()
+    val sigs = sh.select(col("doc_id"), col("sh"),
+      bandKeys(minhashSignature(col("sh"), k), bands, r).as("bk"))
+    val bandRows = sigs.select(col("doc_id"), col("sh"),
+      posexplode(col("bk")).as(Seq("band", "key")))
+    val cands = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** SimHash near-dup pairs: 16-bit simhash per doc; candidates share
+    * one of the two 8-bit halves (guarantees recall for hamming <= 1,
+    * catches most <= maxHam); verified by exact popcount of the XOR.
+    */
+  def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), simhash16(tokens(col("text"))).as("sh16"))
+      .withColumn("hi", shiftright(col("sh16"), 8))
+      .withColumn("lo", col("sh16").bitwiseAND(lit(255)))
+      .cache()
+    def half(c: String): DataFrame =
+      hashed.as("a").join(hashed.as("b"),
+          col(s"a.$c") === col(s"b.$c") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sh16").as("ha"), col("b.sh16").as("hb"))
+    half("hi").unionByName(half("lo"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("ha").as("simhash_a"))
+  }
+
+  /** Embedding-cosine near-dup pairs above tau. Brute-force within the
+    * corpus — the LSH-bucketed variant in [[Similarity]] is the scale
+    * path; this is the exact baseline.
+    */
+  def embeddingPairs(embs: DataFrame, tau: Double): DataFrame = {
+    val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup" -> ((s, d) =>
+      exactGroups(Tables.documents(s, d)).orderBy(col("h"))),
+    "d02_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(Tables.documents(s, d), 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "d03_minhash_lsh" -> ((s, d) =>
+      minhashLshPairs(Tables.documents(s, d), 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "d04_simhash" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d), 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "d05_embedding_near_dup" -> ((s, d) =>
+      embeddingPairs(Tables.embeddings(s, d), 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))))
+
+  /** Shared oracle CTE: distinct 3-gram shingles per doc. */
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+      |  THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
+      |  ELSE [] END AS sh FROM toks)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
+        | min(doc_id) AS keeper, COUNT(*) AS group_size,
+        | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+    "d02_ngram_jaccard" ->
+      s"""$shingleCte,
+         |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         | CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jac
+         |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d03_minhash_lsh" ->
+      s"""$shingleCte,
+         |nz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh,
+         |  [list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR)||':'||x))) for i in range(0, 16)] AS sg
+         |  FROM nz),
+         |bands AS (SELECT doc_id, sh, b AS band, md5(sg[2*b+1]||'|'||sg[2*b+2]) AS key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sh AS sha, b.sh AS shb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id),
+         |ver AS (SELECT doc_a, doc_b, len(list_intersect(sha, shb)) AS common,
+         |    len(sha) AS na, len(shb) AS nb FROM cand)
+         |SELECT doc_a, doc_b,
+         | CAST(common AS DOUBLE) / (na + nb - common) AS jac
+         |FROM ver WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d04_simhash" ->
+      """WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |bits AS (SELECT doc_id, t,
+        |  [CASE WHEN list_sum([2*((CASE WHEN ascii(substr(md5(tok), k//4 + 1, 1)) >= 97
+        |       THEN ascii(substr(md5(tok), k//4 + 1, 1)) - 87
+        |       ELSE ascii(substr(md5(tok), k//4 + 1, 1)) - 48 END >> (3 - k%4)) & 1) - 1 for tok in t]) >= 0
+        |    THEN 1 << k ELSE 0 END for k in range(0, 16)] AS bitvals
+        |  FROM toks),
+        |hs AS (SELECT doc_id, CAST(list_sum(bitvals) AS INT) AS sh16 FROM bits),
+        |halves AS (SELECT doc_id, sh16, sh16 >> 8 AS hi, sh16 & 255 AS lo FROM hs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh16 AS ha, b.sh16 AS hb
+        |  FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT DISTINCT a.doc_id, b.doc_id, a.sh16, b.sh16
+        |  FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+        | ha AS simhash_a
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d05_embedding_near_dup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query set is broadcast against the corpus, so the plan is one
+  *    broadcast-nested-loop + per-partition top-k (window) with no
+  *    corpus shuffle; at 100 TB this is the "scoring a small probe set"
+  *    pattern.
+  *  - [[lshBuckets]] / [[lshCandidatePairs]]: random-hyperplane LSH —
+  *    the scale path. Bucket ids are computed map-side from
+  *    md5-derived hyperplanes (deterministic, engine-independent);
+  *    similarity is then only computed within buckets, turning O(n²)
+  *    scoring into Σ bucket².
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector. Ranking uses
+    * the 6-dp-rounded similarity with vec_id tiebreak so ordering is
+    * reproducible across engines.
+    */
+  def bruteForceTopK(embs: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-vector LSH bucket id from nPlanes md5-derived hyperplanes. */
+  def lshBuckets(embs: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame =
+    embs.select(col("vec_id"), col("label"),
+      lshBucket(asDoubles(col("embedding")), nPlanes, dim).as("bucket"))
+
+  /** Within-bucket candidate pairs scored with exact cosine, keeping
+    * pairs above tau — the LSH-accelerated near-neighbor join.
+    */
+  def lshCandidatePairs(embs: DataFrame, tau: Double, nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val b = embs.select(col("vec_id"),
+      asDoubles(col("embedding")).as("v"),
+      lshBucket(asDoubles(col("embedding")), nPlanes, dim).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "s01_cosine_topk" -> ((s, d) =>
+      bruteForceTopK(Tables.embeddings(s, d), 5L, 10)
+        .orderBy(col("query_id"), col("rank"))),
+    "s02_lsh_buckets" -> ((s, d) =>
+      lshBuckets(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
+    "s03_lsh_pairs" -> ((s, d) =>
+      lshCandidatePairs(Tables.embeddings(s, d), 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))))
+
+  /** Oracle CTE: embeddings as double lists. */
+  private val embCte =
+    """WITH e AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)""".stripMargin
+
+  /** Oracle SQL fragment for the md5-hyperplane bucket of list column v. */
+  private def bucketSql(v: String, nPlanes: Int = 8, dim: Int = 64): String = {
+    val planeBits = (0 until nPlanes).map { j =>
+      s"""CASE WHEN list_sum([$v[i+1] * (CASE
+         |   WHEN ascii(substr(md5('$j:'||CAST(i AS VARCHAR)), 1, 1)) >= 97
+         |   THEN ascii(substr(md5('$j:'||CAST(i AS VARCHAR)), 1, 1)) - 87
+         |   ELSE ascii(substr(md5('$j:'||CAST(i AS VARCHAR)), 1, 1)) - 48 END - 7.5)
+         |  for i in range(0, $dim)]) >= 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+    }
+    planeBits.mkString("(", " + ", ")")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      s"""$embCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (SELECT query_id, vec_id,
+         |   round(list_cosine_similarity(qv, v), 6) AS cos
+         |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         |ranked AS (SELECT query_id, vec_id, cos,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s02_lsh_buckets" ->
+      s"""$embCte
+         |SELECT vec_id, label, ${bucketSql("v")} AS bucket
+         |FROM e ORDER BY vec_id""".stripMargin,
+    "s03_lsh_pairs" ->
+      s"""$embCte,
+         |bk AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
+         | round(list_cosine_similarity(x.v, y.v), 6) AS cos
+         |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}

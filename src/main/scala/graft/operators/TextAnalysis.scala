@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language identification, quality scoring, and
+  * document fingerprinting over the `documents` table.
+  *
+  * All per-document metrics are pure map-side column expressions
+  * (codegen'd, shuffle-free) — at 100 TB these run at scan speed with
+  * filters/projections pushed to parquet.
+  */
+object TextAnalysis {
+
+  /** Stopword inventories for the n-gram language-ID heuristic. */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in)\\b",
+    "de" -> "\\b(der|und|die|das|nicht)\\b",
+    "fr" -> "\\b(le|et|les|des|est)\\b",
+    "es" -> "\\b(el|y|los|las|es)\\b")
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("re_tokens"),
+      length(col("text")).as("chars"))
+
+  /** Language-ID: stopword-marker counts per language, argmax with a
+    * fixed priority order on ties (en > de > fr > es, else 'und').
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val counted = langMarkers.foldLeft(docs) { case (df, (l, re)) =>
+      df.withColumn(s"c_$l", regexp_count(col("text"), lit(re)))
+    }
+    val Seq(en, de, fr, es) = langMarkers.map(m => col(s"c_${m._1}"))
+    counted.select(
+      col("doc_id"), en.as("c_en"), de.as("c_de"), fr.as("c_fr"), es.as("c_es"),
+      when(en + de + fr + es === 0, "und")
+        .when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es").as("lang_pred"))
+  }
+
+  /** Quality signals: token count, mean token length, punctuation and
+    * stopword ratios, plus a boolean keep/drop flag in the style of
+    * C4/Gopher-ish filters (thresholds are illustrative).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val nPunct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val nStop = regexp_count(col("text"), lit("\\b(the|a|and|of|to)\\b"))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (length(col("text")).cast("double") / nTok).as("mean_tok_len"),
+      (nPunct.cast("double") / nTok).as("punct_ratio"),
+      (nStop.cast("double") / nTok).as("stop_ratio"),
+      (nTok >= 10 && nTok <= 100000 && nPunct.cast("double") / nTok < 0.2)
+        .cast("int").as("keep"))
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text,
+    * plus a 64-bit prefix view for compact storage/joins.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val normalized = lower(regexp_replace(col("text"), "\\s+", " "))
+    docs.select(
+      col("doc_id"),
+      md5(normalized).as("fp"),
+      substring(md5(normalized), 1, 16).as("fp64"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "t01_token_stats" -> ((s, d) =>
+      tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t02_langid" -> ((s, d) =>
+      languageId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t03_quality" -> ((s, d) =>
+      qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t04_fingerprint" -> ((s, d) =>
+      fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))))
+
+  private val markerSql = Map(
+    "en" -> "\\b(the|and|of|to|in)\\b",
+    "de" -> "\\b(der|und|die|das|nicht)\\b",
+    "fr" -> "\\b(le|et|les|des|est)\\b",
+    "es" -> "\\b(el|y|los|las|es)\\b")
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+        | length(text) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t02_langid" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '${markerSql("en")}')) AS c_en,
+         |  len(regexp_extract_all(text, '${markerSql("de")}')) AS c_de,
+         |  len(regexp_extract_all(text, '${markerSql("fr")}')) AS c_fr,
+         |  len(regexp_extract_all(text, '${markerSql("es")}')) AS c_es
+         | FROM documents)
+         |SELECT doc_id, c_en, c_de, c_fr, c_es,
+         | CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'und'
+         |      WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         |      WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+         |      WHEN c_fr >= c_es THEN 'fr'
+         |      ELSE 'es' END AS lang_pred
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "t03_quality" ->
+      """WITH m AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+        |  len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS n_stop
+        | FROM documents)
+        |SELECT doc_id, n_tokens,
+        | CAST(n_chars AS DOUBLE) / n_tokens AS mean_tok_len,
+        | CAST(n_punct AS DOUBLE) / n_tokens AS punct_ratio,
+        | CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        | CAST(n_tokens >= 10 AND n_tokens <= 100000
+        |      AND CAST(n_punct AS DOUBLE) / n_tokens < 0.2 AS INT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        | substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
