@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.ingest.{SpanMerger, SpanRecord}
+import graft.model.{Log, Schemas, Span}
+import graft.query.{LogQueries, TraceQueries}
+import graft.store.{MemoryView, ParquetStore, ProcessRegistry, SchemaRegistry}
+
+/** The engine facade: two-table store (hot memory view ∪ cold
+  * time-partitioned parquet) + the reference's full query surface.
+  *
+  * Layout under `root` mirrors the reference
+  * (duo/src/partition/writer.rs:22-30, duo/src/memory.rs:141-148):
+  * {{{
+  * root/
+  *   process.json
+  *   schema/log_schema.json
+  *   span/date=…/hour=…/minute=…/&lt;part&gt;.parquet
+  *   log/date=…/hour=…/minute=…/&lt;part&gt;.parquet
+  * }}}
+  *
+  * `memoryMode = true` skips persistence entirely and queries serve from
+  * the memory view alone (duo/src/main.rs:82-85, ST6).
+  */
+final class DuoEngine(val spark: SparkSession, root: String,
+    memoryMode: Boolean = false) {
+
+  val processes = new ProcessRegistry(s"$root/process.json")
+  private val logSchemaPath = s"$root/schema/log_schema.json"
+  @volatile private var logSchema =
+    SchemaRegistry.loadMerged(logSchemaPath, Schemas.logBase)
+
+  val spanMemory = new MemoryView(spark, Schemas.span)
+  val logMemory = new MemoryView(spark, logSchema)
+  private val spanStore = new ParquetStore(spark, root, "span", "start")
+  private val logStore = new ParquetStore(spark, root, "log", "time")
+
+  private val openSpans =
+    scala.collection.mutable.ArrayBuffer.empty[SpanRecord]
+
+  // ---- ingest (ST1-ST5 condensed into an explicit micro-batch API) ----
+
+  /** One ingest micro-batch (the 1 s tick, duo/src/grpc/server.rs:31-46):
+    * merge partial span records with retained open spans, append intact
+    * spans + logs to the memory views. Unlike the reference, a batch
+    * with only spans or only logs still flushes (the reference skips
+    * unless both are non-empty — a bug noted in SURVEY ST3).
+    */
+  def ingestBatch(spanRecords: Seq[SpanRecord], logs: DataFrame): Unit = {
+    import spark.implicits._
+    this.synchronized {
+      val all = (openSpans.toSeq ++ spanRecords).groupBy(_.id)
+        .map { case (_, rs) => SpanMerger.mergeAll(rs) }
+      val (intact, ongoing) = all.partition(_.end.isDefined)
+      openSpans.clear()
+      openSpans ++= ongoing
+      if (intact.nonEmpty)
+        spanMemory.append(intact.toSeq.map(SpanMerger.toSpan).toDF())
+    }
+    if (!logs.isEmpty) {
+      logSchema = SchemaRegistry.merge(logSchema, logs.schema)
+      if (!memoryMode) SchemaRegistry.save(logSchema, logSchemaPath)
+      logMemory.append(logs)
+    }
+  }
+
+  /** The 60 s parquet flush (ST5): drain both memory views into the
+    * partitioned store. No-op in memory mode.
+    */
+  def flush(): Unit = if (!memoryMode) {
+    val spans = spanMemory.drain()
+    if (!spans.isEmpty) spanStore.write(spans)
+    val logs = logMemory.drain()
+    if (!logs.isEmpty) logStore.write(logs)
+  }
+
+  // ---- query surface (memory ∪ parquet, SURVEY §3) ----
+
+  /** Queryable log table: hot view ∪ parquet pruned to [start,end]. */
+  def logTable(startUs: Option[Long] = None, endUs: Option[Long] = None): DataFrame = {
+    val mem = SchemaRegistry.conform(logMemory.snapshot(), logSchema)
+    if (memoryMode) mem
+    else LogQueries.unionStore(mem,
+      logStore.read(startUs, endUs).map(SchemaRegistry.conform(_, logSchema)))
+  }
+
+  /** Queryable span table. */
+  def spanTable(startUs: Option[Long] = None, endUs: Option[Long] = None): DataFrame = {
+    val mem = spanMemory.snapshot()
+    if (memoryMode) mem
+    else LogQueries.unionStore(mem, spanStore.read(startUs, endUs))
+  }
+
+  def searchLogs(p: LogQueries.LogSearchParams): DataFrame =
+    LogQueries.search(logTable(p.startUs, p.endUs), p)
+
+  def fieldStats(field: String, p: LogQueries.LogSearchParams): Option[DataFrame] =
+    LogQueries.fieldStats(logTable(p.startUs, p.endUs), field, p)
+
+  def spanNames(service: String): DataFrame =
+    LogQueries.spanNames(spanTable(), service)
+
+  def searchTraces(p: TraceQueries.TraceSearchParams): DataFrame =
+    TraceQueries.filterTraces(spark, spanTable(p.startUs, p.endUs),
+      logTable(p.startUs, p.endUs), p)
+
+  def getTrace(traceId: Long): DataFrame =
+    TraceQueries.getTrace(spark, spanTable(), logTable(), traceId)
+
+  /** Typed views for API-edge consumers. */
+  def spans: Dataset[Span] = {
+    import spark.implicits._
+    spanTable().as[Span]
+  }
+  def logs: Dataset[Log] = {
+    import spark.implicits._
+    SchemaRegistry.conform(logTable(), Schemas.logBase).as[Log]
+  }
+}

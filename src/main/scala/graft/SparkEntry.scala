@@ -21,6 +21,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.EngineQueries.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
+      graft.queries.EngineQueries.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++

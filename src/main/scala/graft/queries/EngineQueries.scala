@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.query.{LogQueries, TraceQueries}
+import graft.query.LogQueries.LogSearchParams
+import graft.query.TraceQueries.TraceSearchParams
+
+/** The duo engine's own query pipelines run against the driver star
+  * schema, so the correctness gate exercises the engine code itself:
+  * events are mapped into the log table shape (with `value` as a dynamic
+  * column) and orders/lineitem into a span-tree shape (order = root
+  * span, lineitems = children). The oracle SQL mirrors the full pipeline
+  * including the mapping CTEs.
+  */
+object EngineQueries {
+
+  /** events → log-table shape: process_id "{service}-{n}", µs time,
+    * level from event_type, plus `value` as a dynamic field.
+    */
+  def eventsAsLogs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      concat(lit("svc"), col("user_id") % 5, lit("-"), col("user_id") % 3)
+        .as("process_id"),
+      expr("ts div 1000").as("time"),
+      col("user_id").as("trace_id"),
+      col("event_id").as("span_id"),
+      when(col("event_type") === "error", "ERROR")
+        .when(col("event_type") === "signup", "WARN")
+        .when(col("event_type") === "click", "INFO")
+        .when(col("event_type") === "view", "DEBUG")
+        .otherwise("TRACE").as("level"),
+      col("event_type").as("target"),
+      col("props").as("message"),
+      col("value"))
+
+  private val logsCte =
+    """WITH logs AS (SELECT
+      |  'svc'||CAST(user_id%5 AS VARCHAR)||'-'||CAST(user_id%3 AS VARCHAR) AS process_id,
+      |  epoch_us(ts) AS time, user_id AS trace_id, event_id AS span_id,
+      |  CASE WHEN event_type='error' THEN 'ERROR' WHEN event_type='signup' THEN 'WARN'
+      |       WHEN event_type='click' THEN 'INFO' WHEN event_type='view' THEN 'DEBUG'
+      |       ELSE 'TRACE' END AS level,
+      |  event_type AS target, props AS message, value
+      | FROM events)""".stripMargin
+
+  /** orders/lineitem → span-tree shape; R-flag lineitems also emit an
+    * ERROR log attached to their span (drives the J2 error tag).
+    */
+  def ordersAsSpans(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d).join(o, col("l_orderkey") === col("o_orderkey"))
+    val proc = concat(lit("oltp"), col("o_custkey") % 3, lit("-0"))
+    val roots = o.select(
+      (col("o_orderkey") * 1000).as("id"),
+      lit(null).cast("long").as("parent_id"),
+      col("o_orderkey").as("trace_id"),
+      col("o_orderpriority").as("name"),
+      proc.as("process_id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("start"),
+      (unix_micros(col("o_orderdate").cast("timestamp")) +
+        round(col("o_totalprice") * 10).cast("long")).as("end"),
+      lit(null).cast("string").as("tags"))
+    val children = li.select(
+      (col("o_orderkey") * 1000 + col("l_linenumber")).as("id"),
+      (col("o_orderkey") * 1000).as("parent_id"),
+      col("o_orderkey").as("trace_id"),
+      col("l_returnflag").as("name"),
+      proc.as("process_id"),
+      unix_micros(col("l_shipdate").cast("timestamp")).as("start"),
+      (unix_micros(col("l_shipdate").cast("timestamp")) +
+        round(col("l_quantity") * 1000).cast("long")).as("end"),
+      lit(null).cast("string").as("tags"))
+    val logs = li.filter(col("l_returnflag") === "R").select(
+      proc.as("process_id"),
+      unix_micros(col("l_shipdate").cast("timestamp")).as("time"),
+      col("o_orderkey").as("trace_id"),
+      (col("o_orderkey") * 1000 + col("l_linenumber")).as("span_id"),
+      lit("ERROR").as("level"))
+    (roots.unionByName(children), logs)
+  }
+
+  private val spansCte =
+    """WITH spans AS (
+      | SELECT o_orderkey*1000 AS id, CAST(NULL AS BIGINT) AS parent_id,
+      |  o_orderkey AS trace_id, o_orderpriority AS name,
+      |  'oltp'||CAST(o_custkey%3 AS VARCHAR)||'-0' AS process_id,
+      |  epoch_us(o_orderdate) AS start,
+      |  epoch_us(o_orderdate) + CAST(round(o_totalprice*10) AS BIGINT) AS "end"
+      | FROM orders
+      | UNION ALL
+      | SELECT o_orderkey*1000 + l_linenumber, o_orderkey*1000, o_orderkey,
+      |  l_returnflag, 'oltp'||CAST(o_custkey%3 AS VARCHAR)||'-0',
+      |  epoch_us(l_shipdate),
+      |  epoch_us(l_shipdate) + CAST(round(l_quantity*1000) AS BIGINT)
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |lgs AS (
+      | SELECT o_orderkey AS trace_id, o_orderkey*1000 + l_linenumber AS span_id
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | WHERE l_returnflag = 'R')""".stripMargin
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "g01_log_search" -> ((s, d) =>
+      LogQueries.search(eventsAsLogs(s, d),
+        LogSearchParams(service = "svc1",
+          expr = Some("level = 'ERROR' OR value > 150.0"),
+          skip = 10, limit = 50))),
+    "g02_field_stats" -> ((s, d) =>
+      LogQueries.fieldStats(eventsAsLogs(s, d), "target",
+        LogSearchParams(service = "svc")).get),
+    "g03_trace_search" -> ((s, d) => {
+      val (spans, logs) = ordersAsSpans(s, d)
+      TraceQueries.filterTraces(s, spans, logs,
+        TraceSearchParams(service = "oltp", operation = Some("1-URGENT"),
+          minDurationUs = Some(2000000L), limit = 20))
+        .select(col("trace_id"), col("n_spans"), col("trace_start"),
+          col("trace_end"), col("has_error"), col("n_logs"),
+          concat_ws(",", transform(col("spans"),
+            sp => sp.getField("id").cast("string"))).as("span_digest"))
+        .orderBy(col("trace_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "g01_log_search" ->
+      s"""$logsCte
+         |SELECT * FROM logs
+         |WHERE process_id LIKE 'svc1%' AND (level = 'ERROR' OR value > 150.0)
+         |ORDER BY time DESC, span_id DESC NULLS LAST
+         |LIMIT 50 OFFSET 10""".stripMargin,
+    "g02_field_stats" ->
+      s"""$logsCte
+         |SELECT target AS value, COUNT(target) AS "count" FROM logs
+         |WHERE process_id LIKE 'svc%' AND target IS NOT NULL
+         |GROUP BY target ORDER BY "count" DESC, value LIMIT 20""".stripMargin,
+    "g03_trace_search" ->
+      s"""$spansCte,
+         |roots AS (
+         | SELECT trace_id, start FROM spans
+         | WHERE parent_id IS NULL AND process_id LIKE 'oltp%'
+         |   AND name = '1-URGENT' AND ("end" - start) >= 2000000
+         | ORDER BY start DESC, trace_id LIMIT 20),
+         |sc AS (SELECT * FROM spans WHERE trace_id IN (SELECT trace_id FROM roots)),
+         |lg AS (SELECT * FROM lgs WHERE trace_id IN (SELECT trace_id FROM roots)),
+         |errspan AS (SELECT span_id, COUNT(*) AS n FROM lg GROUP BY span_id),
+         |corr AS (SELECT sc.*, CASE WHEN e.n > 0 THEN 1 ELSE 0 END AS haserr
+         |  FROM sc LEFT JOIN errspan e ON sc.id = e.span_id),
+         |lcount AS (SELECT trace_id, COUNT(*) AS nl FROM lg GROUP BY trace_id)
+         |SELECT c.trace_id, COUNT(*) AS n_spans, MIN(start) AS trace_start,
+         | MAX("end") AS trace_end, MAX(haserr) AS has_error,
+         | CAST(COALESCE(ANY_VALUE(l.nl), 0) AS BIGINT) AS n_logs,
+         | string_agg(CAST(id AS VARCHAR), ',' ORDER BY start, id) AS span_digest
+         |FROM corr c LEFT JOIN lcount l ON c.trace_id = l.trace_id
+         |GROUP BY c.trace_id ORDER BY c.trace_id""".stripMargin)
+}

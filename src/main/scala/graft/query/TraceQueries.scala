@@ -1,0 +1,114 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Jaeger-style trace search + assembly
+  * (reference: duo/src/web/services.rs:13-130, correlation
+  * duo/src/models.rs:80-94).
+  *
+  * The reference does all of this app-side after collecting every
+  * matching span; here each step is a distributed operator (SURVEY §2.3
+  * J1-J3):
+  *  - root-span admission = filter on parent_id IS NULL + operation /
+  *    start-range / duration predicates (F8-F11);
+  *  - trace scoping = left_semi joins on trace_id (J1) — the admitted
+  *    trace-id set is tiny (≤ limit) and broadcastable;
+  *  - span↔log correlation + error tag = left outer join on
+  *    span_id == id with an ERROR-count aggregate (J2/A3);
+  *  - assembly = groupBy(trace_id) + collect_list(struct(...)) (J3) —
+  *    one shuffle keyed by trace_id; a trace's spans are bounded (one
+  *    request), so collect_list cannot skew a reducer.
+  *
+  * Deliberate divergences (documented, SURVEY §7.4): the trace limit
+  * picks the N most recent roots (the reference's HashMap take(limit) is
+  * nondeterministic, O4); children arriving before their root are kept
+  * (the reference drops them, §3.2).
+  */
+object TraceQueries {
+
+  case class TraceSearchParams(
+      service: String,
+      operation: Option[String] = None,
+      startUs: Option[Long] = None,
+      endUs: Option[Long] = None,
+      minDurationUs: Option[Long] = None,
+      maxDurationUs: Option[Long] = None,
+      limit: Int = 20)
+
+  /** Root spans passing the admission predicates (F8-F11). */
+  def admittedRoots(spans: DataFrame, p: TraceSearchParams): DataFrame = {
+    var roots = spans
+      .filter(col("process_id").like(s"${p.service}%"))
+      .filter(col("parent_id").isNull)
+    p.operation.foreach(op => roots = roots.filter(col("name") === op))
+    p.startUs.foreach(s => roots = roots.filter(col("start") >= s))
+    p.endUs.foreach(e => roots = roots.filter(col("start") <= e))
+    val dur = col("end") - col("start")
+    p.minDurationUs.foreach(m => roots = roots.filter(dur >= m))
+    p.maxDurationUs.foreach(m => roots = roots.filter(dur <= m))
+    roots
+  }
+
+  /** Attach logs to spans and inject the `error=true` tag for spans with
+    * at least one ERROR-level log (J2 + A3 + C4: the tag lives in the
+    * JSON tags string, so it is decoded, merged, re-encoded).
+    */
+  def correlateSpanLogs(spans: DataFrame, logs: DataFrame): DataFrame = {
+    val errCounts = logs
+      .filter(col("level") === "ERROR" && col("span_id").isNotNull)
+      .groupBy(col("span_id")).agg(count(lit(1)).as("n_errors"))
+    spans.join(errCounts, spans("id") === errCounts("span_id"), "left_outer")
+      .withColumn("tags",
+        when(col("n_errors").isNotNull && col("n_errors") > 0,
+          to_json(map_concat(
+            coalesce(from_json(col("tags"), MapType(StringType, StringType)),
+              map()),
+            map(lit("error"), lit("true")))))
+          .otherwise(col("tags")))
+      .drop("span_id", "n_errors")
+  }
+
+  /** GET /api/traces: search → scope → correlate → assemble. Returns one
+    * row per trace with the span list collected as structs, ordered by
+    * span start (deterministic), plus trace-level rollups.
+    */
+  def filterTraces(spark: SparkSession, spans: DataFrame, logs: DataFrame,
+      p: TraceSearchParams): DataFrame = {
+    val roots = admittedRoots(spans, p)
+      .select(col("trace_id"), col("start").as("root_start"))
+      .orderBy(col("root_start").desc, col("trace_id"))
+      .limit(p.limit)
+    val ids = broadcast(roots.select(col("trace_id")))
+    assemble(
+      correlateSpanLogs(spans.join(ids, Seq("trace_id"), "left_semi"), logs),
+      logs.join(ids, Seq("trace_id"), "left_semi"))
+  }
+
+  /** GET /api/traces/:id — same pipeline, exact trace_id filter (F2). */
+  def getTrace(spark: SparkSession, spans: DataFrame, logs: DataFrame,
+      traceId: Long): DataFrame =
+    assemble(
+      correlateSpanLogs(spans.filter(col("trace_id") === traceId), logs),
+      logs.filter(col("trace_id") === traceId))
+
+  /** Group a scoped span/log set into TraceExt rows (J3). */
+  def assemble(spans: DataFrame, logs: DataFrame): DataFrame = {
+    val logCounts = logs.groupBy(col("trace_id"))
+      .agg(count(lit(1)).as("n_logs"))
+    spans
+      .groupBy(col("trace_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        min(col("start")).as("trace_start"),
+        max(col("end")).as("trace_end"),
+        max(when(col("tags").contains("\"error\":\"true\""), 1).otherwise(0))
+          .as("has_error"),
+        sort_array(collect_list(struct(
+          col("start"), col("id"), col("parent_id"), col("name"),
+          col("process_id"), col("end"), col("tags")))).as("spans"))
+      .join(logCounts, Seq("trace_id"), "left_outer")
+      .withColumn("n_logs", coalesce(col("n_logs"), lit(0L)))
+  }
+}

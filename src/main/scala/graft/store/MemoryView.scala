@@ -1,0 +1,51 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.store.SchemaRegistry.unionByNameAllowMissing
+
+/** Hot in-memory view of one table — the MemoryStore analog
+  * (duo/src/memory.rs:13-20): recent micro-batches kept queryable with
+  * ~1 s visibility, unioned with cold parquet at query time.
+  *
+  * Spark mapping (SURVEY §1.5 S1): the buffered batches live as an
+  * in-memory DataFrame built from collected rows. Appends arrive from
+  * the ingest loop's foreachBatch; `snapshot` is what queries union with
+  * the parquet store; `drain` is the 60 s flush handoff
+  * (duo/src/memory.rs:83-88). All mutation is driver-side under a lock,
+  * like the reference's RwLock — the data volume here is only the last
+  * flush interval's worth, the 100 TB bulk lives in parquet.
+  *
+  * Schema drift: batches may carry new dynamic log columns; appends
+  * union by name with missing columns nulled, so the snapshot always has
+  * the widest schema seen (duo/src/schema.rs:78-89 semantics).
+  */
+final class MemoryView(spark: SparkSession, baseSchema: org.apache.spark.sql.types.StructType) {
+
+  private var current: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+  private val lock = new Object
+
+  /** Append a micro-batch; the batch is materialized (localCheckpoint)
+    * so the view does not re-run upstream lineage on every query.
+    */
+  def append(batch: DataFrame): Unit = lock.synchronized {
+    val merged = unionByNameAllowMissing(current, batch)
+    current = merged.localCheckpoint(eager = true)
+  }
+
+  /** Current queryable snapshot. */
+  def snapshot(): DataFrame = lock.synchronized(current)
+
+  /** Atomically take everything and reset to empty — the Parquet-flush
+    * handoff (duo/src/grpc/server.rs:89-120).
+    */
+  def drain(): DataFrame = lock.synchronized {
+    val out = current
+    current = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out.schema)
+    out
+  }
+
+  def isEmpty: Boolean = lock.synchronized(current.isEmpty)
+}

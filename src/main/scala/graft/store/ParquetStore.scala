@@ -1,0 +1,99 @@
+package graft.store
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Cold storage: time-partitioned parquet per table
+  * (reference: duo/src/partition/writer.rs:22-63, reader
+  * duo/src/partition/query.rs:28-78).
+  *
+  * Spark-first deviations (SURVEY §2.1 S2/S3, §4):
+  *  - rows are partitioned by their OWN event time
+  *    (`date=…/hour=…/minute=…` hive layout via partitionBy), not by the
+  *    flush wall-clock minute — so partition pruning is correct even for
+  *    late data, which the reference's layout gets wrong.
+  *  - reads go through one root path with partition-column predicates;
+  *    Catalyst prunes directories (replacing the manual prefix listing,
+  *    kept as [[readPrefixes]] for the non-hive layout).
+  *  - a parquet bloom filter on trace_id is written, matching the
+  *    reference's bloom pruning for trace lookups
+  *    (duo/src/partition/writer.rs:45-49).
+  *
+  * At scale: minute-grained dirs are only sensible for recent data; the
+  * same layout compacts upward (minute→hour→day files) without changing
+  * readers because pruning is on column predicates, not path strings.
+  */
+final class ParquetStore(spark: SparkSession, root: String, table: String,
+    timeCol: String) {
+
+  private def dir = s"$root/$table"
+
+  /** Append a batch, derivating partition columns from the row's µs
+    * epoch time column.
+    */
+  def write(batch: DataFrame): Unit = {
+    batch
+      .withColumn("__ts", timestamp_micros(col(timeCol)))
+      .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("__ts"), "HH"))
+      .withColumn("minute", date_format(col("__ts"), "mm"))
+      .drop("__ts")
+      .write
+      .mode("append")
+      .option("parquet.bloom.filter.enabled#trace_id", "true")
+      .partitionBy("date", "hour", "minute")
+      .parquet(dir)
+  }
+
+  def exists: Boolean = new File(dir).exists()
+
+  /** Read with optional µs time-range pruning pushed onto the partition
+    * columns; mergeSchema covers dynamic log-schema drift across files
+    * (the reference's open FIXME at duo/src/partition/query.rs:72-75).
+    * Partition columns are dropped after pruning so the result matches
+    * the logical table schema.
+    */
+  def read(startUs: Option[Long], endUs: Option[Long]): Option[DataFrame] = {
+    if (!exists) return None
+    val base = spark.read.option("mergeSchema", "true").parquet(dir)
+    val pruned = (startUs, endUs) match {
+      case (Some(s), Some(e)) =>
+        // Conservative day-granular partition predicate + exact row
+        // predicate on the time column; both push down (dir pruning +
+        // parquet row-group stats).
+        base.where(
+          col("date") >= date_format(timestamp_micros(lit(s)), "yyyy-MM-dd") &&
+          col("date") <= date_format(timestamp_micros(lit(e)), "yyyy-MM-dd") &&
+          col(timeCol).between(s, e))
+      case (Some(s), None) =>
+        base.where(col("date") >= date_format(timestamp_micros(lit(s)), "yyyy-MM-dd") &&
+          col(timeCol) >= s)
+      case (None, Some(e)) =>
+        base.where(col("date") <= date_format(timestamp_micros(lit(e)), "yyyy-MM-dd") &&
+          col(timeCol) <= e)
+      case _ => base
+    }
+    Some(pruned.drop("date", "hour", "minute"))
+  }
+
+  /** Reference-shaped read path: enumerate minimal partition prefixes
+    * with [[TimePrefix]] and read only those directories (the
+    * ListingTable-over-prefixes plan, duo/src/partition/query.rs:38-60).
+    */
+  def readPrefixes(startUs: Long, endUs: Long,
+      schema: Option[StructType] = None): Option[DataFrame] = {
+    val paths = TimePrefix.generatePrefixes(startUs, endUs)
+      .map(p => s"$dir/$p")
+      .filter(p => new File(p).exists())
+    if (paths.isEmpty) None
+    else {
+      val reader = spark.read.option("mergeSchema", "true")
+        .option("basePath", dir)
+      val withSchema = schema.map(reader.schema).getOrElse(reader)
+      Some(withSchema.parquet(paths: _*).drop("date", "hour", "minute"))
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Process, Span}
+import graft.api.Jaeger
+import graft.query.TraceQueries
+import graft.query.TraceQueries.TraceSearchParams
+
+/** Trace search/assembly/correlation semantics (SURVEY §3.2, J1-J3, A3)
+  * over the FIXTURES.md §A span tree.
+  */
+class TraceQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1760000000000000L
+
+  private def spans: DataFrame = Seq(
+    Span(101L, None, 9001L, "foo", "example-0", t0, Some(t0 + 250000),
+      Some("""{"busy":"3.00ms"}""")),
+    Span(102L, Some(101L), 9001L, "bar", "example-0", t0 + 10000,
+      Some(t0 + 120000), None),
+    Span(103L, Some(101L), 9001L, "baz", "example-1", t0 + 130000, None, Some("{}")),
+    Span(201L, None, 9002L, "foo", "example-0", t0 + 500000,
+      Some(t0 + 600000), None),
+    Span(301L, None, 9003L, "other", "log-0", t0, Some(t0 + 50000), None))
+    .toDF()
+
+  private def logs: DataFrame = Seq(
+    ("example-0", t0 + 5000, Some(9001L), Some(101L), "INFO", Some("hello")),
+    ("example-0", t0 + 200000, Some(9001L), Some(101L), "ERROR", Some("Oops!")),
+    ("example-0", t0 + 550000, Some(9002L), Some(201L), "INFO", Some("fine")))
+    .toDF("process_id", "time", "trace_id", "span_id", "level", "message")
+
+  test("root-span admission predicates: operation + duration") {
+    val p = TraceSearchParams(service = "example", operation = Some("foo"),
+      minDurationUs = Some(200000L))
+    val ids = TraceQueries.admittedRoots(spans, p)
+      .select("trace_id").as[Long].collect().toSeq
+    assert(ids == Seq(9001L)) // 9002's foo is only 100ms; 9003 is other svc
+  }
+
+  test("assembly groups spans per trace with rollups and error tag") {
+    val p = TraceSearchParams(service = "example")
+    val traces = TraceQueries.filterTraces(spark, spans, logs, p)
+      .orderBy("trace_id").collect()
+    assert(traces.map(_.getLong(0)).toSeq == Seq(9001L, 9002L))
+
+    val t9001 = traces(0)
+    assert(t9001.getAs[Long]("n_spans") == 3)
+    assert(t9001.getAs[Long]("n_logs") == 2)
+    assert(t9001.getAs[Int]("has_error") == 1)
+    val spanStructs = t9001.getAs[scala.collection.Seq[Row]]("spans")
+    // span 101 has an ERROR log -> error tag injected into its JSON tags
+    val s101 = spanStructs.find(_.getAs[Long]("id") == 101L).get
+    assert(s101.getAs[String]("tags").contains(""""error":"true""""))
+    // children keep original tags
+    val s103 = spanStructs.find(_.getAs[Long]("id") == 103L).get
+    assert(!s103.getAs[String]("tags").contains("error"))
+
+    val t9002 = traces(1)
+    assert(t9002.getAs[Int]("has_error") == 0)
+  }
+
+  test("trace limit keeps the most recent roots (deterministic)") {
+    val p = TraceSearchParams(service = "example", limit = 1)
+    val ids = TraceQueries.filterTraces(spark, spans, logs, p)
+      .select("trace_id").as[Long].collect().toSeq
+    assert(ids == Seq(9002L)) // newer root start wins
+  }
+
+  test("getTrace returns the single assembled trace") {
+    val row = TraceQueries.getTrace(spark, spans, logs, 9001L).collect()
+    assert(row.length == 1 && row.head.getAs[Long]("n_spans") == 3)
+  }
+
+  test("Jaeger shaping: unsigned ids, CHILD_OF refs, name* for non-intact") {
+    val procs = Seq(Process("example-0", "example", Map("v" -> "1")),
+      Process("example-1", "example", Map.empty))
+    val collected = spans.as[Span].collect().filter(_.trace_id == 9001L).toSeq
+    val jt = Jaeger.toJaegerTrace(9001L, collected, procs)
+    assert(jt.traceID == "9001")
+    val byId = jt.spans.map(s => s.spanID -> s).toMap
+    assert(byId("102").references ==
+      Seq(Jaeger.Reference("CHILD_OF", "9001", "101")))
+    assert(byId("103").operationName == "baz*") // non-intact
+    assert(byId("101").duration == 250000L)
+    assert(jt.processes.keySet == Set("example-0", "example-1"))
+    // unsigned rendering of a negative (bit-cast u64) id
+    assert(Jaeger.renderId(-1L) == "18446744073709551615")
+  }
+}
