@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch main for interactive probing during development. Not part of
-  * the library surface.
+  * the library surface. Prints formatted physical plans for a few
+  * representative queries so pushdown/broadcast/codegen can be audited.
   */
 object Dev {
   def main(args: Array[String]): Unit = {
@@ -12,12 +13,18 @@ object Dev {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.show(3, false)
+    val d = "/root/testdata/sf0.001"
+    val out = new java.io.PrintWriter("/tmp/plans.txt")
+    for (name <- args) {
+      out.println(s"===== $name =====")
+      out.println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    out.close()
     spark.stop()
   }
 }

@@ -33,48 +33,45 @@ object TextFns {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: k lexicographic-min md5 digests over the shingle
-    * set, seeded by prefixing the seed index. Returns array<string>[k].
-    * min(md5(seed:shingle)) is a valid uniform minhash per seed and is
-    * reproducible in any engine with md5 + string min.
+  /** Affine-rehash minhash parameters: h_i(x) = (a_i·x + b_i) mod M with
+    * M = 2^31-1. The base hash is 28 bits (7 hex digits of md5), so
+    * a_i·x stays far below 2^63 — no overflow under ANSI mode, and the
+    * identical integer arithmetic runs in any SQL engine.
     */
-  def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(sh, x => md5(concat(lit(s"$i:"), x))))
-    }: _*)
+  val MinhashMod: Long = 2147483647L
+  def minhashA(i: Int): Long = 2L * i + 3L
+  def minhashB(i: Int): Long = 97L * i + 1L
 
   /** LSH band keys from a minhash signature: bands of r consecutive
     * signature entries digested together. Returns array<string>[bands].
     */
   def bandKeys(sig: Column, bands: Int, r: Int): Column =
     array((0 until bands).map { b =>
-      md5(concat_ws("|", (0 until r).map(j => element_at(sig, b * r + j + 1)): _*))
+      md5(concat_ws("|", (0 until r).map(j =>
+        element_at(sig, b * r + j + 1).cast("string")): _*))
     }: _*)
 
   /** Numeric value (0-15) of a single lowercase hex digit column. */
   def hexVal(d: Column): Column =
     when(ascii(d) >= 97, ascii(d) - 87).otherwise(ascii(d) - 48)
 
-  /** Bit k (0..15) of the first 16 bits of md5(token): k/4-th hex digit,
-    * bit (3 - k%4) within it.
+  /** 16-bit hash of a token: first 4 hex digits of its md5 (bit k of the
+    * md5 bit-string == bit 15-k of this int).
     */
-  private def md5Bit(tok: Column, k: Int): Column = {
-    val digit = substring(md5(tok), k / 4 + 1, 1)
-    shiftright(hexVal(digit), 3 - k % 4).bitwiseAND(lit(1))
+  def tokenBits16(t: Column): Column = {
+    val h = md5(t)
+    (0 until 4).map { d =>
+      hexVal(substring(h, d + 1, 1)) * lit(1 << (4 * (3 - d)))
+    }.reduce(_ + _)
   }
 
-  /** 16-bit SimHash over the distinct-token set: per bit position, sum
-    * +1/-1 contributions across tokens; bit set iff the sum is >= 0.
+  /** SimHash value from per-bit set-counts and the token count: bit k is
+    * set iff (#tokens with bit k) ≥ half, i.e. 2·b_k - n ≥ 0.
     */
-  def simhash16(toks: Column): Column = {
-    val uniq = array_distinct(toks)
-    val bitCols = (0 until 16).map { k =>
-      val s = aggregate(uniq, lit(0),
-        (acc, t) => acc + (md5Bit(t, k) * 2 - lit(1)))
-      when(s >= 0, lit(1 << k)).otherwise(lit(0))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhashFromBitCounts(bitCounts: Seq[Column], n: Column): Column =
+    bitCounts.zipWithIndex.map { case (b, k) =>
+      when(b * 2 - n >= 0, lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** Cast a float-array column to double elements. */
   def asDoubles(v: Column): Column = transform(v, x => x.cast("double"))
@@ -91,6 +88,14 @@ object TextFns {
 
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** Codegen'd cosine via the registered array_dot/array_norm kernels
+    * ([[VectorExprs.register]] must have run on the session). Takes
+    * SQL-resolvable column names (e.g. "a.v") because the kernels are
+    * reached through the function registry. Bit-identical to [[cosine]].
+    */
+  def cosineFast(a: String, b: String): Column =
+    expr(s"array_dot($a, $b) / (array_norm($a) * array_norm($b))")
 
   /** Signed projection of an embedding onto a deterministic md5-derived
     * pseudo-random hyperplane: weight_i = hexval(md5("<plane>:<i>")[0]) - 7.5.

@@ -70,17 +70,32 @@ object Dedup {
       bands: Int = 8, n: Int = 3): DataFrame = {
     val r = k / bands
     val sh = docShingles(docs, n).filter(size(col("sh")) > 0).cache()
-    val sigs = sh.select(col("doc_id"), col("sh"),
-      bandKeys(minhashSignature(col("sh"), k), bands, r).as("bk"))
-    val bandRows = sigs.select(col("doc_id"), col("sh"),
-      posexplode(col("bk")).as(Seq("band", "key")))
+    // Explode so the md5 digest is computed exactly once per shingle
+    // (a per-row array formulation re-evaluates the digest per signature
+    // entry — 16× the hashing); the k signature entries are then k
+    // map-side-combining min-aggregates of cheap affine rehashes.
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("dig", md5(col("s")))
+      .withColumn("hv", (0 until 7).map { j =>
+        hexVal(substring(col("dig"), j + 1, 1)).cast("long") *
+          lit(1L << (4 * (6 - j)))
+      }.reduce(_ + _))
+    val minExprs = (0 until k).map(i =>
+      min((col("hv") * minhashA(i) + minhashB(i)) % MinhashMod).as(s"m$i"))
+    val sigs = ex.groupBy(col("doc_id"))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val bandRows = sigs.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key")))
     val cands = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac", col("common").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("common")))
@@ -88,13 +103,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Per-doc 16-bit SimHash via explode → one md5 per distinct token →
+    * groupBy with 16 partial-aggregating bit-count sums. The explode
+    * shape beats per-row array folds: the token hash is computed exactly
+    * once and the aggregation combines map-side.
+    */
+  def simhashDocs(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", tokenBits16(col("tok")))
+    val bitSums = (0 until 16).map(k =>
+      sum(shiftright(col("h"), 15 - k).bitwiseAND(lit(1))).as(s"b$k"))
+    ex.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col("doc_id"),
+        simhashFromBitCounts(
+          (0 until 16).map(k => col(s"b$k").cast("int")),
+          col("n").cast("int")).as("sh16"))
+  }
+
   /** SimHash near-dup pairs: 16-bit simhash per doc; candidates share
     * one of the two 8-bit halves (guarantees recall for hamming <= 1,
     * catches most <= maxHam); verified by exact popcount of the XOR.
     */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
-    val hashed = docs
-      .select(col("doc_id"), simhash16(tokens(col("text"))).as("sh16"))
+    val hashed = simhashDocs(docs)
       .withColumn("hi", shiftright(col("sh16"), 8))
       .withColumn("lo", col("sh16").bitwiseAND(lit(255)))
       .cache()
@@ -115,10 +149,11 @@ object Dedup {
     * path; this is the exact baseline.
     */
   def embeddingPairs(embs: DataFrame, tau: Double): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
     val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(cosineFast("a.v", "b.v"), 6).as("cos"))
       .filter(col("cos") >= tau)
   }
 
@@ -147,6 +182,23 @@ object Dedup {
       |  THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
       |  ELSE [] END AS sh FROM toks)""".stripMargin
 
+  /** SQL fragments mirroring TextFns' md5-integer primitives, generated
+    * from the same constants so both engines compute identical hashes.
+    */
+  private def hexValSql(d: String): String =
+    s"(CASE WHEN ascii($d) >= 97 THEN ascii($d) - 87 ELSE ascii($d) - 48 END)"
+
+  private def base28Sql(v: String): String =
+    (0 until 7).map { j =>
+      s"${hexValSql(s"substr(md5($v), ${j + 1}, 1)")} * ${1L << (4 * (6 - j))}"
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
+
+  private def minhashSigSql(k: Int): String =
+    (0 until k).map { i =>
+      import graft.functions.TextFns.{minhashA, minhashB, MinhashMod}
+      s"list_min(list_transform(hv, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashMod))"
+    }.mkString("[", ",\n    ", "]")
+
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
@@ -166,11 +218,11 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d03_minhash_lsh" ->
       s"""$shingleCte,
-         |nz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, sh,
-         |  [list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR)||':'||x))) for i in range(0, 16)] AS sg
-         |  FROM nz),
-         |bands AS (SELECT doc_id, sh, b AS band, md5(sg[2*b+1]||'|'||sg[2*b+2]) AS key
+         |nz AS (SELECT doc_id, sh, list_transform(sh, sx -> ${base28Sql("sx")}) AS hv
+         |  FROM sh WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, ${minhashSigSql(16)} AS sg FROM nz),
+         |bands AS (SELECT doc_id, sh, b AS band,
+         |  md5(CAST(sg[2*b+1] AS VARCHAR)||'|'||CAST(sg[2*b+2] AS VARCHAR)) AS key
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.sh AS sha, b.sh AS shb

@@ -28,12 +28,13 @@ object Similarity {
     * reproducible across engines.
     */
   def bruteForceTopK(embs: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
     val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosineFast("qv", "v"), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -50,6 +51,7 @@ object Similarity {
     */
   def lshCandidatePairs(embs: DataFrame, tau: Double, nPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
     val b = embs.select(col("vec_id"),
       asDoubles(col("embedding")).as("v"),
       lshBucket(asDoubles(col("embedding")), nPlanes, dim).as("bucket"))
@@ -57,7 +59,7 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.bucket").as("bucket"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(cosineFast("a.v", "b.v"), 6).as("cos"))
       .filter(col("cos") >= tau)
   }
 

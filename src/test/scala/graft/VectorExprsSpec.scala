@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.functions.VectorExprs
+
+/** Codegen'd array_dot/array_norm must be bit-identical to the
+  * interpreted HOF formulation (same sequential summation order).
+  */
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("array_dot / array_norm match the HOF fold bit-for-bit") {
+    VectorExprs.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(0.5, -1.0, 2.0)),
+      (Array(0.1, 0.2, 0.3), Array(0.9, 0.8, 0.7)))
+      .toDF("a", "b")
+    val got = df.select(
+      expr("array_dot(a, b)").as("fast_dot"),
+      TextFns.dot(col("a"), col("b")).as("hof_dot"),
+      expr("array_norm(a)").as("fast_norm"),
+      TextFns.l2(col("a")).as("hof_norm"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
+  test("null arrays propagate null") {
+    VectorExprs.register(spark)
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    val r = df.select(expr("array_dot(a, b)"), expr("array_norm(b)")).collect()
+    assert(r.head.isNullAt(0) && r.head.isNullAt(1))
+  }
+}
