@@ -39,6 +39,34 @@ final class DuoEngine(val spark: SparkSession, root: String,
   private val openSpans =
     scala.collection.mutable.ArrayBuffer.empty[SpanRecord]
 
+  // ---- WAL (S4): the reference snapshots in-memory batches to Arrow
+  // IPC files every 10 s and replays them on boot (duo/src/ipc.rs:23-64,
+  // duo/src/memory.rs:47-59). Spark analog: a short-cycle parquet WAL
+  // dir per table, appended per ingest batch, replayed into the memory
+  // views on construction, cleared on the cold-store flush.
+
+  private def walDir(table: String) = s"$root/wal/$table"
+
+  private def walAppend(table: String, batch: DataFrame): Unit =
+    batch.write.mode("append").parquet(walDir(table))
+
+  private def walClear(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    Seq("span", "log").map(t => new java.io.File(walDir(t)))
+      .filter(_.exists()).foreach(rm)
+  }
+
+  private def walReplay(): Unit = Seq(
+    ("span", spanMemory), ("log", logMemory)).foreach { case (t, view) =>
+    if (new java.io.File(walDir(t)).exists()) {
+      view.append(spark.read.option("mergeSchema", "true").parquet(walDir(t)))
+    }
+  }
+  if (!memoryMode) walReplay()
+
   // ---- ingest (ST1-ST5 condensed into an explicit micro-batch API) ----
 
   /** One ingest micro-batch (the 1 s tick, duo/src/grpc/server.rs:31-46):
@@ -55,24 +83,32 @@ final class DuoEngine(val spark: SparkSession, root: String,
       val (intact, ongoing) = all.partition(_.end.isDefined)
       openSpans.clear()
       openSpans ++= ongoing
-      if (intact.nonEmpty)
-        spanMemory.append(intact.toSeq.map(SpanMerger.toSpan).toDF())
+      if (intact.nonEmpty) {
+        val batch = intact.toSeq.map(SpanMerger.toSpan).toDF()
+        spanMemory.append(batch)
+        if (!memoryMode) walAppend("span", batch)
+      }
     }
     if (!logs.isEmpty) {
       logSchema = SchemaRegistry.merge(logSchema, logs.schema)
-      if (!memoryMode) SchemaRegistry.save(logSchema, logSchemaPath)
+      if (!memoryMode) {
+        SchemaRegistry.save(logSchema, logSchemaPath)
+        walAppend("log", logs)
+      }
       logMemory.append(logs)
     }
   }
 
-  /** The 60 s parquet flush (ST5): drain both memory views into the
-    * partitioned store. No-op in memory mode.
+  /** The 60 s parquet flush + WAL clear (ST5): drain both memory views
+    * into the partitioned store, then drop the replay log
+    * (duo/src/grpc/server.rs:89-120). No-op in memory mode.
     */
   def flush(): Unit = if (!memoryMode) {
     val spans = spanMemory.drain()
     if (!spans.isEmpty) spanStore.write(spans)
     val logs = logMemory.drain()
     if (!logs.isEmpty) logStore.write(logs)
+    walClear()
   }
 
   // ---- query surface (memory ∪ parquet, SURVEY §3) ----

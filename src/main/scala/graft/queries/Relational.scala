@@ -344,7 +344,56 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Human timing formatting (C1) applied to synthetic µs durations —
+    * the reference's busy/idle tag formatting (duo/src/models.rs:186-195)
+    * exercised over all three unit branches (us/ms/s). The UDF rounds
+    * half-to-even exactly like printf, so DuckDB reproduces it.
+    */
+  def timingFormat(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("us_small", round(col("l_discount") * 1000).cast(LongType))
+      .withColumn("us_big", round(col("l_extendedprice") * 10).cast(LongType))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.Timing.format_timing(col("us_small")).as("fmt_small"),
+        graft.functions.Timing.format_timing(col("us_big")).as("fmt_big"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(2000)
+
+  /** Sliding event-time windows (1 h window, 30 min slide) via Spark's
+    * native window() — the §2.8 extension the reference lacks (it only
+    * has wall-clock flush cadence). Window starts surface as epoch secs.
+    */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("tsx", timestamp_micros(nsToUs("ts")))
+      .groupBy(window(col("tsx"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .select(col("window.start").cast(LongType).as("w_start"),
+        col("n"), col("value_sum"))
+      .orderBy(col("w_start"))
+
+  /** Pivot: returnflag columns per linestatus (conditional-aggregation
+    * equivalent in the oracle). SURVEY §2.4 extension.
+    */
+  def pivotFlags(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(asD(sum(dec2(col("l_quantity")))))
+      .orderBy(col("l_linestatus"))
+
+  /** Cube over two keys. SURVEY §2.4 extension (grouping sets family). */
+  def cube_(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   val queries: Map[String, Q] = Map(
+    "q24_timing_format" -> (timingFormat _),
+    "q28_pivot" -> (pivotFlags _),
+    "q29_cube" -> (cube_ _),
+    "w01_sliding_window" -> (slidingWindow _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_facet_topk" -> (facetTopK _),
     "q03_distinct" -> (distinctValues _),
@@ -378,7 +427,41 @@ object Relational {
   private val D2 = "DECIMAL(18,2)"
   private val D4 = "DECIMAL(18,4)"
 
+  /** printf-style 2-dp formatting fragment: DuckDB's printf rounds the
+    * exact binary double half-to-even, matching Timing.formatTimingValue.
+    */
+  private def fmtSql(us: String): String =
+    s"""CASE WHEN $us < 1000 THEN CAST($us AS VARCHAR)||'us'
+       |     WHEN $us < 1000000 THEN printf('%.2f', $us/1000.0)||'ms'
+       |     ELSE printf('%.2f', $us/1000000.0)||'s' END""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q24_timing_format" ->
+      s"""WITH x AS (SELECT l_orderkey, l_linenumber,
+         |  CAST(round(l_discount*1000) AS BIGINT) AS us_small,
+         |  CAST(round(l_extendedprice*10) AS BIGINT) AS us_big
+         | FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         | ${fmtSql("us_small")} AS fmt_small,
+         | ${fmtSql("us_big")} AS fmt_big
+         |FROM x ORDER BY l_orderkey, l_linenumber LIMIT 2000""".stripMargin,
+    "q28_pivot" ->
+      s"""SELECT l_linestatus,
+         | CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS $D2) END) AS DOUBLE) AS "A",
+         | CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS $D2) END) AS DOUBLE) AS "N",
+         | CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS $D2) END) AS DOUBLE) AS "R"
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q29_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "w01_sliding_window" ->
+      s"""WITH x AS (SELECT epoch_us(ts)//1000000 AS tsec, value FROM events),
+         |e AS (SELECT (tsec//1800 - o)*1800 AS w_start, value
+         |  FROM x CROSS JOIN (SELECT unnest([0, 1]) AS o))
+         |SELECT w_start, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
+         |FROM e GROUP BY w_start ORDER BY w_start""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) AS sum_qty,

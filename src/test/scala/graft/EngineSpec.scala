@@ -52,6 +52,25 @@ class EngineSpec extends SparkSpec {
     assert(persisted.fieldNames.contains("flag"))
   }
 
+  test("WAL replays un-flushed batches on restart and clears on flush") {
+    val root = tmpRoot()
+    val e1 = new DuoEngine(spark, root)
+    val logs = Seq(("svc-0", t0 + 500L, "INFO", "walled"))
+      .toDF("process_id", "time", "level", "message")
+    e1.ingestBatch(Seq(rec(1, 11, 300, t0, Some(t0 + 1L))), logs)
+    // crash before flush: a fresh engine over the same root replays WAL
+    val e2 = new DuoEngine(spark, root)
+    assert(e2.spanTable().count() == 1)
+    assert(e2.logTable().count() == 1)
+    e2.flush()
+    assert(!new java.io.File(s"$root/wal/span").exists())
+    assert(!new java.io.File(s"$root/wal/log").exists())
+    // after the flush the data lives in cold parquet only — no double count
+    val e3 = new DuoEngine(spark, root)
+    assert(e3.spanTable().count() == 1)
+    assert(e3.logTable().count() == 1)
+  }
+
   test("open spans survive batches until closed") {
     val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
     val noLogs = Seq.empty[(String, Long, String, String)]
