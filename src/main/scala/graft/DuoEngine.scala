@@ -83,19 +83,33 @@ final class DuoEngine(val spark: SparkSession, root: String,
       val (intact, ongoing) = all.partition(_.end.isDefined)
       openSpans.clear()
       openSpans ++= ongoing
-      if (intact.nonEmpty) {
-        val batch = intact.toSeq.map(SpanMerger.toSpan).toDF()
-        spanMemory.append(batch)
-        if (!memoryMode) walAppend("span", batch)
-      }
+      if (intact.nonEmpty)
+        appendSpanBatch(intact.toSeq.map(SpanMerger.toSpan).toDF())
     }
-    if (!logs.isEmpty) {
-      logSchema = SchemaRegistry.merge(logSchema, logs.schema)
+    appendLogBatch(logs)
+  }
+
+  /** Append a batch of already-merged spans to the hot view (+WAL) —
+    * the foreachBatch entry used by [[graft.ingest.StreamingIngest]].
+    */
+  def appendSpanBatch(batch: DataFrame): Unit = {
+    if (!batch.isEmpty) {
+      spanMemory.append(batch)
+      if (!memoryMode) walAppend("span", batch)
+    }
+  }
+
+  /** Append a batch of log rows (dynamic columns welcome) to the hot
+    * view, widening and persisting the merged schema (+WAL).
+    */
+  def appendLogBatch(batch: DataFrame): Unit = {
+    if (!batch.isEmpty) {
+      logSchema = SchemaRegistry.merge(logSchema, batch.schema)
       if (!memoryMode) {
         SchemaRegistry.save(logSchema, logSchemaPath)
-        walAppend("log", logs)
+        walAppend("log", batch)
       }
-      logMemory.append(logs)
+      logMemory.append(batch)
     }
   }
 

@@ -389,8 +389,49 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Two-phase salted aggregation — the skew-mitigation pattern for hot
+    * grouping keys at scale: partial aggregation over (key, salt)
+    * spreads one hot key across `salts` reducers, then a cheap final
+    * combine over the tiny partial table. Results are identical to the
+    * direct groupBy (the oracle IS the direct groupBy).
+    */
+  def saltedAgg(s: SparkSession, d: String, salts: Int = 8): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec2(col("value"))).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), asD(sum(col("psum"))).as("value_sum"))
+      .orderBy(col("event_type"))
+
+  /** Top-3 terms per document by integer-exact TF×N/DF score (explode →
+    * term/document frequencies → broadcast corpus size → rank window).
+    * Integer arithmetic end-to-end so the oracle matches bit-for-bit
+    * (a float idf would diverge across libm implementations).
+    */
+  def topTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ex = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("corpus_n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df_, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * 1000000 * corpus_n div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_timing_format" -> (timingFormat _),
+    "q30_salted_agg" -> ((s, d) => saltedAgg(s, d)),
+    "t05_top_terms" -> (topTerms _),
     "q28_pivot" -> (pivotFlags _),
     "q29_cube" -> (cube_ _),
     "w01_sliding_window" -> (slidingWindow _),
@@ -436,6 +477,22 @@ object Relational {
        |     ELSE printf('%.2f', $us/1000000.0)||'s' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q30_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "t05_top_terms" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS corpus_n FROM documents),
+        |scored AS (SELECT doc_id, tf.tok AS tok, tf, df,
+        |   (tf * 1000000 * corpus_n) // df AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER
+        |   (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM scored)
+        |SELECT doc_id, tok, tf, df, score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q24_timing_format" ->
       s"""WITH x AS (SELECT l_orderkey, l_linenumber,
          |  CAST(round(l_discount*1000) AS BIGINT) AS us_small,

@@ -107,6 +107,23 @@ class EngineSpec extends SparkSpec {
     assert(viaPrefixes.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("streaming ingest wires merged spans into the engine") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
+    val input = MemoryStream[SpanRecord]
+    input.addData(
+      rec(1, 21, 400, t0, None),
+      rec(2, 21, 400, t0, Some(t0 + 5L)), // closes span 21
+      rec(3, 22, 400, t0, None)) // stays open in state
+    val q = graft.ingest.StreamingIngest.startSpans(
+      engine, input.toDS(), Trigger.AvailableNow(), flushEveryBatches = 1000)
+    q.awaitTermination()
+    assert(engine.spanTable().count() == 1)
+    assert(engine.spanTable().select("id").as[Long].collect().toSeq == Seq(21L))
+  }
+
   test("process registry assigns {service}-{n} ids and round-trips") {
     val path = tmpRoot() + "/process.json"
     val reg = new ProcessRegistry(path)
