@@ -428,8 +428,24 @@ object Relational {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Correlated scalar subquery through the spark.sql surface —
+    * Catalyst decorrelates it into an aggregate + join; the engine also
+    * exposes plain SQL over registered views this way.
+    */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        | (SELECT MAX(o_totalprice) FROM orders_v o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer_v c
+        |ORDER BY c_custkey LIMIT 500""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_timing_format" -> (timingFormat _),
+    "q31_scalar_subquery" -> (scalarSubquery _),
     "q30_salted_agg" -> ((s, d) => saltedAgg(s, d)),
     "t05_top_terms" -> (topTerms _),
     "q28_pivot" -> (pivotFlags _),
@@ -477,6 +493,12 @@ object Relational {
        |     ELSE printf('%.2f', $us/1000000.0)||'s' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q31_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        | (SELECT MAX(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |ORDER BY c_custkey LIMIT 500""".stripMargin,
     "q30_salted_agg" ->
       s"""SELECT event_type, COUNT(*) AS n,
          | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
