@@ -443,9 +443,34 @@ object Relational {
         |ORDER BY c_custkey LIMIT 500""".stripMargin)
   }
 
+  /** Set operations (absent from the reference, SURVEY §2.6 note):
+    * customers appearing in both halves of a date-split order stream /
+    * only in the early half.
+    */
+  private def custHalves(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, d)
+    val early = o.filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+      .select(col("o_custkey"))
+    val late = o.filter(to_date(col("o_orderdate")) >= lit("1998-01-01"))
+      .select(col("o_custkey"))
+    (early, late)
+  }
+
+  def intersectCusts(s: SparkSession, d: String): DataFrame = {
+    val (early, late) = custHalves(s, d)
+    early.intersect(late).orderBy(col("o_custkey"))
+  }
+
+  def exceptCusts(s: SparkSession, d: String): DataFrame = {
+    val (early, late) = custHalves(s, d)
+    early.except(late).orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_timing_format" -> (timingFormat _),
     "q31_scalar_subquery" -> (scalarSubquery _),
+    "q32_intersect" -> (intersectCusts _),
+    "q33_except" -> (exceptCusts _),
     "q30_salted_agg" -> ((s, d) => saltedAgg(s, d)),
     "t05_top_terms" -> (topTerms _),
     "q28_pivot" -> (pivotFlags _),
@@ -493,6 +518,16 @@ object Relational {
        |     ELSE printf('%.2f', $us/1000000.0)||'s' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q32_intersect" ->
+      """SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "q33_except" ->
+      """SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
     "q31_scalar_subquery" ->
       """SELECT c_custkey, c_name,
         | (SELECT MAX(o_totalprice) FROM orders o
