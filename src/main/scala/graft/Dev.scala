@@ -8,16 +8,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Dev {
   def main(args: Array[String]): Unit = {
+    // deliberately NOT setting nanosAsLong here: Tables.load must be
+    // able to flip it at runtime for sessions the driver builds itself
     val spark = SparkSession
       .builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.001"
+    println(s"[dev] events rows via Tables.load (runtime conf): " +
+      s"${Tables.events(spark, d).count()}")
     val out = new java.io.PrintWriter("/tmp/plans.txt")
     for (name <- args) {
       out.println(s"===== $name =====")

@@ -112,6 +112,8 @@ object EngineQueries {
     "g02_field_stats" -> ((s, d) =>
       LogQueries.fieldStats(eventsAsLogs(s, d), "target",
         LogSearchParams(service = "svc")).get),
+    "g04_span_names" -> ((s, d) =>
+      LogQueries.spanNames(ordersAsSpans(s, d)._1, "oltp")),
     "g03_trace_search" -> ((s, d) => {
       val (spans, logs) = ordersAsSpans(s, d)
       TraceQueries.filterTraces(s, spans, logs,
@@ -136,6 +138,10 @@ object EngineQueries {
          |SELECT target AS value, COUNT(target) AS "count" FROM logs
          |WHERE process_id LIKE 'svc%' AND target IS NOT NULL
          |GROUP BY target ORDER BY "count" DESC, value LIMIT 20""".stripMargin,
+    "g04_span_names" ->
+      s"""$spansCte
+         |SELECT DISTINCT name FROM spans WHERE process_id LIKE 'oltp%'
+         |ORDER BY name""".stripMargin,
     "g03_trace_search" ->
       s"""$spansCte,
          |roots AS (
