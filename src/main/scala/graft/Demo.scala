@@ -51,6 +51,9 @@ object Demo {
     println(s"[demo] after flush + restart (cold parquet only, WAL cleared=" +
       s"${!new java.io.File(s"$root/wal/span").exists()}): " +
       s"spans=${e3.spanTable().count()} logs=${e3.logTable().count()}")
+
+    new graft.store.ParquetStore(spark, root, "span", "start").compact()
+    println(s"[demo] after span-store compaction: spans=${e3.spanTable().count()}")
     spark.stop()
   }
 }

@@ -79,6 +79,33 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     Some(pruned.drop("date", "hour", "minute"))
   }
 
+  /** Compact the small files the minute-grained ingest leaves behind:
+    * rewrite every (date,hour,minute) partition into `filesPerPartition`
+    * files. Readers are unaffected (same hive layout, same pruning);
+    * at scale this runs periodically over partitions older than the hot
+    * ingest tail. The rewrite goes through a temp dir then an atomic-ish
+    * directory swap so a crash leaves either the old or the new tree.
+    */
+  def compact(filesPerPartition: Int = 1): Unit = {
+    if (!exists) return
+    val tmp = s"$root/.compact-$table"
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .repartition(filesPerPartition, col("date"), col("hour"), col("minute"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#trace_id", "true")
+      .partitionBy("date", "hour", "minute")
+      .parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val live = new java.io.File(dir)
+    val staged = new java.io.File(tmp)
+    rm(live)
+    if (!staged.renameTo(live))
+      throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+  }
+
   /** Reference-shaped read path: enumerate minimal partition prefixes
     * with [[TimePrefix]] and read only those directories (the
     * ListingTable-over-prefixes plan, duo/src/partition/query.rs:38-60).

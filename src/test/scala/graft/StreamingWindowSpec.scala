@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.util.Cols.nsToUs
+
+/** Event-time windowed aggregation on the streaming path: the same
+  * events parquet driven through readStream with a watermark must
+  * reproduce the batch window aggregation (§2.8 extension — the
+  * reference has no event-time windows at all).
+  */
+class StreamingWindowSpec extends SparkSpec {
+
+  test("streamed tumbling-window counts equal the batch computation") {
+    val d = "/root/testdata/sf0.001"
+    val batchDf = Tables.events(spark, d) // also sets nanosAsLong
+
+    // readStream needs a directory; stage the single file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    val streamed = spark.readStream
+      .schema(batchDf.schema)
+      .parquet(streamDir.toString)
+      .withColumn("tsx", timestamp_micros(nsToUs("ts")))
+      .withWatermark("tsx", "1 hour")
+      .groupBy(window(col("tsx"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+    val q = streamed.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("win_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("win_stream")
+      .select(col("window.start").cast("long").as("w"), col("n"))
+      .orderBy(col("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val want = batchDf
+      .withColumn("tsx", timestamp_micros(nsToUs("ts")))
+      .groupBy(window(col("tsx"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("n"))
+      .orderBy(col("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("parquet store compaction merges small files without changing data") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact-test").toString
+    val store = new graft.store.ParquetStore(spark, root, "span", "start")
+    val t0 = 1760000000000000L
+    // two appends -> at least two files in the same minute partition
+    store.write(Seq((1L, t0, 10L), (2L, t0 + 1000L, 11L)).toDF("id", "start", "trace_id"))
+    store.write(Seq((3L, t0 + 2000L, 12L)).toDF("id", "start", "trace_id"))
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$root/span"))
+    }
+    assert(parquetFiles().size >= 2)
+    val before = store.read(None, None).get.select("id").as[Long].collect().sorted
+    store.compact()
+    assert(parquetFiles().size == 1)
+    val after = store.read(None, None).get.select("id").as[Long].collect().sorted
+    assert(after.sameElements(before))
+  }
+}
