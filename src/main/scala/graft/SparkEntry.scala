@@ -25,7 +25,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Pipelines.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      operators.Pipelines.oracle
 }

@@ -176,7 +176,7 @@ object Dedup {
         .orderBy(col("vec_a"), col("vec_b"))))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
-  private val shingleCte =
+  private[operators] val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
       |  THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
@@ -199,6 +199,25 @@ object Dedup {
       s"list_min(list_transform(hv, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashMod))"
     }.mkString("[", ",\n    ", "]")
 
+  /** The minhash+LSH pair CTE chain (expects the [[shingleCte]] `sh`
+    * relation in scope; yields `mh_pairs(doc_a, doc_b, jac)`).
+    */
+  private[operators] val minhashPairsCtes: String =
+    s"""nz AS (SELECT doc_id, sh, list_transform(sh, sx -> ${base28Sql("sx")}) AS hv
+       |  FROM sh WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, sh, ${minhashSigSql(16)} AS sg FROM nz),
+       |bands AS (SELECT doc_id, sh, b AS band,
+       |  md5(CAST(sg[2*b+1] AS VARCHAR)||'|'||CAST(sg[2*b+2] AS VARCHAR)) AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sh AS sha, b.sh AS shb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id),
+       |mh_pairs AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+       |    (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jac
+       |  FROM cand)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
@@ -218,21 +237,8 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d03_minhash_lsh" ->
       s"""$shingleCte,
-         |nz AS (SELECT doc_id, sh, list_transform(sh, sx -> ${base28Sql("sx")}) AS hv
-         |  FROM sh WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, sh, ${minhashSigSql(16)} AS sg FROM nz),
-         |bands AS (SELECT doc_id, sh, b AS band,
-         |  md5(CAST(sg[2*b+1] AS VARCHAR)||'|'||CAST(sg[2*b+2] AS VARCHAR)) AS key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.sh AS sha, b.sh AS shb
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |    AND a.doc_id < b.doc_id),
-         |ver AS (SELECT doc_a, doc_b, len(list_intersect(sha, shb)) AS common,
-         |    len(sha) AS na, len(shb) AS nb FROM cand)
-         |SELECT doc_a, doc_b,
-         | CAST(common AS DOUBLE) / (na + nb - common) AS jac
-         |FROM ver WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+         |$minhashPairsCtes
+         |SELECT doc_a, doc_b, jac FROM mh_pairs WHERE jac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
