@@ -97,23 +97,29 @@ object TextFns {
   def cosineFast(a: String, b: String): Column =
     expr(s"array_dot($a, $b) / (array_norm($a) * array_norm($b))")
 
-  /** Signed projection of an embedding onto a deterministic md5-derived
-    * pseudo-random hyperplane: weight_i = hexval(md5("<plane>:<i>")[0]) - 7.5.
-    * Used for random-hyperplane LSH bucketing; reproducible anywhere
-    * md5 + ascii exist.
+  /** Deterministic md5-derived pseudo-random hyperplane, computed ONCE
+    * driver-side: weight_i = hexval(md5("<plane>:<i>")[0]) - 7.5 —
+    * byte-identical to the SQL-side definition (java MessageDigest md5
+    * == SQL md5), so the oracle recomputes it symbolically while Spark
+    * ships the weights as a literal.
     */
-  def planeDot(v: Column, plane: Int, dim: Int): Column = {
-    val products = transform(sequence(lit(0), lit(dim - 1)), i => {
-      val w = hexVal(substring(md5(concat(lit(s"$plane:"), i.cast("string"))), 1, 1))
-        .cast("double") - lit(7.5)
-      element_at(v, i + 1) * w
-    })
-    aggregate(products, lit(0.0), (acc, x) => acc + x)
+  def planeWeights(plane: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val digest = md.digest(s"$plane:$i".getBytes("UTF-8"))
+      val firstHexDigit = (digest(0) >> 4) & 0xf
+      firstHexDigit.toDouble - 7.5
+    }.toArray
   }
 
-  /** LSH bucket id from nPlanes hyperplane signs. */
+  /** LSH bucket id from nPlanes hyperplane signs. Projections run
+    * through the codegen array_dot kernel against literal weight arrays
+    * ([[VectorExprs.register]] must have run) — the interpreted
+    * md5-per-element formulation was ~50× slower.
+    */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { j =>
-      when(planeDot(v, j, dim) >= 0, lit(1 << j)).otherwise(lit(0))
+      val dotJ = call_function("array_dot", v, typedlit(planeWeights(j, dim)))
+      when(dotJ >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 }

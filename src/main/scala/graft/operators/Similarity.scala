@@ -42,9 +42,11 @@ object Similarity {
   }
 
   /** Per-vector LSH bucket id from nPlanes md5-derived hyperplanes. */
-  def lshBuckets(embs: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame =
+  def lshBuckets(embs: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
     embs.select(col("vec_id"), col("label"),
       lshBucket(asDoubles(col("embedding")), nPlanes, dim).as("bucket"))
+  }
 
   /** Within-bucket candidate pairs scored with exact cosine, keeping
     * pairs above tau — the LSH-accelerated near-neighbor join.
