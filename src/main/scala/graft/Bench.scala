@@ -24,6 +24,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // warm the hash-aggregate / sort / exchange codegen paths so the
+    // first timed query doesn't absorb plan-compile time
+    spark.range(100000L)
+      .selectExpr("id % 100 AS k", "cast(id as string) AS s")
+      .groupBy("k").agg(org.apache.spark.sql.functions.count("*"),
+        org.apache.spark.sql.functions.collect_list("s"))
+      .orderBy("k").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).schema)
 
     // A failed query must not masquerade as a fast one (a swallowed

@@ -48,6 +48,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
     val sh = docShingles(docs, n).cache()
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    // Measured note: joining on the raw shingle string beats a
+    // 60-bit-hash join key here (the hash projection loses the cache
+    // locality of the exploded arrays and bought nothing back).
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val common = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -188,10 +191,12 @@ object Dedup {
   private def hexValSql(d: String): String =
     s"(CASE WHEN ascii($d) >= 97 THEN ascii($d) - 87 ELSE ascii($d) - 48 END)"
 
-  private def base28Sql(v: String): String =
-    (0 until 7).map { j =>
-      s"${hexValSql(s"substr(md5($v), ${j + 1}, 1)")} * ${1L << (4 * (6 - j))}"
+  private def baseHashSql(v: String, digits: Int): String =
+    (0 until digits).map { j =>
+      s"${hexValSql(s"substr(md5($v), ${j + 1}, 1)")} * ${1L << (4 * (digits - 1 - j))}"
     }.mkString("CAST((", " + ", ") AS BIGINT)")
+
+  private def base28Sql(v: String): String = baseHashSql(v, 7)
 
   private def minhashSigSql(k: Int): String =
     (0 until k).map { i =>
