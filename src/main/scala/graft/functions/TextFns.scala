@@ -55,15 +55,15 @@ object TextFns {
   def hexVal(d: Column): Column =
     when(ascii(d) >= 97, ascii(d) - 87).otherwise(ascii(d) - 48)
 
-  /** 16-bit hash of a token: first 4 hex digits of its md5 (bit k of the
-    * md5 bit-string == bit 15-k of this int).
+  /** 16-bit hash slice of a precomputed md5 hex digest: 4 hex digits
+    * starting at digit offset `off` (0-based). Bit k of the result is
+    * `(h >> k) & 1`. Four slices of one digest give a 64-bit token hash
+    * with a single md5 evaluation.
     */
-  def tokenBits16(t: Column): Column = {
-    val h = md5(t)
+  def hexBits16(dig: Column, off: Int): Column =
     (0 until 4).map { d =>
-      hexVal(substring(h, d + 1, 1)) * lit(1 << (4 * (3 - d)))
+      hexVal(substring(dig, off + d + 1, 1)) * lit(1 << (4 * (3 - d)))
     }.reduce(_ + _)
-  }
 
   /** SimHash value from per-bit set-counts and the token count: bit k is
     * set iff (#tokens with bit k) ≥ half, i.e. 2·b_k - n ≥ 0.

@@ -106,45 +106,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
-  /** Per-doc 16-bit SimHash via explode → one md5 per distinct token →
-    * groupBy with 16 partial-aggregating bit-count sums. The explode
-    * shape beats per-row array folds: the token hash is computed exactly
-    * once and the aggregation combines map-side.
+  /** Per-doc 64-bit SimHash carried as four 16-bit band values (the
+    * Manku/Jain/Sarma shape): explode → ONE md5 per distinct token →
+    * four 16-bit digest slices → groupBy with 64 partial-aggregating
+    * bit-count sums. The explode shape beats per-row array folds: the
+    * token hash is computed exactly once and the aggregation combines
+    * map-side. Band j packs simhash bits [16j, 16j+16); bit k of band j
+    * is the majority vote of token-hash bit k of slice j.
+    *
+    * Carrying the signature as 4 shorts instead of one i64 avoids
+    * signed-overflow edge cases on the top bit and IS the banding the
+    * candidate join needs — nothing recomputes.
     */
   def simhashDocs(docs: DataFrame): DataFrame = {
     val ex = docs
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h", tokenBits16(col("tok")))
-    val bitSums = (0 until 16).map(k =>
-      sum(shiftright(col("h"), 15 - k).bitwiseAND(lit(1))).as(s"b$k"))
-    ex.groupBy(col("doc_id"))
+      .withColumn("dig", md5(col("tok")))
+    val sliced = (0 until 4).foldLeft(ex)((df, j) =>
+      df.withColumn(s"h$j", hexBits16(col("dig"), 4 * j)))
+    val bitSums = for { j <- 0 until 4; k <- 0 until 16 } yield
+      sum(shiftright(col(s"h$j"), k).bitwiseAND(lit(1))).as(s"b${j}_$k")
+    sliced.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: (0 until 4).map(j =>
         simhashFromBitCounts(
-          (0 until 16).map(k => col(s"b$k").cast("int")),
-          col("n").cast("int")).as("sh16"))
+          (0 until 16).map(k => col(s"b${j}_$k").cast("int")),
+          col("n").cast("int")).as(s"band$j")): _*)
   }
 
-  /** SimHash near-dup pairs: 16-bit simhash per doc; candidates share
-    * one of the two 8-bit halves (guarantees recall for hamming <= 1,
-    * catches most <= maxHam); verified by exact popcount of the XOR.
+  /** SimHash near-dup pairs: 64-bit simhash per doc banded 4×16;
+    * candidates share at least one band (pigeonhole: guarantees full
+    * recall for hamming <= 3 — the standard near-dup radius); verified
+    * by exact popcount of the per-band XORs.
+    *
+    * Scale shape: each band has 65,536 buckets and near-dup corpora
+    * spread real docs across them, so the candidate join is Σ bucket²
+    * per band — no signature-space saturation (the round-1 16-bit
+    * variant saturated past ~65k docs).
     */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
-    val hashed = simhashDocs(docs)
-      .withColumn("hi", shiftright(col("sh16"), 8))
-      .withColumn("lo", col("sh16").bitwiseAND(lit(255)))
-      .cache()
-    def half(c: String): DataFrame =
-      hashed.as("a").join(hashed.as("b"),
-          col(s"a.$c") === col(s"b.$c") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sh16").as("ha"), col("b.sh16").as("hb"))
-    half("hi").unionByName(half("lo"))
+    val bandCols = (0 until 4).map(j => col(s"band$j"))
+    val rows = simhashDocs(docs)
+      .select(col("doc_id") +: bandCols :+
+        posexplode(array(bandCols: _*)).as(Seq("bpos", "bval")): _*)
+    val cands = rows.as("a").join(rows.as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+        ((0 until 4).map(j => col(s"a.band$j").as(s"a$j")) ++
+         (0 until 4).map(j => col(s"b.band$j").as(s"b$j"))): _*)
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    cands
+      .withColumn("hamming", (0 until 4).map(j =>
+        bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _).cast("int"))
       .filter(col("hamming") <= maxHam)
-      .select(col("doc_a"), col("doc_b"), col("hamming"), col("ha").as("simhash_a"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        format_string("%04x%04x%04x%04x",
+          col("a0"), col("a1"), col("a2"), col("a3")).as("simhash_a"))
   }
 
   /** Embedding-cosine near-dup pairs above tau. Brute-force within the
@@ -223,6 +242,48 @@ object Dedup {
        |    (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jac
        |  FROM cand)""".stripMargin
 
+  /** DuckDB mirror of the 64-bit simhash pipeline, generated from the
+    * same bit/band constants as the Spark plan so the two engines
+    * compute identical signatures (md5 hex digits + integer math only).
+    */
+  private def simhash64OracleSql: String = {
+    def band16Sql(j: Int): String =
+      (0 until 4).map { d =>
+        s"${hexValSql(s"substr(dig, ${4 * j + d + 1}, 1)")} * ${1 << (4 * (3 - d))}"
+      }.mkString("CAST((", " + ", ") AS BIGINT)")
+    val hvCols = (0 until 4).map(j => s"${band16Sql(j)} AS h$j").mkString(",\n  ")
+    val bitSums = (for { j <- 0 until 4; k <- 0 until 16 }
+      yield s"SUM((h$j >> $k) & 1) AS b${j}_$k").mkString(",\n  ")
+    val bandCols = (0 until 4).map { j =>
+      (0 until 16).map(k =>
+          s"CASE WHEN 2*b${j}_$k - n >= 0 THEN ${1 << k} ELSE 0 END")
+        .mkString("CAST((", " + ", s") AS INT) AS band$j")
+    }.mkString(",\n  ")
+    val hammingSql = (0 until 4)
+      .map(j => s"bit_count(xor(a$j, b$j))").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+       |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |hs AS (SELECT doc_id, md5(tok) AS dig FROM ex),
+       |hv AS (SELECT doc_id,
+       |  $hvCols FROM hs),
+       |agg AS (SELECT doc_id, COUNT(*) AS n,
+       |  $bitSums FROM hv GROUP BY doc_id),
+       |bands AS (SELECT doc_id,
+       |  $bandCols FROM agg),
+       |br AS (SELECT doc_id, band0, band1, band2, band3, j,
+       |  CASE j WHEN 0 THEN band0 WHEN 1 THEN band1 WHEN 2 THEN band2 ELSE band3 END AS bv
+       |  FROM bands CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+       |    b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+       |  FROM br a JOIN br b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST($hammingSql AS INT) AS hamming,
+       |  printf('%04x%04x%04x%04x', a0, a1, a2, a3) AS simhash_a
+       |FROM cand
+       |WHERE $hammingSql <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
@@ -245,26 +306,7 @@ object Dedup {
          |$minhashPairsCtes
          |SELECT doc_a, doc_b, jac FROM mh_pairs WHERE jac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "d04_simhash" ->
-      """WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
-        |bits AS (SELECT doc_id, t,
-        |  [CASE WHEN list_sum([2*((CASE WHEN ascii(substr(md5(tok), k//4 + 1, 1)) >= 97
-        |       THEN ascii(substr(md5(tok), k//4 + 1, 1)) - 87
-        |       ELSE ascii(substr(md5(tok), k//4 + 1, 1)) - 48 END >> (3 - k%4)) & 1) - 1 for tok in t]) >= 0
-        |    THEN 1 << k ELSE 0 END for k in range(0, 16)] AS bitvals
-        |  FROM toks),
-        |hs AS (SELECT doc_id, CAST(list_sum(bitvals) AS INT) AS sh16 FROM bits),
-        |halves AS (SELECT doc_id, sh16, sh16 >> 8 AS hi, sh16 & 255 AS lo FROM hs),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh16 AS ha, b.sh16 AS hb
-        |  FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
-        |  UNION
-        |  SELECT DISTINCT a.doc_id, b.doc_id, a.sh16, b.sh16
-        |  FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
-        | ha AS simhash_a
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d04_simhash" -> simhash64OracleSql,
     "d05_embedding_near_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings)
