@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.ingest.SpanRecord
+import graft.model.TagValue
 import graft.query.LogQueries.LogSearchParams
 
 /** End-to-end engine lifecycle demo driven through the public API:
@@ -24,11 +25,14 @@ object Demo {
     val t0 = 1760000000000000L
 
     val e1 = new DuoEngine(spark, root)
-    e1.processes.register("example", Map("duo-version" -> "0.2.0"))
+    e1.processes.register("example", Map("duo-version" -> TagValue.str("0.2.0")))
     e1.ingestBatch(
       Seq(
         SpanRecord(1, 101, None, 9001, "foo", "example-0", t0, None, Map.empty),
-        SpanRecord(2, 101, None, 9001, "foo", "example-0", t0, Some(t0 + 250000), Map("busy" -> "3.00ms")),
+        // raw u64 busy/idle arrive from the wire; ingest formats them
+        SpanRecord(2, 101, None, 9001, "foo", "example-0", t0, Some(t0 + 250000),
+          Map("busy" -> TagValue.u64(3000), "retries" -> TagValue.i64(2),
+            "cached" -> TagValue.bool(true))),
         SpanRecord(3, 102, Some(101), 9001, "bar", "example-0", t0 + 10000, Some(t0 + 120000), Map.empty)),
       Seq(("example-0", t0 + 5000L, Some(9001L), Some(101L), "INFO", Some("hello foo!")),
         ("example-0", t0 + 200000L, Some(9001L), Some(101L), "ERROR", Some("Oops!")))
@@ -45,6 +49,9 @@ object Demo {
     val trace = e2.getTrace(9001L).collect().head
     println(s"[demo] trace 9001: n_spans=${trace.getAs[Long]("n_spans")} " +
       s"n_logs=${trace.getAs[Long]("n_logs")} has_error=${trace.getAs[Int]("has_error")}")
+    val span101 = e2.spans.collect().find(_.id == 101L).get
+    println(s"[demo] span 101 tags (u64 busy formatted at ingest, " +
+      s"typed values kept): ${span101.tags.getOrElse("")}")
 
     e2.flush()
     val e3 = new DuoEngine(spark, root)

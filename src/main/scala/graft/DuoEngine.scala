@@ -24,7 +24,8 @@ import graft.store.{MemoryView, ParquetStore, ProcessRegistry, SchemaRegistry}
   * the memory view alone (duo/src/main.rs:82-85, ST6).
   */
 final class DuoEngine(val spark: SparkSession, root: String,
-    memoryMode: Boolean = false) {
+    memoryMode: Boolean = false,
+    nowUs: () => Long = () => System.currentTimeMillis() * 1000L) {
 
   val processes = new ProcessRegistry(s"$root/process.json")
   private val logSchemaPath = s"$root/schema/log_schema.json"
@@ -142,18 +143,40 @@ final class DuoEngine(val spark: SparkSession, root: String,
     else LogQueries.unionStore(mem, spanStore.read(startUs, endUs))
   }
 
-  def searchLogs(p: LogQueries.LogSearchParams): DataFrame =
-    LogQueries.search(logTable(p.startUs, p.endUs), p)
+  /** Resolve the cold-storage read range for a query: an unset bound
+    * defaults to the reference's 15-minutes-ending-now window
+    * (duo/src/query.rs:104-109) so the default API call prunes to a
+    * handful of partitions instead of scanning a year of parquet;
+    * `unbounded` is the explicit full-scan opt-out. Only the parquet
+    * read is windowed — the hot memory view is always fully visible,
+    * exactly like the reference's memtable union.
+    */
+  private def storeRange(startUs: Option[Long], endUs: Option[Long],
+      unbounded: Boolean): (Option[Long], Option[Long]) =
+    if (unbounded) (None, None)
+    else {
+      val now = nowUs()
+      (Some(startUs.getOrElse(now - DuoEngine.DefaultWindowUs)),
+        Some(endUs.getOrElse(now)))
+    }
 
-  def fieldStats(field: String, p: LogQueries.LogSearchParams): Option[DataFrame] =
-    LogQueries.fieldStats(logTable(p.startUs, p.endUs), field, p)
+  def searchLogs(p: LogQueries.LogSearchParams): DataFrame = {
+    val (s, e) = storeRange(p.startUs, p.endUs, p.unbounded)
+    LogQueries.search(logTable(s, e), p)
+  }
+
+  def fieldStats(field: String, p: LogQueries.LogSearchParams): Option[DataFrame] = {
+    val (s, e) = storeRange(p.startUs, p.endUs, p.unbounded)
+    LogQueries.fieldStats(logTable(s, e), field, p)
+  }
 
   def spanNames(service: String): DataFrame =
     LogQueries.spanNames(spanTable(), service)
 
-  def searchTraces(p: TraceQueries.TraceSearchParams): DataFrame =
-    TraceQueries.filterTraces(spark, spanTable(p.startUs, p.endUs),
-      logTable(p.startUs, p.endUs), p)
+  def searchTraces(p: TraceQueries.TraceSearchParams): DataFrame = {
+    val (s, e) = storeRange(p.startUs, p.endUs, p.unbounded)
+    TraceQueries.filterTraces(spark, spanTable(s, e), logTable(s, e), p)
+  }
 
   def getTrace(traceId: Long): DataFrame =
     TraceQueries.getTrace(spark, spanTable(), logTable(), traceId)
@@ -167,4 +190,35 @@ final class DuoEngine(val spark: SparkSession, root: String,
     import spark.implicits._
     SchemaRegistry.conform(logTable(), Schemas.logBase).as[Log]
   }
+
+  /** Ingest raw JSON log events — the reference's born-dynamic path
+    * (duo/src/arrow.rs:70-91): field types are INFERRED by Spark's JSON
+    * reader (long/double/boolean/string, the same four the reference
+    * maps JSON values to), base columns are cast to their pinned
+    * registry types, the level is normalized (unknown → DEBUG,
+    * duo-api/src/common.rs:39-60), and new fields widen the schema
+    * registry like any dynamic batch.
+    */
+  def ingestJsonLogs(jsonLines: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    if (jsonLines.isEmpty) return
+    val raw = spark.read.json(spark.createDataset(jsonLines))
+    val baseTypes = Schemas.logBase.fields.map(f => f.name -> f.dataType).toMap
+    val cols = raw.schema.fields.map { f =>
+      if (f.name == "level")
+        when(upper(col("level")).isin(Schemas.levels: _*), upper(col("level")))
+          .otherwise("DEBUG").as("level")
+      else baseTypes.get(f.name) match {
+        case Some(dt) if dt != f.dataType => col(f.name).cast(dt).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    appendLogBatch(raw.select(cols.toIndexedSeq: _*))
+  }
+}
+
+object DuoEngine {
+  /** Default cold-read window: 15 minutes (duo/src/query.rs:106). */
+  val DefaultWindowUs: Long = 15L * 60L * 1000000L
 }

@@ -1,13 +1,26 @@
 package graft.api
 
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
 import graft.model.{Process, Span}
 
 /** Jaeger-JSON shaping (reference: duo/src/web/serialize.rs:27-195) —
   * pure edge serialization over collected rows; no Spark involvement
   * (the reference likewise materializes before serializing, SURVEY §1.5).
+  *
+  * Tag values are TYPED end to end: the span's JSON tags column carries
+  * real JSON values (string/number/bool), decoded here with a real JSON
+  * parser (json4s, on the Spark classpath) and re-emitted with the
+  * reference's type labels — `bool` for booleans, `int64` for numbers,
+  * `string` otherwise (duo/src/web/serialize.rs:46-60).
   */
 object Jaeger {
 
+  /** One Jaeger tag. `value` keeps the raw text; `type` drives the
+    * typed rendering in [[renderTrace]] (bool/int64 emit bare JSON
+    * values, string emits quoted).
+    */
   case class KeyValue(key: String, `type`: String, value: String)
   case class Reference(refType: String, traceID: String, spanID: String)
   case class JaegerSpan(
@@ -31,14 +44,27 @@ object Jaeger {
     */
   def renderId(id: Long): String = java.lang.Long.toUnsignedString(id)
 
-  /** Spans' JSON tag maps are decoded into Jaeger typed tag objects;
-    * values here are already strings (C4/C7).
+  /** JSON value → Jaeger typed tag (duo/src/web/serialize.rs:46-60:
+    * Bool→"bool", Number→"int64", String→"string"; anything else is
+    * re-serialized as its compact JSON text).
     */
-  private def tagKVs(tagsJson: Option[String]): Seq[KeyValue] =
+  private def toKV(key: String, v: JValue): KeyValue = v match {
+    case JBool(b) => KeyValue(key, "bool", b.toString)
+    case JInt(n) => KeyValue(key, "int64", n.toString)
+    case JLong(n) => KeyValue(key, "int64", n.toString)
+    case JDouble(d) => KeyValue(key, "int64", d.toString)
+    case JDecimal(d) => KeyValue(key, "int64", d.toString)
+    case JString(s) => KeyValue(key, "string", s)
+    case other => KeyValue(key, "string", JsonMethods.compact(JsonMethods.render(other)))
+  }
+
+  /** Decode a span's JSON tag map into typed Jaeger tags. */
+  private[api] def tagKVs(tagsJson: Option[String]): Seq[KeyValue] =
     tagsJson.toSeq.flatMap { j =>
-      """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-        .findAllMatchIn(j)
-        .map(m => KeyValue(m.group(1), "string", m.group(2)))
+      JsonMethods.parseOpt(j).toSeq.flatMap {
+        case JObject(fields) => fields.map { case (k, v) => toKV(k, v) }
+        case _ => Nil
+      }
     }
 
   /** One span → Jaeger span. Non-intact spans (no `end`) get the
@@ -68,7 +94,52 @@ object Jaeger {
       spans = spans.sortBy(_.start).map(toJaegerSpan),
       processes = processes.filter(p => used.contains(p.id))
         .map(p => p.id -> JaegerProcess(p.serviceName,
-          p.tags.toSeq.sortBy(_._1).map { case (k, v) => KeyValue(k, "string", v) }))
+          p.tags.toSeq.sortBy(_._1)
+            .map { case (k, v) => KeyValue(k, v.jaegerType, v.render) }))
         .toMap)
+  }
+
+  // ---- JSON rendering (S8): the serialized wire form, with typed tag
+  // values — `"value": true` / `"value": 42` / `"value": "s"`, exactly
+  // the shape the reference's Serialize impls emit. ----
+
+  private def kvJson(kv: KeyValue): JValue = {
+    val v: JValue = kv.`type` match {
+      case "bool" => JBool(kv.value.toBoolean)
+      case "int64" =>
+        // numbers round-trip through BigDecimal so integer and float
+        // forms both survive (the reference's Number covers both)
+        scala.util.Try(JInt(BigInt(kv.value)))
+          .getOrElse(JDecimal(BigDecimal(kv.value)))
+      case _ => JString(kv.value)
+    }
+    JObject("key" -> JString(kv.key), "type" -> JString(kv.`type`), "value" -> v)
+  }
+
+  private def spanJson(s: JaegerSpan): JValue = JObject(
+    "traceID" -> JString(s.traceID),
+    "spanID" -> JString(s.spanID),
+    "operationName" -> JString(s.operationName),
+    "references" -> JArray(s.references.toList.map(r => JObject(
+      "refType" -> JString(r.refType),
+      "traceID" -> JString(r.traceID),
+      "spanID" -> JString(r.spanID)))),
+    "startTime" -> JLong(s.startTime),
+    "duration" -> JLong(s.duration),
+    "tags" -> JArray(s.tags.toList.map(kvJson)),
+    "processID" -> JString(s.processID),
+    "warnings" -> JArray(s.warnings.toList.map(JString(_))))
+
+  /** Serialize an assembled trace to its Jaeger JSON wire form. */
+  def renderTrace(t: JaegerTrace): String = {
+    val ast = JObject(
+      "traceID" -> JString(t.traceID),
+      "spans" -> JArray(t.spans.toList.map(spanJson)),
+      "processes" -> JObject(t.processes.toList.sortBy(_._1).map {
+        case (id, p) => id -> JObject(
+          "serviceName" -> JString(p.serviceName),
+          "tags" -> JArray(p.tags.toList.map(kvJson)))
+      }))
+    JsonMethods.compact(JsonMethods.render(ast))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.model.Span
+import graft.model.{Span, TagValue}
 
 /** Partial span records as shipped by instrumented apps: a NewSpan
   * (no end) followed by a CloseSpan carrying end (+ tags), merged by id
@@ -13,6 +13,10 @@ import graft.model.Span
   * Merge rule: the first record pins identity fields (trace_id, name,
   * process_id, start); later records overwrite parent_id when present
   * and `end` unconditionally, and extend tags (later values win per key).
+  *
+  * Tags carry the wire's typed values (string/u64/i64/bool,
+  * duo-api/proto/common.proto:28-38); the type survives into the span's
+  * JSON tags column and out through the Jaeger edge.
   */
 case class SpanRecord(
     seq: Long,
@@ -23,7 +27,7 @@ case class SpanRecord(
     process_id: String,
     start: Long,
     end: Option[Long],
-    tags: Map[String, String])
+    tags: Map[String, TagValue])
 
 object SpanMerger {
 
@@ -36,14 +40,27 @@ object SpanMerger {
   def mergeAll(records: Seq[SpanRecord]): SpanRecord =
     records.sortBy(_.seq).reduceLeft(mergeTwo)
 
-  private def tagsJson(tags: Map[String, String]): Option[String] =
+  private def tagsJson(tags: Map[String, TagValue]): Option[String] =
     if (tags.isEmpty) None
     else Some(tags.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}"))
+      .map { case (k, v) => s""""${TagValue.escape(k)}":${v.jsonToken}""" }
+      .mkString("{", ",", "}"))
 
-  def toSpan(r: SpanRecord): Span =
+  /** Finalize a merged record into a storable span. u64 `busy`/`idle`
+    * timing tags are formatted human-readable here, exactly where the
+    * reference does it (duo/src/models.rs:104-113: `Span::from` rewrites
+    * U64Val busy/idle through format_timing_value before anything is
+    * stored); non-u64 values under those keys pass through untouched.
+    */
+  def toSpan(r: SpanRecord): Span = {
+    val formatted = r.tags.map {
+      case (k @ ("busy" | "idle"), v) if v.u64Val.isDefined =>
+        k -> TagValue.str(graft.functions.Timing.formatTimingValue(v.u64Val.get))
+      case kv => kv
+    }
     Span(r.id, r.parent_id, r.trace_id, r.name, r.process_id, r.start, r.end,
-      tagsJson(r.tags))
+      tagsJson(formatted))
+  }
 
   /** Batch merge (J4): groupByKey on span id, fold in arrival order,
     * split intact (end set) from ongoing. One shuffle on id; state never
@@ -112,7 +129,11 @@ object SpanMerger {
         min_by(col("process_id"), col("seq")).as("process_id"),
         min_by(col("start"), col("seq")).as("start"),
         max_by(col("end"), col("seq")).as("end"),
-        max(when(col("parent_id").isNotNull, col("parent_id"))).as("parent_id"))
+        // last NON-NULL parent_id by seq (the typed path's "overwrite
+        // only when present", duo/src/aggregator.rs:19-21): null the
+        // ordering key for null parent_ids so max_by skips them.
+        max_by(col("parent_id"),
+          when(col("parent_id").isNotNull, col("seq"))).as("parent_id"))
       .select(col("id"), col("parent_id"), col("trace_id"), col("name"),
         col("process_id"), col("start"), col("end"))
   }

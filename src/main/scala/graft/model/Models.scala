@@ -37,10 +37,68 @@ case class Log(
     line: Option[Int],
     message: Option[String])
 
-/** Process registry entry (duo/src/models.rs:9-15): id is
-  * "{serviceName}-{n}".
+/** Typed tag value — the wire oneof (duo-api/proto/common.proto:28-38:
+  * str_val / u64_val / sint64_val / bool_val) expressed as a
+  * Spark-encodable product with exactly one field set (a sealed trait
+  * has no Catalyst encoder; this struct shape does). u64 values are
+  * bit-cast longs (SURVEY §1.5) rendered unsigned at the edges.
   */
-case class Process(id: String, serviceName: String, tags: Map[String, String])
+case class TagValue(
+    strVal: Option[String] = None,
+    u64Val: Option[Long] = None,
+    i64Val: Option[Long] = None,
+    boolVal: Option[Boolean] = None) {
+
+  /** Typed JSON value token, matching the reference's conversion of
+    * wire values into serde_json::Value (duo/src/models.rs:117-126):
+    * strings quoted+escaped, integers bare (u64 unsigned), bools bare.
+    */
+  def jsonToken: String =
+    strVal.map(s => "\"" + TagValue.escape(s) + "\"")
+      .orElse(u64Val.map(java.lang.Long.toUnsignedString))
+      .orElse(i64Val.map(_.toString))
+      .orElse(boolVal.map(_.toString))
+      .getOrElse("null")
+
+  /** Jaeger tag type (duo/src/web/serialize.rs:46-60): bools are
+    * "bool", numbers "int64", everything else "string".
+    */
+  def jaegerType: String =
+    if (boolVal.isDefined) "bool"
+    else if (u64Val.isDefined || i64Val.isDefined) "int64"
+    else "string"
+
+  /** Plain-text rendering (no quoting). */
+  def render: String =
+    strVal
+      .orElse(u64Val.map(java.lang.Long.toUnsignedString))
+      .orElse(i64Val.map(_.toString))
+      .orElse(boolVal.map(_.toString))
+      .getOrElse("")
+}
+
+object TagValue {
+  def str(v: String): TagValue = TagValue(strVal = Some(v))
+  def u64(v: Long): TagValue = TagValue(u64Val = Some(v))
+  def i64(v: Long): TagValue = TagValue(i64Val = Some(v))
+  def bool(v: Boolean): TagValue = TagValue(boolVal = Some(v))
+
+  /** JSON string-body escaping (quote, backslash, control chars). */
+  def escape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+}
+
+/** Process registry entry (duo/src/models.rs:9-15): id is
+  * "{serviceName}-{n}"; tags carry the wire's typed values.
+  */
+case class Process(id: String, serviceName: String, tags: Map[String, TagValue])
 
 object Schemas {
   /** Fixed span schema (duo/src/schema.rs:16-27). */

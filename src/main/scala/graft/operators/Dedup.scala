@@ -36,22 +36,44 @@ object Dedup {
   private def docShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), shingles(tokens(col("text")), n).as("sh"))
 
+  /** Shingles whose document frequency exceeds `maxDf` — the
+    * "stop-shingles" a boilerplate header or license block produces.
+    * Tiny by construction (a handful of distinct strings), so callers
+    * broadcast it.
+    */
+  def hotShingles(docs: DataFrame, n: Int, maxDf: Long): DataFrame =
+    docShingles(docs, n)
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
   /** All-pairs n-gram Jaccard via shared-shingle inverted index: explode
     * shingles, self-join on shingle, count common per pair, compute
     * |A∩B| / (|A|+|B|-|A∩B|). Returns pairs with jac >= tau, doc_a < doc_b.
     *
     * The shingle join is the textbook inverted-index plan: work is
-    * proportional to Σ bucket², not n². Stop-shingles (huge buckets)
-    * would need capping at web scale; the LSH variant below is the
-    * preferred scale path.
+    * proportional to Σ bucket², not n². `maxShingleDf` caps the buckets:
+    * shingles shared by more than that many docs (boilerplate headers —
+    * each contributes df² join rows) are dropped from the index via a
+    * broadcast anti-join before the self-join, bounding every bucket at
+    * maxShingleDf². With the cap above the corpus's true max df (as at
+    * the gate scale) the result is exact; when it binds, pairs whose
+    * overlap is only boilerplate are skipped and mixed pairs' jaccard is
+    * underestimated — the conservative direction for dedup. The LSH
+    * variant below remains the preferred scale path.
     */
-  def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
+      maxShingleDf: Long = 10000L): DataFrame = {
     val sh = docShingles(docs, n).cache()
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // Measured note: joining on the raw shingle string beats a
     // 60-bit-hash join key here (the hash projection loses the cache
     // locality of the exploded arrays and bought nothing back).
+    val hot = sh.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(hot.select(col("s"))), Seq("s"), "left_anti")
     val common = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -270,10 +270,21 @@ object Relational {
   /** Approximate distinct (HLL). No oracle — algorithm-specific result;
     * the driver records a rows-only check. SURVEY §2.4 note.
     */
+  /** HLL approx-count-distinct, gated against the EXACT oracle with a
+    * bounded-relative-error check: the output carries the exact count
+    * (hash-comparable) plus a boolean asserting the HLL estimate landed
+    * within 15% of it (default rsd is 5%, so 15% is a 3-sigma bound —
+    * a broken sketch fails the gate, a healthy one always passes).
+    */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.15).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
   /** CASE WHEN severity mapping (level enum analog). SURVEY §2.7 C5. */
@@ -675,6 +686,10 @@ object Relational {
     "q19_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS uniq_custs, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q20_approx_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q21_case_when" ->
       """SELECT CASE WHEN o_orderpriority='1-URGENT' THEN 1
         |            WHEN o_orderpriority='2-HIGH' THEN 2 ELSE 3 END AS sev,

@@ -19,8 +19,13 @@ import graft.store.SchemaRegistry.unionByNameAllowMissing
 object LogQueries {
 
   /** Search parameters (duo/src/web/logs.rs:13-34). Times are µs epoch;
-    * defaults mirror the reference: 15-minute window ending now, page
-    * size 50.
+    * defaults mirror the reference: page size 50, and — at the ENGINE's
+    * storage layer, exactly like `Query::df()` (duo/src/query.rs:104-109)
+    * — an unset range reads only the last 15 minutes of cold parquet
+    * (the hot memory view is always included). `unbounded = true` is the
+    * explicit opt-out that scans all of cold storage. Row-level time
+    * filters apply only when startUs/endUs are explicitly set, again
+    * like the reference.
     */
   case class LogSearchParams(
       service: String,
@@ -28,7 +33,8 @@ object LogQueries {
       endUs: Option[Long] = None,
       expr: Option[String] = None,
       skip: Int = 0,
-      limit: Int = 50)
+      limit: Int = 50,
+      unbounded: Boolean = false)
 
   /** The one place user text enters the planner (SURVEY §3.1): parse the
     * expression against the frame's schema via Catalyst; on any parse or

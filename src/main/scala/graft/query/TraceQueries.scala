@@ -28,6 +28,11 @@ import org.apache.spark.sql.types.{MapType, StringType}
   */
 object TraceQueries {
 
+  /** Search parameters. Like [[graft.query.LogQueries.LogSearchParams]],
+    * an unset time range defaults to the last 15 minutes at the engine's
+    * cold-storage read (duo/src/query.rs:104-109); `unbounded = true`
+    * opts out explicitly.
+    */
   case class TraceSearchParams(
       service: String,
       operation: Option[String] = None,
@@ -35,7 +40,8 @@ object TraceQueries {
       endUs: Option[Long] = None,
       minDurationUs: Option[Long] = None,
       maxDurationUs: Option[Long] = None,
-      limit: Int = 20)
+      limit: Int = 20,
+      unbounded: Boolean = false)
 
   /** Root spans passing the admission predicates (F8-F11). */
   def admittedRoots(spans: DataFrame, p: TraceSearchParams): DataFrame = {
@@ -60,6 +66,14 @@ object TraceQueries {
       .filter(col("level") === "ERROR" && col("span_id").isNotNull)
       .groupBy(col("span_id")).agg(count(lit(1)).as("n_errors"))
     spans.join(errCounts, spans("id") === errCounts("span_id"), "left_outer")
+      // the error flag rides out as a real column (consumed by
+      // [[assemble]]): log-derived, OR already present in the span's own
+      // tags — decoded with a real JSON path lookup, not a substring
+      // sniff a user tag could false-positive
+      .withColumn("has_err",
+        (col("n_errors").isNotNull && col("n_errors") > 0) ||
+          coalesce(get_json_object(col("tags"), "$.error") === "true",
+            lit(false)))
       .withColumn("tags",
         when(col("n_errors").isNotNull && col("n_errors") > 0,
           to_json(map_concat(
@@ -93,7 +107,9 @@ object TraceQueries {
       correlateSpanLogs(spans.filter(col("trace_id") === traceId), logs),
       logs.filter(col("trace_id") === traceId))
 
-  /** Group a scoped span/log set into TraceExt rows (J3). */
+  /** Group a scoped span/log set into TraceExt rows (J3). Expects the
+    * [[correlateSpanLogs]] output (the `has_err` column).
+    */
   def assemble(spans: DataFrame, logs: DataFrame): DataFrame = {
     val logCounts = logs.groupBy(col("trace_id"))
       .agg(count(lit(1)).as("n_logs"))
@@ -103,8 +119,7 @@ object TraceQueries {
         count(lit(1)).as("n_spans"),
         min(col("start")).as("trace_start"),
         max(col("end")).as("trace_end"),
-        max(when(col("tags").contains("\"error\":\"true\""), 1).otherwise(0))
-          .as("has_error"),
+        max(col("has_err").cast("int")).as("has_error"),
         sort_array(collect_list(struct(
           col("start"), col("id"), col("parent_id"), col("name"),
           col("process_id"), col("end"), col("tags")))).as("spans"))

@@ -57,6 +57,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * the logical table schema.
     */
   def read(startUs: Option[Long], endUs: Option[Long]): Option[DataFrame] = {
+    recover()
     if (!exists) return None
     val base = spark.read.option("mergeSchema", "true").parquet(dir)
     val pruned = (startUs, endUs) match {
@@ -79,31 +80,80 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     Some(pruned.drop("date", "hour", "minute"))
   }
 
+  private def stagedDir = s"$root/.compact-$table"
+  private def oldDir = s"$root/.old-$table"
+  private def stagedMarker = new File(stagedDir, "_STAGED_OK")
+
+  private def rm(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(): Unit
+  }
+
+  /** Roll an interrupted [[compact]] swap forward or back so a reader
+    * always finds a complete table:
+    *  - live dir present → any leftover staged/old trees are stale; drop.
+    *  - live missing but a FULLY staged tree exists (marker written after
+    *    the staging write completed) → promote it, drop the old tree.
+    *  - live missing, no complete staged tree → restore the old tree.
+    * Runs before every read and compact; three file-existence checks in
+    * the common case.
+    */
+  def recover(): Unit = {
+    val live = new File(dir)
+    val old = new File(oldDir)
+    val staged = new File(stagedDir)
+    if (live.exists()) {
+      if (staged.exists()) rm(staged)
+      if (old.exists()) rm(old)
+    } else if (stagedMarker.exists()) {
+      if (!staged.renameTo(live))
+        throw new java.io.IOException(s"recover: rename $stagedDir -> $dir failed")
+      new File(live, "_STAGED_OK").delete(): Unit
+      if (old.exists()) rm(old)
+    } else if (old.exists()) {
+      rm(staged)
+      if (!old.renameTo(live))
+        throw new java.io.IOException(s"recover: rename $oldDir -> $dir failed")
+    }
+  }
+
   /** Compact the small files the minute-grained ingest leaves behind:
     * rewrite every (date,hour,minute) partition into `filesPerPartition`
     * files. Readers are unaffected (same hive layout, same pruning);
     * at scale this runs periodically over partitions older than the hot
-    * ingest tail. The rewrite goes through a temp dir then an atomic-ish
-    * directory swap so a crash leaves either the old or the new tree.
+    * ingest tail.
+    *
+    * Crash-safe swap: stage the rewrite to a temp tree and mark it
+    * complete, rename live aside, promote the staged tree, then drop the
+    * old tree. A crash between any two steps leaves a state [[recover]]
+    * rolls to a complete table — never a missing or half-visible one.
+    * `crashAfterStep` (tests only) aborts after the numbered step:
+    * 1 = staged+marker written, 2 = live renamed aside, 3 = staged
+    * promoted.
     */
-  def compact(filesPerPartition: Int = 1): Unit = {
+  def compact(filesPerPartition: Int = 1,
+      crashAfterStep: Int = Int.MaxValue): Unit = {
+    recover()
     if (!exists) return
-    val tmp = s"$root/.compact-$table"
     spark.read.option("mergeSchema", "true").parquet(dir)
       .repartition(filesPerPartition, col("date"), col("hour"), col("minute"))
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
       .partitionBy("date", "hour", "minute")
-      .parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    val live = new java.io.File(dir)
-    val staged = new java.io.File(tmp)
-    rm(live)
-    if (!staged.renameTo(live))
-      throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+      .parquet(stagedDir)
+    stagedMarker.createNewFile(): Unit
+    if (crashAfterStep <= 1) return
+    val live = new File(dir)
+    if (!live.renameTo(new File(oldDir)))
+      throw new java.io.IOException(s"compact: rename $dir -> $oldDir failed")
+    if (crashAfterStep <= 2) return
+    // the marker rides along into the live tree and is dropped below;
+    // parquet readers ignore underscore-prefixed files either way
+    if (!new File(stagedDir).renameTo(live))
+      throw new java.io.IOException(s"compact: rename $stagedDir -> $dir failed")
+    new File(live, "_STAGED_OK").delete(): Unit
+    if (crashAfterStep <= 3) return
+    rm(new File(oldDir))
   }
 
   /** Reference-shaped read path: enumerate minimal partition prefixes

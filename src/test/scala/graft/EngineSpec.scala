@@ -25,7 +25,8 @@ class EngineSpec extends SparkSpec {
 
   test("ingest -> flush -> query unions memory and parquet") {
     val root = tmpRoot()
-    val engine = new DuoEngine(spark, root)
+    // clock pinned near the data so the default 15-min window covers it
+    val engine = new DuoEngine(spark, root, nowUs = () => t0 + 60000000L)
 
     val logs1 = Seq(("svc-0", t0 + 1000L, "INFO", "first"))
       .toDF("process_id", "time", "level", "message")
@@ -107,6 +108,88 @@ class EngineSpec extends SparkSpec {
     assert(viaPrefixes.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("default query window reads only the last 15 min of parquet") {
+    val root = tmpRoot()
+    val hourUs = 3600L * 1000000L
+    // "now" pinned 1 minute after t0; an old batch sits 2 days back
+    val engine = new DuoEngine(spark, root, nowUs = () => t0 + 60000000L)
+    val tOld = t0 - 2L * 24 * hourUs
+    engine.appendLogBatch(Seq(("svc-0", tOld, "INFO", "ancient"))
+      .toDF("process_id", "time", "level", "message"))
+    engine.flush()
+    engine.appendLogBatch(Seq(("svc-0", t0 + 1000L, "INFO", "recent"))
+      .toDF("process_id", "time", "level", "message"))
+    engine.flush()
+    // both rows are in cold parquet, in two different date partitions
+    assert(new java.io.File(s"$root/log").listFiles()
+      .count(_.getName.startsWith("date=")) == 2)
+
+    // default (unset range): only the recent partition is read
+    val hits = engine.searchLogs(LogSearchParams(service = "svc"))
+    assert(hits.select("message").as[String].collect().toSeq == Seq("recent"))
+    // the pruned read path: the physical plan carries the date partition
+    // predicate, so the old partition's directory is never listed in
+    val planStr = hits.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("date"))
+
+    // explicit opt-out scans everything
+    val all = engine.searchLogs(LogSearchParams(service = "svc", unbounded = true))
+    assert(all.count() == 2)
+    // an explicit range behaves as before
+    val old = engine.searchLogs(LogSearchParams(service = "svc",
+      startUs = Some(tOld - 1000L), endUs = Some(tOld + 1000L)))
+    assert(old.select("message").as[String].collect().toSeq == Seq("ancient"))
+  }
+
+  test("raw JSON log ingest infers dynamic field types and serves stats") {
+    import org.apache.spark.sql.types._
+    val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
+    engine.ingestJsonLogs(Seq(
+      """{"process_id":"svc-0","time":1000,"level":"info","message":"m1","user_id":42,"score":1.5,"ok":true}""",
+      """{"process_id":"svc-0","time":2000,"level":"wat","message":"m2","user_id":42}""",
+      """{"process_id":"svc-0","time":3000,"level":"ERROR","message":"m3","user_id":7}"""))
+    val tbl = engine.logTable()
+    // inferred dynamic columns carry real types (duo/src/arrow.rs:70-91)
+    assert(tbl.schema("user_id").dataType == LongType)
+    assert(tbl.schema("score").dataType == DoubleType)
+    assert(tbl.schema("ok").dataType == BooleanType)
+    // base columns keep their pinned registry types
+    assert(tbl.schema("time").dataType == LongType)
+    // level normalization: case-folded, unknown degrades to DEBUG
+    assert(tbl.orderBy("time").select("level").as[String].collect().toSeq ==
+      Seq("INFO", "DEBUG", "ERROR"))
+    // the new typed column serves fieldStats like any registered field
+    val stats = engine.fieldStats("user_id",
+      LogSearchParams(service = "svc")).get.collect()
+    assert(stats.map(r => (r.getAs[Long]("value"), r.getAs[Long]("count")))
+      .toSeq == Seq((42L, 2L), (7L, 1L)))
+    // a second JSON batch with another new field widens monotonically
+    engine.ingestJsonLogs(Seq(
+      """{"process_id":"svc-0","time":4000,"level":"INFO","message":"m4","region":"eu"}"""))
+    assert(engine.logTable().schema.fieldNames.contains("region"))
+    assert(engine.logTable().filter(col("region").isNull).count() == 3)
+  }
+
+  test("compaction swap survives a crash at every step") {
+    val day1 = 1760000000000000L
+    (1 to 3).foreach { step =>
+      val root = tmpRoot()
+      val store = new ParquetStore(spark, root, "span", "start")
+      store.write(Seq((1L, day1, 100L), (2L, day1 + 1000L, 200L))
+        .toDF("id", "start", "trace_id"))
+      store.compact(crashAfterStep = step)
+      // whatever the crash point, a reader finds the complete table
+      val rows = store.read(None, None).get.select("id").as[Long]
+        .collect().toSeq.sorted
+      assert(rows == Seq(1L, 2L), s"after crash at step $step")
+      // and the next compaction completes the swap cleanly
+      store.compact()
+      assert(store.read(None, None).get.count() == 2, s"recompact after $step")
+      assert(!new java.io.File(s"$root/.compact-span").exists())
+      assert(!new java.io.File(s"$root/.old-span").exists())
+    }
+  }
+
   test("streaming ingest wires merged spans into the engine") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
@@ -125,14 +208,33 @@ class EngineSpec extends SparkSpec {
   }
 
   test("process registry assigns {service}-{n} ids and round-trips") {
+    import graft.model.TagValue
     val path = tmpRoot() + "/process.json"
     val reg = new ProcessRegistry(path)
-    assert(reg.register("example", Map("duo-version" -> "0.2.0")) == "example-0")
+    assert(reg.register("example",
+      Map("duo-version" -> TagValue.str("0.2.0"))) == "example-0")
     assert(reg.register("example", Map.empty) == "example-1")
     assert(reg.register("log", Map.empty) == "log-0")
     val reloaded = new ProcessRegistry(path)
     assert(reloaded.all.map(_.id) == Seq("example-0", "example-1", "log-0"))
-    assert(reloaded.byService("example").head.tags("duo-version") == "0.2.0")
+    assert(reloaded.byService("example").head.tags("duo-version") ==
+      TagValue.str("0.2.0"))
+  }
+
+  test("process registry round-trips hostile and typed tag values") {
+    import graft.model.TagValue
+    val path = tmpRoot() + "/process.json"
+    val reg = new ProcessRegistry(path)
+    val tags = Map(
+      "cmd" -> TagValue.str("""run {"x": 1} \ "quoted" done"""),
+      "nl" -> TagValue.str("a\nb\tc"),
+      "pid" -> TagValue.i64(4242L),
+      "flag" -> TagValue.bool(true))
+    reg.register("svc", tags)
+    val got = new ProcessRegistry(path).byService("svc").head.tags
+    assert(got("cmd") == tags("cmd")) // braces + escapes survive a real codec
+    assert(got("nl") == tags("nl"))
+    assert(got("pid") == tags("pid") && got("flag") == tags("flag"))
   }
 
   test("schema registry merge is monotone and rejects retypes") {

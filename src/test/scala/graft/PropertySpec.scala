@@ -64,7 +64,7 @@ class PropertySpec extends AnyFunSuite {
           if (rnd.nextBoolean()) Some(rnd.nextLong()) else None,
           trace_id = 1, name = s"n$i", process_id = "p", start = 100L + i,
           end = if (rnd.nextBoolean()) Some(rnd.nextLong().abs) else None,
-          tags = Map(s"k${rnd.nextInt(3)}" -> i.toString))
+          tags = Map(s"k${rnd.nextInt(3)}" -> graft.model.TagValue.str(i.toString)))
       }
       val m = SpanMerger.mergeAll(recs)
       assert(m.name == "n0" && m.start == 100L) // first record pins identity

@@ -1,34 +1,61 @@
 package graft
 
 import graft.ingest.{SpanMerger, SpanRecord}
+import graft.model.TagValue
 
 /** Upsert semantics from duo/src/aggregator.rs:17-30 (SURVEY J4/ST2). */
 class SpanMergerSpec extends SparkSpec {
 
   private def rec(seq: Long, id: Long, parent: Option[Long] = None,
-      end: Option[Long] = None, tags: Map[String, String] = Map.empty) =
+      end: Option[Long] = None, tags: Map[String, TagValue] = Map.empty) =
     SpanRecord(seq, id, parent, trace_id = 9001L, name = "op",
       process_id = "svc-0", start = 1000L, end = end, tags = tags)
 
   test("close record completes an open span") {
     val merged = SpanMerger.mergeAll(Seq(
-      rec(1, 101, tags = Map("k" -> "v")),
-      rec(2, 101, parent = Some(100L), end = Some(2000L), tags = Map("k2" -> "v2"))))
+      rec(1, 101, tags = Map("k" -> TagValue.str("v"))),
+      rec(2, 101, parent = Some(100L), end = Some(2000L),
+        tags = Map("k2" -> TagValue.str("v2")))))
     assert(merged.parent_id.contains(100L))
     assert(merged.end.contains(2000L))
-    assert(merged.tags == Map("k" -> "v", "k2" -> "v2"))
+    assert(merged.tags ==
+      Map("k" -> TagValue.str("v"), "k2" -> TagValue.str("v2")))
     assert(merged.start == 1000L) // first record pins identity fields
   }
 
   test("later tag values win; missing parent does not erase") {
     val merged = SpanMerger.mergeAll(Seq(
-      rec(1, 5, parent = Some(4L), tags = Map("a" -> "1")),
-      rec(2, 5, tags = Map("a" -> "2"))))
+      rec(1, 5, parent = Some(4L), tags = Map("a" -> TagValue.str("1"))),
+      rec(2, 5, tags = Map("a" -> TagValue.str("2")))))
     assert(merged.parent_id.contains(4L))
-    assert(merged.tags == Map("a" -> "2"))
+    assert(merged.tags == Map("a" -> TagValue.str("2")))
     // end mirrors the LAST record, even when unset (reference overwrites
     // unconditionally, aggregator.rs:26)
     assert(merged.end.isEmpty)
+  }
+
+  test("typed tags reach the span JSON typed; u64 busy/idle formatted") {
+    // ported reference behavior: Span::from formats U64Val busy/idle via
+    // format_timing_value (duo/src/models.rs:104-113) — 3000us -> 3.00ms
+    val merged = SpanMerger.mergeAll(Seq(
+      rec(1, 9, end = Some(2000L), tags = Map(
+        "busy" -> TagValue.u64(3000L),
+        "idle" -> TagValue.u64(200L),
+        "n" -> TagValue.i64(-5L),
+        "big" -> TagValue.u64(-1L), // u64 bit pattern 2^64-1
+        "ok" -> TagValue.bool(true),
+        "note" -> TagValue.str("he said \"hi\" {braces}")))))
+    val json = SpanMerger.toSpan(merged).tags.get
+    assert(json.contains(""""busy":"3.00ms""""))
+    assert(json.contains(""""idle":"200us""""))
+    assert(json.contains(""""n":-5"""))
+    assert(json.contains(""""big":18446744073709551615"""))
+    assert(json.contains(""""ok":true"""))
+    assert(json.contains(""""note":"he said \"hi\" {braces}""""))
+    // a STRING-typed busy passes through unformatted (only u64 triggers)
+    val strBusy = SpanMerger.toSpan(
+      rec(1, 10, end = Some(2L), tags = Map("busy" -> TagValue.str("raw"))))
+    assert(strBusy.tags.get.contains(""""busy":"raw""""))
   }
 
   test("batch merge splits intact from ongoing") {
@@ -42,6 +69,37 @@ class SpanMergerSpec extends SparkSpec {
     assert(closed.length == 1 && closed.head.id == 1L &&
       closed.head.end.contains(1500L))
     assert(ongoing.collect().map(_.id).toSeq == Seq(2L))
+  }
+
+  test("mergeBatchSql agrees with the typed merge on random record sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val recs = (0 until 400).map { i =>
+      SpanRecord(i.toLong, rnd.nextInt(40).toLong,
+        if (rnd.nextBoolean()) Some(rnd.nextInt(5).toLong) else None,
+        trace_id = rnd.nextInt(10).toLong, name = s"n$i",
+        process_id = s"p${rnd.nextInt(3)}",
+        start = 1000L + rnd.nextInt(100),
+        end = if (rnd.nextBoolean()) Some(2000L + rnd.nextInt(100)) else None,
+        tags = Map.empty)
+    }
+    // arrival order scrambled; seq alone defines merge order
+    val sqlOut = SpanMerger.mergeBatchSql(rnd.shuffle(recs).toDF()).collect()
+      .map { r =>
+        def optLong(c: String): Option[Long] =
+          if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+        r.getAs[Long]("id") ->
+          (optLong("parent_id"), r.getAs[Long]("trace_id"),
+            r.getAs[String]("name"), r.getAs[Long]("start"), optLong("end"))
+      }.toMap
+    val expected = recs.groupBy(_.id).map { case (_, rs) => SpanMerger.mergeAll(rs) }
+    assert(sqlOut.size == expected.size)
+    expected.foreach { e =>
+      // parent_id must be last-NON-NULL-by-seq (not max value), identity
+      // fields first-by-seq, end last-by-seq — same laws as mergeTwo
+      assert(sqlOut(e.id) ==
+        ((e.parent_id, e.trace_id, e.name, e.start, e.end)), s"id=${e.id}")
+    }
   }
 
   test("streaming merge buffers opens and emits on close") {

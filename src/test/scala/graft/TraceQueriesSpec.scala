@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-import graft.model.{Process, Span}
+import graft.model.{Process, Span, TagValue}
 import graft.api.Jaeger
 import graft.query.TraceQueries
 import graft.query.TraceQueries.TraceSearchParams
@@ -76,7 +76,8 @@ class TraceQueriesSpec extends SparkSpec {
   }
 
   test("Jaeger shaping: unsigned ids, CHILD_OF refs, name* for non-intact") {
-    val procs = Seq(Process("example-0", "example", Map("v" -> "1")),
+    val procs = Seq(
+      Process("example-0", "example", Map("v" -> TagValue.str("1"))),
       Process("example-1", "example", Map.empty))
     val collected = spans.as[Span].collect().filter(_.trace_id == 9001L).toSeq
     val jt = Jaeger.toJaegerTrace(9001L, collected, procs)
@@ -89,5 +90,26 @@ class TraceQueriesSpec extends SparkSpec {
     assert(jt.processes.keySet == Set("example-0", "example-1"))
     // unsigned rendering of a negative (bit-cast u64) id
     assert(Jaeger.renderId(-1L) == "18446744073709551615")
+  }
+
+  test("Jaeger tags carry real types through JSON (bool/int64/string)") {
+    // typed span tags (as SpanMerger.toSpan writes them) decode into
+    // typed KeyValues per duo/src/web/serialize.rs:46-60
+    val span = Span(5L, None, 9L, "op", "example-0", t0, Some(t0 + 1),
+      Some("""{"busy":"3.00ms","retries":2,"cached":true,"big":18446744073709551615}"""))
+    val tags = Jaeger.toJaegerSpan(span).tags.map(kv => kv.key -> kv).toMap
+    assert(tags("busy").`type` == "string" && tags("busy").value == "3.00ms")
+    assert(tags("retries").`type` == "int64" && tags("retries").value == "2")
+    assert(tags("cached").`type` == "bool" && tags("cached").value == "true")
+    assert(tags("big").value == "18446744073709551615") // u64 > Long.Max
+    // the serialized wire form emits bare JSON values for bool/int64
+    val procs = Seq(Process("example-0", "example",
+      Map("pid" -> TagValue.u64(42L), "debug" -> TagValue.bool(false))))
+    val json = Jaeger.renderTrace(Jaeger.toJaegerTrace(9L, Seq(span), procs))
+    assert(json.contains(""""type":"bool","value":true"""))
+    assert(json.contains(""""type":"int64","value":2"""))
+    assert(json.contains(""""value":18446744073709551615"""))
+    assert(json.contains(""""type":"string","value":"3.00ms""""))
+    assert(json.contains(""""value":42""") && json.contains(""""value":false"""))
   }
 }
