@@ -188,6 +188,21 @@ object Dedup {
           col("a0"), col("a1"), col("a2"), col("a3")).as("simhash_a"))
   }
 
+  /** Streaming exact-dedup for an ingest firehose: drops re-arrivals of
+    * the same normalized content within the watermark horizon
+    * (Structured Streaming's dropDuplicatesWithinWatermark). State is
+    * bounded by the horizon — the only way a continuous 100 TB/day feed
+    * dedups without unbounded state; cross-horizon dups are the batch
+    * operators' job ([[exactGroups]] over the landed corpus).
+    */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+      eventTimeCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        md5(lower(regexp_replace(col(textCol), "\\s+", " "))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Embedding-cosine near-dup pairs above tau. Brute-force within the
     * corpus — the LSH-bucketed variant in [[Similarity]] is the scale
     * path; this is the exact baseline.
@@ -229,7 +244,7 @@ object Dedup {
   /** SQL fragments mirroring TextFns' md5-integer primitives, generated
     * from the same constants so both engines compute identical hashes.
     */
-  private def hexValSql(d: String): String =
+  private[operators] def hexValSql(d: String): String =
     s"(CASE WHEN ascii($d) >= 97 THEN ascii($d) - 87 ELSE ascii($d) - 48 END)"
 
   private def baseHashSql(v: String, digits: Int): String =

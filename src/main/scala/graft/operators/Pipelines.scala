@@ -1,9 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFns.hexVal
 
 /** Composed training-data pipelines — what a user actually runs: the
   * individual operators (quality, language-ID, exact dedup, near-dup
@@ -39,10 +41,60 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-keeper selection by QUALITY: for each exact-duplicate
+    * group keep the best member (quality keep-flag, then token count,
+    * then lowest id as the final tiebreak) — the production variant of
+    * d01's min-id keeper, used when dup groups mix good and mangled
+    * copies of a document.
+    *
+    * Scale shape: quality metrics are map-side column math; the group
+    * hash is one md5 per doc; ranking + group size share a single
+    * window shuffle keyed on the hash. Groups are duplicate sets —
+    * small by nature — so no window partition can skew a reducer.
+    */
+  def qualityKeeper(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    val groups = docs.select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))
+    val byGroup = Window.partitionBy(col("h"))
+    val best = byGroup.orderBy(col("keep").desc, col("n_tokens").desc,
+      col("doc_id"))
+    groups.join(q, "doc_id")
+      .withColumn("rn", row_number().over(best))
+      .withColumn("group_size", count(lit(1)).over(byGroup))
+      .filter(col("rn") === 1)
+      .select(col("h"), col("doc_id").as("keeper"), col("group_size"),
+        col("n_tokens"))
+  }
+
+  /** Deterministic train/val/test assignment by content-independent
+    * hash: bucket 0-255 from the first two hex digits of md5(doc_id);
+    * bucket < 204 → train (~80%), < 230 → val (~10%), rest → test.
+    * Pure map work + a 3-row aggregate: the split is reproducible on
+    * any engine at any cluster size, needs no shuffle of the corpus,
+    * and membership can be recomputed row-side at read time (the way a
+    * 100 TB corpus actually gets split — never materialized thrice).
+    */
+  def hashSplit(docs: DataFrame): DataFrame = {
+    val dig = md5(col("doc_id").cast("string"))
+    val bucket = hexVal(substring(dig, 1, 1)) * 16 + hexVal(substring(dig, 2, 1))
+    docs
+      .select(when(bucket < 204, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "p01_clean_corpus" -> ((s, d) => cleanCorpus(Tables.documents(s, d))))
+    "p01_clean_corpus" -> ((s, d) => cleanCorpus(Tables.documents(s, d))),
+    "p02_quality_keeper" -> ((s, d) =>
+      qualityKeeper(Tables.documents(s, d)).orderBy(col("h"))),
+    "p03_hash_split" -> ((s, d) =>
+      hashSplit(Tables.documents(s, d)).orderBy(col("split"))))
 
   val oracle: Map[String, String] = Map(
     "p01_clean_corpus" ->
@@ -74,5 +126,33 @@ object Pipelines {
          |JOIN lang ON d.doc_id = lang.doc_id
          |WHERE d.doc_id IN (SELECT doc_id FROM keepers)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM losers)
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+    "p02_quality_keeper" ->
+      """WITH q AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+        | FROM documents),
+        |qk AS (SELECT doc_id, n_tokens,
+        |  CAST(n_tokens >= 10 AND n_tokens <= 100000
+        |       AND CAST(n_punct AS DOUBLE) / n_tokens < 0.2 AS INT) AS keep
+        | FROM q),
+        |g AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+        | FROM documents),
+        |r AS (SELECT g.h, g.doc_id, qk.n_tokens,
+        |  row_number() OVER (PARTITION BY g.h
+        |    ORDER BY qk.keep DESC, qk.n_tokens DESC, g.doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY g.h) AS group_size
+        | FROM g JOIN qk ON g.doc_id = qk.doc_id)
+        |SELECT h, doc_id AS keeper, CAST(group_size AS BIGINT) AS group_size,
+        | CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM r WHERE rn = 1 ORDER BY h""".stripMargin,
+    "p03_hash_split" -> {
+      def hx(i: Int) = Dedup.hexValSql(s"substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)")
+      s"""WITH b AS (SELECT ${hx(1)} * 16 + ${hx(2)} AS bucket FROM documents),
+         |s AS (SELECT CASE WHEN bucket < 204 THEN 'train'
+         |                  WHEN bucket < 230 THEN 'val'
+         |                  ELSE 'test' END AS split FROM b)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM s GROUP BY split ORDER BY split""".stripMargin
+    })
 }

@@ -52,6 +52,37 @@ class StreamingWindowSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming dedup drops re-arrivals within the watermark horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2025-10-09 $h%02d:$m%02d:00")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = graft.operators.Dedup.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // same content arrives three times inside the horizon → 1 emission
+      input.addData((1L, "same text", ts(10, 0)), (2L, "same  text", ts(10, 1)),
+        (3L, "other doc", ts(10, 2)))
+      q.processAllAvailable()
+      input.addData((4L, "same text", ts(10, 30)))
+      q.processAllAvailable()
+      def emittedBy(text: String): Long =
+        spark.table("dedup_stream").filter(col("text").startsWith(text.take(4))).count()
+      assert(emittedBy("same text") == 1)
+      assert(emittedBy("other doc") == 1)
+      // advance the watermark past the horizon; the state expires and
+      // the same content is admitted again
+      input.addData((5L, "advance marker", ts(13, 0)))
+      q.processAllAvailable()
+      input.addData((6L, "same text", ts(12, 30)))
+      q.processAllAvailable()
+      assert(emittedBy("same text") == 2)
+    } finally q.stop()
+  }
+
   test("parquet store compaction merges small files without changing data") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact-test").toString
