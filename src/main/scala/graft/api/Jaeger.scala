@@ -3,7 +3,7 @@ package graft.api
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.model.{Process, Span}
+import graft.model.{Log, Process, Span, TagValue}
 
 /** Jaeger-JSON shaping (reference: duo/src/web/serialize.rs:27-195) —
   * pure edge serialization over collected rows; no Spark involvement
@@ -38,6 +38,11 @@ object Jaeger {
       traceID: String,
       spans: Seq[JaegerSpan],
       processes: Map[String, JaegerProcess])
+
+  /** Jaeger log row (duo/src/web/serialize.rs:155-179): µs timestamp +
+    * typed fields.
+    */
+  case class JaegerLog(timestamp: Long, fields: Seq[KeyValue])
 
   /** u64 ids render as unsigned decimal strings
     * (duo/src/web/serialize.rs:79,90; ids are bit-cast longs, SURVEY §1.5).
@@ -99,6 +104,23 @@ object Jaeger {
         .toMap)
   }
 
+  /** One log row → Jaeger log (duo/src/web/serialize.rs:155-179): base
+    * fields message/level/target, `file` rendered as "file:line" (line
+    * defaulting to 0 like the reference's unwrap_or_default), then any
+    * dynamic fields with their types. The reference iterates a HashMap
+    * (nondeterministic order); here insertion order — a documented,
+    * deterministic divergence.
+    */
+  def toJaegerLog(l: Log, dynamic: Seq[(String, TagValue)] = Nil): JaegerLog = {
+    val base = Seq(
+      "message" -> TagValue.str(l.message.getOrElse("")),
+      "level" -> TagValue.str(l.level),
+      "target" -> TagValue.str(l.target.getOrElse(""))) ++
+      l.file.map(f => "file" -> TagValue.str(s"$f:${l.line.getOrElse(0)}"))
+    JaegerLog(l.time,
+      (base ++ dynamic).map { case (k, v) => KeyValue(k, v.jaegerType, v.render) })
+  }
+
   // ---- JSON rendering (S8): the serialized wire form, with typed tag
   // values — `"value": true` / `"value": 42` / `"value": "s"`, exactly
   // the shape the reference's Serialize impls emit. ----
@@ -130,16 +152,38 @@ object Jaeger {
     "processID" -> JString(s.processID),
     "warnings" -> JArray(s.warnings.toList.map(JString(_))))
 
+  private def traceJson(t: JaegerTrace): JValue = JObject(
+    "traceID" -> JString(t.traceID),
+    "spans" -> JArray(t.spans.toList.map(spanJson)),
+    "processes" -> JObject(t.processes.toList.sortBy(_._1).map {
+      case (id, p) => id -> JObject(
+        "serviceName" -> JString(p.serviceName),
+        "tags" -> JArray(p.tags.toList.map(kvJson)))
+    }))
+
+  private def logJson(l: JaegerLog): JValue = JObject(
+    "timestamp" -> JLong(l.timestamp),
+    "fields" -> JArray(l.fields.toList.map(kvJson)))
+
   /** Serialize an assembled trace to its Jaeger JSON wire form. */
-  def renderTrace(t: JaegerTrace): String = {
-    val ast = JObject(
-      "traceID" -> JString(t.traceID),
-      "spans" -> JArray(t.spans.toList.map(spanJson)),
-      "processes" -> JObject(t.processes.toList.sortBy(_._1).map {
-        case (id, p) => id -> JObject(
-          "serviceName" -> JString(p.serviceName),
-          "tags" -> JArray(p.tags.toList.map(kvJson)))
-      }))
-    JsonMethods.compact(JsonMethods.render(ast))
-  }
+  def renderTrace(t: JaegerTrace): String =
+    JsonMethods.compact(JsonMethods.render(traceJson(t)))
+
+  /** The JaegerData response envelope every API route wraps its payload
+    * in (duo/src/web/serialize.rs:140-153): constant total/limit/offset
+    * zeros and a null errors slot.
+    */
+  private def envelope(items: List[JValue]): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "data" -> JArray(items),
+      "total" -> JInt(0),
+      "limit" -> JInt(0),
+      "offset" -> JInt(0),
+      "errors" -> JNull)))
+
+  def renderTraces(ts: Seq[JaegerTrace]): String =
+    envelope(ts.toList.map(traceJson))
+
+  def renderLogs(ls: Seq[JaegerLog]): String =
+    envelope(ls.toList.map(logJson))
 }

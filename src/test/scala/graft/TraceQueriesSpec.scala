@@ -112,4 +112,28 @@ class TraceQueriesSpec extends SparkSpec {
     assert(json.contains(""""type":"string","value":"3.00ms""""))
     assert(json.contains(""""value":42""") && json.contains(""""value":false"""))
   }
+
+  test("Jaeger log serialization and the JaegerData envelope") {
+    import graft.model.Log
+    val log = Log("example-0", 1760000000000123L, Some(9L), Some(5L), "ERROR",
+      Some("db::pool"), Some("pool.rs"), Some(42), Some("boom"))
+    val jl = Jaeger.toJaegerLog(log, Seq("attempt" -> TagValue.i64(3L)))
+    assert(jl.timestamp == 1760000000000123L)
+    val f = jl.fields.map(kv => kv.key -> kv).toMap
+    assert(f("file").value == "pool.rs:42") // file:line concat
+    assert(f("level").value == "ERROR" && f("message").value == "boom")
+    assert(f("attempt").`type` == "int64")
+    // line missing -> the reference's unwrap_or_default 0
+    val noLine = Jaeger.toJaegerLog(log.copy(line = None))
+    assert(noLine.fields.find(_.key == "file").get.value == "pool.rs:0")
+    // no file -> no file field at all
+    assert(!Jaeger.toJaegerLog(log.copy(file = None)).fields.exists(_.key == "file"))
+    // every route's response envelope: data + zeroed paging + null errors
+    val env = Jaeger.renderLogs(Seq(jl))
+    assert(env.contains(""""total":0""") && env.contains(""""errors":null"""))
+    assert(env.contains(""""timestamp":1760000000000123"""))
+    assert(env.contains(""""type":"int64","value":3"""))
+    assert(Jaeger.renderTraces(Nil) ==
+      """{"data":[],"total":0,"limit":0,"offset":0,"errors":null}""")
+  }
 }
