@@ -29,6 +29,26 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("shingles_of matches the HOF shingle builder on random docs") {
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    // includes the degenerate < n-token cases (0, 1, 2 tokens) and
+    // repeated grams (distinct-ness must match array_distinct)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val rows = df.select(
+      call_function("shingles_of", TextFns.tokens(col("text")), lit(3)).as("fast"),
+      TextFns.shingles(TextFns.tokens(col("text")), 3).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("null arrays propagate null") {
     VectorExprs.register(spark)
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
