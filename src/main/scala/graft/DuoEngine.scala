@@ -25,7 +25,11 @@ import graft.store.{MemoryView, ParquetStore, ProcessRegistry, SchemaRegistry}
   */
 final class DuoEngine(val spark: SparkSession, root: String,
     memoryMode: Boolean = false,
-    nowUs: () => Long = () => System.currentTimeMillis() * 1000L) {
+    nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
+    walFormat: String = "parquet") {
+
+  require(walFormat == "parquet" || walFormat == "arrow",
+    s"walFormat must be 'parquet' or 'arrow', got '$walFormat'")
 
   val processes = new ProcessRegistry(s"$root/process.json")
   private val logSchemaPath = s"$root/schema/log_schema.json"
@@ -42,14 +46,22 @@ final class DuoEngine(val spark: SparkSession, root: String,
 
   // ---- WAL (S4): the reference snapshots in-memory batches to Arrow
   // IPC files every 10 s and replays them on boot (duo/src/ipc.rs:23-64,
-  // duo/src/memory.rs:47-59). Spark analog: a short-cycle parquet WAL
-  // dir per table, appended per ingest batch, replayed into the memory
-  // views on construction, cleared on the cold-store flush.
+  // duo/src/memory.rs:47-59). Two formats: "arrow" writes one Arrow IPC
+  // file per batch — the reference's exact on-disk format (driver-side
+  // snapshot of a bounded micro-batch, like the reference's memtable
+  // snapshot); "parquet" (default) is the Spark-native analog with
+  // identical append/replay/clear semantics.
 
   private def walDir(table: String) = s"$root/wal/$table"
+  private val walSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def walAppend(table: String, batch: DataFrame): Unit =
-    batch.write.mode("append").parquet(walDir(table))
+    if (walFormat == "arrow")
+      store.ArrowWal.write(
+        f"${walDir(table)}/${walSeq.incrementAndGet()}%020d.arrow",
+        batch.schema, batch.collect().toSeq)
+    else
+      batch.write.mode("append").parquet(walDir(table))
 
   private def walClear(): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -62,9 +74,12 @@ final class DuoEngine(val spark: SparkSession, root: String,
 
   private def walReplay(): Unit = Seq(
     ("span", spanMemory), ("log", logMemory)).foreach { case (t, view) =>
-    if (new java.io.File(walDir(t)).exists()) {
-      view.append(spark.read.option("mergeSchema", "true").parquet(walDir(t)))
-    }
+    val replayed =
+      if (walFormat == "arrow") store.ArrowWal.replayDir(spark, walDir(t))
+      else if (new java.io.File(walDir(t)).exists())
+        Some(spark.read.option("mergeSchema", "true").parquet(walDir(t)))
+      else None
+    replayed.foreach(view.append)
   }
   if (!memoryMode) walReplay()
 

@@ -72,6 +72,51 @@ class EngineSpec extends SparkSpec {
     assert(e3.logTable().count() == 1)
   }
 
+  test("arrow WAL round-trips all storage types including nulls") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("b", BooleanType),
+      StructField("s", StringType)))
+    val rows = Seq(
+      Row(1L, 2, 3.5, true, "héllo \"quoted\""),
+      Row(null, null, null, null, null),
+      Row(-9223372036854775808L, -1, -0.0, false, ""))
+    val path = tmpRoot() + "/wal/x/1.arrow"
+    graft.store.ArrowWal.write(path, schema, rows)
+    val (gotSchema, gotRows) = graft.store.ArrowWal.read(path)
+    assert(gotSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(gotRows == rows)
+    // an unsupported type fails loudly instead of corrupting the WAL
+    intercept[IllegalArgumentException] {
+      graft.store.ArrowWal.write(tmpRoot() + "/bad.arrow",
+        StructType(Seq(StructField("a", ArrayType(LongType)))), Nil)
+    }
+  }
+
+  test("arrow-format WAL replays un-flushed batches and clears on flush") {
+    val root = tmpRoot()
+    val e1 = new DuoEngine(spark, root, walFormat = "arrow")
+    val logs = Seq(("svc-0", t0 + 500L, "INFO", "walled", 7L))
+      .toDF("process_id", "time", "level", "message", "flag")
+    e1.ingestBatch(Seq(rec(1, 11, 300, t0, Some(t0 + 1L))), logs)
+    // the reference's on-disk format: one IPC file per snapshot
+    val spanWal = new java.io.File(s"$root/wal/span").listFiles()
+    assert(spanWal.nonEmpty && spanWal.forall(_.getName.endsWith(".arrow")))
+    // crash before flush: a fresh engine replays the IPC files,
+    // including the dynamic log column
+    val e2 = new DuoEngine(spark, root, walFormat = "arrow")
+    assert(e2.spanTable().count() == 1)
+    assert(e2.logTable().filter(col("flag") === 7L).count() == 1)
+    e2.flush()
+    assert(!new java.io.File(s"$root/wal/span").exists())
+    assert(!new java.io.File(s"$root/wal/log").exists())
+    val e3 = new DuoEngine(spark, root, walFormat = "arrow")
+    assert(e3.spanTable().count() == 1 && e3.logTable().count() == 1)
+  }
+
   test("open spans survive batches until closed") {
     val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
     val noLogs = Seq.empty[(String, Long, String, String)]
