@@ -136,5 +136,7 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("shingles_of",
       es => ShinglesOf(es.head,
         es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64_agg",
+      es => Simhash64Agg(es.head), "scala_udf")
   }
 }

@@ -136,31 +136,26 @@ object Dedup {
 
   /** Per-doc 64-bit SimHash carried as four 16-bit band values (the
     * Manku/Jain/Sarma shape): explode → ONE md5 per distinct token →
-    * four 16-bit digest slices → groupBy with 64 partial-aggregating
-    * bit-count sums. The explode shape beats per-row array folds: the
-    * token hash is computed exactly once and the aggregation combines
-    * map-side. Band j packs simhash bits [16j, 16j+16); bit k of band j
-    * is the majority vote of token-hash bit k of slice j.
+    * [[graft.functions.Simhash64Agg]], a map-side-combining imperative
+    * aggregate holding all 64 bit-counters in one buffer (replaces 64
+    * declarative sums + 16 hex-decode expressions per row — ~1.8× on
+    * d04). Band j packs simhash bits [16j, 16j+16); bit k of band j is
+    * the majority vote of token-hash bit k of digest slice j.
     *
     * Carrying the signature as 4 shorts instead of one i64 avoids
     * signed-overflow edge cases on the top bit and IS the banding the
     * candidate join needs — nothing recomputes.
     */
   def simhashDocs(docs: DataFrame): DataFrame = {
-    val ex = docs
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("dig", md5(col("tok")))
-    val sliced = (0 until 4).foldLeft(ex)((df, j) =>
-      df.withColumn(s"h$j", hexBits16(col("dig"), 4 * j)))
-    val bitSums = for { j <- 0 until 4; k <- 0 until 16 } yield
-      sum(shiftright(col(s"h$j"), k).bitwiseAND(lit(1))).as(s"b${j}_$k")
-    sliced.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .groupBy(col("doc_id"))
+      .agg(call_function("simhash64_agg", col("dig")).as("bands"))
       .select(col("doc_id") +: (0 until 4).map(j =>
-        simhashFromBitCounts(
-          (0 until 16).map(k => col(s"b${j}_$k").cast("int")),
-          col("n").cast("int")).as(s"band$j")): _*)
+        element_at(col("bands"), j + 1).as(s"band$j")): _*)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash per doc banded 4×16;

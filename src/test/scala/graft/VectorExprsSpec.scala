@@ -49,6 +49,36 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("simhash64_agg matches the declarative 64-sum formulation") {
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(5)
+    val words = Vector("w1", "w2", "w3", "zebra", "qq", "longword")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(20) + 1)(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val ex = docs.select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("tok"))
+      .withColumn("dig", md5(col("tok")))
+    val sliced = (0 until 4).foldLeft(ex)((df, j) =>
+      df.withColumn(s"h$j", TextFns.hexBits16(col("dig"), 4 * j)))
+    val bitSums = for { j <- 0 until 4; k <- 0 until 16 } yield
+      sum(shiftright(col(s"h$j"), k).bitwiseAND(lit(1))).as(s"b${j}_$k")
+    val declarative = sliced.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col("doc_id") +: (0 until 4).map(j =>
+        TextFns.simhashFromBitCounts(
+          (0 until 16).map(k => col(s"b${j}_$k").cast("int")),
+          col("n").cast("int")).as(s"band$j")): _*)
+      .orderBy("doc_id").collect()
+      .map(r => (0 until 4).map(j => r.getInt(j + 1)))
+    val imperative = ex.groupBy(col("doc_id"))
+      .agg(call_function("simhash64_agg", col("dig")).as("bands"))
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[Int](1).toIndexedSeq)
+    assert(imperative.toSeq == declarative.toSeq)
+  }
+
   test("null arrays propagate null") {
     VectorExprs.register(spark)
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
