@@ -185,6 +185,13 @@ final class DuoEngine(val spark: SparkSession, root: String,
     LogQueries.fieldStats(logTable(s, e), field, p)
   }
 
+  /** GET /api/services — the registered service names, from the process
+    * registry like the reference (duo/src/web/services.rs: the service
+    * list is registry-derived, not scanned from data).
+    */
+  def services(): Seq[String] =
+    processes.all.map(_.serviceName).distinct
+
   def spanNames(service: String): DataFrame =
     LogQueries.spanNames(spanTable(), service)
 

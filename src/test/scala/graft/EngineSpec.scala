@@ -266,6 +266,15 @@ class EngineSpec extends SparkSpec {
       TagValue.str("0.2.0"))
   }
 
+  test("services list is registry-derived and distinct") {
+    import graft.model.TagValue
+    val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
+    engine.processes.register("example", Map.empty[String, TagValue]): Unit
+    engine.processes.register("example", Map.empty[String, TagValue]): Unit
+    engine.processes.register("log", Map.empty[String, TagValue]): Unit
+    assert(engine.services() == Seq("example", "log"))
+  }
+
   test("process registry round-trips hostile and typed tag values") {
     import graft.model.TagValue
     val path = tmpRoot() + "/process.json"
