@@ -26,6 +26,84 @@ import org.apache.spark.unsafe.types.UTF8String
   * shape paid 16 hex-decode expression evaluations and 64 aggregate
   * updates per row.
   */
+/** MinHash signature accumulator over md5 hex digests — one imperative
+  * aggregate in place of k=16 declarative min-aggregates plus the
+  * 7-hex-digit base-hash projection.
+  *
+  * Input: a 32-char lowercase hex md5 digest per (doc, shingle) row.
+  * Update decodes the first 7 hex digits into the 28-bit base hash and
+  * folds it through the k affine rehashes (h_i = (a_i·x + b_i) mod M,
+  * same [[TextFns.minhashA]]/[[TextFns.minhashB]]/[[TextFns.MinhashMod]]
+  * constants the DuckDB oracle derives symbolically); merge is
+  * element-wise min, so partial aggregation combines map-side. Eval
+  * emits the k-entry signature array — identical values to the
+  * declarative formulation it replaces.
+  */
+case class Minhash16Agg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  private val K = 16
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash16_agg"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(K)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val dig = child.eval(input).asInstanceOf[UTF8String]
+    if (dig != null) {
+      var hv = 0L
+      var d = 0
+      while (d < 7) {
+        val b = dig.getByte(d)
+        hv = (hv << 4) | (if (b >= 'a') b - 'a' + 10 else b - '0')
+        d += 1
+      }
+      var i = 0
+      while (i < K) {
+        val v = (hv * TextFns.minhashA(i) + TextFns.minhashB(i)) % TextFns.MinhashMod
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < K) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(v => v: Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(K * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(K)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): Minhash16Agg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): Minhash16Agg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Minhash16Agg = copy(child = cs.head)
+}
+
 case class Simhash64Agg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

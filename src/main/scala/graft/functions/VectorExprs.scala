@@ -138,5 +138,7 @@ object VectorExprs {
         es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64_agg",
       es => Simhash64Agg(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash16_agg",
+      es => Minhash16Agg(es.head), "scala_udf")
   }
 }

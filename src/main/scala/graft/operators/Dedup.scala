@@ -96,27 +96,23 @@ object Dedup {
   /** MinHash + LSH near-dup pairs: k-entry minhash signature, banded
     * into `bands` keys of `r` rows; docs sharing any band key become
     * candidates; candidates are verified with exact shingle Jaccard.
+    *
+    * The signature is built by [[graft.functions.Minhash16Agg]] — one
+    * map-side-combining imperative aggregate per doc consuming one md5
+    * digest per shingle (replaces 16 declarative min-aggregates plus
+    * the 7-hex-digit base-hash projection; values identical).
     */
   def minhashLshPairs(docs: DataFrame, tau: Double, k: Int = 16,
       bands: Int = 8, n: Int = 3): DataFrame = {
+    require(k == 16, "minhash signature size is fixed at 16 (Minhash16Agg)")
     val r = k / bands
     val sh = docShingles(docs, n).filter(size(col("sh")) > 0).cache()
-    // Explode so the md5 digest is computed exactly once per shingle
-    // (a per-row array formulation re-evaluates the digest per signature
-    // entry — 16× the hashing); the k signature entries are then k
-    // map-side-combining min-aggregates of cheap affine rehashes.
+    // Explode so the md5 digest is computed exactly once per shingle (a
+    // per-row array formulation re-evaluates the digest per signature
+    // entry — 16× the hashing).
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("dig", md5(col("s")))
-      .withColumn("hv", (0 until 7).map { j =>
-        hexVal(substring(col("dig"), j + 1, 1)).cast("long") *
-          lit(1L << (4 * (6 - j)))
-      }.reduce(_ + _))
-    val minExprs = (0 until k).map(i =>
-      min((col("hv") * minhashA(i) + minhashB(i)) % MinhashMod).as(s"m$i"))
     val sigs = ex.groupBy(col("doc_id"))
-      .agg(minExprs.head, minExprs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(call_function("minhash16_agg", md5(col("s"))).as("sig"))
     val bandRows = sigs.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key")))
     val cands = bandRows.as("a").join(bandRows.as("b"),

@@ -79,6 +79,34 @@ class VectorExprsSpec extends SparkSpec {
     assert(imperative.toSeq == declarative.toSeq)
   }
 
+  test("minhash16_agg matches the declarative min-aggregate formulation") {
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30) + 3)(s"t${rnd.nextInt(40)}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val ex = docs.select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("s"))
+      .withColumn("dig", md5(col("s")))
+      .withColumn("hv", (0 until 7).map { j =>
+        TextFns.hexVal(substring(col("dig"), j + 1, 1)).cast("long") *
+          lit(1L << (4 * (6 - j)))
+      }.reduce(_ + _))
+    val minExprs = (0 until 16).map(i =>
+      min((col("hv") * TextFns.minhashA(i) + TextFns.minhashB(i)) %
+        TextFns.MinhashMod).as(s"m$i"))
+    val declarative = ex.groupBy(col("doc_id"))
+      .agg(minExprs.head, minExprs.tail: _*)
+      .orderBy("doc_id").collect()
+      .map(r => (0 until 16).map(i => r.getLong(i + 1)))
+    val imperative = ex.groupBy(col("doc_id"))
+      .agg(call_function("minhash16_agg", col("dig")).as("sig"))
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[Long](1).toIndexedSeq)
+    assert(imperative.toSeq == declarative.toSeq)
+  }
+
   test("null arrays propagate null") {
     VectorExprs.register(spark)
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
