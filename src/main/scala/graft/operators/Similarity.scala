@@ -65,11 +65,63 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** IVF-style ANN top-k: the corpus is partitioned into `nCentroids`
+    * Voronoi cells (nearest centroid by cosine, ties to the lowest cell
+    * index); each query scores only the vectors in its `nProbe` nearest
+    * cells. Cell assignment is pure map work through the codegen
+    * array_dot/array_norm kernels against literal centroid arrays —
+    * the corpus never shuffles; the probe join broadcasts the tiny
+    * (query, cell) set.
+    *
+    * Centroids here are a deterministic stand-in (the nCentroids
+    * lowest-id vectors) so the oracle can derive them symbolically —
+    * real deployments swap in offline k-means centroids; the index
+    * structure, assignment plan, and probe path are identical. The
+    * driver-side collect is the centroid set (nCentroids rows), i.e.
+    * the broadcast-build pattern, not a data scan.
+    */
+  def ivfTopK(embs: DataFrame, queryMaxId: Long, k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
+    val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val cents: Seq[Array[Double]] = e.orderBy(col("vec_id")).limit(nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    // cos(v, c_j) through the kernels; array_norm(literal) constant-folds
+    def centCos(j: Int) = {
+      val c = typedlit(cents(j))
+      call_function("array_dot", col("v"), c) /
+        (call_function("array_norm", col("v")) * call_function("array_norm", c))
+    }
+    // (cos, -j) struct-max = highest cos, ties to the LOWEST cell index
+    val cellScores = array((0 until nCentroids).map(j =>
+      struct(centCos(j).as("cos"), lit(-j).as("jneg"))): _*)
+    val assigned = e
+      .withColumn("cell", -array_max(cellScores).getField("jneg"))
+    val probes = assigned.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        posexplode(cellScores).as(Seq("ign", "sc")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sc.cos").desc, (-col("sc.jneg")).asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), (-col("sc.jneg")).as("cell"))
+    val scored = assigned.as("a").join(broadcast(probes).as("p"),
+        col("a.cell") === col("p.cell") && col("a.vec_id") =!= col("p.query_id"))
+      .select(col("query_id"), col("a.vec_id").as("vec_id"),
+        round(cosineFast("p.qv", "a.v"), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), 5L, 10)
+        .orderBy(col("query_id"), col("rank"))),
+    "s04_ivf_topk" -> ((s, d) =>
+      ivfTopK(Tables.embeddings(s, d), 5L, 10)
         .orderBy(col("query_id"), col("rank"))),
     "s02_lsh_buckets" -> ((s, d) =>
       lshBuckets(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
@@ -101,6 +153,30 @@ object Similarity {
          |scored AS (SELECT query_id, vec_id,
          |   round(list_cosine_similarity(qv, v), 6) AS cos
          |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         |ranked AS (SELECT query_id, vec_id, cos,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s04_ivf_topk" ->
+      s"""$embCte,
+         |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+         |  FROM e ORDER BY vec_id LIMIT 8),
+         |sc AS (SELECT e.vec_id, e.v, c.j,
+         |   list_cosine_similarity(e.v, c.cv) AS cc
+         |  FROM e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, v, j AS cell FROM (
+         |   SELECT vec_id, v, j,
+         |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, j) AS rn
+         |   FROM sc) WHERE rn = 1),
+         |qp AS (SELECT vec_id AS query_id, v AS qv, j AS cell FROM (
+         |   SELECT vec_id, v, j,
+         |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, j) AS rn
+         |   FROM sc WHERE vec_id < 5) WHERE rn <= 2),
+         |cand AS (SELECT qp.query_id, qp.qv, a.vec_id, a.v
+         |  FROM qp JOIN asg a ON qp.cell = a.cell AND a.vec_id <> qp.query_id),
+         |scored AS (SELECT query_id, vec_id,
+         |   round(list_cosine_similarity(qv, v), 6) AS cos FROM cand),
          |ranked AS (SELECT query_id, vec_id, cos,
          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
