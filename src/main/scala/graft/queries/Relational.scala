@@ -512,8 +512,63 @@ object Relational {
     "q23_time_bucket" -> (timeBucket _),
     "q25_rollup" -> (rollup_ _),
     "q26_median_cents" -> (medianCents _),
-    "q27_sessionize" -> (sessionize _)
+    "q27_sessionize" -> (sessionize _),
+    "q34_asof_join" -> (asofJoin _),
+    "q35_range_join" -> (rangeJoin _)
   )
+
+  /** As-of join composed from built-ins (the brief's named example of
+    * an operator Spark lacks): for each event, the most recent order of
+    * the same customer at or before the event time. Scale-honest
+    * formulation: tag both sides, union, ONE window sort-shuffle keyed
+    * on the join key with last(ignoreNulls) carrying the right-side
+    * payload forward — no range-explosion join, no per-row lookup, and
+    * the window never materializes more than a partition's run. At tied
+    * times the order row sorts before the event row (ASOF `>=`
+    * semantics); the right side is pre-deduped to one row per
+    * (key, time) so tie resolution is engine-independent. The DuckDB
+    * oracle uses its NATIVE ASOF LEFT JOIN, proving the composition
+    * matches the real operator's semantics.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("k"), nsToUs("ts").as("t"),
+        lit(1).as("side"), lit(null).cast(LongType).as("ok"), col("event_id"))
+    val ords = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"), col("o_orderkey"))
+      .groupBy(col("k"), col("t"))
+      .agg(max(col("o_orderkey")).as("ok"))
+      .select(col("k"), col("t"), lit(0).as("side"), col("ok"),
+        lit(null).cast(LongType).as("event_id"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ords)
+      .withColumn("last_order", last(col("ok"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("t_us"),
+        col("last_order"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range (band) join: facts matched into value intervals via a
+    * non-equi join against a tiny derived band dimension. The dim is
+    * broadcast, so the plan is a broadcast nested-loop with NO shuffle
+    * of the fact side — the standard shape for small-dim range joins
+    * (a large range dim would bucket-align both sides instead).
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = Tables.region(s, d).select(
+      col("r_regionkey").as("band_id"),
+      (col("r_regionkey") * 100.0).as("lo"),
+      ((col("r_regionkey") + 1) * 100.0).as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"), "left_outer")
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .orderBy(asc_nulls_first("band_id"))
+  }
 
   // DuckDB oracle SQL — structurally identical pipelines. Decimal-sum
   // convention mirrors graft.util.Cols (see scaladoc there).
@@ -700,6 +755,23 @@ object Relational {
         | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
         | COUNT(CAST(props->>'$.k' AS BIGINT)) AS k_n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q34_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+        |ords AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
+        |   CAST(MAX(o_orderkey) AS BIGINT) AS ok
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.t AS t_us, o.ok AS last_order
+        |FROM ev e ASOF LEFT JOIN ords o ON e.user_id = o.k AND e.t >= o.t
+        |ORDER BY e.event_id""".stripMargin,
+    "q35_range_join" ->
+      s"""WITH bands AS (SELECT r_regionkey AS band_id,
+         |   r_regionkey * 100.0 AS lo, (r_regionkey + 1) * 100.0 AS hi
+         |  FROM region)
+         |SELECT b.band_id, COUNT(*) AS n,
+         | CAST(SUM(CAST(e.value AS $D2)) AS DOUBLE) AS value_sum
+         |FROM events e LEFT JOIN bands b
+         |  ON e.value >= b.lo AND e.value < b.hi
+         |GROUP BY b.band_id ORDER BY b.band_id NULLS FIRST""".stripMargin,
     "q23_time_bucket" ->
       s"""SELECT CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day,
          | COUNT(*) AS n,
