@@ -53,7 +53,19 @@ final class DuoEngine(val spark: SparkSession, root: String,
   // identical append/replay/clear semantics.
 
   private def walDir(table: String) = s"$root/wal/$table"
-  private val walSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // Seeded from the max sequence already on disk so a crash-restarted
+  // engine appends AFTER the replayed files instead of truncating
+  // 00000000000000000001.arrow (the reference's timestamped IPC names
+  // never collide, duo/src/ipc.rs:31-56).
+  private val walSeq = new java.util.concurrent.atomic.AtomicLong(
+    Seq("span", "log")
+      .map(t => new java.io.File(walDir(t)))
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty))
+      .map(_.getName)
+      .collect { case n if n.endsWith(".arrow") =>
+        n.stripSuffix(".arrow").toLong }
+      .foldLeft(0L)(math.max))
 
   private def walAppend(table: String, batch: DataFrame): Unit =
     if (walFormat == "arrow")
@@ -225,7 +237,23 @@ final class DuoEngine(val spark: SparkSession, root: String,
     import org.apache.spark.sql.functions._
     import spark.implicits._
     if (jsonLines.isEmpty) return
-    val raw = spark.read.json(spark.createDataset(jsonLines))
+    // Malformed lines are dropped at read time (DROPMALFORMED) so they
+    // never surface as a _corrupt_record dynamic field or an all-null
+    // row; nested objects/arrays are re-serialized to JSON text (the
+    // registry and Arrow WAL hold scalars only, matching the
+    // reference's scalar-oneof wire values, duo-api/proto/common.proto).
+    val read = spark.read.option("mode", "DROPMALFORMED")
+      .json(spark.createDataset(jsonLines))
+    val raw = read.select(read.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    if (raw.schema.isEmpty) return // every line was corrupt
     val baseTypes = Schemas.logBase.fields.map(f => f.name -> f.dataType).toMap
     val cols = raw.schema.fields.map { f =>
       if (f.name == "level")

@@ -86,14 +86,22 @@ object Similarity {
     val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     val cents: Seq[Array[Double]] = e.orderBy(col("vec_id")).limit(nCentroids)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
-    // cos(v, c_j) through the kernels; array_norm(literal) constant-folds
+    // a corpus smaller than nCentroids yields fewer cells — clamp so
+    // centCos never indexes past the collected set, and probe at most
+    // every cell that exists
+    val nCells = cents.size
+    require(nCells > 0, "ivfTopK: empty corpus")
+    val probe = math.min(nProbe, nCells)
+    // cos(v, c_j) through the kernels; array_norm(literal) constant-folds.
+    // Rounded to 9 places so cell assignment is hash-exact across engines
+    // by construction (evaluation-order-independent), not by luck.
     def centCos(j: Int) = {
       val c = typedlit(cents(j))
-      call_function("array_dot", col("v"), c) /
-        (call_function("array_norm", col("v")) * call_function("array_norm", c))
+      round(call_function("array_dot", col("v"), c) /
+        (call_function("array_norm", col("v")) * call_function("array_norm", c)), 9)
     }
     // (cos, -j) struct-max = highest cos, ties to the LOWEST cell index
-    val cellScores = array((0 until nCentroids).map(j =>
+    val cellScores = array((0 until nCells).map(j =>
       struct(centCos(j).as("cos"), lit(-j).as("jneg"))): _*)
     val assigned = e
       .withColumn("cell", -array_max(cellScores).getField("jneg"))
@@ -102,7 +110,7 @@ object Similarity {
         posexplode(cellScores).as(Seq("ign", "sc")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("sc.cos").desc, (-col("sc.jneg")).asc)))
-      .filter(col("rn") <= nProbe)
+      .filter(col("rn") <= probe)
       .select(col("query_id"), col("qv"), (-col("sc.jneg")).as("cell"))
     val scored = assigned.as("a").join(broadcast(probes).as("p"),
         col("a.cell") === col("p.cell") && col("a.vec_id") =!= col("p.query_id"))
@@ -163,7 +171,7 @@ object Similarity {
          |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
          |  FROM e ORDER BY vec_id LIMIT 8),
          |sc AS (SELECT e.vec_id, e.v, c.j,
-         |   list_cosine_similarity(e.v, c.cv) AS cc
+         |   round(list_cosine_similarity(e.v, c.cv), 9) AS cc
          |  FROM e CROSS JOIN cent c),
          |asg AS (SELECT vec_id, v, j AS cell FROM (
          |   SELECT vec_id, v, j,

@@ -2,7 +2,6 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{MapType, StringType}
 
 /** Jaeger-style trace search + assembly
   * (reference: duo/src/web/services.rs:13-130, correlation
@@ -74,12 +73,18 @@ object TraceQueries {
         (col("n_errors").isNotNull && col("n_errors") > 0) ||
           coalesce(get_json_object(col("tags"), "$.error") === "true",
             lit(false)))
+      // splice `"error":true` into the raw JSON text — a typed JSON
+      // bool like the reference's Value::Bool insert
+      // (duo/src/models.rs:80-94); a from_json(Map[String,String])
+      // round-trip would stringify every typed tag value on exactly
+      // the spans that have errors
       .withColumn("tags",
         when(col("n_errors").isNotNull && col("n_errors") > 0,
-          to_json(map_concat(
-            coalesce(from_json(col("tags"), MapType(StringType, StringType)),
-              map()),
-            map(lit("error"), lit("true")))))
+          when(col("tags").isNull || trim(col("tags")).isin("", "{}"),
+            lit("""{"error":true}"""))
+            .otherwise(concat(
+              expr("substring(tags, 1, length(tags) - 1)"),
+              lit(""","error":true}"""))))
           .otherwise(col("tags")))
       .drop("span_id", "n_errors")
   }

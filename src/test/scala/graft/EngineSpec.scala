@@ -117,6 +117,26 @@ class EngineSpec extends SparkSpec {
     assert(e3.spanTable().count() == 1 && e3.logTable().count() == 1)
   }
 
+  test("arrow WAL sequence resumes after restart (no file collision)") {
+    val root = tmpRoot()
+    val e1 = new DuoEngine(spark, root, walFormat = "arrow")
+    val logsA = Seq(("svc-0", t0 + 1L, "INFO", "a"))
+      .toDF("process_id", "time", "level", "message")
+    e1.ingestBatch(Seq(rec(1, 31, 500, t0, Some(t0 + 1L))), logsA)
+    val before = new java.io.File(s"$root/wal/log").listFiles().map(_.getName).toSet
+    // crash-restart: the new engine must append AFTER the replayed
+    // files, not truncate them from sequence 1 again
+    val e2 = new DuoEngine(spark, root, walFormat = "arrow")
+    val logsB = Seq(("svc-0", t0 + 2L, "INFO", "b"))
+      .toDF("process_id", "time", "level", "message")
+    e2.appendLogBatch(logsB)
+    val after = new java.io.File(s"$root/wal/log").listFiles().map(_.getName).toSet
+    assert(before.subsetOf(after) && after.size == before.size + 1)
+    // a second crash-restart replays BOTH batches
+    val e3 = new DuoEngine(spark, root, walFormat = "arrow")
+    assert(e3.logTable().count() == 2)
+  }
+
   test("open spans survive batches until closed") {
     val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
     val noLogs = Seq.empty[(String, Long, String, String)]
@@ -213,6 +233,28 @@ class EngineSpec extends SparkSpec {
       """{"process_id":"svc-0","time":4000,"level":"INFO","message":"m4","region":"eu"}"""))
     assert(engine.logTable().schema.fieldNames.contains("region"))
     assert(engine.logTable().filter(col("region").isNull).count() == 3)
+  }
+
+  test("JSON ingest rejects corrupt lines and flattens nested values") {
+    import org.apache.spark.sql.types._
+    val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
+    engine.ingestJsonLogs(Seq(
+      """{"process_id":"svc-0","time":1000,"level":"INFO","message":"ok","ctx":{"a":1},"ids":[1,2]}""",
+      """{this is not json at all""",
+      """{"process_id":"svc-0","time":2000,"level":"INFO","message":"ok2"}"""))
+    val tbl = engine.logTable()
+    // the malformed line never becomes a permanent dynamic field
+    assert(!tbl.schema.fieldNames.contains("_corrupt_record"))
+    // nested object/array values arrive as JSON text (scalar columns
+    // only, like the reference's scalar oneof wire values) — so the
+    // Arrow WAL's supported-type set still covers every column
+    assert(tbl.schema("ctx").dataType == StringType)
+    assert(tbl.schema("ids").dataType == StringType)
+    assert(tbl.filter(col("ctx") === """{"a":1}""").count() == 1)
+    assert(tbl.count() == 2)
+    // an all-corrupt batch is a clean no-op
+    engine.ingestJsonLogs(Seq("""not json"""))
+    assert(engine.logTable().count() == 2)
   }
 
   test("compaction swap survives a crash at every step") {

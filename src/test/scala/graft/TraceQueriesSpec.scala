@@ -52,15 +52,46 @@ class TraceQueriesSpec extends SparkSpec {
     assert(t9001.getAs[Long]("n_logs") == 2)
     assert(t9001.getAs[Int]("has_error") == 1)
     val spanStructs = t9001.getAs[scala.collection.Seq[Row]]("spans")
-    // span 101 has an ERROR log -> error tag injected into its JSON tags
+    // span 101 has an ERROR log -> a typed JSON bool spliced into its
+    // tags, with the existing typed values untouched (no string-map
+    // round trip; duo/src/models.rs:80-94 inserts Value::Bool(true))
     val s101 = spanStructs.find(_.getAs[Long]("id") == 101L).get
-    assert(s101.getAs[String]("tags").contains(""""error":"true""""))
+    assert(s101.getAs[String]("tags") ==
+      """{"busy":"3.00ms","error":true}""")
     // children keep original tags
     val s103 = spanStructs.find(_.getAs[Long]("id") == 103L).get
     assert(!s103.getAs[String]("tags").contains("error"))
 
     val t9002 = traces(1)
     assert(t9002.getAs[Int]("has_error") == 0)
+  }
+
+  test("error tag splice preserves typed tag values and handles empty tags") {
+    // an error span with typed tags keeps int/bool types intact; null
+    // and {} tags both become a fresh single-key object
+    val sp = Seq(
+      Span(1L, None, 1L, "a", "svc-0", t0, Some(t0 + 1),
+        Some("""{"retries":2,"cached":true}""")),
+      Span(2L, None, 2L, "b", "svc-0", t0, Some(t0 + 1), None),
+      Span(3L, None, 3L, "c", "svc-0", t0, Some(t0 + 1), Some("{}"))).toDF()
+    val lg = Seq(
+      ("svc-0", t0, Some(1L), Some(1L), "ERROR", Some("x")),
+      ("svc-0", t0, Some(2L), Some(2L), "ERROR", Some("y")),
+      ("svc-0", t0, Some(3L), Some(3L), "ERROR", Some("z")))
+      .toDF("process_id", "time", "trace_id", "span_id", "level", "message")
+    val got = TraceQueries.correlateSpanLogs(sp, lg)
+      .orderBy("id").select("tags").as[String].collect().toSeq
+    assert(got == Seq(
+      """{"retries":2,"cached":true,"error":true}""",
+      """{"error":true}""",
+      """{"error":true}"""))
+    // the typed values then reach the Jaeger edge with real types
+    val tags = Jaeger.toJaegerSpan(
+      Span(1L, None, 1L, "a", "svc-0", t0, Some(t0 + 1), Some(got.head)))
+      .tags.map(kv => kv.key -> kv).toMap
+    assert(tags("retries").`type` == "int64")
+    assert(tags("cached").`type` == "bool")
+    assert(tags("error").`type` == "bool" && tags("error").value == "true")
   }
 
   test("trace limit keeps the most recent roots (deterministic)") {
