@@ -63,7 +63,9 @@ final class DuoEngine(val spark: SparkSession, root: String,
       .filter(_.isDirectory)
       .flatMap(d => Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty))
       .map(_.getName)
-      .collect { case n if n.endsWith(".arrow") =>
+      // strictly-numeric names only: a stray `backup.arrow` must not
+      // make every engine construction throw NumberFormatException
+      .collect { case n if n.matches("\\d+\\.arrow") =>
         n.stripSuffix(".arrow").toLong }
       .foldLeft(0L)(math.max))
 
@@ -232,39 +234,61 @@ final class DuoEngine(val spark: SparkSession, root: String,
     * registry types, the level is normalized (unknown → DEBUG,
     * duo-api/src/common.rs:39-60), and new fields widen the schema
     * registry like any dynamic batch.
+    *
+    * @return the number of malformed lines dropped (also logged) —
+    *         ingest data loss is counted, never silent
     */
-  def ingestJsonLogs(jsonLines: Seq[String]): Unit = {
+  def ingestJsonLogs(jsonLines: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    if (jsonLines.isEmpty) return
-    // Malformed lines are dropped at read time (DROPMALFORMED) so they
-    // never surface as a _corrupt_record dynamic field or an all-null
-    // row; nested objects/arrays are re-serialized to JSON text (the
-    // registry and Arrow WAL hold scalars only, matching the
-    // reference's scalar-oneof wire values, duo-api/proto/common.proto).
-    val read = spark.read.option("mode", "DROPMALFORMED")
+    if (jsonLines.isEmpty) return 0L
+    // Malformed lines are parsed PERMISSIVE into a corrupt-record column
+    // so they can be COUNTED before being filtered out (a silent
+    // DROPMALFORMED would make ingest data loss invisible); nested
+    // objects/arrays are re-serialized to JSON text (the registry and
+    // Arrow WAL hold scalars only, matching the reference's scalar-oneof
+    // wire values, duo-api/proto/common.proto).
+    val corruptCol = "_graft_corrupt_record"
+    val read = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
       .json(spark.createDataset(jsonLines))
-    val raw = read.select(read.schema.fields.map { f =>
-      f.dataType match {
-        case _: org.apache.spark.sql.types.StructType |
-             _: org.apache.spark.sql.types.ArrayType |
-             _: org.apache.spark.sql.types.MapType =>
-          to_json(col(f.name)).as(f.name)
-        case _ => col(f.name)
+      .cache() // tiny driver-fed micro-batch; also required to filter on
+               // the corrupt column alone (SPARK-21610)
+    try {
+      val hasCorrupt = read.schema.fieldNames.contains(corruptCol)
+      val dropped =
+        if (hasCorrupt) read.filter(col(corruptCol).isNotNull).count() else 0L
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(classOf[DuoEngine])
+          .warn(s"ingestJsonLogs: dropped $dropped malformed line(s) " +
+            s"of ${jsonLines.size}")
+      val good =
+        if (hasCorrupt) read.filter(col(corruptCol).isNull).drop(corruptCol)
+        else read
+      if (good.schema.isEmpty) return dropped // every line was corrupt
+      val raw = good.select(good.schema.fields.map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType =>
+            to_json(col(f.name)).as(f.name)
+          case _ => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      val baseTypes = Schemas.logBase.fields.map(f => f.name -> f.dataType).toMap
+      val cols = raw.schema.fields.map { f =>
+        if (f.name == "level")
+          when(upper(col("level")).isin(Schemas.levels: _*), upper(col("level")))
+            .otherwise("DEBUG").as("level")
+        else baseTypes.get(f.name) match {
+          case Some(dt) if dt != f.dataType => col(f.name).cast(dt).as(f.name)
+          case _ => col(f.name)
+        }
       }
-    }.toIndexedSeq: _*)
-    if (raw.schema.isEmpty) return // every line was corrupt
-    val baseTypes = Schemas.logBase.fields.map(f => f.name -> f.dataType).toMap
-    val cols = raw.schema.fields.map { f =>
-      if (f.name == "level")
-        when(upper(col("level")).isin(Schemas.levels: _*), upper(col("level")))
-          .otherwise("DEBUG").as("level")
-      else baseTypes.get(f.name) match {
-        case Some(dt) if dt != f.dataType => col(f.name).cast(dt).as(f.name)
-        case _ => col(f.name)
-      }
-    }
-    appendLogBatch(raw.select(cols.toIndexedSeq: _*))
+      appendLogBatch(raw.select(cols.toIndexedSeq: _*))
+      dropped
+    } finally { read.unpersist(); () }
   }
 }
 

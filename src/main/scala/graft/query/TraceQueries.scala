@@ -77,13 +77,19 @@ object TraceQueries {
       // bool like the reference's Value::Bool insert
       // (duo/src/models.rs:80-94); a from_json(Map[String,String])
       // round-trip would stringify every typed tag value on exactly
-      // the spans that have errors
+      // the spans that have errors. Tags that already carry an `error`
+      // key are left as-is (has_err above already accounts for them;
+      // splicing a second key would produce duplicate-key JSON), and
+      // the splice tolerates surrounding whitespace in the stored text.
       .withColumn("tags",
-        when(col("n_errors").isNotNull && col("n_errors") > 0,
-          when(col("tags").isNull || trim(col("tags")).isin("", "{}"),
+        when(
+          col("n_errors").isNotNull && col("n_errors") > 0 &&
+            get_json_object(col("tags"), "$.error").isNull,
+          when(col("tags").isNull || trim(col("tags")).rlike("^\\{\\s*\\}$")
+              || trim(col("tags")) === "",
             lit("""{"error":true}"""))
             .otherwise(concat(
-              expr("substring(tags, 1, length(tags) - 1)"),
+              regexp_replace(trim(col("tags")), "\\}\\s*$", ""),
               lit(""","error":true}"""))))
           .otherwise(col("tags")))
       .drop("span_id", "n_errors")

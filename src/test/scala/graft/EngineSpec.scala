@@ -238,13 +238,15 @@ class EngineSpec extends SparkSpec {
   test("JSON ingest rejects corrupt lines and flattens nested values") {
     import org.apache.spark.sql.types._
     val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
-    engine.ingestJsonLogs(Seq(
+    // the dropped-line count is returned, never silent
+    assert(engine.ingestJsonLogs(Seq(
       """{"process_id":"svc-0","time":1000,"level":"INFO","message":"ok","ctx":{"a":1},"ids":[1,2]}""",
       """{this is not json at all""",
-      """{"process_id":"svc-0","time":2000,"level":"INFO","message":"ok2"}"""))
+      """{"process_id":"svc-0","time":2000,"level":"INFO","message":"ok2"}""")) == 1L)
     val tbl = engine.logTable()
     // the malformed line never becomes a permanent dynamic field
     assert(!tbl.schema.fieldNames.contains("_corrupt_record"))
+    assert(!tbl.schema.fieldNames.contains("_graft_corrupt_record"))
     // nested object/array values arrive as JSON text (scalar columns
     // only, like the reference's scalar oneof wire values) — so the
     // Arrow WAL's supported-type set still covers every column
@@ -252,9 +254,12 @@ class EngineSpec extends SparkSpec {
     assert(tbl.schema("ids").dataType == StringType)
     assert(tbl.filter(col("ctx") === """{"a":1}""").count() == 1)
     assert(tbl.count() == 2)
-    // an all-corrupt batch is a clean no-op
-    engine.ingestJsonLogs(Seq("""not json"""))
+    // an all-corrupt batch is a clean no-op, still counted
+    assert(engine.ingestJsonLogs(Seq("""not json""")) == 1L)
     assert(engine.logTable().count() == 2)
+    // a fully-clean batch reports zero drops
+    assert(engine.ingestJsonLogs(Seq(
+      """{"process_id":"svc-0","time":3000,"level":"INFO","message":"ok3"}""")) == 0L)
   }
 
   test("compaction swap survives a crash at every step") {

@@ -94,6 +94,38 @@ class TraceQueriesSpec extends SparkSpec {
     assert(tags("error").`type` == "bool" && tags("error").value == "true")
   }
 
+  test("error tag splice tolerates whitespace and never duplicates the key") {
+    // stored tag text may carry surrounding whitespace (e.g. a trailing
+    // newline from an external writer), and a span whose tags already
+    // have an `error` key must not gain a second one (the reference's
+    // HashMap insert can't duplicate, duo/src/models.rs:92)
+    val sp = Seq(
+      Span(1L, None, 1L, "a", "svc-0", t0, Some(t0 + 1),
+        Some("{\"a\":1}\n")),
+      Span(2L, None, 2L, "b", "svc-0", t0, Some(t0 + 1), Some("{ }")),
+      Span(3L, None, 3L, "c", "svc-0", t0, Some(t0 + 1),
+        Some("""{"error":true,"k":"v"}"""))).toDF()
+    val lg = Seq(
+      ("svc-0", t0, Some(1L), Some(1L), "ERROR", Some("x")),
+      ("svc-0", t0, Some(2L), Some(2L), "ERROR", Some("y")),
+      ("svc-0", t0, Some(3L), Some(3L), "ERROR", Some("z")))
+      .toDF("process_id", "time", "trace_id", "span_id", "level", "message")
+    val rows = TraceQueries.correlateSpanLogs(sp, lg)
+      .orderBy("id").select("tags", "has_err").collect()
+    assert(rows.map(_.getAs[String]("tags")).toSeq == Seq(
+      """{"a":1,"error":true}""",
+      """{"error":true}""",
+      """{"error":true,"k":"v"}"""))
+    assert(rows.forall(_.getAs[Boolean]("has_err")))
+    // each spliced result is valid single-key-set JSON at the Jaeger edge
+    rows.map(_.getAs[String]("tags")).foreach { t =>
+      val kvs = Jaeger.toJaegerSpan(
+        Span(9L, None, 9L, "x", "svc-0", t0, Some(t0 + 1), Some(t))).tags
+      assert(kvs.nonEmpty) // parse did not silently drop the tags
+      assert(kvs.count(_.key == "error") == 1)
+    }
+  }
+
   test("trace limit keeps the most recent roots (deterministic)") {
     val p = TraceSearchParams(service = "example", limit = 1)
     val ids = TraceQueries.filterTraces(spark, spans, logs, p)
