@@ -185,6 +185,65 @@ object Dedup {
           col("a0"), col("a1"), col("a2"), col("a3")).as("simhash_a"))
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node ends up labeled with the minimum
+    * node id of its component. `nodes` is one column `doc_id`; `edges`
+    * has `doc_a`/`doc_b`. Returns (doc_id, cluster).
+    *
+    * Scale shape: each iteration is one shuffle-join of the label table
+    * with the (symmetrized) edge list plus a min-aggregate — both keyed
+    * on node id, so AQE coalesces and co-partitions them; iterations
+    * needed = component diameter, and near-dup components are
+    * shallow star-ish clusters (2-4 hops). The label table is
+    * checkpoint-truncated each round so the plan doesn't grow with the
+    * iteration count. For adversarially long chain graphs the standard
+    * fix is the large-star/small-star doubling of Kiveris et al. —
+    * documented, not needed for dedup graphs.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
+      .union(edges.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
+      .cache()
+    var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node's candidate label: min over its neighbors' labels
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nbr"), col("cluster").as("nl")), "nbr")
+        .groupBy(col("id")).agg(min(col("nl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"),
+          (col("nbr_min") < col("cluster")).as("chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("chg")).limit(1).count() == 0L
+      labels = next.drop("chg")
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster"))
+  }
+
+  /** Near-dup cluster assignment: MinHash-LSH pairs (jac >= tau) form the
+    * edge list; connected components give each doc its cluster id (the
+    * component's min doc_id — the canonical keeper) and cluster size.
+    * This is the step that turns pairwise near-dup detection into an
+    * actually deduplicated corpus: keep rows where doc_id = cluster.
+    */
+  def minhashClusters(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val edges = minhashLshPairs(docs, tau).select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(docs.select(col("doc_id")), edges)
+    cc.withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+  }
+
   /** Streaming exact-dedup for an ingest firehose: drops re-arrivals of
     * the same normalized content within the watermark horizon
     * (Structured Streaming's dropDuplicatesWithinWatermark). State is
@@ -229,7 +288,9 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))),
     "d05_embedding_near_dup" -> ((s, d) =>
       embeddingPairs(Tables.embeddings(s, d), 0.4)
-        .orderBy(col("vec_a"), col("vec_b"))))
+        .orderBy(col("vec_a"), col("vec_b"))),
+    "d06_cluster_cc" -> ((s, d) =>
+      minhashClusters(Tables.documents(s, d), 0.5).orderBy(col("doc_id"))))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
   private[operators] val shingleCte =
@@ -341,6 +402,25 @@ object Dedup {
          |SELECT doc_a, doc_b, jac FROM mh_pairs WHERE jac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d04_simhash" -> simhash64OracleSql,
+    // Connected components as a recursive reachability fixpoint: reach
+    // holds every (node, label-that-reaches-it) pair over the
+    // symmetrized edge list; min label per node = the component's min
+    // doc_id, exactly what the Spark min-label propagation converges to.
+    "d06_cluster_cc" ->
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+         |$minhashPairsCtes,
+         |e AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jac >= 0.5),
+         |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM e
+         |        UNION ALL SELECT doc_b, doc_a FROM e),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT sym.nbr AS id, reach.label
+         |  FROM reach JOIN sym ON sym.id = reach.id),
+         |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id)
+         |SELECT doc_id, cluster,
+         |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+         |FROM cc ORDER BY doc_id""".stripMargin,
     "d05_embedding_near_dup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings)

@@ -87,6 +87,31 @@ object Pipelines {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Deterministic stratified sample: within each language stratum keep
+    * the first ceil(num/den) fraction of documents ordered by
+    * md5(doc_id) — a content-independent shuffle order any engine
+    * reproduces. Integer arithmetic (`(n*num + den-1) div den`) keeps
+    * the per-stratum quota exact with no float rounding.
+    *
+    * Scale shape: one window shuffle keyed on the stratum; rank and
+    * stratum size share the same Exchange+Sort (identical partition
+    * spec). For strata too hot for one reducer the quota can be split
+    * by hash range — the md5 order makes any contiguous rank range a
+    * uniform subsample.
+    */
+  def stratifiedSample(docs: DataFrame, num: Int = 1, den: Int = 10): DataFrame = {
+    val lang = TextAnalysis.languageId(docs)
+      .select(col("doc_id"), col("lang_pred"))
+    val w = Window.partitionBy(col("lang_pred"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    lang
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rn") <= expr(s"(n * $num + ${den - 1}) div $den"))
+      .select(col("doc_id"), col("lang_pred"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -94,7 +119,10 @@ object Pipelines {
     "p02_quality_keeper" -> ((s, d) =>
       qualityKeeper(Tables.documents(s, d)).orderBy(col("h"))),
     "p03_hash_split" -> ((s, d) =>
-      hashSplit(Tables.documents(s, d)).orderBy(col("split"))))
+      hashSplit(Tables.documents(s, d)).orderBy(col("split"))),
+    "p04_stratified_sample" -> ((s, d) =>
+      stratifiedSample(Tables.documents(s, d))
+        .orderBy(col("lang_pred"), col("doc_id"))))
 
   val oracle: Map[String, String] = Map(
     "p01_clean_corpus" ->
@@ -154,5 +182,26 @@ object Pipelines {
          |                  ELSE 'test' END AS split FROM b)
          |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY split ORDER BY split""".stripMargin
-    })
+    },
+    "p04_stratified_sample" ->
+      """WITH c AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS c_en,
+        |  len(regexp_extract_all(text, '\b(der|und|die|das|nicht)\b')) AS c_de,
+        |  len(regexp_extract_all(text, '\b(le|et|les|des|est)\b')) AS c_fr,
+        |  len(regexp_extract_all(text, '\b(el|y|los|las|es)\b')) AS c_es
+        | FROM documents),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'und'
+        |       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |       WHEN c_fr >= c_es THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        | FROM c),
+        |r AS (SELECT doc_id, lang_pred,
+        |  row_number() OVER (PARTITION BY lang_pred
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang_pred) AS n
+        | FROM l)
+        |SELECT doc_id, lang_pred FROM r WHERE rn <= (n * 1 + 9) // 10
+        |ORDER BY lang_pred, doc_id""".stripMargin)
 }

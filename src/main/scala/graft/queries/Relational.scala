@@ -383,6 +383,28 @@ object Relational {
         col("n"), col("value_sum"))
       .orderBy(col("w_start"))
 
+  /** Session event-time windows via Spark's native session_window()
+    * (dynamic-gap session assignment inside the aggregation operator —
+    * the batch/streaming-unified form of q27's lag+gap sessionize).
+    * Session end = last event + gap, so a new session starts when the
+    * inter-event gap is >= 30 min (the window [t, t+gap) no longer
+    * overlaps). Bounds surface as floor'd epoch seconds.
+    *
+    * Scale shape: one shuffle on user_id; session merging happens
+    * inside the sort-based session aggregation, so state is bounded by
+    * one user's events per task — no per-session shuffle.
+    */
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("tsx", timestamp_micros(nsToUs("ts")))
+      .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("sw.start").cast(LongType).as("s_start"),
+        col("sw.end").cast(LongType).as("s_end"),
+        col("n_events"), col("value_sum"))
+      .orderBy(col("user_id"), col("s_start"))
+
   /** Pivot: returnflag columns per linestatus (conditional-aggregation
     * equivalent in the oracle). SURVEY §2.4 extension.
     */
@@ -487,6 +509,7 @@ object Relational {
     "q28_pivot" -> (pivotFlags _),
     "q29_cube" -> (cube_ _),
     "w01_sliding_window" -> (slidingWindow _),
+    "w02_session_window" -> (sessionWindow _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_facet_topk" -> (facetTopK _),
     "q03_distinct" -> (distinctValues _),
@@ -642,6 +665,25 @@ object Relational {
          |SELECT w_start, COUNT(*) AS n,
          | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
          |FROM e GROUP BY w_start ORDER BY w_start""".stripMargin,
+    // Session semantics: Spark merges an event into the open session
+    // while its time is strictly inside [start, last+gap), so a gap
+    // >= 30 min breaks; end = last event + gap. Floor'd epoch seconds
+    // match the timestamp->long cast.
+    "w02_session_window" ->
+      s"""WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+         |m AS (SELECT user_id, tus, value,
+         |  CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+         |            >= 1800000000 THEN 1 ELSE 0 END AS brk
+         | FROM x),
+         |g AS (SELECT user_id, tus, value,
+         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS grp
+         | FROM m)
+         |SELECT user_id, min(tus)//1000000 AS s_start,
+         | (max(tus) + 1800000000)//1000000 AS s_end,
+         | COUNT(*) AS n_events,
+         | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
+         |FROM g GROUP BY user_id, grp ORDER BY user_id, s_start""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) AS sum_qty,

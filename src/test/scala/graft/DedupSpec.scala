@@ -28,4 +28,32 @@ class DedupSpec extends SparkSpec {
     // a cap above the true max df is a semantic no-op
     assert(Dedup.ngramJaccardPairs(docs, 0.1, maxShingleDf = 3L).count() == 3)
   }
+
+  test("connected components label every node with its component min") {
+    // chain 1-2-3 (propagation needs >1 iteration), pair 5-4 (reversed
+    // order), isolated 6
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L))
+  }
+
+  test("minhash clusters assign keepers transitively") {
+    // doc 30 is a near-dup of 10 and 20 separately; 10 and 20 may not be
+    // direct pairs, but all three must land in one cluster (min id 10)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val variant = (1 to 30).map(i => if (i == 30) "zzz" else s"w$i").mkString(" ")
+    val corpus = Seq(
+      (10L, base), (20L, base), (30L, variant),
+      (40L, "completely unrelated text with different words entirely " +
+        "and nothing shared at all between these documents"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashClusters(corpus, 0.5)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(rows.map(r => r._1 -> r._2) ==
+      Seq(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L))
+    assert(rows.map(_._3) == Seq(3L, 3L, 3L, 1L))
+  }
 }

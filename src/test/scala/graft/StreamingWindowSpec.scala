@@ -83,6 +83,25 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window breaks exactly at the gap boundary (>= 30 min)") {
+    import spark.implicits._
+    // events at 0, 10 min, 40 min: the 30-min gap between 10 and 40 is
+    // EXACTLY the session gap — [40, 40+gap) no longer overlaps
+    // [10, 10+gap), so a new session must start (this pins the >= vs >
+    // break semantics the w02 oracle mirrors); 41 min then merges.
+    val us = Seq(0L, 600000000L, 2400000000L, 2460000000L)
+    val rows = us.map(u => ("u1", u)).toDF("user_id", "tus")
+      .withColumn("tsx", timestamp_micros(col("tus")))
+      .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sw.start").cast("long").as("s"),
+        col("sw.end").cast("long").as("e"), col("n"))
+      .orderBy("s").as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (0L, 600 + 1800L, 2L),       // [0, last(10min)+30min)
+      (2400L, 2460 + 1800L, 2L)))  // [40min, last(41min)+30min)
+  }
+
   test("parquet store compaction merges small files without changing data") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact-test").toString
