@@ -16,7 +16,10 @@ object Bench {
     // each query N times and reports the LAST run (separates plan cost
     // from first-touch IO/codegen when iterating locally; default 1).
     val only: Set[String] = args.toSet
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // defensive parse: a garbage/empty value must not kill the whole
+    // bench run, and repeat < 1 would make the timing .last throw
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -67,9 +67,16 @@ object Dedup {
     * overlap is only boilerplate are skipped and mixed pairs' jaccard is
     * underestimated — the conservative direction for dedup. The LSH
     * variant below remains the preferred scale path.
+    *
+    * Default cap rationale: measured on the gate corpora the max
+    * shingle df is 7 at sf0.01 and 25 at sf0.1 (p99.9 = 21), so 1000
+    * leaves ~40× headroom while bounding a hot bucket at 10⁶ join
+    * rows — one reducer-task's work — instead of the 10⁸ a 10000 cap
+    * admits. Above-cap shingles are boilerplate by definition at that
+    * df and carry no near-dup signal.
     */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
-      maxShingleDf: Long = 10000L): DataFrame = {
+      maxShingleDf: Long = 1000L): DataFrame = {
     val sh = docShingles(docs, n).cache()
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // Measured note: joining on the raw shingle string beats a
@@ -199,14 +206,26 @@ object Dedup {
     * iteration count. For adversarially long chain graphs the standard
     * fix is the large-star/small-star doubling of Kiveris et al. —
     * documented, not needed for dedup graphs.
+    *
+    * Checkpoint durability: the local-mode default is
+    * `localCheckpoint(true)` (executor block storage — fast, but an
+    * executor loss mid-iteration kills the job). On a real
+    * preemptible cluster pass `checkpointDir` (HDFS/object-store
+    * path): iterations then use reliable `checkpoint(true)`, which
+    * survives executor loss. Non-convergence at maxIter throws rather
+    * than returning partially-propagated (wrong) labels.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val sym = edges.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
       .union(edges.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
       .cache()
-    var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("cluster"))
-      .localCheckpoint(true)
+    var labels = truncate(
+      nodes.select(col("doc_id").as("id"), col("doc_id").as("cluster")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -214,18 +233,21 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("nbr"), col("cluster").as("nl")), "nbr")
         .groupBy(col("id")).agg(min(col("nl")).as("nbr_min"))
-      val next = labels
+      val next = truncate(labels
         .join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"),
-          (col("nbr_min") < col("cluster")).as("chg"))
-        .localCheckpoint(true)
+          (col("nbr_min") < col("cluster")).as("chg")))
       converged = next.filter(col("chg")).limit(1).count() == 0L
       labels = next.drop("chg")
       iter += 1
     }
     sym.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "raise maxIter (or use large-star/small-star for long chains) " +
+        "rather than consuming partially-propagated labels")
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 

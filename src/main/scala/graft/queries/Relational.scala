@@ -386,9 +386,10 @@ object Relational {
   /** Session event-time windows via Spark's native session_window()
     * (dynamic-gap session assignment inside the aggregation operator —
     * the batch/streaming-unified form of q27's lag+gap sessionize).
-    * Session end = last event + gap, so a new session starts when the
-    * inter-event gap is >= 30 min (the window [t, t+gap) no longer
-    * overlaps). Bounds surface as floor'd epoch seconds.
+    * Session end = last event + gap. Spark merges windows that merely
+    * TOUCH — an event at exactly last+gap still extends the session —
+    * so a new session starts only when the inter-event gap is strictly
+    * > 30 min. Bounds surface as floor'd epoch seconds.
     *
     * Scale shape: one shuffle on user_id; session merging happens
     * inside the sort-based session aggregation, so state is bounded by
@@ -665,15 +666,16 @@ object Relational {
          |SELECT w_start, COUNT(*) AS n,
          | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
          |FROM e GROUP BY w_start ORDER BY w_start""".stripMargin,
-    // Session semantics: Spark merges an event into the open session
-    // while its time is strictly inside [start, last+gap), so a gap
-    // >= 30 min breaks; end = last event + gap. Floor'd epoch seconds
+    // Session semantics: Spark merges session windows that merely
+    // TOUCH — an event at exactly last+gap extends the session — so a
+    // session breaks only when the inter-event gap is strictly > the
+    // gap duration; end = last event + gap. Floor'd epoch seconds
     // match the timestamp->long cast.
     "w02_session_window" ->
       s"""WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
-         |m AS (SELECT user_id, tus, value,
+         |m AS (SELECT user_id, tus, event_id, value,
          |  CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
-         |            >= 1800000000 THEN 1 ELSE 0 END AS brk
+         |            > 1800000000 THEN 1 ELSE 0 END AS brk
          | FROM x),
          |g AS (SELECT user_id, tus, value,
          |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id

@@ -81,10 +81,18 @@ object TraceQueries {
       // key are left as-is (has_err above already accounts for them;
       // splicing a second key would produce duplicate-key JSON), and
       // the splice tolerates surrounding whitespace in the stored text.
+      // Presence is checked with map_contains_key over a parsed map —
+      // get_json_object returns null for BOTH a missing key and a JSON
+      // null value ({"error":null}), which would splice a duplicate key.
       .withColumn("tags",
         when(
           col("n_errors").isNotNull && col("n_errors") > 0 &&
-            get_json_object(col("tags"), "$.error").isNull,
+            !coalesce(map_contains_key(
+              from_json(col("tags"),
+                org.apache.spark.sql.types.MapType(
+                  org.apache.spark.sql.types.StringType,
+                  org.apache.spark.sql.types.StringType)),
+              lit("error")), lit(false)),
           when(col("tags").isNull || trim(col("tags")).rlike("^\\{\\s*\\}$")
               || trim(col("tags")) === "",
             lit("""{"error":true}"""))

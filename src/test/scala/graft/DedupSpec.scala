@@ -40,6 +40,30 @@ class DedupSpec extends SparkSpec {
       6L -> 6L))
   }
 
+  test("connected components with a reliable checkpoint dir match localCheckpoint") {
+    // the preemptible-cluster configuration: reliable df.checkpoint()
+    // truncation instead of executor-lifetime localCheckpoint
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, edges, checkpointDir = Some(dir))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L))
+    // the reliable checkpoints actually landed on disk
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("connected components refuse to return unconverged labels") {
+    // a 4-chain cannot converge in one iteration
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("minhash clusters assign keepers transitively") {
     // doc 30 is a near-dup of 10 and 20 separately; 10 and 20 may not be
     // direct pairs, but all three must land in one cluster (min id 10)

@@ -83,23 +83,62 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("session_window breaks exactly at the gap boundary (>= 30 min)") {
+  test("session_window merges at exactly the gap and breaks strictly beyond it") {
     import spark.implicits._
-    // events at 0, 10 min, 40 min: the 30-min gap between 10 and 40 is
-    // EXACTLY the session gap — [40, 40+gap) no longer overlaps
-    // [10, 10+gap), so a new session must start (this pins the >= vs >
-    // break semantics the w02 oracle mirrors); 41 min then merges.
-    val us = Seq(0L, 600000000L, 2400000000L, 2460000000L)
-    val rows = us.map(u => ("u1", u)).toDF("user_id", "tus")
-      .withColumn("tsx", timestamp_micros(col("tus")))
+    def sessions(us: Seq[Long]): Seq[(Long, Long, Long)] =
+      us.map(u => ("u1", u)).toDF("user_id", "tus")
+        .withColumn("tsx", timestamp_micros(col("tus")))
+        .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("sw.start").cast("long").as("s"),
+          col("sw.end").cast("long").as("e"), col("n"))
+        .orderBy("s").as[(Long, Long, Long)].collect().toSeq
+    // events at 0, 10 min, 40 min, 41 min: the gap between 10 and 40 is
+    // EXACTLY the session gap. Spark merges windows that merely touch
+    // ([10, 40) and [40, 70) share the boundary instant), so all four
+    // events land in ONE session — this pins the > (not >=) break
+    // semantics the w02 oracle mirrors.
+    assert(sessions(Seq(0L, 600000000L, 2400000000L, 2460000000L)) ==
+      Seq((0L, 2460 + 1800L, 4L)))
+    // one microsecond past the gap DOES break: 10 min -> 30 min + 1 µs
+    assert(sessions(Seq(0L, 600000000L, 2400000001L, 2460000000L)) ==
+      Seq((0L, 600 + 1800L, 2L), (2400L, 2460 + 1800L, 2L)))
+  }
+
+  test("streamed session windows equal the batch w02 computation") {
+    val d = "/root/testdata/sf0.001"
+    val batchDf = Tables.events(spark, d)
+    val streamDir = java.nio.file.Files.createTempDirectory("events-session-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    val streamed = spark.readStream
+      .schema(batchDf.schema)
+      .parquet(streamDir.toString)
+      .withColumn("tsx", timestamp_micros(nsToUs("ts")))
+      .withWatermark("tsx", "1 hour")
       .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("sw.start").cast("long").as("s"),
-        col("sw.end").cast("long").as("e"), col("n"))
-      .orderBy("s").as[(Long, Long, Long)].collect().toSeq
-    assert(rows == Seq(
-      (0L, 600 + 1800L, 2L),       // [0, last(10min)+30min)
-      (2400L, 2460 + 1800L, 2L)))  // [40min, last(41min)+30min)
+      .agg(count(lit(1)).as("n_events"))
+    val q = streamed.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("session_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.select(col("user_id"), col("sw.start").cast("long").as("s"),
+          col("sw.end").cast("long").as("e"), col("n_events"))
+        .orderBy("user_id", "s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val got = norm(spark.table("session_stream"))
+    val want = norm(batchDf
+      .withColumn("tsx", timestamp_micros(nsToUs("ts")))
+      .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events")))
+    assert(got.nonEmpty && got == want)
   }
 
   test("parquet store compaction merges small files without changing data") {
