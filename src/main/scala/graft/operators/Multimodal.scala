@@ -19,6 +19,12 @@ import graft.Tables
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream/ImageOutputStream cache spools
+  // through temp FILES — per-image disk round-trips that dominate
+  // small-image codec work. Memory caching is ~an order of magnitude
+  // faster for payloads that already sit in executor memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A decoded media asset's typed metadata. `px` is the top-left pixel
     * as a 24-bit RGB int — decoder-derived proof of a real decode; None
     * on the stub path.
@@ -125,7 +131,13 @@ object Multimodal {
     */
   def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    withPayload(docs)
+    // Codec work is CPU-bound and embarrassingly parallel, but a small
+    // corpus arrives as one parquet split — spread it across cores
+    // first (at 100 TB the scan itself yields thousands of splits and
+    // AQE keeps this repartition a cheap no-op-sized shuffle; the
+    // alternative — one core grinding a whole file's images — is the
+    // real cost).
+    withPayload(docs.repartition(spark.sparkContext.defaultParallelism))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
