@@ -266,6 +266,37 @@ object Dedup {
       .select(col("doc_id"), col("cluster"), col("cluster_size"))
   }
 
+  /** Benchmark-contamination scan: for every corpus document, the
+    * 3-gram-shingle overlap with each document of a benchmark/eval set,
+    * reported when it reaches `minPpm` of the document's shingles —
+    * the decontamination pass a training pipeline runs so eval answers
+    * don't leak into the corpus. Here the benchmark set is carved out
+    * of `documents` itself (doc_id % benchMod == 0) so the oracle can
+    * recompute it; in production it is the eval suite's text.
+    *
+    * Scale shape: the benchmark side is small by nature (eval suites
+    * are MBs, the corpus is TBs) — its exploded shingle index is
+    * broadcast, so the corpus-side scan never shuffles: overlap
+    * counting is a map-side hash-join + partial count keyed on
+    * (doc_id, bench_id). Work is Σ over shared shingles of
+    * bench_df × corpus_df, the inverted-index bound, not |corpus|×|bench|.
+    */
+  def contaminationOverlap(docs: DataFrame, benchMod: Long = 50L,
+      minPpm: Long = 100000L, n: Int = 3): DataFrame = {
+    val sh = docShingles(docs, n)
+    val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val bench = ex.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val overlaps = ex.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("common"))
+    overlaps.join(counts, "doc_id")
+      .withColumn("overlap_ppm", expr("common * 1000000 div n_sh"))
+      .filter(col("overlap_ppm") >= minPpm)
+      .select(col("doc_id"), col("bench_id"), col("common"), col("overlap_ppm"))
+  }
+
   /** Streaming exact-dedup for an ingest firehose: drops re-arrivals of
     * the same normalized content within the watermark horizon
     * (Structured Streaming's dropDuplicatesWithinWatermark). State is
@@ -312,7 +343,10 @@ object Dedup {
       embeddingPairs(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
     "d06_cluster_cc" -> ((s, d) =>
-      minhashClusters(Tables.documents(s, d), 0.5).orderBy(col("doc_id"))))
+      minhashClusters(Tables.documents(s, d), 0.5).orderBy(col("doc_id"))),
+    "d07_contamination" -> ((s, d) =>
+      contaminationOverlap(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("bench_id"))))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
   private[operators] val shingleCte =
@@ -450,5 +484,18 @@ object Dedup {
         | round(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "d07_contamination" ->
+      s"""$shingleCte,
+         |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |bex AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 50 = 0),
+         |cex AS (SELECT doc_id, s FROM ex WHERE doc_id % 50 <> 0),
+         |ov AS (SELECT doc_id, bench_id, COUNT(*) AS common
+         |  FROM cex JOIN bex USING (s) GROUP BY doc_id, bench_id)
+         |SELECT doc_id, bench_id, common,
+         | common * 1000000 // n_sh AS overlap_ppm
+         |FROM ov JOIN cnt USING (doc_id)
+         |WHERE common * 1000000 // n_sh >= 100000
+         |ORDER BY doc_id, bench_id""".stripMargin)
 }

@@ -68,6 +68,38 @@ object TextAnalysis {
         .cast("int").as("keep"))
   }
 
+  /** Repetition signals in the Gopher/C4 family: per-document bigram
+    * multiset statistics — total bigrams, the hottest bigram's count,
+    * and the mass of bigrams occurring more than once — with
+    * parts-per-million fractions in integer arithmetic so the numbers
+    * are bit-identical on any engine (a float division would round
+    * differently across libm implementations). High top_ppm/dup_ppm is
+    * the classic machine-generated-boilerplate smell that corpus
+    * cleaning drops before training.
+    *
+    * Scale shape: one explode + two groupBys keyed on (doc_id[, bigram])
+    * — partial aggregation collapses each doc's bigrams map-side, so
+    * the shuffle carries at most one row per distinct (doc, bigram).
+    * Docs with fewer than two tokens have no bigrams and drop out, same
+    * as the oracle's empty list-comprehension.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        max(col("n")).as("top_bigram_n"),
+        coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L)).as("dup_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        col("dup_bigram_n"),
+        expr("top_bigram_n * 1000000 div n_bigrams").as("top_ppm"),
+        expr("dup_bigram_n * 1000000 div n_bigrams").as("dup_ppm"))
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text,
     * plus a 64-bit prefix view for compact storage/joins.
     */
@@ -89,7 +121,9 @@ object TextAnalysis {
     "t03_quality" -> ((s, d) =>
       qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t04_fingerprint" -> ((s, d) =>
-      fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t06_repetition" -> ((s, d) =>
+      repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   private val markerSql = Map(
     "en" -> "\\b(the|and|of|to|in)\\b",
@@ -136,5 +170,19 @@ object TextAnalysis {
       """SELECT doc_id,
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         | substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp64
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t06_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, [t[i]||' '||t[i+1] for i in range(1, len(t))] AS bs FROM t),
+        |e AS (SELECT doc_id, unnest(bs) AS bg FROM b),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM e GROUP BY doc_id, bg),
+        |a AS (SELECT doc_id,
+        |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+        |  CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT) AS dup_bigram_n
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, top_bigram_n, dup_bigram_n,
+        | top_bigram_n * 1000000 // n_bigrams AS top_ppm,
+        | dup_bigram_n * 1000000 // n_bigrams AS dup_ppm
+        |FROM a ORDER BY doc_id""".stripMargin)
 }

@@ -64,6 +64,21 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("contamination overlap flags docs sharing shingle mass with the benchmark set") {
+    // doc 50 is the "benchmark" (id % 50 == 0); doc 1 repeats half of
+    // its text, doc 2 shares nothing
+    val corpus = Seq(
+      (50L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta nothing else here at all"),
+      (2L, "entirely unrelated words appear in this document"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.contaminationOverlap(corpus, benchMod = 50L, minPpm = 100000L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: 9 tokens -> 7 shingles; shares "alpha beta gamma" and
+    // "beta gamma delta" with doc 50 -> 2*1e6 div 7 = 285714 ppm
+    assert(rows == Seq((1L, 50L, 2L, 285714L)))
+  }
+
   test("minhash clusters assign keepers transitively") {
     // doc 30 is a near-dup of 10 and 20 separately; 10 and 20 may not be
     // direct pairs, but all three must land in one cluster (min id 10)
