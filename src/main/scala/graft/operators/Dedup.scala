@@ -203,9 +203,10 @@ object Dedup {
     * needed = component diameter, and near-dup components are
     * shallow star-ish clusters (2-4 hops). The label table is
     * checkpoint-truncated each round so the plan doesn't grow with the
-    * iteration count. For adversarially long chain graphs the standard
-    * fix is the large-star/small-star doubling of Kiveris et al. —
-    * documented, not needed for dedup graphs.
+    * iteration count. Near-dup components are shallow star-ish
+    * clusters, which is why propagation is the default; for
+    * adversarially long chain graphs use [[connectedComponentsStar]]
+    * (O(log n) rounds instead of diameter).
     *
     * Checkpoint durability: the local-mode default is
     * `localCheckpoint(true)` (executor block storage — fast, but an
@@ -249,6 +250,81 @@ object Dedup {
         "raise maxIter (or use large-star/small-star for long chains) " +
         "rather than consuming partially-propagated labels")
     labels.select(col("id").as("doc_id"), col("cluster"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the long-chain-safe alternative to
+    * [[connectedComponents]]: label propagation needs diameter
+    * iterations, star contraction needs O(log n) alternations, so a
+    * pathological chain/lattice dedup graph converges in a handful of
+    * rounds instead of thousands.
+    *
+    * Each round is two edge-set rewrites, both one groupBy(min) plus
+    * one join keyed on node id:
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every node links its smaller neighbors (and
+    *    itself) to the minimum of the smaller neighborhood.
+    * The edge set only shrinks toward per-component stars rooted at
+    * the component min; the fixpoint check is one except().limit(1)
+    * per round. Same checkpoint-truncation options as
+    * [[connectedComponents]].
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge large -> small; the min smaller-neighbor IS
+      // the neighborhood min (all of N⁻(u) < u)
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).dropDuplicates("u", "v")
+      val m = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val linked = or.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      linked.union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+    }
+
+    var e = truncate(edges
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).dropDuplicates("u", "v"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = truncate(smallStar(largeStar(e)))
+      converged = next.count() == e.count() &&
+        next.except(e).limit(1).count() == 0L
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // at the fixpoint every non-root points straight at its component
+    // min; isolated nodes root themselves
+    nodes.join(e.select(col("u").as("doc_id"), col("v").as("cluster")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** Near-dup cluster assignment: MinHash-LSH pairs (jac >= tau) form the

@@ -64,6 +64,34 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("star-contraction components collapse a long chain in O(log n) rounds") {
+    // a 64-node chain needs 63 label-propagation iterations but only a
+    // few large-star/small-star alternations — maxIter = 8 proves the
+    // logarithmic behavior while still asserting exact labels
+    val n = 64
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStar(nodes, edges, maxIter = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == (1L to n).map(_ -> 1L))
+  }
+
+  test("star-contraction components agree with min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val nodes = (1L to n).toDF("doc_id")
+      val pairs = Seq.fill(30)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+        .filter { case (a, b) => a != b }
+      val edges = pairs.toDF("doc_a", "doc_b")
+      val star = Dedup.connectedComponentsStar(nodes, edges)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      val prop = Dedup.connectedComponents(nodes, edges)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(star == prop, s"trial $trial diverged")
+    }
+  }
+
   test("contamination overlap flags docs sharing shingle mass with the benchmark set") {
     // doc 50 is the "benchmark" (id % 50 == 0); doc 1 repeats half of
     // its text, doc 2 shares nothing
