@@ -65,6 +65,56 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Lloyd's k-means trainer for IVF centroids (spherical variant:
+    * vectors and centroids L2-normalized, assignment by dot product).
+    * Deterministic end-to-end: init = the k lowest-id vectors, a fixed
+    * iteration count, and 9-dp-rounded assignment scores with
+    * ties-to-lowest-cell — rerunning on the same corpus returns the
+    * same centroids.
+    *
+    * Scale shape per iteration: the k centroids ride into the
+    * assignment as literal arrays (broadcast-sized), assignment is
+    * map-side argmax through the codegen kernels, and the update is
+    * one posexplode + groupBy(cell, pos) whose partial aggregation
+    * collapses each partition to at most k×dim rows before the
+    * shuffle. The only driver materialization is k×dim component sums
+    * per iteration — the broadcast-build pattern, independent of
+    * corpus size. Empty cells keep their previous centroid.
+    */
+  def kMeansCentroids(embs: DataFrame, k: Int = 8,
+      iters: Int = 5): Seq[Array[Double]] = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
+    val e = embs
+      .select(col("vec_id"), asDoubles(col("embedding")).as("v0"))
+      .withColumn("nrm", call_function("array_norm", col("v0")))
+      .select(col("vec_id"), expr("transform(v0, x -> x / nrm)").as("v"))
+      .cache()
+    var cents: Seq[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val cellScores = array(cents.indices.map(j =>
+        struct(round(call_function("array_dot", col("v"), typedlit(cents(j))), 9)
+          .as("cos"), lit(-j).as("jneg"))): _*)
+      val sums = e
+        .withColumn("cell", -array_max(cellScores).getField("jneg"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCell.get(j).fold(old) { rows =>
+          val mean = rows.sortBy(_.getInt(1))
+            .map(r => r.getDouble(2) / r.getLong(3)).toArray
+          val n = math.sqrt(mean.map(x => x * x).sum)
+          if (n == 0.0) old else mean.map(_ / n)
+        }
+      }
+    }
+    e.unpersist()
+    cents
+  }
+
   /** IVF-style ANN top-k: the corpus is partitioned into `nCentroids`
     * Voronoi cells (nearest centroid by cosine, ties to the lowest cell
     * index); each query scores only the vectors in its `nProbe` nearest
@@ -73,19 +123,22 @@ object Similarity {
     * the corpus never shuffles; the probe join broadcasts the tiny
     * (query, cell) set.
     *
-    * Centroids here are a deterministic stand-in (the nCentroids
-    * lowest-id vectors) so the oracle can derive them symbolically —
-    * real deployments swap in offline k-means centroids; the index
-    * structure, assignment plan, and probe path are identical. The
-    * driver-side collect is the centroid set (nCentroids rows), i.e.
-    * the broadcast-build pattern, not a data scan.
+    * The gate's centroids are a deterministic stand-in (the nCentroids
+    * lowest-id vectors) so the oracle can derive them symbolically;
+    * pass `centroids` (e.g. from [[kMeansCentroids]]) to use trained
+    * cells — the index structure, assignment plan, and probe path are
+    * identical. The driver-side collect is the centroid set
+    * (nCentroids rows), i.e. the broadcast-build pattern, not a data
+    * scan.
     */
   def ivfTopK(embs: DataFrame, queryMaxId: Long, k: Int,
-      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+      nCentroids: Int = 8, nProbe: Int = 2,
+      centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
     graft.functions.VectorExprs.register(embs.sparkSession)
     val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
-    val cents: Seq[Array[Double]] = e.orderBy(col("vec_id")).limit(nCentroids)
-      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    val cents: Seq[Array[Double]] = centroids.getOrElse(
+      e.orderBy(col("vec_id")).limit(nCentroids)
+        .collect().map(_.getSeq[Double](1).toArray).toSeq)
     // a corpus smaller than nCentroids yields fewer cells — clamp so
     // centCos never indexes past the collected set, and probe at most
     // every cell that exists

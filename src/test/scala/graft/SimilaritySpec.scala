@@ -30,6 +30,44 @@ class SimilaritySpec extends SparkSpec {
       == brute.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq)
   }
 
+  test("k-means centroids separate blobs and feed ivfTopK") {
+    // three tight direction-blobs; ids 0..2 are one seed per blob so
+    // the deterministic lowest-id init starts well-placed
+    val blobs = Seq(
+      (0L, Array(10f, 1f, 0f, 0f)), (3L, Array(9f, 2f, 0f, 0f)),
+      (4L, Array(11f, 0f, 1f, 0f)), (5L, Array(10f, 1f, 1f, 0f)),
+      (1L, Array(0f, 10f, 1f, 0f)), (6L, Array(1f, 9f, 0f, 0f)),
+      (7L, Array(0f, 11f, 2f, 0f)),
+      (2L, Array(0f, 0f, 1f, 10f)), (8L, Array(0f, 1f, 2f, 9f)),
+      (9L, Array(1f, 0f, 0f, 11f)))
+    val df = blobs.map { case (id, v) => (id, s"b${id % 3}", v) }
+      .toDF("vec_id", "label", "embedding")
+    val cents = Similarity.kMeansCentroids(df, k = 3, iters = 5)
+    assert(cents.size == 3)
+    // every centroid is unit-norm and each blob's members all
+    // assign (argmax dot) to the same centroid, distinct per blob
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    cents.foreach(c => assert(math.abs(math.sqrt(dot(c, c)) - 1.0) < 1e-9))
+    def assign(v: Array[Float]): Int = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nv = v.map(_ / n)
+      cents.indices.maxBy(j => dot(nv, cents(j)))
+    }
+    val blobACells = Seq(blobs(0), blobs(1), blobs(2), blobs(3)).map(b => assign(b._2)).distinct
+    val blobBCells = Seq(blobs(4), blobs(5), blobs(6)).map(b => assign(b._2)).distinct
+    val blobCCells = Seq(blobs(7), blobs(8), blobs(9)).map(b => assign(b._2)).distinct
+    assert(blobACells.size == 1 && blobBCells.size == 1 && blobCCells.size == 1)
+    assert(Seq(blobACells.head, blobBCells.head, blobCCells.head).distinct.size == 3)
+    // trained centroids drop into the IVF path unchanged
+    val got = Similarity.ivfTopK(df, queryMaxId = 1L, k = 3,
+      nCentroids = 3, nProbe = 1, centroids = Some(cents))
+      .orderBy("rank").collect()
+    // query 0 probes its own (blob-A) cell: its neighbors are exactly
+    // the other three blob-A members
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq.sorted == Seq(3L, 4L, 5L))
+  }
+
   test("ivfTopK rejects an empty corpus loudly") {
     val empty = tinyCorpus.filter(col("vec_id") < 0)
     intercept[IllegalArgumentException] {
