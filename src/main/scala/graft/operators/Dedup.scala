@@ -526,6 +526,21 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The connected-components CTE chain (expects `mh_pairs` and the
+    * `documents` table in scope; yields `cc(doc_id, cluster)`). Shared
+    * by the d06 and p06 oracles.
+    */
+  private[operators] val ccCtes: String =
+    """e AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jac >= 0.5),
+      |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM e
+      |        UNION ALL SELECT doc_b, doc_a FROM e),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT sym.nbr AS id, reach.label
+      |  FROM reach JOIN sym ON sym.id = reach.id),
+      |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
@@ -556,15 +571,7 @@ object Dedup {
     "d06_cluster_cc" ->
       s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
          |$minhashPairsCtes,
-         |e AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jac >= 0.5),
-         |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM e
-         |        UNION ALL SELECT doc_b, doc_a FROM e),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT sym.nbr AS id, reach.label
-         |  FROM reach JOIN sym ON sym.id = reach.id),
-         |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id)
+         |$ccCtes
          |SELECT doc_id, cluster,
          |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFns.hexVal
+import graft.functions.TextFns.{hexVal, tokens}
 
 /** Composed training-data pipelines — what a user actually runs: the
   * individual operators (quality, language-ID, exact dedup, near-dup
@@ -112,6 +112,55 @@ object Pipelines {
       .select(col("doc_id"), col("lang_pred"))
   }
 
+  /** Pretraining sequence packing, concat-and-cut form: documents are
+    * laid out end-to-end in a content-independent order (md5 of the
+    * id), and the token stream is cut every `maxTokens` — each doc
+    * reports the pack holding its first token, its offset inside that
+    * pack, and the last pack it spills into. This is the layout step
+    * that turns a cleaned corpus into fixed-length training sequences
+    * with no padding waste; all arithmetic is integer cumsum, so any
+    * engine reproduces the exact layout.
+    *
+    * Scale shape: one global sort-by-hash + running-sum window.
+    * Honest 100 TB note: a single total-order window serializes the
+    * cumsum through one task chain; at scale you pack per partition
+    * and namespace pack ids by partition (partition_id << 40 | local
+    * pack) — same arithmetic, no global order. The global form is
+    * kept here because it is the one an oracle can replay exactly.
+    */
+  def sequencePack(docs: DataFrame, maxTokens: Long = 512L): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $maxTokens").as("pack_first"),
+        expr(s"(start_tok + n_tokens - 1) div $maxTokens").as("pack_last"),
+        expr(s"start_tok % $maxTokens").as("pack_offset"))
+  }
+
+  /** Leakage-safe train/val/test split: the bucket is a pure function
+    * of the doc's near-dup CLUSTER id (min-id keeper from
+    * [[Dedup.minhashClusters]]), so near-duplicate documents can never
+    * straddle splits — the classic eval-contamination a doc-level hash
+    * split permits. Same 204/230 bucket thresholds as [[hashSplit]].
+    *
+    * Scale shape: clustering cost is d06's (banded LSH join + CC
+    * iterations); the split itself adds only map-side hash math on the
+    * cluster column.
+    */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val dig = md5(col("cluster").cast("string"))
+    val bucket = hexVal(substring(dig, 1, 1)) * 16 + hexVal(substring(dig, 2, 1))
+    Dedup.minhashClusters(docs)
+      .select(col("doc_id"), col("cluster"),
+        when(bucket < 204, "train")
+          .when(bucket < 230, "val")
+          .otherwise("test").as("split"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -122,7 +171,11 @@ object Pipelines {
       hashSplit(Tables.documents(s, d)).orderBy(col("split"))),
     "p04_stratified_sample" -> ((s, d) =>
       stratifiedSample(Tables.documents(s, d))
-        .orderBy(col("lang_pred"), col("doc_id"))))
+        .orderBy(col("lang_pred"), col("doc_id"))),
+    "p05_sequence_pack" -> ((s, d) =>
+      sequencePack(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "p06_cluster_split" -> ((s, d) =>
+      leakageSafeSplit(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   val oracle: Map[String, String] = Map(
     "p01_clean_corpus" ->
@@ -182,6 +235,31 @@ object Pipelines {
          |                  ELSE 'test' END AS split FROM b)
          |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY split ORDER BY split""".stripMargin
+    },
+    "p05_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        | FROM t)
+        |SELECT doc_id, n_tokens, start_tok,
+        | start_tok // 512 AS pack_first,
+        | (start_tok + n_tokens - 1) // 512 AS pack_last,
+        | start_tok % 512 AS pack_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "p06_cluster_split" -> {
+      def hx(i: Int) = Dedup.hexValSql(s"substr(md5(CAST(cluster AS VARCHAR)), $i, 1)")
+      s"""WITH RECURSIVE ${Dedup.shingleCte.stripPrefix("WITH ")},
+         |${Dedup.minhashPairsCtes},
+         |${Dedup.ccCtes},
+         |b AS (SELECT doc_id, cluster, ${hx(1)} * 16 + ${hx(2)} AS bucket FROM cc)
+         |SELECT doc_id, cluster,
+         | CASE WHEN bucket < 204 THEN 'train'
+         |      WHEN bucket < 230 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin
     },
     "p04_stratified_sample" ->
       """WITH c AS (SELECT doc_id,

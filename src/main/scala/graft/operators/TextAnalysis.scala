@@ -100,6 +100,38 @@ object TextAnalysis {
         expr("top_bigram_n * 1000000 div n_bigrams").as("top_ppm"),
         expr("dup_bigram_n * 1000000 div n_bigrams").as("dup_ppm"))
 
+  /** Context-window chunking: split each document into token windows of
+    * `chunkTokens` with `overlap` tokens of lookback — the pass that
+    * turns long documents into model-sized training rows. Chunk starts
+    * step by `chunkTokens - overlap`; a start that would yield a pure
+    * suffix-of-the-previous-chunk (fewer than overlap+1 new tokens) is
+    * suppressed, except the first. chunk_idx derives from the start
+    * offset arithmetically so both engines agree without an explode
+    * ordinal.
+    *
+    * Scale shape: pure map-side generate (explode of a per-row start
+    * list) — no shuffle; output rows ≈ tokens/stride, the same fan-out
+    * a tokenizer job produces.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), col("t"),
+        explode(expr(
+          s"filter(sequence(1, n, $stride), s -> s = 1 OR s + $overlap <= n)"))
+          .as("s"))
+      .select(col("doc_id"),
+        expr(s"cast((s - 1) div $stride as int)").as("chunk_idx"),
+        expr(s"slice(t, s, $chunkTokens)").as("ct"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ct")).as("chunk_tokens"),
+        array_join(col("ct"), " ").as("chunk_text"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text,
     * plus a 64-bit prefix view for compact storage/joins.
     */
@@ -123,7 +155,9 @@ object TextAnalysis {
     "t04_fingerprint" -> ((s, d) =>
       fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t06_repetition" -> ((s, d) =>
-      repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t07_chunking" -> ((s, d) =>
+      chunkDocs(Tables.documents(s, d)).orderBy(col("doc_id"), col("chunk_idx"))))
 
   private val markerSql = Map(
     "en" -> "\\b(the|and|of|to|in)\\b",
@@ -184,5 +218,14 @@ object TextAnalysis {
         |SELECT doc_id, n_bigrams, top_bigram_n, dup_bigram_n,
         | top_bigram_n * 1000000 // n_bigrams AS top_ppm,
         | dup_bigram_n * 1000000 // n_bigrams AS dup_ppm
-        |FROM a ORDER BY doc_id""".stripMargin)
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "t07_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |x AS (SELECT doc_id, t, len(t) AS n FROM t),
+        |e AS (SELECT doc_id, t, n,
+        |  unnest([s for s in range(1, n+1, 24) if s = 1 OR s + 8 <= n]) AS s FROM x)
+        |SELECT doc_id, CAST((s - 1) // 24 AS INT) AS chunk_idx,
+        | CAST(len(t[s : s + 31]) AS INT) AS chunk_tokens,
+        | array_to_string(t[s : s + 31], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)
 }
