@@ -112,6 +112,43 @@ object Pipelines {
       .select(col("doc_id"), col("lang_pred"))
   }
 
+  /** Default mixture rates: (numerator, denominator) sampling fraction
+    * per language stratum — single source of truth for the Spark plan
+    * AND the generated oracle CASE expressions.
+    */
+  val DefaultMixture: Seq[(String, (Int, Int))] = Seq(
+    "en" -> (1, 2), "de" -> (3, 10), "fr" -> (1, 5),
+    "es" -> (1, 10), "und" -> (1, 20))
+
+  /** Data-mixture sampling: per-stratum sampling rates — the source
+    * weighting step of corpus assembly (upsample the language/domain
+    * you want, downsample the rest). [[stratifiedSample]]'s md5-rank
+    * quota machinery, generalized from one global rate to a rate per
+    * stratum; quotas are exact integer ceil(n·num/den) so any engine
+    * reproduces the same member set.
+    *
+    * Scale shape: identical to p04 — one window shuffle keyed on the
+    * stratum; rank and stratum count share the Exchange.
+    */
+  def mixtureSample(docs: DataFrame,
+      rates: Seq[(String, (Int, Int))] = DefaultMixture): DataFrame = {
+    def caseExpr(f: ((Int, Int)) => Int) = rates
+      .map { case (l, r) => s"WHEN '$l' THEN ${f(r)}" }
+      .mkString("CASE lang_pred ", " ", " ELSE 0 END")
+    val w = Window.partitionBy(col("lang_pred"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    TextAnalysis.languageId(docs)
+      .select(col("doc_id"), col("lang_pred"))
+      .withColumn("num", expr(caseExpr(_._1)))
+      .withColumn("den", expr(caseExpr(_._2)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("den") > 0 &&
+        col("rn") <= expr("(n * num + den - 1) div den"))
+      .select(col("doc_id"), col("lang_pred"))
+  }
+
   /** Pretraining sequence packing, concat-and-cut form: documents are
     * laid out end-to-end in a content-independent order (md5 of the
     * id), and the token stream is cut every `maxTokens` — each doc
@@ -174,8 +211,29 @@ object Pipelines {
         .orderBy(col("lang_pred"), col("doc_id"))),
     "p05_sequence_pack" -> ((s, d) =>
       sequencePack(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "p07_mixture_sample" -> ((s, d) =>
+      mixtureSample(Tables.documents(s, d))
+        .orderBy(col("lang_pred"), col("doc_id"))),
     "p06_cluster_split" -> ((s, d) =>
       leakageSafeSplit(Tables.documents(s, d)).orderBy(col("doc_id"))))
+
+  /** Shared language-ID CTEs (`c`, `l` — yields `l(doc_id,
+    * lang_pred)`), used by the p04/p07 oracles.
+    */
+  private val langCtes: String =
+    """c AS (SELECT doc_id,
+      |  len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS c_en,
+      |  len(regexp_extract_all(text, '\b(der|und|die|das|nicht)\b')) AS c_de,
+      |  len(regexp_extract_all(text, '\b(le|et|les|des|est)\b')) AS c_fr,
+      |  len(regexp_extract_all(text, '\b(el|y|los|las|es)\b')) AS c_es
+      | FROM documents),
+      |l AS (SELECT doc_id,
+      |  CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'und'
+      |       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+      |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+      |       WHEN c_fr >= c_es THEN 'fr'
+      |       ELSE 'es' END AS lang_pred
+      | FROM c)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "p01_clean_corpus" ->
@@ -262,24 +320,28 @@ object Pipelines {
          |FROM b ORDER BY doc_id""".stripMargin
     },
     "p04_stratified_sample" ->
-      """WITH c AS (SELECT doc_id,
-        |  len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS c_en,
-        |  len(regexp_extract_all(text, '\b(der|und|die|das|nicht)\b')) AS c_de,
-        |  len(regexp_extract_all(text, '\b(le|et|les|des|est)\b')) AS c_fr,
-        |  len(regexp_extract_all(text, '\b(el|y|los|las|es)\b')) AS c_es
-        | FROM documents),
-        |l AS (SELECT doc_id,
-        |  CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'und'
-        |       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
-        |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
-        |       WHEN c_fr >= c_es THEN 'fr'
-        |       ELSE 'es' END AS lang_pred
-        | FROM c),
-        |r AS (SELECT doc_id, lang_pred,
-        |  row_number() OVER (PARTITION BY lang_pred
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
-        |  COUNT(*) OVER (PARTITION BY lang_pred) AS n
-        | FROM l)
-        |SELECT doc_id, lang_pred FROM r WHERE rn <= (n * 1 + 9) // 10
-        |ORDER BY lang_pred, doc_id""".stripMargin)
+      s"""WITH $langCtes,
+         |r AS (SELECT doc_id, lang_pred,
+         |  row_number() OVER (PARTITION BY lang_pred
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang_pred) AS n
+         | FROM l)
+         |SELECT doc_id, lang_pred FROM r WHERE rn <= (n * 1 + 9) // 10
+         |ORDER BY lang_pred, doc_id""".stripMargin,
+    "p07_mixture_sample" -> {
+      def caseSql(f: ((Int, Int)) => Int) = DefaultMixture
+        .map { case (lg, r) => s"WHEN '$lg' THEN ${f(r)}" }
+        .mkString("CASE lang_pred ", " ", " ELSE 0 END")
+      s"""WITH $langCtes,
+         |r AS (SELECT doc_id, lang_pred,
+         |  ${caseSql(_._1)} AS num,
+         |  ${caseSql(_._2)} AS den,
+         |  row_number() OVER (PARTITION BY lang_pred
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang_pred) AS n
+         | FROM l)
+         |SELECT doc_id, lang_pred FROM r
+         |WHERE den > 0 AND rn <= (n * num + den - 1) // den
+         |ORDER BY lang_pred, doc_id""".stripMargin
+    })
 }
