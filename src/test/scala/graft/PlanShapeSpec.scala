@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipelines, TextAnalysis}
+
+/** Physical-plan shape assertions for the round-5 pipeline operators —
+  * the properties that make them scale are visible in the plan, so pin
+  * them: a regression that silently introduces a shuffle or drops a
+  * broadcast fails here, not at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1L, "alpha beta gamma delta other words here below the line"),
+    (2L, "entirely unrelated text with different words in this row"))
+    .toDF("doc_id", "text")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("chunkDocs is a map-side generate: no shuffle in the plan") {
+    val plan = planOf(TextAnalysis.chunkDocs(docs))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("contamination overlap broadcasts the benchmark side") {
+    val plan = planOf(Dedup.contaminationOverlap(docs, benchMod = 2L,
+      minPpm = 1L))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("sequencePack uses one global-order window and nothing else") {
+    val plan = planOf(Pipelines.sequencePack(docs, maxTokens = 8L))
+    // exactly one Exchange: the single-partition window sort (the
+    // documented global form); any second shuffle is a regression
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
+  }
+
+  test("repetition signals aggregate partially before the shuffle") {
+    val plan = planOf(TextAnalysis.repetitionSignals(docs))
+    // partial_count markers show map-side combine on the bigram groupBy
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"no partial aggregation:\n$plan")
+  }
+}
