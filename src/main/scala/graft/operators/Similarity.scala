@@ -83,18 +83,52 @@ object Similarity {
     */
   def kMeansCentroids(embs: DataFrame, k: Int = 8,
       iters: Int = 5): Seq[Array[Double]] = {
+    val e = normalized(embs).cache()
+    val cents = lloyd(e, k, iters, spherical = true)
+    e.unpersist()
+    cents
+  }
+
+  /** embeddings → (vec_id, v) with v L2-normalized doubles (norm
+    * computed once per row, not per lambda element).
+    */
+  private def normalized(embs: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(embs.sparkSession)
-    val e = embs
+    embs
       .select(col("vec_id"), asDoubles(col("embedding")).as("v0"))
       .withColumn("nrm", call_function("array_norm", col("v0")))
       .select(col("vec_id"), expr("transform(v0, x -> x / nrm)").as("v"))
-      .cache()
+  }
+
+  /** Per-centroid assignment score column: spherical = plain dot
+    * (unit vectors); euclidean = dot − ‖c‖²/2 (argmax ≡ min L2).
+    * Rounded to 9 dp so assignment is evaluation-order-independent.
+    */
+  private def assignScore(c: Array[Double], spherical: Boolean) = {
+    val dot = call_function("array_dot", col("v"), typedlit(c))
+    val score = if (spherical) dot
+      else dot - lit(c.map(x => x * x).sum / 2.0)
+    round(score, 9)
+  }
+
+  /** The shared Lloyd iteration engine over an e(vec_id, v) relation:
+    * centroids ride as broadcast literals, assignment is map-side
+    * argmax (ties to the lowest cell), the update is one posexplode +
+    * partially-aggregated groupBy(cell, pos), and the driver sees only
+    * k×dim component sums per iteration. Deterministic: init = the k
+    * lowest-id vectors, fixed iteration count. Spherical mode
+    * renormalizes each centroid (cosine cells); euclidean mode keeps
+    * plain means (PQ sub-quantizers). Empty cells keep their previous
+    * centroid.
+    */
+  private def lloyd(e: DataFrame, k: Int, iters: Int,
+      spherical: Boolean): Seq[Array[Double]] = {
     var cents: Seq[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
       val cellScores = array(cents.indices.map(j =>
-        struct(round(call_function("array_dot", col("v"), typedlit(cents(j))), 9)
-          .as("cos"), lit(-j).as("jneg"))): _*)
+        struct(assignScore(cents(j), spherical).as("sc"),
+          lit(-j).as("jneg"))): _*)
       val sums = e
         .withColumn("cell", -array_max(cellScores).getField("jneg"))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -106,13 +140,91 @@ object Similarity {
         byCell.get(j).fold(old) { rows =>
           val mean = rows.sortBy(_.getInt(1))
             .map(r => r.getDouble(2) / r.getLong(3)).toArray
-          val n = math.sqrt(mean.map(x => x * x).sum)
-          if (n == 0.0) old else mean.map(_ / n)
+          if (!spherical) mean
+          else {
+            val n = math.sqrt(mean.map(x => x * x).sum)
+            if (n == 0.0) old else mean.map(_ / n)
+          }
         }
       }
     }
-    e.unpersist()
     cents
+  }
+
+  /** Product-quantization codebooks: the vector is cut into `m`
+    * subvector blocks and each block gets its own `k`-entry euclidean
+    * k-means codebook — the compression scheme that stores a dim-wide
+    * float vector as m small codes (here m bytes when k ≤ 256), the
+    * memory step that makes billion-vector ANN fit a cluster's RAM.
+    * Returns m codebooks of k centroids each, trained over the
+    * L2-normalized corpus, deterministically (lowest-id init).
+    */
+  def pqCodebooks(embs: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 4): Seq[Seq[Array[Double]]] = {
+    val e = normalized(embs).cache()
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    val sub = dim / m
+    val books = (0 until m).map { b =>
+      lloyd(e.select(col("vec_id"),
+          expr(s"slice(v, ${b * sub + 1}, $sub)").as("v")),
+        k, iters, spherical = false)
+    }
+    e.unpersist()
+    books
+  }
+
+  /** Encode each vector as its per-block nearest-codebook-entry codes
+    * (map-side; codebooks are broadcast literals).
+    */
+  def pqEncode(embs: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    val e = normalized(embs)
+    val m = codebooks.size
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { b =>
+      val sliced = expr(s"slice(v, ${b * sub + 1}, $sub)")
+      val scores = array(codebooks(b).zipWithIndex.map { case (c, j) =>
+        struct(
+          round(call_function("array_dot", sliced, typedlit(c)) -
+            lit(c.map(x => x * x).sum / 2.0), 9).as("sc"),
+          lit(-j).as("jneg"))
+      }: _*)
+      (-array_max(scores).getField("jneg")).as(s"c$b")
+    }
+    e.select(col("vec_id") +: col("v") +: codeCols: _*)
+      .select(col("vec_id"), col("v"),
+        array((0 until m).map(b => col(s"c$b")): _*).as("codes"))
+  }
+
+  /** PQ approximate top-k by asymmetric distance: queries stay full
+    * precision, corpus vectors are reconstructed from their codes —
+    * score ≈ Σ_b qv_b · codebook[b][code_b]. This is the rescoring
+    * arithmetic of an IVF-PQ index (compose with [[ivfTopK]]'s cells
+    * to also prune candidates; PQ itself buys memory, not pruning).
+    */
+  def pqTopK(embs: DataFrame, queryMaxId: Long, k: Int,
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.length
+    val enc = pqEncode(embs, codebooks)
+    val q = normalized(embs).filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // per block: look the code's centroid up in the literal codebook
+    // and dot it with the query's subvector
+    val approx = (0 until m).map { b =>
+      val cb = typedlit(codebooks(b))
+      call_function("array_dot",
+        expr(s"slice(qv, ${b * sub + 1}, $sub)"),
+        element_at(cb, col("codes").getItem(b) + 1))
+    }.reduce(_ + _)
+    val scored = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(approx, 6).as("approx_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** IVF-style ANN top-k: the corpus is partitioned into `nCentroids`

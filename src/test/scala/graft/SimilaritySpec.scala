@@ -68,6 +68,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("vec_id")).toSeq.sorted == Seq(3L, 4L, 5L))
   }
 
+  test("PQ codebooks encode compactly and ADC recall tracks brute force") {
+    // deterministic 16-dim corpus: three direction blobs plus small
+    // per-vector noise on the remaining dims
+    val vecs = (0 until 24).map { i =>
+      val blob = i % 3
+      val arr = Array.tabulate(16) { d =>
+        if (d == blob * 5) 10f else ((i * 31 + d * 17) % 7) * 0.1f
+      }
+      (i.toLong, s"b$blob", arr)
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val cb = Similarity.pqCodebooks(df, m = 4, k = 4, iters = 4)
+    assert(cb.size == 4 && cb.forall(b => b.size == 4 && b.head.length == 4))
+    val enc = Similarity.pqEncode(df, cb)
+      .select(col("vec_id"), col("codes")).collect()
+    assert(enc.length == 24)
+    // every vector compresses to m=4 small codes in [0, k)
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 4))
+    }
+    val approx = Similarity.pqTopK(df, queryMaxId = 3L, k = 5, cb)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(df, queryMaxId = 3L, k = 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ADC recall $recall below 0.6")
+  }
+
   test("ivfTopK rejects an empty corpus loudly") {
     val empty = tinyCorpus.filter(col("vec_id") < 0)
     intercept[IllegalArgumentException] {
