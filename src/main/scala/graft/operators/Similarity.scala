@@ -203,24 +203,65 @@ object Similarity {
     * arithmetic of an IVF-PQ index (compose with [[ivfTopK]]'s cells
     * to also prune candidates; PQ itself buys memory, not pruning).
     */
+  /** Asymmetric-distance score: per block, look the code's centroid up
+    * in the literal codebook and dot it with the query's subvector.
+    */
+  private def adcScore(codebooks: Seq[Seq[Array[Double]]],
+      qv: String,
+      codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sub = codebooks.head.head.length
+    codebooks.indices.map { b =>
+      call_function("array_dot",
+        expr(s"slice($qv, ${b * sub + 1}, $sub)"),
+        element_at(typedlit(codebooks(b)), codes.getItem(b) + 1))
+    }.reduce(_ + _)
+  }
+
   def pqTopK(embs: DataFrame, queryMaxId: Long, k: Int,
       codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
-    val m = codebooks.size
-    val sub = codebooks.head.head.length
     val enc = pqEncode(embs, codebooks)
     val q = normalized(embs).filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    // per block: look the code's centroid up in the literal codebook
-    // and dot it with the query's subvector
-    val approx = (0 until m).map { b =>
-      val cb = typedlit(codebooks(b))
-      call_function("array_dot",
-        expr(s"slice(qv, ${b * sub + 1}, $sub)"),
-        element_at(cb, col("codes").getItem(b) + 1))
-    }.reduce(_ + _)
     val scored = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(approx, 6).as("approx_cos"))
+        round(adcScore(codebooks, "qv", col("codes")), 6).as("approx_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The composed IVF-PQ index: a coarse spherical-k-means quantizer
+    * prunes candidates to the query's nProbe nearest cells, and PQ
+    * codes stand in for the corpus vectors during scoring (asymmetric
+    * distance). This is the full billion-scale ANN layout — cells buy
+    * candidate pruning, codes buy memory (m bytes per vector instead
+    * of dim floats); the corpus is scanned map-side once for
+    * assignment+encoding and only the tiny (query, cell) probe set is
+    * broadcast.
+    */
+  def ivfPqTopK(embs: DataFrame, queryMaxId: Long, k: Int,
+      nCells: Int = 8, nProbe: Int = 2, m: Int = 8,
+      kCodes: Int = 16): DataFrame = {
+    val cents = kMeansCentroids(embs, nCells)
+    val books = pqCodebooks(embs, m, kCodes)
+    val cellScores = array(cents.indices.map(j =>
+      struct(assignScore(cents(j), spherical = true).as("sc"),
+        lit(-j).as("jneg"))): _*)
+    val assigned = pqEncode(embs, books)
+      .withColumn("cell", -array_max(cellScores).getField("jneg"))
+    val probe = math.min(nProbe, cents.size)
+    val probes = assigned.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        posexplode(cellScores).as(Seq("ign", "sc")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sc.sc").desc, (-col("sc.jneg")).asc)))
+      .filter(col("rn") <= probe)
+      .select(col("query_id"), col("qv"), (-col("sc.jneg")).as("cell"))
+    val scored = assigned.as("a").join(broadcast(probes).as("p"),
+        col("a.cell") === col("p.cell") && col("a.vec_id") =!= col("p.query_id"))
+      .select(col("query_id"), col("a.vec_id").as("vec_id"),
+        round(adcScore(books, "p.qv", col("a.codes")), 6).as("approx_cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -97,6 +97,16 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"ADC recall $recall below 0.6")
+
+    // the composed IVF-PQ index: cell pruning + ADC scoring still
+    // finds mostly the true neighbors on the cleanly-bloby corpus
+    val composed = Similarity.ivfPqTopK(df, queryMaxId = 3L, k = 5,
+        nCells = 3, nProbe = 1, m = 4, kCodes = 4)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(composed.map(_._1) == Set(0L, 1L, 2L))
+    val composedRecall = (composed & exact).size.toDouble / exact.size
+    assert(composedRecall >= 0.5, s"IVF-PQ recall $composedRecall below 0.5")
   }
 
   test("ivfTopK rejects an empty corpus loudly") {
