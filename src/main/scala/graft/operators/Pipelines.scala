@@ -198,6 +198,22 @@ object Pipelines {
           .otherwise("test").as("split"))
   }
 
+  /** Streaming face of the cleaning pipeline: a map-side quality gate
+    * (same thresholds as [[TextAnalysis.qualityScore]]'s keep flag)
+    * followed by content-hash dedup within the watermark horizon. The
+    * only state is the dedup's, bounded by the horizon — a continuous
+    * corpus firehose cleans at ingest speed; cross-horizon dups and
+    * near-dups remain the batch operators' job over the landed data.
+    */
+  def cleanStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val nPunct = regexp_count(col("text"), lit("[.,;:!?]"))
+    Dedup.dedupStream(
+      docs.filter(nTok >= 10 && nTok <= 100000 &&
+        nPunct.cast("double") / nTok < 0.2),
+      watermark = watermark)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(

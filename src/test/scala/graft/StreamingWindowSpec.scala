@@ -141,6 +141,31 @@ class StreamingWindowSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming corpus cleaner gates quality then dedups within the horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2025-10-09 10:$m%02d:00")
+    val good = "one two three four five six seven eight nine ten eleven twelve"
+    val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val cleaned = graft.operators.Pipelines.cleanStream(
+      input.toDF().toDF("doc_id", "text", "ts"))
+    val q = cleaned.writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, good, ts(0)),
+        (2L, "too short", ts(1)),          // quality gate drops it
+        (3L, good, ts(2)),                 // duplicate content, dropped
+        (4L, other, ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("clean_stream").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("parquet store compaction merges small files without changing data") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact-test").toString
