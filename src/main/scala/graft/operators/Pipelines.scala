@@ -198,6 +198,29 @@ object Pipelines {
           .otherwise("test").as("split"))
   }
 
+  /** Quality-based keeper per NEAR-DUP cluster: [[qualityKeeper]]'s
+    * ranking (keep flag, then token count, then lowest id) applied to
+    * [[Dedup.minhashClusters]]'s components instead of exact-dup
+    * groups — the production near-dedup: each cluster keeps its best
+    * member, not the arbitrary min-id one.
+    *
+    * Scale shape: clustering cost is d06's; the keeper choice adds one
+    * window shuffle keyed on the cluster id (clusters are near-dup
+    * sets — small by nature, no reducer skew).
+    */
+  def clusterQualityKeeper(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    val best = Window.partitionBy(col("cluster"))
+      .orderBy(col("keep").desc, col("n_tokens").desc, col("doc_id"))
+    Dedup.minhashClusters(docs, tau)
+      .join(q, "doc_id")
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keeper"),
+        col("cluster_size"), col("n_tokens"))
+  }
+
   /** Streaming face of the cleaning pipeline: a map-side quality gate
     * (same thresholds as [[TextAnalysis.qualityScore]]'s keep flag)
     * followed by content-hash dedup within the watermark horizon. The
@@ -231,7 +254,9 @@ object Pipelines {
       mixtureSample(Tables.documents(s, d))
         .orderBy(col("lang_pred"), col("doc_id"))),
     "p06_cluster_split" -> ((s, d) =>
-      leakageSafeSplit(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      leakageSafeSplit(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "p08_cluster_keeper" -> ((s, d) =>
+      clusterQualityKeeper(Tables.documents(s, d)).orderBy(col("cluster"))))
 
   /** Shared language-ID CTEs (`c`, `l` — yields `l(doc_id,
     * lang_pred)`), used by the p04/p07 oracles.
@@ -335,6 +360,28 @@ object Pipelines {
          |      ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin
     },
+    "p08_cluster_keeper" ->
+      s"""WITH RECURSIVE ${Dedup.shingleCte.stripPrefix("WITH ")},
+         |${Dedup.minhashPairsCtes},
+         |${Dedup.ccCtes},
+         |sz AS (SELECT doc_id, cluster,
+         |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size FROM cc),
+         |q AS (SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+         | FROM documents),
+         |qk AS (SELECT doc_id, n_tokens,
+         |  CAST(n_tokens >= 10 AND n_tokens <= 100000
+         |       AND CAST(n_punct AS DOUBLE) / n_tokens < 0.2 AS INT) AS keep
+         | FROM q),
+         |r AS (SELECT sz.cluster, sz.doc_id, sz.cluster_size, qk.n_tokens,
+         |  row_number() OVER (PARTITION BY sz.cluster
+         |    ORDER BY qk.keep DESC, qk.n_tokens DESC, sz.doc_id) AS rn
+         | FROM sz JOIN qk ON sz.doc_id = qk.doc_id)
+         |SELECT cluster, doc_id AS keeper,
+         | CAST(cluster_size AS BIGINT) AS cluster_size,
+         | CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "p04_stratified_sample" ->
       s"""WITH $langCtes,
          |r AS (SELECT doc_id, lang_pred,
