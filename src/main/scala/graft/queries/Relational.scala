@@ -438,6 +438,28 @@ object Relational {
       .agg(sum(col("pn")).as("n"), asD(sum(col("psum"))).as("value_sum"))
       .orderBy(col("event_type"))
 
+  /** Two-sided salted JOIN — the skew-mitigation pattern for a hot
+    * join key (q30 is the aggregation flavor): the fact side gets a
+    * deterministic salt from a row-local column, the dimension side is
+    * replicated once per salt value, and the join keys on
+    * (key, salt) — one hot order's lineitems spread across `salts`
+    * reducers instead of hammering one. Results are identical to the
+    * direct join; the oracle IS the direct join.
+    */
+  def saltedJoin(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), dec2(col("l_extendedprice")).as("price"),
+        pmod(col("l_linenumber"), lit(salts)).as("salt"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(array((0 until salts).map(lit(_)): _*)).as("salt"))
+    li.join(ord,
+        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), asD(sum(col("price"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Top-3 terms per document by integer-exact TF×N/DF score (explode →
     * term/document frequencies → broadcast corpus size → rank window).
     * Integer arithmetic end-to-end so the oracle matches bit-for-bit
@@ -506,6 +528,7 @@ object Relational {
     "q32_intersect" -> (intersectCusts _),
     "q33_except" -> (exceptCusts _),
     "q30_salted_agg" -> ((s, d) => saltedAgg(s, d)),
+    "q36_salted_join" -> ((s, d) => saltedJoin(s, d)),
     "t05_top_terms" -> (topTerms _),
     "q28_pivot" -> (pivotFlags _),
     "q29_cube" -> (cube_ _),
@@ -628,6 +651,11 @@ object Relational {
       s"""SELECT event_type, COUNT(*) AS n,
          | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q36_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         | CAST(SUM(CAST(l_extendedprice AS $D2)) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "t05_top_terms" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok),

@@ -40,6 +40,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
   }
 
+  test("bucketed tables co-locate the join: no shuffle before SortMergeJoin") {
+    // the 100 TB fact-to-fact pattern: both sides written bucketBy the
+    // join key means the join reads pre-partitioned buckets and never
+    // exchanges either side
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1L to 1000L).map(i => (i, i * 2)).toDF("k", "va")
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("bkt_a")
+      (1L to 1000L).map(i => (i, i * 3)).toDF("k", "vb")
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("bkt_b")
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = planOf(j)
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(j.count() == 1000L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("repetition signals aggregate partially before the shuffle") {
     val plan = planOf(TextAnalysis.repetitionSignals(docs))
     // partial_count markers show map-side combine on the bigram groupBy

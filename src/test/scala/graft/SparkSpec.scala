@@ -11,6 +11,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // keep saveAsTable fixtures (bucketing specs) out of the repo dir
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("spark-warehouse").toString)
     .getOrCreate()
 
   locally { spark.sparkContext.setLogLevel("WARN") }
