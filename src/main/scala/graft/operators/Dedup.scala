@@ -342,6 +342,27 @@ object Dedup {
       .select(col("doc_id"), col("cluster"), col("cluster_size"))
   }
 
+  /** Incremental dedup of an incoming batch against the landed corpus —
+    * the daily-ingest pattern: a new batch drops (a) docs whose
+    * normalized content already exists in the landed corpus and (b)
+    * within-batch duplicates (keeping the lowest id). The landed side
+    * contributes only its distinct content hashes; at 100 TB that hash
+    * set is the batch's anti-join build side and the landed TEXT is
+    * never re-read (in production the hash column is a stored
+    * by-product of the landing write).
+    */
+  def incrementalDedup(landed: DataFrame, incoming: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col(idCol),
+      md5(lower(regexp_replace(col(textCol), "\\s+", " "))).as("h"))
+    val landedHashes = hashed(landed).select(col("h")).distinct()
+    hashed(incoming)
+      .join(landedHashes, Seq("h"), "left_anti")
+      .groupBy(col("h")).agg(min(col(idCol)).as(idCol),
+        count(lit(1)).as("batch_dups"))
+      .select(col(idCol), col("h"), col("batch_dups"))
+  }
+
   /** Benchmark-contamination scan: for every corpus document, the
     * 3-gram-shingle overlap with each document of a benchmark/eval set,
     * reported when it reaches `minPpm` of the document's shingles —
@@ -437,7 +458,14 @@ object Dedup {
       minhashClusters(Tables.documents(s, d), 0.5).orderBy(col("doc_id"))),
     "d07_contamination" -> ((s, d) =>
       contaminationOverlap(Tables.documents(s, d))
-        .orderBy(col("doc_id"), col("bench_id"))))
+        .orderBy(col("doc_id"), col("bench_id"))),
+    // landed = even ids, incoming = odd ids — a derivable batch split
+    "d08_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalDedup(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0))
+        .orderBy(col("doc_id"))
+    }))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
   private[operators] val shingleCte =
@@ -585,6 +613,14 @@ object Dedup {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "d08_incremental_dedup" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h FROM documents),
+        |landed AS (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0),
+        |inc AS (SELECT doc_id, h FROM h WHERE doc_id % 2 <> 0),
+        |fresh AS (SELECT doc_id, h FROM inc WHERE h NOT IN (SELECT h FROM landed))
+        |SELECT min(doc_id) AS doc_id, h, COUNT(*) AS batch_dups
+        |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin,
     "d07_contamination" ->
       s"""$shingleCte,
          |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM sh),

@@ -92,6 +92,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup drops landed content and keeps one batch copy") {
+    val landed = Seq((2L, "already landed content right here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "already  landed content right here"),   // dup of landed (ws-normalized)
+      (13L, "brand new content in this batch"),
+      (15L, "brand new content in this batch"),      // within-batch dup
+      (17L, "another fresh document entirely"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.incrementalDedup(landed, incoming)
+      .orderBy("doc_id")
+      .select("doc_id", "batch_dups")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq(13L -> 2L, 17L -> 1L))
+  }
+
   test("contamination overlap flags docs sharing shingle mass with the benchmark set") {
     // doc 50 is the "benchmark" (id % 50 == 0); doc 1 repeats half of
     // its text, doc 2 shares nothing
