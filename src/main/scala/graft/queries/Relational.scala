@@ -445,6 +445,11 @@ object Relational {
     * (key, salt) — one hot order's lineitems spread across `salts`
     * reducers instead of hammering one. Results are identical to the
     * direct join; the oracle IS the direct join.
+    *
+    * The honesty note: replication multiplies the dimension side's
+    * shuffle volume by `salts`, so this is a targeted tool for keys
+    * AQE's skew-join split can't fix (e.g. a single key holding >50%
+    * of a stage), not a default join strategy.
     */
   def saltedJoin(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
     val li = Tables.lineitem(s, d)

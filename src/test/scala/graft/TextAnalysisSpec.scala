@@ -9,6 +9,23 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mixture sampling honors per-stratum quotas and drops unlisted strata") {
+    // 4 English docs at rate 1/2 -> ceil(2) kept; the 'und' doc is
+    // rated 0/1 -> dropped entirely
+    val docs = Seq(
+      (1L, "the cat and the dog of the town went to the well"),
+      (2L, "the bird and the fish of the sea went to the shore"),
+      (3L, "the sun and the moon of the sky went to the hill"),
+      (4L, "the king and the queen of the land went to the fair"),
+      (5L, "xyzzy qwerty asdf zxcv"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Pipelines.mixtureSample(docs,
+        rates = Seq("en" -> (1, 2), "und" -> (0, 1)))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows.length == 2 && rows.forall(_._2 == "en"))
+  }
+
   test("repetition signals count bigram mass exactly") {
     val docs = Seq(
       // bigrams: "a b","b a","a b","b a","a b" -> 5 total, top=3,
