@@ -162,7 +162,9 @@ object Similarity {
   def pqCodebooks(embs: DataFrame, m: Int = 8, k: Int = 16,
       iters: Int = 4): Seq[Seq[Array[Double]]] = {
     val e = normalized(embs).cache()
-    val dim = e.select(size(col("v"))).first().getInt(0)
+    val head = e.select(size(col("v"))).head(1)
+    require(head.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = head(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
     val sub = dim / m
     val books = (0 until m).map { b =>
@@ -244,6 +246,7 @@ object Similarity {
       nCells: Int = 8, nProbe: Int = 2, m: Int = 8,
       kCodes: Int = 16): DataFrame = {
     val cents = kMeansCentroids(embs, nCells)
+    require(cents.nonEmpty, "ivfPqTopK: empty corpus")
     val books = pqCodebooks(embs, m, kCodes)
     val cellScores = array(cents.indices.map(j =>
       struct(assignScore(cents(j), spherical = true).as("sc"),
