@@ -120,6 +120,18 @@ object Similarity {
     * renormalizes each centroid (cosine cells); euclidean mode keeps
     * plain means (PQ sub-quantizers). Empty cells keep their previous
     * centroid.
+    *
+    * The update accumulates FIXED-POINT nano-unit components
+    * (floor(x·1e9 + 0.5) as BIGINT), not raw doubles: a float sum's
+    * value depends on the order partial aggregates merge, so the same
+    * corpus trains to different centroids on different cluster
+    * topologies (and run to run under speculation). Integer sums are
+    * associative-exact, making training bit-reproducible regardless of
+    * partitioning — and replayable by the DuckDB oracle (s05-s08). The
+    * 1e-9 quantization is ~7 orders below k-means' own movement per
+    * iteration; component magnitudes are ≤1 (normalized vectors), so
+    * a 2⁶³ accumulator overflows only past ~9e9 rows per (cell, pos) —
+    * beyond that, pre-aggregate per partition group.
     */
   private def lloyd(e: DataFrame, k: Int, iters: Int,
       spherical: Boolean): Seq[Array[Double]] = {
@@ -133,13 +145,14 @@ object Similarity {
         .withColumn("cell", -array_max(cellScores).getField("jneg"))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x") * lit(1e9) + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
       cents = cents.zipWithIndex.map { case (old, j) =>
         byCell.get(j).fold(old) { rows =>
           val mean = rows.sortBy(_.getInt(1))
-            .map(r => r.getDouble(2) / r.getLong(3)).toArray
+            .map(r => r.getLong(2).toDouble / r.getLong(3) / 1e9).toArray
           if (!spherical) mean
           else {
             val n = math.sqrt(mean.map(x => x * x).sum)
@@ -244,10 +257,12 @@ object Similarity {
     */
   def ivfPqTopK(embs: DataFrame, queryMaxId: Long, k: Int,
       nCells: Int = 8, nProbe: Int = 2, m: Int = 8,
-      kCodes: Int = 16): DataFrame = {
-    val cents = kMeansCentroids(embs, nCells)
+      kCodes: Int = 16, kmIters: Int = 5, pqIters: Int = 4,
+      centroids: Option[Seq[Array[Double]]] = None,
+      codebooks: Option[Seq[Seq[Array[Double]]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(kMeansCentroids(embs, nCells, kmIters))
     require(cents.nonEmpty, "ivfPqTopK: empty corpus")
-    val books = pqCodebooks(embs, m, kCodes)
+    val books = codebooks.getOrElse(pqCodebooks(embs, m, kCodes, pqIters))
     val cellScores = array(cents.indices.map(j =>
       struct(assignScore(cents(j), spherical = true).as("sc"),
         lit(-j).as("jneg"))): _*)
@@ -331,7 +346,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Trained spherical-k-means centroids flattened to (j, pos, c) rows —
+    * the inspectable/verifiable face of [[kMeansCentroids]]; with the
+    * fixed-point Lloyd update the values are bit-reproducible, so the
+    * DuckDB oracle replays the full training loop (s07).
+    */
+  def kMeansCentroidTable(spark: SparkSession, embs: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    val cents = kMeansCentroids(embs, k, iters)
+    spark.createDataFrame(cents.zipWithIndex.flatMap { case (c, j) =>
+      c.zipWithIndex.map { case (x, i) => (j, i, x) } })
+      .toDF("j", "pos", "c")
+  }
+
+  /** Trained PQ codebooks flattened to (b, j, pos, c) rows (s08). */
+  def pqCodebookTable(spark: SparkSession, embs: DataFrame,
+      m: Int, k: Int, iters: Int): DataFrame = {
+    val books = pqCodebooks(embs, m, k, iters)
+    spark.createDataFrame(for {
+      (bk, b) <- books.zipWithIndex
+      (c, j) <- bk.zipWithIndex
+      (x, i) <- c.zipWithIndex.toSeq
+    } yield (b, j, i, x)).toDF("b", "j", "pos", "c")
+  }
+
   type Q = (SparkSession, String) => DataFrame
+
+  /** Gate training sizes: small fixed-iteration configs so the per-round
+    * bench pays a bounded number of driver-loop jobs; the oracle
+    * generators below unroll the SAME constants. Embedding dim is 64
+    * (TESTDATA.md).
+    */
+  private val GateDim = 64
+  private val GatePqM = 4
+  private val GatePqK = 4
+  private val GatePqIters = 2
+  private val GateKmK = 8
+  private val GateKmIters = 3
 
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, d) =>
@@ -344,7 +395,23 @@ object Similarity {
       lshBuckets(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
     "s03_lsh_pairs" -> ((s, d) =>
       lshCandidatePairs(Tables.embeddings(s, d), 0.3)
-        .orderBy(col("vec_a"), col("vec_b"))))
+        .orderBy(col("vec_a"), col("vec_b"))),
+    "s05_pq_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val books = pqCodebooks(embs, GatePqM, GatePqK, GatePqIters)
+      pqTopK(embs, 5L, 10, books).orderBy(col("query_id"), col("rank"))
+    }),
+    "s06_ivfpq_topk" -> ((s, d) =>
+      ivfPqTopK(Tables.embeddings(s, d), 5L, 10,
+        nCells = GateKmK, nProbe = 2, m = GatePqM, kCodes = GatePqK,
+        kmIters = GateKmIters, pqIters = GatePqIters)
+        .orderBy(col("query_id"), col("rank"))),
+    "s07_kmeans_train" -> ((s, d) =>
+      kMeansCentroidTable(s, Tables.embeddings(s, d), GateKmK, GateKmIters)
+        .orderBy(col("j"), col("pos"))),
+    "s08_pq_train" -> ((s, d) =>
+      pqCodebookTable(s, Tables.embeddings(s, d), GatePqM, GatePqK, GatePqIters)
+        .orderBy(col("b"), col("j"), col("pos"))))
 
   /** Oracle CTE: embeddings as double lists. */
   private val embCte =
@@ -363,7 +430,147 @@ object Similarity {
     planeBits.mkString("(", " + ", ")")
   }
 
+  /** Oracle CTEs: `e` = the L2-normalized embedding doubles, matching
+    * [[normalized]] arithmetic exactly (norm from the raw doubles, then
+    * elementwise x/nrm — both engines then hold identical binary
+    * doubles).
+    */
+  private val normCtes =
+    """e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+      |  FROM embeddings),
+      |en AS (SELECT vec_id, v0, sqrt(list_dot_product(v0, v0)) AS nrm FROM e0),
+      |e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM en)""".stripMargin
+
+  /** Unrolled fixed-iteration Lloyd chain over `eRel`(vec_id, v),
+    * mirroring [[lloyd]] step for step: init = the k lowest-id vectors;
+    * each iteration assigns by 9-dp-rounded score (ties to the lowest
+    * cell), sums nano-unit BIGINT components (exact integers — the
+    * fixed-point trick that makes the trainer engine- and
+    * partitioning-independent), takes the mean, renormalizes in
+    * spherical mode, and carries empty cells over. Yields
+    * `${p}c$iters`(j, cv).
+    */
+  private def lloydCtes(eRel: String, k: Int, iters: Int,
+      spherical: Boolean, dim: Int, p: String): String = {
+    val scoreSql =
+      if (spherical) "round(list_dot_product(x.v, c.cv), 9)"
+      else "round(list_dot_product(x.v, c.cv) - list_dot_product(c.cv, c.cv) / 2, 9)"
+    val renorm =
+      if (spherical)
+        """CASE WHEN m.cell IS NULL THEN c.cv
+          |       WHEN sqrt(list_dot_product(m.mv, m.mv)) = 0 THEN c.cv
+          |       ELSE list_transform(m.mv, x -> x / sqrt(list_dot_product(m.mv, m.mv))) END"""
+          .stripMargin
+      else "CASE WHEN m.cell IS NULL THEN c.cv ELSE m.mv END"
+    val init =
+      s"""${p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, v AS cv
+         |  FROM $eRel ORDER BY vec_id LIMIT $k)""".stripMargin
+    val steps = (0 until iters).map { t =>
+      s"""${p}a$t AS (SELECT vec_id, v, j AS cell FROM (
+         |   SELECT s.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, j) AS rn
+         |   FROM (SELECT x.vec_id, x.v, c.j, $scoreSql AS sc
+         |         FROM $eRel x CROSS JOIN ${p}c$t c) s) WHERE rn = 1),
+         |${p}s$t AS (SELECT cell, i, SUM(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS s,
+         |   COUNT(*) AS n
+         |  FROM ${p}a$t, (SELECT unnest(range(1, ${dim + 1})) AS i) GROUP BY cell, i),
+         |${p}m$t AS (SELECT cell, list(CAST(s AS DOUBLE) / n / 1e9 ORDER BY i) AS mv
+         |  FROM ${p}s$t GROUP BY cell),
+         |${p}c${t + 1} AS (SELECT c.j, $renorm AS cv
+         |  FROM ${p}c$t c LEFT JOIN ${p}m$t m ON m.cell = c.j)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Per-block PQ training + encode CTEs over `e`: `pe$b` sliced
+    * blocks, one euclidean [[lloydCtes]] chain per block, `enc$b`
+    * nearest-code argmax, composed into `encp`(vec_id, v, c0..c{m-1}).
+    * Mirrors [[pqCodebooks]] + [[pqEncode]].
+    */
+  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val sub = dim / m
+    val blocks = (0 until m).map { b =>
+      val lo = b * sub + 1
+      val hi = (b + 1) * sub
+      s"""pe$b AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |${lloydCtes(s"pe$b", k, iters, spherical = false, sub, s"pb${b}_")},
+         |enc$b AS (SELECT vec_id, j AS c$b FROM (
+         |   SELECT s.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, j) AS rn
+         |   FROM (SELECT x.vec_id, c.j,
+         |      round(list_dot_product(x.v, c.cv) - list_dot_product(c.cv, c.cv) / 2, 9) AS sc
+         |     FROM pe$b x CROSS JOIN pb${b}_c$iters c) s) WHERE rn = 1)""".stripMargin
+    }
+    val joins = (0 until m).map(b => s"JOIN enc$b USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(b => s"c$b").mkString(", ")
+    (blocks :+ s"encp AS (SELECT e.vec_id, e.v, $codes FROM e $joins)")
+      .mkString(",\n")
+  }
+
+  /** ADC scoring + top-k tail over a `cand`(query_id, qv, vec_id,
+    * c0..c{m-1}) relation: per-block centroid lookup by code, then the
+    * left-assoc dot-product sum chain (matches [[adcScore]]'s fold
+    * order), rank, and the rank<=k cut.
+    */
+  private def adcTailSql(m: Int, iters: Int, dim: Int, topK: Int): String = {
+    val sub = dim / m
+    val cvJoins = (0 until m)
+      .map(b => s"JOIN pb${b}_c$iters b$b ON b$b.j = t.c$b").mkString(" ")
+    val sumChain = (0 until m).map { b =>
+      val lo = b * sub + 1
+      val hi = (b + 1) * sub
+      s"list_dot_product(t.qv[$lo:$hi], b$b.cv)"
+    }.mkString(" + ")
+    s"""scored AS (SELECT t.query_id, t.vec_id, round($sumChain, 6) AS approx_cos
+       |  FROM cand t $cvJoins),
+       |ranked AS (SELECT query_id, vec_id, approx_cos,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, approx_cos, CAST(rank AS INT) AS rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "s05_pq_topk" ->
+      s"""WITH $normCtes,
+         |${pqCtes(GatePqM, GatePqK, GatePqIters, GateDim)},
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |cand AS (SELECT q.query_id, q.qv, x.vec_id,
+         |   ${(0 until GatePqM).map(b => s"x.c$b").mkString(", ")}
+         |  FROM encp x CROSS JOIN q WHERE x.vec_id <> q.query_id),
+         |${adcTailSql(GatePqM, GatePqIters, GateDim, 10)}""".stripMargin,
+    "s06_ivfpq_topk" ->
+      s"""WITH $normCtes,
+         |${lloydCtes("e", GateKmK, GateKmIters, spherical = true, GateDim, "km_")},
+         |${pqCtes(GatePqM, GatePqK, GatePqIters, GateDim)},
+         |asgc AS (SELECT vec_id, j AS cell FROM (
+         |   SELECT s.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, j) AS rn
+         |   FROM (SELECT x.vec_id, c.j, round(list_dot_product(x.v, c.cv), 9) AS sc
+         |         FROM e x CROSS JOIN km_c$GateKmIters c) s) WHERE rn = 1),
+         |qsc AS (SELECT x.vec_id AS query_id, x.v AS qv, c.j,
+         |   round(list_dot_product(x.v, c.cv), 9) AS sc
+         |  FROM e x CROSS JOIN km_c$GateKmIters c WHERE x.vec_id < 5),
+         |probes AS (SELECT query_id, qv, j AS cell FROM (
+         |   SELECT q.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, j) AS rn
+         |   FROM qsc q) WHERE rn <= 2),
+         |cand AS (SELECT p.query_id, p.qv, x.vec_id,
+         |   ${(0 until GatePqM).map(b => s"x.c$b").mkString(", ")}
+         |  FROM encp x JOIN asgc a ON a.vec_id = x.vec_id
+         |  JOIN probes p ON p.cell = a.cell AND x.vec_id <> p.query_id),
+         |${adcTailSql(GatePqM, GatePqIters, GateDim, 10)}""".stripMargin,
+    "s07_kmeans_train" ->
+      s"""WITH $normCtes,
+         |${lloydCtes("e", GateKmK, GateKmIters, spherical = true, GateDim, "km_")}
+         |SELECT km.j, CAST(i - 1 AS INT) AS pos, cv[i] AS c
+         |FROM km_c$GateKmIters km, (SELECT unnest(range(1, ${GateDim + 1})) AS i)
+         |ORDER BY j, pos""".stripMargin,
+    "s08_pq_train" ->
+      s"""WITH $normCtes,
+         |${pqCtes(GatePqM, GatePqK, GatePqIters, GateDim)}
+         |${(0 until GatePqM).map(b =>
+             s"""SELECT $b AS b, j, CAST(i - 1 AS INT) AS pos, cv[i] AS c
+                |FROM pb${b}_c$GatePqIters, (SELECT unnest(range(1, ${GateDim / GatePqM + 1})) AS i)"""
+               .stripMargin)
+           .mkString("\nUNION ALL\n")}
+         |ORDER BY b, j, pos""".stripMargin,
     "s01_cosine_topk" ->
       s"""$embCte,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
