@@ -115,11 +115,15 @@ object TextFns {
   /** LSH bucket id from nPlanes hyperplane signs. Projections run
     * through the codegen array_dot kernel against literal weight arrays
     * ([[VectorExprs.register]] must have run) — the interpreted
-    * md5-per-element formulation was ~50× slower.
+    * md5-per-element formulation was ~50× slower. `planeOffset` shifts
+    * into a different stretch of the hyperplane family — how a
+    * multi-table LSH index gives each table independent planes.
     */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
+  def lshBucket(v: Column, nPlanes: Int, dim: Int,
+      planeOffset: Int = 0): Column =
     (0 until nPlanes).map { j =>
-      val dotJ = call_function("array_dot", v, typedlit(planeWeights(j, dim)))
+      val dotJ = call_function("array_dot", v,
+        typedlit(planeWeights(planeOffset + j, dim)))
       when(dotJ >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 }

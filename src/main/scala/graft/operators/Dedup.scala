@@ -272,7 +272,8 @@ object Dedup {
     * [[connectedComponents]].
     */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+      maxIter: Int = 50, checkpointDir: Option[String] = None,
+      onConverged: Int => Unit = _ => ()): DataFrame = {
     val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
@@ -319,6 +320,7 @@ object Dedup {
     }
     require(converged,
       s"connectedComponentsStar did not converge in $maxIter rounds")
+    onConverged(iter)
     // at the fixpoint every non-root points straight at its component
     // min; isolated nodes root themselves
     nodes.join(e.select(col("u").as("doc_id"), col("v").as("cluster")),
@@ -426,15 +428,70 @@ object Dedup {
     */
   def embeddingPairs(embs: DataFrame, tau: Double): DataFrame = {
     graft.functions.VectorExprs.register(embs.sparkSession)
-    val e = embs
-      .select(col("vec_id"), asDoubles(col("embedding")).as("v0"))
-      .withColumn("nrm", call_function("array_norm", col("v0")))
-      .select(col("vec_id"), expr("transform(v0, x -> x / nrm)").as("v"))
-      .cache()
+    val e = normalizedVecs(embs).cache()
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(call_function("array_dot", col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= tau)
+  }
+
+  private def normalizedVecs(embs: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
+    embs
+      .select(col("vec_id"), asDoubles(col("embedding")).as("v0"))
+      .withColumn("nrm", call_function("array_norm", col("v0")))
+      .select(col("vec_id"), expr("transform(v0, x -> x / nrm)").as("v"))
+  }
+
+  /** Embedding near-dup pairs via MULTI-TABLE hyperplane LSH — the
+    * scale path [[embeddingPairs]]'s brute-force baseline points at.
+    * `nTables` independent tables of `nPlanes` hyperplanes each:
+    * candidate pairs form within any table's buckets (Σ bucket² work
+    * per table, never O(n²)), then exact cosine ≥ tau verifies — so
+    * precision is 1.0 by construction and only recall is approximate.
+    *
+    * OR-amplification is what makes this usable at the near-dup
+    * band: a single sign-LSH table keeps a cos≈0.5 pair with
+    * p^nPlanes ≈ 0.2 (p = 1 − θ/π), hopeless alone; L tables keep it
+    * with 1 − (1 − p^b)^L ≈ 0.83 at b=4, L=8. Tuning at scale: raise
+    * b so buckets stay small (work ∝ Σ bucket²), raise L to buy the
+    * recall back — the index cost is one exploded (tbl, bucket) row
+    * per table per vector, the standard L-fold replica a multi-table
+    * LSH index pays. Recall vs the exact pairs is pinned in DedupSpec.
+    */
+  def embeddingPairsLsh(embs: DataFrame, tau: Double, nPlanes: Int = 4,
+      nTables: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.functions.TextFns.lshBucket
+    val e = normalizedVecs(embs)
+    val bk = e.select(col("vec_id"), col("v"),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col("v"), nPlanes, dim, t * nPlanes)): _*))
+        .as(Seq("tbl", "bucket")))
+    bk.as("a").join(bk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(call_function("array_dot", col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Adversarial long-chain CC fixture derived from the documents
+    * table: ids in the same `doc_id % nChains` residue class, sorted,
+    * are linked consecutively. Component diameter = class size =
+    * n/nChains — the worst case for min-label propagation (O(diameter)
+    * rounds) and exactly what [[connectedComponentsStar]] contracts in
+    * O(log n).
+    */
+  def chainEdges(docs: DataFrame, nChains: Int = 7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("r")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), (col("doc_id") % nChains).as("r"))
+      .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -464,6 +521,14 @@ object Dedup {
       val docs = Tables.documents(s, d)
       incrementalDedup(docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+    "d09_embedding_near_dup_lsh" -> ((s, d) =>
+      embeddingPairsLsh(Tables.embeddings(s, d), 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
+    "d10_star_cc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      connectedComponentsStar(docs.select(col("doc_id")), chainEdges(docs))
         .orderBy(col("doc_id"))
     }))
 
@@ -621,6 +686,40 @@ object Dedup {
         |fresh AS (SELECT doc_id, h FROM inc WHERE h NOT IN (SELECT h FROM landed))
         |SELECT min(doc_id) AS doc_id, h, COUNT(*) AS batch_dups
         |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin,
+    "d09_embedding_near_dup_lsh" -> {
+      // one SELECT per table, bucket from that table's plane stretch
+      val tables = (0 until 8).map(t =>
+        s"""SELECT vec_id, v, $t AS tbl,
+           |  ${Similarity.bucketSql("v", nPlanes = 4, dim = 64, planeOffset = t * 4)} AS bucket
+           |FROM n""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+         |  FROM embeddings),
+         |en AS (SELECT vec_id, v0, sqrt(list_dot_product(v0, v0)) AS nrm FROM e0),
+         |n AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM en),
+         |bk AS ($tables),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    a.v AS va, b.v AS vb
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(list_dot_product(va, vb), 6) AS cos
+         |FROM cand
+         |WHERE round(list_dot_product(va, vb), 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "d10_star_cc" ->
+      """WITH RECURSIVE ch AS (SELECT doc_id, doc_id % 7 AS r FROM documents),
+        |le AS (SELECT doc_id AS doc_a,
+        |   lead(doc_id) OVER (PARTITION BY r ORDER BY doc_id) AS doc_b FROM ch),
+        |e AS (SELECT doc_a, doc_b FROM le WHERE doc_b IS NOT NULL),
+        |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM e
+        |        UNION ALL SELECT doc_b, doc_a FROM e),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT sym.nbr AS id, reach.label
+        |  FROM reach JOIN sym ON sym.id = reach.id)
+        |SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
     "d07_contamination" ->
       s"""$shingleCte,
          |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM sh),

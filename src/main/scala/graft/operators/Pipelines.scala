@@ -178,6 +178,35 @@ object Pipelines {
         expr(s"start_tok % $maxTokens").as("pack_offset"))
   }
 
+  /** Scale-safe sequence packing: documents are hash-bucketed into 16
+    * independent streams (first hex digit of md5(doc_id)), each stream
+    * packs with the same integer-cumsum arithmetic as
+    * [[sequencePack]], and pack ids are namespaced by the stream
+    * (part·2⁴⁰ + local pack — room for 2⁴⁰ packs per stream). The
+    * cumsum window is keyed on the stream, so the plan is N parallel
+    * window partitions instead of [[sequencePack]]'s single-task
+    * global chain; the stream is a pure function of the id, so any
+    * engine at any cluster size reproduces the same layout. For wider
+    * clusters, bucket on more hex digits — the namespace arithmetic
+    * is unchanged.
+    */
+  def sequencePackPartitioned(docs: DataFrame,
+      maxTokens: Long = 512L): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    val part = hexVal(substring(md5(col("doc_id").cast("string")), 1, 1))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ns = col("part").cast("long") * lit(1L << 40)
+    docs
+      .select(col("doc_id"), n.as("n_tokens"), part.as("part"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("part"), col("n_tokens"), col("start_tok"),
+        (ns + expr(s"start_tok div $maxTokens")).as("pack_first"),
+        (ns + expr(s"(start_tok + n_tokens - 1) div $maxTokens")).as("pack_last"),
+        expr(s"start_tok % $maxTokens").as("pack_offset"))
+  }
+
   /** Leakage-safe train/val/test split: the bucket is a pure function
     * of the doc's near-dup CLUSTER id (min-id keeper from
     * [[Dedup.minhashClusters]]), so near-duplicate documents can never
@@ -188,10 +217,18 @@ object Pipelines {
     * iterations); the split itself adds only map-side hash math on the
     * cluster column.
     */
-  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+  def leakageSafeSplit(docs: DataFrame): DataFrame =
+    leakageSafeSplit(docs, Dedup.minhashClusters(docs))
+
+  /** Production form: split from a PRECOMPUTED cluster table
+    * (doc_id, cluster) — a real pipeline runs CC once and feeds the
+    * same table to the split, the keeper choice, and the dedup itself
+    * instead of re-clustering per consumer.
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val dig = md5(col("cluster").cast("string"))
     val bucket = hexVal(substring(dig, 1, 1)) * 16 + hexVal(substring(dig, 2, 1))
-    Dedup.minhashClusters(docs)
+    clusters
       .select(col("doc_id"), col("cluster"),
         when(bucket < 204, "train")
           .when(bucket < 230, "val")
@@ -208,12 +245,19 @@ object Pipelines {
     * window shuffle keyed on the cluster id (clusters are near-dup
     * sets — small by nature, no reducer skew).
     */
-  def clusterQualityKeeper(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+  def clusterQualityKeeper(docs: DataFrame, tau: Double = 0.5): DataFrame =
+    clusterQualityKeeper(docs, Dedup.minhashClusters(docs, tau))
+
+  /** Production form over a PRECOMPUTED cluster table (doc_id,
+    * cluster, cluster_size) — see [[leakageSafeSplit]]'s overload;
+    * `docs` still supplies the text for the quality ranking.
+    */
+  def clusterQualityKeeper(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val q = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("keep"))
     val best = Window.partitionBy(col("cluster"))
       .orderBy(col("keep").desc, col("n_tokens").desc, col("doc_id"))
-    Dedup.minhashClusters(docs, tau)
+    clusters
       .join(q, "doc_id")
       .withColumn("rn", row_number().over(best))
       .filter(col("rn") === 1)
@@ -256,7 +300,9 @@ object Pipelines {
     "p06_cluster_split" -> ((s, d) =>
       leakageSafeSplit(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "p08_cluster_keeper" -> ((s, d) =>
-      clusterQualityKeeper(Tables.documents(s, d)).orderBy(col("cluster"))))
+      clusterQualityKeeper(Tables.documents(s, d)).orderBy(col("cluster"))),
+    "p09_sequence_pack_parts" -> ((s, d) =>
+      sequencePackPartitioned(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   /** Shared language-ID CTEs (`c`, `l` — yields `l(doc_id,
     * lang_pred)`), used by the p04/p07 oracles.
@@ -348,6 +394,22 @@ object Pipelines {
         | (start_tok + n_tokens - 1) // 512 AS pack_last,
         | start_tok % 512 AS pack_offset
         |FROM o ORDER BY doc_id""".stripMargin,
+    "p09_sequence_pack_parts" -> {
+      val hx1 = Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  $hx1 AS part FROM documents),
+         |o AS (SELECT doc_id, part, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY part
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         | FROM t)
+         |SELECT doc_id, CAST(part AS INT) AS part, n_tokens, start_tok,
+         | CAST(part AS BIGINT) * ${1L << 40} + start_tok // 512 AS pack_first,
+         | CAST(part AS BIGINT) * ${1L << 40} + (start_tok + n_tokens - 1) // 512 AS pack_last,
+         | start_tok % 512 AS pack_offset
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
     "p06_cluster_split" -> {
       def hx(i: Int) = Dedup.hexValSql(s"substr(md5(CAST(cluster AS VARCHAR)), $i, 1)")
       s"""WITH RECURSIVE ${Dedup.shingleCte.stripPrefix("WITH ")},

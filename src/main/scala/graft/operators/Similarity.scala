@@ -418,13 +418,18 @@ object Similarity {
     """WITH e AS (SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)""".stripMargin
 
-  /** Oracle SQL fragment for the md5-hyperplane bucket of list column v. */
-  private def bucketSql(v: String, nPlanes: Int = 8, dim: Int = 64): String = {
+  /** Oracle SQL fragment for the md5-hyperplane bucket of list column
+    * v; `planeOffset` selects the table's stretch of the hyperplane
+    * family (mirrors [[graft.functions.TextFns.lshBucket]]).
+    */
+  private[operators] def bucketSql(v: String, nPlanes: Int = 8,
+      dim: Int = 64, planeOffset: Int = 0): String = {
     val planeBits = (0 until nPlanes).map { j =>
+      val p = planeOffset + j
       s"""CASE WHEN list_sum([$v[i+1] * (CASE
-         |   WHEN ascii(substr(md5('$j:'||CAST(i AS VARCHAR)), 1, 1)) >= 97
-         |   THEN ascii(substr(md5('$j:'||CAST(i AS VARCHAR)), 1, 1)) - 87
-         |   ELSE ascii(substr(md5('$j:'||CAST(i AS VARCHAR)), 1, 1)) - 48 END - 7.5)
+         |   WHEN ascii(substr(md5('$p:'||CAST(i AS VARCHAR)), 1, 1)) >= 97
+         |   THEN ascii(substr(md5('$p:'||CAST(i AS VARCHAR)), 1, 1)) - 87
+         |   ELSE ascii(substr(md5('$p:'||CAST(i AS VARCHAR)), 1, 1)) - 48 END - 7.5)
          |  for i in range(0, $dim)]) >= 0 THEN ${1 << j} ELSE 0 END""".stripMargin
     }
     planeBits.mkString("(", " + ", ")")

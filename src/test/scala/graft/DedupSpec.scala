@@ -67,13 +67,51 @@ class DedupSpec extends SparkSpec {
   test("star-contraction components collapse a long chain in O(log n) rounds") {
     // a 64-node chain needs 63 label-propagation iterations but only a
     // few large-star/small-star alternations — maxIter = 8 proves the
-    // logarithmic behavior while still asserting exact labels
+    // logarithmic behavior while still asserting exact labels; the
+    // observed round count pins it
     val n = 64
     val nodes = (1L to n).toDF("doc_id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponentsStar(nodes, edges, maxIter = 8)
+    var rounds = -1
+    val got = Dedup.connectedComponentsStar(nodes, edges, maxIter = 8,
+        onConverged = i => rounds = i)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(got == (1L to n).map(_ -> 1L))
+    assert(rounds > 0 && rounds <= 8, s"star-CC took $rounds rounds")
+    // the same diameter-63 graph blows past propagation's round budget
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 25).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("chain fixture links residue classes consecutively") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+      .map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // nChains=3: classes {0,3,6}, {1,4,7}, {2,5}
+    val got = Dedup.chainEdges(docs, nChains = 3)
+      .orderBy("doc_a").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(0L -> 3L, 1L -> 4L, 2L -> 5L, 3L -> 6L, 4L -> 7L))
+  }
+
+  test("multi-table LSH near-dup pairs: exact subset with real recall") {
+    // the d09 scale path vs the d05 exact baseline on the real corpus:
+    // every LSH pair must be a true pair (precision 1.0 — candidates
+    // are verified with the same normalize-once cosine), and the
+    // 4-plane × 8-table OR-amplification must recover most of them
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Dedup.embeddingPairs(embs, 0.3))
+    val lsh = pairSet(Dedup.embeddingPairsLsh(embs, 0.3))
+    assert((lsh -- exact).isEmpty, s"false positives: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = (lsh & exact).size.toDouble / exact.size
+      info(s"pair recall = $recall over ${exact.size} exact pairs")
+      assert(recall >= 0.6, s"LSH pair recall $recall below 0.6")
+    }
   }
 
   test("star-contraction components agree with min-label propagation on random graphs") {

@@ -40,6 +40,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
   }
 
+  test("sequencePackPartitioned windows in parallel, never one task") {
+    val plan = planOf(Pipelines.sequencePackPartitioned(docs, maxTokens = 8L))
+    // the scale fix over sequencePack: the cumsum window is keyed on
+    // the hash stream (a hash-partitioned Exchange), not a global
+    // order (a single-partition Exchange = one task doing the whole
+    // corpus's cumsum)
+    assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-task cumsum:\n$plan")
+  }
+
   test("bucketed tables co-locate the join: no shuffle before SortMergeJoin") {
     // the 100 TB fact-to-fact pattern: both sides written bucketBy the
     // join key means the join reads pre-partitioned buckets and never
