@@ -141,6 +141,47 @@ class StreamingWindowSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("session windows under a watermark drop late events and finalize in append mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2025-10-09 $h%02d:$m%02d:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = input.toDF().toDF("user_id", "tsx")
+      .withWatermark("tsx", "1 hour")
+      .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("s"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("late_session")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("late_session")
+        .select(date_format(col("s"), "HH:mm").as("s"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // one session forming at 10:00-10:10
+      input.addData((1L, ts(10, 0)), (1L, ts(10, 10)))
+      q.processAllAvailable()
+      // advance event time; watermark becomes 12:00 after this batch
+      input.addData((1L, ts(13, 0)))
+      q.processAllAvailable()
+      // a LATE event at 11:00 — older than the 12:00 watermark. It must
+      // be dropped BEFORE aggregation: no [11:00, 11:30) session may
+      // ever appear. The same batch finalizes the closed 10:00 session
+      // (append mode emits once the watermark passes a session's end).
+      input.addData((1L, ts(11, 0)))
+      q.processAllAvailable()
+      assert(rows() == Set(("10:00", 2L)), s"got ${rows()}")
+      // advance far enough to finalize the 13:00 session too
+      input.addData((1L, ts(16, 0)))
+      q.processAllAvailable()
+      input.addData((1L, ts(19, 0)))
+      q.processAllAvailable()
+      assert(rows().contains(("13:00", 1L)))
+      // the late event never surfaced as its own session
+      assert(!rows().exists(_._1 == "11:00"), s"late event leaked: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming corpus cleaner gates quality then dedups within the horizon") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
