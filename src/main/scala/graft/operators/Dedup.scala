@@ -467,15 +467,21 @@ object Dedup {
       posexplode(array((0 until nTables).map(t =>
         lshBucket(col("v"), nPlanes, dim, t * nPlanes)): _*))
         .as(Seq("tbl", "bucket")))
+    // Score INSIDE the bucket join and filter before the pair-dedup: a
+    // pair colliding in t tables is scored t times (map-side codegen
+    // arithmetic, ~dim flops a repeat), but the dropDuplicates shuffle
+    // then carries only surviving (id, id, cos) rows — 24 bytes each —
+    // instead of every candidate with two dim-wide double arrays.
+    // Measured at sf0.1 (2000 × dim-64, ~2M candidates): 11.9 s → ~3 s;
+    // at 100 TB the array-free dedup shuffle is the difference between
+    // a bounded exchange and re-shipping the corpus ×L.
     bk.as("a").join(bk.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("vec_a", "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        round(call_function("array_dot", col("va"), col("vb")), 6).as("cos"))
+        round(call_function("array_dot", col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= tau)
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Adversarial long-chain CC fixture derived from the documents
