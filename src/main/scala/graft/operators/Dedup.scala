@@ -365,6 +365,64 @@ object Dedup {
       .select(col(idCol), col("h"), col("batch_dups"))
   }
 
+  /** Bloom-pre-filtered incremental dedup: identical OUTPUT to
+    * [[incrementalDedup]], restructured so the landed corpus is only
+    * ever scanned map-side — never shuffled and never broadcast — the
+    * shape a daily batch against a 100 TB landing zone actually needs:
+    *
+    *  1. the landed hashes fold into a Bloom filter
+    *     (`df.stat.bloomFilter` — a distributed treeAggregate; bloom
+    *     bitset OR-merge is commutative, so the sketch is
+    *     partitioning-independent), broadcast to every task;
+    *  2. incoming rows the filter REJECTS are definitely new — they
+    *     bypass every join (at steady state that is most of the batch);
+    *  3. the might-contain candidates (true dups + the ~fpp false
+    *     positives) are batch-sized, so they broadcast: the landed scan
+    *     resolves them with a map-side LEFT SEMI (which hashes truly
+    *     exist), and that `present` set — candidate-bounded — resolves
+    *     the candidates with a broadcast LEFT ANTI.
+    *
+    * Exactness is restored by step 3, so the Bloom's false positives
+    * cost only extra probes, never lost rows — the gate (d11) runs
+    * d08's oracle unchanged. The sketch is keyed on xxhash64(h)
+    * (Spark's bloom aggregate takes integral keys; an xxhash collision
+    * just routes one more row down the candidate path), and the probe
+    * is a scala UDF over the broadcast sketch (a black-box library
+    * bitset; no codegen-able column form exists) — it runs on the
+    * batch side only, and the rows it rejects never reach a shuffle.
+    */
+  def incrementalDedupBloom(landed: DataFrame, incoming: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = landed.sparkSession
+    def hashed(df: DataFrame) = df.select(col(idCol),
+      md5(lower(regexp_replace(col(textCol), "\\s+", " "))).as("h"))
+    val landedHashes = hashed(landed).select(col("h"))
+    // an empty landing zone (first-ever batch) has nothing to probe —
+    // and the bloom builder rejects empty input; the exact form is
+    // free in that case (the anti-join build side is empty)
+    if (landedHashes.isEmpty)
+      return incrementalDedup(landed, incoming, textCol, idCol)
+    val bloom = landedHashes.stat.bloomFilter(xxhash64(col("h")),
+      math.max(expectedItems, 1L), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    val inc = hashed(incoming)
+    val definiteNew = inc.filter(!mightContain(xxhash64(col("h"))))
+    val candidates = inc.filter(mightContain(xxhash64(col("h"))))
+    val present = landedHashes
+      .join(broadcast(candidates.select(col("h")).distinct()), Seq("h"),
+        "left_semi")
+      .distinct()
+    // the USING join puts h first — realign before the positional union
+    val confirmedNew = candidates.join(broadcast(present), Seq("h"), "left_anti")
+      .select(col(idCol), col("h"))
+    definiteNew.select(col(idCol), col("h")).union(confirmedNew)
+      .groupBy(col("h")).agg(min(col(idCol)).as(idCol),
+        count(lit(1)).as("batch_dups"))
+      .select(col(idCol), col("h"), col("batch_dups"))
+  }
+
   /** Benchmark-contamination scan: for every corpus document, the
     * 3-gram-shingle overlap with each document of a benchmark/eval set,
     * reported when it reaches `minPpm` of the document's shingles —
@@ -529,6 +587,14 @@ object Dedup {
           docs.filter(col("doc_id") % 2 =!= 0))
         .orderBy(col("doc_id"))
     }),
+    // same batch split as d08; the bloom pre-filter must not change
+    // the result, so the gate reuses d08's oracle
+    "d11_incremental_dedup_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalDedupBloom(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0), expectedItems = 10000L)
+        .orderBy(col("doc_id"))
+    }),
     "d09_embedding_near_dup_lsh" -> ((s, d) =>
       embeddingPairsLsh(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -640,6 +706,18 @@ object Dedup {
       |  FROM reach JOIN sym ON sym.id = reach.id),
       |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id)""".stripMargin
 
+  /** Shared by d08 and d11 — the bloom pre-filter is exactness-
+    * preserving, so both plans must hash-match the same SQL.
+    */
+  private val incrementalDedupOracle: String =
+    """WITH h AS (SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h FROM documents),
+      |landed AS (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0),
+      |inc AS (SELECT doc_id, h FROM h WHERE doc_id % 2 <> 0),
+      |fresh AS (SELECT doc_id, h FROM inc WHERE h NOT IN (SELECT h FROM landed))
+      |SELECT min(doc_id) AS doc_id, h, COUNT(*) AS batch_dups
+      |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
@@ -684,14 +762,9 @@ object Dedup {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
-    "d08_incremental_dedup" ->
-      """WITH h AS (SELECT doc_id,
-        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h FROM documents),
-        |landed AS (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0),
-        |inc AS (SELECT doc_id, h FROM h WHERE doc_id % 2 <> 0),
-        |fresh AS (SELECT doc_id, h FROM inc WHERE h NOT IN (SELECT h FROM landed))
-        |SELECT min(doc_id) AS doc_id, h, COUNT(*) AS batch_dups
-        |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin,
+    "d08_incremental_dedup" -> incrementalDedupOracle,
+    // the bloom pre-filter is output-invariant: same oracle as d08
+    "d11_incremental_dedup_bloom" -> incrementalDedupOracle,
     "d09_embedding_near_dup_lsh" -> {
       // one SELECT per table, bucket from that table's plane stretch
       val tables = (0 until 8).map(t =>

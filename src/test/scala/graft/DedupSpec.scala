@@ -146,6 +146,39 @@ class DedupSpec extends SparkSpec {
     assert(rows == Seq(13L -> 2L, 17L -> 1L))
   }
 
+  test("bloom-pre-filtered incremental dedup is output-identical to the exact form") {
+    val landed = (1L to 200L).map(i => (i * 2, s"landed document number $i with words"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "landed document number 5 with words"),  // dup of landed
+      (13L, "brand new content in this batch"),
+      (15L, "brand new content in this batch"),      // within-batch dup
+      (17L, "another fresh document entirely"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalDedup(landed, incoming)
+      .orderBy("doc_id").collect().toSeq
+    // a deliberately undersized, high-fpp bloom forces false positives
+    // through the candidate path: the exact resolve must absorb them
+    val sloppy = Dedup.incrementalDedupBloom(landed, incoming,
+        expectedItems = 2L, fpp = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(sloppy == exact)
+    // a well-sized bloom: same result, most rows skip the joins
+    val sized = Dedup.incrementalDedupBloom(landed, incoming,
+        expectedItems = 200L)
+      .orderBy("doc_id").collect().toSeq
+    assert(sized == exact)
+  }
+
+  test("bloom incremental dedup handles an empty landed corpus") {
+    val landed = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = Seq((1L, "only batch content here"),
+      (2L, "only  batch content here")).toDF("doc_id", "text")
+    val rows = Dedup.incrementalDedupBloom(landed, incoming, expectedItems = 10L)
+      .select("doc_id", "batch_dups").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq(1L -> 2L))
+  }
+
   test("contamination overlap flags docs sharing shingle mass with the benchmark set") {
     // doc 50 is the "benchmark" (id % 50 == 0); doc 1 repeats half of
     // its text, doc 2 shares nothing

@@ -76,6 +76,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bloom incremental dedup resolves the landed side with broadcast joins only") {
+    // parquet-backed fixture: a LocalRelation would be folded away by
+    // ConvertToLocalRelation/PropagateEmptyRelation and show no joins
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docsP = Tables.documents(spark, dir)
+    val plan = planOf(Dedup.incrementalDedupBloom(
+      docsP.filter(col("doc_id") % 2 === 0),
+      docsP.filter(col("doc_id") % 2 =!= 0), 10000L))
+    // the landed scan must never be exchange-partitioned for a join:
+    // candidates broadcast INTO the landed semi-join, and the resolved
+    // `present` set broadcasts into the anti-join — explicit hints, so
+    // the shape holds at any landed size
+    assert(!plan.contains("SortMergeJoin"), s"landed side shuffled:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected two broadcast joins:\n$plan")
+  }
+
   test("repetition signals aggregate partially before the shuffle") {
     val plan = planOf(TextAnalysis.repetitionSignals(docs))
     // partial_count markers show map-side combine on the bigram groupBy
