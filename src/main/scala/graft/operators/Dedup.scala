@@ -344,6 +344,20 @@ object Dedup {
       .select(col("doc_id"), col("cluster"), col("cluster_size"))
   }
 
+  /** Dedup-impact histogram: how many clusters and documents exist at
+    * each near-dup cluster size — the measurement a pipeline reports
+    * after dedup ("N% of the corpus is duplicated; the largest cluster
+    * has M copies"). Size-1 rows are the unique tail; n_docs sums to
+    * the corpus. Adds one partial→final agg on the (tiny) cluster-size
+    * key over [[minhashClusters]]'s output; in production feed it the
+    * precomputed cluster table instead of re-clustering.
+    */
+  def clusterHistogram(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy(col("cluster_size"))
+      .agg(count_distinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+
   /** Incremental dedup of an incoming batch against the landed corpus —
     * the daily-ingest pattern: a new batch drops (a) docs whose
     * normalized content already exists in the landed corpus and (b)
@@ -587,6 +601,9 @@ object Dedup {
           docs.filter(col("doc_id") % 2 =!= 0))
         .orderBy(col("doc_id"))
     }),
+    "d12_cluster_histogram" -> ((s, d) =>
+      clusterHistogram(minhashClusters(Tables.documents(s, d), 0.5))
+        .orderBy(col("cluster_size"))),
     // same batch split as d08; the bloom pre-filter must not change
     // the result, so the gate reuses d08's oracle
     "d11_incremental_dedup_bloom" -> ((s, d) => {
@@ -752,6 +769,16 @@ object Dedup {
          |SELECT doc_id, cluster,
          |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin,
+    "d12_cluster_histogram" ->
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+         |$minhashPairsCtes,
+         |$ccCtes,
+         |sz AS (SELECT doc_id, cluster,
+         |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size FROM cc)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         | CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "d05_embedding_near_dup" ->
       """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
         |  FROM embeddings),

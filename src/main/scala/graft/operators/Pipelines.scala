@@ -265,6 +265,29 @@ object Pipelines {
         col("cluster_size"), col("n_tokens"))
   }
 
+  /** Corpus census: documents and tokens per (source, language) stratum
+    * plus each stratum's integer share of all corpus tokens (ppm) —
+    * the measurement that precedes mixture design ([[mixtureSample]]
+    * rates are chosen FROM this table). One partial→final agg on the
+    * stratum key plus a broadcast 1-row total (t05's pattern); the
+    * share is integer `div`, so any engine reproduces it exactly.
+    */
+  def corpusCensus(docs: DataFrame): DataFrame = {
+    val lang = TextAnalysis.languageId(docs)
+      .select(col("doc_id"), col("lang_pred"))
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .join(lang, "doc_id")
+    val agg = base.groupBy(col("source"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    val tot = agg.select(sum(col("total_tokens")).as("corpus_tokens"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang_pred"), col("n_docs"),
+        col("total_tokens"),
+        expr("total_tokens * 1000000 div corpus_tokens").as("share_ppm"))
+  }
+
   /** Streaming face of the cleaning pipeline: a map-side quality gate
     * (same thresholds as [[TextAnalysis.qualityScore]]'s keep flag)
     * followed by content-hash dedup within the watermark horizon. The
@@ -302,7 +325,10 @@ object Pipelines {
     "p08_cluster_keeper" -> ((s, d) =>
       clusterQualityKeeper(Tables.documents(s, d)).orderBy(col("cluster"))),
     "p09_sequence_pack_parts" -> ((s, d) =>
-      sequencePackPartitioned(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      sequencePackPartitioned(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "p10_corpus_census" -> ((s, d) =>
+      corpusCensus(Tables.documents(s, d))
+        .orderBy(col("source"), col("lang_pred"))))
 
   /** Shared language-ID CTEs (`c`, `l` — yields `l(doc_id,
     * lang_pred)`), used by the p04/p07 oracles.
@@ -444,6 +470,20 @@ object Pipelines {
          | CAST(cluster_size AS BIGINT) AS cluster_size,
          | CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "p10_corpus_census" ->
+      s"""WITH $langCtes,
+         |base AS (SELECT d.doc_id, d.source, l.lang_pred,
+         |   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents d JOIN l ON l.doc_id = d.doc_id),
+         |agg AS (SELECT source, lang_pred, COUNT(*) AS n_docs,
+         |   SUM(n_toks) AS total_tokens
+         |  FROM base GROUP BY source, lang_pred),
+         |tot AS (SELECT SUM(total_tokens) AS corpus_tokens FROM agg)
+         |SELECT source, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+         | CAST(total_tokens AS BIGINT) AS total_tokens,
+         | CAST(total_tokens * 1000000 // corpus_tokens AS BIGINT) AS share_ppm
+         |FROM agg CROSS JOIN tot
+         |ORDER BY source, lang_pred""".stripMargin,
     "p04_stratified_sample" ->
       s"""WITH $langCtes,
          |r AS (SELECT doc_id, lang_pred,

@@ -194,6 +194,19 @@ class DedupSpec extends SparkSpec {
     assert(rows == Seq((1L, 50L, 2L, 285714L)))
   }
 
+  test("cluster histogram reports clusters and docs per size") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (10L, base), (20L, base),
+      (40L, "completely unrelated text with different words entirely " +
+        "and nothing shared at all between these documents"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.clusterHistogram(Dedup.minhashClusters(corpus, 0.5))
+      .orderBy("cluster_size").as[(Long, Long, Long)].collect().toSeq
+    // one 2-cluster (docs 10, 20) and one singleton (doc 40)
+    assert(rows == Seq((1L, 1L, 1L), (2L, 1L, 2L)))
+  }
+
   test("minhash clusters assign keepers transitively") {
     // doc 30 is a near-dup of 10 and 20 separately; 10 and 20 may not be
     // direct pairs, but all three must land in one cluster (min id 10)

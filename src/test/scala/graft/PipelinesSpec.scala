@@ -36,6 +36,28 @@ class PipelinesSpec extends SparkSpec {
     assert(self.nonEmpty && self == pre)
   }
 
+  test("corpus census counts every doc once and shares sum to ~1e6") {
+    val cdocs = Seq(
+      (0L, "the cat and the dog of the house went to the garden in peace", "web"),
+      (1L, "the quick brown fox and the lazy dog of the farm", "web"),
+      (2L, "der hund und die katze das haus nicht hier", "books"),
+      (3L, "le chat et les chiens des villes est grand", "books"))
+      .toDF("doc_id", "text", "source")
+    val rows = Pipelines.corpusCensus(cdocs)
+      .orderBy("source", "lang_pred").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 4L)
+    val totalToks = rows.map(_.getAs[Long]("total_tokens")).sum
+    val ppmSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    // integer div floors each stratum, so the sum lands within
+    // n_strata of exactly 1e6
+    assert(ppmSum > 1000000L - rows.length && ppmSum <= 1000000L,
+      s"ppm sum $ppmSum over $totalToks tokens")
+    // strata are (source, language) — the de/fr docs must not land in 'en'
+    val bySrc = rows.map(r => (r.getAs[String]("source"),
+      r.getAs[String]("lang_pred"))).toSet
+    assert(bySrc == Set(("web", "en"), ("books", "de"), ("books", "fr")))
+  }
+
   test("partitioned packs never collide across streams and cut at maxTokens") {
     val got = Pipelines.sequencePackPartitioned(docs, maxTokens = 8L).collect()
     assert(got.length == 5)
