@@ -283,11 +283,13 @@ object Dedup {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // duplicates are tolerated here: smallStar's orient step dedups
+      // immediately, so a dropDuplicates at this seam would only add
+      // an Exchange per round without changing the round's output
       sym.join(m, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .dropDuplicates("u", "v")
     }
 
     def smallStar(e: DataFrame): DataFrame = {
