@@ -42,6 +42,22 @@ object TextFns {
   def minhashA(i: Int): Long = 2L * i + 3L
   def minhashB(i: Int): Long = 97L * i + 1L
 
+  /** Per-row k-slot minhash signature of a distinct-shingle array —
+    * the scalar (map-side, no explode/groupBy) form of the
+    * `minhash16_agg` path, for contexts where rows must stay whole
+    * (streaming state keys). Same arithmetic: 28-bit base hash from
+    * the first 7 md5 hex digits, then the affine rehash family; the
+    * two forms produce identical signatures for the same shingle set.
+    * Empty shingle arrays yield an all-null signature — callers must
+    * key short docs some other way.
+    */
+  def minhashSig(sh: Column, k: Int = 16): Column = {
+    val hv = transform(sh, s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
+    array((0 until k).map(i =>
+      array_min(transform(hv, h =>
+        (h * minhashA(i) + minhashB(i)) % MinhashMod))): _*)
+  }
+
   /** LSH band keys from a minhash signature: bands of r consecutive
     * signature entries digested together. Returns array<string>[bands].
     */

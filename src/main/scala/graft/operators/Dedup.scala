@@ -485,6 +485,37 @@ object Dedup {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dup suppression within the watermark horizon: a
+    * re-arrival whose full 16-slot minhash signature matches an earlier
+    * doc's is dropped — content identity that survives whitespace,
+    * token-reorder-preserving (cyclic) edits, and any perturbation that
+    * keeps the shingle SET intact, where [[dedupStream]]'s byte hash
+    * does not. Deliberately conservative: a full-signature match is a
+    * Jaccard≈1 proxy (P ≈ jac^16), because in a dedup stream a false
+    * positive silently DROPS data — banded OR-matching (which would
+    * catch jac≈0.7 at real false-positive risk) needs multi-key state
+    * that dropDuplicates cannot express; that remains the batch LSH
+    * operators' job over the landed corpus. Docs too short to shingle
+    * fall back to the exact content hash. State is one key per doc
+    * within the horizon, same bound as [[dedupStream]].
+    */
+  def nearDupStream(docs: DataFrame, textCol: String = "text",
+      eventTimeCol: String = "ts", watermark: String = "1 hour",
+      n: Int = 3): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sh = call_function("shingles_of", tokens(col(textCol)), lit(n))
+    val sigKey = when(size(col("sh")) > 0,
+        col("sig").cast("string"))
+      .otherwise(md5(lower(regexp_replace(col(textCol), "\\s+", " "))))
+    docs
+      .withColumn("sh", sh)
+      .withColumn("sig", minhashSig(col("sh")))
+      .withColumn("sig_key", sigKey)
+      .drop("sh", "sig")
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+  }
+
   /** Embedding-cosine near-dup pairs above tau. Brute-force within the
     * corpus — the LSH-bucketed variant in [[Similarity]] is the scale
     * path; this is the exact baseline.

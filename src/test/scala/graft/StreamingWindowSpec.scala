@@ -83,6 +83,35 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup drops shingle-set-identical re-arrivals, keeps the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2025-10-09 10:$m%02d:00")
+    // cyclic rotations share the exact shingle SET (every wrap-around
+    // trigram appears in both), so their minhash signatures are equal
+    // by construction while the texts differ byte-wise
+    val a = "w1 w2 w3 w4 w5 w1 w2"
+    val aRot = "w3 w4 w5 w1 w2 w3 w4"
+    val other = "x1 x2 x3 x4 x5 x6 x7"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.operators.Dedup.nearDupStream(
+      input.toDF().toDF("doc_id", "text", "ts"))
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, a, ts(0)), (2L, aRot, ts(1)), (3L, other, ts(2)),
+        (4L, "tiny doc", ts(3)), (5L, "tiny\tdoc", ts(4)),
+        (6L, "small one", ts(5)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream").select("doc_id")
+        .as[Long].collect().toSet
+      // 2 is a near-dup of 1 (same shingle set); 5 is an exact dup of 4
+      // via the short-doc fallback; 6 is a different short doc
+      assert(got == Set(1L, 3L, 4L, 6L))
+    } finally q.stop()
+  }
+
   test("session_window merges at exactly the gap and breaks strictly beyond it") {
     import spark.implicits._
     def sessions(us: Seq[Long]): Seq[(Long, Long, Long)] =
