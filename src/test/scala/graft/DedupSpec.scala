@@ -130,6 +130,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("scalar minhash signature matches the imperative aggregate on random docs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    graft.functions.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    // small vocabulary forces shared shingles and repeated tokens
+    val rdocs = (1L to 25L).map { i =>
+      val n = 3 + rnd.nextInt(30)
+      (i, Seq.fill(n)(s"w${rnd.nextInt(12)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = rdocs.select(col("doc_id"),
+        call_function("shingles_of", TextFns.tokens(col("text")), lit(3)).as("sh"))
+      .filter(size(col("sh")) > 0).cache()
+    val aggSig = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id")
+      .agg(call_function("minhash16_agg", md5(col("s"))).cast("string").as("k"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val scalarSig = sh.select(col("doc_id"),
+        TextFns.minhashSig(col("sh")).cast("string").as("k"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(aggSig.nonEmpty && aggSig == scalarSig)
+  }
+
   test("incremental dedup drops landed content and keeps one batch copy") {
     val landed = Seq((2L, "already landed content right here"))
       .toDF("doc_id", "text")
