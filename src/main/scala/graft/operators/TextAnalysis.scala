@@ -132,6 +132,38 @@ object TextAnalysis {
         array_join(col("ct"), " ").as("chunk_text"))
   }
 
+  /** Token-rarity score: each document's mean corpus-frequency of its
+    * tokens (integer ppm of all corpus tokens) and its hapax count
+    * (tokens appearing exactly once in the whole corpus) — the
+    * frequency-based rarity/quality signal (boilerplate scores high,
+    * gibberish scores low with many hapaxes) that a unigram-LM
+    * perplexity would give, kept in integer arithmetic so any engine
+    * reproduces it bit-exactly (log-of-double perplexities differ in
+    * final ulps across engines).
+    *
+    * Scale shape: the term-frequency table is one partial→final count
+    * keyed on the token; the score join is keyed on the token too —
+    * stopword keys are hot, which AQE skew-join splits (the 1:1
+    * build side makes splitting safe), or the head of the frequency
+    * table (a few thousand tokens carry most mass) can be broadcast
+    * and only the tail joined. In production the tf table is computed
+    * once per corpus snapshot and reused, like the census.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = tf.select(sum(col("cnt")).as("total"))
+    tok.join(tf, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(expr("cnt * 1000000 div total")).as("sum_freq_ppm"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("sum_freq_ppm div n_toks").as("mean_freq_ppm"),
+        col("n_hapax"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text,
     * plus a 64-bit prefix view for compact storage/joins.
     */
@@ -157,7 +189,9 @@ object TextAnalysis {
     "t06_repetition" -> ((s, d) =>
       repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t07_chunking" -> ((s, d) =>
-      chunkDocs(Tables.documents(s, d)).orderBy(col("doc_id"), col("chunk_idx"))))
+      chunkDocs(Tables.documents(s, d)).orderBy(col("doc_id"), col("chunk_idx"))),
+    "t08_token_rarity" -> ((s, d) =>
+      tokenRarity(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   private val markerSql = Map(
     "en" -> "\\b(the|and|of|to|in)\\b",
@@ -218,6 +252,19 @@ object TextAnalysis {
         |SELECT doc_id, n_bigrams, top_bigram_n, dup_bigram_n,
         | top_bigram_n * 1000000 // n_bigrams AS top_ppm,
         | dup_bigram_n * 1000000 // n_bigrams AS dup_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "t08_token_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |tf AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+        |a AS (SELECT doc_id, COUNT(*) AS n_toks,
+        |  SUM(cnt * 1000000 // total) AS sum_freq_ppm,
+        |  SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+        | FROM tok JOIN tf USING (tok) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        | CAST(sum_freq_ppm // n_toks AS BIGINT) AS mean_freq_ppm,
+        | CAST(n_hapax AS BIGINT) AS n_hapax
         |FROM a ORDER BY doc_id""".stripMargin,
     "t07_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -26,6 +26,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(_._2 == "en"))
   }
 
+  test("token rarity computes integer mean frequency and hapax counts") {
+    // corpus tokens: a×3, b×1, c×1 → total 5
+    // freq ppm: a = 600000, b = c = 200000
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenRarity(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      // doc 1: (600000+600000+200000) div 3 = 466666, hapax {b}
+      (1L, 3L, 466666L, 1L),
+      // doc 2: (600000+200000) div 2 = 400000, hapax {c}
+      (2L, 2L, 400000L, 1L)))
+  }
+
   test("repetition signals count bigram mass exactly") {
     val docs = Seq(
       // bigrams: "a b","b a","a b","b a","a b" -> 5 total, top=3,
