@@ -104,18 +104,25 @@ class TraceQueriesSpec extends SparkSpec {
         Some("{\"a\":1}\n")),
       Span(2L, None, 2L, "b", "svc-0", t0, Some(t0 + 1), Some("{ }")),
       Span(3L, None, 3L, "c", "svc-0", t0, Some(t0 + 1),
-        Some("""{"error":true,"k":"v"}"""))).toDF()
+        Some("""{"error":true,"k":"v"}""")),
+      // key PRESENT with a JSON null value: get_json_object can't tell
+      // this from an absent key, but the map_contains_key presence
+      // check can — no second `error` key may be spliced
+      Span(4L, None, 4L, "d", "svc-0", t0, Some(t0 + 1),
+        Some("""{"error":null}"""))).toDF()
     val lg = Seq(
       ("svc-0", t0, Some(1L), Some(1L), "ERROR", Some("x")),
       ("svc-0", t0, Some(2L), Some(2L), "ERROR", Some("y")),
-      ("svc-0", t0, Some(3L), Some(3L), "ERROR", Some("z")))
+      ("svc-0", t0, Some(3L), Some(3L), "ERROR", Some("z")),
+      ("svc-0", t0, Some(4L), Some(4L), "ERROR", Some("w")))
       .toDF("process_id", "time", "trace_id", "span_id", "level", "message")
     val rows = TraceQueries.correlateSpanLogs(sp, lg)
       .orderBy("id").select("tags", "has_err").collect()
     assert(rows.map(_.getAs[String]("tags")).toSeq == Seq(
       """{"a":1,"error":true}""",
       """{"error":true}""",
-      """{"error":true,"k":"v"}"""))
+      """{"error":true,"k":"v"}""",
+      """{"error":null}"""))
     assert(rows.forall(_.getAs[Boolean]("has_err")))
     // each spliced result is valid single-key-set JSON at the Jaeger edge
     rows.map(_.getAs[String]("tags")).foreach { t =>
