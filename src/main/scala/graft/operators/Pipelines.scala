@@ -207,6 +207,35 @@ object Pipelines {
         expr(s"start_tok % $maxTokens").as("pack_offset"))
   }
 
+  /** The packing layout materialized as the physical segment map a
+    * training job consumes: one row per (doc, pack) intersection with
+    * the doc-side offset, the pack-side offset, and the segment
+    * length — i.e. "tokens [doc_off, doc_off+seg_len) of doc D land
+    * at [pack_off, pack_off+seg_len) of pack P". Per doc the segment
+    * lengths sum to its token count; per pack they sum to ≤ maxTokens.
+    *
+    * Scale shape: [[sequencePackPartitioned]]'s parallel windows plus
+    * one map-side explode (a doc spans ceil(n/maxTokens)+1 packs at
+    * most) — no additional shuffle; the explode's sequence stays
+    * inside one stream's namespace, so pack ids never cross parts.
+    */
+  def packSegments(docs: DataFrame, maxTokens: Long = 512L): DataFrame = {
+    val ns = col("part").cast("long") * lit(1L << 40)
+    sequencePackPartitioned(docs, maxTokens)
+      .select(col("doc_id"), col("part"), col("n_tokens"), col("start_tok"),
+        explode(sequence(col("pack_first"), col("pack_last"))).as("pack_id"))
+      .withColumn("p_local", col("pack_id") - ns)
+      .withColumn("seg_start",
+        greatest(col("start_tok"), col("p_local") * maxTokens))
+      .withColumn("seg_end",
+        least(col("start_tok") + col("n_tokens"),
+          (col("p_local") + lit(1L)) * maxTokens))
+      .select(col("doc_id"), col("pack_id"),
+        (col("seg_start") - col("start_tok")).as("doc_off"),
+        (col("seg_start") - col("p_local") * maxTokens).as("pack_off"),
+        (col("seg_end") - col("seg_start")).as("seg_len"))
+  }
+
   /** Leakage-safe train/val/test split: the bucket is a pure function
     * of the doc's near-dup CLUSTER id (min-id keeper from
     * [[Dedup.minhashClusters]]), so near-duplicate documents can never
@@ -328,7 +357,10 @@ object Pipelines {
       sequencePackPartitioned(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "p10_corpus_census" -> ((s, d) =>
       corpusCensus(Tables.documents(s, d))
-        .orderBy(col("source"), col("lang_pred"))))
+        .orderBy(col("source"), col("lang_pred"))),
+    "p11_pack_segments" -> ((s, d) =>
+      packSegments(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("pack_id"))))
 
   /** Shared language-ID CTEs (`c`, `l` — yields `l(doc_id,
     * lang_pred)`), used by the p04/p07 oracles.
@@ -435,6 +467,32 @@ object Pipelines {
          | CAST(part AS BIGINT) * ${1L << 40} + (start_tok + n_tokens - 1) // 512 AS pack_last,
          | start_tok % 512 AS pack_offset
          |FROM o ORDER BY doc_id""".stripMargin
+    },
+    "p11_pack_segments" -> {
+      val hx1 = Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")
+      val ns = 1L << 40
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  $hx1 AS part FROM documents),
+         |o AS (SELECT doc_id, part, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY part
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         | FROM t),
+         |pk AS (SELECT doc_id, part, n_tokens, start_tok,
+         |  CAST(part AS BIGINT) * $ns + start_tok // 512 AS pack_first,
+         |  CAST(part AS BIGINT) * $ns + (start_tok + n_tokens - 1) // 512 AS pack_last
+         | FROM o),
+         |e AS (SELECT doc_id, part, n_tokens, start_tok,
+         |  unnest(range(pack_first, pack_last + 1)) AS pack_id FROM pk),
+         |s AS (SELECT doc_id, pack_id, start_tok, n_tokens,
+         |  pack_id - CAST(part AS BIGINT) * $ns AS p_local FROM e)
+         |SELECT doc_id, pack_id,
+         | greatest(start_tok, p_local * 512) - start_tok AS doc_off,
+         | greatest(start_tok, p_local * 512) - p_local * 512 AS pack_off,
+         | least(start_tok + n_tokens, (p_local + 1) * 512)
+         |   - greatest(start_tok, p_local * 512) AS seg_len
+         |FROM s ORDER BY doc_id, pack_id""".stripMargin
     },
     "p06_cluster_split" -> {
       def hx(i: Int) = Dedup.hexValSql(s"substr(md5(CAST(cluster AS VARCHAR)), $i, 1)")

@@ -36,6 +36,38 @@ class PipelinesSpec extends SparkSpec {
     assert(self.nonEmpty && self == pre)
   }
 
+  test("pack segments tile every doc exactly and never overfill a pack") {
+    // maxTokens=8 forces multi-pack docs out of 10-token texts
+    val segs = Pipelines.packSegments(docs, maxTokens = 8L).collect()
+    val byDoc = segs.groupBy(_.getAs[Long]("doc_id"))
+    val tokenCounts = Pipelines.sequencePackPartitioned(docs, maxTokens = 8L)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per doc: segments tile [0, n_tokens) contiguously
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_off"))
+      assert(sorted.head.getAs[Long]("doc_off") == 0L)
+      assert(sorted.map(_.getAs[Long]("seg_len")).sum == tokenCounts(id))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("doc_off") + a.getAs[Long]("seg_len") ==
+            b.getAs[Long]("doc_off"))
+        case _ =>
+      }
+    }
+    // per pack: segments fit within maxTokens and never overlap
+    segs.groupBy(_.getAs[Long]("pack_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("seg_len")).sum <= 8L)
+      val spans = rows.map(r =>
+        (r.getAs[Long]("pack_off"), r.getAs[Long]("pack_off") + r.getAs[Long]("seg_len")))
+        .sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 <= s2)
+        case _ =>
+      }
+    }
+  }
+
   test("corpus census counts every doc once and shares sum to ~1e6") {
     val cdocs = Seq(
       (0L, "the cat and the dog of the house went to the garden in peace", "web"),
