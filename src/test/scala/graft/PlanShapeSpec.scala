@@ -76,6 +76,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pack segments add no shuffle beyond the packing windows") {
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange".r.findAllIn(planOf(df)).length
+    // the explode is map-side: the segment map costs exactly the
+    // shuffles the packing itself costs
+    assert(exchanges(Pipelines.packSegments(docs, maxTokens = 8L)) ==
+      exchanges(Pipelines.sequencePackPartitioned(docs, maxTokens = 8L)))
+  }
+
   test("bloom incremental dedup resolves the landed side with broadcast joins only") {
     // parquet-backed fixture: a LocalRelation would be folded away by
     // ConvertToLocalRelation/PropagateEmptyRelation and show no joins
