@@ -346,6 +346,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Cell-balanced (diversity) sampling: keep the first ceil(n·num/den)
+    * of each Voronoi cell in content-independent md5 order — the
+    * embedding-space analog of stratified sampling, used to build
+    * training subsets that cover the embedding distribution instead of
+    * oversampling its dense modes. Cell assignment is [[ivfTopK]]'s
+    * map-side kernel math against literal centroids (deterministic
+    * lowest-id stand-ins for the gate; pass trained
+    * [[kMeansCentroids]] in production); the quota is
+    * [[graft.operators.Pipelines.stratifiedSample]]'s exact integer
+    * machinery keyed on the cell.
+    *
+    * Scale shape: map-side assignment, then one window shuffle keyed
+    * on the cell id; rank and cell size share the Exchange.
+    */
+  def cellBalancedSample(embs: DataFrame, nCentroids: Int = 8,
+      num: Int = 1, den: Int = 4,
+      centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
+    val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val cents: Seq[Array[Double]] = centroids.getOrElse(
+      e.orderBy(col("vec_id")).limit(nCentroids)
+        .collect().map(_.getSeq[Double](1).toArray).toSeq)
+    require(cents.nonEmpty, "cellBalancedSample: empty corpus")
+    def centCos(j: Int) = {
+      val c = typedlit(cents(j))
+      round(call_function("array_dot", col("v"), c) /
+        (call_function("array_norm", col("v")) * call_function("array_norm", c)), 9)
+    }
+    val cellScores = array(cents.indices.map(j =>
+      struct(centCos(j).as("cos"), lit(-j).as("jneg"))): _*)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    e.withColumn("cell",
+        (-array_max(cellScores).getField("jneg")).cast("bigint"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rn") <= expr(s"(n * $num + ${den - 1}) div $den"))
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Trained spherical-k-means centroids flattened to (j, pos, c) rows —
     * the inspectable/verifiable face of [[kMeansCentroids]]; with the
     * fixed-point Lloyd update the values are bit-reproducible, so the
@@ -427,7 +468,9 @@ object Similarity {
         .orderBy(col("j"), col("pos"))),
     "s08_pq_train" -> ((s, d) =>
       pqCodebookTable(s, gateBooks(s, d))
-        .orderBy(col("b"), col("j"), col("pos"))))
+        .orderBy(col("b"), col("j"), col("pos"))),
+    "s09_cell_sample" -> ((s, d) =>
+      cellBalancedSample(Tables.embeddings(s, d)).orderBy(col("vec_id"))))
 
   /** Oracle CTE: embeddings as double lists. */
   private val embCte =
@@ -627,6 +670,23 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s09_cell_sample" ->
+      s"""$embCte,
+         |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+         |  FROM e ORDER BY vec_id LIMIT 8),
+         |sc AS (SELECT e.vec_id, c.j,
+         |   round(list_cosine_similarity(e.v, c.cv), 9) AS cc
+         |  FROM e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, j AS cell FROM (
+         |   SELECT vec_id, j,
+         |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, j) AS rn
+         |   FROM sc) WHERE rn = 1),
+         |r AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY cell
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY cell) AS n FROM asg)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM r
+         |WHERE rn <= (n * 1 + 3) // 4 ORDER BY vec_id""".stripMargin,
     "s02_lsh_buckets" ->
       s"""$embCte
          |SELECT vec_id, label, ${bucketSql("v")} AS bucket

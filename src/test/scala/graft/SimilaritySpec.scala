@@ -143,6 +143,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpqRecall >= 0.2, s"IVF-PQ recall $ivfpqRecall below 0.2")
   }
 
+  test("cell-balanced sampling keeps an exact quota from every cell") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    val kept = Similarity.cellBalancedSample(embs, nCentroids = 8,
+      num = 1, den = 4).collect()
+    // recompute cell sizes with den=1 (keeps everything) to get the
+    // full per-cell census through the same assignment
+    val all = Similarity.cellBalancedSample(embs, nCentroids = 8,
+      num = 1, den = 1).collect()
+    val cellSizes = all.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
+    val keptSizes = kept.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
+    // every non-empty cell contributes exactly ceil(n/4)
+    cellSizes.foreach { case (cell, n) =>
+      assert(keptSizes.getOrElse(cell, 0) == (n + 3) / 4,
+        s"cell $cell: ${keptSizes.getOrElse(cell, 0)} of $n kept")
+    }
+    // the sample is a subset and covers every cell
+    assert(kept.map(_.getAs[Long]("vec_id")).toSet
+      .subsetOf(all.map(_.getAs[Long]("vec_id")).toSet))
+    assert(keptSizes.keySet == cellSizes.keySet)
+  }
+
   test("ivfTopK rejects an empty corpus loudly") {
     val empty = tinyCorpus.filter(col("vec_id") < 0)
     intercept[IllegalArgumentException] {
