@@ -70,19 +70,35 @@ object Bench {
       }.last
       name -> secs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also land the line in a file: stdout capture windows can clip the
-    // tail of a long JSON line (it happened to the r5 record), and a
-    // file survives that.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // Full-precision, full-name record → files (stdout capture windows
+    // clip long lines — the r5 AND r6 records both lost their heads, so
+    // the parseable line below is deliberately compact).
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    for (f <- Seq(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
+        "BENCH_FULL_LATEST.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), fullLine + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
+    }
+    // Stdout line: the driver's capture window is ~2000 chars and the
+    // full-name map no longer fits, so keys are the unique gate prefix
+    // ("d01_exact_dedup" → "d01" — every gate name is prefix-coded) and
+    // values are ms precision. Full names live in the files above.
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val keys = results.map { case (k, _) => k -> short(k) }.toMap
+    val unique = keys.values.toSeq.distinct.size == keys.size
+    val qs = results.map { case (k, v) =>
+      "\"" + (if (unique) keys(k) else k) + "\":" + BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    }.mkString("{", ",", "}")
+    val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    println(
+      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir","full":"BENCH_FULL_LATEST.json"}""")
     spark.stop()
   }
 }
