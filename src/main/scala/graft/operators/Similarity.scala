@@ -179,6 +179,19 @@ object Similarity {
     require(head.nonEmpty, "pqCodebooks: empty corpus")
     val dim = head(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    val books = lloydBlocks(e, m, dim / m, k, iters)
+    e.unpersist()
+    books
+  }
+
+  /** Reference formulation of [[pqCodebooks]]: one [[lloyd]] chain per
+    * block, m×iters jobs. Kept only as the equality witness for the
+    * joint trainer's spec — identical output by construction.
+    */
+  private[graft] def pqCodebooksPerBlock(embs: DataFrame, m: Int, k: Int,
+      iters: Int): Seq[Seq[Array[Double]]] = {
+    val e = normalized(embs).cache()
+    val dim = e.select(size(col("v"))).head().getInt(0)
     val sub = dim / m
     val books = (0 until m).map { b =>
       lloyd(e.select(col("vec_id"),
@@ -186,6 +199,59 @@ object Similarity {
         k, iters, spherical = false)
     }
     e.unpersist()
+    books
+  }
+
+  /** Joint-block PQ trainer: all m sub-quantizers advance together —
+    * one corpus scan per Lloyd iteration instead of m, so training cost
+    * at 100 TB is `iters` scans regardless of how many blocks the
+    * vector is cut into (the per-block form serializes m×iters jobs).
+    * Rows are exploded into (vec_id, b, block-slice) map-side; each
+    * row's assignment reads only its OWN block's codebook (selected
+    * from the broadcast literal by `b`), and the fixed-point update
+    * sums group by (b, cell, pos) — no arithmetic crosses blocks, and
+    * per block the math is [[lloyd]]'s exactly (same driver-computed
+    * ‖c‖²/2 literals, same 9-dp rounding, same ties-to-lowest-code,
+    * same nano-unit integer sums), so the result is bit-identical to
+    * the per-block form; the spec pins that equality.
+    */
+  private def lloydBlocks(e: DataFrame, m: Int, sub: Int, k: Int,
+      iters: Int): Seq[Seq[Array[Double]]] = {
+    val blocks = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), b -> slice(v, b * $sub + 1, $sub))"))
+      .as(Seq("b", "v")))
+    val initRows = e.orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    var books: Seq[Seq[Array[Double]]] = (0 until m).map { b =>
+      initRows.toSeq.map(v => v.slice(b * sub, (b + 1) * sub))
+    }
+    for (_ <- 1 to iters) {
+      val cbLit = typedlit(books.map(_.map(_.toSeq)))
+      val nmLit = typedlit(books.map(_.map(c => c.map(x => x * x).sum / 2.0)))
+      val scores = zip_with(
+        element_at(cbLit, col("b") + 1),
+        element_at(nmLit, col("b") + 1),
+        (c, n) => round(call_function("array_dot", col("v"), c) - n, 9))
+      val cell = -array_max(zip_with(scores,
+        sequence(lit(0), lit(k - 1)),
+        (s, j) => struct(s.as("sc"), (-j).as("jneg")))).getField("jneg")
+      val sums = blocks
+        .withColumn("cell", cell)
+        .select(col("b"), col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("b"), col("cell"), col("pos"))
+        .agg(sum(floor(col("x") * lit(1e9) + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.zipWithIndex.map { case (bk, b) =>
+        bk.zipWithIndex.map { case (old, j) =>
+          byKey.get((b, j)).fold(old) { rows =>
+            rows.sortBy(_.getInt(2))
+              .map(r => r.getLong(3).toDouble / r.getLong(4) / 1e9).toArray
+          }
+        }
+      }
+    }
     books
   }
 

@@ -109,6 +109,24 @@ class SimilaritySpec extends SparkSpec {
     assert(composedRecall >= 0.5, s"IVF-PQ recall $composedRecall below 0.5")
   }
 
+  test("joint-block PQ trainer is bit-identical to per-block training") {
+    // the joint trainer runs one job per iteration over block-tagged
+    // rows; this pins that its codebooks equal the m-independent-chains
+    // formulation EXACTLY (same doubles, not approximately) — the
+    // fixed-point update makes that equality deterministic
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    val joint = Similarity.pqCodebooks(embs, m = 4, k = 4, iters = 2)
+    val perBlock = Similarity.pqCodebooksPerBlock(embs, m = 4, k = 4, iters = 2)
+    assert(joint.size == perBlock.size)
+    joint.zip(perBlock).zipWithIndex.foreach { case ((jb, pb), b) =>
+      jb.zip(pb).zipWithIndex.foreach { case ((jc, pc), j) =>
+        assert(jc.sameElements(pc), s"codebook $b entry $j differs")
+      }
+    }
+  }
+
   test("recall@10 vs brute force on the real embeddings corpus") {
     // the quality guard no hash gate can give: trained IVF / IVF-PQ at
     // production-ish sizes (m=8 × k=16 codebooks = 32-bit codes,
