@@ -589,6 +589,46 @@ object Dedup {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Cross-document SEGMENT dedup (the line/paragraph-dedup pass of
+    * C4/RefinedWeb-style cleaning, over n-token segments since the
+    * synthetic corpus has no line structure): cut each document into
+    * consecutive `segTokens`-token segments, count each distinct
+    * segment's document frequency across the corpus, drop segments
+    * appearing in more than `maxDf` documents (boilerplate: headers,
+    * licenses, navigation), and reassemble the survivors in order.
+    * Exact-duplicate documents keep their shared segments only if the
+    * df stays within bound — this operator removes REPEATED REGIONS,
+    * complementing whole-doc dedup (d01/d03).
+    *
+    * Scale shape: segmentation is map-side generate; the df table is
+    * one partial→final count keyed on the segment text (at scale, key
+    * on md5(segment) to shrink the shuffle — same result, shorter
+    * keys); the df join keys on the segment too. Hot keys are exactly
+    * the boilerplate being dropped, bounded like d02's stop-shingle
+    * cap: the over-df set is small and broadcastable. Reassembly is
+    * one groupBy(doc_id) whose collect_list is bounded by document
+    * length, not corpus size.
+    */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 8,
+      maxDf: Int = 1): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t) + ${segTokens - 1}) div $segTokens - 1), " +
+          s"i -> array_join(slice(t, i * $segTokens + 1, $segTokens), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+    val segDf = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(segDf, "seg")
+      .withColumn("kept", col("df") <= maxDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_idx, seg) END)), x -> x.seg)"),
+          " ").as("clean_text"))
+  }
+
   /** Adversarial long-chain CC fixture derived from the documents
     * table: ids in the same `doc_id % nChains` residue class, sorted,
     * are linked consecutively. Component diameter = class size =
@@ -652,7 +692,9 @@ object Dedup {
       val docs = Tables.documents(s, d)
       connectedComponentsStar(docs.select(col("doc_id")), chainEdges(docs))
         .orderBy(col("doc_id"))
-    }))
+    }),
+    "d13_segment_dedup" -> ((s, d) =>
+      segmentDedup(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
   private[operators] val shingleCte =
@@ -769,6 +811,20 @@ object Dedup {
       |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d13_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |x AS (SELECT doc_id, t,
+        |  unnest([i for i in range(0, (len(t) + 7) // 8)]) AS i FROM t),
+        |segs AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        |  array_to_string(t[i*8+1 : i*8+8], ' ') AS seg FROM x),
+        |f AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+        |j AS (SELECT s.doc_id, s.seg_idx, s.seg, f.df <= 1 AS kept
+        |  FROM segs s JOIN f USING (seg))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')
+        |   AS clean_text
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
         | min(doc_id) AS keeper, COUNT(*) AS group_size,

@@ -164,6 +164,51 @@ object TextAnalysis {
         col("n_hapax"))
   }
 
+  /** Pattern scrub — the PII-redaction pass: count a pattern's matches
+    * per document and rewrite every match to a placeholder before the
+    * text reaches training. Production patterns are the usual
+    * email/phone/IP regexes; everything here is kept RE2-compatible
+    * (no backrefs/lookaround) so the same pattern runs identically on
+    * any engine. The gate exercises the machinery on tokens the
+    * synthetic corpus actually contains.
+    *
+    * Scale shape: pure map-side regexp work at scan speed — no
+    * shuffle, no UDF; the filter on n_matches (audit mode) pushes to
+    * the scan.
+    */
+  def patternScrub(docs: DataFrame, pattern: String,
+      replacement: String = "<X>"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(pattern)).as("n_matches"),
+      regexp_replace(col("text"), pattern, replacement).as("scrubbed"))
+
+  /** Canonical-form normalization — the pass that precedes hashing and
+    * dedup: lowercase, strip non-alphanumerics to spaces, collapse
+    * whitespace runs, trim, then drop stopwords. Emits the raw and
+    * kept token counts so downstream filters can gate on shrinkage
+    * (a document that is mostly stopwords/punctuation collapses).
+    *
+    * Scale shape: map-side column expressions only (regexps + an
+    * array filter against a literal stopword set) — runs at scan
+    * speed, no shuffle.
+    */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def normalizeText(docs: DataFrame,
+      stop: Seq[String] = DefaultStopwords): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val toks = split(norm, " ")
+    val kept = filter(toks, t => not(array_contains(typedlit(stop), t)))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_raw_toks"),
+      size(kept).as("n_kept_toks"),
+      array_join(kept, " ").as("norm_text"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text,
     * plus a 64-bit prefix view for compact storage/joins.
     */
@@ -191,7 +236,18 @@ object TextAnalysis {
     "t07_chunking" -> ((s, d) =>
       chunkDocs(Tables.documents(s, d)).orderBy(col("doc_id"), col("chunk_idx"))),
     "t08_token_rarity" -> ((s, d) =>
-      tokenRarity(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      tokenRarity(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t09_pattern_scrub" -> ((s, d) =>
+      patternScrub(Tables.documents(s, d), ScrubGatePattern)
+        .orderBy(col("doc_id"))),
+    "t10_normalize" -> ((s, d) =>
+      normalizeText(Tables.documents(s, d)).orderBy(col("doc_id"))))
+
+  /** Gate pattern for t09 — single source of truth for plan + oracle
+    * (vocabulary the synthetic corpus contains; production swaps in
+    * email/phone/IP patterns through the same machinery).
+    */
+  private val ScrubGatePattern = "\\b(key|value)\\b"
 
   private val markerSql = Map(
     "en" -> "\\b(the|and|of|to|in)\\b",
@@ -200,6 +256,23 @@ object TextAnalysis {
     "es" -> "\\b(el|y|los|las|es)\\b")
 
   val oracle: Map[String, String] = Map(
+    "t09_pattern_scrub" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '\b(key|value)\b')) AS n_matches,
+        | regexp_replace(text, '\b(key|value)\b', '<X>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t10_normalize" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |       ' +', ' ', 'g')) AS norm
+         | FROM documents),
+         |t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+         |k AS (SELECT doc_id, toks, list_filter(toks, x -> NOT list_contains(
+         |  [${DefaultStopwords.map(s => s"'$s'").mkString(", ")}], x)) AS kept FROM t)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_raw_toks,
+         | CAST(len(kept) AS INT) AS n_kept_toks,
+         | array_to_string(kept, ' ') AS norm_text
+         |FROM k ORDER BY doc_id""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         | len(string_split(text, ' ')) AS ws_tokens,
