@@ -55,10 +55,14 @@ object Bench {
 
     // A failed query must not masquerade as a fast one (a swallowed
     // analysis error takes milliseconds): failures report negative time.
+    // All repeat timings are kept: run 1 is the single-shot (cold) number,
+    // the last run is the warm number — the record carries BOTH so a noisy
+    // single-shot driver run can't masquerade as a regression (round-7
+    // lesson: 88 s cold vs 52 s warm was container contention, not code).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
-      val secs = (1 to repeat).map { _ =>
+      val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
@@ -67,21 +71,31 @@ object Bench {
         }
         val t = (System.nanoTime() - t0) / 1e9
         if (ok) t else -t
-      }.last
-      name -> secs
+      }
+      name -> times
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.last).sum
     // Full-precision, full-name record → files (stdout capture windows
     // clip long lines — the r5 AND r6 records both lost their heads, so
     // the parseable line below is deliberately compact).
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: Seq[Double] => Double): String = results
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
-    for (f <- Seq(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
-        "BENCH_FULL_LATEST.json")) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), fullLine + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.last)},""" +
+        s""""cold":${jmap(_.head)},"repeat":$repeat,"sf":"$sfDir"}"""
+    // BENCH_FULL_LATEST.json is the committed full-pass record: only a
+    // full (unfiltered) run may write it, and the path is anchored off
+    // the repo root instead of the process cwd — an arg-restricted
+    // profiling run must never overwrite the record with a subset.
+    val fullRecord = if (only.isEmpty)
+      Some(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "."), "BENCH_FULL_LATEST.json"))
+    else None
+    val outs = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")) ::
+      fullRecord.toList
+    for (f <- outs) {
+      try java.nio.file.Files.writeString(f, fullLine + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
     }
@@ -93,12 +107,13 @@ object Bench {
     val keys = results.map { case (k, _) => k -> short(k) }.toMap
     val unique = keys.values.toSeq.distinct.size == keys.size
     val qs = results.map { case (k, v) =>
-      "\"" + (if (unique) keys(k) else k) + "\":" + BigDecimal(v)
+      "\"" + (if (unique) keys(k) else k) + "\":" + BigDecimal(v.last)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     }.mkString("{", ",", "}")
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val fullRef = fullRecord.fold("")(_ => ""","full":"BENCH_FULL_LATEST.json"""")
     println(
-      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir","full":"BENCH_FULL_LATEST.json"}""")
+      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"$fullRef}""")
     spark.stop()
   }
 }

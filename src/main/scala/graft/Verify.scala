@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the dedup pair builders cache intermediates the lazy results
+      // re-read; the parquet above is materialized, so release them
+      // before the next query instead of accumulating session storage
+      operators.Dedup.releaseIntermediates()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

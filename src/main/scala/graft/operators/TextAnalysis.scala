@@ -200,7 +200,10 @@ object TextAnalysis {
       stop: Seq[String] = DefaultStopwords): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    val toks = split(norm, " ")
+    // split("", " ") yields [""] — drop empty tokens so a document that
+    // normalizes to nothing honestly reports 0 raw/kept tokens (the
+    // shrinkage-gating consumers key on that).
+    val toks = filter(split(norm, " "), t => t =!= lit(""))
     val kept = filter(toks, t => not(array_contains(typedlit(stop), t)))
     docs.select(
       col("doc_id"),
@@ -266,7 +269,8 @@ object TextAnalysis {
          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
          |       ' +', ' ', 'g')) AS norm
          | FROM documents),
-         |t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+         |t AS (SELECT doc_id,
+         |  list_filter(string_split(norm, ' '), x -> x <> '') AS toks FROM n),
          |k AS (SELECT doc_id, toks, list_filter(toks, x -> NOT list_contains(
          |  [${DefaultStopwords.map(s => s"'$s'").mkString(", ")}], x)) AS kept FROM t)
          |SELECT doc_id, CAST(len(toks) AS INT) AS n_raw_toks,

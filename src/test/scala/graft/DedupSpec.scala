@@ -230,6 +230,23 @@ class DedupSpec extends SparkSpec {
     assert(rows == Seq((1L, 1L, 1L), (2L, 1L, 2L)))
   }
 
+  test("releaseIntermediates drains the pair builders' cached storage") {
+    // other suites (and this one) may hold their own caches in the
+    // shared session — assert only on the DELTA the builders create
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.ngramJaccardPairs(docs, 0.1).count()
+    Dedup.minhashLshPairs(docs, 0.1).count()
+    val during = sc.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "builders should have cached intermediates")
+    Dedup.releaseIntermediates()
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"cached RDDs left after release: $after")
+    // released results still recompute correctly (slower, not wrong)
+    assert(Dedup.ngramJaccardPairs(docs, 0.1).count() == 3)
+    Dedup.releaseIntermediates()
+  }
+
   test("minhash clusters assign keepers transitively") {
     // doc 30 is a near-dup of 10 and 20 separately; 10 and 20 may not be
     // direct pairs, but all three must land in one cluster (min id 10)
