@@ -124,6 +124,24 @@ object EngineQueries {
           concat_ws(",", transform(col("spans"),
             sp => sp.getField("id").cast("string"))).as("span_digest"))
         .orderBy(col("trace_id"))
+    }),
+    // the reference's second trace entry point (GET /api/traces/:id,
+    // duo/src/web/services.rs:96-130): exact-id fetch through the same
+    // correlate+assemble pipeline, WITHOUT the admission CTEs. The probe
+    // id is derived (lowest trace carrying an ERROR log) so the oracle
+    // recomputes it and the J2 error-tag splice is exercised; the
+    // driver-side head() is one scalar — the broadcast-build pattern.
+    "g05_trace_by_id" -> ((s, d) => {
+      val (spans, logs) = ordersAsSpans(s, d)
+      val tid = logs.agg(min(col("trace_id"))).head.getLong(0)
+      TraceQueries.getTrace(s, spans, logs, tid)
+        .select(col("trace_id"), col("n_spans"), col("trace_start"),
+          col("trace_end"), col("has_error"), col("n_logs"),
+          concat_ws(",", transform(col("spans"),
+            sp => sp.getField("id").cast("string"))).as("span_digest"),
+          concat_ws("|", transform(col("spans"),
+            sp => coalesce(sp.getField("tags"), lit(""))))
+            .as("tag_digest"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -160,5 +178,25 @@ object EngineQueries {
          | CAST(COALESCE(ANY_VALUE(l.nl), 0) AS BIGINT) AS n_logs,
          | string_agg(CAST(id AS VARCHAR), ',' ORDER BY start, id) AS span_digest
          |FROM corr c LEFT JOIN lcount l ON c.trace_id = l.trace_id
-         |GROUP BY c.trace_id ORDER BY c.trace_id""".stripMargin)
+         |GROUP BY c.trace_id ORDER BY c.trace_id""".stripMargin,
+    // g03 minus the admission CTEs: exact-id scope, plus the spliced
+    // error tag surfaced as a digest (spans with an ERROR log carry
+    // {"error":true}; the fixture's original tags are NULL)
+    "g05_trace_by_id" ->
+      s"""$spansCte,
+         |tid AS (SELECT min(trace_id) AS t FROM lgs),
+         |sc AS (SELECT * FROM spans WHERE trace_id = (SELECT t FROM tid)),
+         |lg AS (SELECT * FROM lgs WHERE trace_id = (SELECT t FROM tid)),
+         |errspan AS (SELECT span_id, COUNT(*) AS n FROM lg GROUP BY span_id),
+         |corr AS (SELECT sc.*, CASE WHEN e.n > 0 THEN 1 ELSE 0 END AS haserr,
+         |  CASE WHEN e.n > 0 THEN '{"error":true}' END AS tags2
+         |  FROM sc LEFT JOIN errspan e ON sc.id = e.span_id),
+         |lcount AS (SELECT trace_id, COUNT(*) AS nl FROM lg GROUP BY trace_id)
+         |SELECT c.trace_id, COUNT(*) AS n_spans, MIN(start) AS trace_start,
+         | MAX("end") AS trace_end, MAX(haserr) AS has_error,
+         | CAST(COALESCE(ANY_VALUE(l.nl), 0) AS BIGINT) AS n_logs,
+         | string_agg(CAST(id AS VARCHAR), ',' ORDER BY start, id) AS span_digest,
+         | string_agg(COALESCE(tags2, ''), '|' ORDER BY start, id) AS tag_digest
+         |FROM corr c LEFT JOIN lcount l ON c.trace_id = l.trace_id
+         |GROUP BY c.trace_id""".stripMargin)
 }
