@@ -512,8 +512,13 @@ object Similarity {
     "s01_cosine_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), 5L, 10)
         .orderBy(col("query_id"), col("rank"))),
+    // s04/s09 gate the TRAINED index: cells come from the memoized
+    // spherical-k-means artifact (shared with s06/s07 — trained once per
+    // corpus), and the oracle replays the same Lloyd chain symbolically,
+    // so the gates exercise the production path, not lowest-id stand-ins
     "s04_ivf_topk" -> ((s, d) =>
-      ivfTopK(Tables.embeddings(s, d), 5L, 10)
+      ivfTopK(Tables.embeddings(s, d), 5L, 10,
+          nCentroids = GateKmK, nProbe = 2, centroids = Some(gateCents(s, d)))
         .orderBy(col("query_id"), col("rank"))),
     "s02_lsh_buckets" -> ((s, d) =>
       lshBuckets(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
@@ -536,7 +541,8 @@ object Similarity {
       pqCodebookTable(s, gateBooks(s, d))
         .orderBy(col("b"), col("j"), col("pos"))),
     "s09_cell_sample" -> ((s, d) =>
-      cellBalancedSample(Tables.embeddings(s, d)).orderBy(col("vec_id"))))
+      cellBalancedSample(Tables.embeddings(s, d), nCentroids = GateKmK,
+        centroids = Some(gateCents(s, d))).orderBy(col("vec_id"))))
 
   /** Oracle CTE: embeddings as double lists. */
   private val embCte =
@@ -712,13 +718,16 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // trained cells: the Lloyd chain (bit-identical to Spark's
+    // fixed-point trainer, see s07) replaces the lowest-id stand-in
+    // centroid CTE; scoring stays on the RAW doubles (e0), mirroring
+    // ivfTopK's plan exactly
     "s04_ivf_topk" ->
-      s"""$embCte,
-         |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
-         |  FROM e ORDER BY vec_id LIMIT 8),
-         |sc AS (SELECT e.vec_id, e.v, c.j,
-         |   round(list_cosine_similarity(e.v, c.cv), 9) AS cc
-         |  FROM e CROSS JOIN cent c),
+      s"""WITH $normCtes,
+         |${lloydCtes("e", GateKmK, GateKmIters, spherical = true, GateDim, "km_")},
+         |sc AS (SELECT e0.vec_id, e0.v0 AS v, c.j,
+         |   round(list_cosine_similarity(e0.v0, c.cv), 9) AS cc
+         |  FROM e0 CROSS JOIN km_c$GateKmIters c),
          |asg AS (SELECT vec_id, v, j AS cell FROM (
          |   SELECT vec_id, v, j,
          |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, j) AS rn
@@ -737,12 +746,11 @@ object Similarity {
          |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "s09_cell_sample" ->
-      s"""$embCte,
-         |cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
-         |  FROM e ORDER BY vec_id LIMIT 8),
-         |sc AS (SELECT e.vec_id, c.j,
-         |   round(list_cosine_similarity(e.v, c.cv), 9) AS cc
-         |  FROM e CROSS JOIN cent c),
+      s"""WITH $normCtes,
+         |${lloydCtes("e", GateKmK, GateKmIters, spherical = true, GateDim, "km_")},
+         |sc AS (SELECT e0.vec_id, c.j,
+         |   round(list_cosine_similarity(e0.v0, c.cv), 9) AS cc
+         |  FROM e0 CROSS JOIN km_c$GateKmIters c),
          |asg AS (SELECT vec_id, j AS cell FROM (
          |   SELECT vec_id, j,
          |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, j) AS rn
