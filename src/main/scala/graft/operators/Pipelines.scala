@@ -191,15 +191,27 @@ object Pipelines {
     * is unchanged.
     */
   def sequencePackPartitioned(docs: DataFrame,
+      maxTokens: Long = 512L): DataFrame =
+    sequencePackCounts(docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens")), maxTokens)
+
+  /** The packing core over a PRECOMPUTED (doc_id, n_tokens) table — how
+    * a pipeline packs by REAL tokenizer counts instead of whitespace
+    * words: feed it [[TextAnalysis.subwordTokenCounts]]'s n_pieces (the
+    * p12 gate does), a stored model-tokenizer count column, or any
+    * budget metric. Layout arithmetic and the N-parallel-windows scale
+    * shape are identical to [[sequencePackPartitioned]].
+    */
+  def sequencePackCounts(counts: DataFrame,
       maxTokens: Long = 512L): DataFrame = {
-    val n = size(tokens(col("text"))).cast("long")
     val part = hexVal(substring(md5(col("doc_id").cast("string")), 1, 1))
     val w = Window.partitionBy(col("part"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ns = col("part").cast("long") * lit(1L << 40)
-    docs
-      .select(col("doc_id"), n.as("n_tokens"), part.as("part"))
+    counts
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        part.as("part"))
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("part"), col("n_tokens"), col("start_tok"),
         (ns + expr(s"start_tok div $maxTokens")).as("pack_first"),
@@ -360,7 +372,16 @@ object Pipelines {
         .orderBy(col("source"), col("lang_pred"))),
     "p11_pack_segments" -> ((s, d) =>
       packSegments(Tables.documents(s, d))
-        .orderBy(col("doc_id"), col("pack_id"))))
+        .orderBy(col("doc_id"), col("pack_id"))),
+    // packing on REAL tokenizer counts: subword pieces (t11's trained
+    // vocab, memoized) drive the same partitioned layout as p09
+    "p12_subword_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      sequencePackCounts(
+        TextAnalysis.subwordTokenCounts(docs, TextAnalysis.gateVocab(s, d))
+          .select(col("doc_id"), col("n_pieces").as("n_tokens")))
+        .orderBy(col("doc_id"))
+    }))
 
   /** Shared language-ID CTEs (`c`, `l` — yields `l(doc_id,
     * lang_pred)`), used by the p04/p07 oracles.
@@ -493,6 +514,23 @@ object Pipelines {
          | least(start_tok + n_tokens, (p_local + 1) * 512)
          |   - greatest(start_tok, p_local * 512) AS seg_len
          |FROM s ORDER BY doc_id, pack_id""".stripMargin
+    },
+    "p12_subword_pack" -> {
+      val hx1 = Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")
+      s"""WITH RECURSIVE ${TextAnalysis.subwordCtes},
+         |cnts AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_tokens
+         |  FROM docw JOIN tok USING (word) GROUP BY doc_id),
+         |t AS (SELECT doc_id, n_tokens, $hx1 AS part FROM cnts),
+         |o AS (SELECT doc_id, part, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY part
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         | FROM t)
+         |SELECT doc_id, CAST(part AS INT) AS part, n_tokens, start_tok,
+         | CAST(part AS BIGINT) * ${1L << 40} + start_tok // 512 AS pack_first,
+         | CAST(part AS BIGINT) * ${1L << 40} + (start_tok + n_tokens - 1) // 512 AS pack_last,
+         | start_tok % 512 AS pack_offset
+         |FROM o ORDER BY doc_id""".stripMargin
     },
     "p06_cluster_split" -> {
       def hx(i: Int) = Dedup.hexValSql(s"substr(md5(CAST(cluster AS VARCHAR)), $i, 1)")

@@ -56,4 +56,34 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 5L, 3L, 5L, 600000L, 1000000L),
       (2L, 4L, 1L, 0L, 250000L, 0L)))
   }
+
+  test("subword tokenizer matches greedily, longest piece first") {
+    import org.apache.spark.sql.functions.col
+    // hand-checkable vocab: "abcd" beats "ab"+"cd" at the same start;
+    // "cd" catches the tail the 4-piece leaves; chars are the fallback
+    val vocab = Seq("abcd", "abc", "ab", "cd", "xy")
+    val docs = Seq(
+      (1L, "abcde"),      // abcd|e            -> 2 pieces
+      (2L, "abcd abab"),  // abcd + ab|ab      -> 1 + 2
+      (3L, "zabcd"),      // z|abcd            -> 2 (no mid-word restart skew)
+      (4L, "xyxyq"),      // xy|xy|q           -> 3
+      (5L, "q"))          // q                 -> 1
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.subwordTokenCounts(docs, vocab)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_pieces")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 1L, 2L), (2L, 2L, 3L), (3L, 1L, 2L),
+      (4L, 1L, 3L), (5L, 1L, 1L)))
+  }
+
+  test("subword vocab ranks substrings by weighted frequency, ties lexicographic") {
+    // "ab" appears in both words of doc 1 (weight 2) and doc 2's word
+    // (weight 1); every substring of "ab ab" is "ab" itself
+    val docs = Seq((1L, "ab ab"), (2L, "abc")).toDF("doc_id", "text")
+    val v = TextAnalysis.subwordVocab(docs, vocabSize = 3)
+    // freqs: ab=3 (2 from "ab"×2 + 1 inside "abc"), abc=1, bc=1 —
+    // the tie between abc/bc breaks lexicographically
+    assert(v == Seq("ab", "abc", "bc"))
+  }
 }
