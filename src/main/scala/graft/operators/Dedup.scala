@@ -688,6 +688,55 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Boundary modulus for [[cdcSegmentDedup]]'s content-defined cut:
+    * a token ends a segment when its md5 first hex digit ≡ 0 (mod this)
+    * — P(cut) = 4/16, mean segment ≈ 4 tokens. Shared with the d14
+    * oracle SQL.
+    */
+  val CdcGateMod: Int = 4
+
+  /** Content-defined segment dedup — [[segmentDedup]] with
+    * content-derived boundaries instead of fixed 8-token tiling:
+    * a segment ends after any token whose md5-derived hash hits the
+    * [[CdcGateMod]] residue, so a duplicated region produces the SAME
+    * interior segments in every document regardless of its token
+    * offset — the unaligned-duplicate case fixed tiling provably
+    * misses (pinned in DedupSpec). This is the Rabin/CDC chunking idea
+    * applied at token granularity; d13's fixed tiling remains as the
+    * cheaper aligned form.
+    *
+    * Scale shape: segmentation is a posexplode plus one running-sum
+    * window keyed on the doc (doc-bounded partitions — no skew); df
+    * counting and the df join key on the segment text exactly as d13;
+    * reassembly is the same doc-bounded collect_list.
+    */
+  def cdcSegmentDedup(docs: DataFrame, boundaryMod: Int = CdcGateMod,
+      maxDf: Int = SegGateMaxDf): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val bd = (hexVal(substring(md5(col("tok")), 1, 1)) % boundaryMod === 0)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val segs = toks
+      .withColumn("seg_idx", coalesce(sum(bd).over(w), lit(0L)).cast("int"))
+      .groupBy(col("doc_id"), col("seg_idx"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+        " ").as("seg"))
+    val segDf = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(segDf, "seg")
+      .withColumn("kept", col("df") <= maxDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_idx, seg) END)), x -> x.seg)"),
+          " ").as("clean_text"))
+  }
+
   /** Adversarial long-chain CC fixture derived from the documents
     * table: ids in the same `doc_id % nChains` residue class, sorted,
     * are linked consecutively. Component diameter = class size =
@@ -760,6 +809,9 @@ object Dedup {
     }),
     "d13_segment_dedup" -> ((s, d) =>
       segmentDedup(Tables.documents(s, d), SegGateTokens, SegGateMaxDf)
+        .orderBy(col("doc_id"))),
+    "d14_cdc_segment_dedup" -> ((s, d) =>
+      cdcSegmentDedup(Tables.documents(s, d), CdcGateMod, SegGateMaxDf)
         .orderBy(col("doc_id"))))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
@@ -887,6 +939,30 @@ object Dedup {
          |f AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
          |j AS (SELECT s.doc_id, s.seg_idx, s.seg, f.df <= $SegGateMaxDf AS kept
          |  FROM segs s JOIN f USING (seg))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')
+         |   AS clean_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "d14_cdc_segment_dedup" -> {
+      val hv = hexValSql("substr(md5(tok), 1, 1)")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |x AS (SELECT doc_id, t,
+         |  unnest([i for i in range(1, len(t) + 1)]) AS i FROM t),
+         |e AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS tok FROM x),
+         |b AS (SELECT doc_id, pos, tok,
+         |  CASE WHEN $hv % $CdcGateMod = 0 THEN 1 ELSE 0 END AS bd FROM e),
+         |s AS (SELECT doc_id, pos, tok,
+         |  CAST(COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS seg_idx
+         | FROM b),
+         |segs AS (SELECT doc_id, seg_idx,
+         |  string_agg(tok, ' ' ORDER BY pos) AS seg
+         | FROM s GROUP BY doc_id, seg_idx),
+         |f AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+         |j AS (SELECT sg.doc_id, sg.seg_idx, sg.seg, f.df <= $SegGateMaxDf AS kept
+         |  FROM segs sg JOIN f USING (seg))
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
          | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          | COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')

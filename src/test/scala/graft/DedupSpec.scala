@@ -230,6 +230,26 @@ class DedupSpec extends SparkSpec {
     assert(rows == Seq((1L, 1L, 1L), (2L, 1L, 2L)))
   }
 
+  test("content-defined segments catch the unaligned duplicate fixed tiling misses") {
+    // a 24-token region duplicated at offset 3: none of doc 200's
+    // 8-token tiles line up with doc 100's, so d13 sees only unique
+    // segments; content-defined boundaries depend on the tokens alone,
+    // so the region's interior segments coincide and d14 drops them
+    val region = (1 to 24).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (100L, region),
+      (200L, s"pad1 pad2 pad3 $region"))
+      .toDF("doc_id", "text")
+    val d13 = Dedup.segmentDedup(docs).orderBy("doc_id")
+      .select("n_segs", "n_kept").as[(Long, Long)].collect().toSeq
+    assert(d13.forall { case (n, k) => n == k },
+      s"fixed tiling should keep everything here: $d13")
+    val d14 = Dedup.cdcSegmentDedup(docs).orderBy("doc_id")
+      .select("n_segs", "n_kept").as[(Long, Long)].collect().toSeq
+    assert(d14.forall { case (n, k) => k < n },
+      s"CDC segmentation should drop shared interior segments: $d14")
+  }
+
   test("releaseIntermediates drains the pair builders' cached storage") {
     // other suites (and this one) may hold their own caches in the
     // shared session — assert only on the DELTA the builders create
