@@ -158,12 +158,21 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // Verification joins on 60-bit hashed shingle SETS (8-byte longs)
+    // instead of the raw 3-gram strings — the candidate-join exchange
+    // then carries ~8 bytes per shingle instead of ~20-char strings; at
+    // 100 TB that halves-or-better the verify shuffle. Jaccard runs on
+    // the hashed sets on BOTH engines (the oracle hashes with the same
+    // md5-prefix arithmetic), so results agree by construction even in
+    // the astronomically-unlikely 60-bit collision case.
+    val hs = sh.select(col("doc_id"), array_distinct(transform(col("sh"),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("hs"))
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jac", col("common").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("common")))
+        (size(col("hsa")) + size(col("hsb")) - col("common")))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
@@ -829,7 +838,9 @@ object Dedup {
 
   private def baseHashSql(v: String, digits: Int): String =
     (0 until digits).map { j =>
-      s"${hexValSql(s"substr(md5($v), ${j + 1}, 1)")} * ${1L << (4 * (digits - 1 - j))}"
+      // per-term BIGINT cast: DuckDB otherwise multiplies INT32×INT32
+      // and overflows once the digit multiplier passes 2^27
+      s"CAST(${hexValSql(s"substr(md5($v), ${j + 1}, 1)")} AS BIGINT) * ${1L << (4 * (digits - 1 - j))}"
     }.mkString("CAST((", " + ", ") AS BIGINT)")
 
   private def base28Sql(v: String): String = baseHashSql(v, 7)
@@ -844,19 +855,20 @@ object Dedup {
     * relation in scope; yields `mh_pairs(doc_a, doc_b, jac)`).
     */
   private[operators] val minhashPairsCtes: String =
-    s"""nz AS (SELECT doc_id, sh, list_transform(sh, sx -> ${base28Sql("sx")}) AS hv
+    s"""nz AS (SELECT doc_id, sh, list_transform(sh, sx -> ${base28Sql("sx")}) AS hv,
+       |  list_distinct(list_transform(sh, sx -> ${baseHashSql("sx", 15)})) AS hs
        |  FROM sh WHERE len(sh) > 0),
-       |sig AS (SELECT doc_id, sh, ${minhashSigSql(16)} AS sg FROM nz),
-       |bands AS (SELECT doc_id, sh, b AS band,
+       |sig AS (SELECT doc_id, hs, ${minhashSigSql(16)} AS sg FROM nz),
+       |bands AS (SELECT doc_id, hs, b AS band,
        |  md5(CAST(sg[2*b+1] AS VARCHAR)||'|'||CAST(sg[2*b+2] AS VARCHAR)) AS key
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.sh AS sha, b.sh AS shb
+       |    a.hs AS hsa, b.hs AS hsb
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
        |    AND a.doc_id < b.doc_id),
        |mh_pairs AS (SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
-       |    (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jac
+       |  CAST(len(list_intersect(hsa, hsb)) AS DOUBLE) /
+       |    (len(hsa) + len(hsb) - len(list_intersect(hsa, hsb))) AS jac
        |  FROM cand)""".stripMargin
 
   /** DuckDB mirror of the 64-bit simhash pipeline, generated from the
