@@ -361,10 +361,15 @@ object Pipelines {
     "p07_mixture_sample" -> ((s, d) =>
       mixtureSample(Tables.documents(s, d))
         .orderBy(col("lang_pred"), col("doc_id"))),
+    // p06/p08 consume the SAME memoized cluster artifact as d06/d12 —
+    // the production form their precomputed-cluster overloads exist
+    // for (CC runs once per corpus, not once per consumer)
     "p06_cluster_split" -> ((s, d) =>
-      leakageSafeSplit(Tables.documents(s, d)).orderBy(col("doc_id"))),
+      leakageSafeSplit(Tables.documents(s, d), Dedup.gateClusters(s, d))
+        .orderBy(col("doc_id"))),
     "p08_cluster_keeper" -> ((s, d) =>
-      clusterQualityKeeper(Tables.documents(s, d)).orderBy(col("cluster"))),
+      clusterQualityKeeper(Tables.documents(s, d), Dedup.gateClusters(s, d))
+        .orderBy(col("cluster"))),
     "p09_sequence_pack_parts" -> ((s, d) =>
       sequencePackPartitioned(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "p10_corpus_census" -> ((s, d) =>
