@@ -50,6 +50,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-task cumsum:\n$plan")
   }
 
+  test("pattern scrub and normalization run at scan speed: no shuffle") {
+    val scrub = planOf(TextAnalysis.patternScrub(docs, "\\balpha\\b"))
+    assert(!scrub.contains("Exchange"), s"unexpected shuffle:\n$scrub")
+    val norm = planOf(TextAnalysis.normalizeText(docs))
+    assert(!norm.contains("Exchange"), s"unexpected shuffle:\n$norm")
+  }
+
+  test("CDC segmentation windows per doc, never one task") {
+    val plan = planOf(Dedup.cdcSegmentDedup(docs))
+    assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-task window:\n$plan")
+  }
+
+  test("subword counting folds per distinct word with no driver-side funnel") {
+    val plan = planOf(TextAnalysis.subwordTokenCounts(docs,
+      Seq("alph", "al", "ph", "be")))
+    // the greedy fold is pure column math over word-keyed shuffles: no
+    // single-partition stage, no cartesian, and no UDF in the plan
+    assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), s"UDF in the hot path:\n$plan")
+  }
+
   test("bucketed tables co-locate the join: no shuffle before SortMergeJoin") {
     // the 100 TB fact-to-fact pattern: both sides written bucketBy the
     // join key means the join reads pre-partitioned buckets and never
