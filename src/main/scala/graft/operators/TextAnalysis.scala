@@ -278,6 +278,57 @@ object TextAnalysis {
       acc => acc.getField("n"))
   }
 
+  /** Greedy piece LIST of one word — [[subwordPieces]]'s fold carrying
+    * the pieces themselves (p, parts[]) instead of a count, joined
+    * '|'-delimited. The pieces concatenate back to the word exactly
+    * (partition property, pinned in PropertySpec).
+    */
+  private[operators] def subwordPieceStr(w: Column,
+      vocab: Seq[String]): Column = {
+    def matchLen(p: Column): Column =
+      (SubwordMaxPiece to SubwordMinPiece by -1).foldRight(lit(1): Column) {
+        (l, shorter) =>
+          val vs = vocab.filter(_.length == l)
+          if (vs.isEmpty) shorter
+          else when(array_contains(typedlit(vs), w.substr(p, lit(l))), lit(l))
+            .otherwise(shorter)
+      }
+    val steps = when(length(w) >= 1, sequence(lit(1), length(w)))
+      .otherwise(array().cast("array<int>"))
+    aggregate(steps,
+      struct(lit(1).as("p"), array().cast("array<string>").as("parts")),
+      (acc, i) => {
+        val p = acc.getField("p")
+        val ml = matchLen(p)
+        when(i =!= p, acc).otherwise(
+          struct((p + ml).as("p"),
+            concat(acc.getField("parts"), array(w.substr(p, ml))).as("parts")))
+      },
+      acc => array_join(acc.getField("parts"), "|"))
+  }
+
+  /** Full tokenization: per document, every word's greedy piece split
+    * ('|' within a word, ' ' between words, original word order) — the
+    * form downstream chunking/packing/detokenization consumes, and the
+    * gate (t12) that pins the SEGMENTATION itself, not just counts.
+    *
+    * Scale shape: identical to [[subwordTokenCounts]] — one fold per
+    * DISTINCT word, a word-keyed join back, and a doc-bounded
+    * collect_list reassembly.
+    */
+  def subwordTokenize(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val pieces = docs.select(explode(tokens(col("text"))).as("word"))
+      .distinct()
+      .select(col("word"), subwordPieceStr(col("word"), vocab).as("ps"))
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .join(pieces, "word")
+      .groupBy(col("doc_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, ps))), x -> x.ps)"),
+        " ").as("pieces_text"))
+  }
+
   /** Per-document subword token counts under a trained vocab: raw word
     * count, greedy-subword piece count, and the pieces-per-word ratio
     * in integer ppm — the token accounting a training pipeline packs
@@ -332,6 +383,9 @@ object TextAnalysis {
     "t11_subword" -> ((s, d) =>
       subwordTokenCounts(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
+    "t12_subword_pieces" -> ((s, d) =>
+      subwordTokenize(Tables.documents(s, d), gateVocab(s, d))
+        .orderBy(col("doc_id"))),
     "t01_token_stats" -> ((s, d) =>
       tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t02_langid" -> ((s, d) =>
@@ -371,10 +425,16 @@ object TextAnalysis {
     * per word when pos walks past the end), then the per-occurrence
     * word table. Must sit under WITH RECURSIVE. Shared by t11 and p12.
     */
-  private[operators] val subwordCtes: String = {
-    val cases = (SubwordMaxPiece to SubwordMinPiece by -1).map(l =>
+  /** The greedy-match-length CASE, generated from the same constants
+    * as [[subwordPieces]]' fold (longest piece first, 1-char fallback).
+    */
+  private def subwordCaseSql: String =
+    (SubwordMaxPiece to SubwordMinPiece by -1).map(l =>
       s"    WHEN list_contains((SELECT list(s) FROM vocab WHERE length(s)=$l), " +
-        s"substr(word, pos, $l)) THEN $l").mkString("\n")
+        s"substr(word, pos, $l)) THEN $l").mkString("CASE\n", "\n", "\n    ELSE 1 END")
+
+  /** Vocab derivation CTEs (w, subs, vocab) mirroring [[subwordVocab]]. */
+  private val subwordVocabCtes: String =
     s"""w AS (SELECT word, COUNT(*) AS cnt FROM
        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  GROUP BY word),
@@ -383,20 +443,44 @@ object TextAnalysis {
        |    for i in range(1, length(word)-l+2)]
        |    for l in range($SubwordMinPiece, ${SubwordMaxPiece + 1})])) AS s
        |  FROM w) GROUP BY s),
-       |vocab AS (SELECT s FROM subs ORDER BY freq DESC, s LIMIT $SubwordVocabSize),
+       |vocab AS (SELECT s FROM subs ORDER BY freq DESC, s LIMIT $SubwordVocabSize)""".stripMargin
+
+  private[operators] val subwordCtes: String =
+    s"""$subwordVocabCtes,
        |rec AS (
        |  SELECT word, 1 AS pos, 0 AS n FROM w
        |  UNION ALL
-       |  SELECT word, pos + CASE
-       |$cases
-       |    ELSE 1 END, n + 1
+       |  SELECT word, pos + $subwordCaseSql, n + 1
        |  FROM rec WHERE pos <= length(word)),
        |tok AS (SELECT word, n AS np FROM rec WHERE pos > length(word)),
        |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |  FROM documents)""".stripMargin
-  }
+
+  /** Piece-accumulating recursion for t12: same walk as `rec`, carrying
+    * the '|'-joined pieces; the match length is computed once in a
+    * subquery so the advance and the extracted piece can't diverge.
+    */
+  private val subwordPieceCtes: String =
+    s"""$subwordVocabCtes,
+       |rec2 AS (
+       |  SELECT word, 1 AS pos, '' AS pieces FROM w
+       |  UNION ALL
+       |  SELECT word, pos + ml,
+       |    CASE WHEN pieces = '' THEN piece ELSE pieces || '|' || piece END
+       |  FROM (SELECT word, pos, pieces, ml, substr(word, pos, ml) AS piece
+       |    FROM (SELECT word, pos, pieces, $subwordCaseSql AS ml
+       |      FROM rec2 WHERE pos <= length(word)))),
+       |tok2 AS (SELECT word, pieces AS ps FROM rec2 WHERE pos > length(word)),
+       |dw AS (SELECT doc_id, t, unnest([i for i in range(1, len(t)+1)]) AS i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |docw2 AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS word FROM dw)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t12_subword_pieces" ->
+      s"""WITH RECURSIVE $subwordPieceCtes
+         |SELECT doc_id, string_agg(ps, ' ' ORDER BY pos) AS pieces_text
+         |FROM docw2 JOIN tok2 USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t11_subword" ->
       s"""WITH RECURSIVE $subwordCtes
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,

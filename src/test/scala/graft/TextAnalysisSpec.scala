@@ -77,6 +77,34 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 1L, 3L), (5L, 1L, 1L)))
   }
 
+  test("subword pieces partition every word exactly (random corpus)") {
+    import org.apache.spark.sql.functions._
+    // for ANY word and vocab, the greedy pieces must concatenate back
+    // to the word, and the piece count must agree with the count fold
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 40L).map { i =>
+      val nw = 1 + rnd.nextInt(6)
+      (i, Seq.fill(nw)(rnd.alphanumeric.take(1 + rnd.nextInt(10))
+        .mkString.toLowerCase).mkString(" "))
+    }.toDF("doc_id", "text")
+    val vocab = TextAnalysis.subwordVocab(docs, vocabSize = 16)
+    val tokenized = TextAnalysis.subwordTokenize(docs, vocab)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val original = docs.orderBy("doc_id")
+      .as[(Long, String)].collect().toMap
+    tokenized.foreach { case (id, pt) =>
+      assert(pt.replace("|", "") == original(id),
+        s"doc $id pieces don't partition the text")
+    }
+    val counted = TextAnalysis.subwordTokenCounts(docs, vocab)
+      .orderBy("doc_id").select("doc_id", "n_pieces")
+      .as[(Long, Long)].collect().toMap
+    tokenized.foreach { case (id, pt) =>
+      val np = pt.split(" ").map(_.count(_ == '|') + 1).sum
+      assert(np.toLong == counted(id), s"doc $id piece count mismatch")
+    }
+  }
+
   test("subword vocab ranks substrings by weighted frequency, ties lexicographic") {
     // "ab" appears in both words of doc 1 (weight 2) and doc 2's word
     // (weight 1); every substring of "ab ab" is "ab" itself
