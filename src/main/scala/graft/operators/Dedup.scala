@@ -650,6 +650,29 @@ object Dedup {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Semantic (SemDeDup-style) near-dup clusters: connected components
+    * over the embedding-LSH near-dup graph — the embedding-space analog
+    * of [[minhashClusters]], composing the d09 scale path with CC so
+    * semantically-duplicated documents collapse to one keeper
+    * (keep rows where vec_id = cluster). Returns (vec_id, cluster,
+    * cluster_size) with the component-min keeper label.
+    *
+    * Scale shape: pair generation is d09's (Σ bucket² per table, exact
+    * cosine verify, array-free dedup shuffle); CC is d06's
+    * checkpoint-truncated propagation (semantic-dup components are
+    * shallow); the composition adds no new shuffle structure.
+    */
+  def semanticClusters(embs: DataFrame, tau: Double, nPlanes: Int = 4,
+      nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val edges = embeddingPairsLsh(embs, tau, nPlanes, nTables, dim)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val cc = connectedComponents(embs.select(col("vec_id").as("doc_id")), edges)
+    cc.withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))))
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("cluster_size"))
+  }
+
   /** Cross-document SEGMENT dedup (the line/paragraph-dedup pass of
     * C4/RefinedWeb-style cleaning, over n-token segments since the
     * synthetic corpus has no line structure): cut each document into
@@ -838,7 +861,10 @@ object Dedup {
         .orderBy(col("doc_id"))),
     "d14_cdc_segment_dedup" -> ((s, d) =>
       cdcSegmentDedup(Tables.documents(s, d), CdcGateMod, SegGateMaxDf)
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+    "d15_semantic_clusters" -> ((s, d) =>
+      semanticClusters(Tables.embeddings(s, d), 0.4)
+        .orderBy(col("vec_id"))))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
   private[operators] val shingleCte =
@@ -944,6 +970,29 @@ object Dedup {
       |  SELECT sym.nbr AS id, reach.label
       |  FROM reach JOIN sym ON sym.id = reach.id),
       |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+  /** L2-normalize + multi-table hyperplane LSH + exact-verify pair CTE
+    * chain (yields `lshp(vec_a, vec_b, cos)`), mirroring
+    * [[embeddingPairsLsh]]; shared by the d09 and d15 oracles. One
+    * SELECT per table, bucket from that table's plane stretch.
+    */
+  private def embLshPairCtes: String = {
+    val tables = (0 until 8).map(t =>
+      s"""SELECT vec_id, v, $t AS tbl,
+         |  ${Similarity.bucketSql("v", nPlanes = 4, dim = 64, planeOffset = t * 4)} AS bucket
+         |FROM n""".stripMargin).mkString("\nUNION ALL\n")
+    s"""e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, v0, sqrt(list_dot_product(v0, v0)) AS nrm FROM e0),
+       |n AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM en),
+       |bk AS ($tables),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    a.v AS va, b.v AS vb
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |lshp AS (SELECT vec_a, vec_b,
+       |  round(list_dot_product(va, vb), 6) AS cos FROM cand)""".stripMargin
+  }
 
   /** Shared by d08 and d11 — the bloom pre-filter is exactness-
     * preserving, so both plans must hash-match the same SQL.
@@ -1054,26 +1103,26 @@ object Dedup {
     "d08_incremental_dedup" -> incrementalDedupOracle,
     // the bloom pre-filter is output-invariant: same oracle as d08
     "d11_incremental_dedup_bloom" -> incrementalDedupOracle,
-    "d09_embedding_near_dup_lsh" -> {
-      // one SELECT per table, bucket from that table's plane stretch
-      val tables = (0 until 8).map(t =>
-        s"""SELECT vec_id, v, $t AS tbl,
-           |  ${Similarity.bucketSql("v", nPlanes = 4, dim = 64, planeOffset = t * 4)} AS bucket
-           |FROM n""".stripMargin).mkString("\nUNION ALL\n")
-      s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
-         |  FROM embeddings),
-         |en AS (SELECT vec_id, v0, sqrt(list_dot_product(v0, v0)) AS nrm FROM e0),
-         |n AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM en),
-         |bk AS ($tables),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    a.v AS va, b.v AS vb
-         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
-         |    AND a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, round(list_dot_product(va, vb), 6) AS cos
-         |FROM cand
-         |WHERE round(list_dot_product(va, vb), 6) >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
-    },
+    "d09_embedding_near_dup_lsh" ->
+      s"""WITH $embLshPairCtes
+         |SELECT vec_a, vec_b, cos FROM lshp WHERE cos >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // semantic dedup = CC over the embedding-LSH near-dup graph; the
+    // reach fixpoint mirrors d06's recursive oracle over vec ids
+    "d15_semantic_clusters" ->
+      s"""WITH RECURSIVE $embLshPairCtes,
+         |e2 AS (SELECT vec_a, vec_b FROM lshp WHERE cos >= 0.4),
+         |sym AS (SELECT vec_a AS id, vec_b AS nbr FROM e2
+         |        UNION ALL SELECT vec_b, vec_a FROM e2),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+         |  UNION
+         |  SELECT sym.nbr AS id, reach.label
+         |  FROM reach JOIN sym ON sym.id = reach.id),
+         |cc AS (SELECT id AS vec_id, min(label) AS cluster FROM reach GROUP BY id)
+         |SELECT vec_id, cluster,
+         |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+         |FROM cc ORDER BY vec_id""".stripMargin,
     "d10_star_cc" ->
       """WITH RECURSIVE ch AS (SELECT doc_id, doc_id % 7 AS r FROM documents),
         |le AS (SELECT doc_id AS doc_a,
