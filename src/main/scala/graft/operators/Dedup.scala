@@ -650,6 +650,31 @@ object Dedup {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Intra-document repetition REMOVAL: within each document, repeated
+    * content-defined segments keep only their first occurrence — the
+    * pass that strips looped boilerplate/navigation a single page
+    * repeats (t06 detects this smell; this operator removes it). No
+    * cross-document state at all.
+    *
+    * Scale shape: the only shuffles are doc-keyed (segmentation window,
+    * first-occurrence window, reassembly groupBy) — at 100 TB this is
+    * embarrassingly parallel per document, pinned never-SinglePartition
+    * in PlanShapeSpec.
+    */
+  def intraDocDedup(docs: DataFrame,
+      boundaryMod: Int = CdcGateMod): DataFrame = {
+    val byFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("seg")).orderBy(col("seg_idx"))
+    cdcSegments(docs, boundaryMod)
+      .withColumn("kept", row_number().over(byFirst) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_idx, seg) END)), x -> x.seg)"),
+          " ").as("clean_text"))
+  }
+
   /** Semantic (SemDeDup-style) near-dup clusters: connected components
     * over the embedding-LSH near-dup graph — the embedding-space analog
     * of [[minhashClusters]], composing the d09 scale path with CC so
@@ -742,8 +767,11 @@ object Dedup {
     * counting and the df join key on the segment text exactly as d13;
     * reassembly is the same doc-bounded collect_list.
     */
-  def cdcSegmentDedup(docs: DataFrame, boundaryMod: Int = CdcGateMod,
-      maxDf: Int = SegGateMaxDf): DataFrame = {
+  /** (doc_id, seg_idx, seg) under content-defined boundaries — the
+    * shared segmentation of [[cdcSegmentDedup]] (cross-doc df filter)
+    * and [[intraDocDedup]] (within-doc first-occurrence filter).
+    */
+  private def cdcSegments(docs: DataFrame, boundaryMod: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val bd = (hexVal(substring(md5(col("tok")), 1, 1)) % boundaryMod === 0)
@@ -751,12 +779,17 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val segs = toks
+    toks
       .withColumn("seg_idx", coalesce(sum(bd).over(w), lit(0L)).cast("int"))
       .groupBy(col("doc_id"), col("seg_idx"))
       .agg(array_join(expr(
         "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
         " ").as("seg"))
+  }
+
+  def cdcSegmentDedup(docs: DataFrame, boundaryMod: Int = CdcGateMod,
+      maxDf: Int = SegGateMaxDf): DataFrame = {
+    val segs = cdcSegments(docs, boundaryMod)
     val segDf = segs.groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("df"))
     segs.join(segDf, "seg")
@@ -864,7 +897,9 @@ object Dedup {
         .orderBy(col("doc_id"))),
     "d15_semantic_clusters" -> ((s, d) =>
       semanticClusters(Tables.embeddings(s, d), 0.4)
-        .orderBy(col("vec_id"))))
+        .orderBy(col("vec_id"))),
+    "d16_intradoc_dedup" -> ((s, d) =>
+      intraDocDedup(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
   private[operators] val shingleCte =
@@ -971,6 +1006,26 @@ object Dedup {
       |  FROM reach JOIN sym ON sym.id = reach.id),
       |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id)""".stripMargin
 
+  /** Content-defined segmentation CTEs (yields `segs(doc_id, seg_idx,
+    * seg)`), mirroring [[cdcSegments]]; shared by the d14/d16 oracles.
+    */
+  private def cdcSegCtes: String = {
+    val hv = hexValSql("substr(md5(tok), 1, 1)")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |x AS (SELECT doc_id, t,
+       |  unnest([i for i in range(1, len(t) + 1)]) AS i FROM t),
+       |e AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS tok FROM x),
+       |b AS (SELECT doc_id, pos, tok,
+       |  CASE WHEN $hv % $CdcGateMod = 0 THEN 1 ELSE 0 END AS bd FROM e),
+       |s AS (SELECT doc_id, pos, tok,
+       |  CAST(COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS seg_idx
+       | FROM b),
+       |segs AS (SELECT doc_id, seg_idx,
+       |  string_agg(tok, ' ' ORDER BY pos) AS seg
+       | FROM s GROUP BY doc_id, seg_idx)""".stripMargin
+  }
+
   /** L2-normalize + multi-table hyperplane LSH + exact-verify pair CTE
     * chain (yields `lshp(vec_a, vec_b, cos)`), mirroring
     * [[embeddingPairsLsh]]; shared by the d09 and d15 oracles. One
@@ -1023,21 +1078,8 @@ object Dedup {
          |   AS clean_text
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
-    "d14_cdc_segment_dedup" -> {
-      val hv = hexValSql("substr(md5(tok), 1, 1)")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |x AS (SELECT doc_id, t,
-         |  unnest([i for i in range(1, len(t) + 1)]) AS i FROM t),
-         |e AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS tok FROM x),
-         |b AS (SELECT doc_id, pos, tok,
-         |  CASE WHEN $hv % $CdcGateMod = 0 THEN 1 ELSE 0 END AS bd FROM e),
-         |s AS (SELECT doc_id, pos, tok,
-         |  CAST(COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS seg_idx
-         | FROM b),
-         |segs AS (SELECT doc_id, seg_idx,
-         |  string_agg(tok, ' ' ORDER BY pos) AS seg
-         | FROM s GROUP BY doc_id, seg_idx),
+    "d14_cdc_segment_dedup" ->
+      s"""WITH $cdcSegCtes,
          |f AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
          |j AS (SELECT sg.doc_id, sg.seg_idx, sg.seg, f.df <= $SegGateMaxDf AS kept
          |  FROM segs sg JOIN f USING (seg))
@@ -1045,8 +1087,17 @@ object Dedup {
          | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          | COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')
          |   AS clean_text
-         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d16_intradoc_dedup" ->
+      s"""WITH $cdcSegCtes,
+         |j AS (SELECT doc_id, seg_idx, seg,
+         |  row_number() OVER (PARTITION BY doc_id, seg ORDER BY seg_idx) = 1 AS kept
+         |  FROM segs)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')
+         |   AS clean_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
         | min(doc_id) AS keeper, COUNT(*) AS group_size,

@@ -329,6 +329,25 @@ object Pipelines {
         expr("total_tokens * 1000000 div corpus_tokens").as("share_ppm"))
   }
 
+  /** Decontaminated corpus: drop documents whose shingle overlap with
+    * the benchmark/eval set reaches `minPpm` ([[Dedup.contaminationOverlap]]
+    * as an actual filter, not just a report) — and the benchmark
+    * members themselves. What remains is safe to train on.
+    *
+    * Scale shape: d07's broadcast bench-side index (the corpus never
+    * shuffles for overlap counting) plus one anti-join on the flagged
+    * id set — contamination hits are rare by construction, so the anti
+    * side broadcasts.
+    */
+  def decontaminatedCorpus(docs: DataFrame, benchMod: Long = 50L,
+      minPpm: Long = 100000L): DataFrame = {
+    val hits = Dedup.contaminationOverlap(docs, benchMod, minPpm)
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") % benchMod =!= 0)
+      .join(hits, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Streaming face of the cleaning pipeline: a map-side quality gate
     * (same thresholds as [[TextAnalysis.qualityScore]]'s keep flag)
     * followed by content-hash dedup within the watermark horizon. The
@@ -380,6 +399,8 @@ object Pipelines {
         .orderBy(col("doc_id"), col("pack_id"))),
     // packing on REAL tokenizer counts: subword pieces (t11's trained
     // vocab, memoized) drive the same partitioned layout as p09
+    "p13_decontaminated" -> ((s, d) =>
+      decontaminatedCorpus(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "p12_subword_pack" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       sequencePackCounts(
@@ -520,6 +541,19 @@ object Pipelines {
          |   - greatest(start_tok, p_local * 512) AS seg_len
          |FROM s ORDER BY doc_id, pack_id""".stripMargin
     },
+    "p13_decontaminated" ->
+      s"""${Dedup.shingleCte},
+         |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |bex AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 50 = 0),
+         |cex AS (SELECT doc_id, s FROM ex WHERE doc_id % 50 <> 0),
+         |ov AS (SELECT doc_id, bench_id, COUNT(*) AS common
+         |  FROM cex JOIN bex USING (s) GROUP BY doc_id, bench_id),
+         |hits AS (SELECT DISTINCT doc_id FROM ov JOIN cnt USING (doc_id)
+         |  WHERE common * 1000000 // n_sh >= 100000)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+         |ORDER BY doc_id""".stripMargin,
     "p12_subword_pack" -> {
       val hx1 = Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")
       s"""WITH RECURSIVE ${TextAnalysis.subwordCtes},

@@ -250,6 +250,24 @@ class DedupSpec extends SparkSpec {
       s"CDC segmentation should drop shared interior segments: $d14")
   }
 
+  test("intra-doc dedup keeps first occurrences only, cross-doc state untouched") {
+    val run = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run $run"),                       // the same region twice
+      (2L, (1 to 20).map(i => s"y$i").mkString(" ")))  // no repetition
+      .toDF("doc_id", "text")
+    val rows = Dedup.intraDocDedup(docs).orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept").as[(Long, Long, Long)]
+      .collect().toSeq
+    val (d1, d2) = (rows(0), rows(1))
+    assert(d1._3 < d1._2, s"repeated region should lose segments: $d1")
+    assert(d2._3 == d2._2, s"unique doc must keep everything: $d2")
+    // doc 2 shares nothing with doc 1, so its text survives verbatim
+    val clean2 = Dedup.intraDocDedup(docs).filter($"doc_id" === 2L)
+      .select("clean_text").as[String].head()
+    assert(clean2 == (1 to 20).map(i => s"y$i").mkString(" "))
+  }
+
   test("releaseIntermediates drains the pair builders' cached storage") {
     // other suites (and this one) may hold their own caches in the
     // shared session — assert only on the DELTA the builders create

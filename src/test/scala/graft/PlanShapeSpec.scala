@@ -63,6 +63,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-task window:\n$plan")
   }
 
+  test("intra-doc dedup shuffles only on doc-keyed partitions") {
+    val plan = planOf(Dedup.intraDocDedup(docs))
+    assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
+  }
+
   test("subword counting folds per distinct word with no driver-side funnel") {
     val plan = planOf(TextAnalysis.subwordTokenCounts(docs,
       Seq("alph", "al", "ph", "be")))
