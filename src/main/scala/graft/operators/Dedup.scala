@@ -895,8 +895,12 @@ object Dedup {
     "d14_cdc_segment_dedup" -> ((s, d) =>
       cdcSegmentDedup(Tables.documents(s, d), CdcGateMod, SegGateMaxDf)
         .orderBy(col("doc_id"))),
+    // same artifact treatment as d06: the semantic cluster table is
+    // trained once per corpus and memoized (deterministic, so
+    // bit-identical to a recompute)
     "d15_semantic_clusters" -> ((s, d) =>
-      semanticClusters(Tables.embeddings(s, d), 0.4)
+      gateClusterMemo.getOrElseUpdate(s"$d|sem|0.4",
+        semanticClusters(Tables.embeddings(s, d), 0.4).localCheckpoint(true))
         .orderBy(col("vec_id"))),
     "d16_intradoc_dedup" -> ((s, d) =>
       intraDocDedup(Tables.documents(s, d)).orderBy(col("doc_id"))))
