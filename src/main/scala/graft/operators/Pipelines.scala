@@ -329,6 +329,57 @@ object Pipelines {
         expr("total_tokens * 1000000 div corpus_tokens").as("share_ppm"))
   }
 
+  /** p14 gate budget — shared with the interpolated oracle; small
+    * enough to bind at every SF (sf0.01's corpus is ~60k ws tokens).
+    */
+  val BudgetGateTokens: Long = 20000L
+
+  /** Budget-constrained selection: keep the best documents (by an
+    * integer quality score, ties in content-independent md5 order)
+    * until a token budget fills — "train on the best N tokens", the
+    * final assembly step after cleaning/mixing. A document is kept iff
+    * the tokens of all strictly-better-or-earlier documents leave room
+    * for its first token (start < budget), so exactly one doc may
+    * straddle the boundary.
+    *
+    * Scale shape — this is the scalable form of a GLOBAL ordered
+    * cumsum (the p05-class plan a naive implementation would use):
+    *  1. per-score token totals → a histogram collect bounded by the
+    *     number of DISTINCT scores (driver-side, broadcast-build);
+    *  2. the driver turns it into per-score prefix offsets;
+    *  3. each doc's global start = its score's prefix + a per-score
+    *     cumsum window — N parallel partitions, never a single task.
+    * The per-score cumsum + driver prefix is arithmetically identical
+    * to the global-order cumsum, which is what the oracle replays.
+    */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val nPunct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val base = docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      (nTok >= 10 && nTok <= 100000 && nPunct.cast("double") / nTok < 0.2)
+        .cast("int").as("score"),
+      md5(col("doc_id").cast("string")).as("ord"))
+    val hist = base.groupBy(col("score")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val prefixes = hist.sortBy(-_._1)
+      .scanLeft((Int.MaxValue, 0L)) { case ((_, acc), (s, t)) => (s, acc + t) }
+      .sliding(2).collect { case Seq((_, acc), (s, _)) => (s, acc) }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefixDf = prefixes.toDF("score", "prefix")
+    val w = Window.partitionBy(col("score"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("within", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(prefixDf), "score")
+      .withColumn("start_tok", col("prefix") + col("within"))
+      .filter(col("start_tok") < budgetTokens)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("start_tok"))
+  }
+
   /** Decontaminated corpus: drop documents whose shingle overlap with
     * the benchmark/eval set reaches `minPpm` ([[Dedup.contaminationOverlap]]
     * as an actual filter, not just a report) — and the benchmark
@@ -401,6 +452,9 @@ object Pipelines {
     // vocab, memoized) drive the same partitioned layout as p09
     "p13_decontaminated" -> ((s, d) =>
       decontaminatedCorpus(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "p14_budget_select" -> ((s, d) =>
+      budgetSelect(Tables.documents(s, d), BudgetGateTokens)
+        .orderBy(col("doc_id"))),
     "p12_subword_pack" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       sequencePackCounts(
@@ -541,6 +595,25 @@ object Pipelines {
          |   - greatest(start_tok, p_local * 512) AS seg_len
          |FROM s ORDER BY doc_id, pack_id""".stripMargin
     },
+    // the oracle replays the mathematically-identical GLOBAL cumsum
+    // (score desc, md5, id) — the per-score windows + driver prefix on
+    // the Spark side must reproduce it exactly
+    "p14_budget_select" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |  md5(CAST(doc_id AS VARCHAR)) AS ord
+         | FROM documents),
+         |b AS (SELECT doc_id, n_tokens, ord,
+         |  CAST(n_tokens >= 10 AND n_tokens <= 100000
+         |       AND CAST(n_punct AS DOUBLE) / n_tokens < 0.2 AS INT) AS score
+         | FROM q),
+         |o AS (SELECT doc_id, score, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC, ord, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         | FROM b)
+         |SELECT doc_id, score, n_tokens, start_tok FROM o
+         |WHERE start_tok < $BudgetGateTokens ORDER BY doc_id""".stripMargin,
     "p13_decontaminated" ->
       s"""${Dedup.shingleCte},
          |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM sh),

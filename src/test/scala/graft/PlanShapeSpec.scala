@@ -63,6 +63,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-task window:\n$plan")
   }
 
+  test("budget selection avoids the global-order window") {
+    // the driver-histogram threshold pattern: per-score parallel
+    // cumsum windows + broadcast prefix join, never one global task
+    val plan = planOf(Pipelines.budgetSelect(docs, budgetTokens = 100L))
+    assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global-order cumsum:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"prefix join not broadcast:\n$plan")
+  }
+
   test("intra-doc dedup shuffles only on doc-keyed partitions") {
     val plan = planOf(Dedup.intraDocDedup(docs))
     assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")
