@@ -113,4 +113,38 @@ class PipelinesSpec extends SparkSpec {
         .forall { case (_, e) => e <= total })
     }
   }
+
+  test("budget selection's two-pass plan equals the global-order cumsum (random corpora)") {
+    // the p14 claim: histogram-threshold + per-score parallel cumsum is
+    // arithmetically identical to one global-order window — check on
+    // random corpora against a driver-side replay of the global form
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 60L).map { i =>
+        val n = 1 + rnd.nextInt(40)
+        (i, Seq.fill(n)(if (rnd.nextBoolean()) "word" else "x,").mkString(" "))
+      }.toDF("doc_id", "text")
+      val budget = 200L + rnd.nextInt(400)
+      val got = Pipelines.budgetSelect(docs, budget)
+        .orderBy("doc_id")
+        .select("doc_id", "start_tok").as[(Long, Long)].collect().toSeq
+      // driver-side global replay with the same score/order definitions
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val rows = docs.as[(Long, String)].collect().map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        val n = toks.length.toLong
+        val punct = t.count(",;:!?.".contains(_))
+        val keep = if (n >= 10 && n <= 100000 && punct.toDouble / n < 0.2) 1 else 0
+        (id, n, keep, md5hex(id.toString))
+      }
+      var acc = 0L
+      val expect = rows.sortBy { case (id, _, sc, ord) => (-sc, ord, id) }
+        .flatMap { case (id, n, _, _) =>
+          val start = acc; acc += n
+          if (start < budget) Some(id -> start) else None
+        }.sortBy(_._1).toSeq
+      assert(got == expect, s"trial $trial diverged (budget $budget)")
+    }
+  }
 }
