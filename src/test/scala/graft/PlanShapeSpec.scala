@@ -89,6 +89,26 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("ScalaUDF"), s"UDF in the hot path:\n$plan")
   }
 
+  test("parquet scans prune columns and push filters for the pipeline gates") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = graft.Tables.documents(spark, dir)
+    // t01's shape: only (doc_id, text) may reach the scan — a plan that
+    // reads lang/source/n_chars for a 2-column projection is wrong
+    val scanPlan = planOf(TextAnalysis.tokenStats(docs))
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(scanPlan).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      s"scan schema missing projected columns: $scanPlan")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"unpruned scan: $readSchema")
+    // a gate-style filter must reach the scan as a pushed filter
+    val filtered = planOf(docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id")))
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(filtered).isDefined ||
+      filtered.contains("isnotnull(doc_id"),
+      s"no pushdown evidence in:\n$filtered")
+  }
+
   test("bucketed tables co-locate the join: no shuffle before SortMergeJoin") {
     // the 100 TB fact-to-fact pattern: both sides written bucketBy the
     // join key means the join reads pre-partitioned buckets and never
