@@ -158,20 +158,37 @@ object Pipelines {
     * with no padding waste; all arithmetic is integer cumsum, so any
     * engine reproduces the exact layout.
     *
-    * Scale shape: one global sort-by-hash + running-sum window.
-    * Honest 100 TB note: a single total-order window serializes the
-    * cumsum through one task chain; at scale you pack per partition
-    * and namespace pack ids by partition (partition_id << 40 | local
-    * pack) — same arithmetic, no global order. The global form is
-    * kept here because it is the one an oracle can replay exactly.
+    * Scale shape — the GLOBAL layout without a global window: the md5
+    * sort key's first hex digit is its most significant character, so
+    * ordering by md5 ≡ ordering by (first digit, rest). The global
+    * cumsum therefore decomposes into 16 per-digit parallel windows
+    * plus a driver-side prefix of 16 per-digit token totals (the
+    * broadcast-build pattern, like [[budgetSelect]]'s histogram) —
+    * bit-identical to the single total-order window the oracle
+    * replays, with no single-task chain. [[sequencePackPartitioned]]
+    * remains the variant whose pack ids are NAMESPACED per stream
+    * (independent layouts); this one produces the one global layout.
     */
   def sequencePack(docs: DataFrame, maxTokens: Long = 512L): DataFrame = {
     val n = size(tokens(col("text"))).cast("long")
-    val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val base = docs.select(col("doc_id"), n.as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("ord"))
+      .withColumn("part", hexVal(substring(col("ord"), 1, 1)))
+    val totals = base.groupBy(col("part")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefixes = (0 until 16).map { p =>
+      p -> (0 until p).map(q => totals.getOrElse(q, 0L)).sum
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefixDf = prefixes.toDF("part", "prefix")
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), n.as("n_tokens"))
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    base
+      .withColumn("within", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(prefixDf), "part")
+      .withColumn("start_tok", col("prefix") + col("within"))
       .select(col("doc_id"), col("n_tokens"), col("start_tok"),
         expr(s"start_tok div $maxTokens").as("pack_first"),
         expr(s"(start_tok + n_tokens - 1) div $maxTokens").as("pack_last"),
