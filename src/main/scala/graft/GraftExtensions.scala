@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ArrayDot, ArrayNorm, Minhash16Agg, ShinglesOf, Simhash64Agg}
+
+/** Spark-idiomatic library entry point: enable the graft codegen
+  * kernels on any session with
+  * `spark.sql.extensions=graft.GraftExtensions` — no imperative
+  * `VectorExprs.register` call needed, and the functions are injected
+  * at session build, so they exist before the first query (including
+  * in spark-sql / JDBC contexts that never touch Scala code).
+  * Registers the same five kernels as
+  * [[graft.functions.VectorExprs.register]]: array_dot / array_norm
+  * (codegen'd vector folds), shingles_of (single-pass distinct
+  * n-gram builder), simhash64_agg / minhash16_agg (map-side-combining
+  * imperative signature aggregates).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String) =
+    new ExpressionInfo("graft.functions", name)
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "array_dot" -> (es => ArrayDot(es.head, es(1))),
+    "array_norm" -> (es => ArrayNorm(es.head)),
+    "shingles_of" -> (es => ShinglesOf(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "simhash64_agg" -> (es => Simhash64Agg(es.head)),
+    "minhash16_agg" -> (es => Minhash16Agg(es.head)))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+}

@@ -114,4 +114,28 @@ class VectorExprsSpec extends SparkSpec {
     val r = df.select(expr("array_dot(a, b)"), expr("array_norm(b)")).collect()
     assert(r.head.isNullAt(0) && r.head.isNullAt(1))
   }
+
+  test("GraftExtensions injects every kernel through the extensions path") {
+    // the spark.sql.extensions entry point a library user configures:
+    // apply to a fresh extensions object, register into the session's
+    // registry (registerFunctions is the hook session build invokes),
+    // and exercise each kernel through SQL
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // private[sql] in Scala, public in bytecode — reflect to invoke
+    classOf[org.apache.spark.sql.SparkSessionExtensions]
+      .getMethod("registerFunctions",
+        classOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
+      .invoke(ext, spark.sessionState.functionRegistry)
+    val r = spark.sql(
+      """SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       array_norm(array(3.0d, 4.0d)) AS n,
+        |       size(shingles_of(array('a','b','c','d'), 3)) AS s""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 && r.getInt(2) == 2)
+    val agg = spark.sql(
+      "SELECT minhash16_agg(md5(x)), simhash64_agg(md5(x)) " +
+        "FROM VALUES ('a'), ('b') AS t(x)").collect().head
+    assert(agg.getSeq[Long](0).size == 16 && agg.getSeq[Int](1).size == 4)
+  }
 }
