@@ -329,6 +329,42 @@ object TextAnalysis {
         " ").as("pieces_text"))
   }
 
+  /** Context-window chunking over the SUBWORD piece stream — t07's
+    * windowing applied to real tokenizer tokens instead of whitespace
+    * words: each document's pieces (word order preserved, words
+    * flattened) are cut into `chunkTokens`-piece windows with
+    * `overlap` lookback, the row shape a model actually trains on.
+    *
+    * Scale shape: the piece stream assembles with [[subwordTokenize]]'s
+    * distinct-word fold + word-keyed join + doc-bounded reassembly;
+    * the windowing itself is t07's map-side generate (explode of a
+    * per-row start list) — no additional shuffle.
+    */
+  def chunkByPieces(docs: DataFrame, vocab: Seq[String],
+      chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    val pieces = docs.select(explode(tokens(col("text"))).as("word"))
+      .distinct()
+      .select(col("word"), subwordPieceStr(col("word"), vocab).as("ps"))
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .join(pieces, "word")
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "flatten(transform(array_sort(collect_list(struct(pos, ps))), x -> split(x.ps, '[|]')))")
+        .as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), col("t"),
+        explode(expr(
+          s"filter(sequence(1, n, $stride), s -> s = 1 OR s + $overlap <= n)"))
+          .as("s"))
+      .select(col("doc_id"),
+        expr(s"cast((s - 1) div $stride as int)").as("chunk_idx"),
+        expr(s"size(slice(t, s, $chunkTokens))").as("chunk_pieces"),
+        expr(s"array_join(slice(t, s, $chunkTokens), ' ')").as("chunk_text"))
+  }
+
   /** Per-document subword token counts under a trained vocab: raw word
     * count, greedy-subword piece count, and the pieces-per-word ratio
     * in integer ppm — the token accounting a training pipeline packs
@@ -386,6 +422,9 @@ object TextAnalysis {
     "t12_subword_pieces" -> ((s, d) =>
       subwordTokenize(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
+    "t13_piece_chunks" -> ((s, d) =>
+      chunkByPieces(Tables.documents(s, d), gateVocab(s, d))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     "t01_token_stats" -> ((s, d) =>
       tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t02_langid" -> ((s, d) =>
@@ -481,6 +520,19 @@ object TextAnalysis {
          |SELECT doc_id, string_agg(ps, ' ' ORDER BY pos) AS pieces_text
          |FROM docw2 JOIN tok2 USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t13_piece_chunks" ->
+      s"""WITH RECURSIVE $subwordPieceCtes,
+         |pt AS (SELECT doc_id, string_agg(ps, ' ' ORDER BY pos) AS pieces_text
+         |  FROM docw2 JOIN tok2 USING (word) GROUP BY doc_id),
+         |pl AS (SELECT doc_id,
+         |  string_split(replace(pieces_text, '|', ' '), ' ') AS t FROM pt),
+         |x AS (SELECT doc_id, t, len(t) AS n FROM pl),
+         |e AS (SELECT doc_id, t, n,
+         |  unnest([s for s in range(1, n+1, 24) if s = 1 OR s + 8 <= n]) AS s FROM x)
+         |SELECT doc_id, CAST((s - 1) // 24 AS INT) AS chunk_idx,
+         | CAST(len(t[s : s + 31]) AS INT) AS chunk_pieces,
+         | array_to_string(t[s : s + 31], ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "t11_subword" ->
       s"""WITH RECURSIVE $subwordCtes
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
