@@ -281,7 +281,12 @@ object TextAnalysis {
   /** Greedy piece LIST of one word — [[subwordPieces]]'s fold carrying
     * the pieces themselves (p, parts[]) instead of a count, joined
     * '|'-delimited. The pieces concatenate back to the word exactly
-    * (partition property, pinned in PropertySpec).
+    * (partition property, pinned in TextAnalysisSpec). Caveat: a word
+    * that itself contains '|' makes the joined form ambiguous — both
+    * engines produce the same string (the gates stay consistent), but
+    * piece boundaries can't be recovered from it; downstream consumers
+    * needing lossless round-trips on such corpora should carry the
+    * array form instead.
     */
   private[operators] def subwordPieceStr(w: Column,
       vocab: Seq[String]): Column = {
