@@ -20,7 +20,10 @@ import graft.functions.TextFns._
 object Dedup {
 
   /** Ledger of intermediate frames cached by the pair builders
-    * ([[ngramJaccardPairs]]/[[minhashLshPairs]]/[[embeddingPairs]]).
+    * ([[ngramJaccardPairs]]/[[minhashLshPairs]]/[[embeddingPairs]]) and
+    * the two-pass layout builders ([[Pipelines.sequencePack]]/
+    * [[Pipelines.budgetSelect]], whose tokenize+md5 base feeds both a
+    * driver-side histogram collect and the main query).
     * The builders return LAZY frames that re-read the cached
     * intermediate, so they cannot unpersist it themselves; a long-lived
     * engine calls [[releaseIntermediates]] once the results are
@@ -32,7 +35,7 @@ object Dedup {
     java.util.concurrent.ConcurrentHashMap
       .newKeySet[org.apache.spark.sql.Dataset[_]]()
 
-  private def scopedCache(df: DataFrame): DataFrame = {
+  private[operators] def scopedCache(df: DataFrame): DataFrame = {
     val c = df.cache()
     cachedIntermediates.add(c)
     c

@@ -171,9 +171,12 @@ object Pipelines {
     */
   def sequencePack(docs: DataFrame, maxTokens: Long = 512L): DataFrame = {
     val n = size(tokens(col("text"))).cast("long")
-    val base = docs.select(col("doc_id"), n.as("n_tokens"),
+    // scope-cached: the tokenize+md5 base feeds both the 16-row totals
+    // collect and the main layout query — one corpus scan, not two
+    // (Dedup.releaseIntermediates drains it once results land)
+    val base = Dedup.scopedCache(docs.select(col("doc_id"), n.as("n_tokens"),
       md5(col("doc_id").cast("string")).as("ord"))
-      .withColumn("part", hexVal(substring(col("ord"), 1, 1)))
+      .withColumn("part", hexVal(substring(col("ord"), 1, 1))))
     val totals = base.groupBy(col("part")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val prefixes = (0 until 16).map { p =>
@@ -195,22 +198,25 @@ object Pipelines {
         expr(s"start_tok % $maxTokens").as("pack_offset"))
   }
 
-  /** Scale-safe sequence packing: documents are hash-bucketed into 16
-    * independent streams (first hex digit of md5(doc_id)), each stream
-    * packs with the same integer-cumsum arithmetic as
-    * [[sequencePack]], and pack ids are namespaced by the stream
-    * (part·2⁴⁰ + local pack — room for 2⁴⁰ packs per stream). The
-    * cumsum window is keyed on the stream, so the plan is N parallel
-    * window partitions instead of [[sequencePack]]'s single-task
-    * global chain; the stream is a pure function of the id, so any
-    * engine at any cluster size reproduces the same layout. For wider
-    * clusters, bucket on more hex digits — the namespace arithmetic
-    * is unchanged.
+  /** Scale-safe sequence packing: documents are hash-bucketed into
+    * 16^digits independent streams (first `digits` hex digits of
+    * md5(doc_id)), each stream packs with the same integer-cumsum
+    * arithmetic as [[sequencePack]], and pack ids are namespaced by
+    * the stream (part·2⁴⁰ + local pack — room for 2⁴⁰ packs per
+    * stream). The cumsum window is keyed on the stream, so the plan is
+    * 16^digits parallel window partitions instead of
+    * [[sequencePack]]'s single-task global chain; the stream is a pure
+    * function of the id, so any engine at any cluster size reproduces
+    * the same layout. `digits` is the parallelism knob for wider
+    * clusters: 1 → 16 streams, 2 → 256, up to 5 (16⁵·2⁴⁰ = 2⁶⁰ keeps
+    * pack ids inside a signed long) — the namespace arithmetic is
+    * unchanged at every setting.
     */
   def sequencePackPartitioned(docs: DataFrame,
-      maxTokens: Long = 512L): DataFrame =
+      maxTokens: Long = 512L, digits: Int = 1): DataFrame =
     sequencePackCounts(docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens")), maxTokens)
+      size(tokens(col("text"))).cast("long").as("n_tokens")), maxTokens,
+      digits)
 
   /** The packing core over a PRECOMPUTED (doc_id, n_tokens) table — how
     * a pipeline packs by REAL tokenizer counts instead of whitespace
@@ -220,8 +226,17 @@ object Pipelines {
     * shape are identical to [[sequencePackPartitioned]].
     */
   def sequencePackCounts(counts: DataFrame,
-      maxTokens: Long = 512L): DataFrame = {
-    val part = hexVal(substring(md5(col("doc_id").cast("string")), 1, 1))
+      maxTokens: Long = 512L, digits: Int = 1): DataFrame = {
+    require(digits >= 1 && digits <= 5,
+      s"digits must be in [1, 5] (16^digits·2^40 must fit a long): $digits")
+    // the stream id is the integer value of the first `digits` hex
+    // digits — the md5 sort key's most significant characters, so
+    // ordering by md5 within a stream ≡ the global md5 order restricted
+    // to that stream (the decomposition the scaladoc relies on)
+    val part =
+      if (digits == 1) hexVal(substring(md5(col("doc_id").cast("string")), 1, 1))
+      else conv(substring(md5(col("doc_id").cast("string")), 1, digits),
+        16, 10).cast("int")
     val w = Window.partitionBy(col("part"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -248,9 +263,10 @@ object Pipelines {
     * most) — no additional shuffle; the explode's sequence stays
     * inside one stream's namespace, so pack ids never cross parts.
     */
-  def packSegments(docs: DataFrame, maxTokens: Long = 512L): DataFrame = {
+  def packSegments(docs: DataFrame, maxTokens: Long = 512L,
+      digits: Int = 1): DataFrame = {
     val ns = col("part").cast("long") * lit(1L << 40)
-    sequencePackPartitioned(docs, maxTokens)
+    sequencePackPartitioned(docs, maxTokens, digits)
       .select(col("doc_id"), col("part"), col("n_tokens"), col("start_tok"),
         explode(sequence(col("pack_first"), col("pack_last"))).as("pack_id"))
       .withColumn("p_local", col("pack_id") - ns)
@@ -360,38 +376,51 @@ object Pipelines {
     * straddle the boundary.
     *
     * Scale shape — this is the scalable form of a GLOBAL ordered
-    * cumsum (the p05-class plan a naive implementation would use):
-    *  1. per-score token totals → a histogram collect bounded by the
-    *     number of DISTINCT scores (driver-side, broadcast-build);
-    *  2. the driver turns it into per-score prefix offsets;
-    *  3. each doc's global start = its score's prefix + a per-score
-    *     cumsum window — N parallel partitions, never a single task.
-    * The per-score cumsum + driver prefix is arithmetically identical
+    * cumsum (the p05-class plan a naive implementation would use).
+    * A per-score decomposition alone is NOT enough: the score is a
+    * 0/1 quality flag, so two window partitions would each chain
+    * ~half the corpus through one task. The md5 tiebreak's first hex
+    * digit is its most significant character, so ordering within a
+    * score class further decomposes by digit — the same nesting
+    * [[sequencePack]] proves:
+    *  1. per-(score, digit) token totals → a histogram collect bounded
+    *     by 16 × #distinct scores (driver-side, broadcast-build);
+    *  2. the driver turns it into per-(score, digit) prefix offsets in
+    *     (score desc, digit asc) order;
+    *  3. each doc's global start = its (score, digit) prefix + a
+    *     per-(score, digit) cumsum window — 16 × #scores parallel
+    *     partitions, never a single- or two-task chain.
+    * The nested cumsum + driver prefix is arithmetically identical
     * to the global-order cumsum, which is what the oracle replays.
+    * The (tokenize + md5) base is scope-cached across the histogram
+    * collect and the main query so the corpus is scanned once, not
+    * twice; [[Dedup.releaseIntermediates]] drains it.
     */
   def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
     val nTok = size(tokens(col("text")))
     val nPunct = regexp_count(col("text"), lit("[.,;:!?]"))
-    val base = docs.select(
+    val base = Dedup.scopedCache(docs.select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
       (nTok >= 10 && nTok <= 100000 && nPunct.cast("double") / nTok < 0.2)
         .cast("int").as("score"),
       md5(col("doc_id").cast("string")).as("ord"))
-    val hist = base.groupBy(col("score")).agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
-    val prefixes = hist.sortBy(-_._1)
-      .scanLeft((Int.MaxValue, 0L)) { case ((_, acc), (s, t)) => (s, acc + t) }
-      .sliding(2).collect { case Seq((_, acc), (s, _)) => (s, acc) }.toSeq
+      .withColumn("part", hexVal(substring(col("ord"), 1, 1))))
+    val hist = base.groupBy(col("score"), col("part"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val keys = hist.keys.toSeq.sortBy { case (s, p) => (-s, p) }
+    val prefixes = keys.zip(keys.scanLeft(0L)((acc, k) => acc + hist(k)))
+      .map { case ((s, p), acc) => (s, p, acc) }
     val spark = docs.sparkSession
     import spark.implicits._
-    val prefixDf = prefixes.toDF("score", "prefix")
-    val w = Window.partitionBy(col("score"))
+    val prefixDf = prefixes.toDF("score", "part", "prefix")
+    val w = Window.partitionBy(col("score"), col("part"))
       .orderBy(col("ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base
       .withColumn("within", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .join(broadcast(prefixDf), "score")
+      .join(broadcast(prefixDf), Seq("score", "part"))
       .withColumn("start_tok", col("prefix") + col("within"))
       .filter(col("start_tok") < budgetTokens)
       .select(col("doc_id"), col("score"), col("n_tokens"), col("start_tok"))
@@ -457,8 +486,11 @@ object Pipelines {
     "p08_cluster_keeper" -> ((s, d) =>
       clusterQualityKeeper(Tables.documents(s, d), Dedup.gateClusters(s, d))
         .orderBy(col("cluster"))),
+    // digits=2 → 256 parallel cumsum streams: the gate proves the
+    // parallelism knob the scaladoc promises, not just the default
     "p09_sequence_pack_parts" -> ((s, d) =>
-      sequencePackPartitioned(Tables.documents(s, d)).orderBy(col("doc_id"))),
+      sequencePackPartitioned(Tables.documents(s, d), digits = 2)
+        .orderBy(col("doc_id"))),
     "p10_corpus_census" -> ((s, d) =>
       corpusCensus(Tables.documents(s, d))
         .orderBy(col("source"), col("lang_pred"))),
@@ -476,7 +508,8 @@ object Pipelines {
       val docs = Tables.documents(s, d)
       sequencePackCounts(
         TextAnalysis.subwordTokenCounts(docs, TextAnalysis.gateVocab(s, d))
-          .select(col("doc_id"), col("n_pieces").as("n_tokens")))
+          .select(col("doc_id"), col("n_pieces").as("n_tokens")),
+        digits = 2)
         .orderBy(col("doc_id"))
     }))
 
@@ -572,9 +605,10 @@ object Pipelines {
         |FROM o ORDER BY doc_id""".stripMargin,
     "p09_sequence_pack_parts" -> {
       val hx1 = Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")
+      val hx2 = Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")
       s"""WITH t AS (SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  $hx1 AS part FROM documents),
+         |  $hx1 * 16 + $hx2 AS part FROM documents),
          |o AS (SELECT doc_id, part, n_tokens,
          |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY part
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
@@ -646,10 +680,11 @@ object Pipelines {
          |ORDER BY doc_id""".stripMargin,
     "p12_subword_pack" -> {
       val hx1 = Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")
+      val hx2 = Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")
       s"""WITH RECURSIVE ${TextAnalysis.subwordCtes},
          |cnts AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_tokens
          |  FROM docw JOIN tok USING (word) GROUP BY doc_id),
-         |t AS (SELECT doc_id, n_tokens, $hx1 AS part FROM cnts),
+         |t AS (SELECT doc_id, n_tokens, $hx1 * 16 + $hx2 AS part FROM cnts),
          |o AS (SELECT doc_id, part, n_tokens,
          |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY part
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id

@@ -66,12 +66,38 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("budget selection avoids the global-order window") {
-    // the driver-histogram threshold pattern: per-score parallel
-    // cumsum windows + broadcast prefix join, never one global task
+    // the driver-histogram threshold pattern: per-(score, digit)
+    // parallel cumsum windows + broadcast prefix join, never one
+    // global task
     val plan = planOf(Pipelines.budgetSelect(docs, budgetTokens = 100L))
     assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")
     assert(!plan.contains("SinglePartition"), s"global-order cumsum:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"prefix join not broadcast:\n$plan")
+    // the score is a 0/1 flag, so a window keyed on score ALONE is two
+    // whole-corpus chains — the partition key must also carry the md5
+    // hex digit (>=16 effective partitions per score class)
+    assert("Window \\[[^\\]]*\\], \\[score#\\d+, part#\\d+\\]".r
+      .findFirstIn(plan).isDefined,
+      s"cumsum window not keyed on (score, digit):\n$plan")
+  }
+
+  test("packing parallelism knob: digits=2 keys the window on 256 streams") {
+    val many = spark.range(0, 2000)
+      .selectExpr("id AS doc_id", "concat('w', id, ' x y z') AS text")
+    val packed = Pipelines.sequencePackPartitioned(many, maxTokens = 8L,
+      digits = 2)
+    val plan = planOf(packed)
+    // the stream id must be the 2-hex-digit value (conv over a length-2
+    // md5 substring), giving a 256-way window partition domain
+    assert(plan.contains("hashpartitioning(part"), s"window not keyed on part:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-task cumsum:\n$plan")
+    assert("substring\\(md5\\([^)]*\\)[^,]*, 1, 2\\)".r.findFirstIn(plan).isDefined,
+      s"part not derived from 2 hex digits:\n$plan")
+    // empirical: 2000 docs land in far more than the 16 streams digits=1
+    // yields (~256 occupied buckets), and every id is in [0, 256)
+    val parts = packed.select("part").distinct().collect().map(_.getInt(0))
+    assert(parts.length > 64, s"only ${parts.length} distinct streams")
+    assert(parts.forall(p => p >= 0 && p < 256), s"stream id out of range")
   }
 
   test("intra-doc dedup shuffles only on doc-keyed partitions") {
