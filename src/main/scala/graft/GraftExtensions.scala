@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, ArrayNorm, Minhash16Agg, ShinglesOf, Simhash64Agg}
+import graft.functions.{ArrayDot, ArrayNorm, Minhash16Agg, ShinglesOf, Simhash64Agg, SubwordCount, SubwordSplit, SubwordVocab}
 
 /** Spark-idiomatic library entry point: enable the graft codegen
   * kernels on any session with
@@ -12,11 +12,13 @@ import graft.functions.{ArrayDot, ArrayNorm, Minhash16Agg, ShinglesOf, Simhash64
   * `VectorExprs.register` call needed, and the functions are injected
   * at session build, so they exist before the first query (including
   * in spark-sql / JDBC contexts that never touch Scala code).
-  * Registers the same five kernels as
+  * Registers the same kernels as
   * [[graft.functions.VectorExprs.register]]: array_dot / array_norm
   * (codegen'd vector folds), shingles_of (single-pass distinct
   * n-gram builder), simhash64_agg / minhash16_agg (map-side-combining
-  * imperative signature aggregates).
+  * imperative signature aggregates), subword_count / subword_split
+  * (greedy longest-match tokenization against a constant-plan-size
+  * vocab reference).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -29,7 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "shingles_of" -> (es => ShinglesOf(es.head,
       es(1).eval().asInstanceOf[Number].intValue())),
     "simhash64_agg" -> (es => Simhash64Agg(es.head)),
-    "minhash16_agg" -> (es => Minhash16Agg(es.head)))
+    "minhash16_agg" -> (es => Minhash16Agg(es.head)),
+    "subword_count" -> (es => SubwordCount(es.head, SubwordVocab.fromArgs(es))),
+    "subword_split" -> (es => SubwordSplit(es.head, SubwordVocab.fromArgs(es))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>

@@ -140,5 +140,12 @@ object VectorExprs {
       es => Simhash64Agg(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash16_agg",
       es => Minhash16Agg(es.head), "scala_udf")
+    // subword_xxx(word, vocabArray, minLen, maxLen): the vocab literal
+    // is folded into a hash-set reference at resolution time, so the
+    // resolved plan stays constant-size at any vocab size
+    reg.createOrReplaceTempFunction("subword_count",
+      es => SubwordCount(es.head, SubwordVocab.fromArgs(es)), "scala_udf")
+    reg.createOrReplaceTempFunction("subword_split",
+      es => SubwordSplit(es.head, SubwordVocab.fromArgs(es)), "scala_udf")
   }
 }

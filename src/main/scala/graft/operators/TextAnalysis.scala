@@ -113,8 +113,8 @@ object TextAnalysis {
     * list) — no shuffle; output rows ≈ tokens/stride, the same fan-out
     * a tokenizer job produces.
     */
-  def chunkDocs(docs: DataFrame, chunkTokens: Int = 32,
-      overlap: Int = 8): DataFrame = {
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = ChunkGateTokens,
+      overlap: Int = ChunkGateOverlap): DataFrame = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val stride = chunkTokens - overlap
     docs
@@ -213,11 +213,21 @@ object TextAnalysis {
   }
 
   /** Subword tokenizer constants — single source of truth for the Spark
-    * plan AND the generated oracle CTEs (t11/p12).
+    * plan AND the generated oracle CTEs (t11/p12). The vocab size is
+    * gate-scale-real: the kernel's hash-set lookup and the plan size
+    * are independent of it (see [[graft.functions.SubwordVocab]]), so
+    * raising it further is a data question, not a plan question.
     */
   val SubwordMinPiece: Int = 2
   val SubwordMaxPiece: Int = 4
-  val SubwordVocabSize: Int = 64
+  val SubwordVocabSize: Int = 1024
+
+  /** Chunk-window geometry for the t07/t13 gates — single source of
+    * truth for the Spark calls AND the generated oracle SQL (changing
+    * either constant re-derives both sides, so they cannot desync).
+    */
+  val ChunkGateTokens: Int = 32
+  val ChunkGateOverlap: Int = 8
 
   /** Derive a deterministic subword vocabulary from the corpus: the
     * `vocabSize` most frequent substrings of length
@@ -249,89 +259,57 @@ object TextAnalysis {
       .select(col("s")).collect().map(_.getString(0)).toSeq
   }
 
-  /** Greedy longest-match piece count of one word against a literal
-    * vocab: a left fold over character positions carrying (next-start,
-    * pieces) — at each start the longest vocab piece wins, else a
-    * single-character fallback. Pure codegen'd column math (HOF fold +
-    * array_contains over ≤vocabSize literals), no UDF.
+  /** Greedy longest-match piece COUNT of one word: the
+    * [[graft.functions.SubwordCount]] codegen kernel against a
+    * length-bucketed hash-set vocab reference. The vocab literal is
+    * folded into the reference at function-resolution time, so the
+    * resolved plan and the generated code are constant-size at ANY
+    * vocab size (the round-8 `array_contains(typedlit)` when-chain
+    * grew both linearly — a wall at real 32k-64k BPE vocabs; pinned
+    * in PlanShapeSpec). Lookups are O(1) per position; the executor
+    * receives the vocab once per stage via the serialized plan.
     */
   private[operators] def subwordPieces(w: Column,
-      vocab: Seq[String]): Column = {
-    def matchLen(p: Column): Column =
-      (SubwordMaxPiece to SubwordMinPiece by -1).foldRight(lit(1): Column) {
-        (l, shorter) =>
-          val vs = vocab.filter(_.length == l)
-          if (vs.isEmpty) shorter
-          else when(array_contains(typedlit(vs), w.substr(p, lit(l))), lit(l))
-            .otherwise(shorter)
-      }
-    val steps = when(length(w) >= 1, sequence(lit(1), length(w)))
-      .otherwise(array().cast("array<int>"))
-    aggregate(steps,
-      struct(lit(1).as("p"), lit(0).as("n")),
-      (acc, i) => {
-        val p = acc.getField("p")
-        when(i =!= p, acc).otherwise(
-          struct((p + matchLen(p)).as("p"),
-            (acc.getField("n") + 1).as("n")))
-      },
-      acc => acc.getField("n"))
-  }
+      vocab: Seq[String]): Column =
+    call_function("subword_count", w, typedlit(vocab),
+      lit(SubwordMinPiece), lit(SubwordMaxPiece))
 
-  /** Greedy piece LIST of one word — [[subwordPieces]]'s fold carrying
-    * the pieces themselves (p, parts[]) instead of a count, joined
-    * '|'-delimited. The pieces concatenate back to the word exactly
-    * (partition property, pinned in TextAnalysisSpec). Caveat: a word
-    * that itself contains '|' makes the joined form ambiguous — both
-    * engines produce the same string (the gates stay consistent), but
-    * piece boundaries can't be recovered from it; downstream consumers
-    * needing lossless round-trips on such corpora should carry the
-    * array form instead.
+  /** Greedy piece LIST of one word ([[graft.functions.SubwordSplit]]):
+    * the pieces concatenate back to the word exactly (partition
+    * property, pinned in TextAnalysisSpec). Carried as a real
+    * `array<string>` — lossless for any word content, unlike a
+    * delimiter-joined string.
     */
-  private[operators] def subwordPieceStr(w: Column,
-      vocab: Seq[String]): Column = {
-    def matchLen(p: Column): Column =
-      (SubwordMaxPiece to SubwordMinPiece by -1).foldRight(lit(1): Column) {
-        (l, shorter) =>
-          val vs = vocab.filter(_.length == l)
-          if (vs.isEmpty) shorter
-          else when(array_contains(typedlit(vs), w.substr(p, lit(l))), lit(l))
-            .otherwise(shorter)
-      }
-    val steps = when(length(w) >= 1, sequence(lit(1), length(w)))
-      .otherwise(array().cast("array<int>"))
-    aggregate(steps,
-      struct(lit(1).as("p"), array().cast("array<string>").as("parts")),
-      (acc, i) => {
-        val p = acc.getField("p")
-        val ml = matchLen(p)
-        when(i =!= p, acc).otherwise(
-          struct((p + ml).as("p"),
-            concat(acc.getField("parts"), array(w.substr(p, ml))).as("parts")))
-      },
-      acc => array_join(acc.getField("parts"), "|"))
-  }
+  private[operators] def subwordPieceArr(w: Column,
+      vocab: Seq[String]): Column =
+    call_function("subword_split", w, typedlit(vocab),
+      lit(SubwordMinPiece), lit(SubwordMaxPiece))
 
   /** Full tokenization: per document, every word's greedy piece split
-    * ('|' within a word, ' ' between words, original word order) — the
-    * form downstream chunking/packing/detokenization consumes, and the
-    * gate (t12) that pins the SEGMENTATION itself, not just counts.
+    * as a nested `array<array<string>>` (outer = word positions in
+    * original order, inner = that word's pieces) — the form downstream
+    * chunking/packing/detokenization consumes, and the gate (t12) that
+    * pins the SEGMENTATION itself, not just counts. The nested array
+    * is lossless: word and piece boundaries survive any character
+    * content, where a delimiter-joined string could not distinguish a
+    * delimiter-bearing word from a boundary.
     *
-    * Scale shape: identical to [[subwordTokenCounts]] — one fold per
-    * DISTINCT word, a word-keyed join back, and a doc-bounded
+    * Scale shape: identical to [[subwordTokenCounts]] — one kernel
+    * eval per DISTINCT word, a word-keyed join back, and a doc-bounded
     * collect_list reassembly.
     */
   def subwordTokenize(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val pieces = docs.select(explode(tokens(col("text"))).as("word"))
       .distinct()
-      .select(col("word"), subwordPieceStr(col("word"), vocab).as("ps"))
+      .select(col("word"), subwordPieceArr(col("word"), vocab).as("ps"))
     docs.select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "word")))
       .join(pieces, "word")
       .groupBy(col("doc_id"))
-      .agg(array_join(expr(
-        "transform(array_sort(collect_list(struct(pos, ps))), x -> x.ps)"),
-        " ").as("pieces_text"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, ps))), x -> x.ps)")
+        .as("pieces"))
   }
 
   /** Context-window chunking over the SUBWORD piece stream — t07's
@@ -346,18 +324,20 @@ object TextAnalysis {
     * per-row start list) — no additional shuffle.
     */
   def chunkByPieces(docs: DataFrame, vocab: Seq[String],
-      chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+      chunkTokens: Int = ChunkGateTokens,
+      overlap: Int = ChunkGateOverlap): DataFrame = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val stride = chunkTokens - overlap
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val pieces = docs.select(explode(tokens(col("text"))).as("word"))
       .distinct()
-      .select(col("word"), subwordPieceStr(col("word"), vocab).as("ps"))
+      .select(col("word"), subwordPieceArr(col("word"), vocab).as("ps"))
     docs.select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "word")))
       .join(pieces, "word")
       .groupBy(col("doc_id"))
       .agg(expr(
-        "flatten(transform(array_sort(collect_list(struct(pos, ps))), x -> split(x.ps, '[|]')))")
+        "flatten(transform(array_sort(collect_list(struct(pos, ps))), x -> x.ps))")
         .as("t"))
       .withColumn("n", size(col("t")))
       .select(col("doc_id"), col("t"),
@@ -376,13 +356,14 @@ object TextAnalysis {
     * and budgets by (packing on whitespace words undercounts real
     * tokenizer tokens; see p12).
     *
-    * Scale shape: the fold runs once per DISTINCT word (the corpus
+    * Scale shape: the kernel runs once per DISTINCT word (the corpus
     * vocabulary), not per occurrence; the piece table then joins back
     * keyed on the word — t08's shape. Hot stopword keys are the
     * AQE-skew-split case, or broadcast the piece table outright when
     * the distinct-word count allows.
     */
   def subwordTokenCounts(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val pieces = docs.select(explode(tokens(col("text"))).as("word"))
       .distinct()
       .select(col("word"), subwordPieces(col("word"), vocab).as("np"))
@@ -500,17 +481,17 @@ object TextAnalysis {
        |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |  FROM documents)""".stripMargin
 
-  /** Piece-accumulating recursion for t12: same walk as `rec`, carrying
-    * the '|'-joined pieces; the match length is computed once in a
-    * subquery so the advance and the extracted piece can't diverge.
+  /** Piece-accumulating recursion for t12/t13: same walk as `rec`,
+    * carrying the piece LIST (lossless — no delimiter ambiguity); the
+    * match length is computed once in a subquery so the advance and
+    * the extracted piece can't diverge.
     */
   private val subwordPieceCtes: String =
     s"""$subwordVocabCtes,
        |rec2 AS (
-       |  SELECT word, 1 AS pos, '' AS pieces FROM w
+       |  SELECT word, 1 AS pos, []::VARCHAR[] AS pieces FROM w
        |  UNION ALL
-       |  SELECT word, pos + ml,
-       |    CASE WHEN pieces = '' THEN piece ELSE pieces || '|' || piece END
+       |  SELECT word, pos + ml, list_append(pieces, piece)
        |  FROM (SELECT word, pos, pieces, ml, substr(word, pos, ml) AS piece
        |    FROM (SELECT word, pos, pieces, $subwordCaseSql AS ml
        |      FROM rec2 WHERE pos <= length(word)))),
@@ -522,22 +503,23 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t12_subword_pieces" ->
       s"""WITH RECURSIVE $subwordPieceCtes
-         |SELECT doc_id, string_agg(ps, ' ' ORDER BY pos) AS pieces_text
+         |SELECT doc_id, list(ps ORDER BY pos) AS pieces
          |FROM docw2 JOIN tok2 USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "t13_piece_chunks" ->
+    "t13_piece_chunks" -> {
+      val stride = ChunkGateTokens - ChunkGateOverlap
       s"""WITH RECURSIVE $subwordPieceCtes,
-         |pt AS (SELECT doc_id, string_agg(ps, ' ' ORDER BY pos) AS pieces_text
+         |pl AS (SELECT doc_id, flatten(list(ps ORDER BY pos)) AS t
          |  FROM docw2 JOIN tok2 USING (word) GROUP BY doc_id),
-         |pl AS (SELECT doc_id,
-         |  string_split(replace(pieces_text, '|', ' '), ' ') AS t FROM pt),
          |x AS (SELECT doc_id, t, len(t) AS n FROM pl),
          |e AS (SELECT doc_id, t, n,
-         |  unnest([s for s in range(1, n+1, 24) if s = 1 OR s + 8 <= n]) AS s FROM x)
-         |SELECT doc_id, CAST((s - 1) // 24 AS INT) AS chunk_idx,
-         | CAST(len(t[s : s + 31]) AS INT) AS chunk_pieces,
-         | array_to_string(t[s : s + 31], ' ') AS chunk_text
-         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+         |  unnest([s for s in range(1, n+1, $stride)
+         |          if s = 1 OR s + $ChunkGateOverlap <= n]) AS s FROM x)
+         |SELECT doc_id, CAST((s - 1) // $stride AS INT) AS chunk_idx,
+         | CAST(len(t[s : s + ${ChunkGateTokens - 1}]) AS INT) AS chunk_pieces,
+         | array_to_string(t[s : s + ${ChunkGateTokens - 1}], ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     "t11_subword" ->
       s"""WITH RECURSIVE $subwordCtes
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -629,13 +611,16 @@ object TextAnalysis {
         | CAST(sum_freq_ppm // n_toks AS BIGINT) AS mean_freq_ppm,
         | CAST(n_hapax AS BIGINT) AS n_hapax
         |FROM a ORDER BY doc_id""".stripMargin,
-    "t07_chunking" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |x AS (SELECT doc_id, t, len(t) AS n FROM t),
-        |e AS (SELECT doc_id, t, n,
-        |  unnest([s for s in range(1, n+1, 24) if s = 1 OR s + 8 <= n]) AS s FROM x)
-        |SELECT doc_id, CAST((s - 1) // 24 AS INT) AS chunk_idx,
-        | CAST(len(t[s : s + 31]) AS INT) AS chunk_tokens,
-        | array_to_string(t[s : s + 31], ' ') AS chunk_text
-        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)
+    "t07_chunking" -> {
+      val stride = ChunkGateTokens - ChunkGateOverlap
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |x AS (SELECT doc_id, t, len(t) AS n FROM t),
+         |e AS (SELECT doc_id, t, n,
+         |  unnest([s for s in range(1, n+1, $stride)
+         |          if s = 1 OR s + $ChunkGateOverlap <= n]) AS s FROM x)
+         |SELECT doc_id, CAST((s - 1) // $stride AS INT) AS chunk_idx,
+         | CAST(len(t[s : s + ${ChunkGateTokens - 1}]) AS INT) AS chunk_tokens,
+         | array_to_string(t[s : s + ${ChunkGateTokens - 1}], ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+    })
 }

@@ -109,12 +109,24 @@ class PlanShapeSpec extends SparkSpec {
   test("subword counting folds per distinct word with no driver-side funnel") {
     val plan = planOf(TextAnalysis.subwordTokenCounts(docs,
       Seq("alph", "al", "ph", "be")))
-    // the greedy fold is pure column math over word-keyed shuffles: no
-    // single-partition stage, no cartesian, and no UDF in the plan
+    // the greedy kernel is codegen'd column math over word-keyed
+    // shuffles: no single-partition stage, no cartesian, no UDF
     assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
     assert(!plan.toLowerCase.contains("batchevalpython") &&
       !plan.contains("ScalaUDF"), s"UDF in the hot path:\n$plan")
+  }
+
+  test("subword plan size is independent of vocab size") {
+    // the vocab lives in a hash-set reference, not in plan literals: a
+    // 2048-piece vocab must produce the same plan as a 2-piece one
+    // (modulo the digit count in the compact vocab[N] rendering)
+    val small = planOf(TextAnalysis.subwordTokenCounts(docs, Seq("al", "ph")))
+    val big = planOf(TextAnalysis.subwordTokenCounts(docs,
+      (0 until 2048).map(i => f"$i%04d")))
+    assert(math.abs(small.length - big.length) <= 16,
+      s"plan grows with vocab size: ${small.length} vs ${big.length} chars")
+    assert(!big.contains("0042"), s"vocab literal leaked into the plan")
   }
 
   test("parquet scans prune columns and push filters for the pipeline gates") {

@@ -89,19 +89,21 @@ class TextAnalysisSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     val vocab = TextAnalysis.subwordVocab(docs, vocabSize = 16)
     val tokenized = TextAnalysis.subwordTokenize(docs, vocab)
-      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      .orderBy("doc_id").as[(Long, Seq[Seq[String]])].collect().toSeq
     val original = docs.orderBy("doc_id")
       .as[(Long, String)].collect().toMap
-    tokenized.foreach { case (id, pt) =>
-      assert(pt.replace("|", "") == original(id),
+    tokenized.foreach { case (id, pieces) =>
+      // lossless nested form: outer array = words in order, and each
+      // word's pieces concatenate back to the word exactly
+      assert(pieces.map(_.mkString) == original(id).split(" ", -1).toSeq,
         s"doc $id pieces don't partition the text")
     }
     val counted = TextAnalysis.subwordTokenCounts(docs, vocab)
       .orderBy("doc_id").select("doc_id", "n_pieces")
       .as[(Long, Long)].collect().toMap
-    tokenized.foreach { case (id, pt) =>
-      val np = pt.split(" ").map(_.count(_ == '|') + 1).sum
-      assert(np.toLong == counted(id), s"doc $id piece count mismatch")
+    tokenized.foreach { case (id, pieces) =>
+      assert(pieces.map(_.size).sum.toLong == counted(id),
+        s"doc $id piece count mismatch")
     }
   }
 
