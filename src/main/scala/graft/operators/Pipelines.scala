@@ -461,6 +461,62 @@ object Pipelines {
       watermark = watermark)
   }
 
+  private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** w03 gate harness: run [[cleanStream]] as a REAL Structured
+    * Streaming query — MemoryStream source, watermark + bounded dedup
+    * state, memory-sink landing — over the documents fixture, and
+    * return the landed table. This makes the streaming path
+    * oracle-hard: the batch-equivalence claim (stream result ≡ batch
+    * quality-filter + first-arrival dedup) is hash-checked by DuckDB,
+    * not just spec-asserted.
+    *
+    * The fixture corpus has no exact duplicates, so the feed re-arrives
+    * every 7th document under a shifted id (doc_id + 10⁶) — the oracle
+    * replays the same injection, and a dedup state that failed to drop
+    * the re-arrivals would surface as ~14% extra rows, not pass
+    * silently.
+    *
+    * Determinism: batch k carries each content hash's k-th occurrence
+    * in doc_id order, so duplicates never co-occur inside a micro-batch
+    * and the survivor is exactly the first-ARRIVING quality-passing
+    * row — which by construction is the min doc_id of the hash's
+    * passing members, the layout the oracle replays. The driver-side
+    * collect is the test-harness FEED (a MemoryStream must be fed from
+    * the driver); the operator under test stays fully distributed.
+    */
+  def cleanStreamGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs0 = Tables.documents(s, dir)
+    val feed = docs0.select(col("doc_id"), col("text"))
+      .unionAll(docs0.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val ranked = feed
+      .select(col("doc_id"), col("text"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("text"), col("rk"))
+      .as[(Long, String, Int)].collect()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = cleanStream(input.toDF().toDF("doc_id", "text", "ts"))
+    val qname = s"w03_clean_stream_${streamGateSeq.incrementAndGet()}"
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      ranked.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        input.addData(rows.map(r => (r._1, r._2, ts0)).toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    s.table(qname)
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -504,6 +560,7 @@ object Pipelines {
     "p14_budget_select" -> ((s, d) =>
       budgetSelect(Tables.documents(s, d), BudgetGateTokens)
         .orderBy(col("doc_id"))),
+    "w03_clean_stream" -> (cleanStreamGate _),
     "p12_subword_pack" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       sequencePackCounts(
@@ -665,6 +722,23 @@ object Pipelines {
          | FROM b)
          |SELECT doc_id, score, n_tokens, start_tok FROM o
          |WHERE start_tok < $BudgetGateTokens ORDER BY doc_id""".stripMargin,
+    // the stream's survivor is the first-arriving quality-passing row
+    // per content hash = min doc_id (see cleanStreamGate's batch
+    // layout) — the batch replay a user would run over landed data
+    "w03_clean_stream" ->
+      """WITH feed AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |q AS (SELECT doc_id, text,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+        | FROM feed),
+        |pass AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+        | FROM q WHERE n_tokens >= 10 AND n_tokens <= 100000
+        |   AND CAST(n_punct AS DOUBLE) / n_tokens < 0.2)
+        |SELECT min(doc_id) AS doc_id, content_hash
+        |FROM pass GROUP BY content_hash ORDER BY doc_id""".stripMargin,
     "p13_decontaminated" ->
       s"""${Dedup.shingleCte},
          |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
