@@ -319,14 +319,25 @@ object Dedup {
     * order-independent set digest): one cheap scan of cached blocks
     * per round instead of the previous count()+except().limit(1) —
     * the except was a full set-op shuffle per round and made d10 the
-    * heaviest warm gate. Same checkpoint-truncation options as
-    * [[connectedComponents]].
+    * heaviest warm gate. The round whose witness first matches is then
+    * confirmed with ONE exact except() — so the returned components
+    * are exact, and the probabilistic digest only decides when to pay
+    * for that single set-difference. Same checkpoint-truncation
+    * options as [[connectedComponents]].
     */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50, checkpointDir: Option[String] = None,
       onConverged: Int => Unit = _ => ()): DataFrame = {
     val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // EAGER local checkpoint per round — measured best of three
+    // truncation cadences on d10 at sf0.1, local[32], repeat=3 warm:
+    // eager-every-round 3.9-4.8 s; lazy-every-round (witness action
+    // materializes the blocks in the same job) 5.6-5.7 s; truncate
+    // every OTHER round with .cache() in between 13.5 s (InMemoryRelation's
+    // columnar encode costs more than the block copy it avoids). The
+    // remaining d10 cost is the inherent O(log n) rewrite rounds, not
+    // checkpoint overhead.
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
@@ -379,7 +390,13 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val next = truncate(smallStar(largeStar(e)))
       val wn = witness(next)
-      converged = wn == w
+      // matching witnesses are 2^-128-probabilistic (and the two
+      // checksums share a hash family, so the bound is optimistic);
+      // confirm the fixpoint EXACTLY with the set-difference check the
+      // witness replaced — it runs on the single convergence round
+      // (counts already match, both frames are deduplicated, so one
+      // direction suffices), not on every round as before
+      converged = wn == w && next.except(e).isEmpty
       w = wn
       e = next
       iter += 1
