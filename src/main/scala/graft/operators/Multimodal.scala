@@ -9,13 +9,15 @@ import graft.Tables
   * `binary` columns with typed metadata, processed in partition-sized
   * batches (the Scala analog of mapInPandas).
   *
-  * The image branch is a REAL decode: payloads that sniff as an image
-  * (magic-byte detection via `javax.imageio` — part of every JDK, no
-  * extra dependency) are decoded with `ImageIO`, and the gated metadata
-  * (width / height / format / first pixel) comes from the decoder, not
-  * from the payload generator. Non-image payloads (and any byte string
-  * a reader chokes on) fall back to a deterministic stub — the honest
-  * swap-in point for audio/video codecs this container lacks.
+  * TWO modalities are REAL decodes, no extra dependency needed:
+  * images (magic-byte sniff + decode via `javax.imageio`, part of
+  * every JDK) and audio (a pure-JVM RIFF/WAVE chunk-walk — PCM
+  * metadata lives entirely in the container header). The gated
+  * metadata comes from the decoder/parser, not from the payload
+  * generator. Payloads neither path recognizes (and any byte string a
+  * reader chokes on) fall back to a deterministic stub — the honest
+  * swap-in point for the compressed video/audio codecs this container
+  * lacks.
   */
 object Multimodal {
 
@@ -109,6 +111,94 @@ object Multimodal {
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** A parsed audio asset's typed metadata. `src` records which path
+    * produced the row: "riff" = the real RIFF/WAVE header parse,
+    * "stub" = the deterministic fallback for non-audio payloads.
+    */
+  case class AudioMeta(doc_id: Long, byte_len: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_samples: Long, duration_us: Long,
+      src: String)
+
+  /** Fixture audio parameters — pure functions of doc_id so the DuckDB
+    * oracle recomputes the EXPECTED parse output without an audio
+    * library: the gate then checks generator formulas == the RIFF
+    * parser's decoded values.
+    */
+  def wavRate(id: Long): Int =
+    Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+  def wavChannels(id: Long): Int = (id % 2 + 1).toInt
+  def wavSamples(id: Long): Int = (id % 400 + 50).toInt
+
+  /** Encode a real PCM WAV file: RIFF header, 16-byte PCM `fmt ` chunk,
+    * and a `data` chunk of deterministic 16-bit samples — honest bytes
+    * a desktop player would accept, not a fake header.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Int,
+      seed: Long): Array[Byte] = {
+    val bits = 16
+    val dataSize = nSamples * channels * (bits / 8)
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * (bits / 8))
+      .putShort((channels * (bits / 8)).toShort).putShort(bits.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize / 2) {
+      buf.putShort(((seed * 31 + i * 7) % 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Pure-JVM RIFF/WAVE header parse — the second REAL modality (no
+    * codec dependency needed: PCM metadata lives entirely in the
+    * container header). Walks the word-aligned chunk list for `fmt ` and
+    * `data`; returns (sampleRate, channels, bitsPerSample, nSamples) or
+    * None for anything that isn't a well-formed WAV, so a poisoned
+    * payload can never fail the batch — same discipline as
+    * [[decodeImage]].
+    */
+  def parseRiffWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    try {
+      if (b.length < 44) return None
+      if (new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataSize: Option[Long] = None
+      while (off + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+        val cid = new String(b, off, 4, "US-ASCII")
+        val sz = u32(off + 4)
+        if (cid == "fmt " && sz >= 16 && off + 24 <= b.length)
+          fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+        else if (cid == "data") dataSize = Some(sz)
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      for {
+        (ch, rate, bits) <- fmt
+        ds <- dataSize
+        if ch > 0 && bits >= 8 && rate > 0
+      } yield (rate, ch, bits, ds / (ch.toLong * (bits / 8)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic fallback metadata for payloads that don't parse as
+    * WAV — the declared swap-in point for real compressed-audio codecs
+    * (mp3/ogg frame headers) this container lacks.
+    */
+  def stubAudio(docId: Long, payload: Array[Byte]): AudioMeta =
+    AudioMeta(docId, payload.length.toLong, 8000, 1, 8,
+      payload.length.toLong, payload.length.toLong * 1000000L / 8000L,
+      "stub")
+
   /** Attach the opaque binary payload column: every third doc
     * (doc_id % 3 == 1) carries REAL PNG bytes sized/colored by the
     * doc_id formulas above; the rest carry raw text bytes (the
@@ -144,6 +234,40 @@ object Multimodal {
         decodeImage(id, bytes).getOrElse(stubDecode(id, bytes)) })
   }
 
+  /** Audio fixture payloads: docs with doc_id % 3 == 2 carry REAL WAV
+    * bytes (rate/channels/samples from the doc_id formulas); the rest
+    * carry raw text bytes and exercise the stub fallback.
+    */
+  def withAudioPayload(docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long, text: String) =>
+      if (id % 3 == 2)
+        wavBytes(wavRate(id), wavChannels(id), wavSamples(id), id)
+      else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    docs.withColumn("payload", gen(col("doc_id"), col("text")))
+  }
+
+  /** Batch-parse the audio payload column per partition — same
+    * mapInPandas-analog shape as [[decodeMeta]]: one iterator pass per
+    * partition, no shuffle. WAV payloads take the real RIFF parse;
+    * everything else stubs. duration_us is integer arithmetic
+    * (n_samples · 10⁶ div rate) so any engine reproduces it exactly.
+    */
+  def decodeAudioMeta(spark: SparkSession, docs: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    withAudioPayload(docs.repartition(spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseRiffWav(bytes) match {
+          case Some((rate, ch, bits, n)) =>
+            AudioMeta(id, bytes.length.toLong, rate, ch, bits, n,
+              n * 1000000L / rate, "riff")
+          case None => stubAudio(id, bytes)
+        }
+      })
+  }
+
   /** Frame sampling for "video" payloads: docs get doc_id%5 frames, each
     * with a deterministic content key — a generator (flatMap) pattern;
     * at scale this is the explode that fans one asset row into its
@@ -174,7 +298,14 @@ object Multimodal {
         .orderBy(col("doc_id"))),
     "m02_frame_sample" -> ((s, d) =>
       sampleFrames(s, Tables.documents(s, d)).toDF()
-        .orderBy(col("doc_id"), col("frame_idx"))))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+    // every column is parser output AND recomputable from the fixture
+    // formulas (a WAV's byte length is header + PCM frames, unlike a
+    // compressed PNG's), so the whole row is gated — including which
+    // path (riff vs stub) produced it
+    "m03_audio_meta" -> ((s, d) =>
+      decodeAudioMeta(s, Tables.documents(s, d)).toDF()
+        .orderBy(col("doc_id"))))
 
   val oracle: Map[String, String] = Map(
     // expected decode output, recomputed from the fixture formulas
@@ -192,5 +323,28 @@ object Multimodal {
       """SELECT doc_id, CAST(f AS INT) AS frame_idx,
         | md5(CAST(doc_id AS VARCHAR)||':'||CAST(f AS VARCHAR)) AS frame_key
         |FROM documents, LATERAL (SELECT unnest(range(0, CAST(doc_id % 5 AS INT))) AS f)
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // expected RIFF parse output, recomputed from the fixture formulas:
+    // audio rows (doc_id%3=2) from the WAV generator parameters, stub
+    // rows from the raw text byte length
+    "m03_audio_meta" ->
+      """WITH r AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS tlen,
+        |  doc_id % 3 = 2 AS is_wav,
+        |  doc_id % 400 + 50 AS ns,
+        |  doc_id % 2 + 1 AS ch,
+        |  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 ELSE 44100 END AS rate
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN is_wav THEN CAST(44 + ns * ch * 2 AS BIGINT)
+        |      ELSE tlen END AS byte_len,
+        | CAST(CASE WHEN is_wav THEN rate ELSE 8000 END AS INT) AS sample_rate,
+        | CAST(CASE WHEN is_wav THEN ch ELSE 1 END AS INT) AS channels,
+        | CAST(CASE WHEN is_wav THEN 16 ELSE 8 END AS INT) AS bits,
+        | CASE WHEN is_wav THEN CAST(ns AS BIGINT) ELSE tlen END AS n_samples,
+        | CASE WHEN is_wav THEN CAST(ns * 1000000 // rate AS BIGINT)
+        |      ELSE tlen * 125 END AS duration_us,
+        | CASE WHEN is_wav THEN 'riff' ELSE 'stub' END AS src
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

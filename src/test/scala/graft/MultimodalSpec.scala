@@ -48,4 +48,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L).format == "jpeg" && out(0L).px.isEmpty)
     assert(out(2L).format == "webp" && out(2L).px.isEmpty)
   }
+
+  test("wavBytes round-trips through the RIFF parser with generated params") {
+    for (id <- Seq(2L, 5L, 8L, 11L, 998L)) {
+      val (rate, ch, ns) =
+        (Multimodal.wavRate(id), Multimodal.wavChannels(id),
+          Multimodal.wavSamples(id))
+      val bytes = Multimodal.wavBytes(rate, ch, ns, id)
+      assert(bytes.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
+      assert(bytes.length == 44 + ns * ch * 2)
+      val Some((gotRate, gotCh, gotBits, gotN)) = Multimodal.parseRiffWav(bytes)
+      assert(gotRate == rate && gotCh == ch && gotBits == 16 && gotN == ns)
+    }
+  }
+
+  test("RIFF parser rejects poisoned payloads instead of failing the batch") {
+    assert(Multimodal.parseRiffWav("plain words".getBytes("UTF-8")).isEmpty)
+    // a RIFF prefix with trash after it must not throw
+    val poisoned = "RIFFxxxxWAVEtrash that is not chunks at all padding"
+      .getBytes("US-ASCII")
+    assert(Multimodal.parseRiffWav(poisoned).isEmpty)
+    // truncated real WAV: header promises more data than present
+    val real = Multimodal.wavBytes(8000, 1, 100, 3L)
+    assert(Multimodal.parseRiffWav(real.take(30)).isEmpty)
+  }
+
+  test("decodeAudioMeta dispatches per row: wav docs parsed, others stubbed") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta"), (2L, "gamma"), (5L, "delta"),
+      (7L, "epsilon zeta")).toDF("doc_id", "text")
+    val out = Multimodal.decodeAudioMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(2L).src == "riff" && out(2L).sample_rate == Multimodal.wavRate(2L)
+      && out(2L).n_samples == Multimodal.wavSamples(2L).toLong
+      && out(2L).channels == Multimodal.wavChannels(2L) && out(2L).bits == 16)
+    assert(out(5L).src == "riff" && out(5L).sample_rate == Multimodal.wavRate(5L))
+    assert(out(0L).src == "stub" && out(0L).byte_len == "alpha beta".length.toLong)
+    assert(out(7L).src == "stub" && out(7L).sample_rate == 8000)
+  }
 }
