@@ -847,13 +847,17 @@ object Dedup {
     * blocks; clustering is deterministic, so the artifact is
     * bit-identical to a recompute (each oracle still replays the full
     * chain independently). One small table per dir — deliberately NOT
-    * in the release ledger.
+    * in the release ledger. The key carries the session identity: a
+    * memo entry holds localCheckpoint blocks owned by the session that
+    * built it, so after a session stop/restart in the same JVM a fresh
+    * session re-derives its own artifact instead of receiving a frame
+    * whose blocks died with the old session.
     */
   private val gateClusterMemo =
     collection.concurrent.TrieMap.empty[String, DataFrame]
   private[operators] def gateClusters(s: SparkSession, d: String,
       tau: Double = 0.5): DataFrame =
-    gateClusterMemo.getOrElseUpdate(s"$d|$tau",
+    gateClusterMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|$tau",
       minhashClusters(Tables.documents(s, d), tau).localCheckpoint(true))
 
   type Q = (SparkSession, String) => DataFrame
@@ -919,7 +923,7 @@ object Dedup {
     // trained once per corpus and memoized (deterministic, so
     // bit-identical to a recompute)
     "d15_semantic_clusters" -> ((s, d) =>
-      gateClusterMemo.getOrElseUpdate(s"$d|sem|0.4",
+      gateClusterMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|sem|0.4",
         semanticClusters(Tables.embeddings(s, d), 0.4).localCheckpoint(true))
         .orderBy(col("vec_id"))),
     "d16_intradoc_dedup" -> ((s, d) =>

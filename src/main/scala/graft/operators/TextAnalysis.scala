@@ -391,7 +391,10 @@ object TextAnalysis {
     * artifact pattern, like Similarity's trained centroids): Bench
     * repeats and the p12 packing gate reuse one training run. Safe —
     * derivation is deterministic, and the key carries the size so
-    * changing the constant invalidates naturally.
+    * changing the constant invalidates naturally. Unlike
+    * [[Dedup.gateClusters]]'s frame memo, this stores a plain
+    * driver-side Seq (collected), so entries survive a session
+    * stop/restart and need no session key.
     */
   private val trainedVocab =
     collection.concurrent.TrieMap.empty[String, Seq[String]]

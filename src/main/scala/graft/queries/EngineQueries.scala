@@ -133,7 +133,10 @@ object EngineQueries {
     // driver-side head() is one scalar — the broadcast-build pattern.
     "g05_trace_by_id" -> ((s, d) => {
       val (spans, logs) = ordersAsSpans(s, d)
-      val tid = logs.agg(min(col("trace_id"))).head.getLong(0)
+      val probe = logs.agg(min(col("trace_id"))).head
+      require(!probe.isNullAt(0),
+        "g05: no error logs in corpus — cannot derive a probe trace id")
+      val tid = probe.getLong(0)
       TraceQueries.getTrace(s, spans, logs, tid)
         .select(col("trace_id"), col("n_spans"), col("trace_start"),
           col("trace_end"), col("has_error"), col("n_logs"),
