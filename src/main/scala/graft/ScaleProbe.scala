@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Empirical scale probe: measures how the bucketed operators' runtime
+  * and shuffle volume actually grow when the corpus grows ~10×, turning
+  * the Σ bucket² scaling claims in SCALE.md from analysis into
+  * measurement.
+  *
+  * The 10× corpus is synthesized from the sf0.1 fixtures IN PROCESS
+  * (nothing written outside /tmp): ten copies of `documents` under
+  * shifted ids with every token suffixed `_k` per copy k>0, so each
+  * copy reproduces the base corpus's duplicate/df structure in a
+  * DISJOINT shingle space — near-dup structure (and therefore pair
+  * counts and per-bucket reducer load) scales exactly linearly, which
+  * is what a grown real corpus with stable duplication rates looks
+  * like. Embeddings get ten copies with a tiny per-copy offset; their
+  * LSH bucket COUNT is fixed by nPlanes, so bucket sizes grow 10× and
+  * candidate pairs ~100× — the probe exists to show precisely that
+  * (the documented mitigation: planes grow ~log n with the corpus).
+  *
+  * Usage: `runMain graft.ScaleProbe [sfDir]` — prints one JSON line per
+  * (query, scale) with seconds, shuffle MB, and result rows; the
+  * SCALE.md table is transcribed from this output.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        shuffleWrite.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    })
+
+    val docs1 = Tables.documents(spark, sfDir).localCheckpoint(true)
+    val embs1 = Tables.embeddings(spark, sfDir).localCheckpoint(true)
+
+    // ten disjoint-token-space copies: copy 0 is the original; copy k
+    // suffixes every token so shingles/words never collide across
+    // copies — the duplicate structure replicates instead of compounding
+    def docs10(): DataFrame = {
+      val copies = (0 until 10).map { k =>
+        val base = docs1.select(
+          (col("doc_id") * 10 + k).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        if (k == 0) base
+        else base.withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"_$k")))))
+      }
+      copies.reduce(_ unionAll _)
+    }
+    def embs10(): DataFrame =
+      (0 until 10).map { k =>
+        embs1.select((col("vec_id") * 10 + k).as("vec_id"),
+          transform(col("embedding"), x => x + lit(k * 1e-4f)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+
+    val d10 = docs10().localCheckpoint(true)
+    val e10 = embs10().localCheckpoint(true)
+
+    def measure(query: String, scale: String, df: => DataFrame): Unit = {
+      df.count() // warm: plan analysis + codegen compile outside the clock
+      Thread.sleep(1000)
+      shuffleWrite.set(0L)
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener events drain asynchronously
+      val mb = shuffleWrite.get() / 1e6
+      println(f"""{"query":"$query","scale":"$scale","rows":$rows,"sec":$sec%.2f,"shuffle_mb":$mb%.1f}""")
+    }
+
+    for ((scale, d, e) <- Seq(("1x", docs1, embs1), ("10x", d10, e10))) {
+      measure("d03_minhash_lsh", scale, Dedup.minhashLshPairs(d, 0.5))
+      measure("d14_cdc_segment_dedup", scale, Dedup.cdcSegmentDedup(d))
+      measure("t11_subword", scale,
+        TextAnalysis.subwordTokenCounts(d, TextAnalysis.subwordVocab(d)))
+      measure("d09_embedding_lsh", scale, Dedup.embeddingPairsLsh(e, 0.4))
+      Dedup.releaseIntermediates()
+    }
+    spark.stop()
+  }
+}
