@@ -597,6 +597,63 @@ object Dedup {
       .dropDuplicatesWithinWatermark("sig_key")
   }
 
+  private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** w04 gate harness: run [[nearDupStream]] as a REAL Structured
+    * Streaming query (MemoryStream source → watermark-bounded
+    * signature state → memory sink) and hash-check the survivors
+    * against a DuckDB batch replay — which must reproduce the FULL
+    * minhash pipeline (28-bit base hash, 16-slot affine rehash family,
+    * short-doc md5 fallback) to agree on the signature groups. The
+    * feed re-arrives every 5th doc under a shifted id (the signature
+    * state must drop them) and adds six ≤1-token synthetic docs with
+    * duplicates among them (the md5 fallback path must drop those).
+    *
+    * Determinism: same batch layout as [[Pipelines.cleanStreamGate]] —
+    * micro-batch k carries each signature key's k-th occurrence in
+    * doc_id order, so the survivor is provably min doc_id per key. The
+    * engines' key STRINGS differ (Spark casts the sig array, the
+    * oracle joins it) but both are injective in the signature, so the
+    * groupings — and the gated survivor sets — coincide exactly.
+    */
+  def nearDupStreamGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    graft.functions.VectorExprs.register(s)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val shorts = s.range(0, 6).select(
+      (col("id") + 2000000L).as("doc_id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("text"))
+    val feed = docs0
+      .unionAll(docs0.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(shorts)
+    val sh = call_function("shingles_of", tokens(col("text")), lit(3))
+    val ranked = feed.withColumn("sh", sh)
+      .withColumn("k", when(size(col("sh")) > 0,
+        minhashSig(col("sh")).cast("string"))
+        .otherwise(md5(lower(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("text"), col("rk"))
+      .as[(Long, String, Int)].collect()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = nearDupStream(input.toDF().toDF("doc_id", "text", "ts"))
+    val qname = s"w04_neardup_stream_${streamGateSeq.incrementAndGet()}"
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      ranked.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        input.addData(rows.map(r => (r._1, r._2, ts0)).toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    s.table(qname).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs above tau. Brute-force within the
     * corpus — the LSH-bucketed variant in [[Similarity]] is the scale
     * path; this is the exact baseline.
@@ -927,7 +984,8 @@ object Dedup {
         semanticClusters(Tables.embeddings(s, d), 0.4).localCheckpoint(true))
         .orderBy(col("vec_id"))),
     "d16_intradoc_dedup" -> ((s, d) =>
-      intraDocDedup(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      intraDocDedup(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "w04_neardup_stream" -> (nearDupStreamGate _))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
   private[operators] val shingleCte =
@@ -1090,6 +1148,32 @@ object Dedup {
       |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // batch replay of the streaming near-dup suppression: the oracle
+    // recomputes the FULL minhash signature (28-bit base hash, 16
+    // affine rehashes) per feed doc, falls back to the content hash
+    // for docs too short to shingle, and keeps min doc_id per
+    // signature group — the survivor the gate harness's batch layout
+    // guarantees the stream emits
+    "w04_neardup_stream" ->
+      s"""WITH feed AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT 2000000 + k, 's' || CAST(k % 3 AS VARCHAR) FROM range(0, 6) t(k)),
+         |toksf AS (SELECT doc_id, string_split(text, ' ') AS t FROM feed),
+         |shf AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         |  THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
+         |  ELSE [] END AS sh FROM toksf),
+         |nzf AS (SELECT doc_id, list_transform(sh, sx -> ${base28Sql("sx")}) AS hv
+         |  FROM shf WHERE len(sh) > 0),
+         |sigf AS (SELECT doc_id, ${minhashSigSql(16)} AS sg FROM nzf),
+         |keyed AS (
+         |  SELECT doc_id, 'sig:' || array_to_string(sg, ',') AS k FROM sigf
+         |  UNION ALL
+         |  SELECT f.doc_id,
+         |    'h:' || md5(lower(regexp_replace(f.text, '\\s+', ' ', 'g'))) AS k
+         |  FROM feed f JOIN shf USING (doc_id) WHERE len(shf.sh) = 0)
+         |SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k ORDER BY doc_id""".stripMargin,
     "d13_segment_dedup" -> {
       val st = SegGateTokens
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
