@@ -597,6 +597,76 @@ object Dedup {
       .dropDuplicatesWithinWatermark("sig_key")
   }
 
+  /** Winnowing gate constants — single source of truth for the Spark
+    * plan and the generated d17 oracle SQL.
+    */
+  val WinnowGateK: Int = 3
+  val WinnowGateW: Int = 4
+  val WinnowGateMinShared: Long = 2L
+  val WinnowGateMaxDf: Long = 10000L
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS algorithm): hash every k-token gram (60-bit
+    * md5 prefix, same arithmetic as the hashed-shingle join), slide a
+    * w-hash window over the gram stream, and keep each window's
+    * MINIMUM hash. The selection guarantees that any run of
+    * ≥ w + k - 1 tokens shared between two documents surfaces at
+    * least one shared fingerprint (every length-w window inside the
+    * shared run selects the same minimum in both docs), while keeping
+    * the index an expected 2/(w+1) the size of the full gram
+    * inversion — the sparse middle ground between d02's exact
+    * inverted index and d03's similarity-threshold LSH: winnowing
+    * detects CONTAINMENT (a copied paragraph inside an otherwise
+    * different doc) that whole-doc jaccard dilutes below any LSH
+    * threshold.
+    *
+    * Scale shape: gram hashing and window minima are per-doc map-side
+    * column math (codegen'd HOFs, no UDF); only (doc_id, fingerprint)
+    * rows shuffle. Docs shorter than k tokens have no grams and drop
+    * out; gram streams shorter than w contribute their single overall
+    * minimum (the standard short-doc convention).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = WinnowGateK,
+      w: Int = WinnowGateW): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("hv", expr(
+        s"""case when size(t) >= $k
+           |  then transform(sequence(1, size(t) - ${k - 1}),
+           |    i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 15), 16, 10) as bigint))
+           |  else cast(array() as array<bigint>) end""".stripMargin))
+      .withColumn("fp", expr(
+        s"""case when size(hv) = 0 then cast(array() as array<bigint>)
+           |  when size(hv) <= $w then array(array_min(hv))
+           |  else array_distinct(transform(sequence(1, size(hv) - ${w - 1}),
+           |    j -> array_min(slice(hv, j, $w)))) end""".stripMargin))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** Candidate pairs by shared winnowing fingerprints: the inverted
+    * index over the winnowed (not full) gram set, with d02's
+    * stop-fingerprint df cap for boilerplate (a fingerprint shared by
+    * m docs contributes m² join rows; the hot set broadcasts into an
+    * anti-join). Pairs sharing ≥ minShared fingerprints survive —
+    * each shared fingerprint certifies a shared token run.
+    */
+  def winnowingPairs(docs: DataFrame, k: Int = WinnowGateK,
+      w: Int = WinnowGateW, minShared: Long = WinnowGateMinShared,
+      maxDf: Long = WinnowGateMaxDf): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), explode(col("fp")).as("fp"))
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    cold.as("a")
+      .join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
 
   /** w04 gate harness: run [[nearDupStream]] as a REAL Structured
@@ -985,6 +1055,9 @@ object Dedup {
         .orderBy(col("vec_id"))),
     "d16_intradoc_dedup" -> ((s, d) =>
       intraDocDedup(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "d17_winnowing" -> ((s, d) =>
+      winnowingPairs(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "w04_neardup_stream" -> (nearDupStreamGate _))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
@@ -1148,6 +1221,29 @@ object Dedup {
       |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d17_winnowing" -> {
+      val (k, w) = (WinnowGateK, WinnowGateW)
+      val gram = (1 until k).foldLeft("t[i]")((acc, o) => s"$acc||' '||t[i+$o]")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(t) >= $k
+         |  THEN [${baseHashSql(gram, 15)}
+         |        for i in range(1, len(t) - ${k - 2})]
+         |  ELSE [] END AS hv FROM toks),
+         |f AS (SELECT doc_id, CASE WHEN len(hv) = 0 THEN []
+         |  WHEN len(hv) <= $w THEN [list_min(hv)]
+         |  ELSE list_distinct([list_min(hv[j : j + ${w - 1}])
+         |       for j in range(1, len(hv) - ${w - 2})]) END AS fp FROM g),
+         |e AS (SELECT doc_id, unnest(fp) AS fp FROM f),
+         |hot AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) > $WinnowGateMaxDf),
+         |ec AS (SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |   CAST(COUNT(*) AS BIGINT) AS shared_fps
+         |  FROM ec a JOIN ec b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared_fps FROM p
+         |WHERE shared_fps >= $WinnowGateMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // batch replay of the streaming near-dup suppression: the oracle
     // recomputes the FULL minhash signature (28-bit base hash, 16
     // affine rehashes) per feed doc, falls back to the content hash

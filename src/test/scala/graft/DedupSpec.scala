@@ -285,6 +285,38 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("winnowing guarantees a shared fingerprint for runs >= w+k-1 tokens") {
+    import org.apache.spark.sql.functions.{col, size}
+    // docs 1 and 2 share an embedded 8-token run (>= w+k-1 = 6) inside
+    // otherwise disjoint text -> MUST share a fingerprint and pair up;
+    // doc 3 shares nothing -> no pair. This is the containment case
+    // whole-doc jaccard dilutes: jac(1,2) here is far below any LSH
+    // threshold, but the copied run still surfaces.
+    val run = "the quick brown fox jumps over lazy dogs"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta eta theta"),
+      (2L, s"one two three four five $run six seven eight nine ten"),
+      (3L, "completely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, minShared = 1L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)), s"got $pairs")
+    // the winnowed index is strictly sparser than the full gram index
+    val sizes = Dedup.winnowFingerprints(docs)
+      .select(size(col("fp")).as("nf")).as[Int].collect()
+    val gramCounts = docs.select(
+      (size(graft.functions.TextFns.tokens(col("text"))) - 2).as("ng"))
+      .as[Int].collect()
+    assert(sizes.sum < gramCounts.sum,
+      s"winnowing did not sparsify: ${sizes.sum} vs ${gramCounts.sum}")
+    // short-doc conventions: < k tokens -> no fingerprints; a gram
+    // stream shorter than w -> its single overall minimum
+    val shorts = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(shorts)
+      .orderBy("doc_id").select(size(col("fp"))).as[Int].collect().toSeq
+    assert(fp == Seq(0, 1), s"got $fp")
+  }
+
   test("minhash clusters assign keepers transitively") {
     // doc 30 is a near-dup of 10 and 20 separately; 10 and 20 may not be
     // direct pairs, but all three must land in one cluster (min id 10)

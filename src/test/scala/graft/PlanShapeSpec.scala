@@ -100,6 +100,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(parts.forall(p => p >= 0 && p < 256), s"stream id out of range")
   }
 
+  test("winnowing pairs shuffle on fingerprint keys only, no UDF, no cartesian") {
+    val plan = planOf(Dedup.winnowingPairs(docs, minShared = 1L))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the hot path:\n$plan")
+  }
+
   test("intra-doc dedup shuffles only on doc-keyed partitions") {
     val plan = planOf(Dedup.intraDocDedup(docs))
     assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")
