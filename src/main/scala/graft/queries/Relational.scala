@@ -406,6 +406,49 @@ object Relational {
         col("n_events"), col("value_sum"))
       .orderBy(col("user_id"), col("s_start"))
 
+  private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** w05 gate harness: the tumbling event-time window aggregation run
+    * as a REAL Structured Streaming query — MemoryStream source,
+    * 30-minute watermark, append-mode window state, memory-sink
+    * landing — over the events fixture, hash-checked against DuckDB's
+    * batch replay. Windowed aggregation is arrival-order-independent
+    * (same groups, associative decimal sums), so unlike w03/w04 no
+    * layout trick is needed: the feed is one batch of all events plus
+    * a far-future advance marker whose watermark flushes every real
+    * window out of state (the marker's own window stays pending and is
+    * deliberately never emitted). Makes the streaming WINDOW face
+    * oracle-hard, complementing w01/w02's batch forms and
+    * StreamingWindowSpec's late-event semantics.
+    */
+  def tumblingStreamGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val rows = Tables.events(s, d)
+      .select(nsToUs("ts").as("tus"), col("value"))
+      .as[(Long, Double)].collect()
+    val marker = rows.map(_._1).max + 365L * 24 * 3600 * 1000000L
+    val input = MemoryStream[(Long, Double)]
+    val out = input.toDF().toDF("tus", "value")
+      .withColumn("tsx", timestamp_micros(col("tus")))
+      .withWatermark("tsx", "30 minutes")
+      .groupBy(window(col("tsx"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .select(col("window.start").cast(LongType).as("w_start"),
+        col("n"), col("value_sum"))
+    val qname = s"w05_tumbling_stream_${streamGateSeq.incrementAndGet()}"
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      query.processAllAvailable()
+      input.addData((marker, 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    s.table(qname).orderBy(col("w_start"))
+  }
+
   /** Pivot: returnflag columns per linestatus (conditional-aggregation
     * equivalent in the oracle). SURVEY §2.4 extension.
     */
@@ -539,6 +582,7 @@ object Relational {
     "q29_cube" -> (cube_ _),
     "w01_sliding_window" -> (slidingWindow _),
     "w02_session_window" -> (sessionWindow _),
+    "w05_tumbling_stream" -> (tumblingStreamGate _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_facet_topk" -> (facetTopK _),
     "q03_distinct" -> (distinctValues _),
@@ -692,6 +736,15 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // batch replay of the streamed tumbling windows: every real window
+    // flushes (the advance marker's never does, and is excluded here
+    // by construction since it aggregates only the marker row — which
+    // the stream never emits)
+    "w05_tumbling_stream" ->
+      s"""WITH x AS (SELECT epoch_us(ts)//1000000 AS tsec, value FROM events)
+         |SELECT (tsec//3600)*3600 AS w_start, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "w01_sliding_window" ->
       s"""WITH x AS (SELECT epoch_us(ts)//1000000 AS tsec, value FROM events),
          |e AS (SELECT (tsec//1800 - o)*1800 AS w_start, value
