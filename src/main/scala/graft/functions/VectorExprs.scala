@@ -147,5 +147,7 @@ object VectorExprs {
       es => SubwordCount(es.head, SubwordVocab.fromArgs(es)), "scala_udf")
     reg.createOrReplaceTempFunction("subword_split",
       es => SubwordSplit(es.head, SubwordVocab.fromArgs(es)), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_split",
+      es => BpeSplit(es.head, BpeMerges.fromArgs(es)), "scala_udf")
   }
 }

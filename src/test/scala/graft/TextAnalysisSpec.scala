@@ -107,6 +107,44 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("BPE trainer learns the classic merge sequence on low/lower/lowest") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, nMerges = 4)
+    // weighted pair counts: (l,o)=5 ties (o,w)=5 -> lexicographic
+    // winner (l,o); then (lo,w)=5, (low,e)=2, then (lowe,r)=1 ties
+    // (lowe,s)=1 and (s,t)=1 -> (lowe,r)
+    assert(merges == Seq("l" -> "o", "lo" -> "w", "low" -> "e",
+      "lowe" -> "r"), s"got $merges")
+    // tokenization under those merges: trained words collapse, unseen
+    // suffixes fall back to remaining symbols
+    val counts = TextAnalysis.bpeTokenCounts(docs, merges)
+      .select("doc_id", "n_words", "n_pieces")
+      .as[(Long, Long, Long)].collect().toSeq
+    // low->[low]x3, lower->[lower]=1 piece? no: lower = lowe|r merged
+    // by merge 4 -> [lower] is NOT learned; merges give lowe+r ->
+    // merge (lowe,r) IS learned -> [lower]. lowest -> lowe|s|t
+    assert(counts == Seq((1L, 5L, 3L * 1 + 1 + 3)), s"got $counts")
+  }
+
+  test("BPE pieces partition every word and the trainer is deterministic") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(5))(rnd.alphanumeric.take(1 + rnd.nextInt(8))
+        .mkString.toLowerCase).mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, nMerges = 32)
+    assert(merges == TextAnalysis.bpeMerges(docs, nMerges = 32))
+    val kernel = new graft.functions.BpeMerges(merges.toArray)
+    docs.select(explode(split(col("text"), " ")).as("w")).distinct()
+      .as[String].collect().foreach { w =>
+      val pieces = kernel.split(w)
+      assert(pieces.mkString == w, s"pieces don't partition '$w'")
+    }
+    assert(kernel.split("").isEmpty)
+  }
+
   test("subword vocab ranks substrings by weighted frequency, ties lexicographic") {
     // "ab" appears in both words of doc 1 (weight 2) and doc 2's word
     // (weight 1); every substring of "ab ab" is "ab" itself
