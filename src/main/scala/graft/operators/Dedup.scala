@@ -622,26 +622,21 @@ object Dedup {
     * threshold.
     *
     * Scale shape: gram hashing and window minima are per-doc map-side
-    * column math (codegen'd HOFs, no UDF); only (doc_id, fingerprint)
-    * rows shuffle. Docs shorter than k tokens have no grams and drop
-    * out; gram streams shorter than w contribute their single overall
-    * minimum (the standard short-doc convention).
+    * kernel work ([[graft.functions.WinnowFps]] — a single tight loop
+    * per doc; the equivalent HOF formulation evaluated interpreted,
+    * one Vector-copying slice per window, and cost MINUTES per scan
+    * task at sf0.1); only (doc_id, fingerprint) rows shuffle. Docs
+    * shorter than k tokens have no grams and drop out; gram streams
+    * shorter than w contribute their single overall minimum (the
+    * standard short-doc convention).
     */
   def winnowFingerprints(docs: DataFrame, k: Int = WinnowGateK,
       w: Int = WinnowGateW): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
-    docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .withColumn("hv", expr(
-        s"""case when size(t) >= $k
-           |  then transform(sequence(1, size(t) - ${k - 1}),
-           |    i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 15), 16, 10) as bigint))
-           |  else cast(array() as array<bigint>) end""".stripMargin))
-      .withColumn("fp", expr(
-        s"""case when size(hv) = 0 then cast(array() as array<bigint>)
-           |  when size(hv) <= $w then array(array_min(hv))
-           |  else array_distinct(transform(sequence(1, size(hv) - ${w - 1}),
-           |    j -> array_min(slice(hv, j, $w)))) end""".stripMargin))
-      .select(col("doc_id"), col("fp"))
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("winnow_fps", tokens(col("text")), lit(k), lit(w))
+        .as("fp"))
   }
 
   /** Candidate pairs by shared winnowing fingerprints: the inverted
@@ -654,8 +649,16 @@ object Dedup {
   def winnowingPairs(docs: DataFrame, k: Int = WinnowGateK,
       w: Int = WinnowGateW, minShared: Long = WinnowGateMinShared,
       maxDf: Long = WinnowGateMaxDf): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w)
-      .select(col("doc_id"), explode(col("fp")).as("fp"))
+    // the fingerprint table feeds FOUR plan branches (df census + both
+    // join sides through the anti-join) — scope-cache it so the kernel
+    // runs once per doc, not four times; the kernel stage itself is
+    // CPU-bound map work, so spread a small corpus's single split
+    // across cores first (AQE keeps this a no-op-sized shuffle at
+    // scale, where the scan yields thousands of splits anyway)
+    val fps = scopedCache(winnowFingerprints(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+      k, w)
+      .select(col("doc_id"), explode(col("fp")).as("fp")))
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
     val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
