@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, ArrayNorm, BpeMerges, BpeSplit, Minhash16Agg, ShinglesOf, Simhash64Agg, SubwordCount, SubwordSplit, SubwordVocab, WinnowFps}
+import graft.functions.{ArrayDot, ArrayNorm, BpeMerges, BpeSplit, Minhash16Agg, MinhashSigExpr, ShinglesOf, Simhash64Agg, SubwordCount, SubwordSplit, SubwordVocab, WinnowFps}
 
 /** Spark-idiomatic library entry point: enable the graft codegen
   * kernels on any session with
@@ -37,7 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "bpe_split" -> (es => BpeSplit(es.head, BpeMerges.fromArgs(es))),
     "winnow_fps" -> (es => WinnowFps(es.head,
       es(1).eval().asInstanceOf[Number].intValue(),
-      es(2).eval().asInstanceOf[Number].intValue())))
+      es(2).eval().asInstanceOf[Number].intValue())),
+    "minhash_sig" -> (es => MinhashSigExpr(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>

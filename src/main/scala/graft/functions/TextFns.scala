@@ -47,16 +47,16 @@ object TextFns {
     * `minhash16_agg` path, for contexts where rows must stay whole
     * (streaming state keys). Same arithmetic: 28-bit base hash from
     * the first 7 md5 hex digits, then the affine rehash family; the
-    * two forms produce identical signatures for the same shingle set.
-    * Empty shingle arrays yield an all-null signature — callers must
-    * key short docs some other way.
+    * two forms produce identical signatures for the same shingle set
+    * (pinned in DedupSpec). Routed through the [[MinhashSigExpr]]
+    * kernel — the HOF formulation interpreted one lambda per
+    * (shingle, slot) and cost ~11 s at sf0.1 on the streaming path;
+    * callers must have run [[VectorExprs.register]] on the session
+    * (every operator entry point does). Empty shingle arrays yield an
+    * EMPTY signature — callers must key short docs some other way.
     */
-  def minhashSig(sh: Column, k: Int = 16): Column = {
-    val hv = transform(sh, s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
-    array((0 until k).map(i =>
-      array_min(transform(hv, h =>
-        (h * minhashA(i) + minhashB(i)) % MinhashMod))): _*)
-  }
+  def minhashSig(sh: Column, k: Int = 16): Column =
+    call_function("minhash_sig", sh, lit(k))
 
   /** LSH band keys from a minhash signature: bands of r consecutive
     * signature entries digested together. Returns array<string>[bands].

@@ -153,5 +153,8 @@ object VectorExprs {
       es => WinnowFps(es.head,
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinhashSigExpr(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -682,12 +682,18 @@ object Dedup {
     * state must drop them) and adds six ≤1-token synthetic docs with
     * duplicates among them (the md5 fallback path must drop those).
     *
-    * Determinism: same batch layout as [[Pipelines.cleanStreamGate]] —
-    * micro-batch k carries each signature key's k-th occurrence in
-    * doc_id order, so the survivor is provably min doc_id per key. The
-    * engines' key STRINGS differ (Spark casts the sig array, the
-    * oracle joins it) but both are injective in the signature, so the
-    * groupings — and the gated survivor sets — coincide exactly.
+    * Determinism: [[Pipelines.cleanStreamGate]]'s batch-layout idea,
+    * collapsed to TWO micro-batches — [[nearDupStream]] has no filter,
+    * so each key's first occurrence (min doc_id) ALWAYS survives;
+    * batch 1 carries exactly those rows (one per key — no within-batch
+    * races), batch 2 carries everything else, which the landed state
+    * deterministically drops. (The per-rank layout w03 needs — where a
+    * quality filter can eliminate leading occurrences — would cost one
+    * micro-batch per occurrence rank: ~23 s at sf0.1 vs ~3 s for the
+    * two-batch form.) The engines' key STRINGS differ (Spark casts the
+    * sig array, the oracle joins it) but both are injective in the
+    * signature, so the groupings — and the gated survivor sets —
+    * coincide exactly.
     */
   def nearDupStreamGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -708,9 +714,9 @@ object Dedup {
       .withColumn("k", when(size(col("sh")) > 0,
         minhashSig(col("sh")).cast("string"))
         .otherwise(md5(lower(regexp_replace(col("text"), "\\s+", " ")))))
-      .withColumn("rk", row_number().over(
+      .withColumn("rk", least(row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
-          .orderBy(col("doc_id"))))
+          .orderBy(col("doc_id"))), lit(2)))
       .select(col("doc_id"), col("text"), col("rk"))
       .as[(Long, String, Int)].collect()
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
