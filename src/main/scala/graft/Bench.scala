@@ -72,6 +72,13 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         if (ok) t else -t
       }
+      // the pair/layout builders scope-cache intermediates in the
+      // shared ledger; drain between queries (as Verify does) so a
+      // full 103-gate pass doesn't accumulate every gate's cached
+      // frames in executor storage and pressure the very timings
+      // being recorded. Inside one query's repeats the cache stays —
+      // warm numbers measure the plan, not re-tokenization.
+      operators.Dedup.releaseIntermediates()
       name -> times
     }
     val total = results.map(_._2.last).sum

@@ -93,8 +93,13 @@ object ScaleProbe {
     for ((scale, d, e) <- Seq(("1x", docs1, embs1), ("10x", d10, e10))) {
       measure("d03_minhash_lsh", scale, Dedup.minhashLshPairs(d, 0.5))
       measure("d14_cdc_segment_dedup", scale, Dedup.cdcSegmentDedup(d))
+      // vocab trained OUTSIDE the timed closure: `df` is by-name, so an
+      // inline subwordVocab(d) would re-run the whole training job
+      // inside both the warm and the timed pass — the probe would
+      // measure training+tokenization, not the tokenization operator
+      val vocab = TextAnalysis.subwordVocab(d)
       measure("t11_subword", scale,
-        TextAnalysis.subwordTokenCounts(d, TextAnalysis.subwordVocab(d)))
+        TextAnalysis.subwordTokenCounts(d, vocab))
       measure("d09_embedding_lsh", scale, Dedup.embeddingPairsLsh(e, 0.4))
       Dedup.releaseIntermediates()
     }

@@ -288,6 +288,9 @@ object BpeMerges {
     new BpeMerges(arr.toObjectArray(StringType).map { s =>
       val t = s.toString
       val i = t.indexOf(' ')
+      require(i > 0 && i < t.length - 1,
+        s"bpe_split merge entry '$t' is not in 'a<space>b' form " +
+          "(each merge is the left and right symbol joined by one space)")
       (t.substring(0, i), t.substring(i + 1))
     })
   }

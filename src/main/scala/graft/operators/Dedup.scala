@@ -670,8 +670,6 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
-  private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
-
   /** w04 gate harness: run [[nearDupStream]] as a REAL Structured
     * Streaming query (MemoryStream source → watermark-bounded
     * signature state → memory sink) and hash-check the survivors
@@ -697,8 +695,6 @@ object Dedup {
     */
   def nearDupStreamGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx = s.sqlContext
     graft.functions.VectorExprs.register(s)
     val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -719,18 +715,12 @@ object Dedup {
           .orderBy(col("doc_id"))), lit(2)))
       .select(col("doc_id"), col("text"), col("rk"))
       .as[(Long, String, Int)].collect()
-    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
-    val out = nearDupStream(input.toDF().toDF("doc_id", "text", "ts"))
-    val qname = s"w04_neardup_stream_${streamGateSeq.incrementAndGet()}"
-    val query = out.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
-    try {
-      ranked.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (_, rows) =>
-        input.addData(rows.map(r => (r._1, r._2, ts0)).toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
-    s.table(qname).select(col("doc_id")).orderBy(col("doc_id"))
+    graft.util.StreamGate.run(s, "w04_neardup_stream",
+      Seq("doc_id", "text", "ts"),
+      ranked.groupBy(_._3).toSeq.sortBy(_._1)
+        .map(_._2.map(r => (r._1, r._2, ts0)).toSeq),
+      nearDupStream(_))
+      .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
   /** Embedding-cosine near-dup pairs above tau. Brute-force within the
@@ -983,17 +973,30 @@ object Dedup {
     * blocks; clustering is deterministic, so the artifact is
     * bit-identical to a recompute (each oracle still replays the full
     * chain independently). One small table per dir — deliberately NOT
-    * in the release ledger. The key carries the session identity: a
-    * memo entry holds localCheckpoint blocks owned by the session that
-    * built it, so after a session stop/restart in the same JVM a fresh
-    * session re-derives its own artifact instead of receiving a frame
-    * whose blocks died with the old session.
+    * in the release ledger. The memo is scoped to the OWNING SESSION
+    * via a weak identity map (not a hash-of-session string, which a
+    * post-GC identity-hash reuse could alias): a memo entry holds
+    * localCheckpoint blocks that die with their session, so a fresh
+    * session re-derives its own artifact, and a stopped session's
+    * entries become collectable instead of leaking one checkpointed
+    * frame per (session, dir, params) forever.
     */
   private val gateClusterMemo =
-    collection.concurrent.TrieMap.empty[String, DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      collection.concurrent.TrieMap[String, DataFrame]]()
+  private def sessionMemo(s: SparkSession)
+      : collection.concurrent.TrieMap[String, DataFrame] =
+    gateClusterMemo.synchronized {
+      var m = gateClusterMemo.get(s)
+      if (m == null) {
+        m = collection.concurrent.TrieMap.empty[String, DataFrame]
+        gateClusterMemo.put(s, m): Unit
+      }
+      m
+    }
   private[operators] def gateClusters(s: SparkSession, d: String,
       tau: Double = 0.5): DataFrame =
-    gateClusterMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|$tau",
+    sessionMemo(s).getOrElseUpdate(s"$d|$tau",
       minhashClusters(Tables.documents(s, d), tau).localCheckpoint(true))
 
   type Q = (SparkSession, String) => DataFrame
@@ -1059,7 +1062,7 @@ object Dedup {
     // trained once per corpus and memoized (deterministic, so
     // bit-identical to a recompute)
     "d15_semantic_clusters" -> ((s, d) =>
-      gateClusterMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|sem|0.4",
+      sessionMemo(s).getOrElseUpdate(s"$d|sem|0.4",
         semanticClusters(Tables.embeddings(s, d), 0.4).localCheckpoint(true))
         .orderBy(col("vec_id"))),
     "d16_intradoc_dedup" -> ((s, d) =>

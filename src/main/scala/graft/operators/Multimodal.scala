@@ -174,13 +174,21 @@ object Multimodal {
       var off = 12
       var fmt: Option[(Int, Int, Int)] = None
       var dataSize: Option[Long] = None
-      while (off + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      var corrupt = false
+      while (!corrupt && off + 8 <= b.length &&
+        (fmt.isEmpty || dataSize.isEmpty)) {
         val cid = new String(b, off, 4, "US-ASCII")
-        val sz = u32(off + 4)
+        val sz = u32(off + 4) // unsigned — may legitimately exceed Int.MaxValue
         if (cid == "fmt " && sz >= 16 && off + 24 <= b.length)
           fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
         else if (cid == "data") dataSize = Some(sz)
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // word-aligned advance, computed in Long: a corrupt size whose
+        // Int truncation went negative would otherwise stall `off` and
+        // spin this loop forever inside an executor task — the one
+        // failure mode the NonFatal catch can't reach
+        val step = 8L + sz + (sz & 1L)
+        if (step <= 0 || off + step > Int.MaxValue) corrupt = true
+        else off += step.toInt
       }
       for {
         (ch, rate, bits) <- fmt

@@ -461,8 +461,6 @@ object Pipelines {
       watermark = watermark)
   }
 
-  private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
-
   /** w03 gate harness: run [[cleanStream]] as a REAL Structured
     * Streaming query — MemoryStream source, watermark + bounded dedup
     * state, memory-sink landing — over the documents fixture, and
@@ -487,8 +485,6 @@ object Pipelines {
     */
   def cleanStreamGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx = s.sqlContext
     val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val docs0 = Tables.documents(s, dir)
     val feed = docs0.select(col("doc_id"), col("text"))
@@ -501,18 +497,11 @@ object Pipelines {
         Window.partitionBy(col("h")).orderBy(col("doc_id"))))
       .select(col("doc_id"), col("text"), col("rk"))
       .as[(Long, String, Int)].collect()
-    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
-    val out = cleanStream(input.toDF().toDF("doc_id", "text", "ts"))
-    val qname = s"w03_clean_stream_${streamGateSeq.incrementAndGet()}"
-    val query = out.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
-    try {
-      ranked.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (_, rows) =>
-        input.addData(rows.map(r => (r._1, r._2, ts0)).toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
-    s.table(qname)
+    graft.util.StreamGate.run(s, "w03_clean_stream",
+      Seq("doc_id", "text", "ts"),
+      ranked.groupBy(_._3).toSeq.sortBy(_._1)
+        .map(_._2.map(r => (r._1, r._2, ts0)).toSeq),
+      cleanStream(_))
       .select(col("doc_id"), col("content_hash"))
       .orderBy(col("doc_id"))
   }

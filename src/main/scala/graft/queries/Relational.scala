@@ -406,8 +406,6 @@ object Relational {
         col("n_events"), col("value_sum"))
       .orderBy(col("user_id"), col("s_start"))
 
-  private val streamGateSeq = new java.util.concurrent.atomic.AtomicInteger
-
   /** w05 gate harness: the tumbling event-time window aggregation run
     * as a REAL Structured Streaming query — MemoryStream source,
     * 30-minute watermark, append-mode window state, memory-sink
@@ -423,30 +421,20 @@ object Relational {
     */
   def tumblingStreamGate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx = s.sqlContext
     val rows = Tables.events(s, d)
       .select(nsToUs("ts").as("tus"), col("value"))
       .as[(Long, Double)].collect()
     val marker = rows.map(_._1).max + 365L * 24 * 3600 * 1000000L
-    val input = MemoryStream[(Long, Double)]
-    val out = input.toDF().toDF("tus", "value")
-      .withColumn("tsx", timestamp_micros(col("tus")))
-      .withWatermark("tsx", "30 minutes")
-      .groupBy(window(col("tsx"), "1 hour"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
-      .select(col("window.start").cast(LongType).as("w_start"),
-        col("n"), col("value_sum"))
-    val qname = s"w05_tumbling_stream_${streamGateSeq.incrementAndGet()}"
-    val query = out.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
-    try {
-      input.addData(rows.toSeq)
-      query.processAllAvailable()
-      input.addData((marker, 0.0))
-      query.processAllAvailable()
-    } finally query.stop()
-    s.table(qname).orderBy(col("w_start"))
+    graft.util.StreamGate.run(s, "w05_tumbling_stream",
+      Seq("tus", "value"),
+      Seq(rows.toSeq, Seq((marker, 0.0))),
+      _.withColumn("tsx", timestamp_micros(col("tus")))
+        .withWatermark("tsx", "30 minutes")
+        .groupBy(window(col("tsx"), "1 hour"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .select(col("window.start").cast(LongType).as("w_start"),
+          col("n"), col("value_sum")))
+      .orderBy(col("w_start"))
   }
 
   /** Pivot: returnflag columns per linestatus (conditional-aggregation

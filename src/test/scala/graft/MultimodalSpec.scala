@@ -71,6 +71,14 @@ class MultimodalSpec extends SparkSpec {
     // truncated real WAV: header promises more data than present
     val real = Multimodal.wavBytes(8000, 1, 100, 3L)
     assert(Multimodal.parseRiffWav(real.take(30)).isEmpty)
+    // corrupt chunk size whose Int truncation is negative (0xFFFFFFF8)
+    // must terminate, not stall the chunk walk in an infinite loop
+    val evil = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    evil.put("LIST".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    assert(Multimodal.parseRiffWav(evil.array()).isEmpty)
   }
 
   test("decodeAudioMeta dispatches per row: wav docs parsed, others stubbed") {
