@@ -35,6 +35,15 @@ private[graft] object StreamGate {
         query.processAllAvailable()
       }
     } finally query.stop()
-    s.table(qname)
+    // detach the result from the memory sink and DROP the sink's temp
+    // view: gate outputs are small by design (bounded survivor/window
+    // sets), but a repeated bench pass would otherwise accumulate one
+    // sink table per invocation in executor memory for the session's
+    // lifetime. A LocalRelation copy keeps the result self-contained.
+    val landed = s.table(qname)
+    val result = s.createDataFrame(
+      java.util.Arrays.asList(landed.collect(): _*), landed.schema)
+    s.catalog.dropTempView(qname): Unit
+    result
   }
 }
