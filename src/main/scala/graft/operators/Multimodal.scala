@@ -9,15 +9,16 @@ import graft.Tables
   * `binary` columns with typed metadata, processed in partition-sized
   * batches (the Scala analog of mapInPandas).
   *
-  * TWO modalities are REAL decodes, no extra dependency needed:
+  * All THREE modalities are REAL decodes, no extra dependency needed:
   * images (magic-byte sniff + decode via `javax.imageio`, part of
-  * every JDK) and audio (a pure-JVM RIFF/WAVE chunk-walk — PCM
-  * metadata lives entirely in the container header). The gated
-  * metadata comes from the decoder/parser, not from the payload
-  * generator. Payloads neither path recognizes (and any byte string a
-  * reader chokes on) fall back to a deterministic stub — the honest
-  * swap-in point for the compressed video/audio codecs this container
-  * lacks.
+  * every JDK), audio (a pure-JVM RIFF/WAVE chunk-walk — PCM metadata
+  * lives entirely in the container header), and video (a pure-JVM
+  * ISO-BMFF/MP4 box walk — timing metadata lives in the `mvhd` box).
+  * The gated metadata comes from the decoder/parser, not from the
+  * payload generator. Payloads no path recognizes (and any byte
+  * string a reader chokes on) fall back to a deterministic stub — the
+  * honest swap-in point for compressed-FRAME decoding (pixel/sample
+  * data), which does need codec libraries this container lacks.
   */
 object Multimodal {
 
@@ -207,6 +208,122 @@ object Multimodal {
       payload.length.toLong, payload.length.toLong * 1000000L / 8000L,
       "stub")
 
+  /** A parsed video container's typed metadata ([[parseIsoBmff]]). */
+  case class VideoMeta(doc_id: Long, byte_len: Long, timescale: Int,
+      dur_ticks: Long, duration_us: Long, src: String)
+
+  /** Fixture video parameters — pure functions of doc_id, same pattern
+    * as the image/audio fixtures; the three modality generators tile
+    * the corpus by doc_id % 3 (1 = image, 2 = audio, 0 = video).
+    */
+  def mp4Timescale(id: Long): Int = Array(600, 1000, 90000, 24)((id % 4).toInt)
+  def mp4DurTicks(id: Long): Long = id % 5000 + 100
+
+  /** Encode a minimal but REAL ISO base-media (MP4) container: an
+    * `ftyp` box and a `moov` box holding a version-0 `mvhd` with the
+    * given timescale/duration — exactly the boxes a player reads for
+    * container metadata.
+    */
+  def mp4Bytes(timescale: Int, durTicks: Long): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(16 + 116) // BMFF is big-endian
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    buf.putInt(116).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(durTicks.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      .put(new Array[Byte](10)) // reserved
+      .put(new Array[Byte](36)) // identity matrix slot (zeros fine for meta)
+      .put(new Array[Byte](24)) // predefined
+      .putInt(2) // next track id
+    buf.array()
+  }
+
+  /** Pure-JVM ISO-BMFF box walk — the THIRD real modality: like WAV,
+    * an MP4's timing metadata lives entirely in container boxes, so no
+    * codec is needed to extract it. Walks top-level boxes for `moov`,
+    * then its children for `mvhd` (version 0 and 1 layouts); returns
+    * (timescale, durationTicks) or None for anything malformed. The
+    * same corrupt-size discipline as [[parseRiffWav]]: a box size that
+    * cannot advance the walk terminates it instead of spinning an
+    * executor task forever (size < 8 — including 0 "to end of file"
+    * and 1 "64-bit largesize", which this minimal walker treats as
+    * unsupported — is a stop condition, not a loop).
+    */
+  def parseIsoBmff(b: Array[Byte]): Option[(Int, Long)] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def boxType(o: Int): String = new String(b, o + 4, 4, "US-ASCII")
+    try {
+      if (b.length < 16 || boxType(0) != "ftyp") return None
+      var off = 0
+      var moov = -1
+      var moovEnd = -1L
+      while (moov < 0 && off + 8 <= b.length) {
+        val sz = u32(off)
+        if (sz < 8 || off + sz > Int.MaxValue) return None
+        if (boxType(off) == "moov") { moov = off; moovEnd = off + sz }
+        off += sz.toInt
+      }
+      if (moov < 0) return None
+      var c = moov + 8
+      while (c + 8 <= math.min(moovEnd, b.length.toLong)) {
+        val sz = u32(c)
+        if (sz < 8 || c + sz > Int.MaxValue) return None
+        if (boxType(c) == "mvhd" && c + 8 + 4 <= b.length) {
+          val version = b(c + 8) & 0xff
+          return if (version == 0 && c + 8 + 20 + 4 <= b.length)
+            Some((u32(c + 8 + 12).toInt, u32(c + 8 + 16)))
+          else if (version == 1 && c + 8 + 28 + 8 <= b.length)
+            Some((u32(c + 8 + 20).toInt, u64(c + 8 + 24)))
+          else None
+        }
+        c += sz.toInt
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic fallback for payloads that don't parse as BMFF. */
+  def stubVideo(docId: Long, payload: Array[Byte]): VideoMeta =
+    VideoMeta(docId, payload.length.toLong, 1000, payload.length.toLong,
+      payload.length.toLong * 1000L, "stub")
+
+  /** Video fixture payloads: docs with doc_id % 3 == 0 carry real
+    * minimal MP4 bytes; the rest exercise the stub fallback.
+    */
+  def withVideoPayload(docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long, text: String) =>
+      if (id % 3 == 0) mp4Bytes(mp4Timescale(id), mp4DurTicks(id))
+      else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    docs.withColumn("payload", gen(col("doc_id"), col("text")))
+  }
+
+  /** Batch-parse the video payload column per partition — same shape
+    * as [[decodeMeta]]/[[decodeAudioMeta]]. duration_us is integer
+    * arithmetic (ticks · 10⁶ div timescale) for cross-engine
+    * exactness.
+    */
+  def decodeVideoMeta(spark: SparkSession, docs: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    withVideoPayload(docs.repartition(spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseIsoBmff(bytes) match {
+          case Some((ts, ticks)) if ts > 0 =>
+            VideoMeta(id, bytes.length.toLong, ts, ticks,
+              ticks * 1000000L / ts, "bmff")
+          case _ => stubVideo(id, bytes)
+        }
+      })
+  }
+
   /** Attach the opaque binary payload column: every third doc
     * (doc_id % 3 == 1) carries REAL PNG bytes sized/colored by the
     * doc_id formulas above; the rest carry raw text bytes (the
@@ -313,6 +430,9 @@ object Multimodal {
     // path (riff vs stub) produced it
     "m03_audio_meta" -> ((s, d) =>
       decodeAudioMeta(s, Tables.documents(s, d)).toDF()
+        .orderBy(col("doc_id"))),
+    "m04_video_meta" -> ((s, d) =>
+      decodeVideoMeta(s, Tables.documents(s, d)).toDF()
         .orderBy(col("doc_id"))))
 
   val oracle: Map[String, String] = Map(
@@ -354,5 +474,24 @@ object Multimodal {
         | CASE WHEN is_wav THEN CAST(ns * 1000000 // rate AS BIGINT)
         |      ELSE tlen * 125 END AS duration_us,
         | CASE WHEN is_wav THEN 'riff' ELSE 'stub' END AS src
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // expected ISO-BMFF parse output from the fixture formulas: video
+    // rows (doc_id%3=0) from the mp4 generator parameters (132 bytes =
+    // 16-byte ftyp + 116-byte moov/mvhd), stub rows from the text
+    "m04_video_meta" ->
+      """WITH r AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS tlen,
+        |  doc_id % 3 = 0 AS is_mp4,
+        |  doc_id % 5000 + 100 AS ticks,
+        |  CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |       WHEN 2 THEN 90000 ELSE 24 END AS ts
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN is_mp4 THEN CAST(132 AS BIGINT) ELSE tlen END AS byte_len,
+        | CAST(CASE WHEN is_mp4 THEN ts ELSE 1000 END AS INT) AS timescale,
+        | CASE WHEN is_mp4 THEN CAST(ticks AS BIGINT) ELSE tlen END AS dur_ticks,
+        | CASE WHEN is_mp4 THEN CAST(ticks * 1000000 // ts AS BIGINT)
+        |      ELSE tlen * 1000 END AS duration_us,
+        | CASE WHEN is_mp4 THEN 'bmff' ELSE 'stub' END AS src
         |FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -81,6 +81,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseRiffWav(evil.array()).isEmpty)
   }
 
+  test("mp4Bytes round-trips through the BMFF box walk with generated params") {
+    for (id <- Seq(0L, 3L, 6L, 9L, 996L)) {
+      val bytes = Multimodal.mp4Bytes(
+        Multimodal.mp4Timescale(id), Multimodal.mp4DurTicks(id))
+      assert(bytes.length == 132)
+      assert(new String(bytes, 4, 4, "US-ASCII") == "ftyp")
+      val Some((ts, ticks)) = Multimodal.parseIsoBmff(bytes)
+      assert(ts == Multimodal.mp4Timescale(id))
+      assert(ticks == Multimodal.mp4DurTicks(id))
+    }
+  }
+
+  test("BMFF walk rejects poisoned payloads instead of spinning or failing") {
+    assert(Multimodal.parseIsoBmff("just words not boxes at all!".getBytes).isEmpty)
+    // a valid ftyp followed by a zero-size box ("to end of file") must
+    // terminate, not loop on a non-advancing offset
+    val evil = java.nio.ByteBuffer.allocate(32)
+    evil.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    evil.putInt(0).put("free".getBytes("US-ASCII"))
+    assert(Multimodal.parseIsoBmff(evil.array()).isEmpty)
+    // truncated real mp4: moov promised but cut off
+    val real = Multimodal.mp4Bytes(600, 500L)
+    assert(Multimodal.parseIsoBmff(real.take(40)).isEmpty)
+  }
+
+  test("decodeVideoMeta dispatches per row: mp4 docs parsed, others stubbed") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta"), (1L, "gamma"), (3L, "delta"),
+      (5L, "epsilon zeta")).toDF("doc_id", "text")
+    val out = Multimodal.decodeVideoMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(0L).src == "bmff" && out(0L).timescale == Multimodal.mp4Timescale(0L)
+      && out(0L).dur_ticks == Multimodal.mp4DurTicks(0L) && out(0L).byte_len == 132L)
+    assert(out(3L).src == "bmff" && out(3L).timescale == Multimodal.mp4Timescale(3L))
+    assert(out(1L).src == "stub" && out(1L).byte_len == "gamma".length.toLong)
+    assert(out(5L).src == "stub" && out(5L).timescale == 1000)
+  }
+
   test("decodeAudioMeta dispatches per row: wav docs parsed, others stubbed") {
     import spark.implicits._
     val docs = Seq((0L, "alpha beta"), (2L, "gamma"), (5L, "delta"),
