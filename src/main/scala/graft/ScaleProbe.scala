@@ -100,6 +100,7 @@ object ScaleProbe {
       val vocab = TextAnalysis.subwordVocab(d)
       measure("t11_subword", scale,
         TextAnalysis.subwordTokenCounts(d, vocab))
+      measure("d17_winnowing", scale, Dedup.winnowingPairs(d))
       measure("d09_embedding_lsh", scale, Dedup.embeddingPairsLsh(e, 0.4))
       Dedup.releaseIntermediates()
     }
