@@ -216,9 +216,12 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
     val bandCols = (0 until 4).map(j => col(s"band$j"))
-    val rows = simhashDocs(docs)
+    // the banded table feeds BOTH sides of the self-join below —
+    // scope-cache it so the tokenize+md5+simhash aggregation runs once
+    // per doc, not twice (same pattern as [[winnowingPairs]]'s fps)
+    val rows = scopedCache(simhashDocs(docs)
       .select(col("doc_id") +: bandCols :+
-        posexplode(array(bandCols: _*)).as(Seq("bpos", "bval")): _*)
+        posexplode(array(bandCols: _*)).as(Seq("bpos", "bval")): _*))
     val cands = rows.as("a").join(rows.as("b"),
         col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
         col("a.doc_id") < col("b.doc_id"))
