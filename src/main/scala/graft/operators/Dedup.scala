@@ -154,8 +154,11 @@ object Dedup {
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigs = ex.groupBy(col("doc_id"))
       .agg(call_function("minhash16_agg", md5(col("s"))).as("sig"))
-    val bandRows = sigs.select(col("doc_id"),
-      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key")))
+    // the band table feeds BOTH sides of the candidate self-join —
+    // scope-cache its 24-byte (doc_id, band, key) rows so the
+    // md5+minhash aggregation runs once per doc, not twice
+    val bandRows = scopedCache(sigs.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key"))))
     val cands = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
