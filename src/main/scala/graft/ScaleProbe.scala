@@ -102,6 +102,13 @@ object ScaleProbe {
         TextAnalysis.subwordTokenCounts(d, vocab))
       measure("d17_winnowing", scale, Dedup.winnowingPairs(d))
       measure("d09_embedding_lsh", scale, Dedup.embeddingPairsLsh(e, 0.4))
+      // the documented d09 mitigation, measured instead of asserted:
+      // at 10× the corpus, +log2(10)≈3 planes (4→7) re-bounds bucket
+      // occupancy (2⁴→2⁷ buckets per table), so candidate cost should
+      // fall back toward the 1× level — the recall trade is the price
+      if (scale == "10x")
+        measure("d09_embedding_lsh_p7", scale,
+          Dedup.embeddingPairsLsh(e, 0.4, nPlanes = 7))
       Dedup.releaseIntermediates()
     }
     spark.stop()
