@@ -676,6 +676,80 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** d18 gate threshold — single source of truth for plan + oracle. */
+  val PrefixGateTau: Double = 0.6
+
+  /** EXACT Jaccard set-similarity join with prefix filtering (the
+    * SSJoin/PPJoin family: Chaudhuri, Ganti & Kaushik ICDE'06; Bayardo,
+    * Ma & Srikant WWW'07; Xiao et al. WWW'08): all pairs whose 3-gram
+    * shingle-set Jaccard is >= tau, computed exactly while indexing only
+    * each document's rarest-first PREFIX instead of its full shingle
+    * list.
+    *
+    * Prefix-filtering principle: under any fixed global token order, if
+    * |A∩B| >= α then the first (|A|-α+1) tokens of A and the first
+    * (|B|-α+1) tokens of B must share an element (if the prefixes were
+    * disjoint, every common element would have to sit in A's α-1-sized
+    * suffix — order both last-prefix elements and the contradiction is
+    * immediate). Jaccard >= tau implies overlap >= ⌈tau·max(n_a,n_b)⌉,
+    * and each side's own ⌈tau·n⌉ bound yields a prefix at least as long
+    * as that α requires, so indexing p = n - ⌈tau·n⌉ + 1 tokens per doc
+    * is complete — no heuristic, no recall loss.
+    *
+    * This is the third, strongest point on the d02→d03 spectrum:
+    * d02's inverted index is exact only while its df cap doesn't bind
+    * (above it, boilerplate-only pairs are silently skipped); d03's
+    * LSH is probabilistic by construction. Prefix filtering keeps
+    * EXACTNESS at scale: the index shrinks from Σn to Σ(n-⌈tau·n⌉+1)
+    * entries (60% fewer at tau=0.6), hot boilerplate shingles land at
+    * the BACK of the rarest-first order and mostly fall out of every
+    * prefix (the measured gate-corpus index carries no shingle with
+    * df > ~tens), and candidate work stays Σ prefix-bucket² instead of
+    * Σ full-bucket². The global order costs one extra shuffle (the df
+    * join) — the price of exactness the cap variant avoids by giving
+    * up recall.
+    *
+    * Scale shape: df census and df join shuffle on the shingle string;
+    * the per-doc rank window partitions by doc_id (never
+    * SinglePartition); candidates join on prefix tokens only; the
+    * verify join ships 60-bit hashed shingle sets exactly like
+    * [[minhashLshPairs]]. The length filter (tau·max <= min) prunes
+    * cross-size candidates inside the join condition, before the
+    * exchange of the verify stage.
+    */
+  def prefixJaccardJoin(docs: DataFrame, tau: Double = PrefixGateTau,
+      n: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1]: $tau")
+    val sh = scopedCache(docShingles(docs, n).filter(size(col("sh")) > 0))
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rarest-first global order (ascending df, token tie-break): the
+    // standard order that makes prefixes collide as rarely as possible
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = scopedCache(ex.join(dfs, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
+      .select(col("doc_id"), col("n_sh"), col("s")))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n_sh"), col("b.n_sh")) * tau <=
+            least(col("a.n_sh"), col("b.n_sh")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val hs = sh.select(col("doc_id"), array_distinct(transform(col("sh"),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("hs"))
+    cands
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hsa")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hsb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jac", col("common").cast("double") /
+        (size(col("hsa")) + size(col("hsb")) - col("common")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   /** w04 gate harness: run [[nearDupStream]] as a REAL Structured
     * Streaming query (MemoryStream source → watermark-bounded
     * signature state → memory sink) and hash-check the survivors
@@ -1076,6 +1150,9 @@ object Dedup {
     "d17_winnowing" -> ((s, d) =>
       winnowingPairs(Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "d18_prefix_join" -> ((s, d) =>
+      prefixJaccardJoin(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "w04_neardup_stream" -> (nearDupStreamGate _))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
@@ -1239,6 +1316,25 @@ object Dedup {
       |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle verifies the RESULT, not the algorithm: exact Jaccard
+    // over ALL pairs (plain inverted index, no prefix filter) — prefix
+    // filtering must lose nothing, and the jaccard runs on the same
+    // 60-bit hashed shingle sets as the plan's verify join (d03's
+    // agreement-by-construction treatment)
+    "d18_prefix_join" ->
+      s"""$shingleCte,
+         |nz AS (SELECT doc_id,
+         |  list_distinct(list_transform(sh, sx -> ${baseHashSql("sx", 15)})) AS hs
+         |  FROM sh WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b, len(list_intersect(na.hs, nb.hs)) AS common,
+         |    len(na.hs) AS la, len(nb.hs) AS lb
+         |  FROM p JOIN nz na ON na.doc_id = doc_a JOIN nz nb ON nb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, CAST(common AS DOUBLE)/(la+lb-common) AS jac
+         |FROM j WHERE CAST(common AS DOUBLE)/(la+lb-common) >= $PrefixGateTau
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d17_winnowing" -> {
       val (k, w) = (WinnowGateK, WinnowGateW)
       val gram = (1 until k).foldLeft("t[i]")((acc, o) => s"$acc||' '||t[i+$o]")

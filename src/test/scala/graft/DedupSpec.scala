@@ -317,6 +317,37 @@ class DedupSpec extends SparkSpec {
     assert(fp == Seq(0, 1), s"got $fp")
   }
 
+  test("prefix filtering is exact: equals the uncapped inverted index at every tau") {
+    val corpus = Seq(
+      (1L, "common boiler plate alpha beta gamma delta epsilon"),
+      (2L, "common boiler plate alpha beta gamma delta zeta"),
+      (3L, "common boiler plate eta theta iota kappa lambda"),
+      (4L, "entirely different words appear here now friends"),
+      (5L, "entirely different words appear here now strangers"))
+      .toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.5, 0.7)) {
+      val got = Dedup.prefixJaccardJoin(corpus, tau)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      val expect = Dedup.ngramJaccardPairs(corpus, tau,
+          maxShingleDf = Long.MaxValue)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      assert(got == expect, s"tau=$tau: $got vs $expect")
+    }
+    // fixture sanity: the high-tau case still exercises a nonempty result
+    assert(Dedup.prefixJaccardJoin(corpus, 0.7).count() > 0)
+    Dedup.releaseIntermediates()
+  }
+
+  test("prefix join stays exact where the d02 df cap loses pairs") {
+    // the boilerplate fixture: a df cap of 2 drops the hot shingle and
+    // with it ALL of d02's pairs; the prefix join needs no cap — the
+    // boilerplate token just sorts to the back of the rarest-first
+    // order — and keeps every pair
+    assert(Dedup.ngramJaccardPairs(docs, 0.1, maxShingleDf = 2L).count() == 0)
+    assert(Dedup.prefixJaccardJoin(docs, 0.1).count() == 3)
+    Dedup.releaseIntermediates()
+  }
+
   test("minhash clusters assign keepers transitively") {
     // doc 30 is a near-dup of 10 and 20 separately; 10 and 20 may not be
     // direct pairs, but all three must land in one cluster (min id 10)

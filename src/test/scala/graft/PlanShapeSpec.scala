@@ -107,6 +107,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"UDF in the hot path:\n$plan")
   }
 
+  test("prefix join ranks per doc and joins on prefix tokens, no cartesian") {
+    val plan = planOf(Dedup.prefixJaccardJoin(docs, 0.5))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the hot path:\n$plan")
+    // the rarest-first rank window partitions by doc_id, never globally
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"rank window not doc-keyed:\n$plan")
+  }
+
   test("intra-doc dedup shuffles only on doc-keyed partitions") {
     val plan = planOf(Dedup.intraDocDedup(docs))
     assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")
