@@ -164,6 +164,63 @@ object TextAnalysis {
         col("n_hapax"))
   }
 
+  /** BM25 gate constants — single source of truth for plan + oracle.
+    * K1/B are the textbook defaults (Robertson et al., TREC-3); the
+    * query terms are corpus-vocabulary tokens so both SFs score
+    * non-trivially.
+    */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+  val Bm25GateTerms: Seq[String] = Seq("spark", "vector", "merge")
+  val Bm25GateK: Int = 100
+
+  /** BM25 top-k retrieval (Robertson & Walker, SIGIR'94; the Lucene
+    * idf variant ln(1 + (N - df + 0.5)/(df + 0.5)), which keeps idf
+    * positive for df > N/2): score every document containing a query
+    * term, return the k best.
+    *
+    * Scale shape: the term filter runs map-side BEFORE any shuffle
+    * (only rows matching the query's ~handful of terms reach the tf
+    * groupBy — the corpus never shuffles); df and the corpus length
+    * stats are tiny aggregates broadcast back into the scoring join;
+    * the top-k compiles to TakeOrderedAndProject (per-partition heaps
+    * merged on the driver) — no global sort, no single-task window.
+    *
+    * Determinism-vs-oracle: each per-term score is rounded to 6
+    * decimals and cast to an exact decimal BEFORE the per-doc sum
+    * (the [[graft.util.Cols]] convention) — double sums are
+    * order-dependent and ln() is the one libm call the two engines
+    * may round a ulp apart; rounding first makes the sum exact and
+    * order-free in both.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String] = Bm25GateTerms,
+      k: Int = Bm25GateK): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val lens = docs.select(col("doc_id"), size(tokens(col("text"))).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    val qtf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfs = qtf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(dfs), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        round(col("idf") * (col("tf") * (lit(Bm25K1) + lit(1.0))) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("len") / col("avgdl"))),
+          6).cast("decimal(28,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).cast("double").as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Pattern scrub — the PII-redaction pass: count a pattern's matches
     * per document and rewrite every match to a placeholder before the
     * text reaches training. Production patterns are the usual
@@ -515,6 +572,9 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // NOTE no .orderBy: the top-k is already TakeOrderedAndProject-
+    // ordered; the driver compare sorts rows anyway
+    "t15_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "t11_subword" -> ((s, d) =>
       subwordTokenCounts(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
@@ -622,6 +682,34 @@ object TextAnalysis {
        |docw2 AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS word FROM dw)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // expression-tree parity with bm25TopK is deliberate, operator by
+    // operator (left-associative * and / in both engines): every
+    // arithmetic step is IEEE-identical, the one libm call (ln) is
+    // absorbed by the 6-decimal round, and the per-doc sum runs on
+    // exact decimals
+    "t15_bm25" -> {
+      val termList = Bm25GateTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len
+         |  FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(len) AS BIGINT) AS total_len FROM lens),
+         |qtf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |   FROM documents)
+         |  WHERE tok IN ($termList) GROUP BY doc_id, tok),
+         |dfs AS (SELECT tok, COUNT(*) AS df FROM qtf GROUP BY tok),
+         |sc AS (SELECT doc_id, CAST(ROUND(
+         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |      (tf * ($Bm25K1 + 1.0)) /
+         |    (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * len /
+         |      (CAST(total_len AS DOUBLE) / n_docs))), 6)
+         |  AS DECIMAL(28,6)) AS term_score
+         |  FROM qtf JOIN dfs USING (tok) JOIN lens USING (doc_id)
+         |  CROSS JOIN stats)
+         |SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $Bm25GateK""".stripMargin
+    },
     "t12_subword_pieces" ->
       s"""WITH RECURSIVE $subwordPieceCtes
          |SELECT doc_id, list(ps ORDER BY pos) AS pieces

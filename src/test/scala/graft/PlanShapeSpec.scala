@@ -117,6 +117,21 @@ class PlanShapeSpec extends SparkSpec {
       s"rank window not doc-keyed:\n$plan")
   }
 
+  test("bm25 filters map-side, broadcasts stats, and takes top-k without a global sort") {
+    val plan = planOf(TextAnalysis.bm25TopK(docs, Seq("alpha", "beta"), 5))
+    // per-partition heaps merged on the driver, not Sort+Limit; the only
+    // single-partition stage is the 1-row corpus-stats aggregate (as in
+    // every keyless agg) — the corpus-scale path never windows globally
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("Sort "), s"global sort for top-k:\n$plan")
+    assert(!plan.contains("Window"), s"window in the scoring path:\n$plan")
+    // the term filter runs under the explode, before any Exchange
+    assert(plan.indexOf("Filter tok") > plan.indexOf("Exchange"),
+      s"term filter not below the shuffles:\n$plan")
+    // df and corpus stats reach the scoring join as broadcasts
+    assert(plan.contains("BroadcastExchange"), s"stats not broadcast:\n$plan")
+  }
+
   test("intra-doc dedup shuffles only on doc-keyed partitions") {
     val plan = planOf(Dedup.intraDocDedup(docs))
     assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")

@@ -26,6 +26,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(_._2 == "en"))
   }
 
+  test("bm25 matches the hand-computed score and excludes non-matching docs") {
+    // corpus: N=3, avgdl=(4+4+2)/3; "cat" df=2, "dog" df=1; doc 3 has
+    // no query term and must not appear
+    val docs = Seq(
+      (1L, "cat cat dog mouse"),
+      (2L, "cat fish bird worm"),
+      (3L, "no match here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("cat", "dog"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val (k1, b) = (TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+    val avgdl = 11.0 / 3
+    def term(tf: Long, df: Long, len: Long): BigDecimal =
+      BigDecimal(math.log(1.0 + (3L - df + 0.5) / (df + 0.5)) *
+        (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * len / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d1 = (term(2, 2, 4) + term(1, 1, 4)).toDouble
+    val d2 = term(1, 2, 4).toDouble
+    assert(got == Seq((1L, d1), (2L, d2)), s"got $got expected $d1, $d2")
+    // a higher-tf doc outranks; k truncates deterministically
+    assert(TextAnalysis.bm25TopK(docs, Seq("cat", "dog"), k = 1)
+      .as[(Long, Double)].collect().toSeq == Seq((1L, d1)))
+  }
+
   test("token rarity computes integer mean frequency and hapax counts") {
     // corpus tokens: a×3, b×1, c×1 → total 5
     // freq ppm: a = 600000, b = c = 200000
