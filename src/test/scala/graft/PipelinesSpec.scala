@@ -114,6 +114,42 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("shard shuffle equals the per-shard global window and is a dense permutation") {
+    val corpus = spark.range(0, 300).selectExpr("id AS doc_id", "'x' AS text")
+    val got = Pipelines.shardShuffle(corpus, nShards = 4, seed = "s1")
+      .orderBy("shard", "pos")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSeq
+    // driver-side replay of the straightforward form: one window per
+    // shard over the full md5 order — the (shard, digit) decomposition
+    // must be bit-identical
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyed = (0L until 300L).map { id =>
+      val k = md5hex(s"s1:$id")
+      (id, k, (java.lang.Long.parseLong(k.substring(8, 15), 16) % 4).toInt)
+    }
+    val expect = keyed.groupBy(_._3).toSeq.flatMap { case (shard, rows) =>
+      rows.sortBy { case (id, k, _) => (k, id) }.zipWithIndex
+        .map { case ((id, _, _), i) => (id, shard, i.toLong) }
+    }.sortBy(r => (r._2, r._3))
+    assert(got == expect)
+    // dense 0..n-1 positions per shard, every doc exactly once
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    assert(got.map(_._1).sorted == (0L until 300L).toSeq)
+    // same seed reproduces; a different seed permutes
+    val again = Pipelines.shardShuffle(corpus, nShards = 4, seed = "s1")
+      .orderBy("shard", "pos")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSeq
+    assert(again == got, "same seed must reproduce the layout")
+    val other = Pipelines.shardShuffle(corpus, nShards = 4, seed = "s2")
+      .orderBy("shard", "pos")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSeq
+    assert(other != got, "re-seeding must re-shuffle")
+  }
+
   test("budget selection's two-pass plan equals the global-order cumsum (random corpora)") {
     // the p14 claim: histogram-threshold + per-score parallel cumsum is
     // arithmetically identical to one global-order window — check on

@@ -81,6 +81,20 @@ class PlanShapeSpec extends SparkSpec {
       s"cumsum window not keyed on (score, digit):\n$plan")
   }
 
+  test("shard shuffle ranks on (shard, digit), never per-shard whole chains") {
+    // nShards is a config constant, so a shard-only window is the
+    // budgetSelect flaw all over again — the corpus-scale rank must key
+    // on (shard, digit); the only shard-only window runs on the
+    // nShards*16-row prefix table
+    val corpus = spark.range(0, 100).selectExpr("id AS doc_id", "'x' AS text")
+    val plan = planOf(Pipelines.shardShuffle(corpus, nShards = 4))
+    assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"prefix join not broadcast:\n$plan")
+    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[shard#\\d+, digit#\\d+\\]".r
+      .findFirstIn(plan).isDefined,
+      s"rank window not keyed on (shard, digit):\n$plan")
+  }
+
   test("packing parallelism knob: digits=2 keys the window on 256 streams") {
     val many = spark.range(0, 2000)
       .selectExpr("id AS doc_id", "concat('w', id, ' x y z') AS text")
