@@ -104,28 +104,15 @@ object SubwordVocab {
   }
 }
 
-/** Winnowing fingerprints of a token array in one eval pass: hash
-  * every k-gram (60-bit md5 prefix — bit-identical to the SQL
-  * `conv(substring(md5(gram), 1, 15), 16, 10)` the oracle replays),
-  * slide a w-window, collect the distinct window minima in first-
-  * occurrence order. Semantically identical to the HOF formulation
-  * (transform + array_min(slice)), but a tight loop: the interpreted
-  * HOF route allocated a Vector copy per window and re-walked the
-  * expression tree per element — measured MINUTES for the sf0.1
-  * corpus in one scan task, vs sub-second here. Short-doc
-  * conventions preserved: fewer than k tokens → empty; fewer than w
-  * grams → the single overall minimum.
+/** Shared k-gram hashing loop: 60-bit md5 prefixes (bit-identical to
+  * the SQL `conv(substring(md5(gram), 1, 15), 16, 10)` the oracles
+  * replay), one tight pass, position order. Empty for docs shorter
+  * than k tokens.
   */
-case class WinnowFps(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "winnow_fps"
-
-  override def nullSafeEval(a: Any): Any = {
-    val toks = a.asInstanceOf[ArrayData]
+private[functions] object GramHash {
+  def hashes(toks: ArrayData, k: Int): Array[Long] = {
     val n = toks.numElements()
-    if (n < k) return new GenericArrayData(Array.empty[Any])
+    if (n < k) return Array.empty[Long]
     val md = java.security.MessageDigest.getInstance("MD5")
     val ng = n - k + 1
     val hv = new Array[Long](ng)
@@ -149,6 +136,52 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
       md.reset()
       i += 1
     }
+    hv
+  }
+}
+
+/** Position-ordered k-gram hashes of a token array — [[WinnowFps]]'s
+  * hashing WITHOUT the winnowing selection: index i holds the hash of
+  * the gram starting at token i, so a posexplode recovers (position,
+  * gram) pairs. Feeds exact-substring dedup, where occurrence
+  * positions matter.
+  */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(GramHash.hashes(a.asInstanceOf[ArrayData], k))
+
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
+/** Winnowing fingerprints of a token array in one eval pass: hash
+  * every k-gram (60-bit md5 prefix — bit-identical to the SQL
+  * `conv(substring(md5(gram), 1, 15), 16, 10)` the oracle replays),
+  * slide a w-window, collect the distinct window minima in first-
+  * occurrence order. Semantically identical to the HOF formulation
+  * (transform + array_min(slice)), but a tight loop: the interpreted
+  * HOF route allocated a Vector copy per window and re-walked the
+  * expression tree per element — measured MINUTES for the sf0.1
+  * corpus in one scan task, vs sub-second here. Short-doc
+  * conventions preserved: fewer than k tokens → empty; fewer than w
+  * grams → the single overall minimum.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1: k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val hv = GramHash.hashes(toks, k)
+    val ng = hv.length
+    if (ng == 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val last = math.max(ng - w, 0)
     var s = 0

@@ -149,6 +149,9 @@ object VectorExprs {
       es => SubwordSplit(es.head, SubwordVocab.fromArgs(es)), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_split",
       es => BpeSplit(es.head, BpeMerges.fromArgs(es)), "scala_udf")
+    reg.createOrReplaceTempFunction("gram_hashes",
+      es => GramHashes(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fps",
       es => WinnowFps(es.head,
         es(1).eval().asInstanceOf[Number].intValue(),

@@ -750,6 +750,78 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** d19 gate constant — single source of truth for plan + oracle. */
+  val ExactSubGateL: Int = 8
+
+  /** Cross-document EXACT-substring dedup, keep-first (the ExactSubstr
+    * pass of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22, approximated at fixed gram length L
+    * instead of a suffix array): every L-token gram that occurs more
+    * than once in the corpus keeps its globally-earliest occurrence
+    * (min (doc_id, position)) and has every LATER occurrence's L
+    * tokens removed from its document. Duplicated passages — license
+    * blocks, copied paragraphs, mirrored pages — vanish from all but
+    * the first document that carries them, at token granularity,
+    * without whole-doc or whole-segment collateral (the d13/d14
+    * segment operators drop aligned TILES; this removes the exact
+    * duplicated positions and keeps the rest of the line).
+    *
+    * Fixed-L approximation semantics: a duplicated run of R >= L
+    * tokens is covered by its R-L+1 duplicated grams, so later copies
+    * lose the WHOLE run (the covered-position union); runs shorter
+    * than L are below the detection floor — L is the "minimum match
+    * length" knob (Lee et al. use 50 BPE tokens at corpus scale).
+    *
+    * Scale shape: gram hashing is the one-pass [[graft.functions
+    * .GramHashes]] kernel ([[winnowFingerprints]]'s hashing without
+    * the winnowing), map-side; the only corpus-wide shuffles key on
+    * the 60-bit gram hash (first-occurrence agg is min(struct) with
+    * map-side partial combine — deliberately NOT a per-gram rank
+    * window, which would chain a boilerplate gram's million
+    * occurrences through one task; AQE handles residual join skew on
+    * hot grams). Removed positions explode ×L on the DUPLICATED mass
+    * only, then dedupe on (doc_id, pos); reconstruction joins and
+    * windows are doc-keyed. Kept text reassembles via
+    * array_sort(collect_list(struct)) + field extraction — collection
+    * expressions, no interpreted HOF in the hot path.
+    */
+  def exactSubstringDedup(docs: DataFrame,
+      l: Int = ExactSubGateL): DataFrame = {
+    require(l >= 2, s"gram length must be >= 2: $l")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    // kernel stage spread (winnowing precedent): one small-corpus
+    // parquet split would otherwise hash every doc in one task
+    val base = scopedCache(docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("t")))
+    val grams = scopedCache(base
+      .select(col("doc_id"),
+        posexplode(call_function("gram_hashes", col("t"), lit(l)))
+          .as(Seq("p", "gh"))))
+    val first = grams.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("f"))
+    // an occurrence that is not its gram's first loses tokens
+    // [p, p+l); occ == 1 grams are their own first and drop out here
+    val removedPos = grams.join(first, "gh")
+      .filter(!(col("doc_id") === col("f.doc_id") && col("p") === col("f.p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(l - 1))).as("p"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
+      .join(removedPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          array_sort(collect_list(struct(col("p"), col("tok"))))
+            .getField("tok")).as("kept_text"))
+    base.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** w04 gate harness: run [[nearDupStream]] as a REAL Structured
     * Streaming query (MemoryStream source → watermark-bounded
     * signature state → memory sink) and hash-check the survivors
@@ -1153,6 +1225,8 @@ object Dedup {
     "d18_prefix_join" -> ((s, d) =>
       prefixJaccardJoin(Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "d19_exact_substring" -> ((s, d) =>
+      exactSubstringDedup(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "w04_neardup_stream" -> (nearDupStreamGate _))
 
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
@@ -1316,6 +1390,37 @@ object Dedup {
       |FROM fresh GROUP BY h ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // keep-first exact-substring replay: same 60-bit gram hashes
+    // (baseHashSql = the GramHashes kernel's arithmetic), first
+    // occurrence by ROW_NUMBER over (doc_id, pos), later occurrences'
+    // covered positions unioned per doc, kept tokens reassembled in
+    // position order
+    "d19_exact_substring" -> {
+      val l = ExactSubGateL
+      val gram = (1 until l).foldLeft("t[i]")((acc, o) => s"$acc||' '||t[i+$o]")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |g AS (SELECT doc_id, t, CASE WHEN len(t) >= $l
+         |  THEN [${baseHashSql(gram, 15)}
+         |        for i in range(1, len(t) - ${l - 2})]
+         |  ELSE [] END AS hv FROM toks),
+         |e1 AS (SELECT doc_id, hv,
+         |  unnest(range(1, len(hv) + 1)) AS p FROM g),
+         |e AS (SELECT doc_id, p, hv[p] AS h FROM e1),
+         |o AS (SELECT doc_id, p,
+         |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM e),
+         |rp AS (SELECT DISTINCT doc_id, unnest(range(p, p + $l)) AS rpos
+         |  FROM o WHERE rn > 1),
+         |rl AS (SELECT doc_id, list(rpos) AS rem FROM rp GROUP BY doc_id),
+         |k AS (SELECT toks.doc_id, t, COALESCE(rem, []) AS rem
+         |  FROM toks LEFT JOIN rl ON rl.doc_id = toks.doc_id),
+         |f AS (SELECT doc_id, len(t) AS n,
+         |  [t[j] for j in range(1, len(t) + 1)
+         |   if NOT list_contains(rem, j)] AS kept FROM k)
+         |SELECT doc_id, CAST(n - len(kept) AS BIGINT) AS n_removed,
+         | COALESCE(array_to_string(kept, ' '), '') AS kept_text
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     // the oracle verifies the RESULT, not the algorithm: exact Jaccard
     // over ALL pairs (plain inverted index, no prefix filter) — prefix
     // filtering must lose nothing, and the jaccard runs on the same

@@ -348,6 +348,34 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("exact-substring dedup keeps first occurrences and removes later copies") {
+    val run = "q w e r t y u i" // exactly one L=8 gram
+    val run2 = "z1 z2 z3 z4 z5 z6 z7 z8"
+    val corpus = Seq(
+      (1L, s"$run alpha beta"), // first occurrence of every gram it has
+      (2L, s"gamma delta $run"), // embedded copy -> loses positions 2-9
+      (3L, "ten fully unique tokens one two three four five six"),
+      (4L, s"$run alpha beta"), // whole-doc copy of 1 -> loses everything
+      // intra-doc repeat of a run no other doc has: first occurrence
+      // (pos 0) kept, second (pos 9) removed
+      (5L, s"$run2 x $run2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(corpus, l = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, s"$run alpha beta"),
+      (2L, 8L, "gamma delta"),
+      (3L, 0L, "ten fully unique tokens one two three four five six"),
+      (4L, 10L, ""),
+      (5L, 8L, s"$run2 x")), s"got $got")
+    // short docs (< L tokens) are below the detection floor
+    val shorts = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val s2 = Dedup.exactSubstringDedup(shorts, l = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(s2 == Seq((1L, 0L, "a b c"), (2L, 0L, "a b c")), s"got $s2")
+    Dedup.releaseIntermediates()
+  }
+
   test("minhash clusters assign keepers transitively") {
     // doc 30 is a near-dup of 10 and 20 separately; 10 and 20 may not be
     // direct pairs, but all three must land in one cluster (min id 10)

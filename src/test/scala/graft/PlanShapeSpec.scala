@@ -146,6 +146,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), s"stats not broadcast:\n$plan")
   }
 
+  test("exact-substring dedup aggregates first occurrences, never a per-gram rank window") {
+    // keep-first must come from min(struct) with map-side partial
+    // combine — a row_number window keyed on the gram hash would chain
+    // a boilerplate gram's whole occurrence list through one task
+    val plan = planOf(Dedup.exactSubstringDedup(docs, l = 3))
+    assert(!plan.contains("row_number"), s"rank window in keep-first:\n$plan")
+    assert(plan.contains("partial_min"), s"first-occurrence agg not partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the hot path:\n$plan")
+  }
+
   test("intra-doc dedup shuffles only on doc-keyed partitions") {
     val plan = planOf(Dedup.intraDocDedup(docs))
     assert(plan.contains("hashpartitioning"), s"no partitioned window:\n$plan")

@@ -107,6 +107,32 @@ class VectorExprsSpec extends SparkSpec {
     assert(imperative.toSeq == declarative.toSeq)
   }
 
+  test("gram_hashes matches the declarative md5-prefix hash per position") {
+    VectorExprs.register(spark)
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two"),
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        call_function("gram_hashes", TextFns.tokens(col("text")), lit(2))
+          .as("hv"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    // declarative reference: 60-bit md5 prefix of each space-joined
+    // 2-gram, in position order
+    val expect = df.select(col("doc_id"),
+        transform(
+          slice(TextFns.tokens(col("text")), lit(1),
+            greatest(size(TextFns.tokens(col("text"))) - 1, lit(0))),
+          (t, i) => conv(substring(md5(concat_ws(" ", t,
+            element_at(TextFns.tokens(col("text")), i + 2))), 1, 15), 16, 10)
+            .cast("long")).as("hv"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(got == expect, s"$got vs $expect")
+    // short input -> empty, never null
+    assert(got.find(_._1 == 3L).get._2.isEmpty)
+  }
+
   test("null arrays propagate null") {
     VectorExprs.register(spark)
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
