@@ -221,6 +221,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Surprisal gate bounds — single source of truth for plan + oracle.
+    * Corpus-calibrated so the keep flag splits non-trivially at the
+    * gate SFs; production recalibrates per corpus (CCNet buckets by
+    * perplexity tertiles).
+    */
+  val SurprisalGateLo: Double = 3.0
+  val SurprisalGateHi: Double = 3.402
+
+  /** Unigram surprisal scoring — the perplexity-filter proxy (CCNet,
+    * Wenzek et al. LREC'20, with a corpus-trained unigram LM standing
+    * in for the KenLM 5-gram): per-doc mean token surprisal
+    * −(1/n)Σ ln p(tok), where p is the corpus unigram distribution.
+    * Low mean = templated/repetitive text, high = gibberish; the keep
+    * flag brackets the healthy middle. A self-trained unigram LM
+    * needs no external model artifact and scales trivially; swapping
+    * in real LM logprobs per token reuses the same aggregation.
+    *
+    * Scale shape: one tf census (map-side partial combine), joined
+    * back to the exploded token stream on the token key (the t08
+    * shape); per-token surprisal rounds to 6 decimals into an exact
+    * decimal BEFORE the per-doc sum (the [[graft.util.Cols]]
+    * convention — ln is libm, sums must be order-free), and the mean
+    * is one decimal→double cast and one double division, both
+    * correctly rounded in either engine.
+    */
+  def surprisalScore(docs: DataFrame, lo: Double = SurprisalGateLo,
+      hi: Double = SurprisalGateHi): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = tf.select(sum(col("cnt")).as("total"))
+    tok.join(tf, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("s",
+        round(-log(col("cnt").cast("double") / col("total").cast("double")), 6)
+          .cast("decimal(28,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("s")).cast("double").as("sum_surprisal"))
+      .withColumn("mean_surprisal", col("sum_surprisal") / col("n_toks"))
+      .withColumn("keep",
+        when(col("mean_surprisal") >= lo && col("mean_surprisal") <= hi, 1)
+          .otherwise(0))
+  }
+
   /** Pattern scrub — the PII-redaction pass: count a pattern's matches
     * per document and rewrite every match to a placeholder before the
     * text reaches training. Production patterns are the usual
@@ -575,6 +619,8 @@ object TextAnalysis {
     // NOTE no .orderBy: the top-k is already TakeOrderedAndProject-
     // ordered; the driver compare sorts rows anyway
     "t15_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
+    "t16_surprisal" -> ((s, d) =>
+      surprisalScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t11_subword" -> ((s, d) =>
       subwordTokenCounts(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
@@ -710,6 +756,24 @@ object TextAnalysis {
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $Bm25GateK""".stripMargin
     },
+    "t16_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+         |sc AS (SELECT doc_id, CAST(ROUND(
+         |    -ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+         |  AS DECIMAL(28,6)) AS s
+         |  FROM tok JOIN tf USING (tok) CROSS JOIN tot),
+         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(s) AS DOUBLE) AS sum_surprisal FROM sc GROUP BY doc_id),
+         |m AS (SELECT doc_id, n_toks, sum_surprisal,
+         |  sum_surprisal / n_toks AS mean_surprisal FROM a)
+         |SELECT doc_id, n_toks, sum_surprisal, mean_surprisal,
+         | CASE WHEN mean_surprisal >= $SurprisalGateLo
+         |       AND mean_surprisal <= $SurprisalGateHi
+         |      THEN 1 ELSE 0 END AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "t12_subword_pieces" ->
       s"""WITH RECURSIVE $subwordPieceCtes
          |SELECT doc_id, list(ps ORDER BY pos) AS pieces

@@ -51,6 +51,28 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == Seq((1L, d1)))
   }
 
+  test("surprisal matches the hand-computed unigram LM and brackets keep") {
+    // counts: a=3, b=2, c=1, total=6
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    def s(cnt: Long): BigDecimal =
+      BigDecimal(-math.log(cnt / 6.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sum1 = (s(3) + s(3) + s(2)).toDouble
+    val sum2 = (s(3) + s(2) + s(1)).toDouble
+    val got = TextAnalysis.surprisalScore(docs, lo = 0.9, hi = 1.1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, sum1, sum1 / 3, if (sum1 / 3 >= 0.9 && sum1 / 3 <= 1.1) 1 else 0),
+      (2L, 3L, sum2, sum2 / 3, if (sum2 / 3 >= 0.9 && sum2 / 3 <= 1.1) 1 else 0)),
+      s"got $got")
+    // bounds bracket: doc 1 (repetitive, lower surprisal) drops when
+    // the lo bound rises above its mean
+    val strict = TextAnalysis.surprisalScore(docs, lo = sum1 / 3 + 0.01,
+        hi = 10.0)
+      .orderBy("doc_id").select("keep").as[Int].collect().toSeq
+    assert(strict == Seq(0, 1), s"got $strict")
+  }
+
   test("token rarity computes integer mean frequency and hapax counts") {
     // corpus tokens: a×3, b×1, c×1 → total 5
     // freq ppm: a = 600000, b = c = 200000
