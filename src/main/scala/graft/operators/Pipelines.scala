@@ -337,6 +337,53 @@ object Pipelines {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** α-mixture gate constant — single source of truth for plan +
+    * oracle: the target corpus size is total // AlphaGateTargetDiv.
+    */
+  val AlphaGateTargetDiv: Int = 2
+
+  /** Temperature-scaled (α = 0.5) mixture sampling — the multilingual
+    * rebalancing step (XLM-R / mC4 style): sampling mass per stratum
+    * q_s ∝ n_s^α flattens the head and up-weights the tail, then each
+    * doc keeps with probability min(1, q_s·T/n_s) via a seeded
+    * deterministic hash threshold — no RNG, any engine reproduces the
+    * exact kept set. α is fixed at 0.5 ON PURPOSE: n^0.5 is sqrt,
+    * which IEEE requires correctly rounded (bit-identical in any
+    * engine), where a general pow() is libm and can differ a ulp —
+    * the one α that makes the gate arithmetic exact everywhere.
+    * Other temperatures swap in pow at the cost of that guarantee.
+    *
+    * Determinism-vs-oracle: per-stratum sqrt rounds to 6 decimals
+    * into an exact decimal before the normalizing sum (the
+    * [[graft.util.Cols]] convention), so q, the keep probability, and
+    * the integer hash threshold floor(p·2²⁸) are bit-identical in
+    * both engines.
+    *
+    * Scale shape: stratum stats are a tiny aggregate broadcast back;
+    * the corpus-side work is one map-side md5 compare — no shuffle of
+    * the corpus at all (plan-pinned).
+    */
+  def alphaMixtureSample(docs: DataFrame,
+      targetDiv: Int = AlphaGateTargetDiv): DataFrame = {
+    require(targetDiv >= 1, s"targetDiv must be >= 1: $targetDiv")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      .withColumn("sq",
+        round(sqrt(col("n_s").cast("double")), 6).cast("decimal(28,6)"))
+    val tot = counts.agg(sum(col("sq")).as("tot"),
+      sum(col("n_s")).as("n_total"))
+    val thr = counts.crossJoin(broadcast(tot))
+      .withColumn("q", col("sq").cast("double") / col("tot").cast("double"))
+      .withColumn("p", least(lit(1.0),
+        col("q") * expr(s"n_total div $targetDiv") / col("n_s")))
+      .select(col("lang"),
+        floor(col("p") * lit(1L << 28)).cast("long").as("thr"))
+    docs.join(broadcast(thr), "lang")
+      .filter(conv(substring(md5(concat(lit("p16:"),
+          col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+        < col("thr"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Leakage-safe train/val/test split: the bucket is a pure function
     * of the doc's near-dup CLUSTER id (min-id keeper from
     * [[Dedup.minhashClusters]]), so near-duplicate documents can never
@@ -577,6 +624,8 @@ object Pipelines {
       sequencePack(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "p15_shard_shuffle" -> ((s, d) =>
       shardShuffle(Tables.documents(s, d)).orderBy(col("shard"), col("pos"))),
+    "p16_alpha_mixture" -> ((s, d) =>
+      alphaMixtureSample(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "p07_mixture_sample" -> ((s, d) =>
       mixtureSample(Tables.documents(s, d))
         .orderBy(col("lang_pred"), col("doc_id"))),
@@ -653,6 +702,32 @@ object Pipelines {
          |SELECT doc_id, shard,
          |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS pos
          |FROM s ORDER BY shard, pos""".stripMargin
+    },
+    // same sqrt/decimal/threshold arithmetic as the plan, term for
+    // term: sqrt is IEEE-exact in both engines, the 6-decimal round +
+    // decimal sum make the normalizer order-free, and the md5-28-bit
+    // threshold compare is integer
+    "p16_alpha_mixture" -> {
+      val hash28 = (0 until 7).map { j =>
+        s"CAST(${Dedup.hexValSql(
+          s"substr(md5('p16:' || CAST(doc_id AS VARCHAR)), ${j + 1}, 1)")} " +
+          s"AS BIGINT) * ${1L << (4 * (6 - j))}"
+      }.mkString("(", " + ", ")")
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+         |sq AS (SELECT lang, n_s,
+         |  CAST(ROUND(sqrt(CAST(n_s AS DOUBLE)), 6) AS DECIMAL(28,6)) AS sq
+         |  FROM c),
+         |t AS (SELECT SUM(sq) AS tot, CAST(SUM(n_s) AS BIGINT) AS n_total
+         |  FROM sq),
+         |r AS (SELECT lang, n_s,
+         |  CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) AS q, n_total
+         |  FROM sq CROSS JOIN t),
+         |thr AS (SELECT lang, CAST(FLOOR(LEAST(1.0,
+         |    q * (n_total // $AlphaGateTargetDiv) / n_s) * ${1L << 28})
+         |  AS BIGINT) AS thr FROM r)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+         |WHERE $hash28 < thr
+         |ORDER BY doc_id""".stripMargin
     },
     "p01_clean_corpus" ->
       s"""${Dedup.shingleCte},

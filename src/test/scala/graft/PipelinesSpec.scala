@@ -150,6 +150,31 @@ class PipelinesSpec extends SparkSpec {
     assert(other != got, "re-seeding must re-shuffle")
   }
 
+  test("alpha mixture up-weights the tail with the hand-computed thresholds") {
+    // counts 9 and 4 have exact integer sqrts, so every step of the
+    // q/p/threshold chain is hand-checkable: q = 3/5 vs 2/5, T = 13/2
+    // = 6, p_big = 0.6*6/9 = 0.4, p_small = 0.4*6/4 = 0.6
+    val corpus = ((1 to 9).map(i => (i.toLong, "big")) ++
+      (10 to 13).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang").withColumn("text", lit("x"))
+    val got = Pipelines.alphaMixtureSample(corpus)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h28(id: Long) =
+      java.lang.Long.parseLong(md5hex(s"p16:$id").substring(0, 7), 16)
+    val expect = ((1 to 9).filter(i => h28(i.toLong) <
+        math.floor(0.6 * 6 / 9 * (1L << 28)).toLong).map(i => (i.toLong, "big")) ++
+      (10 to 13).filter(i => h28(i.toLong) <
+        math.floor(0.4 * 6 / 4 * (1L << 28)).toLong).map(i => (i.toLong, "small")))
+      .sortBy(_._1)
+    assert(got == expect, s"got $got expected $expect")
+    // the temperature flattens: the small stratum's keep RATE is higher
+    val rates = got.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    assert(rates.getOrElse("small", 0.0) / 4 > rates.getOrElse("big", 0.0) / 9,
+      s"tail not up-weighted: $rates")
+  }
+
   test("budget selection's two-pass plan equals the global-order cumsum (random corpora)") {
     // the p14 claim: histogram-threshold + per-score parallel cumsum is
     // arithmetically identical to one global-order window — check on

@@ -81,6 +81,16 @@ class PlanShapeSpec extends SparkSpec {
       s"cumsum window not keyed on (score, digit):\n$plan")
   }
 
+  test("alpha mixture never shuffles the corpus: stats broadcast into a map-side filter") {
+    val corpus = spark.range(0, 50)
+      .selectExpr("id AS doc_id", "'x' AS text",
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang")
+    val plan = planOf(Pipelines.alphaMixtureSample(corpus))
+    assert(plan.contains("BroadcastHashJoin"), s"thresholds not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
+    assert(!plan.contains("Window"), s"window in the sampling path:\n$plan")
+  }
+
   test("shard shuffle ranks on (shard, digit), never per-shard whole chains") {
     // nShards is a config constant, so a shard-only window is the
     // budgetSelect flaw all over again — the corpus-scale rank must key
