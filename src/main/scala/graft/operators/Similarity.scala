@@ -352,6 +352,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ search with EXACT re-ranking — the production refine stage
+    * (FAISS's IVFPQR shape): the quantized index produces a cheap
+    * shortlist of `shortlist` candidates per query by asymmetric
+    * distance, then only those candidates' TRUE vectors are scored
+    * with exact cosine and re-ranked to top-k. Quantization error
+    * perturbs the shortlist's internal order far more than its
+    * membership, so refine recovers near-exact precision while the
+    * full-precision work stays O(queries·shortlist), not O(corpus).
+    *
+    * Scale shape: everything up to the shortlist is [[ivfPqTopK]]'s
+    * plan (corpus map-side, probes broadcast); the shortlist
+    * (queries × shortlist id pairs) broadcasts into the corpus vector
+    * table, so the exact pass touches only candidate rows and the
+    * re-rank window partitions per query.
+    */
+  def ivfPqRerankTopK(embs: DataFrame, queryMaxId: Long, k: Int,
+      shortlist: Int, nCells: Int = 8, nProbe: Int = 2, m: Int = 8,
+      kCodes: Int = 16, kmIters: Int = 5, pqIters: Int = 4,
+      centroids: Option[Seq[Array[Double]]] = None,
+      codebooks: Option[Seq[Seq[Array[Double]]]] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val approx = ivfPqTopK(embs, queryMaxId, shortlist, nCells, nProbe,
+        m, kCodes, kmIters, pqIters, centroids, codebooks)
+      .select(col("query_id"), col("vec_id"))
+    val v = normalized(embs)
+    val q = v.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = v.join(broadcast(approx), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(call_function("array_dot", col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN top-k: the corpus is partitioned into `nCentroids`
     * Voronoi cells (nearest centroid by cosine, ties to the lowest cell
     * index); each query scores only the vectors in its `nProbe` nearest
@@ -486,6 +523,8 @@ object Similarity {
   private val GatePqIters = 2
   private val GateKmK = 8
   private val GateKmIters = 3
+  private val GateRerankShort = 12
+  private val GateRerankK = 5
 
   /** Gate-level memo of trained artifacts per corpus dir — the
     * offline-index pattern: a production pipeline trains centroids /
@@ -533,6 +572,13 @@ object Similarity {
         nCells = GateKmK, nProbe = 2, m = GatePqM, kCodes = GatePqK,
         kmIters = GateKmIters, pqIters = GatePqIters,
         centroids = Some(gateCents(s, d)), codebooks = Some(gateBooks(s, d)))
+        .orderBy(col("query_id"), col("rank"))),
+    "s10_ivfpq_rerank" -> ((s, d) =>
+      ivfPqRerankTopK(Tables.embeddings(s, d), 5L, GateRerankK,
+        shortlist = GateRerankShort, nCells = GateKmK, nProbe = 2,
+        m = GatePqM, kCodes = GatePqK, kmIters = GateKmIters,
+        pqIters = GatePqIters, centroids = Some(gateCents(s, d)),
+        codebooks = Some(gateBooks(s, d)))
         .orderBy(col("query_id"), col("rank"))),
     "s07_kmeans_train" -> ((s, d) =>
       kMeansCentroidTable(s, gateCents(s, d))
@@ -646,7 +692,7 @@ object Similarity {
     * left-assoc dot-product sum chain (matches [[adcScore]]'s fold
     * order), rank, and the rank<=k cut.
     */
-  private def adcTailSql(m: Int, iters: Int, dim: Int, topK: Int): String = {
+  private def adcRankCtes(m: Int, iters: Int, dim: Int): String = {
     val sub = dim / m
     val cvJoins = (0 until m)
       .map(b => s"JOIN pb${b}_c$iters b$b ON b$b.j = t.c$b").mkString(" ")
@@ -659,10 +705,32 @@ object Similarity {
        |  FROM cand t $cvJoins),
        |ranked AS (SELECT query_id, vec_id, approx_cos,
        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, vec_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private def adcTailSql(m: Int, iters: Int, dim: Int, topK: Int): String =
+    s"""${adcRankCtes(m, iters, dim)}
        |SELECT query_id, vec_id, approx_cos, CAST(rank AS INT) AS rank FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** The s06 candidate chain (cell assignment, query probes, PQ-code
+    * candidates) — shared by the s06 gate and s10's re-rank gate.
+    */
+  private def ivfPqCandCtes: String =
+    s"""asgc AS (SELECT vec_id, j AS cell FROM (
+       |   SELECT s.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, j) AS rn
+       |   FROM (SELECT x.vec_id, c.j, round(list_dot_product(x.v, c.cv), 9) AS sc
+       |         FROM e x CROSS JOIN km_c$GateKmIters c) s) WHERE rn = 1),
+       |qsc AS (SELECT x.vec_id AS query_id, x.v AS qv, c.j,
+       |   round(list_dot_product(x.v, c.cv), 9) AS sc
+       |  FROM e x CROSS JOIN km_c$GateKmIters c WHERE x.vec_id < 5),
+       |probes AS (SELECT query_id, qv, j AS cell FROM (
+       |   SELECT q.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, j) AS rn
+       |   FROM qsc q) WHERE rn <= 2),
+       |cand AS (SELECT p.query_id, p.qv, x.vec_id,
+       |   ${(0 until GatePqM).map(b => s"x.c$b").mkString(", ")}
+       |  FROM encp x JOIN asgc a ON a.vec_id = x.vec_id
+       |  JOIN probes p ON p.cell = a.cell AND x.vec_id <> p.query_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "s05_pq_topk" ->
@@ -677,21 +745,28 @@ object Similarity {
       s"""WITH $normCtes,
          |${lloydCtes("e", GateKmK, GateKmIters, spherical = true, GateDim, "km_")},
          |${pqCtes(GatePqM, GatePqK, GatePqIters, GateDim)},
-         |asgc AS (SELECT vec_id, j AS cell FROM (
-         |   SELECT s.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, j) AS rn
-         |   FROM (SELECT x.vec_id, c.j, round(list_dot_product(x.v, c.cv), 9) AS sc
-         |         FROM e x CROSS JOIN km_c$GateKmIters c) s) WHERE rn = 1),
-         |qsc AS (SELECT x.vec_id AS query_id, x.v AS qv, c.j,
-         |   round(list_dot_product(x.v, c.cv), 9) AS sc
-         |  FROM e x CROSS JOIN km_c$GateKmIters c WHERE x.vec_id < 5),
-         |probes AS (SELECT query_id, qv, j AS cell FROM (
-         |   SELECT q.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, j) AS rn
-         |   FROM qsc q) WHERE rn <= 2),
-         |cand AS (SELECT p.query_id, p.qv, x.vec_id,
-         |   ${(0 until GatePqM).map(b => s"x.c$b").mkString(", ")}
-         |  FROM encp x JOIN asgc a ON a.vec_id = x.vec_id
-         |  JOIN probes p ON p.cell = a.cell AND x.vec_id <> p.query_id),
+         |$ivfPqCandCtes,
          |${adcTailSql(GatePqM, GatePqIters, GateDim, 10)}""".stripMargin,
+    // the production refine stage: ADC shortlist (same chain as s06,
+    // rank <= GateRerankShort), then EXACT cosine on the shortlist
+    // only, re-ranked to top-5
+    "s10_ivfpq_rerank" ->
+      s"""WITH $normCtes,
+         |${lloydCtes("e", GateKmK, GateKmIters, spherical = true, GateDim, "km_")},
+         |${pqCtes(GatePqM, GatePqK, GatePqIters, GateDim)},
+         |$ivfPqCandCtes,
+         |${adcRankCtes(GatePqM, GatePqIters, GateDim)},
+         |short AS (SELECT query_id, vec_id FROM ranked
+         |  WHERE rank <= $GateRerankShort),
+         |rr AS (SELECT s.query_id, s.vec_id,
+         |   round(list_dot_product(qe.v, xe.v), 6) AS cos
+         |  FROM short s JOIN e xe ON xe.vec_id = s.vec_id
+         |  JOIN e qe ON qe.vec_id = s.query_id),
+         |rrk AS (SELECT query_id, vec_id, cos,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM rr)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM rrk
+         |WHERE rank <= $GateRerankK ORDER BY query_id, rank""".stripMargin,
     "s07_kmeans_train" ->
       s"""WITH $normCtes,
          |${lloydCtes("e", GateKmK, GateKmIters, spherical = true, GateDim, "km_")}
