@@ -437,6 +437,40 @@ object Relational {
       .orderBy(col("w_start"))
   }
 
+  /** w06 gate harness: [[sessionWindow]]'s dynamic-gap session
+    * aggregation run as a REAL Structured Streaming query — the
+    * MERGING window state (sessions extend and coalesce as events
+    * arrive, unlike w05's fixed tumbling buckets), under the same
+    * MemoryStream → watermark → append-mode → memory-sink skeleton.
+    * Session aggregation is arrival-order-independent per user (same
+    * merge-on-touch semantics, associative decimal sums), so the feed
+    * is one batch of all events plus a far-future marker under a
+    * sentinel user: its watermark closes every real session (all ends
+    * < watermark), while the marker's own session stays pending and is
+    * never emitted — the streamed result must equal the batch
+    * [[sessionWindow]] exactly, and the oracle is w02's batch replay
+    * verbatim.
+    */
+  def sessionStreamGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select(col("user_id"), nsToUs("ts").as("tus"), col("value"))
+      .as[(Long, Long, Double)].collect()
+    val marker = rows.map(_._2).max + 365L * 24 * 3600 * 1000000L
+    graft.util.StreamGate.run(s, "w06_session_stream",
+      Seq("user_id", "tus", "value"),
+      Seq(rows.toSeq, Seq((-1L, marker, 0.0))),
+      _.withColumn("tsx", timestamp_micros(col("tus")))
+        .withWatermark("tsx", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
+        .select(col("user_id"),
+          col("sw.start").cast(LongType).as("s_start"),
+          col("sw.end").cast(LongType).as("s_end"),
+          col("n_events"), col("value_sum")))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
   /** Pivot: returnflag columns per linestatus (conditional-aggregation
     * equivalent in the oracle). SURVEY §2.4 extension.
     */
@@ -571,6 +605,7 @@ object Relational {
     "w01_sliding_window" -> (slidingWindow _),
     "w02_session_window" -> (sessionWindow _),
     "w05_tumbling_stream" -> (tumblingStreamGate _),
+    "w06_session_stream" -> (sessionStreamGate _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_facet_topk" -> (facetTopK _),
     "q03_distinct" -> (distinctValues _),
@@ -667,6 +702,26 @@ object Relational {
        |     WHEN $us < 1000000 THEN printf('%.2f', $us/1000.0)||'ms'
        |     ELSE printf('%.2f', $us/1000000.0)||'s' END""".stripMargin
 
+  /** Batch session replay (lag/gap islands) — shared by w02 (batch
+    * session windows) and w06 (the streamed form, which must land the
+    * identical session set).
+    */
+  private lazy val sessionOracleSql: String =
+    s"""WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+       |m AS (SELECT user_id, tus, event_id, value,
+       |  CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+       |            > 1800000000 THEN 1 ELSE 0 END AS brk
+       | FROM x),
+       |g AS (SELECT user_id, tus, value,
+       |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS grp
+       | FROM m)
+       |SELECT user_id, min(tus)//1000000 AS s_start,
+       | (max(tus) + 1800000000)//1000000 AS s_end,
+       | COUNT(*) AS n_events,
+       | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
+       |FROM g GROUP BY user_id, grp ORDER BY user_id, s_start""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q32_intersect" ->
       """SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
@@ -745,21 +800,10 @@ object Relational {
     // session breaks only when the inter-event gap is strictly > the
     // gap duration; end = last event + gap. Floor'd epoch seconds
     // match the timestamp->long cast.
-    "w02_session_window" ->
-      s"""WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
-         |m AS (SELECT user_id, tus, event_id, value,
-         |  CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
-         |            > 1800000000 THEN 1 ELSE 0 END AS brk
-         | FROM x),
-         |g AS (SELECT user_id, tus, value,
-         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
-         |                 ROWS UNBOUNDED PRECEDING) AS grp
-         | FROM m)
-         |SELECT user_id, min(tus)//1000000 AS s_start,
-         | (max(tus) + 1800000000)//1000000 AS s_end,
-         | COUNT(*) AS n_events,
-         | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
-         |FROM g GROUP BY user_id, grp ORDER BY user_id, s_start""".stripMargin,
+    "w02_session_window" -> sessionOracleSql,
+    // the streamed form must land EXACTLY the batch sessions (every
+    // real session closes under the marker's watermark) — same replay
+    "w06_session_stream" -> sessionOracleSql,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) AS sum_qty,
