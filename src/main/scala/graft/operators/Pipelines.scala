@@ -316,12 +316,14 @@ object Pipelines {
       seed: String = ShardGateSeed): DataFrame = {
     require(nShards >= 1 && nShards <= (1 << 28),
       s"nShards must fit the 28-bit shard slice: $nShards")
-    val keyed = docs.select(col("doc_id"),
+    // cached: the keyed projection feeds both the prefix census and the
+    // final rank join — one md5 pass over the corpus, not two
+    val keyed = Dedup.scopedCache(docs.select(col("doc_id"),
       md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))).as("k"))
       .withColumn("shard",
         (conv(substring(col("k"), 9, 7), 16, 10).cast("long") % nShards)
           .cast("int"))
-      .withColumn("digit", hexVal(substring(col("k"), 1, 1)))
+      .withColumn("digit", hexVal(substring(col("k"), 1, 1))))
     val wd = Window.partitionBy(col("shard")).orderBy(col("digit"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixes = keyed.groupBy(col("shard"), col("digit"))
@@ -366,9 +368,12 @@ object Pipelines {
   def alphaMixtureSample(docs: DataFrame,
       targetDiv: Int = AlphaGateTargetDiv): DataFrame = {
     require(targetDiv >= 1, s"targetDiv must be >= 1: $targetDiv")
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
-      .withColumn("sq",
-        round(sqrt(col("n_s").cast("double")), 6).cast("decimal(28,6)"))
+    // cached: the stratum census feeds both the normalizer aggregate
+    // and the threshold table — one corpus scan, not two
+    val counts = Dedup.scopedCache(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+        .withColumn("sq",
+          round(sqrt(col("n_s").cast("double")), 6).cast("decimal(28,6)")))
     val tot = counts.agg(sum(col("sq")).as("tot"),
       sum(col("n_s")).as("n_total"))
     val thr = counts.crossJoin(broadcast(tot))

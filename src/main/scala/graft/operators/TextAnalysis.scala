@@ -196,16 +196,24 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, terms: Seq[String] = Bm25GateTerms,
       k: Int = Bm25GateK): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val lens = docs.select(col("doc_id"), size(tokens(col("text"))).as("len"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("len")).as("total_len"))
-    val qtf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // one cached tokenization feeds both the corpus stats and the term
+    // rows (two full tokenize scans otherwise — Spark doesn't dedupe
+    // common sub-plans across branches); `len` rides along through the
+    // explode and the tf groupBy key, so NO corpus-cardinality join
+    // exists anywhere in the plan — the docstring's "corpus never
+    // shuffles" holds by construction, not by broadcast-threshold luck
+    val base = Dedup.scopedCache(
+      docs.select(col("doc_id"), tokens(col("text")).as("t")))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("t"))).as("total_len"))
+    val qtf = Dedup.scopedCache(base
+      .select(col("doc_id"), size(col("t")).as("len"),
+        explode(col("t")).as("tok"))
       .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("len"), col("tok"))
+      .agg(count(lit(1)).as("tf")))
     val dfs = qtf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     qtf.join(broadcast(dfs), "tok")
-      .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
       .withColumn("idf", log(lit(1.0) +
@@ -249,7 +257,10 @@ object TextAnalysis {
   def surprisalScore(docs: DataFrame, lo: Double = SurprisalGateLo,
       hi: Double = SurprisalGateHi): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // the census feeds both the total and the scoring join — cache the
+    // vocab-sized table so the corpus isn't re-aggregated per branch
+    val tf = Dedup.scopedCache(
+      tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
     val total = tf.select(sum(col("cnt")).as("total"))
     tok.join(tf, "tok")
       .crossJoin(broadcast(total))

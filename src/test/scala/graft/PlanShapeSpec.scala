@@ -149,6 +149,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
     assert(!plan.contains("Sort "), s"global sort for top-k:\n$plan")
     assert(!plan.contains("Window"), s"window in the scoring path:\n$plan")
+    // `len` rides through the tf groupBy key, so there is NO
+    // corpus-cardinality join to regress into a shuffle at scale —
+    // broadcast-threshold luck is not load-bearing
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
     // the term filter runs under the explode, before any Exchange
     assert(plan.indexOf("Filter tok") > plan.indexOf("Exchange"),
       s"term filter not below the shuffles:\n$plan")
