@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, ArrayNorm, BpeMerges, BpeSplit, Minhash16Agg, MinhashSigExpr, ShinglesOf, Simhash64Agg, SubwordCount, SubwordSplit, SubwordVocab, WinnowFps}
+import graft.functions.{ArrayDot, ArrayNorm, BpeMerges, BpeSplit, GramHashes, Minhash16Agg, MinhashSigExpr, ShinglesOf, Simhash64Agg, SubwordCount, SubwordSplit, SubwordVocab, WinnowFps}
 
 /** Spark-idiomatic library entry point: enable the graft codegen
   * kernels on any session with
@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "subword_count" -> (es => SubwordCount(es.head, SubwordVocab.fromArgs(es))),
     "subword_split" -> (es => SubwordSplit(es.head, SubwordVocab.fromArgs(es))),
     "bpe_split" -> (es => BpeSplit(es.head, BpeMerges.fromArgs(es))),
+    "gram_hashes" -> (es => GramHashes(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
     "winnow_fps" -> (es => WinnowFps(es.head,
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Number].intValue())),

@@ -156,9 +156,11 @@ class VectorExprsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       array_norm(array(3.0d, 4.0d)) AS n,
-        |       size(shingles_of(array('a','b','c','d'), 3)) AS s""".stripMargin)
+        |       size(shingles_of(array('a','b','c','d'), 3)) AS s,
+        |       size(gram_hashes(array('a','b','c','d'), 3)) AS g""".stripMargin)
       .collect().head
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 && r.getInt(2) == 2)
+    assert(r.getInt(3) == 2)
     val agg = spark.sql(
       "SELECT minhash16_agg(md5(x)), simhash64_agg(md5(x)) " +
         "FROM VALUES ('a'), ('b') AS t(x)").collect().head
