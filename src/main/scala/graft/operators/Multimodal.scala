@@ -415,7 +415,34 @@ object Multimodal {
     * Dataset API but out of the gate — a compressed PNG's length/digest
     * isn't recomputable in an engine without the codec.
     */
+  /** Content-addressed payload dedup — the binary-column counterpart
+    * of d01, i.e. image dedup by content hash: group the multimodal
+    * payload column by md5 of the RAW BYTES (real compressed PNGs on
+    * the image branch), keep the min-id doc per group. One map-side
+    * digest per payload, one groupBy on the 16-byte key — binary blobs
+    * never shuffle, only (digest, doc_id) pairs do.
+    *
+    * Oracle note: the PNG bytes themselves aren't recomputable in SQL
+    * (codec), but the group STRUCTURE is — the PNG generator is a pure
+    * injective function of its (width, height, rgb) triple, so two
+    * payloads collide iff their id-formula triples (or their raw text
+    * bytes) match. The oracle groups by the derived key; MultimodalSpec
+    * pins byte-level md5 grouping ≡ triple grouping on generated
+    * params, which is what makes the equivalence oracle-hard.
+    */
+  def payloadDedupGroups(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"), md5(col("payload")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"),
+        concat_ws(",",
+          array_sort(collect_list(col("doc_id").cast("string"))))
+          .as("members"))
+      .select(col("keeper"), col("group_size"), col("members"))
+
   val queries: Map[String, Q] = Map(
+    "m05_payload_dedup" -> ((s, d) =>
+      payloadDedupGroups(Tables.documents(s, d)).orderBy(col("keeper"))),
     "m01_decode_meta" -> ((s, d) =>
       decodeMeta(s, Tables.documents(s, d)).toDF()
         .select(col("doc_id"), col("width"), col("height"),
@@ -436,6 +463,22 @@ object Multimodal {
         .orderBy(col("doc_id"))))
 
   val oracle: Map[String, String] = Map(
+    // group structure via the generator's injectivity: png payloads
+    // collide iff their (width, height, rgb) formula triples match,
+    // text payloads iff their bytes do — prefixed keys keep the two
+    // branches disjoint (a PNG can never byte-equal UTF-8 text)
+    "m05_payload_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1
+        |   THEN 'png:' || CAST(doc_id % 48 + 1 AS VARCHAR) || ':' ||
+        |        CAST((doc_id * 7) % 32 + 1 AS VARCHAR) || ':' ||
+        |        CAST((doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256
+        |             + (doc_id * 13) % 256 AS VARCHAR)
+        |   ELSE 'txt:' || md5(text) END AS h
+        | FROM documents)
+        |SELECT min(doc_id) AS keeper, COUNT(*) AS group_size,
+        | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
+        |FROM k GROUP BY h ORDER BY keeper""".stripMargin,
     // expected decode output, recomputed from the fixture formulas
     "m01_decode_meta" ->
       """SELECT doc_id,

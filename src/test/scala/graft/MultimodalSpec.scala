@@ -24,6 +24,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("payload dedup groups by raw bytes exactly as the triple/text oracle key does") {
+    import spark.implicits._
+    // ids 1 and 769 differ by lcm(48, 32, 256)·3 = 768: identical
+    // (width, height, rgb) triples -> byte-identical PNGs (the
+    // injectivity the m05 oracle leans on); id 4 is a png with a
+    // different triple; ids 0/3 share text bytes; id 6 is unique text
+    assert(Multimodal.imgWidth(1) == Multimodal.imgWidth(769) &&
+      Multimodal.imgHeight(1) == Multimodal.imgHeight(769) &&
+      Multimodal.imgRgb(1) == Multimodal.imgRgb(769))
+    assert(java.util.Arrays.equals(
+      Multimodal.pngBytes(Multimodal.imgWidth(1), Multimodal.imgHeight(1),
+        Multimodal.imgRgb(1)),
+      Multimodal.pngBytes(Multimodal.imgWidth(769), Multimodal.imgHeight(769),
+        Multimodal.imgRgb(769))))
+    val docs = Seq(
+      (0L, "same text"), (3L, "same text"), (6L, "other text"),
+      (1L, "png doc a"), (769L, "png doc b"), (4L, "png doc c"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.payloadDedupGroups(docs)
+      .orderBy("keeper").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, "0,3"), (1L, 2L, "1,769"), (4L, 1L, "4"), (6L, 1L, "6")),
+      s"got $got")
+  }
+
   test("non-image payloads fall back to the stub, poisoned magic bytes included") {
     val plain = "just some words".getBytes("UTF-8")
     assert(Multimodal.decodeImage(7L, plain).isEmpty)
