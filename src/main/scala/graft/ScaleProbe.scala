@@ -103,6 +103,10 @@ object ScaleProbe {
       measure("d17_winnowing", scale, Dedup.winnowingPairs(d))
       measure("d18_prefix_join", scale, Dedup.prefixJaccardJoin(d))
       measure("d19_exact_substring", scale, Dedup.exactSubstringDedup(d))
+      measure("p15_shard_shuffle", scale,
+        graft.operators.Pipelines.shardShuffle(d))
+      measure("m05_payload_dedup", scale,
+        graft.operators.Multimodal.payloadDedupGroups(d))
       measure("d09_embedding_lsh", scale, Dedup.embeddingPairsLsh(e, 0.4))
       // the documented d09 mitigation, measured instead of asserted:
       // at 10× the corpus, +log2(10)≈3 planes (4→7) re-bounds bucket
