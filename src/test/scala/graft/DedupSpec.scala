@@ -376,6 +376,70 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("prefix join equals a driver-side exact jaccard on random corpora") {
+    val rnd = new scala.util.Random(13)
+    for (tau <- Seq(0.35, 0.6)) {
+      // tiny vocab -> dense shingle sharing across docs (4 tokens =
+      // 64 possible 3-gram shingles over ~12-shingle docs)
+      val corpus = (1L to 25L).map { i =>
+        val n = 4 + rnd.nextInt(15)
+        (i, Seq.fill(n)(s"t${rnd.nextInt(4)}").mkString(" "))
+      }
+      val got = Dedup.prefixJaccardJoin(corpus.toDF("doc_id", "text"), tau)
+        .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSeq
+      val sets = corpus.map { case (id, t) =>
+        val ts = t.split(" ", -1)
+        id -> (if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+               else Set.empty[String])
+      }.filter(_._2.nonEmpty)
+      val expect = (for {
+        (a, sa) <- sets
+        (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        if inter > 0 && inter.toDouble / (sa.size + sb.size - inter) >= tau
+      } yield (a, b)).sorted
+      assert(got == expect, s"tau=$tau: $got vs $expect")
+      assert(expect.nonEmpty, s"degenerate fixture at tau=$tau")
+    }
+    Dedup.releaseIntermediates()
+  }
+
+  test("exact-substring dedup equals a driver-side replay on random corpora") {
+    val rnd = new scala.util.Random(97)
+    val l = 3
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 30L).map { i =>
+        val n = 3 + rnd.nextInt(25)
+        (i, Seq.fill(n)(s"w${rnd.nextInt(6)}").mkString(" "))
+      }
+      val got = Dedup.exactSubstringDedup(corpus.toDF("doc_id", "text"), l)
+        .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+      // keep-first replay: first (doc_id, pos) per gram survives, later
+      // occurrences' covered positions are unioned per doc
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1) }
+      val first = scala.collection.mutable.LinkedHashMap[String, (Long, Int)]()
+      for ((id, ts) <- toks; p <- 0 to ts.length - l) {
+        val g = ts.slice(p, p + l).mkString(" ")
+        if (!first.contains(g)) first(g) = (id, p)
+      }
+      val removed = scala.collection.mutable.Set[(Long, Int)]()
+      for ((id, ts) <- toks; p <- 0 to ts.length - l) {
+        val g = ts.slice(p, p + l).mkString(" ")
+        if (first(g) != ((id, p))) (p until p + l).foreach(q => removed += (id -> q))
+      }
+      val expect = toks.map { case (id, ts) =>
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !removed((id, i)) => t
+        }
+        (id, (ts.length - kept.length).toLong, kept.mkString(" "))
+      }
+      assert(got == expect, s"trial $trial diverged")
+      assert(removed.nonEmpty, s"trial $trial degenerate: nothing duplicated")
+    }
+    Dedup.releaseIntermediates()
+  }
+
   test("minhash clusters assign keepers transitively") {
     // doc 30 is a near-dup of 10 and 20 separately; 10 and 20 may not be
     // direct pairs, but all three must land in one cluster (min id 10)
