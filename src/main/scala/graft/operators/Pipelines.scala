@@ -389,6 +389,55 @@ object Pipelines {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Epoch-repeat gate rates — single source of truth for plan +
+    * oracle: per-lang repeat factors as RATIONALS (num/den epochs), so
+    * every step stays integer.
+    */
+  val EpochGateRates: Seq[(String, (Int, Int))] = Seq(
+    "en" -> (3, 2), "de" -> (2, 1), "fr" -> (2, 1),
+    "es" -> (1, 1), "zh" -> (1, 2))
+
+  /** Epoch repetition schedule for data-constrained training
+    * (Muennighoff et al., "Scaling Data-Constrained Language Models",
+    * NeurIPS'23: repeating curated data a few epochs beats adding
+    * uncurated data): each stratum gets a rational repeat factor
+    * num/den; every doc appears in floor(num/den) guaranteed epochs
+    * plus one more iff its seeded hash clears the fractional-part
+    * threshold — so a 3/2 stratum emits each doc 1 or 2 times, with
+    * EXACTLY the right expected mass and zero RNG.
+    *
+    * Everything is integer arithmetic: the fractional threshold is
+    * ((num % den) · 2²⁸) div den against the md5-28-bit doc hash — no
+    * float appears anywhere, so any engine reproduces the schedule
+    * bit-for-bit (no decimal/rounding machinery needed, unlike the
+    * α-mixture's sqrt path).
+    *
+    * Scale shape: pure map-side work — a literal CASE over the
+    * stratum, one md5, one explode of ≤⌈num/den⌉ epoch rows; no
+    * shuffle, no aggregation. Epoch assignment at 100 TB is a scan.
+    */
+  def epochRepeat(docs: DataFrame,
+      rates: Seq[(String, (Int, Int))] = EpochGateRates): DataFrame = {
+    require(rates.nonEmpty && rates.forall(_._2._2 > 0),
+      "rates must be non-empty with positive denominators")
+    def caseExpr(f: ((Int, Int)) => Int) = rates
+      .map { case (l, r) => s"WHEN '$l' THEN ${f(r)}" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("num", expr(caseExpr(_._1)))
+      .withColumn("den", expr(caseExpr(_._2)))
+      .filter(col("den") > 0)
+      .withColumn("thr", expr(s"((num % den) * ${1L << 28}) div den"))
+      .withColumn("h", conv(substring(md5(concat(lit("p17:"),
+        col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long"))
+      .withColumn("n_epochs", expr("num div den") +
+        when(col("h") < col("thr"), 1).otherwise(0))
+      .filter(col("n_epochs") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), (col("n_epochs") - 1).cast("int")))
+          .as("epoch"))
+  }
+
   /** Leakage-safe train/val/test split: the bucket is a pure function
     * of the doc's near-dup CLUSTER id (min-id keeper from
     * [[Dedup.minhashClusters]]), so near-duplicate documents can never
@@ -631,6 +680,9 @@ object Pipelines {
       shardShuffle(Tables.documents(s, d)).orderBy(col("shard"), col("pos"))),
     "p16_alpha_mixture" -> ((s, d) =>
       alphaMixtureSample(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "p17_epoch_repeat" -> ((s, d) =>
+      epochRepeat(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("epoch"))),
     "p07_mixture_sample" -> ((s, d) =>
       mixtureSample(Tables.documents(s, d))
         .orderBy(col("lang_pred"), col("doc_id"))),
@@ -707,6 +759,27 @@ object Pipelines {
          |SELECT doc_id, shard,
          |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS pos
          |FROM s ORDER BY shard, pos""".stripMargin
+    },
+    // all-integer replay: CASE rates from the same constants, the
+    // md5-28-bit hash against ((num % den) * 2^28) // den — no float
+    // exists on either side
+    "p17_epoch_repeat" -> {
+      def caseOf(f: ((Int, Int)) => Int) = EpochGateRates
+        .map { case (l, r) => s"WHEN '$l' THEN ${f(r)}" }
+        .mkString("CASE lang ", " ", " ELSE 0 END")
+      val hash28 = (0 until 7).map { j =>
+        s"CAST(${Dedup.hexValSql(
+          s"substr(md5('p17:' || CAST(doc_id AS VARCHAR)), ${j + 1}, 1)")} " +
+          s"AS BIGINT) * ${1L << (4 * (6 - j))}"
+      }.mkString("(", " + ", ")")
+      s"""WITH r AS (SELECT doc_id, lang, ${caseOf(_._1)} AS num,
+         |  ${caseOf(_._2)} AS den FROM documents),
+         |f AS (SELECT doc_id, lang, num // den AS q,
+         |  ((num % den) * ${1L << 28}) // den AS thr FROM r WHERE den > 0),
+         |n AS (SELECT doc_id, lang,
+         |  q + CASE WHEN $hash28 < thr THEN 1 ELSE 0 END AS n_epochs FROM f)
+         |SELECT doc_id, lang, CAST(unnest(range(0, n_epochs)) AS INT) AS epoch
+         |FROM n WHERE n_epochs > 0 ORDER BY doc_id, epoch""".stripMargin
     },
     // same sqrt/decimal/threshold arithmetic as the plan, term for
     // term: sqrt is IEEE-exact in both engines, the 6-decimal round +

@@ -175,6 +175,36 @@ class PipelinesSpec extends SparkSpec {
       s"tail not up-weighted: $rates")
   }
 
+  test("epoch repeat emits floor-or-ceil epochs from the integer thresholds") {
+    val corpus = (1L to 40L).map(i =>
+      (i, Seq("en", "de", "zh", "xx")((i % 4).toInt)))
+      .toDF("doc_id", "lang").withColumn("text", lit("x"))
+    val got = Pipelines.epochRepeat(corpus)
+      .orderBy("doc_id", "epoch").as[(Long, String, Int)].collect().toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h28(id: Long) =
+      java.lang.Long.parseLong(md5hex(s"p17:$id").substring(0, 7), 16)
+    def epochs(id: Long, num: Int, den: Int): Int =
+      num / den + (if (h28(id) < (num % den).toLong * (1L << 28) / den) 1 else 0)
+    val expect = (1L to 40L).flatMap { i =>
+      val lang = Seq("en", "de", "zh", "xx")((i % 4).toInt)
+      val n = lang match {
+        case "en" => epochs(i, 3, 2) // 1 or 2
+        case "de" => epochs(i, 2, 1) // exactly 2 (no fractional part)
+        case "zh" => epochs(i, 1, 2) // 0 or 1
+        case _    => 0 // unlisted stratum: dropped entirely
+      }
+      (0 until n).map(e => (i, lang, e))
+    }
+    assert(got == expect, s"got $got expected $expect")
+    // structure sanity: whole-number strata are exact, fractional ones mix
+    assert(got.filter(_._2 == "de").groupBy(_._1).forall(_._2.size == 2))
+    assert(got.count(_._2 == "en") > got.map(_._1).distinct
+      .count(i => i % 4 == 1), "no en doc drew its extra epoch")
+    assert(!got.exists(_._2 == "xx"))
+  }
+
   test("budget selection's two-pass plan equals the global-order cumsum (random corpora)") {
     // the p14 claim: histogram-threshold + per-score parallel cumsum is
     // arithmetically identical to one global-order window — check on
