@@ -635,8 +635,15 @@ object TextAnalysis {
     "t11_subword" -> ((s, d) =>
       subwordTokenCounts(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
+    // GATE projects the nested array through to_json: the driver's
+    // comparator sorts raw pandas columns and dies on nested ndarrays
+    // (unhashable), so the gate row must be scalar-only. The lossless
+    // array<array<string>> stays the public API (and is what the
+    // partition-property spec pins); both engines emit identical
+    // compact JSON for list-of-list-of-varchar.
     "t12_subword_pieces" -> ((s, d) =>
       subwordTokenize(Tables.documents(s, d), gateVocab(s, d))
+        .select(col("doc_id"), to_json(col("pieces")).as("pieces_json"))
         .orderBy(col("doc_id"))),
     "t13_piece_chunks" -> ((s, d) =>
       chunkByPieces(Tables.documents(s, d), gateVocab(s, d))
@@ -787,7 +794,8 @@ object TextAnalysis {
          |FROM m ORDER BY doc_id""".stripMargin,
     "t12_subword_pieces" ->
       s"""WITH RECURSIVE $subwordPieceCtes
-         |SELECT doc_id, list(ps ORDER BY pos) AS pieces
+         |SELECT doc_id, CAST(to_json(list(ps ORDER BY pos)) AS VARCHAR)
+         |  AS pieces_json
          |FROM docw2 JOIN tok2 USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t13_piece_chunks" -> {
