@@ -590,13 +590,22 @@ object TextAnalysis {
 
   /** Per-corpus memoized BPE merges (same artifact pattern as
     * [[gateVocab]]; plain driver-side data, session-independent).
+    * `lastGateMerges` tracks the most recent training so [[oracle]] can
+    * interpolate the merge list into t14's replay SQL: Verify runs the
+    * queries (training the merges for its sfDir) before it dumps
+    * oracle_sql.json, so by the time the oracle map is rendered the
+    * corpus-matched list is always available.
     */
   private val trainedMerges =
     collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  @volatile private var lastGateMerges: Option[Seq[(String, String)]] = None
   private[operators] def gateMerges(s: SparkSession,
-      d: String): Seq[(String, String)] =
-    trainedMerges.getOrElseUpdate(s"$d|$BpeGateMerges",
+      d: String): Seq[(String, String)] = {
+    val m = trainedMerges.getOrElseUpdate(s"$d|$BpeGateMerges",
       bpeMerges(graft.Tables.documents(s, d)))
+    lastGateMerges = Some(m)
+    m
+  }
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase text,
     * plus a 64-bit prefix view for compact storage/joins.
@@ -648,11 +657,12 @@ object TextAnalysis {
     "t13_piece_chunks" -> ((s, d) =>
       chunkByPieces(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"), col("chunk_idx"))),
-    // NO oracleSql entry on purpose: BPE merge training's per-round
-    // global argmax is not one-SQL-query-expressible (see bpeMerges) —
-    // the driver records its weaker rows-only check here; the hard
-    // correctness evidence is the spec-pinned merge sequences and the
-    // partition property
+    // Oracle-hard via symbolic replay: training's per-round global
+    // argmax is not one-SQL-query-expressible (see bpeMerges), but the
+    // trained merge LIST is a deterministic corpus artifact, so
+    // [[oracle]] interpolates it into the SQL as a literal rank table
+    // and DuckDB replays GPT-2-style application recursively — the
+    // same precedent as t11's symbolic greedy-fold replay.
     "t14_bpe_tokens" -> ((s, d) =>
       bpeTokenCounts(Tables.documents(s, d), gateMerges(s, d))
         .orderBy(col("doc_id"))),
@@ -745,7 +755,68 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
        |docw2 AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS word FROM dw)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** t14's replay oracle, generated from the TRAINED merge list (the
+    * corpus artifact [[gateMerges]] memoizes): the list is interpolated
+    * as a literal rank table and BPE application re-derived inside
+    * DuckDB — per distinct word, start from characters and repeatedly
+    * merge the LEFTMOST occurrence of the lowest-rank adjacent pair.
+    * Merging one leftmost occurrence per recursion step is equivalent
+    * to [[BpeMerges.split]]'s all-occurrences-left-to-right pass:
+    * a merge can only create pairs learned LATER in training (a pair
+    * containing symbol `ab` postdates the (a,b) merge), so the active
+    * lowest-rank pair stays lowest until its occurrences are exhausted,
+    * and leftmost-first reproduces the pass's overlap handling
+    * ("aaa" → [aa, a]).
+    *
+    * DuckDB gotcha: `list_position` returns 0 (not NULL) for absent
+    * elements — nullif before coalescing to the +inf sentinel, or every
+    * unknown pair becomes rank 0 and wins.
+    */
+  private def bpeReplaySql(merges: Seq[(String, String)]): String = {
+    val ml = merges.map { case (a, b) =>
+      "'" + (a + " " + b).replace("'", "''") + "'"
+    }.mkString("[", ", ", "]")
+    val sent = Int.MaxValue
+    val rks = s"""[coalesce(nullif(list_position($ml,
+                 |       syms[i] || ' ' || syms[i+1]), 0), $sent)
+                 |     for i in range(1, len(syms))]""".stripMargin
+    s"""WITH RECURSIVE
+       |w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |br AS (
+       |  SELECT word, [substr(word, i, 1)
+       |    for i in range(1, length(word)+1)] AS syms
+       |  FROM w
+       |  UNION ALL
+       |  SELECT word,
+       |    syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:] AS syms
+       |  FROM (
+       |    SELECT word, syms, list_position(rks, best) AS p
+       |    FROM (
+       |      SELECT word, syms, rks, list_min(rks) AS best
+       |      FROM (SELECT word, syms, $rks AS rks FROM br))
+       |    WHERE best IS NOT NULL AND best < $sent)),
+       |term AS (
+       |  SELECT word, CAST(len(syms) AS BIGINT) AS np
+       |  FROM (SELECT word, syms, list_min($rks) AS best FROM br)
+       |  WHERE best IS NULL OR best = $sent),
+       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       | CAST(SUM(np) AS BIGINT) AS n_pieces,
+       | CAST(SUM(np) * 1000000 // COUNT(*) AS BIGINT) AS pieces_per_word_ppm
+       |FROM docw JOIN term USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Static entries plus t14's trained-merge replay (present once the
+    * gate has run in this JVM — always true for Verify's dump order).
+    */
+  def oracle: Map[String, String] =
+    staticOracle ++
+      lastGateMerges.map(m => "t14_bpe_tokens" -> bpeReplaySql(m))
+
+  private val staticOracle: Map[String, String] = Map(
     // expression-tree parity with bm25TopK is deliberate, operator by
     // operator (left-associative * and / in both engines): every
     // arithmetic step is IEEE-identical, the one libm call (ln) is
