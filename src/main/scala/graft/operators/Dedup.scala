@@ -386,10 +386,11 @@ object Dedup {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var e = truncate(edges
+    val oriented = edges
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).dropDuplicates("u", "v"))
+      .filter(col("u") =!= col("v")).dropDuplicates("u", "v")
+    var e = truncate(localContractPrePass(oriented))
     var w = witness(e)
     var iter = 0
     var converged = false
@@ -416,6 +417,66 @@ object Dedup {
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** Partition-local contraction pre-pass for [[connectedComponentsStar]]:
+    * each partition union-finds ITS OWN edges (no shuffle — a
+    * mapPartitions over whatever layout the edge builder produced) and
+    * emits one star edge (node → local component min) per non-root
+    * node. Connectivity is preserved exactly — within a partition the
+    * star spans the same node set the local edges connected, and
+    * cross-partition connectivity rides on the shared node ids — while
+    * the edge count drops to ≤ the per-partition node count and, more
+    * importantly, the CHAINS the star rounds would spend O(log
+    * diameter) global rewrites contracting collapse instantly wherever
+    * the producing stage co-located them (a window/groupBy upstream
+    * makes this the common case: d10's chain edges arrive
+    * residue-partitioned, so the pre-pass leaves ~one edge per chain
+    * segment). Per-partition state is one long-pair map bounded by the
+    * partition's node count — the same memory envelope the partition's
+    * edge rows already occupied; at 100 TB a 128 MB edge partition
+    * holds ~8M pairs, well inside executor task memory.
+    *
+    * Applied only to integral node ids (the library's doc_id/vec_id
+    * gates); other key types skip the pre-pass and take the star
+    * rounds directly.
+    */
+  private def localContractPrePass(oriented: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val ut = oriented.schema("u").dataType
+    if (ut != LongType && ut != IntegerType) return oriented
+    val spark = oriented.sparkSession
+    import spark.implicits._
+    val stars = oriented.select(col("u").cast("long").as("_1"),
+        col("v").cast("long").as("_2"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def root(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          if (!parent.containsKey(u)) parent.put(u, u)
+          if (!parent.containsKey(v)) parent.put(v, v)
+          val ru = root(u); val rv = root(v)
+          // union by MIN so every root is its component's minimum
+          if (ru < rv) parent.put(rv, ru)
+          else if (rv < ru) parent.put(ru, rv)
+        }
+        val ks = parent.keySet.iterator()
+        new Iterator[(Long, Long)] {
+          def hasNext: Boolean = ks.hasNext
+          def next(): (Long, Long) = { val k = ks.next(); (k, root(k)) }
+        }.filter { case (n, r) => n != r }
+      }
+    val out = stars.toDF("u", "v").dropDuplicates("u", "v")
+    if (ut == IntegerType)
+      out.select(col("u").cast("int").as("u"), col("v").cast("int").as("v"))
+    else out
   }
 
   /** Near-dup cluster assignment: MinHash-LSH pairs (jac >= tau) form the
