@@ -101,6 +101,65 @@ object EngineQueries {
       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       | WHERE l_returnflag = 'R')""".stripMargin
 
+  /** w07 gate harness: the reference's ONE stateful streaming operator
+    * — span upsert (ST2, duo/src/aggregator.rs:17-30) — run as a REAL
+    * Structured Streaming query and hash-checked against DuckDB.
+    * Every span of the orders/lineitem fixture is split into partial
+    * records the way an instrumented app ships them: batch 1 is all
+    * NewSpan opens (identity fields only — no end, no parent, an `op`
+    * tag); batch 2 carries, for root spans, a tag-update re-arrival
+    * (no end — exercises within-batch multi-record folds against held
+    * state) and then every CloseSpan (parent_id, end, `phase` +
+    * u64 `busy` tags). [[graft.ingest.SpanMerger.mergeStream]]'s
+    * flatMapGroupsWithState holds ~every span open across the batch
+    * boundary and emits exactly the merged intact spans, busy-tag
+    * formatting included (C8). The oracle re-derives the merged result
+    * from orders/lineitem directly: identity from the open, end/parent
+    * from the close, and the merged tag JSON rebuilt key-sorted with
+    * the q24 printf fragment for busy. The driver-side feed is the
+    * harness (a MemoryStream is fed from the driver); the operator
+    * under test — state, merge folds, emission — stays distributed.
+    */
+  def spanMergeStreamGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.ingest.{SpanMerger, SpanRecord}
+    import graft.model.TagValue
+    // The synthetic lineitem carries duplicate (l_orderkey, l_linenumber)
+    // pairs, so the derived span ids collide; an upsert operator would
+    // fold colliding ids in arrival order, which is nondeterministic
+    // across shuffles. Dedupe the FEED deterministically (arg-min by
+    // (name, start, end) per id — mirrored by the oracle's QUALIFY) so
+    // the gate exercises merge-of-partials, not fixture noise.
+    val base = ordersAsSpans(s, d)._1
+      .select(col("id"), col("parent_id"), col("trace_id"), col("name"),
+        col("process_id"), col("start"), col("end"))
+      .as[(Long, Option[Long], Long, String, String, Long, Long)]
+      .collect()
+      .groupBy(_._1).valuesIterator
+      .map(_.minBy(t => (t._4, t._6, t._7)))
+      .toArray.sortBy(_._1)
+    val opens = base.toSeq.map { case (id, _, tid, name, proc, start, _) =>
+      SpanRecord(0L, id, None, tid, name, proc, start, None,
+        Map("op" -> TagValue.str(name)))
+    }
+    val rearrivals = base.toSeq.collect {
+      case (id, None, tid, name, proc, start, _) =>
+        SpanRecord(1L, id, None, tid, name, proc, start, None,
+          Map("phase" -> TagValue.str("work")))
+    }
+    val closes = base.toSeq.map { case (id, parent, tid, name, proc, start, end) =>
+      SpanRecord(2L, id, parent, tid, name, proc, start, Some(end),
+        Map("phase" -> TagValue.str("closed"),
+          "busy" -> TagValue.u64(end - start)))
+    }
+    graft.util.StreamGate.run(s, "w07_spanmerge_stream",
+      Seq("seq", "id", "parent_id", "trace_id", "name", "process_id",
+        "start", "end", "tags"),
+      Seq(opens, rearrivals ++ closes),
+      df => SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF())
+      .orderBy(col("id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -145,7 +204,8 @@ object EngineQueries {
           concat_ws("|", transform(col("spans"),
             sp => coalesce(sp.getField("tags"), lit(""))))
             .as("tag_digest"))
-    }))
+    }),
+    "w07_spanmerge_stream" -> (spanMergeStreamGate _))
 
   val oracle: Map[String, String] = Map(
     "g01_log_search" ->
@@ -201,5 +261,18 @@ object EngineQueries {
          | string_agg(CAST(id AS VARCHAR), ',' ORDER BY start, id) AS span_digest,
          | string_agg(COALESCE(tags2, ''), '|' ORDER BY start, id) AS tag_digest
          |FROM corr c LEFT JOIN lcount l ON c.trace_id = l.trace_id
-         |GROUP BY c.trace_id""".stripMargin)
+         |GROUP BY c.trace_id""".stripMargin,
+    // the streamed merge must land, for every span, identity fields
+    // from the open partial, end/parent from the close, and the merged
+    // key-sorted tag JSON (busy formatted through the same printf
+    // fragment q24 pins against Timing.formatTimingValue)
+    "w07_spanmerge_stream" ->
+      s"""$spansCte,
+         |feed AS (SELECT * FROM spans
+         | QUALIFY row_number() OVER (PARTITION BY id
+         |   ORDER BY name, start, "end") = 1)
+         |SELECT id, parent_id, trace_id, name, process_id, start, "end",
+         | '{"busy":"' || ${Relational.fmtSql("(\"end\" - start)")} ||
+         |   '","op":"' || name || '","phase":"closed"}' AS tags
+         |FROM feed ORDER BY id""".stripMargin)
 }

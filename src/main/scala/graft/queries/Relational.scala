@@ -696,8 +696,9 @@ object Relational {
 
   /** printf-style 2-dp formatting fragment: DuckDB's printf rounds the
     * exact binary double half-to-even, matching Timing.formatTimingValue.
+    * Shared with EngineQueries' w07 oracle (busy-tag formatting).
     */
-  private def fmtSql(us: String): String =
+  private[queries] def fmtSql(us: String): String =
     s"""CASE WHEN $us < 1000 THEN CAST($us AS VARCHAR)||'us'
        |     WHEN $us < 1000000 THEN printf('%.2f', $us/1000.0)||'ms'
        |     ELSE printf('%.2f', $us/1000000.0)||'s' END""".stripMargin

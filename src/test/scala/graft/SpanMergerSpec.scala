@@ -123,4 +123,44 @@ class SpanMergerSpec extends SparkSpec {
       assert(rows.head.end.contains(9000L))
     } finally q.stop()
   }
+
+  test("w07 gate: streamed upsert equals the batch merge replay") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.EngineQueries.spanMergeStreamGate(spark, d)
+      .as[graft.model.Span].collect().sortBy(_.id)
+    // batch replay: same partial-record derivation, mergeBatch + toSpan
+    // same deterministic id-dedup as the gate feed (the synthetic
+    // lineitem has duplicate (l_orderkey, l_linenumber) pairs)
+    val base = graft.queries.EngineQueries.ordersAsSpans(spark, d)._1
+      .select("id", "parent_id", "trace_id", "name", "process_id",
+        "start", "end")
+      .as[(Long, Option[Long], Long, String, String, Long, Long)]
+      .collect()
+      .groupBy(_._1).valuesIterator
+      .map(_.minBy(t => (t._4, t._6, t._7)))
+      .toArray.sortBy(_._1)
+    val partials = base.toSeq.flatMap {
+      case (id, parent, tid, name, proc, start, end) =>
+        Seq(
+          SpanRecord(0L, id, None, tid, name, proc, start, None,
+            Map("op" -> TagValue.str(name)))) ++
+          (if (parent.isEmpty)
+            Seq(SpanRecord(1L, id, None, tid, name, proc, start, None,
+              Map("phase" -> TagValue.str("work"))))
+          else Nil) ++
+          Seq(SpanRecord(2L, id, parent, tid, name, proc, start, Some(end),
+            Map("phase" -> TagValue.str("closed"),
+              "busy" -> TagValue.u64(end - start))))
+    }
+    val (intact, ongoing) = SpanMerger.mergeBatch(spark, partials.toDS())
+    assert(ongoing.isEmpty)
+    val batch = intact.collect().sortBy(_.id)
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    // every span closed with the merged three-key tag JSON
+    assert(streamed.forall(sp => sp.end.isDefined &&
+      sp.tags.exists(t => t.startsWith("""{"busy":""") &&
+        t.endsWith(""","phase":"closed"}"""))))
+  }
 }
