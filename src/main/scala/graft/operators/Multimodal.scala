@@ -440,6 +440,172 @@ object Multimodal {
           .as("members"))
       .select(col("keeper"), col("group_size"), col("members"))
 
+  // ---- m06: perceptual image near-dup (dHash) -----------------------
+
+  /** Pattern-image fixture parameters — pure doc_id functions so the
+    * DuckDB oracle recomputes the EXPECTED dHash without a PNG codec.
+    * Families: image docs (doc_id % 3 == 1) sharing doc_id % 159 carry
+    * the same seed pattern in three variants (doc_id / 159 mod 3):
+    * v0 the base image, v1 a +25 global brightness shift (different
+    * bytes, identical gradients → the perceptual collision m05's exact
+    * byte-hash can never see), v2 a one-cell +60 perturbation (flips at
+    * most the two adjacent gradient bits → a hamming-1..2 near match).
+    * The cell value multiplies the cell index by a large odd constant
+    * and double-mods (1000003, then 151): an affine-in-x formula would
+    * keep adjacent-cell deltas constant and make unrelated seeds
+    * collide in dHash; the double-mod breaks the linearity so
+    * cross-family hamming<=3 collisions vanish (verified exhaustively
+    * at sf0.1 fixture scale in MultimodalSpec).
+    */
+  def patSeed(id: Long): Int = (id % 53).toInt
+  def patVariant(id: Long): Int = ((id / 159) % 3).toInt
+  def patScale(id: Long): Int = ((id % 2) + 1).toInt
+
+  /** Luma of logical cell (x, y) in [40, 250): base pattern + variant
+    * perturbations. Mirrored verbatim by the m06 oracle SQL.
+    */
+  def patCell(id: Long, x: Int, y: Int): Int = {
+    val s = patSeed(id)
+    val i = (s * 73 + y * 9 + x + 1).toLong
+    val base = 40 + ((i * 2654435761L % 1000003L) % 151L).toInt
+    base +
+      (if (patVariant(id) == 2 && x == s % 8 && y == s % 8) 60 else 0) +
+      (if (patVariant(id) == 1) 25 else 0)
+  }
+
+  /** Encode the 9×8 logical pattern as a real gray PNG at block scale
+    * k ∈ {1, 2} (9k×8k pixels) — the decoder's area-average over each
+    * k×k block must recover the logical cell exactly, which is what
+    * makes the resize step of [[dhash64]] testable.
+    */
+  def patternPngBytes(id: Long): Array[Byte] = {
+    val k = patScale(id)
+    val img = new java.awt.image.BufferedImage(
+      9 * k, 8 * k, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8 * k) {
+      var x = 0
+      while (x < 9 * k) {
+        val v = patCell(id, x / k, y / k)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** m06 fixture attach: image-branch docs carry the pattern PNG, the
+    * rest raw text bytes (exercising the no-hash path).
+    */
+  def withPatternPayload(docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long, text: String) =>
+      if (id % 3 == 1) patternPngBytes(id)
+      else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    docs.withColumn("payload", gen(col("doc_id"), col("text")))
+  }
+
+  /** 64-bit difference hash (dHash, Krawetz 2013) over the DECODED
+    * pixels: area-average the image onto a 9×8 integer-luma grid
+    * (floor boundaries cx·W/9 — exact block means on the fixture),
+    * then bit y·8+x = 1 iff cell(x,y) > cell(x+1,y). None for
+    * payloads no ImageIO reader accepts or smaller than the grid.
+    * Integer luma (299r+587g+114b)/1000 is exact on gray pixels, so
+    * decoded-dHash ≡ formula-dHash is a strict equality, not a
+    * tolerance check.
+    */
+  def dhash64(payload: Array[Byte]): Option[Long] =
+    (try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+     catch { case scala.util.control.NonFatal(_) => None })
+      .filter(img => img.getWidth >= 9 && img.getHeight >= 8)
+      .map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val cell = Array.ofDim[Long](8, 9)
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 9) {
+            val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+            val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (299L * ((rgb >> 16) & 0xff) +
+                  587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+                x += 1
+              }
+              y += 1
+            }
+            cell(cy)(cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+            cx += 1
+          }
+          cy += 1
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (cell(y)(x) > cell(y)(x + 1)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        hash
+      }
+
+  /** Map-side perceptual hash column: decode → dHash per partition,
+    * same mapInPandas-analog shape as [[decodeMeta]] — blobs never
+    * shuffle, only (doc_id, 8-byte hash) rows leave the scan stage.
+    */
+  def perceptualHashes(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    withPatternPayload(docs.repartition(spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        dhash64(bytes).map(h => (id, h)) })
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Perceptual near-dup pairs: dHash banded 4×16 exactly like the
+    * d04 SimHash join (pigeonhole: full recall for hamming <= 3),
+    * candidates verified by popcount of the XOR. Byte-different
+    * brightness variants land at hamming 0 — the pairs m05's exact
+    * content hash can never produce.
+    *
+    * Scale shape: the banded self-join is Σ bucket² per 65,536-bucket
+    * band over 8-byte keys; the decode cost is map-side and the join
+    * input is 24 B/row — the blobs stay in the scan stage.
+    */
+  def perceptualNearDupPairs(spark: SparkSession, docs: DataFrame,
+      maxHam: Int = 3): DataFrame = {
+    val hashed = perceptualHashes(spark, docs)
+    val rows = Dedup.scopedCache(hashed
+      .select(col("doc_id"), col("dhash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("dhash"), 16 * j)
+            .bitwiseAND(lit(0xffffL))): _*)).as(Seq("bpos", "bval"))))
+    rows.as("a").join(rows.as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("ham",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("ham") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("ham"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m05_payload_dedup" -> ((s, d) =>
       payloadDedupGroups(Tables.documents(s, d)).orderBy(col("keeper"))),
@@ -460,7 +626,10 @@ object Multimodal {
         .orderBy(col("doc_id"))),
     "m04_video_meta" -> ((s, d) =>
       decodeVideoMeta(s, Tables.documents(s, d)).toDF()
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+    "m06_image_near_dup" -> ((s, d) =>
+      perceptualNearDupPairs(s, Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))))
 
   val oracle: Map[String, String] = Map(
     // group structure via the generator's injectivity: png payloads
@@ -536,5 +705,39 @@ object Multimodal {
         | CASE WHEN is_mp4 THEN CAST(ticks * 1000000 // ts AS BIGINT)
         |      ELSE tlen * 1000 END AS duration_us,
         | CASE WHEN is_mp4 THEN 'bmff' ELSE 'stub' END AS src
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // expected dHash recomputed from the patCell formula (the spec pins
+    // decoded-pixels dHash == formula dHash), as a 64-char bit string
+    // ordered by bit index — band j of the 64-bit hash is exactly chars
+    // 16j+1..16j+16, so the substring ORs replay the Spark band join
+    // and hamming() replays bit_count(xor)
+    "m06_image_near_dup" ->
+      """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |cells AS (
+        | SELECT doc_id, x, y,
+        |  40 + (((doc_id % 53) * 73 + y * 9 + x + 1) * 2654435761 % 1000003) % 151
+        |   + CASE WHEN (doc_id // 159) % 3 = 2 AND x = (doc_id % 53) % 8
+        |          AND y = (doc_id % 53) % 8 THEN 60 ELSE 0 END
+        |   + CASE WHEN (doc_id // 159) % 3 = 1 THEN 25 ELSE 0 END AS v
+        | FROM img, LATERAL (SELECT unnest(range(0,9)) AS x),
+        |           LATERAL (SELECT unnest(range(0,8)) AS y)),
+        |bits AS (
+        | SELECT l.doc_id, l.y * 8 + l.x AS i,
+        |  CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+        | FROM cells l JOIN cells r
+        |  ON l.doc_id = r.doc_id AND r.x = l.x + 1 AND r.y = l.y
+        | WHERE l.x < 8),
+        |h AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS hash
+        |      FROM bits GROUP BY doc_id),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        a.hash AS ha, b.hash AS hb
+        | FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  AND (substring(a.hash,1,16) = substring(b.hash,1,16)
+        |    OR substring(a.hash,17,16) = substring(b.hash,17,16)
+        |    OR substring(a.hash,33,16) = substring(b.hash,33,16)
+        |    OR substring(a.hash,49,16) = substring(b.hash,49,16)))
+        |SELECT doc_a, doc_b, CAST(hamming(ha, hb) AS INT) AS ham
+        |FROM cand WHERE hamming(ha, hb) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -158,4 +158,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L).src == "stub" && out(0L).byte_len == "alpha beta".length.toLong)
     assert(out(7L).src == "stub" && out(7L).sample_rate == 8000)
   }
+
+  /** The m06 oracle formula: dHash recomputed from patCell, bit i =
+    * y·8+x packed into a Long — must equal the DECODED-pixels hash.
+    */
+  private def formulaDhash(id: Long): Long = {
+    var hash = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (Multimodal.patCell(id, x, y) > Multimodal.patCell(id, x + 1, y))
+        hash |= 1L << (y * 8 + x)
+    hash
+  }
+
+  test("decoded-pixels dHash equals the formula dHash at both block scales") {
+    // every image-branch id in the sf0.001 fixture range, covering
+    // k=1 (9×8) and k=2 (18×16) plus all three variants
+    val ids = (0L until 500L).filter(_ % 3 == 1)
+    assert(ids.exists(Multimodal.patScale(_) == 1) &&
+      ids.exists(Multimodal.patScale(_) == 2))
+    for (id <- ids) {
+      val got = Multimodal.dhash64(Multimodal.patternPngBytes(id))
+      assert(got.contains(formulaDhash(id)), s"doc $id")
+    }
+    // non-image bytes yield no hash instead of poisoning the batch
+    assert(Multimodal.dhash64("not an image at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("a perturbed PNG collides in dHash while its bytes differ (real near-dup)") {
+    // ids 1 and 160 share a family (mod 159) as variants v0/v1: the
+    // +25 brightness shift changes every pixel byte but no gradient
+    assert(Multimodal.patVariant(1L) == 0 && Multimodal.patVariant(160L) == 1
+      && Multimodal.patSeed(1L) == Multimodal.patSeed(160L))
+    val a = Multimodal.patternPngBytes(1L)
+    val b = Multimodal.patternPngBytes(160L)
+    assert(!java.util.Arrays.equals(a, b))
+    assert(Multimodal.dhash64(a).get == Multimodal.dhash64(b).get)
+  }
+
+  test("banded near-dup pairs match brute force and surface hamming>=1 matches") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val got = Multimodal.perceptualNearDupPairs(spark, docs)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the formula hashes (banding is full-recall at
+    // hamming<=3 by pigeonhole, so the sets must be equal)
+    val ids = docs.select("doc_id").as[Long].collect().filter(_ % 3 == 1).sorted
+    val h = ids.map(id => id -> formulaDhash(id)).toMap
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      hm = java.lang.Long.bitCount(h(ids(i)) ^ h(ids(j)))
+      if hm <= 3
+    } yield (ids(i), ids(j), hm)).toSet
+    assert(got == brute)
+    assert(got.exists(_._3 == 0) && got.exists(_._3 >= 1),
+      s"expected both exact and near matches, got hams ${got.map(_._3)}")
+    // byte-different brightness variants land at hamming 0
+    assert(got.contains((1L, 160L, 0)))
+  }
 }
