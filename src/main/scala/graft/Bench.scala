@@ -94,13 +94,20 @@ object Bench {
     // full (unfiltered) run may write it, and the path is anchored off
     // the repo root instead of the process cwd — an arg-restricted
     // profiling run must never overwrite the record with a subset.
+    // Round-stamped sibling (BENCH_FULL_r<N>.json, N from
+    // SPARK_GRAFT_ROUND): the driver's own cold pass overwrites
+    // BENCH_FULL_LATEST in the working tree after the round closes, so
+    // the builder's warm repeat-3 record survives only at HEAD unless
+    // it also lands under a name the driver never writes.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", ".")
     val fullRecord = if (only.isEmpty)
-      Some(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_REPO", "."), "BENCH_FULL_LATEST.json"))
-    else None
+      java.nio.file.Paths.get(repoRoot, "BENCH_FULL_LATEST.json") ::
+        sys.env.get("SPARK_GRAFT_ROUND").map(r =>
+          java.nio.file.Paths.get(repoRoot, s"BENCH_FULL_r$r.json")).toList
+    else Nil
     val outs = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")) ::
-      fullRecord.toList
+      fullRecord
     for (f <- outs) {
       try java.nio.file.Files.writeString(f, fullLine + "\n")
       catch { case e: Throwable =>
@@ -118,7 +125,8 @@ object Bench {
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     }.mkString("{", ",", "}")
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val fullRef = fullRecord.fold("")(_ => ""","full":"BENCH_FULL_LATEST.json"""")
+    val fullRef =
+      if (fullRecord.isEmpty) "" else ""","full":"BENCH_FULL_LATEST.json""""
     println(
       s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"$fullRef}""")
     spark.stop()

@@ -19,9 +19,14 @@ private[graft] object StreamGate {
   /** @param columns  names given to the tuple-encoded feed columns
     * @param build    the streaming operator under test, applied to the
     *                 named source frame
+    * @param onDrained observer invoked after the last batch drains and
+    *                 before the query stops — [[graft.ScaleProbe]]
+    *                 reads state-store metrics off `lastProgress` here
     */
   def run[A: Encoder](s: SparkSession, name: String, columns: Seq[String],
-      batches: Seq[Seq[A]], build: DataFrame => DataFrame): DataFrame = {
+      batches: Seq[Seq[A]], build: DataFrame => DataFrame,
+      onDrained: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = MemoryStream[A]
@@ -34,6 +39,7 @@ private[graft] object StreamGate {
         input.addData(b): Unit
         query.processAllAvailable()
       }
+      onDrained(query)
     } finally query.stop()
     // detach the result from the memory sink and DROP the sink's temp
     // view: gate outputs are small by design (bounded survivor/window
