@@ -22,9 +22,11 @@ class StreamingWindowSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$d/events.parquet"),
       streamDir.resolve("events.parquet"))
 
-    val streamed = spark.readStream
-      .schema(batchDf.schema)
-      .parquet(streamDir.toString)
+    // schema must match the FILE layout (ts may be a timestamp there);
+    // normalizeEventTs folds it onto the canonical epoch-nanos long
+    val rawSchema = spark.read.parquet(streamDir.toString).schema
+    val streamed = Tables.normalizeEventTs(spark,
+        spark.readStream.schema(rawSchema).parquet(streamDir.toString))
       .withColumn("tsx", timestamp_micros(nsToUs("ts")))
       .withWatermark("tsx", "1 hour")
       .groupBy(window(col("tsx"), "6 hours"))
@@ -142,9 +144,9 @@ class StreamingWindowSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$d/events.parquet"),
       streamDir.resolve("events.parquet"))
 
-    val streamed = spark.readStream
-      .schema(batchDf.schema)
-      .parquet(streamDir.toString)
+    val rawSchema = spark.read.parquet(streamDir.toString).schema
+    val streamed = Tables.normalizeEventTs(spark,
+        spark.readStream.schema(rawSchema).parquet(streamDir.toString))
       .withColumn("tsx", timestamp_micros(nsToUs("ts")))
       .withWatermark("tsx", "1 hour")
       .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
