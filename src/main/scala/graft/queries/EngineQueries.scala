@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -116,14 +116,15 @@ object EngineQueries {
     * formatting included (C8). The oracle re-derives the merged result
     * from orders/lineitem directly: identity from the open, end/parent
     * from the close, and the merged tag JSON rebuilt key-sorted with
-    * the q24 printf fragment for busy. The driver-side feed is the
-    * harness (a MemoryStream is fed from the driver); the operator
-    * under test — state, merge folds, emission — stays distributed.
+    * the q24 printf fragment for busy. The whole path is distributed:
+    * the feed batches are DataFrames landed as parquet files into the
+    * stream's watched directory (StreamGate.runParquet) — at sf0.1 the
+    * feed is ~1.8M records and the output ~600k spans, so neither may
+    * pass through the driver (the earlier MemoryStream form broadcast
+    * a >200 MiB task binary and OOMed).
     */
   def spanMergeStreamGate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     import graft.ingest.{SpanMerger, SpanRecord}
-    import graft.model.TagValue
     // The synthetic lineitem carries duplicate (l_orderkey, l_linenumber)
     // pairs, so the derived span ids collide; an upsert operator would
     // fold colliding ids in arrival order, which is nondeterministic
@@ -131,32 +132,39 @@ object EngineQueries {
     // (name, start, end) per id — mirrored by the oracle's QUALIFY) so
     // the gate exercises merge-of-partials, not fixture noise.
     val base = ordersAsSpans(s, d)._1
-      .select(col("id"), col("parent_id"), col("trace_id"), col("name"),
-        col("process_id"), col("start"), col("end"))
-      .as[(Long, Option[Long], Long, String, String, Long, Long)]
-      .collect()
-      .groupBy(_._1).valuesIterator
-      .map(_.minBy(t => (t._4, t._6, t._7)))
-      .toArray.sortBy(_._1)
-    val opens = base.toSeq.map { case (id, _, tid, name, proc, start, _) =>
-      SpanRecord(0L, id, None, tid, name, proc, start, None,
-        Map("op" -> TagValue.str(name)))
-    }
-    val rearrivals = base.toSeq.collect {
-      case (id, None, tid, name, proc, start, _) =>
-        SpanRecord(1L, id, None, tid, name, proc, start, None,
-          Map("phase" -> TagValue.str("work")))
-    }
-    val closes = base.toSeq.map { case (id, parent, tid, name, proc, start, end) =>
-      SpanRecord(2L, id, parent, tid, name, proc, start, Some(end),
-        Map("phase" -> TagValue.str("closed"),
-          "busy" -> TagValue.u64(end - start)))
-    }
-    graft.util.StreamGate.run(s, "w07_spanmerge_stream",
-      Seq("seq", "id", "parent_id", "trace_id", "name", "process_id",
-        "start", "end", "tags"),
-      Seq(opens, rearrivals ++ closes),
-      df => SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF())
+      .groupBy(col("id"))
+      .agg(min_by(
+        struct(col("parent_id"), col("trace_id"), col("name"),
+          col("process_id"), col("start"), col("end")),
+        struct(col("name"), col("start"), col("end"))).as("r"))
+      .select(col("id"), col("r.parent_id"), col("r.trace_id"),
+        col("r.name"), col("r.process_id"), col("r.start"), col("r.end"))
+    // tag maps built to the Map[String, TagValue] encoder layout so the
+    // parquet round-trip lands directly in df.as[SpanRecord]
+    def tagStr(v: Column): Column = struct(v.as("strVal"),
+      lit(null).cast("long").as("u64Val"),
+      lit(null).cast("long").as("i64Val"),
+      lit(null).cast("boolean").as("boolVal"))
+    def tagU64(v: Column): Column = struct(
+      lit(null).cast("string").as("strVal"), v.as("u64Val"),
+      lit(null).cast("long").as("i64Val"),
+      lit(null).cast("boolean").as("boolVal"))
+    def rec(seq: Int, parent: Column, end: Column, tags: Column) =
+      Seq(lit(seq.toLong).as("seq"), col("id"), parent.as("parent_id"),
+        col("trace_id"), col("name"), col("process_id"), col("start"),
+        end.as("end"), tags.as("tags"))
+    val nl = lit(null).cast("long")
+    val opens = base.select(rec(0, nl, nl,
+      map(lit("op"), tagStr(col("name")))): _*)
+    val rearrivals = base.filter(col("parent_id").isNull)
+      .select(rec(1, nl, nl, map(lit("phase"), tagStr(lit("work")))): _*)
+    val closes = base.select(rec(2, col("parent_id"), col("end"),
+      map(lit("phase"), tagStr(lit("closed")),
+        lit("busy"), tagU64(col("end") - col("start")))): _*)
+    graft.util.StreamGate.runParquet(s, "w07_spanmerge_stream",
+      Seq(opens, rearrivals.unionAll(closes)),
+      df => { import s.implicits._
+        SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF() })
       .orderBy(col("id"))
   }
 

@@ -19,14 +19,9 @@ private[graft] object StreamGate {
   /** @param columns  names given to the tuple-encoded feed columns
     * @param build    the streaming operator under test, applied to the
     *                 named source frame
-    * @param onDrained observer invoked after the last batch drains and
-    *                 before the query stops — [[graft.ScaleProbe]]
-    *                 reads state-store metrics off `lastProgress` here
     */
   def run[A: Encoder](s: SparkSession, name: String, columns: Seq[String],
-      batches: Seq[Seq[A]], build: DataFrame => DataFrame,
-      onDrained: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _ => ()): DataFrame = {
+      batches: Seq[Seq[A]], build: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = MemoryStream[A]
@@ -39,7 +34,6 @@ private[graft] object StreamGate {
         input.addData(b): Unit
         query.processAllAvailable()
       }
-      onDrained(query)
     } finally query.stop()
     // detach the result from the memory sink and DROP the sink's temp
     // view: gate outputs are small by design (bounded survivor/window
@@ -51,5 +45,52 @@ private[graft] object StreamGate {
       java.util.Arrays.asList(landed.collect(): _*), landed.schema)
     s.catalog.dropTempView(qname): Unit
     result
+  }
+
+  /** Fully-distributed variant for gates whose feed or output is too
+    * large for driver memory: each batch DataFrame is landed as parquet
+    * and its part files moved into a watched directory (one move per
+    * micro-batch — the file source's real arrival model), and the
+    * operator's output goes to a parquet sink instead of the
+    * driver-resident memory sink. Nothing — feed, state, or result —
+    * ever materializes on the driver, which is the shape a production
+    * ingest would take (readStream dir → stateful op → parquet landing,
+    * cf. the reference's WAL→parquet flush cycle,
+    * duo/src/grpc/server.rs:55-92). The MemoryStream [[run]] stays the
+    * right harness for SMALL bounded gates (w03-w06), where collecting
+    * the result is cheap and the tuple feed keeps specs readable; this
+    * one exists because w07's feed is every span in the corpus — at
+    * sf0.1 a MemoryStream batch of 600k records serializes into a
+    * >200 MiB broadcast task binary and OOMs the driver.
+    */
+  def runParquet(s: SparkSession, name: String, batches: Seq[DataFrame],
+      build: DataFrame => DataFrame): DataFrame = {
+    require(batches.nonEmpty, s"$name: empty feed")
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
+    val watch = root.resolve("in")
+    java.nio.file.Files.createDirectories(watch): Unit
+    val out = root.resolve("out").toString
+    val stream = build(
+      s.readStream.schema(batches.head.schema).parquet(watch.toString))
+    val query = stream.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", root.resolve("chk").toString)
+      .outputMode("append").start()
+    try {
+      batches.zipWithIndex.foreach { case (df, i) =>
+        val staged = root.resolve(s"stage$i")
+        df.write.parquet(staged.toString)
+        val parts = java.nio.file.Files.list(staged).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        parts.zipWithIndex.foreach { case (p, j) =>
+          java.nio.file.Files.move(p, watch.resolve(s"b${i}_$j.parquet")): Unit
+        }
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    // explicit schema: a gate whose operator emits zero rows leaves no
+    // data files, and a schema-less read of the empty sink would throw
+    s.read.schema(stream.schema).parquet(out)
   }
 }
