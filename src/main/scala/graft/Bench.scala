@@ -125,8 +125,10 @@ object Bench {
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     }.mkString("{", ",", "}")
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val fullRef =
-      if (fullRecord.isEmpty) "" else ""","full":"BENCH_FULL_LATEST.json""""
+    // point at the round-stamped record when one was written — it is the
+    // copy that survives the driver's post-round overwrite of LATEST
+    val fullRef = fullRecord.lastOption.fold("")(p =>
+      s""","full":"${p.getFileName}"""")
     println(
       s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"$fullRef}""")
     spark.stop()

@@ -776,11 +776,15 @@ object Dedup {
     * 1,15),16,10)` hash the verify sets use), so the df census, df
     * join, and candidate self-join all exchange 16-byte keys instead
     * of ~n·8-byte shingle text (~3-4× fewer shuffle bytes on the
-    * probe corpus). Exactness is untouched: the rarest-first order
-    * only needs SOME globally-consistent total order for the prefix
-    * lemma, (df, h1, h2) is one, and the final verify join recomputes
-    * true Jaccard on the hashed sets regardless of which candidates
-    * the prefixes surfaced. The per-doc rank window partitions by
+    * probe corpus). Exactness is untouched by the hashing in the
+    * prefix/candidate stages: the rarest-first order only needs SOME
+    * globally-consistent total order for the prefix lemma, (df, h1,
+    * h2) is one, and a 120-bit collision can only ADD candidates. The
+    * binding accuracy limit is the verify stage's pre-existing 60-bit
+    * h1-only shingle sets — a cross-doc h1 collision inflates the
+    * computed Jaccard with probability ~2^-60 per shingle pair, the
+    * same bound [[minhashLshPairs]] carries — so "exact" reads as
+    * exact-up-to-the-shared-60-bit-set-hash. The per-doc rank window partitions by
     * doc_id (never SinglePartition); candidates join on prefix hashes
     * only; the verify join ships 60-bit hashed shingle sets exactly
     * like [[minhashLshPairs]]. The length filter (tau·max <= min)
