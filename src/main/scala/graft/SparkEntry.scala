@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
-      operators.Pipelines.queries
+      operators.Pipelines.queries ++
+      operators.Sketches.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       operators.Multimodal.oracle ++
-      operators.Pipelines.oracle
+      operators.Pipelines.oracle ++
+      operators.Sketches.oracle
 }

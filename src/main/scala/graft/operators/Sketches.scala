@@ -1,0 +1,366 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns.{shingles, tokens}
+
+/** Mergeable sketch aggregates — the cardinality/frequency toolkit a
+  * 100 TB corpus census actually runs on, where exact distinct counts
+  * and exact heavy-hitter tables would shuffle the full key set:
+  *
+  *   - [[hllGate]]: HyperLogLog distinct-count registers (Flajolet et
+  *     al., AofA'07) — p=9, 512 registers, both the raw harmonic-mean
+  *     estimator and the small-range linear-counting correction.
+  *   - [[cmsHeavyHitters]]: count-min sketch frequency estimates
+  *     (Cormode & Muthukrishnan, J.Alg'05) — depth 4 × width 1024,
+  *     probed at the corpus' exact top-K tokens so the gate pins the
+  *     one-sided overestimate guarantee.
+  *   - [[kmvSourceOverlap]]: K-minimum-values distinct sketches
+  *     (Bar-Yossef et al., RANDOM'02; Beyer et al., SIGMOD'07) per
+  *     corpus source, pairwise-merged for union-cardinality and
+  *     Jaccard-overlap estimates between sources.
+  *
+  * Everything is DETERMINISTIC — hashes are md5-derived exactly like
+  * the dedup family's (same `conv(substring(md5(..),1,15),16,10)`
+  * 60-bit decode), register folds are max/min/count over integers, and
+  * the only floating-point steps are the final estimator divisions —
+  * so the DuckDB oracle replays every sketch bit-for-bit. That is the
+  * design point: a sketch whose value depends on partitioning or
+  * arrival order can't be oracle-gated, and can't be trusted to merge
+  * across 1000 executors either. All three sketches merge by
+  * associative folds (register max, cell sum, bottom-K of a union), so
+  * the map-side partial aggregation Spark already performs IS the
+  * sketch-merge tree a cluster run would use — shuffle volume per
+  * group is bounded by the sketch size (512/4096/256 rows), never by
+  * the data.
+  *
+  * The reference has no sketch surface (duo's stats endpoints,
+  * duo/src/web/services.rs, return exact group-bys at trace scale);
+  * this extends SURVEY §2 the same way the dedup/similarity families
+  * do — operators a training-data pipeline needs at a scale the
+  * reference never reaches.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- HLL
+
+  /** Register-count exponent: m = 2^9 = 512 registers, standard error
+    * 1.04/sqrt(512) ~ 4.6%.
+    */
+  private val HllP = 9
+  private val HllM = 1 << HllP
+  /** Fixed-point scale for the harmonic sum: SUM(2^-rho) is summed as
+    * the INTEGER SUM(2^(52-rho)) — rho <= 52, so each term fits a long
+    * and 512 of them stay under 2^61. Float summation order (which
+    * differs between Spark's partial aggregation and DuckDB) never
+    * enters the sketch; the one double division happens after.
+    */
+  private val HllScale = 1L << 52
+
+  /** The raw estimator's whole numerator alpha_m·m²·2^52 folded to ONE
+    * double constant in Scala and emitted as its exact round-trip
+    * literal into both engines — DuckDB would otherwise run the
+    * constant chain in DECIMAL arithmetic and drift at the 1e-9 level.
+    */
+  private val HllRawNumerator: Double =
+    0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 4503599627370496.0
+
+  /** 60-bit md5 hash, the dedup family's decode with a per-sketch
+    * domain prefix.
+    */
+  private def h60(c: Column, prefix: String): Column =
+    conv(substring(md5(concat(lit(prefix), c.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** HLL register table for `elem` grouped by `group`: top-9 hash bits
+    * pick the register, rho = leading-zero rank of the remaining 51
+    * bits. `length(ltrim(bin(w),'0'))` is the integer bit-length — both
+    * engines agree exactly, where a float log2 could round either way
+    * at powers of two. Duplicate elements collapse by construction
+    * (same hash → same register/rho under max), which is WHY an HLL
+    * union is just a register max — the mergeability the spec pins.
+    */
+  def hllRegisters(rows: DataFrame, group: Column, elem: Column,
+      prefix: String): DataFrame =
+    rows.select(group.as("g"), h60(elem, prefix).as("h"))
+      .withColumn("bucket", shiftright(col("h"), 60 - HllP))
+      .withColumn("w", col("h").bitwiseAND(lit((1L << (60 - HllP)) - 1)))
+      .withColumn("rho", when(col("w") === 0, lit(52))
+        .otherwise(lit(52) - length(ltrim(bin(col("w")), "0"))))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("mreg"))
+
+  /** Estimate from a register table: integer-scaled harmonic sum, then
+    * the alpha_m-corrected raw estimator, with the standard
+    * linear-counting switch when registers are sparse (raw <= 2.5m and
+    * zero registers exist). The double math is written as one SQL
+    * expression mirrored verbatim in the oracle so both engines
+    * execute the identical IEEE op sequence; ln() may differ by an
+    * ulp between libms, so estimates are rounded to 6 decimals (the
+    * t15/t16 convention).
+    */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(52 - mreg as int))"))
+          .as("present"))
+      .select(col("g"), (lit(HllM.toLong) - col("n_regs")).as("zeros"),
+        (col("present") +
+          (lit(HllM.toLong) - col("n_regs")) * lit(HllScale))
+          .as("sum_scaled"))
+      .withColumn("raw",
+        lit(HllRawNumerator) / col("sum_scaled").cast("double"))
+      .withColumn("hll_est",
+        when(col("zeros") > 0 && col("raw") <= lit(2.5 * HllM),
+          round(expr("512.0 * ln(512.0 / cast(zeros as double))"), 6))
+          .otherwise(round(col("raw"), 6)))
+      .drop("raw")
+
+  /** x01 gate: HLL distinct counts per event_type for BOTH user_id
+    * (~150 distinct per group at sf0.01 → the linear-counting branch)
+    * and event_id (unique per row → the raw harmonic branch), next to
+    * the exact distinct count. zeros/sum_scaled pin the full register
+    * table with integer columns; hll_est pins the estimator.
+    */
+  def hllGate(events: DataFrame): DataFrame = {
+    def side(elem: Column, tag: String, prefix: String): DataFrame = {
+      val est = hllEstimate(hllRegisters(events, col("event_type"), elem,
+        prefix)).withColumnRenamed("g", "event_type")
+      val exact = events.groupBy(col("event_type"))
+        .agg(countDistinct(elem).as("n_exact"))
+      est.join(exact, "event_type").withColumn("elem", lit(tag))
+    }
+    side(col("user_id"), "user", "x01u:")
+      .unionAll(side(col("event_id"), "event", "x01e:"))
+      .select(col("event_type"), col("elem"), col("n_exact"),
+        col("zeros"), col("sum_scaled"), col("hll_est"))
+      .orderBy(col("event_type"), col("elem"))
+  }
+
+  // ----------------------------------------------------------- count-min
+
+  private val CmsW = 1024
+  private val CmsD = 4
+  private val CmsTopK = 20
+
+  /** 28-bit md5 hash (7 hex digits) into a CMS cell for row j. */
+  private def cmsCell(j: Int, token: Column): Column =
+    conv(substring(md5(concat(lit(s"x02:$j:"), token)), 1, 7), 16, 10)
+      .cast("long") % CmsW
+
+  /** x02 gate: count-min sketch over the corpus token stream, probed at
+    * the exact top-20 tokens (deterministic tie-break on token text).
+    * The counter build is ONE token-stream scan — each occurrence
+    * explodes into its D (row, cell) pairs map-side and partial
+    * aggregation collapses them to at most D·W = 4096 groups before
+    * the shuffle, the sketch's whole point at scale. The probe side is
+    * a broadcast of D·K = 80 rows. cms_est >= true_cnt always (the
+    * one-sided CMS guarantee — a spec property), with equality unless
+    * the probe token collides in all D rows.
+    */
+  def cmsHeavyHitters(docs: DataFrame): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val truth = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+    val probes = truth.orderBy(col("true_cnt").desc, col("token"))
+      .limit(CmsTopK)
+    def jCells(base: DataFrame): DataFrame = base.select(
+      base.columns.map(col) :+
+        explode(array((0 until CmsD).map(j =>
+          struct(lit(j).as("j"), cmsCell(j, col("token")).as("cell"))): _*))
+          .as("jc"): _*)
+      .select((base.columns.map(col) :+ col("jc.j").as("j")) :+
+        col("jc.cell").as("cell"): _*)
+    val counters = jCells(toks).groupBy(col("j"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+    broadcast(jCells(probes)).join(counters, Seq("j", "cell"))
+      .groupBy(col("token"), col("true_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .orderBy(col("token"))
+  }
+
+  // ---------------------------------------------------------------- KMV
+
+  private val KmvK = 256
+  private val KmvSalts = 16
+
+  /** Per-source bottom-K sketch of the distinct-shingle hash set. The
+    * bottom-K selection is two-phase — dense_rank over (source, salt)
+    * keeps the K smallest DISTINCT hashes per salt (dense_rank folds
+    * duplicate occurrences, so the corpus-wide distinct that would
+    * cost its own shuffle collapses to a post-filter distinct over at
+    * most salts·K rows per source), then the per-source window ranks
+    * those survivors — so no window ever partitions by the bare group
+    * key over the full corpus (the p14/p15 lesson; a source holding
+    * half the corpus would otherwise serialize one task), and the
+    * shingle stream crosses the wire exactly once.
+    */
+  def kmvSketches(docs: DataFrame): DataFrame = {
+    val hs = docs
+      .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
+      .select(col("source"), h60(col("g"), "x03:").as("h"))
+    val phase1 = hs.withColumn("salt", (col("h") % KmvSalts).cast("int"))
+      .withColumn("dr", dense_rank().over(
+        Window.partitionBy(col("source"), col("salt")).orderBy(col("h"))))
+      .filter(col("dr") <= KmvK).select(col("source"), col("h")).distinct()
+    phase1.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK).drop("rn")
+  }
+
+  /** x03 gate: pairwise source overlap from the KMV sketches alone.
+    * For each source pair the union sketch is the bottom-K of the two
+    * sketches' union; theta (the Kth smallest hash) gives the union
+    * cardinality estimate (K-1)·2^60/theta, and the shared fraction
+    * inside the union's bottom-K estimates Jaccard (reported in exact
+    * integer ppm). When the union holds fewer than K hashes the sketch
+    * IS the set and the estimate is exact — the small-pair branch.
+    * Sketch rows per pair are bounded by 2K regardless of corpus size:
+    * the pairwise stage costs O(sources² · K), never a corpus shuffle.
+    */
+  def kmvSourceOverlap(docs: DataFrame): DataFrame = {
+    val sk = kmvSketches(docs)
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val perHash = broadcast(pairs)
+      .join(sk, col("source") === col("sa") || col("source") === col("sb"))
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(count(lit(1)).as("n_sides"))
+    perHash.withColumn("rn", row_number().over(
+        Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("theta"),
+        sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("shared_topk"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("k_used"), col("theta"), col("shared_topk"),
+        when(col("k_used") < KmvK, col("k_used").cast("double"))
+          .otherwise(round(
+            expr("255.0 * 1152921504606846976.0 / cast(theta as double)"),
+            6)).as("union_est"),
+        expr("shared_topk * 1000000 div k_used").as("jacc_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // ------------------------------------------------------------- gating
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "x01_hll_distinct" -> ((s, d) => hllGate(Tables.events(s, d))),
+    "x02_cms_heavy_hitters" -> ((s, d) =>
+      cmsHeavyHitters(Tables.documents(s, d))),
+    "x03_kmv_overlap" -> ((s, d) =>
+      kmvSourceOverlap(Tables.documents(s, d))))
+
+  /** DuckDB replays of the sketch pipelines — same md5 decodes (via
+    * [[Dedup.hexValSql]]'s char arithmetic), same integer folds, same
+    * final double expressions verbatim.
+    */
+  val oracle: Map[String, String] = {
+    def baseSql(v: String, digits: Int): String =
+      (0 until digits).map { j =>
+        s"CAST(${Dedup.hexValSql(s"substr(md5($v), ${j + 1}, 1)")} " +
+          s"AS BIGINT) * ${1L << (4 * (digits - 1 - j))}"
+      }.mkString("CAST((", " + ", ") AS BIGINT)")
+    def b60(v: String) = baseSql(v, 15)
+    def b28(v: String) = baseSql(v, 7)
+    val wMask = (1L << (60 - HllP)) - 1
+    Map(
+      "x01_hll_distinct" ->
+        s"""WITH ue AS (
+           | SELECT event_type, 'user' AS elem,
+           |   'x01u:' || CAST(user_id AS VARCHAR) AS v FROM events
+           | UNION ALL
+           | SELECT event_type, 'event', 'x01e:' || CAST(event_id AS VARCHAR)
+           | FROM events),
+           |h AS (SELECT event_type, elem, ${b60("v")} AS h60 FROM ue),
+           |b AS (SELECT event_type, elem, h60 // ${wMask + 1} AS bucket,
+           |  h60 % ${wMask + 1} AS w FROM h),
+           |r AS (SELECT event_type, elem, bucket,
+           |  CASE WHEN w = 0 THEN 52
+           |       ELSE 52 - length(ltrim(bin(w), '0')) END AS rho FROM b),
+           |regs AS (SELECT event_type, elem, bucket, MAX(rho) AS mreg
+           | FROM r GROUP BY 1, 2, 3),
+           |agg AS (SELECT event_type, elem,
+           |  COUNT(*) AS n_regs,
+           |  CAST(SUM(1::BIGINT << CAST(52 - mreg AS INT)) AS BIGINT)
+           |    AS present
+           | FROM regs GROUP BY 1, 2),
+           |sc AS (SELECT event_type, elem,
+           |  CAST($HllM - n_regs AS BIGINT) AS zeros,
+           |  present + ($HllM - n_regs) * (1::BIGINT << 52) AS sum_scaled
+           | FROM agg),
+           |rw AS (SELECT *,
+           |  $HllRawNumerator / CAST(sum_scaled AS DOUBLE) AS raw
+           | FROM sc),
+           |ex AS (
+           | SELECT event_type, 'user' AS elem,
+           |   COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+           | UNION ALL
+           | SELECT event_type, 'event', COUNT(DISTINCT event_id)
+           | FROM events GROUP BY 1)
+           |SELECT r.event_type, r.elem, ex.n_exact, r.zeros, r.sum_scaled,
+           | CASE WHEN r.zeros > 0 AND r.raw <= ${2.5 * HllM}
+           |      THEN ROUND(512.0 * ln(512.0 / CAST(r.zeros AS DOUBLE)), 6)
+           |      ELSE ROUND(r.raw, 6) END AS hll_est
+           |FROM rw r JOIN ex
+           |  ON r.event_type = ex.event_type AND r.elem = ex.elem
+           |ORDER BY r.event_type, r.elem""".stripMargin,
+      "x02_cms_heavy_hitters" -> {
+        val cell = (tok: String, j: String) =>
+          s"${b28(s"'x02:' || CAST($j AS VARCHAR) || ':' || $tok")} % $CmsW"
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+           | FROM documents),
+           |truth AS (SELECT token, COUNT(*) AS true_cnt FROM toks
+           | GROUP BY 1),
+           |probes AS (SELECT token, true_cnt FROM truth
+           | ORDER BY true_cnt DESC, token LIMIT $CmsTopK),
+           |js AS (SELECT unnest(range(0, $CmsD)) AS j),
+           |cells AS (SELECT j, ${cell("token", "j")} AS cell
+           | FROM toks CROSS JOIN js),
+           |counters AS (SELECT j, cell, COUNT(*) AS c FROM cells
+           | GROUP BY 1, 2),
+           |pc AS (SELECT token, true_cnt, j, ${cell("token", "j")} AS cell
+           | FROM probes CROSS JOIN js)
+           |SELECT token, true_cnt, MIN(c) AS cms_est
+           |FROM pc JOIN counters USING (j, cell)
+           |GROUP BY 1, 2 ORDER BY token""".stripMargin
+      },
+      "x03_kmv_overlap" ->
+        s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t
+           | FROM documents),
+           |shl AS (SELECT source, CASE WHEN len(t) >= 3
+           |  THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+           |                      for i in range(1, len(t)-1)])
+           |  ELSE [] END AS shl FROM toks),
+           |sg AS (SELECT source, unnest(shl) AS g FROM shl),
+           |h AS (SELECT DISTINCT source, ${b60("'x03:' || g")} AS h FROM sg),
+           |sk AS (SELECT source, h FROM h
+           | QUALIFY row_number() OVER (PARTITION BY source ORDER BY h)
+           |   <= $KmvK),
+           |srcs AS (SELECT DISTINCT source FROM sk),
+           |pairs AS (SELECT a.source AS sa, b.source AS sb
+           | FROM srcs a JOIN srcs b ON a.source < b.source),
+           |u AS (SELECT sa, sb, h, COUNT(*) AS n_sides
+           | FROM pairs JOIN sk ON sk.source = sa OR sk.source = sb
+           | GROUP BY 1, 2, 3),
+           |r AS (SELECT * FROM u
+           | QUALIFY row_number() OVER (PARTITION BY sa, sb ORDER BY h)
+           |   <= $KmvK)
+           |SELECT sa AS source_a, sb AS source_b,
+           | COUNT(*) AS k_used, MAX(h) AS theta,
+           | CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS shared_topk,
+           | CASE WHEN COUNT(*) < $KmvK THEN CAST(COUNT(*) AS DOUBLE)
+           |      ELSE ROUND(255.0 * 1152921504606846976.0 /
+           |                 CAST(MAX(h) AS DOUBLE), 6) END AS union_est,
+           | (CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |   * 1000000) // COUNT(*) AS jacc_ppm
+           |FROM r GROUP BY sa, sb ORDER BY sa, sb""".stripMargin)
+  }
+}

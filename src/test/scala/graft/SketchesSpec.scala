@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Sketch-aggregate properties: the paper guarantees each sketch is
+  * used FOR, pinned on the real fixtures — mergeability for HLL (the
+  * property that makes partial aggregation a correct sketch-merge
+  * tree), one-sided error for CMS, estimator accuracy for HLL/KMV.
+  */
+class SketchesSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private lazy val events = Tables.events(spark, d)
+  private lazy val docs = Tables.documents(spark, d)
+
+  test("HLL registers merge by max: two halves fold to the whole corpus") {
+    val whole = Sketches.hllRegisters(events, col("event_type"),
+      col("event_id"), "merge:")
+    val half = (pred: org.apache.spark.sql.Column) =>
+      Sketches.hllRegisters(events.filter(pred), col("event_type"),
+        col("event_id"), "merge:")
+    val merged = half(col("event_id") % 2 === 0)
+      .unionAll(half(col("event_id") % 2 === 1))
+      .groupBy(col("g"), col("bucket")).agg(max(col("mreg")).as("mreg"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // and therefore the estimates agree exactly
+    val eW = Sketches.hllEstimate(whole).select("g", "hll_est").collect().toSet
+    val eM = Sketches.hllEstimate(merged).select("g", "hll_est").collect().toSet
+    assert(eW == eM && eW.nonEmpty)
+  }
+
+  test("HLL estimate lands within 3 standard errors on both branches") {
+    val got = Sketches.hllGate(events).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("hll_est")
+      // m=512 -> sigma ~ 4.6% raw, better for linear counting
+      assert(math.abs(est - exact) / exact < 0.14,
+        s"${r.getAs[String]("event_type")}/${r.getAs[String]("elem")}: " +
+          s"est $est vs exact $exact")
+    }
+  }
+
+  test("CMS estimates are one-sided: never below the true count") {
+    val got = Sketches.cmsHeavyHitters(docs).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"))
+    }
+  }
+
+  test("KMV pairwise Jaccard and union track the exact set overlap") {
+    import graft.functions.TextFns.{shingles, tokens}
+    val overlap = Sketches.kmvSourceOverlap(docs)
+    val sh = docs.select(col("source"),
+      explode(shingles(tokens(col("text")))).as("g")).distinct()
+    // exact pairwise overlap via self-join (test-only: quadratic)
+    val exact = sh.toDF("sa", "ga").join(sh.toDF("sb", "gb"),
+        col("sa") < col("sb") && col("ga") === col("gb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_int"))
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val checked = overlap
+      .join(exact, col("source_a") === col("sa") &&
+        col("source_b") === col("sb"), "left")
+      .join(sizes.toDF("s1", "na"), col("source_a") === col("s1"))
+      .join(sizes.toDF("s2", "nb"), col("source_b") === col("s2"))
+      .select(col("source_a"), col("source_b"), col("jacc_ppm"),
+        col("union_est"), coalesce(col("n_int"), lit(0L)).as("n_int"),
+        (col("na") + col("nb") - coalesce(col("n_int"), lit(0L)))
+          .as("n_union"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val trueJ = r.getAs[Long]("n_int").toDouble / r.getAs[Long]("n_union")
+      val estJ = r.getAs[Long]("jacc_ppm").toDouble / 1e6
+      // K=256 -> sigma ~ 1/sqrt(256) ~ 6%; allow 3 sigma + quantization
+      assert(math.abs(estJ - trueJ) < 0.2,
+        s"${r.getAs[String]("source_a")}-${r.getAs[String]("source_b")}: " +
+          s"jacc est $estJ vs exact $trueJ")
+      val trueU = r.getAs[Long]("n_union").toDouble
+      val estU = r.getAs[Double]("union_est")
+      assert(math.abs(estU - trueU) / trueU < 0.25,
+        s"union est $estU vs exact $trueU")
+    }
+  }
+
+  test("KMV bottom-K never windows the bare source over the corpus") {
+    val plan = Sketches.kmvSketches(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-task window:\n$plan")
+    // the first (corpus-scale) rank window must be salted: its
+    // partition key carries the salt column alongside source
+    assert(plan.contains("salt"), s"unsalted corpus window:\n$plan")
+  }
+
+  test("CMS counter build collapses map-side: bounded groups, one scan") {
+    val plan = Sketches.cmsHeavyHitters(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join not broadcast:\n$plan")
+  }
+}
