@@ -246,6 +246,79 @@ object Sketches {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ------------------------------------------------- log2-histogram quantiles
+
+  private val QProbes = Seq(50, 95, 99)
+
+  /** x04: mergeable quantile sketch as a log2 histogram over integer
+    * cents — bucket = bit-length of round(value·100), the same
+    * integer `length(ltrim(bin(x),'0'))` trick as HLL's rho, so the
+    * sketch is EXACTLY reproducible anywhere (a float-log bucketing
+    * like DDSketch's can round either way at boundaries). Buckets
+    * merge by count addition; quantiles come from the cumulative
+    * histogram with all-integer linear interpolation inside the hit
+    * bucket — rank k = ceil(q·n/100) via (q·n+99) div 100, estimate
+    * = 2^(b-1) + (k−cum_prev)·2^(b-1) div cnt cents. Relative error
+    * is bounded by the bucket width (≤2×, much tighter interpolated
+    * — the accuracy spec measures it). The histogram is at most ~50
+    * rows per group regardless of data size; the quantile extraction
+    * windows over THAT table, never the corpus.
+    */
+  def logHistQuantiles(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val hist = events
+      .select(col("event_type"),
+        when(cents <= 0, lit(0))
+          .otherwise(length(ltrim(bin(cents), "0"))).cast("int").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
+    val probes = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      .select(col("event_type"), col("n"),
+        explode(array(QProbes.map(lit(_)): _*)).as("q"))
+      .withColumn("k", expr("(q * n + 99) div 100"))
+    probes.join(cum, "event_type")
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .withColumn("est_cents", when(col("bucket") === 0, lit(0L)).otherwise(
+        expr("shiftleft(cast(1 as bigint), bucket - 1) + " +
+          "((k - (cum - cnt)) * shiftleft(cast(1 as bigint), bucket - 1))" +
+          " div cnt")))
+      .select(col("event_type"), col("q"), col("n"), col("bucket"),
+        (col("est_cents").cast("double") / 100.0).as("est"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
+  // ------------------------------------------------------ streamed HLL
+
+  /** w08: the HLL register build maintained as a REAL streaming
+    * aggregation — the production shape of a sketch (registers folded
+    * incrementally as data arrives, queried any time). The events
+    * feed arrives as two parquet micro-batches through the
+    * distributed file-source harness, the register max-fold runs in
+    * complete mode (the register table is the bounded state), and the
+    * estimate extracted from the landed registers must equal the
+    * batch x01 user-branch EXACTLY — streaming-vs-batch equality IS
+    * the mergeability theorem, now across micro-batch boundaries
+    * instead of partitions. Oracle: the x01 pipeline restricted to
+    * the user element.
+    */
+  def hllStreamGate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val regs = graft.util.StreamGate.runParquetMem(s, "w08_hll_stream",
+      Seq(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 =!= 0)),
+      "complete",
+      df => hllRegisters(df, col("event_type"), col("user_id"), "x01u:"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    hllEstimate(regs).withColumnRenamed("g", "event_type")
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("zeros"),
+        col("sum_scaled"), col("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------- gating
 
   type Q = (SparkSession, String) => DataFrame
@@ -255,7 +328,10 @@ object Sketches {
     "x02_cms_heavy_hitters" -> ((s, d) =>
       cmsHeavyHitters(Tables.documents(s, d))),
     "x03_kmv_overlap" -> ((s, d) =>
-      kmvSourceOverlap(Tables.documents(s, d))))
+      kmvSourceOverlap(Tables.documents(s, d))),
+    "x04_hist_quantiles" -> ((s, d) =>
+      logHistQuantiles(Tables.events(s, d))),
+    "w08_hll_stream" -> (hllStreamGate _))
 
   /** DuckDB replays of the sketch pipelines — same md5 decodes (via
     * [[Dedup.hexValSql]]'s char arithmetic), same integer folds, same
@@ -270,7 +346,63 @@ object Sketches {
     def b60(v: String) = baseSql(v, 15)
     def b28(v: String) = baseSql(v, 7)
     val wMask = (1L << (60 - HllP)) - 1
+    // w08's oracle: the x01 register/estimator chain over the user
+    // element alone — the streamed registers must equal the batch ones
+    val w08Sql: String =
+      s"""WITH h AS (SELECT event_type,
+         |  ${b60("'x01u:' || CAST(user_id AS VARCHAR)")} AS h60
+         | FROM events),
+         |b AS (SELECT event_type, h60 // ${wMask + 1} AS bucket,
+         |  h60 % ${wMask + 1} AS w FROM h),
+         |r AS (SELECT event_type, bucket,
+         |  CASE WHEN w = 0 THEN 52
+         |       ELSE 52 - length(ltrim(bin(w), '0')) END AS rho FROM b),
+         |regs AS (SELECT event_type, bucket, MAX(rho) AS mreg
+         | FROM r GROUP BY 1, 2),
+         |agg AS (SELECT event_type,
+         |  COUNT(*) AS n_regs,
+         |  CAST(SUM(1::BIGINT << CAST(52 - mreg AS INT)) AS BIGINT)
+         |    AS present
+         | FROM regs GROUP BY 1),
+         |sc AS (SELECT event_type,
+         |  CAST($HllM - n_regs AS BIGINT) AS zeros,
+         |  present + ($HllM - n_regs) * (1::BIGINT << 52) AS sum_scaled
+         | FROM agg),
+         |rw AS (SELECT *,
+         |  $HllRawNumerator / CAST(sum_scaled AS DOUBLE) AS raw
+         | FROM sc),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+         | FROM events GROUP BY 1)
+         |SELECT r.event_type, ex.n_exact, r.zeros, r.sum_scaled,
+         | CASE WHEN r.zeros > 0 AND r.raw <= ${2.5 * HllM}
+         |      THEN ROUND(512.0 * ln(512.0 / CAST(r.zeros AS DOUBLE)), 6)
+         |      ELSE ROUND(r.raw, 6) END AS hll_est
+         |FROM rw r JOIN ex ON r.event_type = ex.event_type
+         |ORDER BY r.event_type""".stripMargin
     Map(
+      "w08_hll_stream" -> w08Sql,
+      "x04_hist_quantiles" ->
+        s"""WITH c AS (SELECT event_type,
+           |  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+           |hb AS (SELECT event_type, CASE WHEN cents <= 0 THEN 0
+           |  ELSE length(ltrim(bin(cents), '0')) END AS bucket FROM c),
+           |hist AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM hb
+           | GROUP BY 1, 2),
+           |cum AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY event_type
+           |  ORDER BY bucket) AS BIGINT) AS cum FROM hist),
+           |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+           | FROM hist GROUP BY 1),
+           |probes AS (SELECT event_type, n, q, (q * n + 99) // 100 AS k
+           | FROM tot CROSS JOIN (SELECT unnest([${QProbes.mkString(", ")}])
+           |   AS q))
+           |SELECT p.event_type, p.q, p.n, CAST(c.bucket AS INT) AS bucket,
+           | CAST(CASE WHEN c.bucket = 0 THEN 0
+           |  ELSE (1::BIGINT << (c.bucket - 1)) +
+           |    ((p.k - (c.cum - c.cnt)) * (1::BIGINT << (c.bucket - 1)))
+           |      // c.cnt END AS DOUBLE) / 100.0 AS est
+           |FROM probes p JOIN cum c ON p.event_type = c.event_type
+           |WHERE c.cum >= p.k AND c.cum - c.cnt < p.k
+           |ORDER BY p.event_type, p.q""".stripMargin,
       "x01_hll_distinct" ->
         s"""WITH ue AS (
            | SELECT event_type, 'user' AS elem,

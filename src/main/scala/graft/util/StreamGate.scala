@@ -66,31 +66,66 @@ private[graft] object StreamGate {
   def runParquet(s: SparkSession, name: String, batches: Seq[DataFrame],
       build: DataFrame => DataFrame): DataFrame = {
     require(batches.nonEmpty, s"$name: empty feed")
-    import scala.jdk.CollectionConverters._
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
-    val watch = root.resolve("in")
-    java.nio.file.Files.createDirectories(watch): Unit
     val out = root.resolve("out").toString
-    val stream = build(
-      s.readStream.schema(batches.head.schema).parquet(watch.toString))
+    val stream = build(fileSource(s, root, batches.head.schema))
     val query = stream.writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation", root.resolve("chk").toString)
       .outputMode("append").start()
-    try {
-      batches.zipWithIndex.foreach { case (df, i) =>
-        val staged = root.resolve(s"stage$i")
-        df.write.parquet(staged.toString)
-        val parts = java.nio.file.Files.list(staged).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        parts.zipWithIndex.foreach { case (p, j) =>
-          java.nio.file.Files.move(p, watch.resolve(s"b${i}_$j.parquet")): Unit
-        }
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    try feed(query, root, batches) finally query.stop()
     // explicit schema: a gate whose operator emits zero rows leaves no
     // data files, and a schema-less read of the empty sink would throw
     s.read.schema(stream.schema).parquet(out)
+  }
+
+  /** [[runParquet]]'s sibling for SMALL-output stateful aggregations
+    * that need a non-append output mode (e.g. a streamed sketch's
+    * `complete`-mode register table): same distributed parquet-file
+    * feed, memory sink for the bounded result. The collected copy is
+    * detached exactly like [[run]]'s.
+    */
+  def runParquetMem(s: SparkSession, name: String, batches: Seq[DataFrame],
+      outputMode: String, build: DataFrame => DataFrame): DataFrame = {
+    require(batches.nonEmpty, s"$name: empty feed")
+    val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
+    val qname = s"${name}_${seq.incrementAndGet()}"
+    val query = build(fileSource(s, root, batches.head.schema))
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", root.resolve("chk").toString)
+      .outputMode(outputMode).start()
+    try feed(query, root, batches) finally query.stop()
+    val landed = s.table(qname)
+    val result = s.createDataFrame(
+      java.util.Arrays.asList(landed.collect(): _*), landed.schema)
+    s.catalog.dropTempView(qname): Unit
+    result
+  }
+
+  private def fileSource(s: SparkSession, root: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val watch = root.resolve("in")
+    java.nio.file.Files.createDirectories(watch): Unit
+    s.readStream.schema(schema).parquet(watch.toString)
+  }
+
+  /** Land each batch as parquet part files moved into the watched dir
+    * (one move per micro-batch — the file source's real arrival
+    * model), draining the query between batches.
+    */
+  private def feed(query: org.apache.spark.sql.streaming.StreamingQuery,
+      root: java.nio.file.Path, batches: Seq[DataFrame]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val watch = root.resolve("in")
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val staged = root.resolve(s"stage$i")
+      df.write.parquet(staged.toString)
+      val parts = java.nio.file.Files.list(staged).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      parts.zipWithIndex.foreach { case (p, j) =>
+        java.nio.file.Files.move(p, watch.resolve(s"b${i}_$j.parquet")): Unit
+      }
+      query.processAllAvailable()
+    }
   }
 }

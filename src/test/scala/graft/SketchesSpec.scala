@@ -95,6 +95,42 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("salt"), s"unsalted corpus window:\n$plan")
   }
 
+  test("histogram quantile estimates bracket the exact percentiles") {
+    val got = Sketches.logHistQuantiles(events).collect()
+    assert(got.length == 15) // 5 event types x 3 probes
+    val exact = events.select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    got.foreach { r =>
+      val vs = exact(r.getAs[String]("event_type"))
+      val k = math.ceil(r.getAs[Int]("q") * vs.length / 100.0).toInt
+      val truth = vs(k - 1)
+      val est = r.getAs[Double]("est")
+      // log2 buckets bound the error at 2x; interpolation tightens it
+      assert(est / truth > 0.5 && est / truth < 2.0,
+        s"${r.getAs[String]("event_type")} p${r.getAs[Int]("q")}: " +
+          s"est $est vs exact $truth")
+    }
+  }
+
+  test("histogram buckets merge by addition: halves sum to the whole") {
+    // mergeability: the sketch of a union is the cell-wise sum — so
+    // the quantile table computed from merged halves equals the whole
+    val whole = Sketches.logHistQuantiles(events).collect().toSeq
+    val merged = Sketches.logHistQuantiles(
+      events.filter(col("event_id") % 2 === 0)
+        .unionAll(events.filter(col("event_id") % 2 =!= 0))).collect().toSeq
+    assert(whole == merged && whole.nonEmpty)
+  }
+
+  test("streamed HLL registers equal the batch x01 user branch exactly") {
+    val streamed = Sketches.hllStreamGate(spark, d)
+      .select("event_type", "zeros", "sum_scaled", "hll_est").collect().toSeq
+    val batch = Sketches.hllGate(events).filter(col("elem") === "user")
+      .select("event_type", "zeros", "sum_scaled", "hll_est").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("CMS counter build collapses map-side: bounded groups, one scan") {
     val plan = Sketches.cmsHeavyHitters(docs)
       .queryExecution.executedPlan.toString
