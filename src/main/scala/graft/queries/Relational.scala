@@ -407,10 +407,11 @@ object Relational {
       .orderBy(col("user_id"), col("s_start"))
 
   /** w05 gate harness: the tumbling event-time window aggregation run
-    * as a REAL Structured Streaming query — MemoryStream source,
-    * 30-minute watermark, append-mode window state, memory-sink
-    * landing — over the events fixture, hash-checked against DuckDB's
-    * batch replay. Windowed aggregation is arrival-order-independent
+    * as a REAL Structured Streaming query — parquet file source,
+    * 30-minute watermark, append-mode window state, memory-sink landing
+    * for the bounded window set (StreamGate.runParquetMem: the FEED
+    * is distributed parquet files, never a driver broadcast) — over the
+    * events fixture, hash-checked against DuckDB's batch replay. Windowed aggregation is arrival-order-independent
     * (same groups, associative decimal sums), so unlike w03/w04 no
     * layout trick is needed: the feed is one batch of all events plus
     * a far-future advance marker whose watermark flushes every real
@@ -420,14 +421,15 @@ object Relational {
     * StreamingWindowSpec's late-event semantics.
     */
   def tumblingStreamGate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val rows = Tables.events(s, d)
-      .select(nsToUs("ts").as("tus"), col("value"))
-      .as[(Long, Double)].collect()
-    val marker = rows.map(_._1).max + 365L * 24 * 3600 * 1000000L
-    graft.util.StreamGate.run(s, "w05_tumbling_stream",
-      Seq("tus", "value"),
-      Seq(rows.toSeq, Seq((marker, 0.0))),
+    // distributed feed (round 11): the events never pass through the
+    // driver — only the max timestamp does (one scalar, the
+    // broadcast-build pattern) to place the watermark-advance marker
+    val ev = Tables.events(s, d).select(nsToUs("ts").as("tus"), col("value"))
+    val marker = ev.agg(max(col("tus"))).head.getLong(0) +
+      365L * 24 * 3600 * 1000000L
+    graft.util.StreamGate.runParquetMem(s, "w05_tumbling_stream",
+      Seq(ev, s.range(1).select(lit(marker).as("tus"), lit(0.0).as("value"))),
+      "append",
       _.withColumn("tsx", timestamp_micros(col("tus")))
         .withWatermark("tsx", "30 minutes")
         .groupBy(window(col("tsx"), "1 hour"))
@@ -441,7 +443,7 @@ object Relational {
     * aggregation run as a REAL Structured Streaming query — the
     * MERGING window state (sessions extend and coalesce as events
     * arrive, unlike w05's fixed tumbling buckets), under the same
-    * MemoryStream → watermark → append-mode → memory-sink skeleton.
+    * file-source → watermark → append-mode → memory-sink skeleton.
     * Session aggregation is arrival-order-independent per user (same
     * merge-on-touch semantics, associative decimal sums), so the feed
     * is one batch of all events plus a far-future marker under a
@@ -452,14 +454,14 @@ object Relational {
     * verbatim.
     */
   def sessionStreamGate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val rows = Tables.events(s, d)
+    val ev = Tables.events(s, d)
       .select(col("user_id"), nsToUs("ts").as("tus"), col("value"))
-      .as[(Long, Long, Double)].collect()
-    val marker = rows.map(_._2).max + 365L * 24 * 3600 * 1000000L
-    graft.util.StreamGate.run(s, "w06_session_stream",
-      Seq("user_id", "tus", "value"),
-      Seq(rows.toSeq, Seq((-1L, marker, 0.0))),
+    val marker = ev.agg(max(col("tus"))).head.getLong(0) +
+      365L * 24 * 3600 * 1000000L
+    graft.util.StreamGate.runParquetMem(s, "w06_session_stream",
+      Seq(ev, s.range(1).select(lit(-1L).as("user_id"),
+        lit(marker).as("tus"), lit(0.0).as("value"))),
+      "append",
       _.withColumn("tsx", timestamp_micros(col("tus")))
         .withWatermark("tsx", "30 minutes")
         .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
