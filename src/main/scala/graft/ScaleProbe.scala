@@ -107,6 +107,10 @@ object ScaleProbe {
         graft.operators.Pipelines.shardShuffle(d))
       measure("m05_payload_dedup", scale,
         graft.operators.Multimodal.payloadDedupGroups(d))
+      // sketches: shuffle volume should stay ~flat as the corpus grows
+      // (bounded by sketch size), runtime ~linear in the scan
+      measure("x03_kmv_overlap", scale,
+        graft.operators.Sketches.kmvSourceOverlap(d))
       measure("d09_embedding_lsh", scale, Dedup.embeddingPairsLsh(e, 0.4))
       // the documented d09 mitigation, measured instead of asserted:
       // at 10× the corpus, +log2(10)≈3 planes (4→7) re-bounds bucket
