@@ -221,6 +221,25 @@ class PlanShapeSpec extends SparkSpec {
       s"no pushdown evidence in:\n$filtered")
   }
 
+  test("sketch scans prune to the sketched columns") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val events = graft.Tables.events(spark, dir)
+    // x04 touches only (event_type, value): ts/props/user_id must not
+    // reach the scan — at 100 TB the pruned columns are most of the IO
+    val q = planOf(graft.operators.Sketches.logHistQuantiles(events))
+    val schemas = "ReadSchema: [^\\n]+".r.findAllIn(q).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      !s.contains("props") && !s.contains("user_id")),
+      s"unpruned sketch scan: $schemas")
+    // x01 sketches user_id/event_id per event_type: props/value pruned
+    val h = planOf(graft.operators.Sketches.hllGate(events))
+    val hs = "ReadSchema: [^\\n]+".r.findAllIn(h).toSeq
+    assert(hs.nonEmpty && hs.forall(s =>
+      !s.contains("props") && !s.contains("value")),
+      s"unpruned sketch scan: $hs")
+  }
+
   test("bucketed tables co-locate the join: no shuffle before SortMergeJoin") {
     // the 100 TB fact-to-fact pattern: both sides written bucketBy the
     // join key means the join reads pre-partitioned buckets and never
