@@ -309,7 +309,8 @@ object Sketches {
       Seq(ev.filter(col("user_id") % 2 === 0),
         ev.filter(col("user_id") % 2 =!= 0)),
       "complete",
-      df => hllRegisters(df, col("event_type"), col("user_id"), "x01u:"))
+      df => hllRegisters(df, col("event_type"), col("user_id"), "x01u:"),
+      statePartitions = Some(8))
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     hllEstimate(regs).withColumnRenamed("g", "event_type")

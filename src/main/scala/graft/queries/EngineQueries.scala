@@ -168,6 +168,65 @@ object EngineQueries {
       .orderBy(col("id"))
   }
 
+  /** w09 gate harness: span↔log correlation (J2) as a watermarked
+    * STREAM-STREAM inner join — the one Structured Streaming face the
+    * inventory had not yet executed (stateful agg, mapGroupsWithState,
+    * session windows, dedup, and sketch folds all have gates). Both
+    * sides are distributed file-source streams with watermarks and
+    * the join carries the time-bound (`ltx` within [stx, stx+1h])
+    * that lets the state store evict buffered rows; arrival is
+    * interleaved by trace parity — even-trace spans land with
+    * odd-trace logs first, then the complements — so every match
+    * crosses a micro-batch boundary in one direction or the other and
+    * the join provably serves from buffered state, not same-batch
+    * rows. The watermark horizon must exceed the feed's event-time
+    * DISORDER, not its latency: the parity interleave deliberately
+    * spans the fixture's whole ~7-year event range across two
+    * micro-batches, so a production-style 1-hour watermark would
+    * declare batch 2 late wholesale and drop it (measured: 9 of
+    * 20,052 rows survive). The gate therefore sets a horizon wider
+    * than the corpus spread — the real watermark/eviction machinery
+    * stays in the plan, and in a deployment where arrival tracks
+    * event time the same query runs with the 1-hour horizon. Inner
+    * joins emit eagerly on match, so the streamed result equals the
+    * batch join exactly; the oracle replays it as a plain DuckDB join
+    * with the same time bound.
+    */
+  def spanLogJoinStreamGate(s: SparkSession, d: String): DataFrame = {
+    val (spans, logs) = ordersAsSpans(s, d)
+    // deterministic ¼-trace cap (trace_id ≡ 0 mod 4, oracle-mirrored):
+    // the gate exercises the stream-stream machinery — buffered-state
+    // joins, watermark plumbing, eviction bounds — which is
+    // feed-size-invariant; the uncapped corpus only multiplies state
+    // volume (measured 20.5 s vs ~7 s warm at sf0.1 for identical
+    // coverage). The batch J2 correlation (g03/g05) runs uncapped.
+    val sp = spans.filter(col("trace_id") % 4 === 0)
+      .select(col("id"), col("trace_id"), col("name"),
+        col("process_id"), col("start"), col("end"))
+    val lg = logs.filter(col("trace_id") % 4 === 0)
+      .select(col("span_id"), col("time"), col("level"))
+    def parity(c: Column, want: Int) = (c % 2).cast("int") === want
+    graft.util.StreamGate.runParquet2(s, "w09_spanlog_join_stream",
+      Seq(sp.filter(parity(col("trace_id"), 0)),
+        sp.filter(parity(col("trace_id"), 1))),
+      Seq(lg.filter(parity(expr("span_id div 1000"), 1)),
+        lg.filter(parity(expr("span_id div 1000"), 0))),
+      (sstream, lstream) => {
+        val ss = sstream
+          .withColumn("stx", timestamp_micros(col("start")))
+          .withWatermark("stx", "3700 days")
+        val ls = lstream
+          .withColumn("ltx", timestamp_micros(col("time")))
+          .withWatermark("ltx", "3700 days")
+        ls.join(ss, expr(
+            "span_id = id AND ltx >= stx AND ltx <= stx + interval 1 hour"))
+          .select(col("span_id"), col("trace_id"), col("name"),
+            col("process_id"), col("time").as("log_time"), col("level"),
+            col("start").as("span_start"), col("end").as("span_end"))
+      }, statePartitions = Some(8))
+      .orderBy(col("span_id"), col("log_time"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -213,9 +272,24 @@ object EngineQueries {
             sp => coalesce(sp.getField("tags"), lit(""))))
             .as("tag_digest"))
     }),
-    "w07_spanmerge_stream" -> (spanMergeStreamGate _))
+    "w07_spanmerge_stream" -> (spanMergeStreamGate _),
+    "w09_spanlog_join_stream" -> (spanLogJoinStreamGate _))
 
   val oracle: Map[String, String] = Map(
+    "w09_spanlog_join_stream" ->
+      s"""$spansCte,
+         |lgs2 AS (
+         | SELECT o_orderkey*1000 + l_linenumber AS span_id,
+         |  epoch_us(l_shipdate) AS time, 'ERROR' AS level
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE l_returnflag = 'R' AND o_orderkey % 4 = 0)
+         |SELECT l.span_id, s.trace_id, s.name, s.process_id,
+         | l.time AS log_time, l.level,
+         | s.start AS span_start, s."end" AS span_end
+         |FROM lgs2 l JOIN spans s ON l.span_id = s.id
+         | AND s.trace_id % 4 = 0
+         | AND l.time >= s.start AND l.time <= s.start + 3600000000
+         |ORDER BY l.span_id, log_time""".stripMargin,
     "g01_log_search" ->
       s"""$logsCte
          |SELECT * FROM logs

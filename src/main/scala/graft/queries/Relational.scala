@@ -430,12 +430,13 @@ object Relational {
     graft.util.StreamGate.runParquetMem(s, "w05_tumbling_stream",
       Seq(ev, s.range(1).select(lit(marker).as("tus"), lit(0.0).as("value"))),
       "append",
-      _.withColumn("tsx", timestamp_micros(col("tus")))
+      build = _.withColumn("tsx", timestamp_micros(col("tus")))
         .withWatermark("tsx", "30 minutes")
         .groupBy(window(col("tsx"), "1 hour"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
         .select(col("window.start").cast(LongType).as("w_start"),
-          col("n"), col("value_sum")))
+          col("n"), col("value_sum")),
+      statePartitions = Some(8))
       .orderBy(col("w_start"))
   }
 
@@ -462,14 +463,15 @@ object Relational {
       Seq(ev, s.range(1).select(lit(-1L).as("user_id"),
         lit(marker).as("tus"), lit(0.0).as("value"))),
       "append",
-      _.withColumn("tsx", timestamp_micros(col("tus")))
+      build = _.withColumn("tsx", timestamp_micros(col("tus")))
         .withWatermark("tsx", "30 minutes")
         .groupBy(col("user_id"), session_window(col("tsx"), "30 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
         .select(col("user_id"),
           col("sw.start").cast(LongType).as("s_start"),
           col("sw.end").cast(LongType).as("s_end"),
-          col("n_events"), col("value_sum")))
+          col("n_events"), col("value_sum")),
+      statePartitions = Some(8))
       .orderBy(col("user_id"), col("s_start"))
   }
 

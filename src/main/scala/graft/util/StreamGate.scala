@@ -64,16 +64,19 @@ private[graft] object StreamGate {
     * >200 MiB broadcast task binary and OOMs the driver.
     */
   def runParquet(s: SparkSession, name: String, batches: Seq[DataFrame],
-      build: DataFrame => DataFrame): DataFrame = {
+      build: DataFrame => DataFrame,
+      statePartitions: Option[Int] = None): DataFrame = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val out = root.resolve("out").toString
     val stream = build(fileSource(s, root, batches.head.schema))
-    val query = stream.writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", root.resolve("chk").toString)
-      .outputMode("append").start()
-    try feed(query, root, batches) finally query.stop()
+    withShufflePartitions(s, statePartitions) {
+      val query = stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .outputMode("append").start()
+      try feed(query, root, batches) finally query.stop()
+    }
     // explicit schema: a gate whose operator emits zero rows leaves no
     // data files, and a schema-less read of the empty sink would throw
     s.read.schema(stream.schema).parquet(out)
@@ -86,15 +89,18 @@ private[graft] object StreamGate {
     * detached exactly like [[run]]'s.
     */
   def runParquetMem(s: SparkSession, name: String, batches: Seq[DataFrame],
-      outputMode: String, build: DataFrame => DataFrame): DataFrame = {
+      outputMode: String, build: DataFrame => DataFrame,
+      statePartitions: Option[Int] = None): DataFrame = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val qname = s"${name}_${seq.incrementAndGet()}"
-    val query = build(fileSource(s, root, batches.head.schema))
-      .writeStream.format("memory").queryName(qname)
-      .option("checkpointLocation", root.resolve("chk").toString)
-      .outputMode(outputMode).start()
-    try feed(query, root, batches) finally query.stop()
+    withShufflePartitions(s, statePartitions) {
+      val query = build(fileSource(s, root, batches.head.schema))
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .outputMode(outputMode).start()
+      try feed(query, root, batches) finally query.stop()
+    }
     val landed = s.table(qname)
     val result = s.createDataFrame(
       java.util.Arrays.asList(landed.collect(): _*), landed.schema)
@@ -102,29 +108,93 @@ private[graft] object StreamGate {
     result
   }
 
+  /** Two-source variant for stream-stream operators (e.g. the w09
+    * watermarked span↔log join): each side gets its own watched
+    * directory and file source, and batch i of BOTH sides lands
+    * before each drain — so a gate can interleave arrival orders to
+    * force cross-micro-batch buffering on either side. Parquet sink,
+    * same distributed discipline as [[runParquet]].
+    */
+  /** @param statePartitions streaming-shuffle partition count for this
+    *   query (pinned into the checkpoint at start). State-store commit
+    *   overhead is partitions × stores-per-operator × micro-batches —
+    *   a stream-stream join carries FOUR stores per partition, so a
+    *   session default sized for batch scans (32) costs ~256 commits
+    *   for a two-batch gate while the state itself is tiny. Size this
+    *   to the state, as a deployment would; None keeps the session
+    *   default.
+    */
+  def runParquet2(s: SparkSession, name: String,
+      left: Seq[DataFrame], right: Seq[DataFrame],
+      build: (DataFrame, DataFrame) => DataFrame,
+      statePartitions: Option[Int] = None): DataFrame = {
+    require(left.nonEmpty && right.nonEmpty, s"$name: empty feed")
+    val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
+    val wl = root.resolve("inL"); val wr = root.resolve("inR")
+    val out = root.resolve("out").toString
+    val stream = build(
+      fileSourceAt(s, wl, left.head.schema),
+      fileSourceAt(s, wr, right.head.schema))
+    withShufflePartitions(s, statePartitions) {
+      val query = stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .outputMode("append").start()
+      try {
+        (0 until math.max(left.size, right.size)).foreach { i =>
+          left.lift(i).foreach(landBatch(_, root, wl, s"l$i"))
+          right.lift(i).foreach(landBatch(_, root, wr, s"r$i"))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+    s.read.schema(stream.schema).parquet(out)
+  }
+
+  /** Scoped override of the streaming query's shuffle-partition count
+    * (captured at stream start); the session value is restored after,
+    * so surrounding batch plans are untouched.
+    */
+  private def withShufflePartitions[A](s: SparkSession,
+      n: Option[Int])(f: => A): A = n match {
+    case None => f
+    case Some(p) =>
+      val key = "spark.sql.shuffle.partitions"
+      val old = s.conf.get(key)
+      s.conf.set(key, p.toString)
+      try f finally s.conf.set(key, old)
+  }
+
   private def fileSource(s: SparkSession, root: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    fileSourceAt(s, root.resolve("in"), schema)
+
+  private def fileSourceAt(s: SparkSession, watch: java.nio.file.Path,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val watch = root.resolve("in")
     java.nio.file.Files.createDirectories(watch): Unit
     s.readStream.schema(schema).parquet(watch.toString)
   }
 
-  /** Land each batch as parquet part files moved into the watched dir
-    * (one move per micro-batch — the file source's real arrival
-    * model), draining the query between batches.
+  /** Land one batch as parquet part files moved into the watched dir
+    * (one move per micro-batch — the file source's real arrival model).
     */
+  private def landBatch(df: DataFrame, root: java.nio.file.Path,
+      watch: java.nio.file.Path, tag: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val staged = root.resolve(s"stage_$tag")
+    df.write.parquet(staged.toString)
+    val parts = java.nio.file.Files.list(staged).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    parts.zipWithIndex.foreach { case (p, j) =>
+      java.nio.file.Files.move(p, watch.resolve(s"${tag}_$j.parquet")): Unit
+    }
+  }
+
   private def feed(query: org.apache.spark.sql.streaming.StreamingQuery,
       root: java.nio.file.Path, batches: Seq[DataFrame]): Unit = {
-    import scala.jdk.CollectionConverters._
     val watch = root.resolve("in")
     batches.zipWithIndex.foreach { case (df, i) =>
-      val staged = root.resolve(s"stage$i")
-      df.write.parquet(staged.toString)
-      val parts = java.nio.file.Files.list(staged).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      parts.zipWithIndex.foreach { case (p, j) =>
-        java.nio.file.Files.move(p, watch.resolve(s"b${i}_$j.parquet")): Unit
-      }
+      landBatch(df, root, watch, s"b$i")
       query.processAllAvailable()
     }
   }

@@ -348,4 +348,25 @@ class EngineSpec extends SparkSpec {
     val conflicting = StructType(Seq(StructField("a", StringType)))
     intercept[IllegalArgumentException](SchemaRegistry.merge(merged, conflicting))
   }
+
+  test("streamed span-log join equals the batch join exactly") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.EngineQueries
+      .spanLogJoinStreamGate(spark, d).collect().toSeq
+    val (spans, logs) = graft.queries.EngineQueries.ordersAsSpans(spark, d)
+    // same deterministic ¼-trace cap as the gate
+    val batch = logs.filter(col("trace_id") % 4 === 0)
+      .select(col("span_id"), col("time"), col("level"))
+      .join(spans.filter(col("trace_id") % 4 === 0)
+          .select(col("id"), col("trace_id"), col("name"),
+            col("process_id"), col("start"), col("end")),
+        expr("span_id = id AND time >= start AND " +
+          "time <= start + 3600000000"))
+      .select(col("span_id"), col("trace_id"), col("name"),
+        col("process_id"), col("time").as("log_time"), col("level"),
+        col("start").as("span_start"), col("end").as("span_end"))
+      .orderBy(col("span_id"), col("log_time")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
