@@ -198,9 +198,17 @@ object Sketches {
     * shingle stream crosses the wire exactly once.
     */
   def kmvSketches(docs: DataFrame): DataFrame = {
+    // the gram_hashes codegen kernel hashes every 3-gram straight off
+    // the token array (no shingle-string materialization, one md5 each
+    // in a primitive loop) — bit-identical to the SQL
+    // conv(substring(md5(g),1,15),16,10) decode the oracle replays, so
+    // the sketch is unchanged; duplicate grams collapse in the
+    // dense_rank fold below exactly like duplicate shingles did
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val hs = docs
-      .select(col("source"), explode(shingles(tokens(col("text")))).as("g"))
-      .select(col("source"), h60(col("g"), "x03:").as("h"))
+      .select(col("source"),
+        explode(call_function("gram_hashes", tokens(col("text")), lit(3)))
+          .as("h"))
     val phase1 = hs.withColumn("salt", (col("h") % KmvSalts).cast("int"))
       .withColumn("dr", dense_rank().over(
         Window.partitionBy(col("source"), col("salt")).orderBy(col("h"))))
@@ -472,7 +480,7 @@ object Sketches {
            |                      for i in range(1, len(t)-1)])
            |  ELSE [] END AS shl FROM toks),
            |sg AS (SELECT source, unnest(shl) AS g FROM shl),
-           |h AS (SELECT DISTINCT source, ${b60("'x03:' || g")} AS h FROM sg),
+           |h AS (SELECT DISTINCT source, ${b60("g")} AS h FROM sg),
            |sk AS (SELECT source, h FROM h
            | QUALIFY row_number() OVER (PARTITION BY source ORDER BY h)
            |   <= $KmvK),
