@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFns.{shingles, tokens}
+import graft.functions.TextFns.tokens
 
 /** Mergeable sketch aggregates — the cardinality/frequency toolkit a
   * 100 TB corpus census actually runs on, where exact distinct counts
