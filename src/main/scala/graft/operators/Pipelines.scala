@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -663,6 +663,120 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------- z-order layout
+
+  /** Bit-spread a 16-bit value to even bit positions (Morton encoding's
+    * half): the classic four-step magic-mask dilation. Every step is a
+    * shift/OR/AND over longs — whole-stage-codegen'd in Spark and
+    * replayed with the identical `<<`/`|`/`&` integer ops by DuckDB.
+    */
+  private def spread16(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  private def clamp16(c: Column): Column =
+    least(greatest(c, lit(0L)), lit(65535L))
+
+  /** 32-bit Morton (z-order) key of two 16-bit dimensions: x's bits at
+    * odd positions, y's at even. Adjacent z-values trace the
+    * space-filling curve, so any contiguous z-range covers a small
+    * axis-aligned region in BOTH dimensions at once.
+    */
+  def zorderKey(x: Column, y: Column): Column =
+    shiftleft(spread16(clamp16(x)), 1).bitwiseOR(spread16(clamp16(y)))
+
+  /** Z-order layout clustering — the multi-dimensional file-skipping
+    * layout (Morton 1966; the technique behind Delta/Iceberg OPTIMIZE
+    * ZORDER). The reference prunes scans on time alone via its
+    * date=/hour=/minute= path layout (duo/src/partition/writer.rs:22-30,
+    * duo/src/query.rs:116-130); at 100 TB a second predicate dimension
+    * (user, service, value band) still reads every file in the time
+    * slice. Writing files in z-key order makes per-file min/max stats
+    * tight in BOTH dimensions, so either predicate prunes.
+    *
+    * This is the writer path: key each row by the interleaved
+    * [[zorderKey]], range-partition on it (each output file = one
+    * z-range = one small rectangle), and sort within partitions so
+    * row-group stats are tight too. repartitionByRange samples split
+    * points at runtime (nondeterministic file boundaries — fine for a
+    * layout, wrong for a hash gate), so correctness is gated on
+    * [[zorderStats]]' fixed-grid summary instead and the partition
+    * disjointness is spec-pinned.
+    */
+  def zorderLayout(events: DataFrame, partitions: Int = 32): DataFrame =
+    events
+      .withColumn("z", zorderKey(col("user_id"),
+        round(col("value") * 100).cast("long")))
+      .repartitionByRange(partitions, col("z"))
+      .sortWithinPartitions(col("z"))
+
+  /** p18 gate: the deterministic face of the z-order layout. Buckets =
+    * the top 10 z-bits (a 32×32 grid: 5 high bits of each dimension
+    * interleaved), so every bucket is PROVABLY an axis-aligned
+    * 2048×2048 rectangle — the per-bucket min/max columns exhibit the
+    * bound, and the spec asserts it corpus-wide. A reader with
+    * predicates on either dimension intersects its range against these
+    * rectangles — the file-skipping decision this layout exists for.
+    *
+    * Scale shape: the z-key is pure map-side integer codegen; the
+    * summary is one partial-aggregated groupBy over ≤1024 cells —
+    * shuffle bounded by the grid, never the data.
+    */
+  def zorderStats(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    events
+      .select(clamp16(col("user_id")).as("u"), clamp16(cents).as("c"))
+      .withColumn("zcell",
+        shiftright(zorderKey(col("u"), col("c")), 22).cast("int"))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("u")).as("u_min"), max(col("u")).as("u_max"),
+        min(col("c")).as("c_min"), max(col("c")).as("c_max"))
+  }
+
+  // ------------------------------------------------- weighted reservoir sample
+
+  val WeightedSampleK = 250
+  private val WeightedSampleSeed = "p19"
+
+  /** Weighted sampling without replacement, Efraimidis–Spirakis (IPL
+    * 2006): each row draws u ∈ (0,1] and is ranked by u^(1/w) — the
+    * top-K ranks are a weighted sample without replacement. Working in
+    * log space, the rank key is ln(u)/w; u comes from the corpus' own
+    * md5 machinery ((h60+1)/2^60, never exactly 0), so the "random"
+    * draw is deterministic given the seed — re-runs and the oracle
+    * agree bit-for-bit, the same reproducibility-over-entropy trade
+    * every sampler in this family makes (p03/p04/p15). Keys round to 9
+    * decimals (≥9 significant digits at the key's ~1e-3 scale — far
+    * above any cross-libm ln() ulp) with doc_id breaking ties.
+    *
+    * Weight = n_chars: sampling proportional to size is the packing /
+    * token-budget-aware draw (a uniform doc sample under-represents
+    * long documents' tokens). The spec pins the bias (selected mean
+    * size > corpus mean) and the E–S property that replacing w with a
+    * constant degenerates to the uniform p03-style hash sample.
+    *
+    * Scale shape: key is map-side; top-K goes through
+    * TakeOrderedAndProject (per-partition heaps + one K-row driver
+    * merge, plan-pinned) — no global sort, no full shuffle at any
+    * corpus size.
+    */
+  def weightedSample(docs: DataFrame, k: Int = WeightedSampleK): DataFrame = {
+    val h = conv(substring(md5(concat(lit(s"$WeightedSampleSeed:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        round(
+          log((h + 1).cast("double") / lit(1152921504606846976.0d)) /
+            greatest(col("n_chars"), lit(1L)).cast("double"), 9)
+          .as("wkey"))
+      .orderBy(col("wkey").desc, col("doc_id"))
+      .limit(k)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -714,6 +828,9 @@ object Pipelines {
       budgetSelect(Tables.documents(s, d), BudgetGateTokens)
         .orderBy(col("doc_id"))),
     "w03_clean_stream" -> (cleanStreamGate _),
+    "p18_zorder_layout" -> ((s, d) =>
+      zorderStats(Tables.events(s, d)).orderBy(col("zcell"))),
+    "p19_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
     "p12_subword_pack" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       sequencePackCounts(
@@ -741,7 +858,45 @@ object Pipelines {
       |       ELSE 'es' END AS lang_pred
       | FROM c)""".stripMargin
 
+  /** DuckDB replay of [[spread16]]: the same four shift/OR/mask steps
+    * in integer SQL.
+    */
+  private def spreadSql(v: String): String = {
+    val a = s"((($v) | (($v) << 8)) & 16711935)"
+    val b = s"(($a | ($a << 4)) & 252645135)"
+    val c = s"(($b | ($b << 2)) & 858993459)"
+    s"(($c | ($c << 1)) & 1431655765)"
+  }
+
+  private def b60Sql(v: String): String = (0 until 15).map { j =>
+    s"CAST(${Dedup.hexValSql(s"substr(md5($v), ${j + 1}, 1)")} AS BIGINT) * " +
+      s"${1L << (4 * (14 - j))}"
+  }.mkString("CAST((", " + ", ") AS BIGINT)")
+
   val oracle: Map[String, String] = Map(
+    "p18_zorder_layout" ->
+      s"""WITH b AS (SELECT
+         |  LEAST(GREATEST(user_id, 0), 65535) AS u,
+         |  LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT), 0), 65535)
+         |    AS c
+         | FROM events),
+         |z AS (SELECT u, c,
+         |  (((${spreadSql("u")} << 1) | ${spreadSql("c")}) >> 22) AS zcell
+         | FROM b)
+         |SELECT CAST(zcell AS INT) AS zcell, COUNT(*) AS n,
+         | MIN(u) AS u_min, MAX(u) AS u_max,
+         | MIN(c) AS c_min, MAX(c) AS c_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p19_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |  ${b60Sql("'p19:' || CAST(doc_id AS VARCHAR)")} AS h
+         | FROM documents),
+         |k AS (SELECT doc_id, n_chars,
+         |  ROUND(ln(CAST(h + 1 AS DOUBLE) / 1152921504606846976.0) /
+         |        CAST(GREATEST(n_chars, 1) AS DOUBLE), 9) AS wkey
+         | FROM h)
+         |SELECT doc_id, n_chars, wkey FROM k
+         |ORDER BY wkey DESC, doc_id LIMIT $WeightedSampleK""".stripMargin,
     // the oracle verifies the RESULT with the straightforward per-shard
     // window; the plan's (shard, digit) decomposition + prefix join
     // must be bit-identical to it (ordering by the md5 key ≡ ordering

@@ -238,4 +238,76 @@ class PipelinesSpec extends SparkSpec {
       assert(got == expect, s"trial $trial diverged (budget $budget)")
     }
   }
+
+  test("z-order cells are axis-aligned 2048x2048 rectangles (the skip guarantee)") {
+    // seeded uniform points over the full 16-bit x 16-bit key space
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(5000)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536) / 100.0))
+      .zipWithIndex.map { case ((u, v), i) => (i.toLong, u, v) }
+      .toDF("event_id", "user_id", "value")
+    val cells = Pipelines.zorderStats(pts).collect()
+    assert(cells.length > 500, s"grid barely populated: ${cells.length}")
+    cells.foreach { r =>
+      val (zc, uMin, uMax) = (r.getAs[Int]("zcell"),
+        r.getAs[Long]("u_min"), r.getAs[Long]("u_max"))
+      val (cMin, cMax) = (r.getAs[Long]("c_min"), r.getAs[Long]("c_max"))
+      assert(uMax - uMin < 2048 && cMax - cMin < 2048,
+        s"cell $zc not a 2048-rectangle: u[$uMin,$uMax] c[$cMin,$cMax]")
+      // the cell id IS the interleave of the dims' top 5 bits
+      def morton5(x: Long, y: Long): Long =
+        (0 until 5).map(b => (((x >> b) & 1) << (2 * b + 1)) |
+          (((y >> b) & 1) << (2 * b))).sum
+      assert(zc == morton5(uMin >> 11, cMin >> 11).toInt,
+        s"cell $zc does not match its dims' top bits")
+    }
+    // a one-cell-wide predicate band on EITHER dimension intersects at
+    // most two 32-cell grid rows — ≥93% of cells skip
+    val uBand = cells.count(r => r.getAs[Long]("u_max") >= 10000 &&
+      r.getAs[Long]("u_min") <= 12047)
+    assert(uBand <= 64, s"u-band hits $uBand cells of ${cells.length}")
+  }
+
+  test("z-order layout range partitions cover disjoint z-ranges") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(2000)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536) / 100.0))
+      .zipWithIndex.map { case ((u, v), i) => (i.toLong, u, v) }
+      .toDF("event_id", "user_id", "value")
+    val ranges = Pipelines.zorderLayout(pts, partitions = 8)
+      .select("z").as[Long]
+      .mapPartitions(it => if (it.isEmpty) Iterator.empty else {
+        val s = it.toSeq; Iterator((s.min, s.max))
+      })
+      .collect().sortBy(_._1)
+    assert(ranges.length > 1, "layout collapsed to one partition")
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file z-ranges: $aMax > $bMin")
+      case _ =>
+    }
+  }
+
+  test("weighted sample biases toward heavy docs; constant weights degenerate to the uniform hash draw") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(id: Long) =
+      java.lang.Long.parseLong(md5hex(s"p19:$id").substring(0, 15), 16)
+    // sizes 1..400: token-weighted draw must overshoot the corpus mean
+    val corpus = (1L to 400L).map(i => (i, i * 7 % 400 + 1))
+      .toDF("doc_id", "n_chars")
+    val sel = Pipelines.weightedSample(corpus, k = 100)
+      .select("n_chars").as[Long].collect()
+    val corpusMean = corpus.agg(avg("n_chars")).as[Double].head()
+    assert(sel.sum.toDouble / sel.length > corpusMean * 1.15,
+      s"no size bias: sample mean ${sel.sum.toDouble / sel.length} " +
+        s"vs corpus $corpusMean")
+    // constant weights: the E-S key ln(u)/w is monotone in u alone, so
+    // the draw must equal the plain top-K by hash (the p03-style sample)
+    val const = (1L to 400L).map((_, 50L)).toDF("doc_id", "n_chars")
+    val got = Pipelines.weightedSample(const, k = 25)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = (1L to 400L).sortBy(id => -h60(id)).take(25).toSet
+    assert(got == expect, "constant-weight draw is not the uniform hash draw")
+  }
 }

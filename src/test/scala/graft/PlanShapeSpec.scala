@@ -299,4 +299,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial count"),
       s"no partial aggregation:\n$plan")
   }
+
+  test("z-order stats shuffle the 1024-cell grid, not the data") {
+    val ev = Seq((1L, 10L, 1.0), (2L, 20L, 2.0))
+      .toDF("event_id", "user_id", "value")
+    val plan = planOf(Pipelines.zorderStats(ev))
+    // the z-key is pure integer codegen: no UDF, no window, no join;
+    // the only exchange carries the partial-aggregated cell rows
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"no map-side combine before the cell shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"unexpected operator in a map+agg pipeline:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length <= 2,
+      s"more exchanges than one grid aggregation needs:\n$plan")
+  }
+
+  test("weighted sample takes top-K with per-partition heaps, no global sort") {
+    // the fixture must exceed k: a corpus with maxRows <= k lets the
+    // optimizer eliminate the Limit and the top-k pattern with it
+    val corpus = (1L to 100L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    val plan = planOf(Pipelines.weightedSample(corpus, k = 5))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("Sort "), s"global sort for top-k:\n$plan")
+    assert(!plan.contains("Exchange"), s"shuffle in a map+top-k plan:\n$plan")
+  }
 }
