@@ -627,6 +627,67 @@ object TextAnalysis {
     * driver-side Seq (collected), so entries survive a session
     * stop/restart and need no session key.
     */
+  // ------------------------------------------------- importance resampling
+
+  val DsirBuckets = 1024
+  val DsirTargetSource = "src0"
+  val DsirTopK = 100
+
+  /** DSIR-style data selection with importance resampling (Xie et al.,
+    * NeurIPS'23): score every raw document by how much its hashed
+    * n-gram profile looks like a small TARGET corpus (in production:
+    * wiki/books; here: one source stratum), and keep the top scorers.
+    * Features are bigram occurrences hashed into [[DsirBuckets]]
+    * buckets; target and raw bucket distributions get Laplace
+    * smoothing, and a document's log importance weight is
+    *
+    *   Σ_features  ln p_target(bucket) − ln p_raw(bucket)
+    *
+    * Per-bucket log-ratios round to 6 decimals into decimal sums (the
+    * t16 convention), so scores are bit-stable across engines and
+    * partitionings. The md5 bucket hash is the family's standard
+    * 60-bit decode — deterministic, replayed by the oracle.
+    *
+    * Scale shape: ONE corpus scan builds both bucket censuses (the
+    * target count rides as a conditional sum — no second scan, no
+    * join); the census collapses map-side to ≤1024 rows, the totals to
+    * one. Scoring joins the feature stream against the BROADCAST
+    * 1024-row term table, then partial-aggregates per doc; selection is
+    * TakeOrderedAndProject. No shuffle ever carries more than one row
+    * per (doc, bucket).
+    */
+  def dsirSelect(docs: DataFrame, targetSource: String = DsirTargetSource,
+      topK: Int = DsirTopK): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+        .as("bg"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("t17:"), col("bg"))), 1, 15), 16, 10)
+          .cast("long") % DsirBuckets)
+    val census = feats.groupBy(col("bucket"))
+      .agg(sum(when(col("source") === targetSource, 1L).otherwise(0L))
+        .as("ct"), count(lit(1)).as("cr"))
+    val totals = census.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val terms = census.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((col("ct") + 1).cast("double") /
+            (col("nt") + lit(DsirBuckets.toLong)).cast("double")) -
+            log((col("cr") + 1).cast("double") /
+              (col("nr") + lit(DsirBuckets.toLong)).cast("double")), 6)
+          .cast("decimal(28,6)").as("term"))
+    feats.join(broadcast(terms), "bucket")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("term")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   private val trainedVocab =
     collection.concurrent.TrieMap.empty[String, Seq[String]]
   private[operators] def gateVocab(s: SparkSession, d: String): Seq[String] =
@@ -641,6 +702,8 @@ object TextAnalysis {
     "t15_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "t16_surprisal" -> ((s, d) =>
       surprisalScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // top-K-ordered like t15; the driver compare sorts rows anyway
+    "t17_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d))),
     "t11_subword" -> ((s, d) =>
       subwordTokenCounts(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
@@ -844,6 +907,33 @@ object TextAnalysis {
          |SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $Bm25GateK""".stripMargin
+    },
+    "t17_dsir_select" -> {
+      val b60 = (0 until 15).map { j =>
+        s"CAST(${Dedup.hexValSql(s"substr(md5('t17:' || bg), ${j + 1}, 1)")} " +
+          s"AS BIGINT) * ${1L << (4 * (14 - j))}"
+      }.mkString("CAST((", " + ", ") AS BIGINT)")
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS t
+         |  FROM documents),
+         |bg AS (SELECT doc_id, source,
+         |  unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+         |  FROM t),
+         |f AS (SELECT doc_id, source, $b60 % $DsirBuckets AS bucket FROM bg),
+         |census AS (SELECT bucket,
+         |  CAST(SUM(CASE WHEN source = '$DsirTargetSource' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS ct,
+         |  COUNT(*) AS cr FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+         |  CAST(SUM(cr) AS BIGINT) AS nr FROM census),
+         |terms AS (SELECT bucket, CAST(ROUND(
+         |    ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)) -
+         |    ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE)),
+         |    6) AS DECIMAL(28,6)) AS term FROM census CROSS JOIN tot),
+         |sc AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |  CAST(SUM(term) AS DOUBLE) AS score
+         | FROM f JOIN terms USING (bucket) GROUP BY 1, 2)
+         |SELECT doc_id, source, n_feats, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT $DsirTopK""".stripMargin
     },
     "t16_surprisal" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -192,6 +192,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kernel.split("").isEmpty)
   }
 
+  test("dsir scores target-like docs above dissimilar ones and replays driver-side") {
+    // target stratum (src0) speaks one vocabulary; raw docs 10-12 echo
+    // it, raw docs 20-22 don't — importance weights must separate them
+    val docs = Seq(
+      (1L, "src0", "the quick brown fox jumps over the lazy dog again"),
+      (2L, "src0", "the quick brown fox runs past the sleepy dog today"),
+      (10L, "web", "the quick brown fox jumps over the lazy dog now"),
+      (11L, "web", "quick brown fox jumps over the dog"),
+      (20L, "web", "zzz yyy xxx www vvv uuu ttt sss rrr qqq"),
+      (21L, "web", "numbers 111 222 333 444 555 666 777 888 999"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.dsirSelect(docs, "src0", topK = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+      .map { case (id, s) => id -> s }.toMap
+    assert(got(10L) > got(20L) && got(11L) > got(21L),
+      s"target-like docs not up-weighted: $got")
+    // full driver-side replay of the census/smoothing/scoring chain
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val feats = docs.as[(Long, String, String)].collect().flatMap {
+      case (id, src, text) =>
+        val t = text.split(" ", -1)
+        t.sliding(2).filter(_.length == 2).map(p =>
+          (id, src, java.lang.Long.parseLong(
+            md5hex(s"t17:${p(0)} ${p(1)}").substring(0, 15), 16) % 1024))
+    }
+    val ct = feats.filter(_._2 == "src0").groupBy(_._3).view.mapValues(_.length)
+    val cr = feats.groupBy(_._3).view.mapValues(_.length)
+    val (nt, nr) = (ct.values.sum.toLong, cr.values.sum.toLong)
+    def term(b: Long): BigDecimal = BigDecimal(
+      math.log((ct.getOrElse(b, 0) + 1.0) / (nt + 1024.0)) -
+        math.log((cr(b) + 1.0) / (nr + 1024.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = feats.groupBy(_._1).view
+      .mapValues(fs => fs.map(f => term(f._3)).sum.toDouble).toMap
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expect(id)) < 1e-9,
+        s"doc $id: engine $s vs replay ${expect(id)}")
+    }
+  }
+
+  test("dsir broadcasts the term table and takes top-K without a global sort") {
+    val docs = (1L to 50L).map(i =>
+      (i, if (i % 5 == 0) "src0" else "web", s"word$i and word${i + 1} go"))
+      .toDF("doc_id", "source", "text")
+    val plan = TextAnalysis.dsirSelect(docs, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"term join regressed to a corpus shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"terms not broadcast:\n$plan")
+  }
+
   test("subword vocab ranks substrings by weighted frequency, ties lexicographic") {
     // "ab" appears in both words of doc 1 (weight 2) and doc 2's word
     // (weight 1); every substring of "ab ab" is "ab" itself
