@@ -297,6 +297,56 @@ object Sketches {
       .orderBy(col("event_type"), col("q"))
   }
 
+  // ----------------------------------------- partition-sketch rollup
+
+  val RollupLoDay = "2024-01-05"
+  val RollupHiDay = "2024-01-15"
+
+  /** x05: incremental sketch-view maintenance — the pattern that makes
+    * distinct-count dashboards feasible at 100 TB. A deployment
+    * PERSISTS one small register table per storage partition (here:
+    * per event day, mirroring the reference's date=/hour= layout,
+    * duo/src/partition/writer.rs:22-30), maintained incrementally as
+    * partitions land; a query over any date range then prunes to the
+    * in-range partition sketches and max-merges registers — never
+    * rescanning the raw data. This gate runs both halves: builds the
+    * per-(event_type, day) partition sketch table, prunes it to
+    * [[RollupLoDay]]..[[RollupHiDay]], merges, and estimates.
+    *
+    * Correctness of the merge IS HLL mergeability: max over
+    * per-partition register maxima equals the registers of the
+    * directly-filtered scan, so the oracle replays the direct form and
+    * the spec asserts rolled ≡ direct inside Spark too.
+    *
+    * Scale shape: the partition sketch build is one partial-aggregated
+    * groupBy (shuffle rows ≤ partitions × 512 registers); the
+    * query-time rollup touches only the pruned sketch rows — constant
+    * work per partition regardless of raw row counts.
+    */
+  def hllPartitionRollup(events: DataFrame, lo: String = RollupLoDay,
+      hi: String = RollupHiDay): DataFrame = {
+    val day = to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    val parts = hllRegisters(events.withColumn("day", day),
+      struct(col("event_type").as("event_type"), col("day").as("day")),
+      col("user_id"), "x05:")
+    val pruned = parts
+      .filter(col("g.day").between(lit(lo), lit(hi)))
+    val merged = pruned
+      .groupBy(col("g.event_type").as("g"), col("bucket"))
+      .agg(max(col("mreg")).as("mreg"))
+    val nDays = pruned.select(col("g.event_type").as("event_type"),
+        col("g.day").as("day")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val exact = events.filter(day.between(lit(lo), lit(hi)))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    hllEstimate(merged).withColumnRenamed("g", "event_type")
+      .join(nDays, "event_type").join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_exact"),
+        col("zeros"), col("sum_scaled"), col("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------ streamed HLL
 
   /** w08: the HLL register build maintained as a REAL streaming
@@ -340,6 +390,8 @@ object Sketches {
       kmvSourceOverlap(Tables.documents(s, d))),
     "x04_hist_quantiles" -> ((s, d) =>
       logHistQuantiles(Tables.events(s, d))),
+    "x05_sketch_rollup" -> ((s, d) =>
+      hllPartitionRollup(Tables.events(s, d))),
     "w08_hll_stream" -> (hllStreamGate _))
 
   /** DuckDB replays of the sketch pipelines — same md5 decodes (via
@@ -388,8 +440,51 @@ object Sketches {
          |      ELSE ROUND(r.raw, 6) END AS hll_est
          |FROM rw r JOIN ex ON r.event_type = ex.event_type
          |ORDER BY r.event_type""".stripMargin
+    // x05's oracle is deliberately the DIRECT form (filter the raw
+    // rows, then one register build): equality against the rolled-up
+    // partition sketches is exactly HLL mergeability over the
+    // partition dimension
+    val x05Sql: String = {
+      val dayExpr = "CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE)"
+      s"""WITH ev AS (SELECT event_type, user_id, day FROM
+         |  (SELECT event_type, user_id, $dayExpr AS day FROM events)
+         | WHERE day BETWEEN DATE '$RollupLoDay' AND DATE '$RollupHiDay'),
+         |nd AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT)
+         |  AS n_days FROM ev GROUP BY 1),
+         |h AS (SELECT event_type,
+         |  ${b60("'x05:' || CAST(user_id AS VARCHAR)")} AS h60 FROM ev),
+         |b AS (SELECT event_type, h60 // ${wMask + 1} AS bucket,
+         |  h60 % ${wMask + 1} AS w FROM h),
+         |r AS (SELECT event_type, bucket,
+         |  CASE WHEN w = 0 THEN 52
+         |       ELSE 52 - length(ltrim(bin(w), '0')) END AS rho FROM b),
+         |regs AS (SELECT event_type, bucket, MAX(rho) AS mreg
+         | FROM r GROUP BY 1, 2),
+         |agg AS (SELECT event_type,
+         |  COUNT(*) AS n_regs,
+         |  CAST(SUM(1::BIGINT << CAST(52 - mreg AS INT)) AS BIGINT)
+         |    AS present
+         | FROM regs GROUP BY 1),
+         |sc AS (SELECT event_type,
+         |  CAST($HllM - n_regs AS BIGINT) AS zeros,
+         |  present + ($HllM - n_regs) * (1::BIGINT << 52) AS sum_scaled
+         | FROM agg),
+         |rw AS (SELECT *,
+         |  $HllRawNumerator / CAST(sum_scaled AS DOUBLE) AS raw
+         | FROM sc),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+         | FROM ev GROUP BY 1)
+         |SELECT r.event_type, nd.n_days, ex.n_exact, r.zeros, r.sum_scaled,
+         | CASE WHEN r.zeros > 0 AND r.raw <= ${2.5 * HllM}
+         |      THEN ROUND(512.0 * ln(512.0 / CAST(r.zeros AS DOUBLE)), 6)
+         |      ELSE ROUND(r.raw, 6) END AS hll_est
+         |FROM rw r JOIN ex ON r.event_type = ex.event_type
+         |JOIN nd ON r.event_type = nd.event_type
+         |ORDER BY r.event_type""".stripMargin
+    }
     Map(
       "w08_hll_stream" -> w08Sql,
+      "x05_sketch_rollup" -> x05Sql,
       "x04_hist_quantiles" ->
         s"""WITH c AS (SELECT event_type,
            |  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),

@@ -131,6 +131,31 @@ class SketchesSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("partition-sketch rollup equals the direct sketch over the pruned range") {
+    // mergeability over the PARTITION dimension: max-merging the
+    // per-day register maxima must reproduce the registers of a direct
+    // build over the date-filtered rows — estimate columns and all
+    val rolled = Sketches.hllPartitionRollup(events)
+      .select("event_type", "zeros", "sum_scaled", "hll_est")
+      .collect().toSeq.sortBy(_.getString(0))
+    val day = to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    val direct = Sketches.hllEstimate(Sketches.hllRegisters(
+        events.filter(day.between(lit(Sketches.RollupLoDay),
+          lit(Sketches.RollupHiDay))),
+        col("event_type"), col("user_id"), "x05:"))
+      .withColumnRenamed("g", "event_type")
+      .select("event_type", "zeros", "sum_scaled", "hll_est")
+      .collect().toSeq.sortBy(_.getString(0))
+    assert(rolled.nonEmpty && rolled == direct)
+    // the persisted partition-sketch table is bounded by partitions ×
+    // registers, never by raw rows — the reason it can be maintained
+    val parts = Sketches.hllRegisters(events.withColumn("day", day),
+      struct(col("event_type"), col("day")), col("user_id"), "x05:")
+    val nTypes = events.select("event_type").distinct().count()
+    val nDays = events.select(day.as("d")).distinct().count()
+    assert(parts.count() <= nTypes * nDays * 512)
+  }
+
   test("CMS counter build collapses map-side: bounded groups, one scan") {
     val plan = Sketches.cmsHeavyHitters(docs)
       .queryExecution.executedPlan.toString
