@@ -627,6 +627,62 @@ object TextAnalysis {
     * driver-side Seq (collected), so entries survive a session
     * stop/restart and need no session key.
     */
+  // ---------------------------------------------- model-scored quality
+
+  /** Fixed classifier weights — in production these come from an
+    * offline training run (a fastText/logistic model fit on
+    * wiki-vs-crawl labels); inference ships them as literals. The
+    * values here are calibrated so the synthetic corpus splits
+    * non-trivially at the 0.5 threshold.
+    */
+  val QmW0 = -1.4
+  val QmWLen = 0.5
+  val QmWStop = 20.0
+  val QmWPunct = -2.0
+  val QmWMlen = -0.3
+
+  /** Model-based quality scoring — the classifier-filter stage of the
+    * CCNet/RefinedWeb/FineWeb lineage: a trained linear model scores
+    * every document and the pipeline keeps score ≥ 0.5. This is the
+    * INFERENCE pass (training is an offline job); the model is a
+    * logistic over interpretable document features:
+    *
+    *   z = w₀ + w_len·ln(n_tokens) + w_stop·stop_ratio
+    *       + w_punct·punct_ratio + w_mlen·mean_token_len
+    *
+    * Features are integer-exact (ppm ratios, centi-chars per token —
+    * the t06 convention) so the only floats are the weight products;
+    * z and the sigmoid round to 6 decimals for cross-engine stability.
+    *
+    * Scale shape: weights are literals in the plan — scoring is pure
+    * map-side codegen at scan speed, no shuffle, no UDF; the keep
+    * filter pushes down like any column predicate. A 1000-executor run
+    * scores 100 TB without any coordination.
+    */
+  def qualityModelScore(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val nPunct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val nStop = regexp_count(col("text"), lit("\\b(the|a|and|of|to)\\b"))
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      nPunct.cast("long").as("np"),
+      nStop.cast("long").as("ns"),
+      length(col("text")).cast("long").as("lc"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("np * 1000000 div n_tokens").as("punct_ppm"),
+        expr("ns * 1000000 div n_tokens").as("stop_ppm"),
+        expr("lc * 100 div n_tokens").as("mlen_c"))
+      .withColumn("z", round(
+        lit(QmW0) +
+          lit(QmWLen) * log(col("n_tokens").cast("double")) +
+          lit(QmWStop) * (col("stop_ppm").cast("double") / lit(1000000.0)) +
+          lit(QmWPunct) * (col("punct_ppm").cast("double") / lit(1000000.0)) +
+          lit(QmWMlen) * (col("mlen_c").cast("double") / lit(100.0)), 6))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+  }
+
   // ------------------------------------------------- importance resampling
 
   val DsirBuckets = 1024
@@ -704,6 +760,8 @@ object TextAnalysis {
       surprisalScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // top-K-ordered like t15; the driver compare sorts rows anyway
     "t17_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d))),
+    "t18_quality_model" -> ((s, d) =>
+      qualityModelScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t11_subword" -> ((s, d) =>
       subwordTokenCounts(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
@@ -908,6 +966,26 @@ object TextAnalysis {
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $Bm25GateK""".stripMargin
     },
+    "t18_quality_model" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
+         |  CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b'))
+         |    AS BIGINT) AS ns,
+         |  CAST(length(text) AS BIGINT) AS lc
+         | FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |  (np * 1000000) // n_tokens AS punct_ppm,
+         |  (ns * 1000000) // n_tokens AS stop_ppm,
+         |  (lc * 100) // n_tokens AS mlen_c FROM f),
+         |z AS (SELECT *, ROUND($QmW0 + $QmWLen * ln(CAST(n_tokens AS DOUBLE))
+         |  + $QmWStop * (CAST(stop_ppm AS DOUBLE) / 1000000.0)
+         |  + $QmWPunct * (CAST(punct_ppm AS DOUBLE) / 1000000.0)
+         |  + $QmWMlen * (CAST(mlen_c AS DOUBLE) / 100.0), 6) AS z FROM r),
+         |s AS (SELECT *, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score FROM z)
+         |SELECT doc_id, n_tokens, punct_ppm, stop_ppm, mlen_c, z, score,
+         |  CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "t17_dsir_select" -> {
       val b60 = (0 until 15).map { j =>
         s"CAST(${Dedup.hexValSql(s"substr(md5('t17:' || bg), ${j + 1}, 1)")} " +

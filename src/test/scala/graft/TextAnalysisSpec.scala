@@ -192,6 +192,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kernel.split("").isEmpty)
   }
 
+  test("quality model scores match the hand-replayed logistic; plan is shuffle-free") {
+    // doc 1: 10 tokens, 44 chars, 3 stopwords, 1 punct — every feature
+    // integer-exact, so the replay is the same arithmetic
+    val docs = Seq(
+      (1L, "the cat and the dog ran to a red house."),
+      (2L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityModelScore(docs).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "punct_ppm", "stop_ppm", "mlen_c",
+        "z", "score", "keep").collect()
+    def replay(n: Long, np: Long, ns: Long, lc: Long) = {
+      val (pp, sp, ml) = (np * 1000000 / n, ns * 1000000 / n, lc * 100 / n)
+      val z = BigDecimal(TextAnalysis.QmW0 +
+        TextAnalysis.QmWLen * math.log(n.toDouble) +
+        TextAnalysis.QmWStop * (sp.toDouble / 1000000.0) +
+        TextAnalysis.QmWPunct * (pp.toDouble / 1000000.0) +
+        TextAnalysis.QmWMlen * (ml.toDouble / 100.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (pp, sp, ml, z, s, if (s >= 0.5) 1 else 0)
+    }
+    // "the"×2 + "and" + "to" + "a" = 5 stopword hits in doc 1
+    val (pp1, sp1, ml1, z1, s1, k1) = replay(10, 1, 5, 39)
+    assert(got(0).getLong(2) == pp1 && got(0).getLong(3) == sp1 &&
+      got(0).getLong(4) == ml1)
+    assert(got(0).getDouble(5) == z1 && got(0).getDouble(6) == s1 &&
+      got(0).getInt(7) == k1)
+    // the stopword-free junk doc must score lower
+    assert(got(0).getDouble(6) > got(1).getDouble(6))
+    val plan = TextAnalysis.qualityModelScore(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in a map-only scorer:\n$plan")
+  }
+
   test("dsir scores target-like docs above dissimilar ones and replays driver-side") {
     // target stratum (src0) speaks one vocabulary; raw docs 10-12 echo
     // it, raw docs 20-22 don't — importance weights must separate them
