@@ -78,6 +78,16 @@ object ScaleProbe {
     val d10 = docs10().localCheckpoint(true)
     val e10 = embs10().localCheckpoint(true)
 
+    // events grow by copy too: ids and users shift per copy (distinct
+    // users ×10), event days stay — the partition dimension a real
+    // month of 10× traffic keeps
+    val evs1 = Tables.events(spark, sfDir).localCheckpoint(true)
+    val ev10 = (0 until 10).map { k =>
+      evs1.select((col("event_id") * 10 + k).as("event_id"), col("ts"),
+        (col("user_id") * 10 + k).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+
     def measure(query: String, scale: String, df: => DataFrame): Unit = {
       df.count() // warm: plan analysis + codegen compile outside the clock
       Thread.sleep(1000)
@@ -90,7 +100,8 @@ object ScaleProbe {
       println(f"""{"query":"$query","scale":"$scale","rows":$rows,"sec":$sec%.2f,"shuffle_mb":$mb%.1f}""")
     }
 
-    for ((scale, d, e) <- Seq(("1x", docs1, embs1), ("10x", d10, e10))) {
+    for ((scale, d, e, ev) <- Seq(("1x", docs1, embs1, evs1),
+        ("10x", d10, e10, ev10))) {
       measure("d03_minhash_lsh", scale, Dedup.minhashLshPairs(d, 0.5))
       measure("d14_cdc_segment_dedup", scale, Dedup.cdcSegmentDedup(d))
       // vocab trained OUTSIDE the timed closure: `df` is by-name, so an
@@ -111,6 +122,18 @@ object ScaleProbe {
       // (bounded by sketch size), runtime ~linear in the scan
       measure("x03_kmv_overlap", scale,
         graft.operators.Sketches.kmvSourceOverlap(d))
+      // importance resampling: shuffle grows with distinct (doc,
+      // bucket) pairs (~linear); the 1024-row term table stays flat
+      measure("t17_dsir_select", scale, TextAnalysis.dsirSelect(d))
+      // grid/sketch summaries: shuffle bounded by the 1024-cell grid /
+      // partitions × 512 registers — flat at any corpus size
+      measure("p18_zorder_stats", scale,
+        graft.operators.Pipelines.zorderStats(ev))
+      measure("x05_sketch_rollup", scale,
+        graft.operators.Sketches.hllPartitionRollup(ev))
+      // top-K sample: per-partition heaps, no shuffle at all
+      measure("p19_weighted_sample", scale,
+        graft.operators.Pipelines.weightedSample(d))
       measure("d09_embedding_lsh", scale, Dedup.embeddingPairsLsh(e, 0.4))
       // the documented d09 mitigation, measured instead of asserted:
       // at 10× the corpus, +log2(10)≈3 planes (4→7) re-bounds bucket

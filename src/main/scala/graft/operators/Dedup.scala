@@ -951,7 +951,7 @@ object Dedup {
       Seq("doc_id", "text", "ts"),
       ranked.groupBy(_._3).toSeq.sortBy(_._1)
         .map(_._2.map(r => (r._1, r._2, ts0)).toSeq),
-      nearDupStream(_))
+      nearDupStream(_), statePartitions = Some(8))
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 

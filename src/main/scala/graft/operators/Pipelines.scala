@@ -658,7 +658,7 @@ object Pipelines {
       Seq("doc_id", "text", "ts"),
       ranked.groupBy(_._3).toSeq.sortBy(_._1)
         .map(_._2.map(r => (r._1, r._2, ts0)).toSeq),
-      cleanStream(_))
+      cleanStream(_), statePartitions = Some(8))
       .select(col("doc_id"), col("content_hash"))
       .orderBy(col("doc_id"))
   }

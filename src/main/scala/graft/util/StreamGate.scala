@@ -21,20 +21,23 @@ private[graft] object StreamGate {
     *                 named source frame
     */
   def run[A: Encoder](s: SparkSession, name: String, columns: Seq[String],
-      batches: Seq[Seq[A]], build: DataFrame => DataFrame): DataFrame = {
+      batches: Seq[Seq[A]], build: DataFrame => DataFrame,
+      statePartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = MemoryStream[A]
     val out = build(input.toDF().toDF(columns: _*))
     val qname = s"${name}_${seq.incrementAndGet()}"
-    val query = out.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
-    try {
-      batches.foreach { b =>
-        input.addData(b): Unit
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b =>
+          input.addData(b): Unit
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
     // detach the result from the memory sink and DROP the sink's temp
     // view: gate outputs are small by design (bounded survivor/window
     // sets), but a repeated bench pass would otherwise accumulate one
