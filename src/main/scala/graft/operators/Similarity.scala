@@ -463,6 +463,57 @@ object Similarity {
     * Scale shape: map-side assignment, then one window shuffle keyed
     * on the cell id; rank and cell size share the Exchange.
     */
+  /** SQ8 scalar quantization — the faiss-style int8 compression that
+    * cuts vector memory 4× (the difference between an index that fits
+    * executor RAM at 100 TB and one that doesn't): each vector stores
+    * max-abs-scaled int8 codes, code_i = round(x_i / max|x| · 127).
+    * For COSINE the per-vector scale cancels out of
+    * dot/(‖a‖·‖b‖), so scoring runs entirely on the integer codes —
+    * integer dot products are exact in any engine (≤ dim·127² ≪ 2^53)
+    * and the only float steps are two correctly-rounded sqrts and one
+    * divide, rounded to 6 decimals. Codes ride as double arrays
+    * holding exact integers so the codegen array_dot/array_norm
+    * kernels score them unchanged.
+    */
+  def sq8Codes(embs: DataFrame): DataFrame = {
+    val v = asDoubles(col("embedding"))
+    embs.select(col("vec_id"), v.as("v"))
+      .withColumn("s0", array_max(transform(col("v"), x => abs(x))))
+      // all-zero vector: any scale yields the all-zero code; 1.0 keeps
+      // the division defined (the oracle mirrors the branch)
+      .withColumn("s", when(col("s0") === 0.0, lit(1.0)).otherwise(col("s0")))
+      .select(col("vec_id"),
+        expr("transform(v, x -> cast(round(x / s * 127.0) as double))")
+          .as("code"))
+  }
+
+  /** s11: brute-force cosine top-k over the SQ8 codes — s01's pipeline
+    * on the quantized representation. `dot_i` (the exact integer code
+    * dot product) rides along so the gate hash pins the integer path,
+    * not just the rounded ratio; the spec measures recall@10 against
+    * the exact s01 ranking.
+    *
+    * Scale shape: identical to s01 (broadcast queries, per-query
+    * window over candidate scores) at ¼ the scan bytes; the
+    * quantization itself is map-side codegen. The IVF/PQ composition
+    * (s06) remains the index for corpus-scale candidate pruning —
+    * SQ8 is the re-rank-tier representation.
+    */
+  def sq8TopK(embs: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
+    val e = sq8Codes(embs)
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("code").as("qc"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("cast(array_dot(qc, code) as bigint)").as("dot_i"),
+        round(cosineFast("qc", "code"), 6).as("sq_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def cellBalancedSample(embs: DataFrame, nCentroids: Int = 8,
       num: Int = 1, den: Int = 4,
       centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
@@ -550,6 +601,9 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), 5L, 10)
+        .orderBy(col("query_id"), col("rank"))),
+    "s11_sq8_topk" -> ((s, d) =>
+      sq8TopK(Tables.embeddings(s, d), 5L, 10)
         .orderBy(col("query_id"), col("rank"))),
     // s04/s09 gate the TRAINED index: cells come from the memoized
     // spherical-k-means artifact (shared with s06/s07 — trained once per
@@ -782,6 +836,26 @@ object Similarity {
                .stripMargin)
            .mkString("\nUNION ALL\n")}
          |ORDER BY b, j, pos""".stripMargin,
+    "s11_sq8_topk" ->
+      s"""$embCte,
+         |sc0 AS (SELECT vec_id,
+         |   list_max(list_transform(v, x -> abs(x))) AS s0, v FROM e),
+         |cd AS (SELECT vec_id, list_transform(v, x ->
+         |   ROUND(x / (CASE WHEN s0 = 0 THEN 1.0 ELSE s0 END) * 127.0))
+         |  AS code FROM sc0),
+         |q AS (SELECT vec_id AS query_id, code AS qc FROM cd
+         |  WHERE vec_id < 5),
+         |scored AS (SELECT query_id, vec_id,
+         |   CAST(list_dot_product(qc, code) AS BIGINT) AS dot_i,
+         |   ROUND(list_dot_product(qc, code) /
+         |     (sqrt(list_dot_product(qc, qc)) *
+         |      sqrt(list_dot_product(code, code))), 6) AS sq_cos
+         |  FROM cd CROSS JOIN q WHERE vec_id <> query_id),
+         |ranked AS (SELECT query_id, vec_id, dot_i, sq_cos,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY sq_cos DESC, vec_id) AS rank FROM scored)
+         |SELECT query_id, vec_id, dot_i, sq_cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "s01_cosine_topk" ->
       s"""$embCte,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -127,6 +127,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8 codes are bounded int8 values and recall@10 stays near-exact") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    // every code is an integer in [-127, 127] and the max-abs element
+    // quantizes to exactly ±127 (the scale anchor)
+    val codes = Similarity.sq8Codes(embs).collect()
+    codes.foreach { r =>
+      val c = r.getSeq[Double](1)
+      assert(c.forall(x => x == math.rint(x) && math.abs(x) <= 127.0),
+        s"non-int8 code for vec ${r.getLong(0)}")
+      assert(c.map(math.abs).max == 127.0 || c.forall(_ == 0.0),
+        s"scale anchor missing for vec ${r.getLong(0)}")
+    }
+    // 8-bit cosine loses almost nothing at dim 64: recall@10 >= 0.9
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, 5L, 10))
+    val sq = pairs(Similarity.sq8TopK(embs, 5L, 10))
+    val recall = (sq & exact).size.toDouble / exact.size
+    info(s"sq8 recall@10 = $recall")
+    assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
+  }
+
   test("recall@10 vs brute force on the real embeddings corpus") {
     // the quality guard no hash gate can give: trained IVF / IVF-PQ at
     // production-ish sizes (m=8 × k=16 codebooks = 32-bit codes,
