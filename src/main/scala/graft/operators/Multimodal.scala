@@ -606,9 +606,180 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("ham"))
   }
 
+  // ---- m07: perceptual audio near-dup (energy-gradient fingerprint) ----
+
+  /** Audio-pattern fixture parameters — pure doc_id functions (m06's
+    * discipline) so the oracle recomputes the EXPECTED fingerprint
+    * without an audio library. Audio docs (doc_id % 3 == 2) sharing
+    * doc_id % 47 carry the same 17-frame energy envelope in three
+    * variants (doc_id / 141 mod 3): v0 the base signal, v1 a
+    * polarity-inverted copy (every sample negated — different bytes,
+    * identical magnitudes → the perceptual collision m05's byte hash
+    * can never see), v2 a +1500 single-frame boost (flips at most the
+    * two adjacent gradient bits → a hamming ≤ 2 near match). Frame
+    * amplitudes use m06's double-mod construction so cross-family
+    * low-hamming collisions don't arise by linear structure.
+    */
+  val AudFrames = 17
+  def audSeed(id: Long): Int = (id % 47).toInt
+  def audVariant(id: Long): Int = ((id / 141) % 3).toInt
+  def audSpf(id: Long): Int = audSeed(id) % 23 + 30
+
+  /** Frame amplitude in [100, 3550]: base double-mod pattern plus the
+    * v2 single-frame boost. Mirrored verbatim by the m07 oracle SQL.
+    */
+  def audAmp(id: Long, f: Int): Int = {
+    val s = audSeed(id)
+    100 + (((s * 73 + f * 9 + 1).toLong * 2654435761L % 1000003L) % 151L)
+      .toInt * 13 +
+      (if (audVariant(id) == 2 && f == s % AudFrames) 1500 else 0)
+  }
+
+  /** Encode the 17-frame envelope as a REAL mono 16-bit PCM WAV
+    * (honest RIFF bytes, same chunk layout as [[wavBytes]]): each
+    * frame holds `audSpf` samples of constant magnitude `audAmp`
+    * with alternating sign (so the per-frame mean |s| recovers the
+    * amplitude exactly), v1 globally inverted.
+    */
+  def audioPatternWav(id: Long): Array[Byte] = {
+    val spf = audSpf(id)
+    val n = AudFrames * spf
+    val neg = if (audVariant(id) == 1) -1 else 1
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1.toShort)
+      .putInt(16000).putInt(16000 * 2)
+      .putShort(2.toShort).putShort(16.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      val a = audAmp(id, i / spf)
+      buf.putShort(((if (i % 2 == 0) a else -a) * neg).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** m07 fixture attach: audio-branch docs carry the pattern WAV, the
+    * rest raw text bytes (the no-fingerprint path).
+    */
+  def withAudioPattern(docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long, text: String) =>
+      if (id % 3 == 2) audioPatternWav(id)
+      else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    docs.withColumn("payload", gen(col("doc_id"), col("text")))
+  }
+
+  /** 16-bit energy-gradient fingerprint over the DECODED PCM (the
+    * audio analog of [[dhash64]], in the spirit of Haitsma–Kalker
+    * energy-band hashing): walk the RIFF chunks for a 16-bit mono PCM
+    * stream, area-average |sample| onto 17 frames (floor boundaries
+    * f·n/17 — exact frame means on the fixture), bit f = 1 iff
+    * mean(f) > mean(f+1). None for anything that isn't plain 16-bit
+    * mono PCM — a poisoned payload can never fail the batch.
+    */
+  def audioFp16(b: Array[Byte]): Option[Int] = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    try {
+      if (b.length < 44) return None
+      if (new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+      var off = 12
+      var fmtOk = false
+      var data: Option[(Int, Int)] = None // (offset, nSamples)
+      var corrupt = false
+      while (!corrupt && off + 8 <= b.length && (!fmtOk || data.isEmpty)) {
+        val cid = new String(b, off, 4, "US-ASCII")
+        val sz = u32(off + 4)
+        if (cid == "fmt " && sz >= 16 && off + 24 <= b.length)
+          fmtOk = u16(off + 8) == 1 && u16(off + 10) == 1 &&
+            u16(off + 22) == 16
+        else if (cid == "data" && off + 8 + sz <= b.length)
+          data = Some((off + 8, (sz / 2).toInt))
+        val step = 8L + sz + (sz & 1L)
+        if (step <= 0 || off + step > Int.MaxValue) corrupt = true
+        else off += step.toInt
+      }
+      for ((o, n) <- data if fmtOk && !corrupt && n >= AudFrames) yield {
+        val mean = Array.ofDim[Long](AudFrames)
+        var f = 0
+        while (f < AudFrames) {
+          val j0 = f * n / AudFrames; val j1 = (f + 1) * n / AudFrames
+          var sum = 0L
+          var j = j0
+          while (j < j1) {
+            sum += math.abs(u16(o + 2 * j).toShort.toLong)
+            j += 1
+          }
+          mean(f) = sum / (j1 - j0)
+          f += 1
+        }
+        var fp = 0
+        f = 0
+        while (f < AudFrames - 1) {
+          if (mean(f) > mean(f + 1)) fp |= 1 << f
+          f += 1
+        }
+        fp
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Map-side fingerprint column — blobs never shuffle; only
+    * (doc_id, 2-byte fingerprint) rows leave the scan stage.
+    */
+  def audioFingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    withAudioPattern(docs.repartition(spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioFp16(bytes).map(h => (id, h)) })
+      .toDF("doc_id", "afp")
+  }
+
+  /** Perceptual audio near-dup pairs: the 16-bit fingerprint banded
+    * 4×4 (pigeonhole: full recall for hamming ≤ 3 — v2's ≤ 2-bit
+    * perturbations always land inside), candidates verified by
+    * popcount. Polarity-inverted copies collide at hamming 0 with
+    * different bytes — pairs the exact m05 hash never finds.
+    *
+    * Scale shape: as m06 — Σ bucket² per 16-bucket band over 2-byte
+    * keys; decode is map-side, join input ~20 B/row.
+    */
+  def audioNearDupPairs(spark: SparkSession, docs: DataFrame,
+      maxHam: Int = 3): DataFrame = {
+    val hashed = audioFingerprints(spark, docs)
+    val rows = Dedup.scopedCache(hashed
+      .select(col("doc_id"), col("afp"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("afp"), 4 * j)
+            .bitwiseAND(lit(0xf))): _*)).as(Seq("bpos", "bval"))))
+    rows.as("a").join(rows.as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.afp").as("ha"), col("b.afp").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("ham",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("ham") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("ham"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m05_payload_dedup" -> ((s, d) =>
       payloadDedupGroups(Tables.documents(s, d)).orderBy(col("keeper"))),
+    "m07_audio_near_dup" -> ((s, d) =>
+      audioNearDupPairs(s, Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "m01_decode_meta" -> ((s, d) =>
       decodeMeta(s, Tables.documents(s, d)).toDF()
         .select(col("doc_id"), col("width"), col("height"),
@@ -711,6 +882,34 @@ object Multimodal {
     // ordered by bit index — band j of the 64-bit hash is exactly chars
     // 16j+1..16j+16, so the substring ORs replay the Spark band join
     // and hamming() replays bit_count(xor)
+    "m07_audio_near_dup" ->
+      """WITH aud AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        |amps AS (
+        | SELECT doc_id, f,
+        |  100 + ((((doc_id % 47) * 73 + f * 9 + 1) * 2654435761 % 1000003)
+        |         % 151) * 13
+        |   + CASE WHEN (doc_id // 141) % 3 = 2
+        |          AND f = (doc_id % 47) % 17 THEN 1500 ELSE 0 END AS v
+        | FROM aud, LATERAL (SELECT unnest(range(0,17)) AS f)),
+        |bits AS (
+        | SELECT l.doc_id, l.f AS i,
+        |  CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+        | FROM amps l JOIN amps r
+        |  ON l.doc_id = r.doc_id AND r.f = l.f + 1
+        | WHERE l.f < 16),
+        |h AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS hash
+        |      FROM bits GROUP BY doc_id),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        a.hash AS ha, b.hash AS hb
+        | FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  AND (substring(a.hash,1,4) = substring(b.hash,1,4)
+        |    OR substring(a.hash,5,4) = substring(b.hash,5,4)
+        |    OR substring(a.hash,9,4) = substring(b.hash,9,4)
+        |    OR substring(a.hash,13,4) = substring(b.hash,13,4)))
+        |SELECT doc_a, doc_b, CAST(hamming(ha, hb) AS INT) AS ham
+        |FROM cand WHERE hamming(ha, hb) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "m06_image_near_dup" ->
       """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
         |cells AS (

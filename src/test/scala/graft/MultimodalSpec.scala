@@ -216,4 +216,59 @@ class MultimodalSpec extends SparkSpec {
     // byte-different brightness variants land at hamming 0
     assert(got.contains((1L, 160L, 0)))
   }
+
+  /** The m07 oracle formula: 16-bit energy-gradient fingerprint from
+    * audAmp — must equal the DECODED-PCM fingerprint.
+    */
+  private def formulaAfp(id: Long): Int = {
+    var fp = 0
+    for (f <- 0 until 16)
+      if (Multimodal.audAmp(id, f) > Multimodal.audAmp(id, f + 1))
+        fp |= 1 << f
+    fp
+  }
+
+  test("decoded-PCM fingerprint equals the formula fingerprint for every variant") {
+    val ids = (0L until 500L).filter(_ % 3 == 2)
+    assert((0 to 2).forall(v => ids.exists(Multimodal.audVariant(_) == v)))
+    for (id <- ids) {
+      val got = Multimodal.audioFp16(Multimodal.audioPatternWav(id))
+      assert(got.contains(formulaAfp(id)), s"doc $id")
+    }
+    // non-audio bytes yield no fingerprint instead of poisoning the batch
+    assert(Multimodal.audioFp16("not audio".getBytes("UTF-8")).isEmpty)
+    // a stereo/8-bit WAV is skipped too: the kernel only claims PCM16 mono
+    assert(Multimodal.audioFp16(
+      Multimodal.wavBytes(8000, 2, 100, seed = 5L)).isEmpty)
+  }
+
+  test("audio banded pairs match brute force; polarity inversion collides at ham 0") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val got = Multimodal.audioNearDupPairs(spark, docs)
+      .as[(Long, Long, Int)].collect().toSet
+    val ids = docs.select("doc_id").as[Long].collect().filter(_ % 3 == 2).sorted
+    val h = ids.map(id => id -> formulaAfp(id)).toMap
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      hm = Integer.bitCount(h(ids(i)) ^ h(ids(j)))
+      if hm <= 3
+    } yield (ids(i), ids(j), hm)).toSet
+    assert(got == brute)
+    // v0→v1 (polarity inversion): every byte of the data chunk differs,
+    // magnitudes don't — hamming 0, invisible to the exact m05 hash
+    val fam = ids.filter(id => Multimodal.audSeed(id) == Multimodal.audSeed(2L))
+    val v0 = fam.find(Multimodal.audVariant(_) == 0).get
+    val v1 = fam.find(Multimodal.audVariant(_) == 1).get
+    assert(got.contains((math.min(v0, v1), math.max(v0, v1), 0)))
+    assert(!java.util.Arrays.equals(
+      Multimodal.audioPatternWav(v0), Multimodal.audioPatternWav(v1)))
+    // v0→v2 (single-frame boost) flips at most the two adjacent bits,
+    // so the banded join (full recall at ham<=3) always surfaces it
+    val v2 = fam.find(Multimodal.audVariant(_) == 2).get
+    val p = (math.min(v0, v2), math.max(v0, v2))
+    val hm = got.find(g => (g._1, g._2) == p)
+    assert(hm.exists(_._3 <= 2), s"v0/v2 pair $p missing or too far: $hm")
+  }
 }
