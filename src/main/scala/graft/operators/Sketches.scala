@@ -378,6 +378,37 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  // ------------------------------------------------------ streamed CMS
+
+  /** w10: the count-min counter build maintained as a REAL streaming
+    * aggregation — w08's complete-mode pattern applied to the
+    * frequency sketch (HLL folds by register max, CMS by cell SUM; the
+    * two streamed gates pin both fold shapes). The documents feed
+    * arrives as two parquet micro-batches, each occurrence explodes
+    * into its D (row, cell) pairs map-side, and the landed counter
+    * table — the sketch's whole state, ≤ D·W = 4096 rows — must equal
+    * the batch build cell-for-cell: streaming-vs-batch equality is
+    * CMS mergeability (cell-wise addition) across micro-batch
+    * boundaries. The gate hashes the ENTIRE counter table, a stronger
+    * pin than x02's top-K probes.
+    */
+  def cmsStreamGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.util.StreamGate.runParquetMem(s, "w10_cms_stream",
+      Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0)),
+      "complete",
+      df => df
+        .select(explode(tokens(col("text"))).as("token"))
+        .select(col("token"), explode(array((0 until CmsD).map(j =>
+          struct(lit(j).as("j"), cmsCell(j, col("token")).as("cell"))): _*))
+          .as("jc"))
+        .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+        .agg(count(lit(1)).as("c")),
+      statePartitions = Some(8))
+      .orderBy(col("j"), col("cell"))
+  }
+
   // ------------------------------------------------------------- gating
 
   type Q = (SparkSession, String) => DataFrame
@@ -392,7 +423,8 @@ object Sketches {
       logHistQuantiles(Tables.events(s, d))),
     "x05_sketch_rollup" -> ((s, d) =>
       hllPartitionRollup(Tables.events(s, d))),
-    "w08_hll_stream" -> (hllStreamGate _))
+    "w08_hll_stream" -> (hllStreamGate _),
+    "w10_cms_stream" -> (cmsStreamGate _))
 
   /** DuckDB replays of the sketch pipelines — same md5 decodes (via
     * [[Dedup.hexValSql]]'s char arithmetic), same integer folds, same
@@ -485,6 +517,19 @@ object Sketches {
     Map(
       "w08_hll_stream" -> w08Sql,
       "x05_sketch_rollup" -> x05Sql,
+      // w10's oracle: x02's counter-build CTE alone — the streamed
+      // counter table must equal the batch build cell-for-cell
+      "w10_cms_stream" -> {
+        val cell = (tok: String, j: String) =>
+          s"${b28(s"'x02:' || CAST($j AS VARCHAR) || ':' || $tok")} % $CmsW"
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+           | FROM documents),
+           |js AS (SELECT unnest(range(0, $CmsD)) AS j),
+           |cells AS (SELECT j, ${cell("token", "j")} AS cell
+           | FROM toks CROSS JOIN js)
+           |SELECT CAST(j AS INT) AS j, cell, COUNT(*) AS c FROM cells
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
       "x04_hist_quantiles" ->
         s"""WITH c AS (SELECT event_type,
            |  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),

@@ -131,6 +131,31 @@ class SketchesSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamed CMS counters equal the batch build cell-for-cell") {
+    // mergeability by cell-wise addition across micro-batch boundaries:
+    // the landed complete-mode counter table IS the batch sketch
+    val streamed = Sketches.cmsStreamGate(spark, d)
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val probed = Sketches.cmsHeavyHitters(docs).collect()
+    assert(streamed.nonEmpty)
+    // the batch x02 probe estimates must be reproducible from the
+    // streamed counters alone (min over the probe token's D cells)
+    val byCell = streamed.map { case (j, c, n) => (j, c) -> n }.toMap
+    probed.foreach { r =>
+      val tok = r.getString(0)
+      def cell(j: Int): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"x02:$j:$tok".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(7)
+        java.lang.Long.parseLong(hex, 16) % 1024
+      }
+      val est = (0 until 4).map(j => byCell((j, cell(j)))).min
+      assert(est == r.getLong(2),
+        s"token '$tok': streamed-counter estimate $est vs batch ${r.getLong(2)}")
+    }
+  }
+
   test("partition-sketch rollup equals the direct sketch over the pruned range") {
     // mergeability over the PARTITION dimension: max-merging the
     // per-day register maxima must reproduce the registers of a direct
