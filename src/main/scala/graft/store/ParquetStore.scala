@@ -131,12 +131,35 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * 1 = staged+marker written, 2 = live renamed aside, 3 = staged
     * promoted.
     */
+  /** @param zorderOn optional pair of 16-bit-domain dimension columns
+    *   (values clamped to [0, 65535]) to Morton-order rows by WITHIN
+    *   each rewritten partition. The motivating pair for the span
+    *   table is (start-minute, capped duration-ms): trace search
+    *   filters on BOTH a start range and a duration range (SURVEY
+    *   F9/F10, duo/src/query.rs:141-152), and a time-partitioned
+    *   layout alone leaves the duration predicate scanning every
+    *   row group in the admitted partitions. Z-ordering the rewrite
+    *   makes per-row-group min/max stats tight in both dimensions at
+    *   once, so parquet row-group pruning serves either predicate —
+    *   the [[graft.operators.Pipelines.zorderKey]] layout applied to
+    *   the engine's own storage (rectangle guarantee proven at p18).
+    */
   def compact(filesPerPartition: Int = 1,
-      crashAfterStep: Int = Int.MaxValue): Unit = {
+      crashAfterStep: Int = Int.MaxValue,
+      zorderOn: Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)] = None): Unit = {
     recover()
     if (!exists) return
-    spark.read.option("mergeSchema", "true").parquet(dir)
+    val base = spark.read.option("mergeSchema", "true").parquet(dir)
       .repartition(filesPerPartition, col("date"), col("hour"), col("minute"))
+    // partition columns lead the sort so the writer's own
+    // required-ordering (it otherwise re-sorts each task by the
+    // dynamic partition keys, unstably) is already satisfied and the
+    // z-order survives into the files
+    zorderOn.fold(base) { case (x, y) =>
+      base.sortWithinPartitions(col("date"), col("hour"), col("minute"),
+        graft.operators.Pipelines.zorderKey(x, y))
+    }
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
       .partitionBy("date", "hour", "minute")

@@ -259,4 +259,50 @@ class StreamingWindowSpec extends SparkSpec {
     val after = store.read(None, None).get.select("id").as[Long].collect().sorted
     assert(after.sameElements(before))
   }
+
+  test("z-order compaction rewrites each partition in Morton order, data unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zorder-test").toString
+    val store = new graft.store.ParquetStore(spark, root, "span", "start")
+    val t0 = 1760000000000000L
+    // one minute partition, varied (second-offset, duration) rows —
+    // the two trace-search predicate dimensions (F9/F10)
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 400L).map { i =>
+      val startOff = rnd.nextInt(60) * 1000000L
+      val durUs = rnd.nextInt(50000) * 1000L
+      (i, t0 + startOff, t0 + startOff + durUs, i)
+    }
+    store.write(rows.toDF("id", "start", "end", "trace_id"))
+    // 16-bit dims: second-of-epoch mod 2^16 (spans 0..59 s here) and
+    // capped duration-ms
+    val zx = ((col("start") / 1000000L).cast("long") % 65536)
+    val zy = least((col("end") - col("start")) / 1000L, lit(65535L)).cast("long")
+    store.compact(zorderOn = Some((zx, zy)))
+    // the single compacted file's physical row order IS the z-order —
+    // that is what makes row-group min/max stats tight in BOTH
+    // dimensions (the skip guarantee itself is pinned by the p18 spec)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val files = walk(new java.io.File(s"$root/span"))
+    assert(files.nonEmpty)
+    val counted = files.map { f =>
+      val zs = spark.read.parquet(f.getPath)
+        .select(graft.operators.Pipelines.zorderKey(
+          (col("start") / 1000000L).cast("long") % 65536,
+          least((col("end") - col("start")) / 1000L, lit(65535L)).cast("long"))
+          .as("z"))
+        .as[Long].collect()
+      zs.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"$f not z-ordered: $a > $b")
+        case _ =>
+      }
+      zs.length
+    }
+    assert(counted.sum == 400)
+    val after = store.read(None, None).get.select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(after == (1L to 400L))
+  }
 }
