@@ -627,6 +627,69 @@ object TextAnalysis {
     * driver-side Seq (collected), so entries survive a session
     * stop/restart and need no session key.
     */
+  // ------------------------------------------- bigram LM surprisal
+
+  /** Interpolation weight on the bigram term; the unigram floor keeps
+    * unseen-context tokens finite (Jelinek–Mercer smoothing).
+    */
+  val BigramLambda = 0.7
+
+  /** Interpolated bigram LM surprisal — the context-aware step from
+    * t16's unigram scorer toward CCNet's KenLM: per-token surprisal
+    * −ln(λ·p(w|v) + (1−λ)·p(w)) with the corpus-trained bigram and
+    * unigram MLEs, first tokens scored by the unigram alone. Repeated
+    * word pairs collapse to one scored row per distinct (doc, v, w)
+    * with an occurrence count, and per-token surprisals round to 6
+    * decimals into decimal sums (the t16 convention) so document
+    * scores are bit-stable across engines and partitionings.
+    *
+    * Scale shape: the unigram/bigram/left-context tables are all
+    * corpus-vocabulary-bounded partial aggregations; scoring joins key
+    * on token/bigram (map-side combined — one row per distinct
+    * (doc, v, w) crosses the wire), and the 1-row totals broadcast.
+    * No window, no driver funnel.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val first = t.filter(size(col("t")) >= 1)
+      .select(col("doc_id"), element_at(col("t"), 1).as("w"))
+    val bg = t.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t, i) AS v, element_at(t, i+1) AS w))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.v"), col("p.w"))
+    val toks = t.select(col("doc_id"), explode(col("t")).as("w"))
+    val uni = Dedup.scopedCache(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cw")))
+    val total = uni.select(sum(col("cw")).as("n"))
+    val biCnt = Dedup.scopedCache(
+      bg.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw")))
+    val leftCnt = biCnt.groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
+    val lam = BigramLambda
+    val bgScored = bg.groupBy(col("doc_id"), col("v"), col("w"))
+      .agg(count(lit(1)).as("occ"))
+      .join(biCnt, Seq("v", "w")).join(leftCnt, Seq("v"))
+      .join(uni, Seq("w")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("occ"),
+        round(-log(
+          lit(lam) * (col("cvw").cast("double") / col("cv").cast("double")) +
+            lit(1.0 - lam) *
+              (col("cw").cast("double") / col("n").cast("double"))), 6)
+          .cast("decimal(28,6)").as("s"))
+    val ftScored = first.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("occ"))
+      .join(uni, Seq("w")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("occ"),
+        round(-log(col("cw").cast("double") / col("n").cast("double")), 6)
+          .cast("decimal(28,6)").as("s"))
+    bgScored.unionAll(ftScored)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_toks"),
+        sum(col("s") * col("occ")).cast("double").as("sum_surprisal"))
+      .withColumn("mean_surprisal", col("sum_surprisal") / col("n_toks"))
+  }
+
   // ---------------------------------------------- model-scored quality
 
   /** Fixed classifier weights — in production these come from an
@@ -762,6 +825,8 @@ object TextAnalysis {
     "t17_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d))),
     "t18_quality_model" -> ((s, d) =>
       qualityModelScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t19_bigram_lm" -> ((s, d) =>
+      bigramSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t11_subword" -> ((s, d) =>
       subwordTokenCounts(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
@@ -966,6 +1031,41 @@ object TextAnalysis {
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $Bm25GateK""".stripMargin
     },
+    // λ and 1−λ interpolate as the Scala doubles' round-trip literals
+    // (a hand-written 0.3 would differ from 1.0−0.7 in the last ulp)
+    "t19_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM t),
+         |uni AS (SELECT w, COUNT(*) AS cw FROM u GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
+         |bg AS (SELECT doc_id, t[i] AS v, t[i+1] AS w
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         |bic AS (SELECT v, w, COUNT(*) AS cvw FROM bg GROUP BY 1, 2),
+         |lc AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM bic
+         |  GROUP BY 1),
+         |bo AS (SELECT doc_id, v, w, COUNT(*) AS occ FROM bg
+         |  GROUP BY 1, 2, 3),
+         |bs AS (SELECT doc_id, occ, CAST(ROUND(-ln(
+         |    $BigramLambda * (CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE)) +
+         |    ${1.0 - BigramLambda} *
+         |      (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         |  AS DECIMAL(28,6)) AS s
+         | FROM bo JOIN bic USING (v, w) JOIN lc USING (v)
+         |   JOIN uni USING (w) CROSS JOIN tot),
+         |ft AS (SELECT doc_id, t[1] AS w, 1::BIGINT AS occ FROM t
+         |  WHERE len(t) >= 1),
+         |fs AS (SELECT doc_id, occ, CAST(ROUND(-ln(
+         |    CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |  AS DECIMAL(28,6)) AS s
+         | FROM ft JOIN uni USING (w) CROSS JOIN tot),
+         |a AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_toks,
+         |  CAST(SUM(s * occ) AS DOUBLE) AS sum_surprisal
+         | FROM (SELECT * FROM bs UNION ALL SELECT * FROM fs)
+         | GROUP BY 1)
+         |SELECT doc_id, n_toks, sum_surprisal,
+         | sum_surprisal / n_toks AS mean_surprisal
+         |FROM a ORDER BY doc_id""".stripMargin,
     "t18_quality_model" ->
       s"""WITH f AS (SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

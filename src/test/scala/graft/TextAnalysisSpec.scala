@@ -227,6 +227,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"shuffle in a map-only scorer:\n$plan")
   }
 
+  test("bigram LM surprisal matches the hand-computed interpolation") {
+    // corpus: unigrams a=3 b=3 c=1 (N=7); bigrams (a,b)=3 (b,a)=1
+    // (b,c)=1; left contexts a=3 b=2 — every probability hand-checkable
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs).orderBy("doc_id")
+      .select("doc_id", "n_toks", "sum_surprisal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def s6(p: Double): BigDecimal =
+      BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lam = TextAnalysis.BigramLambda
+    def interp(cvw: Long, cv: Long, cw: Long): Double =
+      lam * (cvw.toDouble / cv) + (1.0 - lam) * (cw.toDouble / 7.0)
+    val d1 = s6(3.0 / 7) + s6(interp(3, 3, 3)) * 2 + s6(interp(1, 2, 3))
+    val d2 = s6(3.0 / 7) + s6(interp(3, 3, 3)) + s6(interp(1, 2, 1))
+    assert(got.toSeq == Seq((1L, 4L, d1.toDouble), (2L, 3L, d2.toDouble)),
+      s"got ${got.toSeq}")
+    // in-context tokens must be cheaper than out-of-context ones:
+    // p(b|a)=1 > p(b)=3/7, so the bigram term discounts the surprisal
+    assert(s6(interp(3, 3, 3)) < s6(3.0 / 7))
+    val plan = TextAnalysis.bigramSurprisal(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in the scoring path:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"no map-side combine on the census:\n$plan")
+  }
+
   test("dsir scores target-like docs above dissimilar ones and replays driver-side") {
     // target stratum (src0) speaks one vocabulary; raw docs 10-12 echo
     // it, raw docs 20-22 don't — importance weights must separate them
