@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -514,6 +514,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** 1-bit (binary) quantization — the extreme end of the ladder s11's
+    * SQ8 sits on (fp32 → int8 → sign bit; 32× memory cut): each
+    * 64-dim vector compresses to two 32-bit sign words, and distance
+    * is Hamming via popcount — pure integer arithmetic, exact in any
+    * engine. For mean-centered embeddings sign-Hamming approximates
+    * angular distance (Charikar SimHash, STOC'02: P[sign differs] =
+    * θ/π per random hyperplane; coordinate axes stand in for the
+    * hyperplanes here, the same stance as s02's LSH family).
+    */
+  def binaryCodes(embs: DataFrame): DataFrame = {
+    def half(lo: Int): Column = expr(
+      s"aggregate(sequence(0, 31), cast(0 as bigint), " +
+        s"(acc, i) -> acc + if(element_at(v, i + ${lo + 1}) > 0D, " +
+        s"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))")
+    embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .select(col("vec_id"), half(0).as("h0"), half(32).as("h1"))
+  }
+
+  /** s12: Hamming top-k over the binary codes — the coarse, cheapest
+    * retrieval tier (scan cost two popcounts/vector). The spec
+    * measures its recall against exact cosine; production composes it
+    * as a wide shortlist under an SQ8/exact re-rank (the s10 pattern).
+    */
+  def binaryHammingTopK(embs: DataFrame, queryMaxId: Long,
+      k: Int): DataFrame = {
+    val e = binaryCodes(embs)
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"),
+        col("h0").as("q0"), col("h1").as("q1"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("q0").bitwiseXOR(col("h0"))) +
+          bit_count(col("q1").bitwiseXOR(col("h1")))).cast("int").as("ham"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def cellBalancedSample(embs: DataFrame, nCentroids: Int = 8,
       num: Int = 1, den: Int = 4,
       centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
@@ -604,6 +643,9 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))),
     "s11_sq8_topk" -> ((s, d) =>
       sq8TopK(Tables.embeddings(s, d), 5L, 10)
+        .orderBy(col("query_id"), col("rank"))),
+    "s12_binary_hamming" -> ((s, d) =>
+      binaryHammingTopK(Tables.embeddings(s, d), 5L, 10)
         .orderBy(col("query_id"), col("rank"))),
     // s04/s09 gate the TRAINED index: cells come from the memoized
     // spherical-k-means artifact (shared with s06/s07 — trained once per
@@ -836,6 +878,29 @@ object Similarity {
                .stripMargin)
            .mkString("\nUNION ALL\n")}
          |ORDER BY b, j, pos""".stripMargin,
+    "s12_binary_hamming" ->
+      s"""$embCte,
+         |bits AS (SELECT vec_id, i,
+         |   CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << (i % 32))
+         |        ELSE 0 END AS b, i // 32 AS half
+         |  FROM e, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+         |cw AS (SELECT vec_id,
+         |   CAST(SUM(CASE WHEN half = 0 THEN b ELSE 0 END) AS BIGINT)
+         |     AS h0,
+         |   CAST(SUM(CASE WHEN half = 1 THEN b ELSE 0 END) AS BIGINT)
+         |     AS h1
+         |  FROM bits GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, h0 AS q0, h1 AS q1 FROM cw
+         |  WHERE vec_id < 5),
+         |scored AS (SELECT query_id, vec_id,
+         |   CAST(bit_count(xor(q0, h0)) + bit_count(xor(q1, h1)) AS INT)
+         |     AS ham
+         |  FROM cw CROSS JOIN q WHERE vec_id <> query_id),
+         |ranked AS (SELECT query_id, vec_id, ham,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY ham ASC, vec_id) AS rank FROM scored)
+         |SELECT query_id, vec_id, ham, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "s11_sq8_topk" ->
       s"""$embCte,
          |sc0 AS (SELECT vec_id,

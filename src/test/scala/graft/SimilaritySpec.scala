@@ -152,6 +152,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
   }
 
+  test("binary codes replay the sign words and Hamming recall is informative") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    // sign words replayed driver-side from the raw floats
+    val raw = embs.orderBy("vec_id").limit(5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val codes = Similarity.binaryCodes(embs)
+      .orderBy("vec_id").limit(5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    raw.foreach { case (id, v) =>
+      def word(lo: Int): Long = (0 until 32).map(i =>
+        if (v(lo + i).toDouble > 0) 1L << i else 0L).sum
+      assert(codes(id) == ((word(0), word(32))), s"vec $id sign words")
+    }
+    // 1-bit codes keep a usable share of the true neighbors — the
+    // coarse-tier claim, not a precision one (s11/s10 are the re-rank)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, 5L, 10))
+    val bin = pairs(Similarity.binaryHammingTopK(embs, 5L, 10))
+    val recall = (bin & exact).size.toDouble / exact.size
+    info(s"binary-hamming recall@10 = $recall")
+    assert(recall >= 0.2, s"binary recall $recall below 0.2")
+  }
+
   test("recall@10 vs brute force on the real embeddings corpus") {
     // the quality guard no hash gate can give: trained IVF / IVF-PQ at
     // production-ish sizes (m=8 × k=16 codebooks = 32-bit codes,
