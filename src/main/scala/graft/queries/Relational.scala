@@ -320,6 +320,23 @@ object Relational {
       .orderBy(col("day"))
 
   /** Rollup over two group keys. SURVEY §2.4 extension (grouping sets). */
+  /** GROUPING SETS with a NON-hierarchical set list — the aggregation
+    * grammar rollup (q25) and cube (q29) can't express: {(flag,
+    * status), (flag), (shipmode)} shares one scan + one partial-agg
+    * pass across unrelated groupings instead of three scans unioned.
+    * SURVEY §2.4 extension, completing the grouping family.
+    */
+  def groupingSets_(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("ship_month"))),
+        col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"), asc_nulls_first("ship_month"))
+
   def rollup_(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -634,6 +651,7 @@ object Relational {
     "q22_json_extract" -> (jsonExtract _),
     "q23_time_bucket" -> (timeBucket _),
     "q25_rollup" -> (rollup_ _),
+    "q37_grouping_sets" -> (groupingSets_ _),
     "q26_median_cents" -> (medianCents _),
     "q27_sessionize" -> (sessionize _),
     "q34_asof_join" -> (asofJoin _),
@@ -944,6 +962,15 @@ object Relational {
          | COUNT(*) AS n,
          | CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS value_sum
          |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q37_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | strftime(l_shipdate, '%Y-%m') AS ship_month, COUNT(*) AS n,
+         | CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) AS qty
+         |FROM lineitem GROUP BY GROUPING SETS (
+         |  (l_returnflag, l_linestatus), (l_returnflag),
+         |  (strftime(l_shipdate, '%Y-%m')))
+         |ORDER BY l_returnflag ASC NULLS FIRST,
+         | l_linestatus ASC NULLS FIRST, ship_month ASC NULLS FIRST""".stripMargin,
     "q25_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          | CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) AS qty
