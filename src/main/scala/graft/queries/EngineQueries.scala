@@ -164,7 +164,14 @@ object EngineQueries {
     graft.util.StreamGate.runParquet(s, "w07_spanmerge_stream",
       Seq(opens, rearrivals.unionAll(closes)),
       df => { import s.implicits._
-        SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF() })
+        SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF() },
+      // w07's state is REAL (~600k open spans at sf0.1), so unlike the
+      // tiny-state gates it keeps a mid-size partition count: 16 holds
+      // ~37k keys/store here while halving the per-batch commit count
+      // vs the session's 32 (measured 9.0 -> 7.8 s warm; 8 partitions
+      // adds nothing further). A deployment sizes this to state
+      // volume, not to the batch-scan default.
+      statePartitions = Some(16))
       .orderBy(col("id"))
   }
 
