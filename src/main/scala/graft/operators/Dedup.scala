@@ -381,7 +381,7 @@ object Dedup {
     def witness(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)),
         expr("bit_xor(xxhash64(u, v))"),
-        expr("bit_xor(xxhash64(42, u, v))")).head
+        expr("bit_xor(xxhash64(42, u, v))")).head()
       (r.getLong(0),
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))

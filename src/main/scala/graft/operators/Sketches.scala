@@ -167,11 +167,11 @@ object Sketches {
     val probes = truth.orderBy(col("true_cnt").desc, col("token"))
       .limit(CmsTopK)
     def jCells(base: DataFrame): DataFrame = base.select(
-      base.columns.map(col) :+
+      base.columns.toIndexedSeq.map(col) :+
         explode(array((0 until CmsD).map(j =>
           struct(lit(j).as("j"), cmsCell(j, col("token")).as("cell"))): _*))
           .as("jc"): _*)
-      .select((base.columns.map(col) :+ col("jc.j").as("j")) :+
+      .select((base.columns.toIndexedSeq.map(col) :+ col("jc.j").as("j")) :+
         col("jc.cell").as("cell"): _*)
     val counters = jCells(toks).groupBy(col("j"), col("cell"))
       .agg(count(lit(1)).as("c"))

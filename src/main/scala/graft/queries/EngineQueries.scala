@@ -266,7 +266,7 @@ object EngineQueries {
     // driver-side head() is one scalar — the broadcast-build pattern.
     "g05_trace_by_id" -> ((s, d) => {
       val (spans, logs) = ordersAsSpans(s, d)
-      val probe = logs.agg(min(col("trace_id"))).head
+      val probe = logs.agg(min(col("trace_id"))).head()
       require(!probe.isNullAt(0),
         "g05: no error logs in corpus — cannot derive a probe trace id")
       val tid = probe.getLong(0)

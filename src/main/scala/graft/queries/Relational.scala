@@ -442,7 +442,7 @@ object Relational {
     // driver — only the max timestamp does (one scalar, the
     // broadcast-build pattern) to place the watermark-advance marker
     val ev = Tables.events(s, d).select(nsToUs("ts").as("tus"), col("value"))
-    val marker = ev.agg(max(col("tus"))).head.getLong(0) +
+    val marker = ev.agg(max(col("tus"))).head().getLong(0) +
       365L * 24 * 3600 * 1000000L
     graft.util.StreamGate.runParquetMem(s, "w05_tumbling_stream",
       Seq(ev, s.range(1).select(lit(marker).as("tus"), lit(0.0).as("value"))),
@@ -474,7 +474,7 @@ object Relational {
   def sessionStreamGate(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), nsToUs("ts").as("tus"), col("value"))
-    val marker = ev.agg(max(col("tus"))).head.getLong(0) +
+    val marker = ev.agg(max(col("tus"))).head().getLong(0) +
       365L * 24 * 3600 * 1000000L
     graft.util.StreamGate.runParquetMem(s, "w06_session_stream",
       Seq(ev, s.range(1).select(lit(-1L).as("user_id"),
