@@ -134,6 +134,17 @@ object ScaleProbe {
       // top-K sample: per-partition heaps, no shuffle at all
       measure("p19_weighted_sample", scale,
         graft.operators.Pipelines.weightedSample(d))
+      // bigram LM: the most join-heavy of the round-11 text ops —
+      // census tables vocabulary-bounded, scoring rows one per
+      // distinct (doc, v, w)
+      measure("t19_bigram_lm", scale, TextAnalysis.bigramSurprisal(d))
+      // perceptual audio: decode + fingerprint map-side, band join on
+      // 2-byte keys
+      measure("m07_audio_near_dup", scale,
+        graft.operators.Multimodal.audioNearDupPairs(spark, d))
+      // binary codes: two popcounts per candidate, broadcast queries
+      measure("s12_binary_hamming", scale,
+        graft.operators.Similarity.binaryHammingTopK(e, 5L, 10))
       measure("d09_embedding_lsh", scale, Dedup.embeddingPairsLsh(e, 0.4))
       // the documented d09 mitigation, measured instead of asserted:
       // at 10× the corpus, +log2(10)≈3 planes (4→7) re-bounds bucket
