@@ -240,6 +240,40 @@ class PlanShapeSpec extends SparkSpec {
       s"unpruned sketch scan: $hs")
   }
 
+  test("round-11 gates prune their scans to the touched columns") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docsT = graft.Tables.documents(spark, dir)
+    val events = graft.Tables.events(spark, dir)
+    def schemas(p: String): Seq[String] =
+      "ReadSchema: [^\\n]+".r.findAllIn(p).toSeq
+    // p18 touches only (user_id, value)
+    val z = schemas(planOf(Pipelines.zorderStats(events)))
+    assert(z.nonEmpty && z.forall(s =>
+      !s.contains("props") && !s.contains("event_type") && !s.contains("ts")),
+      s"unpruned z-order scan: $z")
+    // p19 touches only (doc_id, n_chars) — never the text blob
+    val ws = schemas(planOf(Pipelines.weightedSample(docsT)))
+    assert(ws.nonEmpty && ws.forall(s =>
+      !s.contains("text") && !s.contains("source")),
+      s"unpruned sample scan: $ws")
+    // t18 touches only (doc_id, text)
+    val qm = schemas(planOf(TextAnalysis.qualityModelScore(docsT)))
+    assert(qm.nonEmpty && qm.forall(s =>
+      !s.contains("n_chars") && !s.contains("lang")),
+      s"unpruned quality-model scan: $qm")
+    // t17 touches (doc_id, source, text) but never lang/n_chars
+    val ds = schemas(planOf(TextAnalysis.dsirSelect(docsT)))
+    assert(ds.nonEmpty && ds.forall(s =>
+      !s.contains("n_chars") && !s.contains("lang")),
+      s"unpruned dsir scan: $ds")
+    // x05 touches (event_type, user_id, ts) but never value/props
+    val sr = schemas(planOf(graft.operators.Sketches.hllPartitionRollup(events)))
+    assert(sr.nonEmpty && sr.forall(s =>
+      !s.contains("value") && !s.contains("props")),
+      s"unpruned rollup scan: $sr")
+  }
+
   test("bucketed tables co-locate the join: no shuffle before SortMergeJoin") {
     // the 100 TB fact-to-fact pattern: both sides written bucketBy the
     // join key means the join reads pre-partitioned buckets and never
