@@ -674,15 +674,24 @@ object Multimodal {
     docs.withColumn("payload", gen(col("doc_id"), col("text")))
   }
 
-  /** 16-bit energy-gradient fingerprint over the DECODED PCM (the
-    * audio analog of [[dhash64]], in the spirit of Haitsma–Kalker
+  /** Energy-gradient fingerprint over the DECODED PCM (the audio
+    * analog of [[dhash64]], in the spirit of Haitsma–Kalker
     * energy-band hashing): walk the RIFF chunks for a 16-bit mono PCM
-    * stream, area-average |sample| onto 17 frames (floor boundaries
-    * f·n/17 — exact frame means on the fixture), bit f = 1 iff
-    * mean(f) > mean(f+1). None for anything that isn't plain 16-bit
-    * mono PCM — a poisoned payload can never fail the batch.
+    * stream, area-average |sample| onto `frames` frames (floor
+    * boundaries f·n/frames — exact frame means on the fixture at the
+    * default), bit f = 1 iff mean(f) > mean(f+1). None for anything
+    * that isn't plain 16-bit mono PCM — a poisoned payload can never
+    * fail the batch.
+    *
+    * `frames` is the RESOLUTION KNOB the scale probe's m07 finding
+    * calls for (SCALE.md): collision-class sizes — and with them the
+    * Σ bucket² banded-join cost and the true pair cardinality — are
+    * set by fingerprint entropy, so a corpus grown 10× raises frames
+    * by ~log₂10 bits (17 → 21+), exactly as d09 grows its hyperplane
+    * count. Up to 64 frames → 63 gradient bits in a long.
     */
-  def audioFp16(b: Array[Byte]): Option[Int] = {
+  def audioFp(b: Array[Byte], frames: Int = AudFrames): Option[Long] = {
+    require(frames >= 2 && frames <= 64, s"frames out of range: $frames")
     def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def u32(o: Int): Long =
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
@@ -707,11 +716,11 @@ object Multimodal {
         if (step <= 0 || off + step > Int.MaxValue) corrupt = true
         else off += step.toInt
       }
-      for ((o, n) <- data if fmtOk && !corrupt && n >= AudFrames) yield {
-        val mean = Array.ofDim[Long](AudFrames)
+      for ((o, n) <- data if fmtOk && !corrupt && n >= frames) yield {
+        val mean = Array.ofDim[Long](frames)
         var f = 0
-        while (f < AudFrames) {
-          val j0 = f * n / AudFrames; val j1 = (f + 1) * n / AudFrames
+        while (f < frames) {
+          val j0 = f * n / frames; val j1 = (f + 1) * n / frames
           var sum = 0L
           var j = j0
           while (j < j1) {
@@ -721,10 +730,10 @@ object Multimodal {
           mean(f) = sum / (j1 - j0)
           f += 1
         }
-        var fp = 0
+        var fp = 0L
         f = 0
-        while (f < AudFrames - 1) {
-          if (mean(f) > mean(f + 1)) fp |= 1 << f
+        while (f < frames - 1) {
+          if (mean(f) > mean(f + 1)) fp |= 1L << f
           f += 1
         }
         fp
@@ -732,16 +741,20 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** The gate-default 16-bit form ([[audioFp]] at 17 frames). */
+  def audioFp16(b: Array[Byte]): Option[Int] = audioFp(b).map(_.toInt)
+
   /** Map-side fingerprint column — blobs never shuffle; only
     * (doc_id, 2-byte fingerprint) rows leave the scan stage.
     */
-  def audioFingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def audioFingerprints(spark: SparkSession, docs: DataFrame,
+      frames: Int = AudFrames): DataFrame = {
     import spark.implicits._
     withAudioPattern(docs.repartition(spark.sparkContext.defaultParallelism))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        audioFp16(bytes).map(h => (id, h)) })
+        audioFp(bytes, frames).map(h => (id, h)) })
       .toDF("doc_id", "afp")
   }
 
@@ -755,13 +768,20 @@ object Multimodal {
     * keys; decode is map-side, join input ~20 B/row.
     */
   def audioNearDupPairs(spark: SparkSession, docs: DataFrame,
-      maxHam: Int = 3): DataFrame = {
-    val hashed = audioFingerprints(spark, docs)
+      maxHam: Int = 3, frames: Int = AudFrames): DataFrame = {
+    // maxHam+1 bands of ceil(bits/bands) fingerprint bits: pigeonhole
+    // puts every hamming<=maxHam pair intact in some band, at ANY
+    // resolution — raising `frames` shrinks collision classes without
+    // touching recall
+    val bits = frames - 1
+    val bands = maxHam + 1
+    val width = (bits + bands - 1) / bands
+    val hashed = audioFingerprints(spark, docs, frames)
     val rows = Dedup.scopedCache(hashed
       .select(col("doc_id"), col("afp"),
-        posexplode(array((0 until 4).map(j =>
-          shiftrightunsigned(col("afp"), 4 * j)
-            .bitwiseAND(lit(0xf))): _*)).as(Seq("bpos", "bval"))))
+        posexplode(array((0 until bands).map(j =>
+          shiftrightunsigned(col("afp"), width * j)
+            .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("bpos", "bval"))))
     rows.as("a").join(rows.as("b"),
         col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
         col("a.doc_id") < col("b.doc_id"))

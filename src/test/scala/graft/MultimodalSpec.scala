@@ -270,5 +270,15 @@ class MultimodalSpec extends SparkSpec {
     val p = (math.min(v0, v2), math.max(v0, v2))
     val hm = got.find(g => (g._1, g._2) == p)
     assert(hm.exists(_._3 <= 2), s"v0/v2 pair $p missing or too far: $hm")
+    // the resolution knob (the scale probe's m07 mitigation): more
+    // frames split collision classes — fewer candidate pairs — while
+    // structural collisions survive: polarity inversion has identical
+    // magnitudes at ANY resolution, so the v0/v1 pair stays at ham 0
+    val hi = Multimodal.audioNearDupPairs(spark, docs, frames = 33)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hi.size < got.size,
+      s"33 frames did not shrink the pair set: ${hi.size} vs ${got.size}")
+    assert(hi.contains((math.min(v0, v1), math.max(v0, v1), 0)),
+      "polarity collision lost at higher resolution")
   }
 }
