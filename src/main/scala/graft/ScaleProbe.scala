@@ -142,6 +142,14 @@ object ScaleProbe {
       // 2-byte keys
       measure("m07_audio_near_dup", scale,
         graft.operators.Multimodal.audioNearDupPairs(spark, d))
+      // the documented m07 mitigation, measured instead of asserted:
+      // at 10× the corpus, +log2(10)≈4 gradient bits (17→21 frames)
+      // re-split the collision classes, so candidate cost and the pair
+      // list should fall back toward the 1× shape
+      if (scale == "10x")
+        measure("m07_audio_near_dup_f21", scale,
+          graft.operators.Multimodal.audioNearDupPairs(spark, d,
+            frames = 21))
       // binary codes: two popcounts per candidate, broadcast queries
       measure("s12_binary_hamming", scale,
         graft.operators.Similarity.binaryHammingTopK(e, 5L, 10))
