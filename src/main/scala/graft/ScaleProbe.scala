@@ -23,14 +23,17 @@ import graft.operators.{Dedup, TextAnalysis}
   * candidate pairs ~100× — the probe exists to show precisely that
   * (the documented mitigation: planes grow ~log n with the corpus).
   *
-  * Usage: `runMain graft.ScaleProbe [sfDir]` — prints one JSON line per
-  * (query, scale) with seconds, shuffle MB, and result rows; the
-  * SCALE.md table is transcribed from this output.
+  * Usage: `runMain graft.ScaleProbe [sfDir] [queryName...]` — prints one
+  * JSON line per (query, scale) with seconds, shuffle MB, and result
+  * rows; the SCALE.md table is transcribed from this output. Trailing
+  * query names restrict the probe (prefix match) for fast iteration on
+  * one operator's scaling row.
   */
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only: Set[String] = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,6 +92,7 @@ object ScaleProbe {
     }.reduce(_ unionAll _).localCheckpoint(true)
 
     def measure(query: String, scale: String, df: => DataFrame): Unit = {
+      if (only.nonEmpty && !only.exists(query.startsWith)) return
       df.count() // warm: plan analysis + codegen compile outside the clock
       Thread.sleep(1000)
       shuffleWrite.set(0L)
@@ -108,7 +112,7 @@ object ScaleProbe {
       // inline subwordVocab(d) would re-run the whole training job
       // inside both the warm and the timed pass — the probe would
       // measure training+tokenization, not the tokenization operator
-      val vocab = TextAnalysis.subwordVocab(d)
+      lazy val vocab = TextAnalysis.subwordVocab(d)
       measure("t11_subword", scale,
         TextAnalysis.subwordTokenCounts(d, vocab))
       measure("d17_winnowing", scale, Dedup.winnowingPairs(d))

@@ -186,16 +186,52 @@ object Sketches {
   private val KmvK = 256
   private val KmvSalts = 16
 
-  /** Per-source bottom-K sketch of the distinct-shingle hash set. The
-    * bottom-K selection is two-phase — dense_rank over (source, salt)
+  /** Threshold-pre-prune safety factor: the prune keeps an expected
+    * c·K hashes per (source, salt) class, so the kept set contains the
+    * true bottom-K per salt unless a Binomial(n, c·K/n) draw with mean
+    * c·K = 1024 lands below K = 256 — a >3/4 downward deviation whose
+    * Chernoff bound exp(−mean·δ²/2) ≈ exp(−288) never fires in
+    * practice. When it WOULD (a source whose distinct-gram count is
+    * far below its occurrence count, making the occurrence-based
+    * threshold too aggressive), the per-class containment check below
+    * detects it and falls back to ranking that class in full — the
+    * prune is a pure optimization, never a semantics change.
+    */
+  private val KmvPruneC = 4
+  /** Kept-hash budget per source: c·K·salts = 16384. */
+  private val KmvKeptBudget = KmvPruneC * KmvK * KmvSalts
+
+  /** Per-source bottom-K sketch of the distinct-shingle hash set,
+    * sketch-bounded end to end: the corpus gram stream is never sorted
+    * through a data-sized shuffle.
+    *
+    * Phase 0 — threshold pre-prune. One map-side-combined count gives
+    * each source's gram-occurrence count n_occ; the per-source keep
+    * threshold t = (2^60 div n_occ)·c·K·salts (capped at 2^60) keeps
+    * an expected c·K·salts ≈ 16k hashes per source, because md5-derived
+    * hashes are uniform on [0, 2^60). A bottom-K sketch only ever needs
+    * the smallest hashes — rows above t can be discarded BEFORE any
+    * window, so the rank shuffle's input is sketch-sized (~16k rows per
+    * source), not data-sized. Containment is guarded per (source, salt)
+    * class: a class is provably safe when it kept ≥ K distinct hashes
+    * (the true bottom-K are the K smallest distinct values, all < t)
+    * or when nothing in the class reaches t (the kept set IS the
+    * class); every other class — possible only under pathological
+    * duplication, see [[KmvPruneC]] — is ranked in full via the same
+    * window, preserving the result bit-for-bit.
+    *
+    * Phase 1/2 — the two-phase rank: dense_rank over (source, salt)
     * keeps the K smallest DISTINCT hashes per salt (dense_rank folds
-    * duplicate occurrences, so the corpus-wide distinct that would
-    * cost its own shuffle collapses to a post-filter distinct over at
-    * most salts·K rows per source), then the per-source window ranks
-    * those survivors — so no window ever partitions by the bare group
-    * key over the full corpus (the p14/p15 lesson; a source holding
-    * half the corpus would otherwise serialize one task), and the
-    * shingle stream crosses the wire exactly once.
+    * duplicate occurrences), then the per-source window ranks those
+    * ≤ salts·K survivors — so no window ever partitions by the bare
+    * group key over the full corpus (the p14/p15 lesson; a source
+    * holding half the corpus would otherwise serialize one task).
+    *
+    * The gram stream is scanned twice (once for n_occ + class stats,
+    * once pruned into the rank) — two map-side passes in exchange for
+    * never shuffling the stream, the right trade at 100 TB where the
+    * round-11 shape dragged 1/16th of each source's grams through
+    * single sort tasks.
     */
   def kmvSketches(docs: DataFrame): DataFrame = {
     // the gram_hashes codegen kernel hashes every 3-gram straight off
@@ -209,7 +245,30 @@ object Sketches {
       .select(col("source"),
         explode(call_function("gram_hashes", tokens(col("text")), lit(3)))
           .as("h"))
-    val phase1 = hs.withColumn("salt", (col("h") % KmvSalts).cast("int"))
+      .withColumn("salt", (col("h") % KmvSalts).cast("int"))
+    // per-source keep threshold from the occurrence count; integer
+    // div-first keeps every term in range (n_occ > budget ⇒ the
+    // product ≤ 2^60)
+    val thr = hs.groupBy(col("source")).agg(count(lit(1)).as("n_occ"))
+      .withColumn("t", when(col("n_occ") <= KmvKeptBudget, lit(1L << 60))
+        .otherwise(expr(s"(${1L << 60} div n_occ) * $KmvKeptBudget")))
+      .select(col("source"), col("t"))
+    // per-class containment stats: kept_dist counts the distinct
+    // kept hashes (shuffle bounded by the kept set), max_h detects
+    // whether anything in the class lies at/above the threshold
+    val stats = hs.join(broadcast(thr), "source")
+      .groupBy(col("source"), col("salt"))
+      .agg(countDistinct(when(col("h") < col("t"), col("h")))
+          .as("kept_dist"),
+        max(col("h")).as("max_h"), max(col("t")).as("t"))
+      .withColumn("unsafe",
+        col("kept_dist") < KmvK && col("max_h") >= col("t"))
+      .select(col("source"), col("salt"), col("t"), col("unsafe"))
+    // prune: keep below-threshold rows everywhere, whole classes where
+    // containment isn't proven — sketch-sized input to the rank window
+    val pruned = hs.join(broadcast(stats), Seq("source", "salt"))
+      .filter(col("h") < col("t") || col("unsafe"))
+    val phase1 = pruned
       .withColumn("dr", dense_rank().over(
         Window.partitionBy(col("source"), col("salt")).orderBy(col("h"))))
       .filter(col("dr") <= KmvK).select(col("source"), col("h")).distinct()
@@ -325,7 +384,12 @@ object Sketches {
     */
   def hllPartitionRollup(events: DataFrame, lo: String = RollupLoDay,
       hi: String = RollupHiDay): DataFrame = {
-    val day = to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    // integer ns→µs division (`div`, not `/`): long/long `/` is double
+    // division, which loses precision above 2^53 — epoch-ns is ~1.7e18,
+    // so an event within ~128ns of a day boundary could otherwise land
+    // in the wrong partition sketch while the oracle's exact
+    // epoch_ns(ts)//1000 keeps it (the q23/q27 convention)
+    val day = to_date(timestamp_micros(graft.util.Cols.nsToUs("ts")))
     val parts = hllRegisters(events.withColumn("day", day),
       struct(col("event_type").as("event_type"), col("day").as("day")),
       col("user_id"), "x05:")

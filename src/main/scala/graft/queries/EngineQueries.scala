@@ -123,14 +123,19 @@ object EngineQueries {
     * pass through the driver (the earlier MemoryStream form broadcast
     * a >200 MiB task binary and OOMed).
     */
-  def spanMergeStreamGate(s: SparkSession, d: String): DataFrame = {
-    import graft.ingest.{SpanMerger, SpanRecord}
-    // The synthetic lineitem carries duplicate (l_orderkey, l_linenumber)
-    // pairs, so the derived span ids collide; an upsert operator would
-    // fold colliding ids in arrival order, which is nondeterministic
-    // across shuffles. Dedupe the FEED deterministically (arg-min by
-    // (name, start, end) per id — mirrored by the oracle's QUALIFY) so
-    // the gate exercises merge-of-partials, not fixture noise.
+  /** The w07/w11 partial-record feed: every span of the orders/lineitem
+    * fixture split the way an instrumented app ships it — NewSpan opens
+    * (identity only, an `op` tag), a tag-update re-arrival for roots,
+    * and CloseSpans (parent_id, end, `phase` + u64 `busy` tags).
+    * The synthetic lineitem carries duplicate (l_orderkey, l_linenumber)
+    * pairs, so the derived span ids collide; an upsert operator would
+    * fold colliding ids in arrival order, which is nondeterministic
+    * across shuffles. Dedupe the FEED deterministically (arg-min by
+    * (name, start, end) per id — mirrored by the oracles' QUALIFY) so
+    * the gates exercise merge-of-partials, not fixture noise.
+    */
+  private def spanRecordFeed(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = ordersAsSpans(s, d)._1
       .groupBy(col("id"))
       .agg(min_by(
@@ -161,6 +166,12 @@ object EngineQueries {
     val closes = base.select(rec(2, col("parent_id"), col("end"),
       map(lit("phase"), tagStr(lit("closed")),
         lit("busy"), tagU64(col("end") - col("start")))): _*)
+    (opens, rearrivals, closes)
+  }
+
+  def spanMergeStreamGate(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.{SpanMerger, SpanRecord}
+    val (opens, rearrivals, closes) = spanRecordFeed(s, d)
     graft.util.StreamGate.runParquet(s, "w07_spanmerge_stream",
       Seq(opens, rearrivals.unionAll(closes)),
       df => { import s.implicits._
@@ -234,6 +245,58 @@ object EngineQueries {
       .orderBy(col("span_id"), col("log_time"))
   }
 
+  /** w11 gate: the reference's WHOLE ingest cycle as ONE streaming
+    * execution — feed → stateful span merge → cadenced flush into the
+    * real partitioned store → query over the landed files
+    * (duo/src/grpc/server.rs:31-120: record_span upserts the
+    * aggregator, the cadence task flushes to the parquet partition
+    * writer, queries read the landed partitions). Each piece already
+    * had its own gate (w07 the merge, S3 the store writer, g03 the
+    * query); this runs them COMPOSED: the partial-record feed arrives
+    * as three parquet file-source micro-batches (opens; root
+    * re-arrivals + even-id closes; odd-id closes — so the store
+    * receives TWO non-empty flushes and every span's merge crosses a
+    * batch boundary), `foreachBatch` lands each flush through
+    * [[graft.store.ParquetStore.write]] (hive time partitions, bloom
+    * on trace_id, one file per partition per flush), and the landed
+    * store — read back through the store's own pruning reader — feeds
+    * the g03 trace-search pipeline (admission → scoping → span↔log
+    * correlation with the error-tag splice → assembly). The oracle
+    * replays feed-dedupe → merge → search in DuckDB; the tag digest
+    * pins that the spans really carry the MERGED tags (busy formatted
+    * at ingest, C8) plus the correlation-spliced error key — values
+    * that only exist if the data flowed through the whole loop.
+    */
+  def ingestLoopGate(s: SparkSession, d: String): DataFrame = {
+    import graft.ingest.{SpanMerger, SpanRecord}
+    val (opens, rearrivals, closes) = spanRecordFeed(s, d)
+    val root = java.nio.file.Files.createTempDirectory("w11_store").toString
+    val store = new graft.store.ParquetStore(s, root, "spans", "start")
+    graft.util.StreamGate.runParquetForeach(s, "w11_ingest_loop",
+      Seq(opens,
+        rearrivals.unionAll(closes.filter(col("id") % 2 === 0)),
+        closes.filter(col("id") % 2 =!= 0)),
+      df => { import s.implicits._
+        SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF() },
+      batch => if (!batch.isEmpty) store.write(batch, onePerPartition = true),
+      // same state sizing as w07 — the stateful operator is the same
+      statePartitions = Some(16))
+    val spans = store.read(None, None).getOrElse(
+      sys.error("w11: no flush landed in the store"))
+    val logs = ordersAsSpans(s, d)._2
+    TraceQueries.filterTraces(s, spans, logs,
+      TraceSearchParams(service = "oltp", operation = Some("1-URGENT"),
+        minDurationUs = Some(2000000L), limit = 20))
+      .select(col("trace_id"), col("n_spans"), col("trace_start"),
+        col("trace_end"), col("has_error"), col("n_logs"),
+        concat_ws(",", transform(col("spans"),
+          sp => sp.getField("id").cast("string"))).as("span_digest"),
+        concat_ws("|", transform(col("spans"),
+          sp => coalesce(sp.getField("tags"), lit(""))))
+          .as("tag_digest"))
+      .orderBy(col("trace_id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -280,7 +343,8 @@ object EngineQueries {
             .as("tag_digest"))
     }),
     "w07_spanmerge_stream" -> (spanMergeStreamGate _),
-    "w09_spanlog_join_stream" -> (spanLogJoinStreamGate _))
+    "w09_spanlog_join_stream" -> (spanLogJoinStreamGate _),
+    "w11_ingest_loop" -> (ingestLoopGate _))
 
   val oracle: Map[String, String] = Map(
     "w09_spanlog_join_stream" ->
@@ -363,5 +427,40 @@ object EngineQueries {
          |SELECT id, parent_id, trace_id, name, process_id, start, "end",
          | '{"busy":"' || ${Relational.fmtSql("(\"end\" - start)")} ||
          |   '","op":"' || name || '","phase":"closed"}' AS tags
-         |FROM feed ORDER BY id""".stripMargin)
+         |FROM feed ORDER BY id""".stripMargin,
+    // w11: w07's feed-dedupe + merge replay feeding g03's search CTEs;
+    // tags2 replicates the correlation splice over the MERGED tag JSON
+    "w11_ingest_loop" ->
+      s"""$spansCte,
+         |feed AS (SELECT * FROM spans
+         | QUALIFY row_number() OVER (PARTITION BY id
+         |   ORDER BY name, start, "end") = 1),
+         |merged AS (SELECT id, parent_id, trace_id, name, process_id,
+         |  start, "end",
+         |  '{"busy":"' || ${Relational.fmtSql("(\"end\" - start)")} ||
+         |    '","op":"' || name || '","phase":"closed"}' AS tags
+         | FROM feed),
+         |roots AS (
+         | SELECT trace_id, start FROM merged
+         | WHERE parent_id IS NULL AND process_id LIKE 'oltp%'
+         |   AND name = '1-URGENT' AND ("end" - start) >= 2000000
+         | ORDER BY start DESC, trace_id LIMIT 20),
+         |sc AS (SELECT * FROM merged
+         | WHERE trace_id IN (SELECT trace_id FROM roots)),
+         |lg AS (SELECT * FROM lgs
+         | WHERE trace_id IN (SELECT trace_id FROM roots)),
+         |errspan AS (SELECT span_id, COUNT(*) AS n FROM lg GROUP BY span_id),
+         |corr AS (SELECT sc.*, CASE WHEN e.n > 0 THEN 1 ELSE 0 END AS haserr,
+         |  CASE WHEN e.n > 0
+         |   THEN regexp_replace(sc.tags, '\\}\\s*$$', '') || ',"error":true}'
+         |   ELSE sc.tags END AS tags2
+         |  FROM sc LEFT JOIN errspan e ON sc.id = e.span_id),
+         |lcount AS (SELECT trace_id, COUNT(*) AS nl FROM lg GROUP BY trace_id)
+         |SELECT c.trace_id, COUNT(*) AS n_spans, MIN(start) AS trace_start,
+         | MAX("end") AS trace_end, MAX(haserr) AS has_error,
+         | CAST(COALESCE(ANY_VALUE(l.nl), 0) AS BIGINT) AS n_logs,
+         | string_agg(CAST(id AS VARCHAR), ',' ORDER BY start, id) AS span_digest,
+         | string_agg(COALESCE(tags2, ''), '|' ORDER BY start, id) AS tag_digest
+         |FROM corr c LEFT JOIN lcount l ON c.trace_id = l.trace_id
+         |GROUP BY c.trace_id ORDER BY c.trace_id""".stripMargin)
 }

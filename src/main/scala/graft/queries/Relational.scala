@@ -322,7 +322,7 @@ object Relational {
   /** Rollup over two group keys. SURVEY §2.4 extension (grouping sets). */
   /** GROUPING SETS with a NON-hierarchical set list — the aggregation
     * grammar rollup (q25) and cube (q29) can't express: {(flag,
-    * status), (flag), (shipmode)} shares one scan + one partial-agg
+    * status), (flag), (ship_month)} shares one scan + one partial-agg
     * pass across unrelated groupings instead of three scans unioned.
     * SURVEY §2.4 extension, completing the grouping family.
     */

@@ -33,14 +33,26 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
 
   /** Append a batch, derivating partition columns from the row's µs
     * epoch time column.
+    *
+    * @param onePerPartition repartition by the derived time-partition
+    *   keys before writing, so each (date, hour, minute) dir gets ONE
+    *   file per flush instead of one per upstream task. Without it a
+    *   flush whose rows span D time partitions across T tasks writes
+    *   up to D×T files — a streamed ingest whose micro-batches carry a
+    *   wide event-time spread (or any wide batch append) should set
+    *   it; the shuffle is bounded by the flush batch, and the
+    *   [[compact]] pass still exists for merging across flushes.
     */
-  def write(batch: DataFrame): Unit = {
-    batch
+  def write(batch: DataFrame, onePerPartition: Boolean = false): Unit = {
+    val derived = batch
       .withColumn("__ts", timestamp_micros(col(timeCol)))
       .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
       .withColumn("hour", date_format(col("__ts"), "HH"))
       .withColumn("minute", date_format(col("__ts"), "mm"))
       .drop("__ts")
+    (if (onePerPartition)
+       derived.repartition(col("date"), col("hour"), col("minute"))
+     else derived)
       .write
       .mode("append")
       .option("parquet.bloom.filter.enabled#trace_id", "true")

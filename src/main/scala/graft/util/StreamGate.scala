@@ -111,6 +111,32 @@ private[graft] object StreamGate {
     result
   }
 
+  /** [[runParquet]] variant whose sink is a caller-supplied batch
+    * writer (`foreachBatch`): each micro-batch's operator output is
+    * handed to `sink` as a normal batch DataFrame — the hook a real
+    * deployment uses to land streaming output through an existing
+    * batch writer (here: [[graft.store.ParquetStore.write]]'s
+    * partitioned bloom-filter sink, closing the reference's
+    * feed → merge → cadenced-flush ingest loop as ONE streaming
+    * execution). Feed stays the distributed parquet file source;
+    * nothing passes through the driver.
+    */
+  def runParquetForeach(s: SparkSession, name: String,
+      batches: Seq[DataFrame], build: DataFrame => DataFrame,
+      sink: DataFrame => Unit,
+      statePartitions: Option[Int] = None): Unit = {
+    require(batches.nonEmpty, s"$name: empty feed")
+    val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
+    val stream = build(fileSource(s, root, batches.head.schema))
+    withShufflePartitions(s, statePartitions) {
+      val query = stream.writeStream
+        .foreachBatch((df: DataFrame, _: Long) => sink(df))
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .outputMode("append").start()
+      try feed(query, root, batches) finally query.stop()
+    }
+  }
+
   /** Two-source variant for stream-stream operators (e.g. the w09
     * watermarked span↔log join): each side gets its own watched
     * directory and file source, and batch i of BOTH sides lands
@@ -156,16 +182,24 @@ private[graft] object StreamGate {
 
   /** Scoped override of the streaming query's shuffle-partition count
     * (captured at stream start); the session value is restored after,
-    * so surrounding batch plans are untouched.
+    * so surrounding batch plans are untouched. The set/run/restore
+    * window is serialized under [[shuffleLock]]: the override mutates
+    * SESSION-global conf, so two concurrent gates (or a gate beside a
+    * batch query) on the shared session could otherwise observe or
+    * clobber each other's temporary value — one gate's pinned
+    * state-partition count silently becoming another's batch
+    * parallelism.
     */
+  private val shuffleLock = new Object
   private def withShufflePartitions[A](s: SparkSession,
       n: Option[Int])(f: => A): A = n match {
     case None => f
-    case Some(p) =>
+    case Some(p) => shuffleLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val old = s.conf.get(key)
       s.conf.set(key, p.toString)
       try f finally s.conf.set(key, old)
+    }
   }
 
   private def fileSource(s: SparkSession, root: java.nio.file.Path,

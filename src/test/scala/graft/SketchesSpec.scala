@@ -95,6 +95,37 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("salt"), s"unsalted corpus window:\n$plan")
   }
 
+  test("KMV threshold prune preserves the sketch on both paths") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns.tokens
+    graft.functions.VectorExprs.register(spark)
+    def brute(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("source"),
+        explode(call_function("gram_hashes", tokens(col("text")), lit(3)))
+          .as("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= 256).drop("rn")
+      .collect().toSet
+    // real corpus (safe path: every class keeps >= K or is exhausted
+    // below threshold): pruned two-phase result == brute bottom-K over
+    // the distinct hash set
+    val sk = Sketches.kmvSketches(docs).collect().toSet
+    assert(sk.nonEmpty && sk == brute(docs))
+    // pathological duplication (unsafe path): 2000 copies of one
+    // 30-token doc -> n_occ = 56000 pushes the occurrence-based
+    // threshold to ~0.29*2^60 while only 28 distinct grams exist, so
+    // the naive prune would keep ~8 of them; the containment check
+    // must mark the classes unsafe and rank them in full
+    import spark.implicits._
+    val text = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val dup = (1 to 2000).map(i => (i.toLong, "dupsrc", text))
+      .toDF("doc_id", "source", "text")
+    val skD = Sketches.kmvSketches(dup).collect().toSet
+    assert(skD.size == 28, s"fallback missed hashes: kept ${skD.size}/28")
+    assert(skD == brute(dup))
+  }
+
   test("histogram quantile estimates bracket the exact percentiles") {
     val got = Sketches.logHistQuantiles(events).collect()
     assert(got.length == 15) // 5 event types x 3 probes
@@ -163,7 +194,7 @@ class SketchesSpec extends SparkSpec {
     val rolled = Sketches.hllPartitionRollup(events)
       .select("event_type", "zeros", "sum_scaled", "hll_est")
       .collect().toSeq.sortBy(_.getString(0))
-    val day = to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    val day = to_date(timestamp_micros(graft.util.Cols.nsToUs("ts")))
     val direct = Sketches.hllEstimate(Sketches.hllRegisters(
         events.filter(day.between(lit(Sketches.RollupLoDay),
           lit(Sketches.RollupHiDay))),

@@ -163,4 +163,51 @@ class SpanMergerSpec extends SparkSpec {
       sp.tags.exists(t => t.startsWith("""{"busy":""") &&
         t.endsWith(""","phase":"closed"}"""))))
   }
+
+  test("w11 gate: stream->store->query loop equals the batch pipeline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.EngineQueries.ingestLoopGate(spark, d)
+      .collect().toSeq
+    // batch replay of the whole loop without stream or store: deduped
+    // feed -> batch merge -> the same trace search over the merged spans
+    val base = graft.queries.EngineQueries.ordersAsSpans(spark, d)._1
+      .select("id", "parent_id", "trace_id", "name", "process_id",
+        "start", "end")
+      .as[(Long, Option[Long], Long, String, String, Long, Long)]
+      .collect()
+      .groupBy(_._1).valuesIterator
+      .map(_.minBy(t => (t._4, t._6, t._7)))
+      .toSeq.toSeq
+    val partials = base.flatMap {
+      case (id, parent, tid, name, proc, start, end) =>
+        Seq(SpanRecord(0L, id, None, tid, name, proc, start, None,
+            Map("op" -> TagValue.str(name))),
+          SpanRecord(2L, id, parent, tid, name, proc, start, Some(end),
+            Map("phase" -> TagValue.str("closed"),
+              "busy" -> TagValue.u64(end - start))))
+    }
+    val (intact, _) = SpanMerger.mergeBatch(spark, partials.toDS())
+    val logs = graft.queries.EngineQueries.ordersAsSpans(spark, d)._2
+    val batch = graft.query.TraceQueries.filterTraces(spark,
+        intact.toDF(), logs,
+        graft.query.TraceQueries.TraceSearchParams(service = "oltp",
+          operation = Some("1-URGENT"), minDurationUs = Some(2000000L),
+          limit = 20))
+      .select(col("trace_id"), col("n_spans"), col("trace_start"),
+        col("trace_end"), col("has_error"), col("n_logs"),
+        concat_ws(",", transform(col("spans"),
+          sp => sp.getField("id").cast("string"))).as("span_digest"),
+        concat_ws("|", transform(col("spans"),
+          sp => coalesce(sp.getField("tags"), lit(""))))
+          .as("tag_digest"))
+      .orderBy(col("trace_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the loop surfaced both merge-produced and correlation-spliced
+    // tag content: busy formatted at ingest, error spliced at query
+    val digests = streamed.map(_.getAs[String]("tag_digest"))
+    assert(digests.forall(_.contains(""""busy":""")))
+    assert(digests.exists(_.contains(""""error":true""")))
+  }
 }
