@@ -794,7 +794,194 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("ham"))
   }
 
+  // ---- m08: perceptual video near-dup (temporal dHash signature) ----
+
+  /** Video-pattern fixture parameters — pure doc_id functions (the
+    * m06/m07 discipline) so the oracle recomputes the EXPECTED
+    * signature without a video library. Video docs (doc_id % 3 == 0)
+    * sharing doc_id % 43 carry the same 8-frame sequence in three
+    * variants (doc_id / 129 mod 3): v0 the base encode, v1 a
+    * RE-ENCODED copy (an extra `free` box between moov and mdat —
+    * byte-different container, frame-identical pixels → the temporal
+    * collision m05's byte hash can never see; the analog of a video
+    * re-muxed or re-encoded losslessly), v2 a single-cell +60 boost in
+    * ONE SAMPLED frame (flips at most the two adjacent gradient bits
+    * of that frame's word → a hamming ≤ 2 near match). Frame cells use
+    * m06's double-mod construction so cross-family low-hamming
+    * collisions don't arise from linear structure.
+    */
+  val VidFramesStored = 8
+  val VidFramesSampled = 4
+  val VidW = 17
+  val VidH = 8
+  def vidSeed(id: Long): Int = (id % 43).toInt
+  def vidVariant(id: Long): Int = ((id / 129) % 3).toInt
+
+  /** Luma of column x in stored frame f, constant down the column (the
+    * decoder's column mean recovers it exactly). Mirrored verbatim by
+    * the m08 oracle SQL. The v2 boost targets stored frame
+    * 2·(seed mod 4) — always one of the SAMPLED indices {0,2,4,6}.
+    */
+  def vidCell(id: Long, f: Int, x: Int): Int = {
+    val s = vidSeed(id)
+    40 + (((s * 73 + f * 19 + x * 9 + 1).toLong * 2654435761L % 1000003L)
+      % 151L).toInt +
+      (if (vidVariant(id) == 2 && f == 2 * (s % 4) && x == s % VidW) 60
+       else 0)
+  }
+
+  /** Encode the 8-frame sequence as a REAL ISO base-media container:
+    * ftyp + moov/mvhd (timescale 1000, one tick per frame) + an `mdat`
+    * box of raw 8-bit luma frames (17×8 bytes each, row-major) — the
+    * uncompressed-video profile a codec-free pipeline can honestly
+    * decode, exactly as m07's WAV carries uncompressed PCM. v1 inserts
+    * a `free` box before mdat: a byte-different but frame-identical
+    * re-encode.
+    */
+  def videoPatternMp4(id: Long): Array[Byte] = {
+    val frameBytes = VidW * VidH
+    val free = if (vidVariant(id) == 1) 16 else 0
+    val mdat = 8 + VidFramesStored * frameBytes
+    val buf = java.nio.ByteBuffer.allocate(16 + 116 + free + mdat)
+    buf.put(mp4Bytes(1000, VidFramesStored.toLong)) // ftyp + moov/mvhd
+    if (free > 0)
+      buf.putInt(free).put("free".getBytes("US-ASCII"))
+        .put(new Array[Byte](free - 8))
+    buf.putInt(mdat).put("mdat".getBytes("US-ASCII"))
+    var f = 0
+    while (f < VidFramesStored) {
+      var y = 0
+      while (y < VidH) {
+        var x = 0
+        while (x < VidW) { buf.put(vidCell(id, f, x).toByte); x += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** m08 fixture attach: video-branch docs carry the pattern MP4, the
+    * rest raw text bytes (the no-signature path).
+    */
+  def withVideoPattern(docs: DataFrame): DataFrame = {
+    val gen = udf { (id: Long, text: String) =>
+      if (id % 3 == 0) videoPatternMp4(id)
+      else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    docs.withColumn("payload", gen(col("doc_id"), col("text")))
+  }
+
+  /** Temporal dHash signature over the DECODED container (the video
+    * analog of [[dhash64]]/[[audioFp]], the m02-sampler + m06-dHash
+    * composition): box-walk to `mdat`, treat it as raw 17×8 luma
+    * frames, SAMPLE `frames` of the stored frames at the m02-style
+    * stride j·n/frames, and per sampled frame take the 16-bit
+    * column-gradient word (bit x = 1 iff colMean(x) > colMean(x+1) —
+    * a one-row dHash); the signature packs the per-frame words
+    * LSB-first (frame j at bits 16j..16j+15). None for anything that
+    * isn't a well-formed container with ≥ `frames` whole frames — a
+    * poisoned payload can never fail the batch. A production decoder
+    * reads frame geometry from the track boxes and dHashes real
+    * decoded frames; the signature algebra — and everything downstream
+    * — is unchanged.
+    */
+  def videoFp(b: Array[Byte], frames: Int = VidFramesSampled): Option[Long] = {
+    require(frames >= 1 && frames <= 4, s"frames out of range: $frames")
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def boxType(o: Int): String = new String(b, o + 4, 4, "US-ASCII")
+    try {
+      if (b.length < 16 || boxType(0) != "ftyp") return None
+      var off = 0
+      var mdat = -1
+      var mdatSz = 0L
+      while (mdat < 0 && off + 8 <= b.length) {
+        val sz = u32(off)
+        if (sz < 8 || off + sz > b.length) return None
+        if (boxType(off) == "mdat") { mdat = off + 8; mdatSz = sz - 8 }
+        off += sz.toInt
+      }
+      if (mdat < 0) return None
+      val frameBytes = VidW * VidH
+      val nStored = (mdatSz / frameBytes).toInt
+      if (nStored < frames) return None
+      var sig = 0L
+      var j = 0
+      while (j < frames) {
+        val f = j * nStored / frames // m02-style deterministic stride
+        val base = mdat + f * frameBytes
+        val colMean = Array.ofDim[Long](VidW)
+        var x = 0
+        while (x < VidW) {
+          var sum = 0L
+          var y = 0
+          while (y < VidH) { sum += b(base + y * VidW + x) & 0xff; y += 1 }
+          colMean(x) = sum / VidH
+          x += 1
+        }
+        x = 0
+        while (x < VidW - 1) {
+          if (colMean(x) > colMean(x + 1)) sig |= 1L << (16 * j + x)
+          x += 1
+        }
+        j += 1
+      }
+      Some(sig)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Map-side signature column — blobs never shuffle; only
+    * (doc_id, 8-byte signature) rows leave the scan stage.
+    */
+  def videoSignatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    withVideoPattern(docs.repartition(spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        videoFp(bytes).map(h => (id, h)) })
+      .toDF("doc_id", "vfp")
+  }
+
+  /** Perceptual video near-dup pairs: the 64-bit temporal signature
+    * banded 4×16 — band j IS sampled frame j's gradient word, so the
+    * banded join's blocking key is "some sampled frame perceptually
+    * identical", the natural video analog of m06's bit bands
+    * (pigeonhole still gives full recall for hamming ≤ 3 across the
+    * whole signature). Re-encoded copies collide at hamming 0 with
+    * different bytes; single-frame perturbations land at hamming ≤ 2.
+    *
+    * Scale shape: as m06/m07 — Σ bucket² per 65,536-bucket band over
+    * 8-byte keys; decode is map-side, join input 24 B/row, and the
+    * resolution lever at a grown corpus is more sampled frames /
+    * cells per frame (the d09/m07 log-n rule).
+    */
+  def videoNearDupPairs(spark: SparkSession, docs: DataFrame,
+      maxHam: Int = 3): DataFrame = {
+    val hashed = videoSignatures(spark, docs)
+    val rows = Dedup.scopedCache(hashed
+      .select(col("doc_id"), col("vfp"),
+        posexplode(array((0 until VidFramesSampled).map(j =>
+          shiftrightunsigned(col("vfp"), 16 * j)
+            .bitwiseAND(lit(0xffffL))): _*)).as(Seq("bpos", "bval"))))
+    rows.as("a").join(rows.as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.vfp").as("ha"), col("b.vfp").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("ham",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("ham") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("ham"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m08_video_near_dup" -> ((s, d) =>
+      videoNearDupPairs(s, Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "m05_payload_dedup" -> ((s, d) =>
       payloadDedupGroups(Tables.documents(s, d)).orderBy(col("keeper"))),
     "m07_audio_near_dup" -> ((s, d) =>
@@ -927,6 +1114,41 @@ object Multimodal {
         |    OR substring(a.hash,5,4) = substring(b.hash,5,4)
         |    OR substring(a.hash,9,4) = substring(b.hash,9,4)
         |    OR substring(a.hash,13,4) = substring(b.hash,13,4)))
+        |SELECT doc_a, doc_b, CAST(hamming(ha, hb) AS INT) AS ham
+        |FROM cand WHERE hamming(ha, hb) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // expected temporal signature recomputed from the vidCell formula
+    // (the spec pins decoded-mdat signature == formula signature) as a
+    // 64-char bit string — sampled frame j's 16-bit word is exactly
+    // chars 16j+1..16j+16, so the substring ORs replay the Spark
+    // frame-word band join; stored frame index = 2*j (stride 8/4)
+    "m08_video_near_dup" ->
+      """WITH vid AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |cells AS (
+        | SELECT doc_id, j, x,
+        |  40 + ((((doc_id % 43) * 73 + (2*j) * 19 + x * 9 + 1)
+        |         * 2654435761 % 1000003) % 151)
+        |   + CASE WHEN (doc_id // 129) % 3 = 2
+        |          AND 2*j = 2 * ((doc_id % 43) % 4)
+        |          AND x = (doc_id % 43) % 17 THEN 60 ELSE 0 END AS v
+        | FROM vid, LATERAL (SELECT unnest(range(0,4)) AS j),
+        |           LATERAL (SELECT unnest(range(0,17)) AS x)),
+        |bits AS (
+        | SELECT l.doc_id, l.j * 16 + l.x AS i,
+        |  CASE WHEN l.v > r.v THEN '1' ELSE '0' END AS b
+        | FROM cells l JOIN cells r
+        |  ON l.doc_id = r.doc_id AND r.j = l.j AND r.x = l.x + 1
+        | WHERE l.x < 16),
+        |h AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS hash
+        |      FROM bits GROUP BY doc_id),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        a.hash AS ha, b.hash AS hb
+        | FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  AND (substring(a.hash,1,16) = substring(b.hash,1,16)
+        |    OR substring(a.hash,17,16) = substring(b.hash,17,16)
+        |    OR substring(a.hash,33,16) = substring(b.hash,33,16)
+        |    OR substring(a.hash,49,16) = substring(b.hash,49,16)))
         |SELECT doc_a, doc_b, CAST(hamming(ha, hb) AS INT) AS ham
         |FROM cand WHERE hamming(ha, hb) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,

@@ -281,4 +281,63 @@ class MultimodalSpec extends SparkSpec {
     assert(hi.contains((math.min(v0, v1), math.max(v0, v1), 0)),
       "polarity collision lost at higher resolution")
   }
+
+  /** The m08 signature from the fixture formulas alone (no decode):
+    * sampled frame j = stored frame 2j; bit 16j+x = colGrad(x).
+    */
+  private def formulaVfp(id: Long): Long = {
+    var sig = 0L
+    for (j <- 0 until Multimodal.VidFramesSampled; x <- 0 until 16)
+      if (Multimodal.vidCell(id, 2 * j, x) > Multimodal.vidCell(id, 2 * j, x + 1))
+        sig |= 1L << (16 * j + x)
+    sig
+  }
+
+  test("decoded-mdat video signature equals the formula signature per variant") {
+    val ids = (0L until 500L).filter(_ % 3 == 0)
+    assert((0 to 2).forall(v => ids.exists(Multimodal.vidVariant(_) == v)))
+    for (id <- ids) {
+      val got = Multimodal.videoFp(Multimodal.videoPatternMp4(id))
+      assert(got.contains(formulaVfp(id)), s"doc $id")
+    }
+    // non-video bytes yield no signature instead of poisoning the batch
+    assert(Multimodal.videoFp("not video".getBytes("UTF-8")).isEmpty)
+    // a container with too few whole frames is skipped, not mis-hashed
+    assert(Multimodal.videoFp(Multimodal.mp4Bytes(1000, 8L)).isEmpty)
+  }
+
+  test("video banded pairs match brute force; re-encode collides at ham 0") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val got = Multimodal.videoNearDupPairs(spark, docs)
+      .as[(Long, Long, Int)].collect().toSet
+    // every pair is video-branch only: the signature exists for no
+    // other modality, so cross-modality collisions are impossible
+    assert(got.forall(p => p._1 % 3 == 0 && p._2 % 3 == 0))
+    val ids = docs.select("doc_id").as[Long].collect().filter(_ % 3 == 0).sorted
+    val h = ids.map(id => id -> formulaVfp(id)).toMap
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      hm = java.lang.Long.bitCount(h(ids(i)) ^ h(ids(j)))
+      if hm <= 3
+    } yield (ids(i), ids(j), hm)).toSet
+    assert(got == brute)
+    // v0→v1 (re-encode: extra `free` box): byte-different container,
+    // frame-identical pixels — hamming 0, invisible to the exact m05
+    // byte hash
+    val fam = ids.filter(id => Multimodal.vidSeed(id) == Multimodal.vidSeed(0L))
+    val v0 = fam.find(Multimodal.vidVariant(_) == 0).get
+    val v1 = fam.find(Multimodal.vidVariant(_) == 1).get
+    assert(got.contains((math.min(v0, v1), math.max(v0, v1), 0)))
+    assert(!java.util.Arrays.equals(
+      Multimodal.videoPatternMp4(v0), Multimodal.videoPatternMp4(v1)))
+    // v0→v2 (single-cell boost in one SAMPLED frame) flips at most the
+    // two adjacent bits of that frame's word — the banded join (band =
+    // frame word; full recall at ham<=3) always surfaces it
+    val v2 = fam.find(Multimodal.vidVariant(_) == 2).get
+    val p = (math.min(v0, v2), math.max(v0, v2))
+    val hm = got.find(g => (g._1, g._2) == p)
+    assert(hm.exists(_._3 <= 2), s"v0/v2 pair $p missing or too far: $hm")
+  }
 }
