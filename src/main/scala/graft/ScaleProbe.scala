@@ -144,27 +144,36 @@ object ScaleProbe {
       measure("t19_bigram_lm", scale, TextAnalysis.bigramSurprisal(d))
       // perceptual audio: decode + fingerprint map-side, band join on
       // 2-byte keys
+      // cliff row: resolution PINNED at the gate default — this is the
+      // designed super-linear measurement (collision classes fixed,
+      // Σ bucket² grows ~quadratically)
       measure("m07_audio_near_dup", scale,
-        graft.operators.Multimodal.audioNearDupPairs(spark, d))
-      // the documented m07 mitigation, measured instead of asserted:
-      // at 10× the corpus, +log2(10)≈4 gradient bits (17→21 frames)
-      // re-split the collision classes, so candidate cost and the pair
-      // list should fall back toward the 1× shape
+        graft.operators.Multimodal.audioNearDupPairs(spark, d,
+          frames = graft.operators.Multimodal.AudFrames))
+      // the mitigation, now AUTO-SIZED: no hand-passed knob — the
+      // operator's default Resolution.Auto counts the corpus and
+      // derives 17 frames at 1× (identical to the cliff row's input)
+      // and 21 at 10× (+⌈log₂10⌉ = 4 gradient bits re-split the
+      // collision classes; candidate cost falls back toward 1× shape)
       if (scale == "10x")
-        measure("m07_audio_near_dup_f21", scale,
-          graft.operators.Multimodal.audioNearDupPairs(spark, d,
-            frames = 21))
+        measure("m07_audio_near_dup_auto", scale,
+          graft.operators.Multimodal.audioNearDupPairs(spark, d))
       // binary codes: two popcounts per candidate, broadcast queries
       measure("s12_binary_hamming", scale,
         graft.operators.Similarity.binaryHammingTopK(e, 5L, 10))
-      measure("d09_embedding_lsh", scale, Dedup.embeddingPairsLsh(e, 0.4))
-      // the documented d09 mitigation, measured instead of asserted:
-      // at 10× the corpus, +log2(10)≈3 planes (4→7) re-bounds bucket
-      // occupancy (2⁴→2⁷ buckets per table), so candidate cost should
-      // fall back toward the 1× level — the recall trade is the price
+      // cliff row: planes PINNED at the gate default (the designed
+      // super-linear measurement — bucket count fixed, sizes grow 10×)
+      measure("d09_embedding_lsh", scale,
+        Dedup.embeddingPairsLsh(e, 0.4, nPlanes = 4))
+      // the mitigation, now AUTO-SIZED: no hand-passed knob — the
+      // default Resolution.Auto counts the corpus and derives 4 planes
+      // at 1× and 8 at 10× (+⌈log₂10⌉ = 4; one past the measured
+      // 7-plane row, further from the cliff), re-bounding bucket
+      // occupancy so candidate cost falls back toward the 1× level —
+      // the recall trade is the price
       if (scale == "10x")
-        measure("d09_embedding_lsh_p7", scale,
-          Dedup.embeddingPairsLsh(e, 0.4, nPlanes = 7))
+        measure("d09_embedding_lsh_auto", scale,
+          Dedup.embeddingPairsLsh(e, 0.4))
       Dedup.releaseIntermediates()
     }
     spark.stop()

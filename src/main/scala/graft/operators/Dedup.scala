@@ -1003,13 +1003,28 @@ object Dedup {
     * per table per vector, the standard L-fold replica a multi-table
     * LSH index pays. Recall vs the exact pairs is pinned in DedupSpec.
     */
-  def embeddingPairsLsh(embs: DataFrame, tau: Double, nPlanes: Int = 4,
+  /** Corpus size the 4-plane default is calibrated at (the sf0.1
+    * embeddings table); [[graft.util.Resolution.autoBits]]'s n₀.
+    */
+  val D09CalibN = 2000L
+
+  def embeddingPairsLsh(embs: DataFrame, tau: Double,
+      nPlanes: graft.util.Resolution = graft.util.Resolution.Auto,
       nTables: Int = 8, dim: Int = 64): DataFrame = {
     import graft.functions.TextFns.lshBucket
+    // Auto-sized resolution (Resolution scaladoc): planes grow
+    // ⌈log₂(n/n₀)⌉ past the 4-plane default calibrated at the sf0.1
+    // corpus, so bucket occupancy — and with it Σ bucket² candidate
+    // work — stays ~flat as the corpus grows instead of re-creating
+    // the measured 6.6× cliff. Recall per table falls with planes;
+    // production buys it back with nTables (OR-amplification, the
+    // documented trade).
+    val planes = graft.util.Resolution.resolve(nPlanes, embs.count(),
+      D09CalibN, base = 4, hi = 24)
     val e = normalizedVecs(embs)
     val bk = e.select(col("vec_id"), col("v"),
       posexplode(array((0 until nTables).map(t =>
-        lshBucket(col("v"), nPlanes, dim, t * nPlanes)): _*))
+        lshBucket(col("v"), planes, dim, t * planes)): _*))
         .as(Seq("tbl", "bucket")))
     // Score INSIDE the bucket join and filter before the pair-dedup: a
     // pair colliding in t tables is scored t times (map-side codegen
@@ -1065,7 +1080,8 @@ object Dedup {
     * checkpoint-truncated propagation (semantic-dup components are
     * shallow); the composition adds no new shuffle structure.
     */
-  def semanticClusters(embs: DataFrame, tau: Double, nPlanes: Int = 4,
+  def semanticClusters(embs: DataFrame, tau: Double,
+      nPlanes: graft.util.Resolution = graft.util.Resolution.Auto,
       nTables: Int = 8, dim: Int = 64): DataFrame = {
     val edges = embeddingPairsLsh(embs, tau, nPlanes, nTables, dim)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))

@@ -748,15 +748,32 @@ object Multimodal {
     * (doc_id, 2-byte fingerprint) rows leave the scan stage.
     */
   def audioFingerprints(spark: SparkSession, docs: DataFrame,
-      frames: Int = AudFrames): DataFrame = {
+      frames: graft.util.Resolution = graft.util.Resolution.Auto): DataFrame = {
     import spark.implicits._
+    val f = resolveAudFrames(frames, docs)
     withAudioPattern(docs.repartition(spark.sparkContext.defaultParallelism))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        audioFp(bytes, frames).map(h => (id, h)) })
+        audioFp(bytes, f).map(h => (id, h)) })
       .toDF("doc_id", "afp")
   }
+
+  /** Corpus size the 17-frame default is calibrated at (the sf0.1
+    * documents table); [[graft.util.Resolution.autoBits]]'s n₀.
+    */
+  val M07CalibN = 5000L
+
+  /** Auto-sized fingerprint resolution (Resolution scaladoc): frames
+    * grow ⌈log₂(n/n₀)⌉ past the 17-frame default calibrated at the
+    * sf0.1 corpus — at the probe's 10× this yields exactly the
+    * measured 21-frame mitigation (SCALE.md: 26.2 → 7.3 s) without
+    * the caller having to know it. Capped at audioFp's 64-frame max.
+    */
+  private def resolveAudFrames(frames: graft.util.Resolution,
+      docs: DataFrame): Int =
+    graft.util.Resolution.resolve(frames, docs.count(), M07CalibN,
+      base = AudFrames, hi = 64)
 
   /** Perceptual audio near-dup pairs: the 16-bit fingerprint banded
     * 4×4 (pigeonhole: full recall for hamming ≤ 3 — v2's ≤ 2-bit
@@ -768,15 +785,17 @@ object Multimodal {
     * keys; decode is map-side, join input ~20 B/row.
     */
   def audioNearDupPairs(spark: SparkSession, docs: DataFrame,
-      maxHam: Int = 3, frames: Int = AudFrames): DataFrame = {
+      maxHam: Int = 3,
+      frames: graft.util.Resolution = graft.util.Resolution.Auto): DataFrame = {
     // maxHam+1 bands of ceil(bits/bands) fingerprint bits: pigeonhole
     // puts every hamming<=maxHam pair intact in some band, at ANY
     // resolution — raising `frames` shrinks collision classes without
     // touching recall
-    val bits = frames - 1
+    val f = resolveAudFrames(frames, docs)
+    val bits = f - 1
     val bands = maxHam + 1
     val width = (bits + bands - 1) / bands
-    val hashed = audioFingerprints(spark, docs, frames)
+    val hashed = audioFingerprints(spark, docs, f)
     val rows = Dedup.scopedCache(hashed
       .select(col("doc_id"), col("afp"),
         posexplode(array((0 until bands).map(j =>

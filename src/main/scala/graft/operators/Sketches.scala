@@ -331,14 +331,30 @@ object Sketches {
     * rows per group regardless of data size; the quantile extraction
     * windows over THAT table, never the corpus.
     */
-  def logHistQuantiles(events: DataFrame): DataFrame = {
+  def logHistQuantiles(events: DataFrame): DataFrame =
+    quantilesFromHist(histBuckets(events))
+
+  /** x04's histogram build alone — the additive, mergeable half: one
+    * partial-aggregated groupBy collapsing (event_type, value) rows to
+    * ≤ ~50 bucket-count cells per type. Factored out so the streamed
+    * w12 gate maintains THIS as complete-mode state and the batch x04
+    * path stays `quantilesFromHist(histBuckets(ev))` — one build, two
+    * execution modes.
+    */
+  def histBuckets(events: DataFrame): DataFrame = {
     val cents = round(col("value") * 100).cast("long")
-    val hist = events
+    events
       .select(col("event_type"),
         when(cents <= 0, lit(0))
           .otherwise(length(ltrim(bin(cents), "0"))).cast("int").as("bucket"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** x04's quantile extraction over an already-built histogram table —
+    * windows over the ≤ ~50-rows-per-group sketch, never the corpus.
+    */
+  def quantilesFromHist(hist: DataFrame): DataFrame = {
     val cum = hist.withColumn("cum", sum(col("cnt")).over(
       Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
     val probes = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
@@ -473,6 +489,35 @@ object Sketches {
       .orderBy(col("j"), col("cell"))
   }
 
+  // ----------------------------------------------- streamed histogram
+
+  /** w12: the log₂-histogram quantile sketch maintained as a REAL
+    * streaming aggregation — the additive third fold shape after
+    * w08's register MAX and w10's cell SUM (bucket counts add across
+    * micro-batches; together the three gates pin every merge algebra
+    * the sketch family uses). The events feed arrives as two parquet
+    * micro-batches through the distributed file-source harness, the
+    * [[histBuckets]] build runs in complete mode (the ≤ ~50-cells-
+    * per-type histogram is the bounded state), and the landed
+    * histogram must equal the batch x04 build CELL-FOR-CELL — w10's
+    * stronger pin, which implies quantile equality since extraction
+    * is a deterministic function of the cells (SketchesSpec runs
+    * [[quantilesFromHist]] over the landed state and asserts it
+    * against batch x04 too). Oracle: x04's histogram CTEs.
+    */
+  def histStreamGate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    def half(r: Int) = ev.filter(col("event_id") % 2 === r)
+      .select(col("event_type"), col("value"))
+    graft.util.StreamGate.runParquetMem(s, "w12_hist_stream",
+      Seq(half(0), half(1)),
+      "complete",
+      df => histBuckets(df),
+      statePartitions = Some(8))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   // ------------------------------------------------------------- gating
 
   type Q = (SparkSession, String) => DataFrame
@@ -488,7 +533,8 @@ object Sketches {
     "x05_sketch_rollup" -> ((s, d) =>
       hllPartitionRollup(Tables.events(s, d))),
     "w08_hll_stream" -> (hllStreamGate _),
-    "w10_cms_stream" -> (cmsStreamGate _))
+    "w10_cms_stream" -> (cmsStreamGate _),
+    "w12_hist_stream" -> (histStreamGate _))
 
   /** DuckDB replays of the sketch pipelines — same md5 decodes (via
     * [[Dedup.hexValSql]]'s char arithmetic), same integer folds, same
@@ -594,6 +640,14 @@ object Sketches {
            |SELECT CAST(j AS INT) AS j, cell, COUNT(*) AS c FROM cells
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       },
+      "w12_hist_stream" ->
+        s"""WITH c AS (SELECT event_type,
+           |  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+           |hb AS (SELECT event_type, CASE WHEN cents <= 0 THEN 0
+           |  ELSE length(ltrim(bin(cents), '0')) END AS bucket FROM c)
+           |SELECT event_type, CAST(bucket AS INT) AS bucket,
+           |  COUNT(*) AS cnt
+           |FROM hb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "x04_hist_quantiles" ->
         s"""WITH c AS (SELECT event_type,
            |  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),

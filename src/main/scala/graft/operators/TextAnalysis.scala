@@ -690,6 +690,109 @@ object TextAnalysis {
       .withColumn("mean_surprisal", col("sum_surprisal") / col("n_toks"))
   }
 
+  // ------------------------------------------ trigram LM surprisal
+
+  /** Jelinek–Mercer interpolation weights for the trigram scorer:
+    * λ₃ on p(w|u,v), λ₂ on p(w|v), λ₁ on p(w); they sum to 1. When a
+    * position has no trigram context (the second token), the trigram
+    * mass collapses onto the bigram term — the standard recursive-JM
+    * backoff for short histories — so position 2 scores with
+    * (λ₃+λ₂)·p(w|v) + λ₁·p(w) and position 1 with the unigram alone.
+    * The oracle interpolates these SAME doubles as literals
+    * (λ₃+λ₂ is computed once here and round-trips exactly), so both
+    * engines evaluate identical float expressions.
+    */
+  val TrigramL3 = 0.6
+  val TrigramL2 = 0.3
+  val TrigramL1 = 0.1
+
+  /** t20: interpolated TRIGRAM LM surprisal — the next CCNet-fidelity
+    * step after t19's bigram scorer (KenLM's default order is 5; each
+    * added order is this same census+join shape one level deeper).
+    * Per-token surprisal −ln(λ₃·p(w|u,v) + λ₂·p(w|v) + λ₁·p(w)) with
+    * corpus-trained MLEs; short-history positions per [[TrigramL3]]'s
+    * collapse rule. Repeated trigrams collapse to one scored row per
+    * distinct (doc, u, v, w) with an occurrence count, and per-token
+    * surprisals round to 6 decimals into decimal sums (the t16/t19
+    * convention) so document scores are bit-stable across engines and
+    * partitionings.
+    *
+    * Scale shape: exactly t19's one level deeper — the unigram /
+    * bigram / trigram censuses and their left-context marginals are
+    * all corpus-vocabulary-bounded partial aggregations; scoring
+    * joins key on the n-gram (map-side combined — one row per
+    * distinct (doc, u, v, w) crosses the wire); the 1-row total
+    * broadcasts. The trigram census is the only table that grows
+    * with corpus vocabulary² in the worst case — the standard LM
+    * training cost, still partial-aggregated and never a window.
+    */
+  def trigramSurprisal(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val toks = t.select(col("doc_id"), explode(col("t")).as("w"))
+    val uni = Dedup.scopedCache(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cw")))
+    val total = uni.select(sum(col("cw")).as("n"))
+    val bg = t.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t, i) AS v, element_at(t, i+1) AS w))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.v"), col("p.w"))
+    val biCnt = Dedup.scopedCache(
+      bg.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw")))
+    val leftCnt = biCnt.groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
+    val tg = t.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-2), " +
+          "i -> struct(element_at(t, i) AS u, element_at(t, i+1) AS v, " +
+          "element_at(t, i+2) AS w))")).as("p"))
+      .select(col("doc_id"), col("p.u"), col("p.v"), col("p.w"))
+    val triCnt = Dedup.scopedCache(
+      tg.groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("cuvw")))
+    val triLeft = triCnt.groupBy(col("u"), col("v"))
+      .agg(sum(col("cuvw")).as("cuv"))
+    val l3 = TrigramL3; val l2 = TrigramL2; val l1 = TrigramL1
+    val l23 = TrigramL3 + TrigramL2 // one double, round-tripped by oracle
+    // positions 3..n: full trigram interpolation
+    val tgScored = tg.groupBy(col("doc_id"), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("occ"))
+      .join(triCnt, Seq("u", "v", "w")).join(triLeft, Seq("u", "v"))
+      .join(biCnt, Seq("v", "w")).join(leftCnt, Seq("v"))
+      .join(uni, Seq("w")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("occ"),
+        round(-log(
+          lit(l3) * (col("cuvw").cast("double") / col("cuv").cast("double")) +
+            lit(l2) * (col("cvw").cast("double") / col("cv").cast("double")) +
+            lit(l1) * (col("cw").cast("double") / col("n").cast("double"))), 6)
+          .cast("decimal(28,6)").as("s"))
+    // position 2: trigram mass collapsed onto the bigram term
+    val sdScored = t.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), element_at(col("t"), 1).as("v"),
+        element_at(col("t"), 2).as("w"))
+      .groupBy(col("doc_id"), col("v"), col("w"))
+      .agg(count(lit(1)).as("occ"))
+      .join(biCnt, Seq("v", "w")).join(leftCnt, Seq("v"))
+      .join(uni, Seq("w")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("occ"),
+        round(-log(
+          lit(l23) * (col("cvw").cast("double") / col("cv").cast("double")) +
+            lit(l1) * (col("cw").cast("double") / col("n").cast("double"))), 6)
+          .cast("decimal(28,6)").as("s"))
+    // position 1: unigram alone (t19's first-token rule)
+    val ftScored = t.filter(size(col("t")) >= 1)
+      .select(col("doc_id"), element_at(col("t"), 1).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("occ"))
+      .join(uni, Seq("w")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("occ"),
+        round(-log(col("cw").cast("double") / col("n").cast("double")), 6)
+          .cast("decimal(28,6)").as("s"))
+    tgScored.unionAll(sdScored).unionAll(ftScored)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_toks"),
+        sum(col("s") * col("occ")).cast("double").as("sum_surprisal"))
+      .withColumn("mean_surprisal", col("sum_surprisal") / col("n_toks"))
+  }
+
   // ---------------------------------------------- model-scored quality
 
   /** Fixed classifier weights — in production these come from an
@@ -827,6 +930,8 @@ object TextAnalysis {
       qualityModelScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t19_bigram_lm" -> ((s, d) =>
       bigramSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t20_trigram_lm" -> ((s, d) =>
+      trigramSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t11_subword" -> ((s, d) =>
       subwordTokenCounts(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
@@ -1062,6 +1167,56 @@ object TextAnalysis {
          |a AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_toks,
          |  CAST(SUM(s * occ) AS DOUBLE) AS sum_surprisal
          | FROM (SELECT * FROM bs UNION ALL SELECT * FROM fs)
+         | GROUP BY 1)
+         |SELECT doc_id, n_toks, sum_surprisal,
+         | sum_surprisal / n_toks AS mean_surprisal
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "t20_trigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM t),
+         |uni AS (SELECT w, COUNT(*) AS cw FROM u GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
+         |bg AS (SELECT doc_id, t[i] AS v, t[i+1] AS w
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         |bic AS (SELECT v, w, COUNT(*) AS cvw FROM bg GROUP BY 1, 2),
+         |lc AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM bic
+         |  GROUP BY 1),
+         |tg AS (SELECT doc_id, t[i] AS u, t[i+1] AS v, t[i+2] AS w
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)),
+         |tric AS (SELECT u, v, w, COUNT(*) AS cuvw FROM tg
+         |  GROUP BY 1, 2, 3),
+         |tlc AS (SELECT u, v, CAST(SUM(cuvw) AS BIGINT) AS cuv FROM tric
+         |  GROUP BY 1, 2),
+         |tgo AS (SELECT doc_id, u, v, w, COUNT(*) AS occ FROM tg
+         |  GROUP BY 1, 2, 3, 4),
+         |ts AS (SELECT doc_id, occ, CAST(ROUND(-ln(
+         |    $TrigramL3 * (CAST(cuvw AS DOUBLE) / CAST(cuv AS DOUBLE)) +
+         |    $TrigramL2 * (CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE)) +
+         |    $TrigramL1 * (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         |  AS DECIMAL(28,6)) AS s
+         | FROM tgo JOIN tric USING (u, v, w) JOIN tlc USING (u, v)
+         |   JOIN bic USING (v, w) JOIN lc USING (v)
+         |   JOIN uni USING (w) CROSS JOIN tot),
+         |sd AS (SELECT doc_id, t[1] AS v, t[2] AS w, 1::BIGINT AS occ
+         |  FROM t WHERE len(t) >= 2),
+         |ss AS (SELECT doc_id, occ, CAST(ROUND(-ln(
+         |    ${TrigramL3 + TrigramL2} *
+         |      (CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE)) +
+         |    $TrigramL1 * (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         |  AS DECIMAL(28,6)) AS s
+         | FROM sd JOIN bic USING (v, w) JOIN lc USING (v)
+         |   JOIN uni USING (w) CROSS JOIN tot),
+         |ft AS (SELECT doc_id, t[1] AS w, 1::BIGINT AS occ FROM t
+         |  WHERE len(t) >= 1),
+         |fs AS (SELECT doc_id, occ, CAST(ROUND(-ln(
+         |    CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |  AS DECIMAL(28,6)) AS s
+         | FROM ft JOIN uni USING (w) CROSS JOIN tot),
+         |a AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_toks,
+         |  CAST(SUM(s * occ) AS DOUBLE) AS sum_surprisal
+         | FROM (SELECT * FROM ts UNION ALL SELECT * FROM ss
+         |   UNION ALL SELECT * FROM fs)
          | GROUP BY 1)
          |SELECT doc_id, n_toks, sum_surprisal,
          | sum_surprisal / n_toks AS mean_surprisal

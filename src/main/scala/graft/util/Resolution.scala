@@ -1,0 +1,57 @@
+package graft.util
+
+/** Corpus-size-derived resolution for fingerprint/LSH knobs.
+  *
+  * The scale probes measured the same cliff twice: a FIXED-resolution
+  * blocking key (d09's 4 hyperplanes, m07's 16 gradient bits) keeps a
+  * constant number of collision classes, so when the corpus grows 10×
+  * every class grows 10× and Σ bucket² candidate work grows 100×
+  * (SCALE.md: d09 6.6×, m07 23× runtime). Both measured mitigations
+  * instantiate one rule — class count 2^bits must grow ∝ n — which
+  * this object centralizes so operators size themselves instead of
+  * relying on caller discipline:
+  *
+  *   bits(n) = base + max(0, ⌈log₂(n / n₀)⌉)
+  *
+  * where n₀ is the corpus size `base` was calibrated at. At or below
+  * n₀ the formula returns exactly `base` (an integer comparison, no
+  * float boundary), so gate outputs at sf0.01/sf0.1 are bit-identical
+  * to the former fixed defaults; at the probe's 10× corpus it returns
+  * base+4 — the measured m07 mitigation exactly (17→21 frames ≙ 16→20
+  * bits) and one plane past d09's measured 7-plane row (⌈log₂10⌉ = 4;
+  * the conservative side of the cliff, since extra planes only shrink
+  * buckets).
+  *
+  * `Auto` (the operators' default) pays one `count()` on the input —
+  * at 100 TB a metadata-served count-star, O(files) next to the
+  * operator's own scan — then applies the formula. `Fixed` is the
+  * explicit override for spec fixtures and probe baselines. An `Int`
+  * implicitly lifts to `Fixed`, so existing `nPlanes = 7` call sites
+  * read unchanged.
+  */
+sealed trait Resolution
+object Resolution {
+  /** Derive the knob from a corpus count at plan-build time. */
+  case object Auto extends Resolution
+
+  /** Caller-pinned value (spec fixtures, probe cliff baselines). */
+  final case class Fixed(value: Int) extends Resolution
+
+  import scala.language.implicitConversions
+  implicit def fromInt(v: Int): Resolution = Fixed(v)
+
+  /** base + max(0, ⌈log₂(n/n₀)⌉), clamped to [base, hi]. */
+  def autoBits(n: Long, n0: Long, base: Int, hi: Int): Int =
+    if (n <= n0) base
+    else math.min(hi, base +
+      math.ceil(math.log(n.toDouble / n0.toDouble) / math.log(2.0)).toInt)
+
+  /** Resolve a knob against a by-name corpus count (only forced for
+    * `Auto`).
+    */
+  def resolve(r: Resolution, n: => Long, n0: Long, base: Int,
+      hi: Int): Int = r match {
+    case Fixed(v) => v
+    case Auto => autoBits(n, n0, base, hi)
+  }
+}

@@ -187,6 +187,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("streamed histogram equals the batch build cell-for-cell and feeds x04 quantiles") {
+    // mergeability by bucket-count addition across micro-batch
+    // boundaries: the landed complete-mode histogram IS the batch
+    // sketch — and because quantile extraction is a deterministic
+    // function of the cells, the full sketch→quantile path follows
+    val landed = Sketches.histStreamGate(spark, d)
+    val streamed = landed.collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val batch = Sketches.histBuckets(events)
+      .orderBy(col("event_type"), col("bucket")).collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(streamed == batch && streamed.nonEmpty)
+    val qStream = Sketches.quantilesFromHist(landed).collect().toSeq
+    val qBatch = Sketches.logHistQuantiles(events).collect().toSeq
+    assert(qStream == qBatch && qStream.nonEmpty)
+  }
+
   test("partition-sketch rollup equals the direct sketch over the pruned range") {
     // mergeability over the PARTITION dimension: max-merging the
     // per-day register maxima must reproduce the registers of a direct

@@ -253,6 +253,39 @@ class TextAnalysisSpec extends SparkSpec {
       s"no map-side combine on the census:\n$plan")
   }
 
+  test("trigram LM surprisal matches the hand-computed interpolation") {
+    // corpus: unigrams a=2 b=3 c=3 (N=8); bigrams (a,b)=2 (b,c)=3, left
+    // contexts a=2 b=3; trigrams (a,b,c)=2, left pair (a,b)=2 — every
+    // probability hand-checkable
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.trigramSurprisal(docs).orderBy("doc_id")
+      .select("doc_id", "n_toks", "sum_surprisal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def s6(p: Double): BigDecimal =
+      BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val (l3, l2, l1) = (TextAnalysis.TrigramL3, TextAnalysis.TrigramL2,
+      TextAnalysis.TrigramL1)
+    val l23 = TextAnalysis.TrigramL3 + TextAnalysis.TrigramL2
+    // doc 1/2: pos1 = -ln p(a); pos2 = collapsed bigram form on (a,b);
+    // pos3 = full trigram interpolation on (a,b,c)
+    val p2ab = l23 * (2.0 / 2) + l1 * (3.0 / 8)
+    val p3abc = l3 * (2.0 / 2) + l2 * (3.0 / 3) + l1 * (3.0 / 8)
+    val d12 = s6(2.0 / 8) + s6(p2ab) + s6(p3abc)
+    // doc 3: pos1 = -ln p(b); pos2 = collapsed form on (b,c)
+    val d3 = s6(3.0 / 8) + s6(l23 * (3.0 / 3) + l1 * (3.0 / 8))
+    assert(got.toSeq == Seq((1L, 3L, d12.toDouble), (2L, 3L, d12.toDouble),
+      (3L, 2L, d3.toDouble)), s"got ${got.toSeq}")
+    // the trigram context is the strongest discount: p(c|a,b) = 1
+    // beats both the bigram-collapsed and unigram scores for c
+    assert(s6(p3abc) < s6(3.0 / 8))
+    val plan = TextAnalysis.trigramSurprisal(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in the scoring path:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"no map-side combine on the census:\n$plan")
+  }
+
   test("dsir scores target-like docs above dissimilar ones and replays driver-side") {
     // target stratum (src0) speaks one vocabulary; raw docs 10-12 echo
     // it, raw docs 20-22 don't — importance weights must separate them
