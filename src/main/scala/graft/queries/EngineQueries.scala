@@ -257,8 +257,9 @@ object EngineQueries {
     * re-arrivals + even-id closes; odd-id closes — so the store
     * receives TWO non-empty flushes and every span's merge crosses a
     * batch boundary), `foreachBatch` lands each flush through
-    * [[graft.store.ParquetStore.write]] (hive time partitions, bloom
-    * on trace_id, one file per partition per flush), and the landed
+    * [[graft.store.ParquetStore.writeStaged]] (the store's fast
+    * staging path — bloom on trace_id; compaction owns the hive
+    * layout), and the landed
     * store — read back through the store's own pruning reader — feeds
     * the g03 trace-search pipeline (admission → scoping → span↔log
     * correlation with the error-tag splice → assembly). The oracle
@@ -278,7 +279,15 @@ object EngineQueries {
         closes.filter(col("id") % 2 =!= 0)),
       df => { import s.implicits._
         SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF() },
-      batch => if (!batch.isEmpty) store.write(batch, onePerPartition = true),
+      // cadenced flushes land through the store's staging path: the
+      // span feed's event times span ~7 years, so the hive
+      // minute-partitioned [[graft.store.ParquetStore.write]] would
+      // cut each flush into ~1,750 one-row files (measured: 3,504
+      // files, 41 s of sink time and a 3,500-file listing on every
+      // query pass) — writeStaged lands each flush as ONE appended
+      // file, read() unions it in, and compact() owns the layout,
+      // the LSM split a real deployment's flush cadence uses
+      batch => if (!batch.isEmpty) store.writeStaged(batch),
       // same state sizing as w07 — the stateful operator is the same
       statePartitions = Some(16))
     val spans = store.read(None, None).getOrElse(

@@ -62,6 +62,43 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
 
   def exists: Boolean = new File(dir).exists()
 
+  private def stagingDir = s"$dir/_staging"
+
+  /** Fast append for flushes whose EVENT-TIME spread would explode the
+    * hive layout into thousands of tiny partition files — a streamed
+    * ingest's cadenced flushes or a historical backfill (the w11
+    * measurement: 2 flushes of a 7-year-spread span feed through
+    * [[write]] = ~3,500 files and a 41 s sink). The batch lands as
+    * plain unpartitioned files under `_staging` — an
+    * underscore-prefixed subtree, so the partitioned reader's
+    * discovery never sees it — with NO shuffle and no layout cost;
+    * [[read]] unions staged rows in (with the same time predicate —
+    * row-level pruning still applies, only directory pruning is
+    * deferred), and [[compact]] drains staging into the partitioned
+    * layout. This is the LSM-shaped ingest split every real columnar
+    * store uses: land fast now, organize in the background.
+    */
+  def writeStaged(batch: DataFrame): Unit =
+    batch.write.mode("append")
+      .option("parquet.bloom.filter.enabled#trace_id", "true")
+      .parquet(stagingDir)
+
+  /** The main partitioned tree / the staging tree as DataFrames, None
+    * when that side holds no data yet. Schema inference doubles as the
+    * distributed "any files?" probe — a driver-side walk would not
+    * scale to a real store's file count.
+    */
+  private def tryRead(path: String): Option[DataFrame] = {
+    if (!new File(path).exists()) return None
+    try Some(spark.read.option("mergeSchema", "true").parquet(path))
+    catch {
+      // "Unable to infer schema ... It must be specified manually" —
+      // the path exists but holds no parquet footers (a main tree
+      // whose only child is the fresh staging dir)
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+  }
+
   /** Read with optional µs time-range pruning pushed onto the partition
     * columns; mergeSchema covers dynamic log-schema drift across files
     * (the reference's open FIXME at duo/src/partition/query.rs:72-75).
@@ -71,25 +108,42 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def read(startUs: Option[Long], endUs: Option[Long]): Option[DataFrame] = {
     recover()
     if (!exists) return None
-    val base = spark.read.option("mergeSchema", "true").parquet(dir)
-    val pruned = (startUs, endUs) match {
-      case (Some(s), Some(e)) =>
-        // Conservative day-granular partition predicate + exact row
-        // predicate on the time column; both push down (dir pruning +
-        // parquet row-group stats).
-        base.where(
-          col("date") >= date_format(timestamp_micros(lit(s)), "yyyy-MM-dd") &&
-          col("date") <= date_format(timestamp_micros(lit(e)), "yyyy-MM-dd") &&
-          col(timeCol).between(s, e))
-      case (Some(s), None) =>
-        base.where(col("date") >= date_format(timestamp_micros(lit(s)), "yyyy-MM-dd") &&
-          col(timeCol) >= s)
-      case (None, Some(e)) =>
-        base.where(col("date") <= date_format(timestamp_micros(lit(e)), "yyyy-MM-dd") &&
-          col(timeCol) <= e)
-      case _ => base
+    val rowPred: Option[org.apache.spark.sql.Column] = (startUs, endUs) match {
+      case (Some(s), Some(e)) => Some(col(timeCol).between(s, e))
+      case (Some(s), None) => Some(col(timeCol) >= s)
+      case (None, Some(e)) => Some(col(timeCol) <= e)
+      case _ => None
     }
-    Some(pruned.drop("date", "hour", "minute"))
+    val main = tryRead(dir).map { base =>
+      val pruned = (startUs, endUs) match {
+        case (Some(s), Some(e)) =>
+          // Conservative day-granular partition predicate + exact row
+          // predicate on the time column; both push down (dir pruning +
+          // parquet row-group stats).
+          base.where(
+            col("date") >= date_format(timestamp_micros(lit(s)), "yyyy-MM-dd") &&
+            col("date") <= date_format(timestamp_micros(lit(e)), "yyyy-MM-dd") &&
+            col(timeCol).between(s, e))
+        case (Some(s), None) =>
+          base.where(col("date") >= date_format(timestamp_micros(lit(s)), "yyyy-MM-dd") &&
+            col(timeCol) >= s)
+        case (None, Some(e)) =>
+          base.where(col("date") <= date_format(timestamp_micros(lit(e)), "yyyy-MM-dd") &&
+            col(timeCol) <= e)
+        case _ => base
+      }
+      pruned.drop("date", "hour", "minute")
+    }
+    // staged flushes: no directory pruning yet (that is compaction's
+    // job), but the row-level time predicate still pushes down onto
+    // the staged files' row-group stats
+    val staged = tryRead(stagingDir)
+      .map(df => rowPred.fold(df)(df.where))
+    (main, staged) match {
+      case (Some(m), Some(st)) => Some(m.unionByName(st,
+        allowMissingColumns = true))
+      case (m, st) => m.orElse(st)
+    }
   }
 
   private def stagedDir = s"$root/.compact-$table"
@@ -145,8 +199,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   /** @param zorderOn optional pair of 16-bit-domain dimension columns
     *   (values clamped to [0, 65535]) to Morton-order rows by WITHIN
-    *   each rewritten partition. The motivating pair for the span
-    *   table is (start-minute, capped duration-ms): trace search
+    *   each rewritten partition. Both dims must vary over COMPARABLE
+    *   bit-ranges inside one storage partition — an absolute
+    *   epoch-second x varies in only ~6 low bits inside a minute
+    *   partition, so every duration bit would out-rank it and the
+    *   layout degenerates to a duration sort with loose start stats
+    *   (measured in StreamingWindowSpec's skip test); use
+    *   ms-in-minute × capped duration-ms. The motivating pair for the
+    *   span table is (start-in-partition, capped duration-ms): trace search
     *   filters on BOTH a start range and a duration range (SURVEY
     *   F9/F10, duo/src/query.rs:141-152), and a time-partitioned
     *   layout alone leaves the duration predicate scanning every
@@ -156,24 +216,52 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     *   the [[graft.operators.Pipelines.zorderKey]] layout applied to
     *   the engine's own storage (rectangle guarantee proven at p18).
     */
+  /** @param blockSize optional parquet row-group target size in bytes
+    *   for the rewrite — the granularity knob for min/max-stats
+    *   pruning (smaller groups = tighter per-group boxes = more
+    *   skippable metadata; production tunes this against footer
+    *   overhead). Specs/probes set it low so a small fixture still
+    *   splits into enough row groups to MEASURE skipping.
+    */
   def compact(filesPerPartition: Int = 1,
       crashAfterStep: Int = Int.MaxValue,
       zorderOn: Option[(org.apache.spark.sql.Column,
-        org.apache.spark.sql.Column)] = None): Unit = {
+        org.apache.spark.sql.Column)] = None,
+      blockSize: Option[Long] = None): Unit = {
     recover()
     if (!exists) return
-    val base = spark.read.option("mergeSchema", "true").parquet(dir)
+    // the rewrite folds the staging tree in (deriving its partition
+    // columns the way [[write]] does) and the swap drains it: the
+    // freshly staged rewrite has no `_staging`, and the old tree —
+    // staging included — is dropped after promotion, so a crash at
+    // any step still leaves every staged row in exactly one tree
+    val mainPart = tryRead(dir)
+    val stagedPart = tryRead(stagingDir).map(_
+      .withColumn("__ts", timestamp_micros(col(timeCol)))
+      .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("__ts"), "HH"))
+      .withColumn("minute", date_format(col("__ts"), "mm"))
+      .drop("__ts"))
+    val all = (mainPart, stagedPart) match {
+      case (Some(m), Some(st)) =>
+        Some(m.unionByName(st, allowMissingColumns = true))
+      case (m, st) => m.orElse(st)
+    }
+    if (all.isEmpty) return
+    val base = all.get
       .repartition(filesPerPartition, col("date"), col("hour"), col("minute"))
     // partition columns lead the sort so the writer's own
     // required-ordering (it otherwise re-sorts each task by the
     // dynamic partition keys, unstably) is already satisfied and the
     // z-order survives into the files
-    zorderOn.fold(base) { case (x, y) =>
+    val writer = zorderOn.fold(base) { case (x, y) =>
       base.sortWithinPartitions(col("date"), col("hour"), col("minute"),
         graft.operators.Pipelines.zorderKey(x, y))
     }
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
+    blockSize.fold(writer)(b => writer
+        .option("parquet.block.size", b.toString))
       .partitionBy("date", "hour", "minute")
       .parquet(stagedDir)
     stagedMarker.createNewFile(): Unit
@@ -189,6 +277,58 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     new File(live, "_STAGED_OK").delete(): Unit
     if (crashAfterStep <= 3) return
     rm(new File(oldDir))
+  }
+
+  /** Trace-search span read for the F9∧F10 predicate pair (start range
+    * AND duration range, duo/src/query.rs:141-152) with the derived
+    * END-RANGE conjunct: `duration = end − start` is an arithmetic
+    * expression parquet statistics can never serve, but
+    * start ∈ [s₁,s₂] ∧ dur ∈ [d₁,d₂] IMPLIES end ∈ [s₁+d₁, s₂+d₂] —
+    * a redundant conjunct on a STORED column, so results are
+    * unchanged while the scan gains a pushable row-group predicate.
+    * This is what turns the z-ordered compaction ([[compact]]
+    * zorderOn start×duration) into a read-time win: z-clustering
+    * (start, dur) clusters end = start+dur too, so per-row-group
+    * min/max boxes on (start, end) are tight in exactly the
+    * dimensions the derived conjuncts probe — row groups outside the
+    * duration band prune on footer stats alone. A time-only layout
+    * stores each row group with near-partition-wide end ranges and
+    * skips nothing (skip ratios measured in StreamingWindowSpec,
+    * recorded in SCALE.md).
+    */
+  def readSpanRange(startLo: Long, startHi: Long, durLo: Long,
+      durHi: Long, endCol: String = "end"): Option[DataFrame] =
+    read(Some(startLo), Some(startHi)).map(_.filter(
+      (col(endCol) - col(timeCol)).between(durLo, durHi) &&
+        col(endCol).between(startLo + durLo, startHi + durHi)))
+
+  /** Per-row-group [min, max] footer statistics for `cols` over every
+    * parquet file in the table — the metadata a stats-aware reader
+    * prunes on ([[readSpanRange]]'s skip measurement reads this).
+    */
+  def rowGroupRanges(
+      cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val conf = spark.sparkContext.hadoopConfiguration
+    walk(new File(dir)).flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        f.getAbsolutePath -> cols.map { c =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .getOrElse(sys.error(s"rowGroupRanges: no column $c in $f"))
+          val st: org.apache.parquet.column.statistics.Statistics[_] =
+            cc.getStatistics
+          c -> (st.genericGetMin.asInstanceOf[Number].longValue(),
+            st.genericGetMax.asInstanceOf[Number].longValue())
+        }.toMap
+      } finally r.close()
+    }
   }
 
   /** Reference-shaped read path: enumerate minimal partition prefixes

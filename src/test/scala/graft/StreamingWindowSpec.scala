@@ -305,4 +305,133 @@ class StreamingWindowSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(after == (1L to 400L))
   }
+
+  test("staged flushes read immediately; compaction drains them into the hive layout") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("staged").toString
+    val store = new graft.store.ParquetStore(spark, root, "span", "start")
+    val t0 = 1760000040000000L
+    def batch(ids: Range) = ids.map { i =>
+      (i.toLong, t0 + i * 1000000L, t0 + i * 1000000L + 500L, i.toLong)
+    }.toDF("id", "start", "end", "trace_id")
+    // partitioned write + two staged flushes (the w11 cadence shape)
+    store.write(batch(1 to 100))
+    store.writeStaged(batch(101 to 200))
+    store.writeStaged(batch(201 to 300))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+    // staged rows visible immediately, unioned with the partitioned tree
+    assert(ids(store.read(None, None).get) == (1L to 300L))
+    // the time predicate row-prunes staged files too
+    assert(ids(store.read(Some(t0 + 150000000L), Some(t0 + 250000000L)).get)
+      == (150L to 250L))
+    // staging files are flat appends, invisible to the partitioned reader
+    val staging = new java.io.File(s"$root/span/_staging")
+    assert(staging.exists() && staging.listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    // a crash mid-compaction (after live is renamed aside) must not
+    // lose staged rows: recover() promotes the drained rewrite
+    store.compact(crashAfterStep = 2)
+    assert(ids(store.read(None, None).get) == (1L to 300L))
+    assert(!new java.io.File(s"$root/span/_staging").exists(),
+      "recovery should land the drained tree")
+    // a clean compaction after more staged appends drains them too
+    store.writeStaged(batch(301 to 350))
+    store.compact()
+    assert(!new java.io.File(s"$root/span/_staging").exists())
+    assert(ids(store.read(None, None).get) == (1L to 350L))
+  }
+
+  test("z-ordered store skips duration-band row groups neither time layout can") {
+    import spark.implicits._
+    // 40k spans over 3 minutes (t0 minute-aligned so the query window
+    // is exactly one partition), long-tailed durations: 95% short
+    // (< 5 s), 5% long (30-60 s) — the trace-search profile where a
+    // "slow spans in a window" query (F9 ∧ F10) wants to touch only
+    // the long tail
+    val t0 = 1760000040000000L
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 40000L).map { i =>
+      val startUs = t0 + rnd.nextInt(180) * 1000000L + rnd.nextInt(1000000)
+      val durUs = if (rnd.nextInt(20) == 0)
+        (30000 + rnd.nextInt(30000)) * 1000L
+      else rnd.nextInt(5000) * 1000L
+      (i, startUs, startUs + durUs, i % 97)
+    }
+    val df = rows.toDF("id", "start", "end", "trace_id")
+    // the z dims must vary over comparable bit-ranges WITHIN one
+    // storage partition, or the wider dim's bits dominate the Morton
+    // order and the narrower dim's stats stay loose (an absolute
+    // epoch-second x varies in only ~6 low bits inside a minute
+    // partition — duration bits would out-rank every one of them and
+    // the layout degenerates to a duration sort): ms-in-minute ×
+    // capped duration-ms, both full 16-bit in-partition domains
+    val zx = ((col("start") % 60000000L) / 1000L).cast("long")
+    val zy = least((col("end") - col("start")) / 1000L, lit(65535L))
+      .cast("long")
+    def build(z: Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)]): graft.store.ParquetStore = {
+      val root = java.nio.file.Files.createTempDirectory("zskip").toString
+      val st = new graft.store.ParquetStore(spark, root, "span", "start")
+      st.write(df)
+      // small row groups so the fixture splits into enough groups to
+      // measure skipping (~13 per minute file)
+      st.compact(zorderOn = z, blockSize = Some(32 * 1024L))
+      st
+    }
+    val timeOnly = build(None)
+    // start-sorted = Morton with a constant y (monotone in x): the
+    // STRONGEST time-layout baseline — start stats are tight, but end
+    // stats still stretch ~max-duration past each group's start range
+    val startSorted = build(Some((zx, lit(0L))))
+    val zOrdered = build(Some((zx, zy)))
+    // query: one whole minute of starts, durations 30-60 s
+    val (s1, s2) = (t0 + 60000000L, t0 + 119999999L)
+    val (d1, d2) = (30000000L, 60000000L)
+    val minuteStr = java.time.format.DateTimeFormatter.ofPattern("mm")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(s1 / 1000))
+    // the reader's own row-group admission rule: footer [min,max] boxes
+    // on (start, end) against the predicate + derived end-range box
+    def skip(st: graft.store.ParquetStore): (Int, Int) = {
+      val gs = st.rowGroupRanges(Seq("start", "end"))
+        .filter(_._1.contains(s"minute=$minuteStr"))
+      val skipped = gs.count { case (_, g) =>
+        val (sLo, sHi) = g("start"); val (eLo, eHi) = g("end")
+        !(sHi >= s1 && sLo <= s2 && eHi >= s1 + d1 && eLo <= s2 + d2)
+      }
+      (skipped, gs.size)
+    }
+    val (zSkip, zTot) = skip(zOrdered)
+    val (sSkip, sTot) = skip(startSorted)
+    val (tSkip, tTot) = skip(timeOnly)
+    info(s"row groups skipped — z-order: $zSkip/$zTot, " +
+      s"start-sorted: $sSkip/$sTot, time-only: $tSkip/$tTot")
+    assert(zTot >= 8, s"fixture too small to measure: $zTot row groups")
+    // the z layout must skip a real fraction; both time layouts skip
+    // ~nothing because every group's end range spans the duration tail
+    assert(zSkip.toDouble / zTot >= 0.25,
+      s"z-order skipped only $zSkip/$zTot")
+    assert(zSkip.toDouble / zTot > sSkip.toDouble / sTot + 0.2,
+      s"z-order ($zSkip/$zTot) not clearly ahead of start-sorted ($sSkip/$sTot)")
+    assert(zSkip.toDouble / zTot > tSkip.toDouble / tTot + 0.2,
+      s"z-order ($zSkip/$zTot) not clearly ahead of time-only ($tSkip/$tTot)")
+    // the derived end-range conjunct reaches the scan as a pushed
+    // filter, and results are IDENTICAL to the plain F9 ∧ F10 filter
+    // over the unclustered layout
+    val viaZ = zOrdered.readSpanRange(s1, s2, d1, d2).get
+    val pushed = viaZ.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(m => m.contains("GreaterThanOrEqual(end,") &&
+      m.contains("LessThanOrEqual(end,")),
+      s"derived end conjunct not pushed: $pushed")
+    val plain = timeOnly.read(Some(s1), Some(s2)).get
+      .filter(col("start").between(s1, s2) &&
+        (col("end") - col("start")).between(d1, d2))
+    val got = viaZ.select("id").as[Long].collect().sorted
+    val want = plain.select("id").as[Long].collect().sorted
+    assert(got.sameElements(want) && got.nonEmpty)
+  }
 }
