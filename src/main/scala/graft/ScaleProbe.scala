@@ -81,6 +81,30 @@ object ScaleProbe {
     val d10 = docs10().localCheckpoint(true)
     val e10 = embs10().localCheckpoint(true)
 
+    // span/log feeds for the big-state streaming gates (w07/w09): ten
+    // copies under shifted ids — id/parent_id/trace_id shift together
+    // so per-trace structure (and therefore merge/join semantics)
+    // replicates; null parent_ids stay null (roots stay roots). State
+    // keys (span ids) grow exactly 10×.
+    val (sp1, lg1) = {
+      val (sp, lg) = graft.queries.EngineQueries.ordersAsSpans(spark, sfDir)
+      (sp.localCheckpoint(true), lg.localCheckpoint(true))
+    }
+    def spans10(): DataFrame = (0 until 10).map { k =>
+      sp1.select((col("id") * 10 + k).as("id"),
+        (col("parent_id") * 10 + k).as("parent_id"),
+        (col("trace_id") * 10 + k).as("trace_id"),
+        col("name"), col("process_id"), col("start"), col("end"),
+        col("tags"))
+    }.reduce(_ unionAll _)
+    def logs10(): DataFrame = (0 until 10).map { k =>
+      lg1.select(col("process_id"), col("time"),
+        (col("trace_id") * 10 + k).as("trace_id"),
+        (col("span_id") * 10 + k).as("span_id"), col("level"))
+    }.reduce(_ unionAll _)
+    val sp10 = spans10().localCheckpoint(true)
+    val lg10 = logs10().localCheckpoint(true)
+
     // events grow by copy too: ids and users shift per copy (distinct
     // users ×10), event days stay — the partition dimension a real
     // month of 10× traffic keeps
@@ -90,6 +114,44 @@ object ScaleProbe {
         (col("user_id") * 10 + k).as("user_id"), col("event_type"),
         col("value"), col("props"))
     }.reduce(_ unionAll _).localCheckpoint(true)
+
+    // streaming state metrics: every StreamingQueryProgress carries
+    // per-operator state rows / bytes; the buffer aggregates across a
+    // gate's micro-batches (max state footprint + batch count — commit
+    // count = batches × statePartitions × stores-per-operator)
+    val progresses = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit =
+          progresses.synchronized { progresses += e.progress: Unit }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+
+    /** One streaming-gate execution: wall time + the state story the
+      * batch `measure` cannot see (max state rows/MB, batch count).
+      */
+    def measureStream(query: String, scale: String,
+        df: => DataFrame): Unit = {
+      if (only.nonEmpty && !only.exists(query.startsWith)) return
+      progresses.synchronized(progresses.clear())
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener events drain asynchronously
+      val ps = progresses.synchronized(progresses.toVector)
+      val stateRows = (0L +: ps.map(_.stateOperators.map(_.numRowsTotal).sum)).max
+      val stateMb = (0L +: ps.map(_.stateOperators.map(_.memoryUsedBytes).sum))
+        .max / 1e6
+      val batches = ps.count(_.stateOperators.nonEmpty)
+      println(f"""{"query":"$query","scale":"$scale","rows":$rows,""" +
+        f""""sec":$sec%.2f,"state_rows":$stateRows,""" +
+        f""""state_mb":$stateMb%.1f,"batches":$batches}""")
+    }
 
     def measure(query: String, scale: String, df: => DataFrame): Unit = {
       if (only.nonEmpty && !only.exists(query.startsWith)) return
@@ -174,6 +236,16 @@ object ScaleProbe {
       if (scale == "10x")
         measure("d09_embedding_lsh_auto", scale,
           Dedup.embeddingPairsLsh(e, 0.4))
+      // big-state streaming gates: state rows must grow ∝ distinct
+      // span ids (w07: open-span upsert state; w09: buffered join
+      // rows), batch count stays fixed by the feed split — confirming
+      // the state-partition sizing rule (commits = batches ×
+      // partitions × stores) holds as state grows 10×
+      val (sp, lg) = if (scale == "1x") (sp1, lg1) else (sp10, lg10)
+      measureStream("w07_spanmerge_stream", scale,
+        graft.queries.EngineQueries.spanMergeStreamRun(spark, sp))
+      measureStream("w09_spanlog_join_stream", scale,
+        graft.queries.EngineQueries.spanLogJoinStreamRun(spark, sp, lg))
       Dedup.releaseIntermediates()
     }
     spark.stop()

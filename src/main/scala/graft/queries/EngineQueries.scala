@@ -135,8 +135,12 @@ object EngineQueries {
     * the gates exercise merge-of-partials, not fixture noise.
     */
   private def spanRecordFeed(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    spanRecordFeedFrom(ordersAsSpans(s, d)._1)
+
+  private[graft] def spanRecordFeedFrom(raw: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val base = ordersAsSpans(s, d)._1
+    val base = raw
       .groupBy(col("id"))
       .agg(min_by(
         struct(col("parent_id"), col("trace_id"), col("name"),
@@ -169,9 +173,17 @@ object EngineQueries {
     (opens, rearrivals, closes)
   }
 
-  def spanMergeStreamGate(s: SparkSession, d: String): DataFrame = {
+  def spanMergeStreamGate(s: SparkSession, d: String): DataFrame =
+    spanMergeStreamRun(s, ordersAsSpans(s, d)._1)
+
+  /** w07's streaming execution over a caller-supplied raw span table —
+    * the gate passes the sf feed; ScaleProbe passes a 10× replica to
+    * measure how merge state and commit cadence grow with key count.
+    */
+  private[graft] def spanMergeStreamRun(s: SparkSession,
+      raw: DataFrame): DataFrame = {
     import graft.ingest.{SpanMerger, SpanRecord}
-    val (opens, rearrivals, closes) = spanRecordFeed(s, d)
+    val (opens, rearrivals, closes) = spanRecordFeedFrom(raw)
     graft.util.StreamGate.runParquet(s, "w07_spanmerge_stream",
       Seq(opens, rearrivals.unionAll(closes)),
       df => { import s.implicits._
@@ -212,6 +224,16 @@ object EngineQueries {
     */
   def spanLogJoinStreamGate(s: SparkSession, d: String): DataFrame = {
     val (spans, logs) = ordersAsSpans(s, d)
+    spanLogJoinStreamRun(s, spans, logs)
+  }
+
+  /** w09's streaming execution over caller-supplied span/log tables —
+    * the gate passes the sf feed; ScaleProbe passes 10× replicas to
+    * measure buffered-join state growth. The ¼-trace cap stays inside
+    * so both scales run identical semantics.
+    */
+  private[graft] def spanLogJoinStreamRun(s: SparkSession,
+      spans: DataFrame, logs: DataFrame): DataFrame = {
     // deterministic ¼-trace cap (trace_id ≡ 0 mod 4, oracle-mirrored):
     // the gate exercises the stream-stream machinery — buffered-state
     // joins, watermark plumbing, eviction bounds — which is
