@@ -140,6 +140,9 @@ object VectorExprs {
       es => Simhash64Agg(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash16_agg",
       es => Minhash16Agg(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bottom_k_agg",
+      es => BottomKAgg(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     // subword_xxx(word, vocabArray, minLen, maxLen): the vocab literal
     // is folded into a hash-set reference at resolution time, so the
     // resolved plan stays constant-size at any vocab size

@@ -518,6 +518,44 @@ object Sketches {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  // ----------------------------------------------------- streamed KMV
+
+  /** w13: the KMV bottom-K sketch maintained as a REAL streaming
+    * aggregation — the FOURTH (and last) merge algebra in the sketch
+    * family streamed: w08 folds registers by MAX, w10 counters by SUM,
+    * w12 buckets by ADDITION — all value-domain-bounded state; KMV
+    * folds by ORDER STATISTICS (union, keep the K minima), whose
+    * bound comes from the aggregate itself, so no composition of
+    * built-in streaming folds keeps its state bounded. The custom
+    * [[graft.functions.BottomKAgg]] imperative aggregate carries a
+    * ≤ K-long sorted buffer per source through the state store; the
+    * documents feed arrives as two parquet micro-batches, and the
+    * landed per-source sketch must equal the batch [[kmvSketches]]
+    * build HASH-FOR-HASH (the oracle replays the same distinct
+    * gram-hash bottom-K directly). The gate explodes the landed
+    * sketch arrays AFTER the stream (scalar-only rows for the
+    * comparator, t12's discipline).
+    */
+  def kmvStreamGate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    def half(r: Int) = docs.filter(col("doc_id") % 2 === r)
+      .select(col("source"), col("text"))
+    graft.util.StreamGate.runParquetMem(s, "w13_kmv_stream",
+      Seq(half(0), half(1)),
+      "complete",
+      df => df
+        .select(col("source"),
+          explode(call_function("gram_hashes", tokens(col("text")), lit(3)))
+            .as("h"))
+        .groupBy(col("source"))
+        .agg(call_function("bottom_k_agg", col("h"), lit(KmvK)).as("sk")),
+      statePartitions = Some(8))
+      .select(col("source"), explode(col("sk")).as("h"))
+      .orderBy(col("source"), col("h"))
+  }
+
   // ------------------------------------------------------------- gating
 
   type Q = (SparkSession, String) => DataFrame
@@ -534,7 +572,8 @@ object Sketches {
       hllPartitionRollup(Tables.events(s, d))),
     "w08_hll_stream" -> (hllStreamGate _),
     "w10_cms_stream" -> (cmsStreamGate _),
-    "w12_hist_stream" -> (histStreamGate _))
+    "w12_hist_stream" -> (histStreamGate _),
+    "w13_kmv_stream" -> (kmvStreamGate _))
 
   /** DuckDB replays of the sketch pipelines — same md5 decodes (via
     * [[Dedup.hexValSql]]'s char arithmetic), same integer folds, same
@@ -730,6 +769,19 @@ object Sketches {
            |FROM pc JOIN counters USING (j, cell)
            |GROUP BY 1, 2 ORDER BY token""".stripMargin
       },
+      "w13_kmv_stream" ->
+        s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t
+           | FROM documents),
+           |shl AS (SELECT source, CASE WHEN len(t) >= 3
+           |  THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+           |                      for i in range(1, len(t)-1)])
+           |  ELSE [] END AS shl FROM toks),
+           |sg AS (SELECT source, unnest(shl) AS g FROM shl),
+           |h AS (SELECT DISTINCT source, ${b60("g")} AS h FROM sg)
+           |SELECT source, h FROM h
+           |QUALIFY row_number() OVER (PARTITION BY source ORDER BY h)
+           |  <= $KmvK
+           |ORDER BY source, h""".stripMargin,
       "x03_kmv_overlap" ->
         s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t
            | FROM documents),

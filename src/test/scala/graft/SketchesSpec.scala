@@ -204,6 +204,41 @@ class SketchesSpec extends SparkSpec {
     assert(qStream == qBatch && qStream.nonEmpty)
   }
 
+  test("bottom_k_agg is sort-distinct-take-k under any partitioning") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    // values with duplicates, spread across partitions so the capped
+    // sorted-merge (partial-agg combine) path actually runs
+    val vals = (1L to 3000L).map(i => (i % 7, (i * 2654435761L) % 1000L))
+    val expected = vals.groupBy(_._1).view.mapValues(
+      _.map(_._2).distinct.sorted.take(256)).toMap
+    for (parts <- Seq(1, 4)) {
+      val df = vals.toDF("g", "v").repartition(parts)
+      val got = df.groupBy(col("g"))
+        .agg(call_function("bottom_k_agg", col("v"), lit(256)).as("sk"))
+        .select(col("g"), col("sk")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    // the cap evicts the maximum: k=5 keeps exactly the 5 smallest
+    val small = vals.toDF("g", "v").groupBy(col("g"))
+      .agg(call_function("bottom_k_agg", col("v"), lit(5)).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(small == expected.map { case (g, xs) => g -> xs.take(5) })
+  }
+
+  test("streamed KMV sketch equals the batch bottom-K hash-for-hash") {
+    // the order-statistics fold: BottomKAgg's bounded buffer through
+    // the state store must land the same per-source sketch the batch
+    // threshold-pruned rank build produces
+    val streamed = Sketches.kmvStreamGate(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = Sketches.kmvSketches(docs)
+      .orderBy(col("source"), col("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("partition-sketch rollup equals the direct sketch over the pruned range") {
     // mergeability over the PARTITION dimension: max-merging the
     // per-day register maxima must reproduce the registers of a direct
