@@ -41,6 +41,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** s13: attribute-FILTERED exact ANN — top-k under a metadata
+    * predicate, the production retrieval shape ("nearest docs with
+    * lang = X", "nearest vectors not in the eval set"). This is the
+    * PRE-filter strategy: the predicate lands before scoring, so the
+    * result is exact by construction and the scan-and-score is a
+    * filtered corpus pass against a broadcast query side — at 100 TB
+    * the filter pushes into the parquet scan (label is a plain
+    * column) and cost is ∝ the filtered corpus, the right trade for
+    * selective predicates. The alternative a prebuilt unfiltered
+    * index tempts — POST-filtering its shortlist — loses recall as
+    * selectivity falls: a top-k' shortlist holds ~k'·sel matching
+    * rows, so the over-fetch k'/k must grow ~1/sel to keep recall;
+    * SimilaritySpec measures exactly that cliff against the IVF
+    * index and the over-fetch form recovering it.
+    */
+  def filteredTopK(embs: DataFrame, queryMaxId: Long, k: Int,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
+    val e = embs.select(col("vec_id"), col("label"),
+      asDoubles(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.filter(pred)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast("qv", "v"), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-vector LSH bucket id from nPlanes md5-derived hyperplanes. */
   def lshBuckets(embs: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     graft.functions.VectorExprs.register(embs.sparkSession)
@@ -641,6 +673,12 @@ object Similarity {
     "s01_cosine_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), 5L, 10)
         .orderBy(col("query_id"), col("rank"))),
+    // ~10% selectivity (one of ten labels): the regime where
+    // pre-filtering beats post-filtering a prebuilt index
+    "s13_filtered_topk" -> ((s, d) =>
+      filteredTopK(Tables.embeddings(s, d), 5L, 10, col("label") === 3)
+        .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))),
     "s11_sq8_topk" -> ((s, d) =>
       sq8TopK(Tables.embeddings(s, d), 5L, 10)
         .orderBy(col("query_id"), col("rank"))),
@@ -927,6 +965,18 @@ object Similarity {
          |scored AS (SELECT query_id, vec_id,
          |   round(list_cosine_similarity(qv, v), 6) AS cos
          |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         |ranked AS (SELECT query_id, vec_id, cos,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s13_filtered_topk" ->
+      s"""$embCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (SELECT query_id, vec_id,
+         |   round(list_cosine_similarity(qv, v), 6) AS cos
+         |  FROM e CROSS JOIN q
+         |  WHERE vec_id <> query_id AND label = 3),
          |ranked AS (SELECT query_id, vec_id, cos,
          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)

@@ -214,6 +214,43 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpqRecall >= 0.2, s"IVF-PQ recall $ivfpqRecall below 0.2")
   }
 
+  test("filtered ANN: post-filtering loses recall at low selectivity; over-fetch recovers it") {
+    // the s13 design claim: with a ~10%-selective predicate, taking
+    // the unfiltered top-10 and dropping non-matching rows keeps only
+    // ~1 relevant result, so recall vs the pre-filtered exact answer
+    // collapses; growing the shortlist ~1/selectivity (the over-fetch
+    // rule) buys it back — and pre-filtering is exact by construction
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    val pred = col("label") === 3
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labels = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue())
+      .toMap
+    val exact = pairs(Similarity.filteredTopK(embs, 5L, 10, pred))
+    assert(exact.size == 50, s"5 queries x top-10 expected, got ${exact.size}")
+    // every returned neighbor satisfies the predicate (exact by
+    // construction — the pre-filter claim)
+    assert(exact.forall { case (_, v) => labels(v) == 3L })
+    // post-filter: unfiltered exact top-10, then drop non-matching
+    def postFilter(kPrime: Int): Set[(Long, Long)] = Similarity
+      .bruteForceTopK(embs, 5L, kPrime)
+      .select(col("query_id"), col("vec_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, v) => labels(v) == 3L }
+      .groupBy(_._1).iterator.flatMap { case (_, xs) => xs.take(10) }.toSet
+    val narrow = postFilter(10)
+    val wide = postFilter(120) // ≈ k / selectivity + slack
+    val rNarrow = (narrow & exact).size.toDouble / exact.size
+    val rWide = (wide & exact).size.toDouble / exact.size
+    info(s"post-filter recall@10: k'=10 → $rNarrow, k'=120 → $rWide")
+    assert(rNarrow <= 0.5, s"narrow post-filter recall $rNarrow suspiciously high")
+    assert(rWide >= 0.9, s"over-fetched post-filter recall $rWide below 0.9")
+  }
+
   test("exact re-ranking recovers precision the raw ADC order loses") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
