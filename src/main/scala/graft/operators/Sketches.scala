@@ -398,26 +398,44 @@ object Sketches {
     * query-time rollup touches only the pruned sketch rows — constant
     * work per partition regardless of raw row counts.
     */
-  def hllPartitionRollup(events: DataFrame, lo: String = RollupLoDay,
-      hi: String = RollupHiDay): DataFrame = {
-    // integer ns→µs division (`div`, not `/`): long/long `/` is double
-    // division, which loses precision above 2^53 — epoch-ns is ~1.7e18,
-    // so an event within ~128ns of a day boundary could otherwise land
-    // in the wrong partition sketch while the oracle's exact
-    // epoch_ns(ts)//1000 keeps it (the q23/q27 convention)
-    val day = to_date(timestamp_micros(graft.util.Cols.nsToUs("ts")))
-    val parts = hllRegisters(events.withColumn("day", day),
+  /** The per-day partition column — integer ns→µs division (`div`,
+    * not `/`): long/long `/` is double division, which loses precision
+    * above 2^53 — epoch-ns is ~1.7e18, so an event within ~128ns of a
+    * day boundary could otherwise land in the wrong partition sketch
+    * while the oracle's exact epoch_ns(ts)//1000 keeps it (the
+    * q23/q27 convention).
+    */
+  private def rollupDay: Column =
+    to_date(timestamp_micros(graft.util.Cols.nsToUs("ts")))
+
+  /** The persisted partition-sketch table's build: per-(event_type,
+    * day) HLL register PARTIALS over a slice of events. Registers
+    * merge by max, so PARTIAL tables from different slices (batch
+    * appends, streamed flushes — w14's path) need no upsert: append
+    * them all and let [[rollupQuery]]'s max fold them — the
+    * incremental-view-maintenance trick mergeability buys.
+    */
+  def rollupSketchTable(events: DataFrame): DataFrame =
+    hllRegisters(events.withColumn("day", rollupDay),
       struct(col("event_type").as("event_type"), col("day").as("day")),
       col("user_id"), "x05:")
-    val pruned = parts
-      .filter(col("g.day").between(lit(lo), lit(hi)))
+      .select(col("g.event_type").as("event_type"), col("g.day").as("day"),
+        col("bucket"), col("mreg"))
+
+  /** The query half: prune the sketch table to a day range, max-merge
+    * registers (duplicate/partial rows fold correctly by the same
+    * max), estimate, and join the exact count from the raw events for
+    * the gate's accuracy pin.
+    */
+  def rollupQuery(parts: DataFrame, events: DataFrame, lo: String,
+      hi: String): DataFrame = {
+    val pruned = parts.filter(col("day").between(lit(lo), lit(hi)))
     val merged = pruned
-      .groupBy(col("g.event_type").as("g"), col("bucket"))
+      .groupBy(col("event_type").as("g"), col("bucket"))
       .agg(max(col("mreg")).as("mreg"))
-    val nDays = pruned.select(col("g.event_type").as("event_type"),
-        col("g.day").as("day")).distinct()
+    val nDays = pruned.select(col("event_type"), col("day")).distinct()
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
-    val exact = events.filter(day.between(lit(lo), lit(hi)))
+    val exact = events.filter(rollupDay.between(lit(lo), lit(hi)))
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     hllEstimate(merged).withColumnRenamed("g", "event_type")
@@ -426,6 +444,10 @@ object Sketches {
         col("zeros"), col("sum_scaled"), col("hll_est"))
       .orderBy(col("event_type"))
   }
+
+  def hllPartitionRollup(events: DataFrame, lo: String = RollupLoDay,
+      hi: String = RollupHiDay): DataFrame =
+    rollupQuery(rollupSketchTable(events), events, lo, hi)
 
   // ------------------------------------------------------ streamed HLL
 
@@ -556,6 +578,42 @@ object Sketches {
       .orderBy(col("source"), col("h"))
   }
 
+  // ------------------------------------- streamed sketch-view upkeep
+
+  /** w14: the PERSISTED partition-sketch view maintained by a stream —
+    * x05's dashboard pattern run end-to-end the way a deployment
+    * actually runs it. The events feed arrives as two parquet
+    * micro-batches; each flush computes its per-(event_type, day)
+    * register PARTIALS (one batch-local partial aggregation, O(sketch)
+    * rows) and APPENDS them to a persisted register table — no
+    * streaming state at all: the sketch store itself is the state,
+    * and HLL mergeability (register max) makes appended partials
+    * exactly as good as an upsert, so the flush path is append-only
+    * and crash-trivial. The query half then prunes the LANDED store
+    * to the date range, max-merges, and estimates — and must equal
+    * the batch x05 gate EXACTLY (same oracle). This composes with
+    * w08 from the other side: w08 streams the register FOLD through
+    * the state store; w14 streams the partials into a PERSISTED view
+    * and lets the query-time merge fold them — the two halves of
+    * incremental sketch-view maintenance.
+    */
+  def rollupStreamGate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("ts"))
+    def half(r: Int) = ev.filter(col("event_id") % 2 === r)
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val store = java.nio.file.Files
+      .createTempDirectory("w14_sketch_store").toString
+    graft.util.StreamGate.runParquetForeach(s, "w14_rollup_stream",
+      Seq(half(0), half(1)),
+      df => df,
+      batch => rollupSketchTable(batch)
+        .write.mode("append").parquet(store))
+    rollupQuery(s.read.parquet(store),
+      ev.select(col("event_type"), col("user_id"), col("ts")),
+      RollupLoDay, RollupHiDay)
+  }
+
   // ------------------------------------------------------------- gating
 
   type Q = (SparkSession, String) => DataFrame
@@ -573,7 +631,8 @@ object Sketches {
     "w08_hll_stream" -> (hllStreamGate _),
     "w10_cms_stream" -> (cmsStreamGate _),
     "w12_hist_stream" -> (histStreamGate _),
-    "w13_kmv_stream" -> (kmvStreamGate _))
+    "w13_kmv_stream" -> (kmvStreamGate _),
+    "w14_rollup_stream" -> (rollupStreamGate _))
 
   /** DuckDB replays of the sketch pipelines — same md5 decodes (via
     * [[Dedup.hexValSql]]'s char arithmetic), same integer folds, same
@@ -666,6 +725,9 @@ object Sketches {
     Map(
       "w08_hll_stream" -> w08Sql,
       "x05_sketch_rollup" -> x05Sql,
+      // streamed-view maintenance lands register PARTIALS whose max-
+      // merge equals the direct build, so the oracle IS x05's replay
+      "w14_rollup_stream" -> x05Sql,
       // w10's oracle: x02's counter-build CTE alone — the streamed
       // counter table must equal the batch build cell-for-cell
       "w10_cms_stream" -> {

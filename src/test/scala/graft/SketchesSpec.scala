@@ -239,6 +239,14 @@ class SketchesSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamed sketch-view maintenance equals the batch rollup exactly") {
+    // appended register PARTIALS from two flushes must max-merge to
+    // the direct build — mergeability as incremental view maintenance
+    val streamed = Sketches.rollupStreamGate(spark, d).collect().toSeq
+    val batch = Sketches.hllPartitionRollup(events).collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("partition-sketch rollup equals the direct sketch over the pruned range") {
     // mergeability over the PARTITION dimension: max-merging the
     // per-day register maxima must reproduce the registers of a direct
