@@ -53,6 +53,18 @@ object TraceQueries {
     val dur = col("end") - col("start")
     p.minDurationUs.foreach(m => roots = roots.filter(dur >= m))
     p.maxDurationUs.foreach(m => roots = roots.filter(dur <= m))
+    // Derived END-RANGE conjuncts: `end - start` is an arithmetic
+    // expression parquet row-group statistics can never serve, but
+    // each (start-bound, duration-bound) pair IMPLIES a bound on the
+    // STORED `end` column — redundant predicates, so results are
+    // unchanged, while the scan gains pushable row-group filters that
+    // a z-ordered layout (ParquetStore.compact zorderOn start ×
+    // duration) makes decisive (measured skip ratios in SCALE.md;
+    // read-path form at ParquetStore.readSpanRange).
+    for (s <- p.startUs; m <- p.minDurationUs)
+      roots = roots.filter(col("end") >= s + m)
+    for (e <- p.endUs; m <- p.maxDurationUs)
+      roots = roots.filter(col("end") <= e + m)
     roots
   }
 

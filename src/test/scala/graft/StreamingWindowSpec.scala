@@ -342,6 +342,27 @@ class StreamingWindowSpec extends SparkSpec {
     assert(ids(store.read(None, None).get) == (1L to 350L))
   }
 
+  test("staged flushes tolerate schema drift (the log table's dynamic columns)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stagedrift").toString
+    val store = new graft.store.ParquetStore(spark, root, "log", "time")
+    val t0 = 1760000040000000L
+    store.write(Seq((1L, t0 + 1000000L, "a")).toDF("id", "time", "msg"))
+    // a later staged flush carries a NEW column (merge-on-write drift)
+    store.writeStaged(Seq((2L, t0 + 2000000L, "b", 7L))
+      .toDF("id", "time", "msg", "code"))
+    val got = store.read(None, None).get
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val codeIdx = got.head.schema.fieldIndex("code")
+    assert(got(0).isNullAt(codeIdx) && got(1).getLong(codeIdx) == 7L)
+    // and the drained (compacted) table keeps the merged schema
+    store.compact()
+    val after = store.read(None, None).get.orderBy("id").collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(after(1).getLong(after.head.schema.fieldIndex("code")) == 7L)
+  }
+
   test("z-ordered store skips duration-band row groups neither time layout can") {
     import spark.implicits._
     // 40k spans over 3 minutes (t0 minute-aligned so the query window

@@ -41,6 +41,36 @@ class TraceQueriesSpec extends SparkSpec {
     assert(ids == Seq(9001L)) // 9002's foo is only 100ms; 9003 is other svc
   }
 
+  test("derived end-range conjuncts push to parquet and change no results") {
+    // admission with (start range ∧ duration range) gains the implied
+    // bounds on the STORED end column — row-group-prunable where
+    // `end - start` never is; results are identical because the
+    // conjuncts are implied by F9 ∧ F10
+    val dir = java.nio.file.Files.createTempDirectory("roots").toString
+    spans.write.parquet(s"$dir/spans")
+    val stored = spark.read.parquet(s"$dir/spans")
+    val p = TraceSearchParams(service = "example",
+      startUs = Some(t0 - 1000000L), endUs = Some(t0 + 1000000L),
+      minDurationUs = Some(200000L), maxDurationUs = Some(600000L))
+    val got = TraceQueries.admittedRoots(stored, p)
+    val pushed = got.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(m => m.contains("GreaterThanOrEqual(end,") &&
+      m.contains("LessThanOrEqual(end,")),
+      s"derived end conjuncts not pushed: $pushed")
+    // identical to the plain F9 ∧ F10 filter without the conjuncts
+    val plain = stored
+      .filter(col("process_id").like("example%") &&
+        col("parent_id").isNull &&
+        col("start").between(t0 - 1000000L, t0 + 1000000L) &&
+        (col("end") - col("start")).between(200000L, 600000L))
+    assert(got.select("trace_id").as[Long].collect().sorted.toSeq ==
+      plain.select("trace_id").as[Long].collect().sorted.toSeq)
+    assert(got.count() > 0)
+  }
+
   test("assembly groups spans per trace with rollups and error tag") {
     val p = TraceSearchParams(service = "example")
     val traces = TraceQueries.filterTraces(spark, spans, logs, p)
