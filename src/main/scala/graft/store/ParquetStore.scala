@@ -181,6 +181,113 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       if (!old.renameTo(live))
         throw new java.io.IOException(s"recover: rename $oldDir -> $dir failed")
     }
+    recoverPartitions()
+  }
+
+  /** Re-pin the partition columns to their canonical zero-padded
+    * string forms before a compaction rewrite. Hive partition-value
+    * type INFERENCE parses `hour=08` as the integer 8, so a naive
+    * read→write round-trip renames the dir to `hour=8` — silently
+    * breaking the zero-padded layout [[TimePrefix]]'s path strings
+    * (readPrefixes) depend on, and leaving a table whose pre- and
+    * post-compaction dirs disagree. lpad(cast(x, string), 2, '0') is
+    * a fixed point for both the inferred-int and original-string
+    * forms; `date` round-trips through DateType as ISO unchanged.
+    */
+  private def normalizePartCols(df: DataFrame): DataFrame = df
+    .withColumn("date", col("date").cast("string"))
+    .withColumn("hour", lpad(col("hour").cast("string"), 2, "0"))
+    .withColumn("minute", lpad(col("minute").cast("string"), 2, "0"))
+
+  private def partStagedPrefix = s".compact-$table@"
+  private def partOldPrefix = s".old-$table@"
+
+  /** [[recover]]'s per-partition pass: roll any interrupted
+    * [[compactDate]] swap forward or back — same three-way logic as
+    * the whole-table swap, scoped to one `date=…` dir. O(#interrupted
+    * swaps), not O(partitions): only leftover temp trees are listed.
+    */
+  private def recoverPartitions(): Unit = {
+    val rootF = new File(root)
+    if (!rootF.exists()) return
+    val names = Option(rootF.listFiles()).toSeq.flatten.map(_.getName)
+    val parts = names.collect {
+      case n if n.startsWith(partStagedPrefix) =>
+        n.substring(partStagedPrefix.length)
+      case n if n.startsWith(partOldPrefix) =>
+        n.substring(partOldPrefix.length)
+    }.distinct
+    for (p <- parts) {
+      val live = new File(dir, p)
+      val staged = new File(rootF, partStagedPrefix + p)
+      val old = new File(rootF, partOldPrefix + p)
+      val marker = new File(staged, "_STAGED_OK")
+      if (live.exists()) {
+        if (staged.exists()) rm(staged)
+        if (old.exists()) rm(old)
+      } else if (marker.exists()) {
+        if (!staged.renameTo(live))
+          throw new java.io.IOException(
+            s"recover: rename $staged -> $live failed")
+        new File(live, "_STAGED_OK").delete(): Unit
+        if (old.exists()) rm(old)
+      } else if (old.exists()) {
+        rm(staged)
+        if (!old.renameTo(live))
+          throw new java.io.IOException(
+            s"recover: rename $old -> $live failed")
+      }
+    }
+  }
+
+  /** Compact ONE date partition — the incremental form compaction
+    * actually takes at scale: a rolling background job over
+    * partitions older than the hot ingest tail, never a whole-table
+    * rewrite (at 100 TB the [[compact]] full rewrite is a migration
+    * tool, not a cadence). Same crash-safe swap discipline, scoped to
+    * the `date=…` dir: staged rewrite + marker, live-aside, promote,
+    * drop — [[recover]] rolls an interrupted swap forward or back per
+    * partition. Never touches other dates or the `_staging` tree
+    * (draining staging is the whole-table pass's job).
+    */
+  def compactDate(date: String, filesPerPartition: Int = 1,
+      zorderOn: Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)] = None,
+      blockSize: Option[Long] = None,
+      crashAfterStep: Int = Int.MaxValue): Unit = {
+    recover()
+    val part = s"date=$date"
+    val live = new File(dir, part)
+    if (!live.exists()) return
+    val staged = new File(root, partStagedPrefix + part)
+    val old = new File(root, partOldPrefix + part)
+    // basePath keeps the hour/minute partition columns; the constant
+    // date column is dropped before the write and re-inferred from
+    // the promoted dir name
+    val base = normalizePartCols(spark.read.option("mergeSchema", "true")
+        .option("basePath", dir).parquet(live.getPath))
+      .repartition(filesPerPartition, col("hour"), col("minute"))
+    val sorted = zorderOn.fold(base) { case (x, y) =>
+      base.sortWithinPartitions(col("hour"), col("minute"),
+        graft.operators.Pipelines.zorderKey(x, y))
+    }
+    val writer = sorted.drop("date").write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#trace_id", "true")
+    blockSize.fold(writer)(b => writer
+        .option("parquet.block.size", b.toString))
+      .partitionBy("hour", "minute")
+      .parquet(staged.getPath)
+    new File(staged, "_STAGED_OK").createNewFile(): Unit
+    if (crashAfterStep <= 1) return
+    if (!live.renameTo(old))
+      throw new java.io.IOException(s"compactDate: rename $live -> $old failed")
+    if (crashAfterStep <= 2) return
+    if (!staged.renameTo(live))
+      throw new java.io.IOException(
+        s"compactDate: rename $staged -> $live failed")
+    new File(live, "_STAGED_OK").delete(): Unit
+    if (crashAfterStep <= 3) return
+    rm(old)
   }
 
   /** Compact the small files the minute-grained ingest leaves behind:
@@ -248,7 +355,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       case (m, st) => m.orElse(st)
     }
     if (all.isEmpty) return
-    val base = all.get
+    val base = normalizePartCols(all.get)
       .repartition(filesPerPartition, col("date"), col("hour"), col("minute"))
     // partition columns lead the sort so the writer's own
     // required-ordering (it otherwise re-sorts each task by the

@@ -342,6 +342,54 @@ class StreamingWindowSpec extends SparkSpec {
     assert(ids(store.read(None, None).get) == (1L to 350L))
   }
 
+  test("per-date compaction is scoped, crash-safe, and preserves zero-padded dirs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdate").toString
+    val store = new graft.store.ParquetStore(spark, root, "span", "start")
+    // day 1 at hour=08, day 2 at hour=00/minute=05 — the zero-padded
+    // dir names hive partition-value INFERENCE silently renames
+    // (hour=08 → int 8 → hour=8) unless the rewrite re-pins them
+    val t1 = 1760000040000000L // 2025-10-09 08:54 UTC
+    val t2 = 1760054700000000L // 2025-10-10 00:05 UTC
+    def batch(ids: Range, t0: Long) = ids.map { i =>
+      (i.toLong, t0 + i * 1000L, t0 + i * 1000L + 500L, i.toLong)
+    }.toDF("id", "start", "end", "trace_id")
+    // two writes → two files per partition (something to compact)
+    store.write(batch(1 to 50, t1)); store.write(batch(51 to 100, t1))
+    store.write(batch(101 to 150, t2)); store.write(batch(151 to 200, t2))
+    def files(sub: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$root/span/$sub")).map(_.getPath).sorted
+    }
+    val day2Before = files("date=2025-10-10")
+    assert(files("date=2025-10-09").size >= 2 && day2Before.size >= 2)
+    def ids(): Seq[Long] = store.read(None, None).get
+      .select("id").as[Long].collect().sorted.toSeq
+    // crash after live-aside: recover() (run by read) promotes the
+    // staged rewrite — no rows lost, day 2 untouched
+    store.compactDate("2025-10-09", crashAfterStep = 2)
+    assert(ids() == (1L to 200L))
+    assert(files("date=2025-10-10") == day2Before, "day 2 was touched")
+    // clean pass: one file per (hour, minute), padded dir names intact
+    store.compactDate("2025-10-09")
+    val day1After = files("date=2025-10-09")
+    assert(day1After.size == 1, s"expected 1 compacted file: $day1After")
+    assert(day1After.head.contains("hour=08"),
+      s"zero-padded hour dir lost: $day1After")
+    assert(ids() == (1L to 200L))
+    assert(files("date=2025-10-10") == day2Before, "day 2 was touched")
+    // the whole-table pass preserves padding too (regression: hour=00
+    // would otherwise come back as hour=0)
+    store.compact()
+    val all = files("")
+    assert(all.exists(_.contains("hour=00")) &&
+      all.exists(_.contains("minute=05")) && !all.exists(_.contains("hour=0/")),
+      s"padding lost after full compact: $all")
+    assert(ids() == (1L to 200L))
+  }
+
   test("staged flushes tolerate schema drift (the log table's dynamic columns)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("stagedrift").toString
