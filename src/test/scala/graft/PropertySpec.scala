@@ -36,6 +36,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BottomKAgg merge laws: reference semantics, associative, commutative") {
+    // the order-statistics fold BottomKAgg carries through batch
+    // partial-agg trees AND streaming state must be a true
+    // commutative monoid up to the k-cap, or partitioning/arrival
+    // order would leak into the sketch
+    val agg = graft.functions.BottomKAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), k = 16)
+    def fold(xs: Seq[Long]): Array[Long] =
+      xs.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+        // drive insert via merge with a singleton (update() needs an
+        // InternalRow; merge is the same algebra)
+        agg.merge(b, Array(v))
+      }
+    def ref(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(16)
+    (0 until 300).foreach { _ =>
+      val n = rnd.nextInt(60)
+      val xs = Seq.fill(n)(rnd.nextLong(40)) // dense → many duplicates
+      val ys = Seq.fill(rnd.nextInt(60))(rnd.nextLong(40))
+      val zs = Seq.fill(rnd.nextInt(60))(rnd.nextLong(40))
+      assert(fold(xs).toSeq == ref(xs))
+      val (a, b, c) = (fold(xs), fold(ys), fold(zs))
+      // merge == reference on the union
+      assert(agg.merge(a.clone(), b.clone()).toSeq == ref(xs ++ ys))
+      // commutative and associative
+      assert(agg.merge(a.clone(), b.clone()).toSeq ==
+        agg.merge(b.clone(), a.clone()).toSeq)
+      assert(
+        agg.merge(agg.merge(a.clone(), b.clone()), c.clone()).toSeq ==
+          agg.merge(a.clone(), agg.merge(b.clone(), c.clone())).toSeq)
+      // serde round-trip
+      assert(agg.deserialize(agg.serialize(a)).toSeq == a.toSeq)
+    }
+  }
+
   test("schema merge is monotone, idempotent, and order-preserving") {
     def randSchema(): StructType = StructType(
       rnd.shuffle((0 until 20).toList).take(rnd.nextInt(10) + 1)
