@@ -236,6 +236,22 @@ object ScaleProbe {
       if (scale == "10x")
         measure("d09_embedding_lsh_auto", scale,
           Dedup.embeddingPairsLsh(e, 0.4))
+      // trigram LM: one census level deeper than t19 — the trigram
+      // table is the only vocabulary²-ish growth; scoring rows stay
+      // one per distinct (doc, u, v, w)
+      measure("t20_trigram_lm", scale, TextAnalysis.trigramSurprisal(d))
+      // perceptual video: m07's shape one modality over — fixed
+      // 16-bit per-frame words ⇒ the same Σ bucket² growth, with the
+      // resolution ceiling capped by the pure-JVM container profile
+      // (≤ 4 sampled frames); production's knob is frame count/word
+      // width, same ~log n rule as d09/m07
+      measure("m08_video_near_dup", scale,
+        graft.operators.Multimodal.videoNearDupPairs(spark, d))
+      // filtered ANN: pre-filter scan-and-score — linear in the
+      // filtered corpus, query side broadcast
+      measure("s13_filtered_topk", scale,
+        graft.operators.Similarity.filteredTopK(e, 5L, 10,
+          col("label") === 3))
       // big-state streaming gates: state rows must grow ∝ distinct
       // span ids (w07: open-span upsert state; w09: buffered join
       // rows), batch count stays fixed by the feed split — confirming
@@ -246,6 +262,16 @@ object ScaleProbe {
         graft.queries.EngineQueries.spanMergeStreamRun(spark, sp))
       measureStream("w09_spanlog_join_stream", scale,
         graft.queries.EngineQueries.spanLogJoinStreamRun(spark, sp, lg))
+      // bounded-state streamed sketches: the state story is the
+      // INVERSE of w07/w09's — feed grows 10×, state stays pinned by
+      // the sketch bound (≤ ~50 buckets/type, ≤ K hashes/source,
+      // w14's persisted partials O(days × 512))
+      measureStream("w12_hist_stream", scale,
+        graft.operators.Sketches.histStreamRun(spark, ev))
+      measureStream("w13_kmv_stream", scale,
+        graft.operators.Sketches.kmvStreamRun(spark, d))
+      measureStream("w14_rollup_stream", scale,
+        graft.operators.Sketches.rollupStreamRun(spark, ev))
       Dedup.releaseIntermediates()
     }
     spark.stop()

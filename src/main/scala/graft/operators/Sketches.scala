@@ -527,9 +527,12 @@ object Sketches {
     * [[quantilesFromHist]] over the landed state and asserts it
     * against batch x04 too). Oracle: x04's histogram CTEs.
     */
-  def histStreamGate(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("event_type"), col("value"))
+  def histStreamGate(s: SparkSession, d: String): DataFrame =
+    histStreamRun(s, Tables.events(s, d))
+
+  private[graft] def histStreamRun(s: SparkSession,
+      events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_id"), col("event_type"), col("value"))
     def half(r: Int) = ev.filter(col("event_id") % 2 === r)
       .select(col("event_type"), col("value"))
     graft.util.StreamGate.runParquetMem(s, "w12_hist_stream",
@@ -558,9 +561,13 @@ object Sketches {
     * sketch arrays AFTER the stream (scalar-only rows for the
     * comparator, t12's discipline).
     */
-  def kmvStreamGate(s: SparkSession, d: String): DataFrame = {
+  def kmvStreamGate(s: SparkSession, d: String): DataFrame =
+    kmvStreamRun(s, Tables.documents(s, d))
+
+  private[graft] def kmvStreamRun(s: SparkSession,
+      documents: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(s)
-    val docs = Tables.documents(s, d)
+    val docs = documents
       .select(col("doc_id"), col("source"), col("text"))
     def half(r: Int) = docs.filter(col("doc_id") % 2 === r)
       .select(col("source"), col("text"))
@@ -597,8 +604,12 @@ object Sketches {
     * and lets the query-time merge fold them — the two halves of
     * incremental sketch-view maintenance.
     */
-  def rollupStreamGate(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def rollupStreamGate(s: SparkSession, d: String): DataFrame =
+    rollupStreamRun(s, Tables.events(s, d))
+
+  private[graft] def rollupStreamRun(s: SparkSession,
+      events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("event_id"), col("event_type"), col("user_id"), col("ts"))
     def half(r: Int) = ev.filter(col("event_id") % 2 === r)
       .select(col("event_type"), col("user_id"), col("ts"))
