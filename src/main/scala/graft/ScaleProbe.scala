@@ -262,6 +262,13 @@ object ScaleProbe {
         graft.queries.EngineQueries.spanMergeStreamRun(spark, sp))
       measureStream("w09_spanlog_join_stream", scale,
         graft.queries.EngineQueries.spanLogJoinStreamRun(spark, sp, lg))
+      // the WHOLE ingest loop as one scaling unit: merge state ∝
+      // span ids, staged flush file count FIXED by batch count (the
+      // round-12 staged path — the partitioned writer would scale
+      // files with event-time spread), read-back + search over the
+      // landed store
+      measureStream("w11_ingest_loop", scale,
+        graft.queries.EngineQueries.ingestLoopRun(spark, sp, lg))
       // bounded-state streamed sketches: the state story is the
       // INVERSE of w07/w09's — feed grows 10×, state stays pinned by
       // the sketch bound (≤ ~50 buckets/type, ≤ K hashes/source,

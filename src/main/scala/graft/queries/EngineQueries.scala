@@ -291,8 +291,19 @@ object EngineQueries {
     * that only exist if the data flowed through the whole loop.
     */
   def ingestLoopGate(s: SparkSession, d: String): DataFrame = {
+    val (raw, logs) = ordersAsSpans(s, d)
+    ingestLoopRun(s, raw, logs)
+  }
+
+  /** w11's streaming execution over caller-supplied raw span/log
+    * tables — the gate passes the sf feed; ScaleProbe passes 10×
+    * replicas to measure the WHOLE loop (merge state + staged
+    * flushes + store read-back + search) as one scaling unit.
+    */
+  private[graft] def ingestLoopRun(s: SparkSession, raw: DataFrame,
+      logs: DataFrame): DataFrame = {
     import graft.ingest.{SpanMerger, SpanRecord}
-    val (opens, rearrivals, closes) = spanRecordFeed(s, d)
+    val (opens, rearrivals, closes) = spanRecordFeedFrom(raw)
     val root = java.nio.file.Files.createTempDirectory("w11_store").toString
     val store = new graft.store.ParquetStore(s, root, "spans", "start")
     graft.util.StreamGate.runParquetForeach(s, "w11_ingest_loop",
@@ -314,7 +325,6 @@ object EngineQueries {
       statePartitions = Some(16))
     val spans = store.read(None, None).getOrElse(
       sys.error("w11: no flush landed in the store"))
-    val logs = ordersAsSpans(s, d)._2
     TraceQueries.filterTraces(s, spans, logs,
       TraceSearchParams(service = "oltp", operation = Some("1-URGENT"),
         minDurationUs = Some(2000000L), limit = 20))
