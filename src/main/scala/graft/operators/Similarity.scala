@@ -27,12 +27,15 @@ object Similarity {
     * the 6-dp-rounded similarity with vec_id tiebreak so ordering is
     * reproducible across engines.
     */
-  def bruteForceTopK(embs: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+  def bruteForceTopK(embs: DataFrame, queryMaxId: Long, k: Int,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     graft.functions.VectorExprs.register(embs.sparkSession)
-    val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val e = embs.select(col("vec_id"), col("label"),
+      asDoubles(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = e.filter(pred)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosineFast("qv", "v"), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
@@ -57,21 +60,8 @@ object Similarity {
     * index and the over-fetch form recovering it.
     */
   def filteredTopK(embs: DataFrame, queryMaxId: Long, k: Int,
-      pred: org.apache.spark.sql.Column): DataFrame = {
-    graft.functions.VectorExprs.register(embs.sparkSession)
-    val e = embs.select(col("vec_id"), col("label"),
-      asDoubles(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scored = e.filter(pred)
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosineFast("qv", "v"), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+      pred: org.apache.spark.sql.Column): DataFrame =
+    bruteForceTopK(embs, queryMaxId, k, pred)
 
   /** Per-vector LSH bucket id from nPlanes md5-derived hyperplanes. */
   def lshBuckets(embs: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {

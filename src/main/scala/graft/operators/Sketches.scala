@@ -227,11 +227,18 @@ object Sketches {
     * group key over the full corpus (the p14/p15 lesson; a source
     * holding half the corpus would otherwise serialize one task).
     *
-    * The gram stream is scanned twice (once for n_occ + class stats,
-    * once pruned into the rank) — two map-side passes in exchange for
-    * never shuffling the stream, the right trade at 100 TB where the
-    * round-11 shape dragged 1/16th of each source's grams through
-    * single sort tasks.
+    * The gram stream is scanned THREE times (n_occ for the threshold;
+    * per-class containment stats; the pruned rank input) — three
+    * map-side re-hash passes in exchange for never shuffling or
+    * caching the stream. That is the right trade at 100 TB: the
+    * passes are CPU-linear over the parquet scan's pushed projection,
+    * while caching the exploded gram stream would materialize a
+    * data-sized intermediate and the round-11 shape dragged 1/16th
+    * of each source's grams through single sort tasks. Three is also
+    * the LAZY floor: the containment guard needs kept-set statistics
+    * that depend on the threshold, which depends on the counts — a
+    * two-pass form exists only with a driver-side branch between
+    * passes (eager execution inside a gate builder).
     */
   def kmvSketches(docs: DataFrame): DataFrame = {
     // the gram_hashes codegen kernel hashes every 3-gram straight off

@@ -31,28 +31,21 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
 
   private def dir = s"$root/$table"
 
-  /** Append a batch, derivating partition columns from the row's µs
-    * epoch time column.
-    *
-    * @param onePerPartition repartition by the derived time-partition
-    *   keys before writing, so each (date, hour, minute) dir gets ONE
-    *   file per flush instead of one per upstream task. Without it a
-    *   flush whose rows span D time partitions across T tasks writes
-    *   up to D×T files — a streamed ingest whose micro-batches carry a
-    *   wide event-time spread (or any wide batch append) should set
-    *   it; the shuffle is bounded by the flush batch, and the
-    *   [[compact]] pass still exists for merging across flushes.
+  /** Append a batch, deriving partition columns from the row's µs
+    * epoch time column. A flush whose rows span D time partitions
+    * across T tasks writes up to D×T files — batches with a WIDE
+    * event-time spread should land through [[writeStaged]] instead
+    * (flat append now, [[compact]] owns the layout); this direct
+    * partitioned write is for the common observability case where a
+    * flush touches the current few minutes.
     */
-  def write(batch: DataFrame, onePerPartition: Boolean = false): Unit = {
-    val derived = batch
+  def write(batch: DataFrame): Unit = {
+    batch
       .withColumn("__ts", timestamp_micros(col(timeCol)))
       .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
       .withColumn("hour", date_format(col("__ts"), "HH"))
       .withColumn("minute", date_format(col("__ts"), "mm"))
       .drop("__ts")
-    (if (onePerPartition)
-       derived.repartition(col("date"), col("hour"), col("minute"))
-     else derived)
       .write
       .mode("append")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
@@ -416,8 +409,13 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def rowGroupRanges(
       cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] = {
     import scala.jdk.CollectionConverters._
+    // hidden subtrees (the `_staging` flat appends, markers) are not
+    // part of the partitioned table — same visibility rule the
+    // parquet reader's discovery applies
     def walk(f: File): Seq[File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+      else if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
     val conf = spark.sparkContext.hadoopConfiguration
     walk(new File(dir)).flatMap { f =>
@@ -431,6 +429,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
             .getOrElse(sys.error(s"rowGroupRanges: no column $c in $f"))
           val st: org.apache.parquet.column.statistics.Statistics[_] =
             cc.getStatistics
+          // an all-null group (or stats disabled) has no min/max — a
+          // stats-aware reader must treat it as unprunable, loudly
+          if (st == null || st.genericGetMin == null ||
+              st.genericGetMax == null)
+            sys.error(s"rowGroupRanges: no min/max stats for $c in $f")
           c -> (st.genericGetMin.asInstanceOf[Number].longValue(),
             st.genericGetMax.asInstanceOf[Number].longValue())
         }.toMap
