@@ -259,6 +259,26 @@ object Relational {
       .limit(1000)
   }
 
+  /** Time-based RANGE window frame — the trailing-window aggregation
+    * ROWS frames can't express (q18's running sum counts ROWS; this
+    * bounds by event-TIME distance, so sparse and dense users get the
+    * same 7-day horizon). The frame rides on the canonical epoch-ns
+    * long, identical in both engines because normalized ts is a
+    * multiple of 1000 ns (see Tables.normalizeEventTs) — a boundary
+    * row lands on the same side everywhere. Decimal-sum discipline as
+    * q18. SURVEY §2.5 extension.
+    */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val weekNs = 7L * 86400L * 1000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-weekNs, 0)
+    Tables.events(s, d)
+      .withColumn("trailing_7d", asD(sum(dec2(col("value"))).over(w)))
+      .select(col("user_id"), col("event_id"), col("trailing_7d"))
+      .orderBy(col("user_id"), col("event_id"))
+      .limit(1000)
+  }
+
   /** Exact grouped count-distinct. SURVEY §2.4 extension. */
   def countDistinct_(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -645,6 +665,7 @@ object Relational {
     "q16_sort_page" -> (sortPage _),
     "q17_window_rank" -> (windowRank _),
     "q18_window_running" -> (windowRunning _),
+    "q38_range_frame" -> (windowRangeFrame _),
     "q19_count_distinct" -> (countDistinct_ _),
     "q20_approx_distinct" -> (approxDistinct _),
     "q21_case_when" -> (caseWhen _),
@@ -922,6 +943,20 @@ object Relational {
       s"""SELECT user_id, event_id,
          | CAST(SUM(CAST(value AS $D2)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+         |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
+    "q38_range_frame" ->
+      s"""SELECT user_id, event_id,
+         | CAST(SUM(CAST(value AS $D2)) OVER (PARTITION BY user_id
+         |   ORDER BY epoch_ns(ts)
+         |   RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
+         |  AS DOUBLE) AS trailing_7d
+         |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
+    "q38_range_frame" ->
+      s"""SELECT user_id, event_id,
+         | CAST(SUM(CAST(value AS $D2)) OVER (PARTITION BY user_id
+         |   ORDER BY epoch_ns(ts)
+         |   RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
+         |  AS DOUBLE) AS trailing_7d
          |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
     "q19_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS uniq_custs, COUNT(*) AS n
