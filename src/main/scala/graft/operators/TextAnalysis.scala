@@ -793,6 +793,54 @@ object TextAnalysis {
       .withColumn("mean_surprisal", col("sum_surprisal") / col("n_toks"))
   }
 
+  // ------------------------------------------- perplexity bucketing
+
+  /** Deterministic sample stride for training the bucket cutoffs —
+    * production trains them on a held-out slice, never the corpus.
+    */
+  val PplSampleMod = 4
+
+  /** t21: CCNet-style perplexity bucketing (Wenzek et al., LREC'20):
+    * per-language head/middle/tail terciles of LM surprisal — the
+    * partition CCNet publishes and downstream recipes filter on
+    * (keep head+middle, drop tail). Scores are [[bigramSurprisal]]'s
+    * mean surprisal in integer micro-units (the t06 exactness
+    * convention); cutoffs are the ⌈n/3⌉-th and ⌈2n/3⌉-th order
+    * statistics of a DETERMINISTIC ¼ sample per language, and every
+    * document buckets by value against the broadcast cutoffs.
+    *
+    * Scale shape: this is the sample-trained-threshold pattern, not a
+    * corpus-wide ntile — an ntile(3) window would sort every language
+    * partition end to end (the x03 round-11 finding's shape), while
+    * here the only order-sensitive step is over the bounded sample
+    * (collect_list per language of the sampled scores — the
+    * documented trade; production sizes the sample, not the corpus),
+    * and bucketing is a map-side comparison against a broadcast
+    * 2-value-per-language table.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = bigramSurprisal(docs)
+      .select(col("doc_id"),
+        round(col("mean_surprisal") * 1e6).cast("long").as("s_micro"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val cuts = scored.filter(col("doc_id") % PplSampleMod === 0)
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("s_micro"))).as("arr"))
+      .select(col("lang"), size(col("arr")).as("n"), col("arr"))
+      .select(col("lang"),
+        element_at(col("arr"), expr("cast((n + 2) div 3 as int)"))
+          .as("cut1"),
+        element_at(col("arr"), expr("cast((2 * n + 2) div 3 as int)"))
+          .as("cut2"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("s_micro") <= col("cut1"), lit("head"))
+          .when(col("s_micro") <= col("cut2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("s_micro"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------- model-scored quality
 
   /** Fixed classifier weights — in production these come from an
@@ -932,6 +980,8 @@ object TextAnalysis {
       bigramSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t20_trigram_lm" -> ((s, d) =>
       trigramSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t21_ccnet_buckets" -> ((s, d) =>
+      perplexityBuckets(Tables.documents(s, d))),
     "t11_subword" -> ((s, d) =>
       subwordTokenCounts(Tables.documents(s, d), gateVocab(s, d))
         .orderBy(col("doc_id"))),
@@ -982,6 +1032,42 @@ object TextAnalysis {
     * email/phone/IP patterns through the same machinery).
     */
   private val ScrubGatePattern = "\\b(key|value)\\b"
+
+  /** t19's oracle CTE chain (tokenize → censuses → scored positions →
+    * per-doc decimal sums), shared verbatim by the t21 perplexity-
+    * bucketing oracle so the surprisal definition has ONE source of
+    * truth across gates.
+    */
+  private lazy val t19SurprisalCtes: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM t),
+         |uni AS (SELECT w, COUNT(*) AS cw FROM u GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
+         |bg AS (SELECT doc_id, t[i] AS v, t[i+1] AS w
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         |bic AS (SELECT v, w, COUNT(*) AS cvw FROM bg GROUP BY 1, 2),
+         |lc AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM bic
+         |  GROUP BY 1),
+         |bo AS (SELECT doc_id, v, w, COUNT(*) AS occ FROM bg
+         |  GROUP BY 1, 2, 3),
+         |bs AS (SELECT doc_id, occ, CAST(ROUND(-ln(
+         |    $BigramLambda * (CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE)) +
+         |    ${1.0 - BigramLambda} *
+         |      (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         |  AS DECIMAL(28,6)) AS s
+         | FROM bo JOIN bic USING (v, w) JOIN lc USING (v)
+         |   JOIN uni USING (w) CROSS JOIN tot),
+         |ft AS (SELECT doc_id, t[1] AS w, 1::BIGINT AS occ FROM t
+         |  WHERE len(t) >= 1),
+         |fs AS (SELECT doc_id, occ, CAST(ROUND(-ln(
+         |    CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |  AS DECIMAL(28,6)) AS s
+         | FROM ft JOIN uni USING (w) CROSS JOIN tot),
+         |a AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_toks,
+         |  CAST(SUM(s * occ) AS DOUBLE) AS sum_surprisal
+         | FROM (SELECT * FROM bs UNION ALL SELECT * FROM fs)
+         | GROUP BY 1)""".stripMargin
 
   private val markerSql = Map(
     "en" -> "\\b(the|and|of|to|in)\\b",
@@ -1138,36 +1224,24 @@ object TextAnalysis {
     },
     // λ and 1−λ interpolate as the Scala doubles' round-trip literals
     // (a hand-written 0.3 would differ from 1.0−0.7 in the last ulp)
+    "t21_ccnet_buckets" ->
+      s"""$t19SurprisalCtes,
+         |ms AS (SELECT doc_id,
+         |   CAST(ROUND((sum_surprisal / n_toks) * 1000000.0, 0)
+         |     AS BIGINT) AS s_micro, d.lang
+         |  FROM a JOIN documents d USING (doc_id)),
+         |cuts AS (SELECT lang,
+         |   arr[CAST((n + 2) // 3 AS INT)] AS cut1,
+         |   arr[CAST((2 * n + 2) // 3 AS INT)] AS cut2
+         |  FROM (SELECT lang, list_sort(list(s_micro)) AS arr,
+         |     CAST(COUNT(*) AS BIGINT) AS n
+         |   FROM ms WHERE doc_id % $PplSampleMod = 0 GROUP BY 1))
+         |SELECT doc_id, lang, s_micro,
+         | CASE WHEN s_micro <= cut1 THEN 'head'
+         |      WHEN s_micro <= cut2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM ms JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
     "t19_bigram_lm" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
-         |  FROM documents),
-         |u AS (SELECT doc_id, unnest(t) AS w FROM t),
-         |uni AS (SELECT w, COUNT(*) AS cw FROM u GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
-         |bg AS (SELECT doc_id, t[i] AS v, t[i+1] AS w
-         |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
-         |bic AS (SELECT v, w, COUNT(*) AS cvw FROM bg GROUP BY 1, 2),
-         |lc AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM bic
-         |  GROUP BY 1),
-         |bo AS (SELECT doc_id, v, w, COUNT(*) AS occ FROM bg
-         |  GROUP BY 1, 2, 3),
-         |bs AS (SELECT doc_id, occ, CAST(ROUND(-ln(
-         |    $BigramLambda * (CAST(cvw AS DOUBLE) / CAST(cv AS DOUBLE)) +
-         |    ${1.0 - BigramLambda} *
-         |      (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))), 6)
-         |  AS DECIMAL(28,6)) AS s
-         | FROM bo JOIN bic USING (v, w) JOIN lc USING (v)
-         |   JOIN uni USING (w) CROSS JOIN tot),
-         |ft AS (SELECT doc_id, t[1] AS w, 1::BIGINT AS occ FROM t
-         |  WHERE len(t) >= 1),
-         |fs AS (SELECT doc_id, occ, CAST(ROUND(-ln(
-         |    CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-         |  AS DECIMAL(28,6)) AS s
-         | FROM ft JOIN uni USING (w) CROSS JOIN tot),
-         |a AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_toks,
-         |  CAST(SUM(s * occ) AS DOUBLE) AS sum_surprisal
-         | FROM (SELECT * FROM bs UNION ALL SELECT * FROM fs)
-         | GROUP BY 1)
+      s"""$t19SurprisalCtes
          |SELECT doc_id, n_toks, sum_surprisal,
          | sum_surprisal / n_toks AS mean_surprisal
          |FROM a ORDER BY doc_id""".stripMargin,

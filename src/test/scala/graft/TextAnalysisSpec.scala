@@ -286,6 +286,41 @@ class TextAnalysisSpec extends SparkSpec {
       s"no map-side combine on the census:\n$plan")
   }
 
+  test("ccnet perplexity buckets: value-ordered terciles from sample-trained cutoffs") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = graft.Tables.documents(spark, dir)
+    val got = TextAnalysis.perplexityBuckets(docs)
+      .select("doc_id", "lang", "s_micro", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.length == docs.count())
+    val byLang = got.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val bs = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // every bucket populated, and strictly value-ordered: no head
+      // doc scores above any middle doc, no middle above any tail
+      assert(Set("head", "middle", "tail").subsetOf(bs.keySet),
+        s"$lang missing a bucket: ${bs.keySet}")
+      assert(bs("head").max <= bs("middle").min &&
+        bs("middle").max <= bs("tail").min, s"$lang buckets out of order")
+      // driver replay of the cutoff derivation: the ceil(n/3)-th and
+      // ceil(2n/3)-th order statistics of the deterministic ¼ sample
+      val samp = rows.filter(_._1 % TextAnalysis.PplSampleMod == 0)
+        .map(_._3).sorted
+      val (c1, c2) = (samp((samp.length + 2) / 3 - 1),
+        samp((2 * samp.length + 2) / 3 - 1))
+      rows.foreach { case (id, _, s, b) =>
+        val want = if (s <= c1) "head" else if (s <= c2) "middle" else "tail"
+        assert(b == want, s"doc $id in $lang: $b != $want (s=$s)")
+      }
+    }
+    // the plan buckets map-side against broadcast cutoffs — no
+    // corpus-wide ntile window anywhere
+    val plan = TextAnalysis.perplexityBuckets(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in the bucketing path:\n$plan")
+  }
+
   test("dsir scores target-like docs above dissimilar ones and replays driver-side") {
     // target stratum (src0) speaks one vocabulary; raw docs 10-12 echo
     // it, raw docs 20-22 don't — importance weights must separate them
