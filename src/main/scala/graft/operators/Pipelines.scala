@@ -779,7 +779,42 @@ object Pipelines {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** p21: the cleaning stages COMPOSED as one declarative plan — the
+    * "would a user build their corpus with this library" gate. Raw
+    * documents flow through (1) the t18 model-quality keep filter,
+    * (2) t21's CCNet perplexity bucketing trained ON THE SURVIVORS
+    * (cutoffs re-derived from the filtered corpus's sample — order
+    * matters and the oracle replays the same order), dropping the
+    * tail tercile, and (3) t04-fingerprint exact dedup keeping the
+    * lowest doc_id per content hash. Output is one row per surviving
+    * document — the strongest pin: DuckDB must agree on every
+    * individual keeper after three chained stages, each stage's SQL
+    * spliced from the SAME factored CTE chains its standalone gate
+    * uses (qualityCtes / surprisalCtes — single source of truth).
+    *
+    * Scale shape: stage composition adds no new shuffle structure —
+    * quality scoring is map-side, bucketing is the sample-trained
+    * broadcast-cutoff pattern, dedup is one hash groupBy; Catalyst
+    * sees the whole chain as one plan, so column pruning and filter
+    * pushdown cross stage boundaries (the text column is read once).
+    */
+  def cleanTrainingCorpus(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityModelScore(docs)
+      .filter(col("score") >= 0.5).select("doc_id")
+    val kept1 = docs.join(q, "doc_id")
+    val nonTail = TextAnalysis.perplexityBuckets(kept1)
+      .filter(col("bucket") =!= "tail").select("doc_id")
+    val kept2 = kept1.join(nonTail, "doc_id")
+    val keepers = TextAnalysis.fingerprint(kept2)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    kept2.join(keepers.select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p21_clean_corpus" -> ((s, d) =>
+      cleanTrainingCorpus(Tables.documents(s, d))),
     "p01_clean_corpus" -> ((s, d) => cleanCorpus(Tables.documents(s, d))),
     "p02_quality_keeper" -> ((s, d) =>
       qualityKeeper(Tables.documents(s, d)).orderBy(col("h"))),
@@ -874,6 +909,34 @@ object Pipelines {
   }.mkString("CAST((", " + ", ") AS BIGINT)")
 
   val oracle: Map[String, String] = Map(
+    // the composed pipeline splices the SAME factored CTE chains the
+    // standalone t18/t21 oracles use, re-sourced onto each stage's
+    // survivor set — DuckDB must agree on every individual keeper
+    "p21_clean_corpus" ->
+      s"""WITH ${TextAnalysis.qualityCtes("documents")},
+         |kept1 AS (SELECT d.* FROM documents d
+         |  JOIN s USING (doc_id) WHERE s.score >= 0.5),
+         |${TextAnalysis.surprisalCtes("kept1")},
+         |ms AS (SELECT doc_id,
+         |   CAST(ROUND((sum_surprisal / n_toks) * 1000000.0, 0)
+         |     AS BIGINT) AS s_micro, k.lang, k.text
+         |  FROM a JOIN kept1 k USING (doc_id)),
+         |cuts AS (SELECT lang,
+         |   arr[CAST((n + 2) // 3 AS INT)] AS cut1,
+         |   arr[CAST((2 * n + 2) // 3 AS INT)] AS cut2
+         |  FROM (SELECT lang, list_sort(list(s_micro)) AS arr,
+         |     CAST(COUNT(*) AS BIGINT) AS n
+         |   FROM ms WHERE doc_id % ${TextAnalysis.PplSampleMod} = 0
+         |   GROUP BY 1)),
+         |kept2 AS (SELECT ms.* FROM ms JOIN cuts USING (lang)
+         |  WHERE s_micro <= cut2),
+         |fpc AS (SELECT doc_id, lang,
+         |   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |  FROM kept2),
+         |keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM fpc GROUP BY 1)
+         |SELECT f.doc_id, f.lang FROM fpc f
+         |JOIN keepers k ON f.doc_id = k.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
     "p18_zorder_layout" ->
       s"""WITH b AS (SELECT
          |  LEAST(GREATEST(user_id, 0), 65535) AS u,

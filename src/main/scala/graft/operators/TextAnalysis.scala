@@ -1033,14 +1033,44 @@ object TextAnalysis {
     */
   private val ScrubGatePattern = "\\b(key|value)\\b"
 
+  /** t18's scoring CTE chain over an arbitrary source (no leading
+    * WITH; final CTE `s` carries (doc_id, …, score)) — shared by the
+    * composed-pipeline oracle (p21) so the classifier definition has
+    * one source of truth.
+    */
+  private[operators] def qualityCtes(src: String): String =
+    s"""f AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
+       |  CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b'))
+       |    AS BIGINT) AS ns,
+       |  CAST(length(text) AS BIGINT) AS lc
+       | FROM $src),
+       |r AS (SELECT doc_id, n_tokens,
+       |  (np * 1000000) // n_tokens AS punct_ppm,
+       |  (ns * 1000000) // n_tokens AS stop_ppm,
+       |  (lc * 100) // n_tokens AS mlen_c FROM f),
+       |z AS (SELECT *, ROUND($QmW0 + $QmWLen * ln(CAST(n_tokens AS DOUBLE))
+       |  + $QmWStop * (CAST(stop_ppm AS DOUBLE) / 1000000.0)
+       |  + $QmWPunct * (CAST(punct_ppm AS DOUBLE) / 1000000.0)
+       |  + $QmWMlen * (CAST(mlen_c AS DOUBLE) / 100.0), 6) AS z FROM r),
+       |s AS (SELECT *, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score FROM z)""".stripMargin
+
   /** t19's oracle CTE chain (tokenize → censuses → scored positions →
     * per-doc decimal sums), shared verbatim by the t21 perplexity-
     * bucketing oracle so the surprisal definition has ONE source of
     * truth across gates.
     */
-  private lazy val t19SurprisalCtes: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
-         |  FROM documents),
+  private lazy val t19SurprisalCtes: String = surprisalCtes("documents")
+
+  /** The same chain over an arbitrary source CTE/table (no leading
+    * WITH — callers splice it into their own chain), so composed
+    * pipelines (p21) can score a FILTERED corpus with the identical
+    * census+interpolation definition.
+    */
+  private[operators] def surprisalCtes(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM $src),
          |u AS (SELECT doc_id, unnest(t) AS w FROM t),
          |uni AS (SELECT w, COUNT(*) AS cw FROM u GROUP BY 1),
          |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
@@ -1225,7 +1255,7 @@ object TextAnalysis {
     // λ and 1−λ interpolate as the Scala doubles' round-trip literals
     // (a hand-written 0.3 would differ from 1.0−0.7 in the last ulp)
     "t21_ccnet_buckets" ->
-      s"""$t19SurprisalCtes,
+      s"""WITH $t19SurprisalCtes,
          |ms AS (SELECT doc_id,
          |   CAST(ROUND((sum_surprisal / n_toks) * 1000000.0, 0)
          |     AS BIGINT) AS s_micro, d.lang
@@ -1241,7 +1271,7 @@ object TextAnalysis {
          |      WHEN s_micro <= cut2 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM ms JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
     "t19_bigram_lm" ->
-      s"""$t19SurprisalCtes
+      s"""WITH $t19SurprisalCtes
          |SELECT doc_id, n_toks, sum_surprisal,
          | sum_surprisal / n_toks AS mean_surprisal
          |FROM a ORDER BY doc_id""".stripMargin,
@@ -1296,22 +1326,7 @@ object TextAnalysis {
          | sum_surprisal / n_toks AS mean_surprisal
          |FROM a ORDER BY doc_id""".stripMargin,
     "t18_quality_model" ->
-      s"""WITH f AS (SELECT doc_id,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
-         |  CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b'))
-         |    AS BIGINT) AS ns,
-         |  CAST(length(text) AS BIGINT) AS lc
-         | FROM documents),
-         |r AS (SELECT doc_id, n_tokens,
-         |  (np * 1000000) // n_tokens AS punct_ppm,
-         |  (ns * 1000000) // n_tokens AS stop_ppm,
-         |  (lc * 100) // n_tokens AS mlen_c FROM f),
-         |z AS (SELECT *, ROUND($QmW0 + $QmWLen * ln(CAST(n_tokens AS DOUBLE))
-         |  + $QmWStop * (CAST(stop_ppm AS DOUBLE) / 1000000.0)
-         |  + $QmWPunct * (CAST(punct_ppm AS DOUBLE) / 1000000.0)
-         |  + $QmWMlen * (CAST(mlen_c AS DOUBLE) / 100.0), 6) AS z FROM r),
-         |s AS (SELECT *, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score FROM z)
+      s"""WITH ${qualityCtes("documents")}
          |SELECT doc_id, n_tokens, punct_ppm, stop_ppm, mlen_c, z, score,
          |  CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
          |FROM s ORDER BY doc_id""".stripMargin,

@@ -22,6 +22,33 @@ class PipelinesSpec extends SparkSpec {
     (4L, "entirely unrelated text with different words in this row"))
     .toDF("doc_id", "text")
 
+  test("composed cleaning pipeline: real attrition per stage, keepers consistent") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val corpus = graft.Tables.documents(spark, dir)
+    val out = Pipelines.cleanTrainingCorpus(corpus)
+    val survivors = out.select("doc_id").as[Long].collect().toSet
+    val n0 = corpus.count()
+    // stage-by-stage replay: each stage must actually drop something
+    val q = graft.operators.TextAnalysis.qualityModelScore(corpus)
+      .filter(col("score") >= 0.5).select("doc_id").as[Long].collect().toSet
+    assert(q.nonEmpty && q.size < n0, s"quality stage dropped nothing: ${q.size}/$n0")
+    val kept1 = corpus.filter(col("doc_id").isin(q.toSeq: _*))
+    val nonTail = graft.operators.TextAnalysis.perplexityBuckets(kept1)
+      .filter(col("bucket") =!= "tail").select("doc_id").as[Long].collect().toSet
+    assert(nonTail.size < q.size, "perplexity stage dropped nothing")
+    // survivors ⊆ non-tail ⊆ quality-kept, and dedup dropped the rest
+    assert(survivors.subsetOf(nonTail) && nonTail.subsetOf(q))
+    assert(survivors.size <= nonTail.size)
+    // keepers are unique by content fingerprint and are the minimum
+    // doc_id of their family among stage-2 survivors
+    val fps = graft.operators.TextAnalysis.fingerprint(
+        kept1.filter(col("doc_id").isin(nonTail.toSeq: _*)))
+      .select("doc_id", "fp").as[(Long, String)].collect()
+    val byFp = fps.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    assert(survivors == byFp.values.toSet)
+  }
+
   test("leakageSafeSplit via a precomputed cluster table is identical") {
     val clusters = Dedup.minhashClusters(docs)
     val self = Pipelines.leakageSafeSplit(docs).collect().toSet
