@@ -247,6 +247,11 @@ object ScaleProbe {
       // width, same ~log n rule as d09/m07
       measure("m08_video_near_dup", scale,
         graft.operators.Multimodal.videoNearDupPairs(spark, d))
+      // composed cleaning pipeline: three chained stages, shuffle
+      // ~linear (map-side scoring, sample-bounded cutoffs, one hash
+      // groupBy) — composition must not introduce super-linear cost
+      measure("p21_clean_corpus", scale,
+        graft.operators.Pipelines.cleanTrainingCorpus(d))
       // filtered ANN: pre-filter scan-and-score — linear in the
       // filtered corpus, query side broadcast
       measure("s13_filtered_topk", scale,
