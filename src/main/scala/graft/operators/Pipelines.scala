@@ -921,15 +921,9 @@ object Pipelines {
          |   CAST(ROUND((sum_surprisal / n_toks) * 1000000.0, 0)
          |     AS BIGINT) AS s_micro, k.lang, k.text
          |  FROM a JOIN kept1 k USING (doc_id)),
-         |cuts AS (SELECT lang,
-         |   arr[CAST((n + 2) // 3 AS INT)] AS cut1,
-         |   arr[CAST((2 * n + 2) // 3 AS INT)] AS cut2
-         |  FROM (SELECT lang, list_sort(list(s_micro)) AS arr,
-         |     CAST(COUNT(*) AS BIGINT) AS n
-         |   FROM ms WHERE doc_id % ${TextAnalysis.PplSampleMod} = 0
-         |   GROUP BY 1)),
-         |kept2 AS (SELECT ms.* FROM ms JOIN cuts USING (lang)
-         |  WHERE s_micro <= cut2),
+         |${TextAnalysis.pplCutCtes},
+         |kept2 AS (SELECT ms.* FROM ms LEFT JOIN cuts USING (lang)
+         |  WHERE cut1 IS NULL OR s_micro <= cut2),
          |fpc AS (SELECT doc_id, lang,
          |   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
          |  FROM kept2),

@@ -30,11 +30,15 @@ object Similarity {
   def bruteForceTopK(embs: DataFrame, queryMaxId: Long, k: Int,
       pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     graft.functions.VectorExprs.register(embs.sparkSession)
-    val e = embs.select(col("vec_id"), col("label"),
-      asDoubles(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < queryMaxId)
+    // pred is applied BEFORE the projection, so metadata columns it
+    // references (s13's label) resolve against the caller's schema —
+    // and a (vec_id, embedding)-only frame stays valid input under
+    // the default predicate
+    val q = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scored = e.filter(pred)
+    val scored = embs.filter(pred)
+      .select(col("vec_id"), asDoubles(col("embedding")).as("v"))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosineFast("qv", "v"), 6).as("cos"))

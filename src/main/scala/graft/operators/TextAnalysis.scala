@@ -832,14 +832,36 @@ object TextAnalysis {
           .as("cut1"),
         element_at(col("arr"), expr("cast((2 * n + 2) div 3 as int)"))
           .as("cut2"))
-    scored.join(broadcast(cuts), "lang")
+    // LEFT join + null-cut → head: a language too small (or too
+    // unluckily id'd) to land a sample row must not silently lose
+    // every document — an unbucketable language is KEPT whole, never
+    // dropped (the conservative failure mode for a cleaning stage)
+    scored.join(broadcast(cuts), Seq("lang"), "left_outer")
       .withColumn("bucket",
-        when(col("s_micro") <= col("cut1"), lit("head"))
+        when(col("cut1").isNull || col("s_micro") <= col("cut1"),
+          lit("head"))
           .when(col("s_micro") <= col("cut2"), lit("middle"))
           .otherwise(lit("tail")))
       .select(col("doc_id"), col("lang"), col("s_micro"), col("bucket"))
       .orderBy(col("doc_id"))
   }
+
+  /** t21's cutoff-derivation CTE (expects an `ms` CTE of (doc_id,
+    * s_micro, lang) in scope) and the bucketing CASE — shared by the
+    * t21 and p21 oracles so the tercile definition has one source of
+    * truth.
+    */
+  private[operators] def pplCutCtes: String =
+    s"""cuts AS (SELECT lang,
+       |   arr[CAST((n + 2) // 3 AS INT)] AS cut1,
+       |   arr[CAST((2 * n + 2) // 3 AS INT)] AS cut2
+       |  FROM (SELECT lang, list_sort(list(s_micro)) AS arr,
+       |     CAST(COUNT(*) AS BIGINT) AS n
+       |   FROM ms WHERE doc_id % $PplSampleMod = 0 GROUP BY 1))""".stripMargin
+
+  private[operators] val pplBucketCase: String =
+    "CASE WHEN cut1 IS NULL OR s_micro <= cut1 THEN 'head' " +
+      "WHEN s_micro <= cut2 THEN 'middle' ELSE 'tail' END"
 
   // ---------------------------------------------- model-scored quality
 
@@ -1260,16 +1282,10 @@ object TextAnalysis {
          |   CAST(ROUND((sum_surprisal / n_toks) * 1000000.0, 0)
          |     AS BIGINT) AS s_micro, d.lang
          |  FROM a JOIN documents d USING (doc_id)),
-         |cuts AS (SELECT lang,
-         |   arr[CAST((n + 2) // 3 AS INT)] AS cut1,
-         |   arr[CAST((2 * n + 2) // 3 AS INT)] AS cut2
-         |  FROM (SELECT lang, list_sort(list(s_micro)) AS arr,
-         |     CAST(COUNT(*) AS BIGINT) AS n
-         |   FROM ms WHERE doc_id % $PplSampleMod = 0 GROUP BY 1))
+         |$pplCutCtes
          |SELECT doc_id, lang, s_micro,
-         | CASE WHEN s_micro <= cut1 THEN 'head'
-         |      WHEN s_micro <= cut2 THEN 'middle' ELSE 'tail' END AS bucket
-         |FROM ms JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
+         | $pplBucketCase AS bucket
+         |FROM ms LEFT JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
     "t19_bigram_lm" ->
       s"""WITH $t19SurprisalCtes
          |SELECT doc_id, n_toks, sum_surprisal,

@@ -951,13 +951,6 @@ object Relational {
          |   RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
          |  AS DOUBLE) AS trailing_7d
          |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
-    "q38_range_frame" ->
-      s"""SELECT user_id, event_id,
-         | CAST(SUM(CAST(value AS $D2)) OVER (PARTITION BY user_id
-         |   ORDER BY epoch_ns(ts)
-         |   RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
-         |  AS DOUBLE) AS trailing_7d
-         |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin,
     "q19_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS uniq_custs, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

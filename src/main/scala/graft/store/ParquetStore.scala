@@ -402,9 +402,13 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       (col(endCol) - col(timeCol)).between(durLo, durHi) &&
         col(endCol).between(startLo + durLo, startHi + durHi)))
 
-  /** Per-row-group [min, max] footer statistics for `cols` over every
-    * parquet file in the table — the metadata a stats-aware reader
-    * prunes on ([[readSpanRange]]'s skip measurement reads this).
+  /** Per-row-group [min, max] footer statistics for `cols` over the
+    * PARTITIONED tree — the metadata a stats-aware reader prunes on
+    * ([[readSpanRange]]'s skip measurement reads this). Staged flushes
+    * are deliberately excluded: `_staging` is the un-organized tail
+    * whose layout [[compact]] has not built yet, so its stats are not
+    * part of any layout-pruning claim — measure skip ratios after the
+    * drain, the state the claim is about.
     */
   def rowGroupRanges(
       cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] = {
@@ -430,9 +434,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           val st: org.apache.parquet.column.statistics.Statistics[_] =
             cc.getStatistics
           // an all-null group (or stats disabled) has no min/max — a
-          // stats-aware reader must treat it as unprunable, loudly
-          if (st == null || st.genericGetMin == null ||
-              st.genericGetMax == null)
+          // stats-aware reader must treat it as unprunable, loudly.
+          // The typed Statistics store primitives, so genericGetMin is
+          // non-null even when the group holds only nulls; the real
+          // signals are isEmpty (no stats) and hasNonNullValue
+          if (st == null || st.isEmpty || !st.hasNonNullValue)
             sys.error(s"rowGroupRanges: no min/max stats for $c in $f")
           c -> (st.genericGetMin.asInstanceOf[Number].longValue(),
             st.genericGetMax.asInstanceOf[Number].longValue())
