@@ -969,8 +969,23 @@ object Dedup {
     * pair become the dominant term. The oracle normalizes the same
     * way (elementwise x/‖v‖ then a sequential dot fold), keeping the
     * rounded values bit-identical across engines.
+    *
+    * SIZE-GUARDED: this is the one deliberately O(n²) plan in the
+    * library. `maxRows` is the opt-in ceiling — the call fails fast
+    * (one count, before any pair work) if the corpus exceeds it, so
+    * the cartesian is unreachable on a full corpus by accident. A
+    * caller who truly wants a bigger exact baseline states the bound
+    * explicitly; the scale path is [[embeddingPairsLsh]].
     */
-  def embeddingPairs(embs: DataFrame, tau: Double): DataFrame = {
+  val EmbPairsDefaultMaxRows = 10000L
+
+  def embeddingPairs(embs: DataFrame, tau: Double,
+      maxRows: Long = EmbPairsDefaultMaxRows): DataFrame = {
+    val n = embs.count()
+    require(n <= maxRows,
+      s"embeddingPairs is the all-pairs exact baseline (O(n²) pairs): " +
+      s"corpus has $n rows > maxRows=$maxRows. Use embeddingPairsLsh " +
+      s"for the scale path, or pass maxRows explicitly to opt in.")
     graft.functions.VectorExprs.register(embs.sparkSession)
     val e = scopedCache(normalizedVecs(embs))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -1292,8 +1307,15 @@ object Dedup {
           docs.filter(col("doc_id") % 2 =!= 0), expectedItems = 10000L)
         .orderBy(col("doc_id"))
     }),
+    // resolution pinned at the calibration base: the DuckDB oracle is a
+    // static string with 4-plane bucket arithmetic baked in, so a gate
+    // run on a corpus above D09CalibN under Auto would derive more
+    // planes and diverge from the oracle. The gate checks the LSH
+    // arithmetic at a pinned resolution; Auto's corpus-growth behavior
+    // is ScaleProbe's job (the d09 cliff rows).
     "d09_embedding_near_dup_lsh" -> ((s, d) =>
-      embeddingPairsLsh(Tables.embeddings(s, d), 0.4)
+      embeddingPairsLsh(Tables.embeddings(s, d), 0.4,
+          nPlanes = graft.util.Resolution.Fixed(4))
         .orderBy(col("vec_a"), col("vec_b"))),
     "d10_star_cc" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1310,8 +1332,10 @@ object Dedup {
     // trained once per corpus and memoized (deterministic, so
     // bit-identical to a recompute)
     "d15_semantic_clusters" -> ((s, d) =>
+      // planes pinned for the same oracle-staticness reason as d09
       sessionMemo(s).getOrElseUpdate(s"$d|sem|0.4",
-        semanticClusters(Tables.embeddings(s, d), 0.4).localCheckpoint(true))
+        semanticClusters(Tables.embeddings(s, d), 0.4,
+          nPlanes = graft.util.Resolution.Fixed(4)).localCheckpoint(true))
         .orderBy(col("vec_id"))),
     "d16_intradoc_dedup" -> ((s, d) =>
       intraDocDedup(Tables.documents(s, d)).orderBy(col("doc_id"))),

@@ -1003,8 +1003,14 @@ object Multimodal {
         .orderBy(col("doc_a"), col("doc_b"))),
     "m05_payload_dedup" -> ((s, d) =>
       payloadDedupGroups(Tables.documents(s, d)).orderBy(col("keeper"))),
+    // frames pinned at the calibration base: the oracle SQL replays a
+    // 17-frame fingerprint as a static string, so Auto on a corpus
+    // above M07CalibN would derive more frames and diverge. Pinned-
+    // resolution arithmetic is the gate's check; Auto's growth is
+    // ScaleProbe's (the m07 cliff rows).
     "m07_audio_near_dup" -> ((s, d) =>
-      audioNearDupPairs(s, Tables.documents(s, d))
+      audioNearDupPairs(s, Tables.documents(s, d),
+          frames = graft.util.Resolution.Fixed(AudFrames))
         .orderBy(col("doc_a"), col("doc_b"))),
     "m01_decode_meta" -> ((s, d) =>
       decodeMeta(s, Tables.documents(s, d)).toDF()

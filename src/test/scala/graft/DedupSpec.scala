@@ -114,6 +114,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embeddingPairs size guard blocks the cartesian without opt-in") {
+    // the all-pairs baseline must fail fast above maxRows — BEFORE any
+    // pair work — so the O(n²) plan is unreachable on a full corpus by
+    // accident; an explicit maxRows opts back in
+    val embs = (1L to 12L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairs(embs, 0.5, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("all-pairs"))
+    // opt-in bound admits the same corpus
+    assert(Dedup.embeddingPairs(embs, 0.5, maxRows = 12L).count() > 0)
+  }
+
   test("star-contraction components agree with min-label propagation on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
