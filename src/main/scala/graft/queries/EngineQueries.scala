@@ -134,12 +134,16 @@ object EngineQueries {
     * (name, start, end) per id — mirrored by the oracles' QUALIFY) so
     * the gates exercise merge-of-partials, not fixture noise.
     */
-  private def spanRecordFeed(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) =
-    spanRecordFeedFrom(ordersAsSpans(s, d)._1)
-
+  /** Builds the three partial-record frames AND hands back the shared
+    * deduped base (cached): opens, root re-arrivals, and closes all
+    * select from one arg-min groupBy over the raw span table, and the
+    * gate harness lands them as SEPARATE feed batches — without the
+    * cache that 600k-key shuffle recomputes once per branch (3× at
+    * sf0.1; measured ~1.5 s of the w07 wall). The caller unpersists
+    * the handle once the feed has landed (the gates do, in finally).
+    */
   private[graft] def spanRecordFeedFrom(raw: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = raw
       .groupBy(col("id"))
       .agg(min_by(
@@ -148,6 +152,7 @@ object EngineQueries {
         struct(col("name"), col("start"), col("end"))).as("r"))
       .select(col("id"), col("r.parent_id"), col("r.trace_id"),
         col("r.name"), col("r.process_id"), col("r.start"), col("r.end"))
+      .cache()
     // tag maps built to the Map[String, TagValue] encoder layout so the
     // parquet round-trip lands directly in df.as[SpanRecord]
     def tagStr(v: Column): Column = struct(v.as("strVal"),
@@ -170,7 +175,7 @@ object EngineQueries {
     val closes = base.select(rec(2, col("parent_id"), col("end"),
       map(lit("phase"), tagStr(lit("closed")),
         lit("busy"), tagU64(col("end") - col("start")))): _*)
-    (opens, rearrivals, closes)
+    (opens, rearrivals, closes, base)
   }
 
   def spanMergeStreamGate(s: SparkSession, d: String): DataFrame =
@@ -183,19 +188,21 @@ object EngineQueries {
   private[graft] def spanMergeStreamRun(s: SparkSession,
       raw: DataFrame): DataFrame = {
     import graft.ingest.{SpanMerger, SpanRecord}
-    val (opens, rearrivals, closes) = spanRecordFeedFrom(raw)
-    graft.util.StreamGate.runParquet(s, "w07_spanmerge_stream",
-      Seq(opens, rearrivals.unionAll(closes)),
-      df => { import s.implicits._
-        SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF() },
-      // w07's state is REAL (~600k open spans at sf0.1), so unlike the
-      // tiny-state gates it keeps a mid-size partition count: 16 holds
-      // ~37k keys/store here while halving the per-batch commit count
-      // vs the session's 32 (measured 9.0 -> 7.8 s warm; 8 partitions
-      // adds nothing further). A deployment sizes this to state
-      // volume, not to the batch-scan default.
-      statePartitions = Some(16))
-      .orderBy(col("id"))
+    val (opens, rearrivals, closes, base) = spanRecordFeedFrom(raw)
+    try {
+      graft.util.StreamGate.runParquet(s, "w07_spanmerge_stream",
+        Seq(opens, rearrivals.unionAll(closes)),
+        df => { import s.implicits._
+          SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF() },
+        // w07's state is REAL (~600k open spans at sf0.1), so unlike the
+        // tiny-state gates it keeps a mid-size partition count: 16 holds
+        // ~37k keys/store here while halving the per-batch commit count
+        // vs the session's 32 (measured 9.0 -> 7.8 s warm; 8 partitions
+        // adds nothing further). A deployment sizes this to state
+        // volume, not to the batch-scan default.
+        statePartitions = Some(16))
+        .orderBy(col("id"))
+    } finally base.unpersist(): Unit
   }
 
   /** w09 gate harness: span↔log correlation (J2) as a watermarked
@@ -303,26 +310,28 @@ object EngineQueries {
   private[graft] def ingestLoopRun(s: SparkSession, raw: DataFrame,
       logs: DataFrame): DataFrame = {
     import graft.ingest.{SpanMerger, SpanRecord}
-    val (opens, rearrivals, closes) = spanRecordFeedFrom(raw)
+    val (opens, rearrivals, closes, base) = spanRecordFeedFrom(raw)
     val root = java.nio.file.Files.createTempDirectory("w11_store").toString
     val store = new graft.store.ParquetStore(s, root, "spans", "start")
-    graft.util.StreamGate.runParquetForeach(s, "w11_ingest_loop",
-      Seq(opens,
-        rearrivals.unionAll(closes.filter(col("id") % 2 === 0)),
-        closes.filter(col("id") % 2 =!= 0)),
-      df => { import s.implicits._
-        SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF() },
-      // cadenced flushes land through the store's staging path: the
-      // span feed's event times span ~7 years, so the hive
-      // minute-partitioned [[graft.store.ParquetStore.write]] would
-      // cut each flush into ~1,750 one-row files (measured: 3,504
-      // files, 41 s of sink time and a 3,500-file listing on every
-      // query pass) — writeStaged lands each flush as ONE appended
-      // file, read() unions it in, and compact() owns the layout,
-      // the LSM split a real deployment's flush cadence uses
-      batch => if (!batch.isEmpty) store.writeStaged(batch),
-      // same state sizing as w07 — the stateful operator is the same
-      statePartitions = Some(16))
+    try {
+      graft.util.StreamGate.runParquetForeach(s, "w11_ingest_loop",
+        Seq(opens,
+          rearrivals.unionAll(closes.filter(col("id") % 2 === 0)),
+          closes.filter(col("id") % 2 =!= 0)),
+        df => { import s.implicits._
+          SpanMerger.mergeStream(s, df.as[SpanRecord]).toDF() },
+        // cadenced flushes land through the store's staging path: the
+        // span feed's event times span ~7 years, so the hive
+        // minute-partitioned [[graft.store.ParquetStore.write]] would
+        // cut each flush into ~1,750 one-row files (measured: 3,504
+        // files, 41 s of sink time and a 3,500-file listing on every
+        // query pass) — writeStaged lands each flush as ONE appended
+        // file, read() unions it in, and compact() owns the layout,
+        // the LSM split a real deployment's flush cadence uses
+        batch => if (!batch.isEmpty) store.writeStaged(batch),
+        // same state sizing as w07 — the stateful operator is the same
+        statePartitions = Some(16))
+    } finally base.unpersist(): Unit
     val spans = store.read(None, None).getOrElse(
       sys.error("w11: no flush landed in the store"))
     TraceQueries.filterTraces(s, spans, logs,

@@ -16,6 +16,68 @@ private[graft] object StreamGate {
 
   private val seq = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Post-gate state-store reclamation. Every gate invocation runs
+    * against a FRESH temp checkpoint (createTempDirectory below), so
+    * the providers a stopped gate leaves loaded in the JVM-global
+    * StateStore registry are pure garbage — yet by default they hold
+    * their in-memory version maps (w07's ~600k-span state is hundreds
+    * of MB) until the 60 s maintenance cycle notices the query is
+    * gone. In a 143-gate bench pass that lag stacked one gate's state
+    * on the next and measurably inflated neighbors (w07: 8.8 s
+    * isolated vs 13.4 s mid-pass, round-12 record). Unloading
+    * immediately after stop() frees the memory at the earliest
+    * correct point. If some OTHER streaming query were live it would
+    * transparently reload its state from its checkpoint — the state
+    * store's normal recovery contract — but gates never run
+    * concurrently with one another.
+    */
+  private def unloadStateStores(): Unit =
+    // StateStore.unloadAll() is private[sql] at the Scala level but
+    // public bytecode (the maintenance thread's own entry point);
+    // reflection keeps this harness out of Spark's package namespace.
+    // Best-effort: a Spark-internal rename degrades to the old
+    // maintenance-lag behavior, never to a failure.
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val mod = cls.getField("MODULE$").get(null)
+      cls.getMethod("unloadAll").invoke(mod): Unit
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Gate temp-dir hygiene: checkpoint + feed dirs are dead the moment
+    * the query stops and are deleted immediately; `out` dirs (the
+    * parquet-sink results a gate returns a LAZY reader over) are only
+    * reclaimed at the NEXT gate invocation, by which point the
+    * previous gate's result has been consumed — gate results are
+    * always drained within the invoking call (Verify writes them,
+    * Bench counts them) before another gate runs. Without this a
+    * repeat-5 bench pass leaves O(10 GB) of dead feed/state files in
+    * /tmp.
+    */
+  private val deferredDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        all.reverse.foreach(f =>
+          try java.nio.file.Files.deleteIfExists(f): Unit
+          catch { case scala.util.control.NonFatal(_) => () })
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def reclaim(deadNow: java.nio.file.Path*): Unit = {
+    unloadStateStores()
+    deadNow.foreach(deleteTree)
+    var p = deferredDirs.poll()
+    while (p != null) { deleteTree(p); p = deferredDirs.poll() }
+  }
+
+  private def deferDelete(p: java.nio.file.Path): Unit =
+    deferredDirs.add(p): Unit
+
   /** @param columns  names given to the tuple-encoded feed columns
     * @param build    the streaming operator under test, applied to the
     *                 named source frame
@@ -36,7 +98,7 @@ private[graft] object StreamGate {
           input.addData(b): Unit
           query.processAllAvailable()
         }
-      } finally query.stop()
+      } finally { query.stop(); reclaim() }
     }
     // detach the result from the memory sink and DROP the sink's temp
     // view: gate outputs are small by design (bounded survivor/window
@@ -78,8 +140,10 @@ private[graft] object StreamGate {
         .option("path", out)
         .option("checkpointLocation", root.resolve("chk").toString)
         .outputMode("append").start()
-      try feed(query, root, batches) finally query.stop()
+      try feed(query, root, batches)
+      finally { query.stop(); reclaim(root.resolve("chk"), root.resolve("in")) }
     }
+    deferDelete(root)
     // explicit schema: a gate whose operator emits zero rows leaves no
     // data files, and a schema-less read of the empty sink would throw
     s.read.schema(stream.schema).parquet(out)
@@ -102,7 +166,7 @@ private[graft] object StreamGate {
         .writeStream.format("memory").queryName(qname)
         .option("checkpointLocation", root.resolve("chk").toString)
         .outputMode(outputMode).start()
-      try feed(query, root, batches) finally query.stop()
+      try feed(query, root, batches) finally { query.stop(); reclaim(root) }
     }
     val landed = s.table(qname)
     val result = s.createDataFrame(
@@ -133,7 +197,7 @@ private[graft] object StreamGate {
         .foreachBatch((df: DataFrame, _: Long) => sink(df))
         .option("checkpointLocation", root.resolve("chk").toString)
         .outputMode("append").start()
-      try feed(query, root, batches) finally query.stop()
+      try feed(query, root, batches) finally { query.stop(); reclaim(root) }
     }
   }
 
@@ -175,8 +239,9 @@ private[graft] object StreamGate {
           right.lift(i).foreach(landBatch(_, root, wr, s"r$i"))
           query.processAllAvailable()
         }
-      } finally query.stop()
+      } finally { query.stop(); reclaim(root.resolve("chk"), wl, wr) }
     }
+    deferDelete(root)
     s.read.schema(stream.schema).parquet(out)
   }
 
