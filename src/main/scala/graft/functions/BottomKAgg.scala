@@ -53,6 +53,11 @@ case class BottomKAgg(
   }
 
   private def insert(buf: Array[Long], v: Long): Array[Long] = {
+    // full-buffer fast path: one compare instead of a binary search —
+    // on a uniform hash stream this is the hot branch for all but
+    // O(K·ln n) of n updates, and it is what keeps the batch KMV
+    // build's per-row cost O(1) (Sketches.kmvSketches)
+    if (buf.length == k && v >= buf(k - 1)) return buf
     val pos = java.util.Arrays.binarySearch(buf, v)
     if (pos >= 0) buf // duplicate
     else {

@@ -184,104 +184,49 @@ object Sketches {
   // ---------------------------------------------------------------- KMV
 
   private val KmvK = 256
-  private val KmvSalts = 16
 
-  /** Threshold-pre-prune safety factor: the prune keeps an expected
-    * c·K hashes per (source, salt) class, so the kept set contains the
-    * true bottom-K per salt unless a Binomial(n, c·K/n) draw with mean
-    * c·K = 1024 lands below K = 256 — a >3/4 downward deviation whose
-    * Chernoff bound exp(−mean·δ²/2) ≈ exp(−288) never fires in
-    * practice. When it WOULD (a source whose distinct-gram count is
-    * far below its occurrence count, making the occurrence-based
-    * threshold too aggressive), the per-class containment check below
-    * detects it and falls back to ranking that class in full — the
-    * prune is a pure optimization, never a semantics change.
-    */
-  private val KmvPruneC = 4
-  /** Kept-hash budget per source: c·K·salts = 16384. */
-  private val KmvKeptBudget = KmvPruneC * KmvK * KmvSalts
-
-  /** Per-source bottom-K sketch of the distinct-shingle hash set,
-    * sketch-bounded end to end: the corpus gram stream is never sorted
-    * through a data-sized shuffle.
+  /** Per-source bottom-K sketch of the distinct-shingle hash set, as
+    * ONE aggregation pass: [[graft.functions.BottomKAgg]] — the same
+    * imperative aggregate the streamed build (w13) folds micro-batches
+    * with — keeps the K smallest DISTINCT hashes per source directly.
+    * Its update/merge are associative and commutative, so Spark runs
+    * it with map-side partial aggregation: each task's partial buffer
+    * is ≤ K longs per source, and the one shuffle this plan contains
+    * carries sketch-sized partials (K·sources·tasks longs), never the
+    * gram stream. The full-buffer fast path (one compare against the
+    * Kth minimum) makes the per-row cost O(1) once a partial fills —
+    * on a uniform hash stream all but O(K·ln n) of the n updates take
+    * that path.
     *
-    * Phase 0 — threshold pre-prune. One map-side-combined count gives
-    * each source's gram-occurrence count n_occ; the per-source keep
-    * threshold t = (2^60 div n_occ)·c·K·salts (capped at 2^60) keeps
-    * an expected c·K·salts ≈ 16k hashes per source, because md5-derived
-    * hashes are uniform on [0, 2^60). A bottom-K sketch only ever needs
-    * the smallest hashes — rows above t can be discarded BEFORE any
-    * window, so the rank shuffle's input is sketch-sized (~16k rows per
-    * source), not data-sized. Containment is guarded per (source, salt)
-    * class: a class is provably safe when it kept ≥ K distinct hashes
-    * (the true bottom-K are the K smallest distinct values, all < t)
-    * or when nothing in the class reaches t (the kept set IS the
-    * class); every other class — possible only under pathological
-    * duplication, see [[KmvPruneC]] — is ranked in full via the same
-    * window, preserving the result bit-for-bit.
-    *
-    * Phase 1/2 — the two-phase rank: dense_rank over (source, salt)
-    * keeps the K smallest DISTINCT hashes per salt (dense_rank folds
-    * duplicate occurrences), then the per-source window ranks those
-    * ≤ salts·K survivors — so no window ever partitions by the bare
-    * group key over the full corpus (the p14/p15 lesson; a source
-    * holding half the corpus would otherwise serialize one task).
-    *
-    * The gram stream is scanned THREE times (n_occ for the threshold;
-    * per-class containment stats; the pruned rank input) — three
-    * map-side re-hash passes in exchange for never shuffling or
-    * caching the stream. That is the right trade at 100 TB: the
-    * passes are CPU-linear over the parquet scan's pushed projection,
-    * while caching the exploded gram stream would materialize a
-    * data-sized intermediate and the round-11 shape dragged 1/16th
-    * of each source's grams through single sort tasks. Three is also
-    * the LAZY floor: the containment guard needs kept-set statistics
-    * that depend on the threshold, which depends on the counts — a
-    * two-pass form exists only with a driver-side branch between
-    * passes (eager execution inside a gate builder).
+    * This retires the round-12 three-pass form (occurrence-count
+    * threshold → per-class containment stats → pruned two-phase rank
+    * window): that design bounded the rank shuffle by PRUNING the
+    * stream before a window sort, at the cost of scanning the gram
+    * stream three times and a provable-containment guard. The
+    * imperative aggregate gets the same bound from the aggregation
+    * buffer itself — the insight w13 already pinned ("KMV's state
+    * bound comes from the AGGREGATE") applies to the batch build too:
+    * one scan, no threshold, no salt classes, no window, and the
+    * 100 TB story improves (a skewed source no longer funnels its
+    * pruned ~16k rows through one sort task; partials merge
+    * tree-wise in the hash aggregate).
     */
   def kmvSketches(docs: DataFrame): DataFrame = {
     // the gram_hashes codegen kernel hashes every 3-gram straight off
     // the token array (no shingle-string materialization, one md5 each
     // in a primitive loop) — bit-identical to the SQL
     // conv(substring(md5(g),1,15),16,10) decode the oracle replays, so
-    // the sketch is unchanged; duplicate grams collapse in the
-    // dense_rank fold below exactly like duplicate shingles did
+    // the sketch is unchanged; duplicate grams collapse in BottomKAgg's
+    // distinct insert exactly like duplicate shingles did in the old
+    // dense_rank fold
     graft.functions.VectorExprs.register(docs.sparkSession)
-    val hs = docs
+    docs
       .select(col("source"),
         explode(call_function("gram_hashes", tokens(col("text")), lit(3)))
           .as("h"))
-      .withColumn("salt", (col("h") % KmvSalts).cast("int"))
-    // per-source keep threshold from the occurrence count; integer
-    // div-first keeps every term in range (n_occ > budget ⇒ the
-    // product ≤ 2^60)
-    val thr = hs.groupBy(col("source")).agg(count(lit(1)).as("n_occ"))
-      .withColumn("t", when(col("n_occ") <= KmvKeptBudget, lit(1L << 60))
-        .otherwise(expr(s"(${1L << 60} div n_occ) * $KmvKeptBudget")))
-      .select(col("source"), col("t"))
-    // per-class containment stats: kept_dist counts the distinct
-    // kept hashes (shuffle bounded by the kept set), max_h detects
-    // whether anything in the class lies at/above the threshold
-    val stats = hs.join(broadcast(thr), "source")
-      .groupBy(col("source"), col("salt"))
-      .agg(countDistinct(when(col("h") < col("t"), col("h")))
-          .as("kept_dist"),
-        max(col("h")).as("max_h"), max(col("t")).as("t"))
-      .withColumn("unsafe",
-        col("kept_dist") < KmvK && col("max_h") >= col("t"))
-      .select(col("source"), col("salt"), col("t"), col("unsafe"))
-    // prune: keep below-threshold rows everywhere, whole classes where
-    // containment isn't proven — sketch-sized input to the rank window
-    val pruned = hs.join(broadcast(stats), Seq("source", "salt"))
-      .filter(col("h") < col("t") || col("unsafe"))
-    val phase1 = pruned
-      .withColumn("dr", dense_rank().over(
-        Window.partitionBy(col("source"), col("salt")).orderBy(col("h"))))
-      .filter(col("dr") <= KmvK).select(col("source"), col("h")).distinct()
-    phase1.withColumn("rn", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("h"))))
-      .filter(col("rn") <= KmvK).drop("rn")
+      .groupBy(col("source"))
+      .agg(call_function("bottom_k_agg", col("h"), lit(KmvK)).as("sk"))
+      .select(col("source"), explode(col("sk")).as("h"))
   }
 
   /** x03 gate: pairwise source overlap from the KMV sketches alone.

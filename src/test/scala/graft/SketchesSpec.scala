@@ -87,15 +87,19 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
-  test("KMV bottom-K never windows the bare source over the corpus") {
+  test("KMV build is one map-side-partial aggregation, no corpus window") {
     val plan = Sketches.kmvSketches(docs).queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"), s"single-task window:\n$plan")
-    // the first (corpus-scale) rank window must be salted: its
-    // partition key carries the salt column alongside source
-    assert(plan.contains("salt"), s"unsalted corpus window:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
+    // the one-pass build's scale contract: the gram stream is folded
+    // by a PARTIAL bottom-k aggregate before its only exchange (so the
+    // shuffle carries <=K-long sketch partials, never grams), and no
+    // window/sort stage touches the corpus at all
+    assert(plan.contains("partial_bottom_k_agg"),
+      s"no map-side sketch partial:\n$plan")
+    assert(!plan.contains("Window"), s"corpus window crept back:\n$plan")
   }
 
-  test("KMV threshold prune preserves the sketch on both paths") {
+  test("KMV one-pass aggregate preserves the sketch on both paths") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFns.tokens
     graft.functions.VectorExprs.register(spark)
@@ -107,16 +111,14 @@ class SketchesSpec extends SparkSpec {
         Window.partitionBy(col("source")).orderBy(col("h"))))
       .filter(col("rn") <= 256).drop("rn")
       .collect().toSet
-    // real corpus (safe path: every class keeps >= K or is exhausted
-    // below threshold): pruned two-phase result == brute bottom-K over
+    // real corpus: one-pass aggregate result == brute bottom-K over
     // the distinct hash set
     val sk = Sketches.kmvSketches(docs).collect().toSet
     assert(sk.nonEmpty && sk == brute(docs))
-    // pathological duplication (unsafe path): 2000 copies of one
-    // 30-token doc -> n_occ = 56000 pushes the occurrence-based
-    // threshold to ~0.29*2^60 while only 28 distinct grams exist, so
-    // the naive prune would keep ~8 of them; the containment check
-    // must mark the classes unsafe and rank them in full
+    // pathological duplication (the case that broke the retired
+    // occurrence-threshold prune): 2000 copies of one 30-token doc —
+    // 56000 occurrences, only 28 distinct grams. The distinct insert
+    // must fold the duplicates and keep all 28.
     import spark.implicits._
     val text = (0 until 30).map(i => s"tok$i").mkString(" ")
     val dup = (1 to 2000).map(i => (i.toLong, "dupsrc", text))
