@@ -236,21 +236,20 @@ object EngineQueries {
 
   /** w09's streaming execution over caller-supplied span/log tables —
     * the gate passes the sf feed; ScaleProbe passes 10× replicas to
-    * measure buffered-join state growth. The ¼-trace cap stays inside
-    * so both scales run identical semantics.
+    * measure buffered-join state growth.
     */
   private[graft] def spanLogJoinStreamRun(s: SparkSession,
       spans: DataFrame, logs: DataFrame): DataFrame = {
-    // deterministic ¼-trace cap (trace_id ≡ 0 mod 4, oracle-mirrored):
-    // the gate exercises the stream-stream machinery — buffered-state
-    // joins, watermark plumbing, eviction bounds — which is
-    // feed-size-invariant; the uncapped corpus only multiplies state
-    // volume (measured 20.5 s vs ~7 s warm at sf0.1 for identical
-    // coverage). The batch J2 correlation (g03/g05) runs uncapped.
-    val sp = spans.filter(col("trace_id") % 4 === 0)
+    // UNCAPPED since round 13: rounds 11-12 ran a deterministic
+    // ¼-trace cap because the full feed cost ~20.5 s — that cost was
+    // the state-store maintenance lag StreamGate now reclaims plus an
+    // undersized store count; with reclamation and the w07 sizing rule
+    // (partitions ∝ state volume: a stream-stream join carries FOUR
+    // stores per partition) the full corpus runs at capped-era cost.
+    val sp = spans
       .select(col("id"), col("trace_id"), col("name"),
         col("process_id"), col("start"), col("end"))
-    val lg = logs.filter(col("trace_id") % 4 === 0)
+    val lg = logs
       .select(col("span_id"), col("time"), col("level"))
     def parity(c: Column, want: Int) = (c % 2).cast("int") === want
     graft.util.StreamGate.runParquet2(s, "w09_spanlog_join_stream",
@@ -270,6 +269,13 @@ object EngineQueries {
           .select(col("span_id"), col("trace_id"), col("name"),
             col("process_id"), col("time").as("log_time"), col("level"),
             col("start").as("span_start"), col("end").as("span_end"))
+      // state sizing, measured uncapped at sf0.1 (warm repeat-3): a
+      // stream-stream join carries FOUR stores per partition, so the
+      // commit term (partitions × 4 × batches) dominates well before
+      // per-store volume does — 8 partitions 9.4 s, 16 → 12.8 s,
+      // 32 → 18.4 s, while ~100k buffered rows/store at 8 is nowhere
+      // near memory pressure. Deployments size stores to state volume;
+      // at THIS state volume the floor partition count wins.
       }, statePartitions = Some(8))
       .orderBy(col("span_id"), col("log_time"))
   }
@@ -403,12 +409,11 @@ object EngineQueries {
          | SELECT o_orderkey*1000 + l_linenumber AS span_id,
          |  epoch_us(l_shipdate) AS time, 'ERROR' AS level
          | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         | WHERE l_returnflag = 'R' AND o_orderkey % 4 = 0)
+         | WHERE l_returnflag = 'R')
          |SELECT l.span_id, s.trace_id, s.name, s.process_id,
          | l.time AS log_time, l.level,
          | s.start AS span_start, s."end" AS span_end
          |FROM lgs2 l JOIN spans s ON l.span_id = s.id
-         | AND s.trace_id % 4 = 0
          | AND l.time >= s.start AND l.time <= s.start + 3600000000
          |ORDER BY l.span_id, log_time""".stripMargin,
     "g01_log_search" ->

@@ -355,10 +355,10 @@ class EngineSpec extends SparkSpec {
     val streamed = graft.queries.EngineQueries
       .spanLogJoinStreamGate(spark, d).collect().toSeq
     val (spans, logs) = graft.queries.EngineQueries.ordersAsSpans(spark, d)
-    // same deterministic ¼-trace cap as the gate
-    val batch = logs.filter(col("trace_id") % 4 === 0)
+    // the gate runs the UNCAPPED corpus since round 13
+    val batch = logs
       .select(col("span_id"), col("time"), col("level"))
-      .join(spans.filter(col("trace_id") % 4 === 0)
+      .join(spans
           .select(col("id"), col("trace_id"), col("name"),
             col("process_id"), col("start"), col("end")),
         expr("span_id = id AND time >= start AND " +
