@@ -1349,12 +1349,21 @@ object Dedup {
       exactSubstringDedup(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "w04_neardup_stream" -> (nearDupStreamGate _))
 
+  /** Distinct 3-gram shingles per doc over an arbitrary source, with
+    * caller-chosen relation names so one query can shingle two corpora
+    * (the composed p22 oracle shingles both the fuzzy-dedup survivor
+    * set and the full corpus for decontamination). No leading WITH.
+    */
+  private[operators] def shingleCteOn(src: String, toksRel: String,
+      shRel: String): String =
+    s"""$toksRel AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |$shRel AS (SELECT doc_id, CASE WHEN len(t) >= 3
+       |  THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
+       |  ELSE [] END AS sh FROM $toksRel)""".stripMargin
+
   /** Shared oracle CTE: distinct 3-gram shingles per doc. */
   private[operators] val shingleCte =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
-      |  THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])
-      |  ELSE [] END AS sh FROM toks)""".stripMargin
+    "WITH " + shingleCteOn("documents", "toks", "sh")
 
   /** SQL fragments mirroring TextFns' md5-integer primitives, generated
     * from the same constants so both engines compute identical hashes.
@@ -1377,10 +1386,18 @@ object Dedup {
       s"list_min(list_transform(hv, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashMod))"
     }.mkString("[", ",\n    ", "]")
 
+  /** The minhash+LSH pair CTE chain over an arbitrary shingle relation
+    * (yields `mh_pairs(doc_a, doc_b, jac)`). No leading WITH.
+    */
+  private[operators] def minhashPairsCtesOn(shRel: String): String =
+    minhashPairsCtesTmpl.replace("FROM sh ", s"FROM $shRel ")
+
   /** The minhash+LSH pair CTE chain (expects the [[shingleCte]] `sh`
     * relation in scope; yields `mh_pairs(doc_a, doc_b, jac)`).
     */
-  private[operators] val minhashPairsCtes: String =
+  private[operators] lazy val minhashPairsCtes: String = minhashPairsCtesOn("sh")
+
+  private lazy val minhashPairsCtesTmpl: String =
     s"""nz AS (SELECT doc_id, sh, list_transform(sh, sx -> ${base28Sql("sx")}) AS hv,
        |  list_distinct(list_transform(sh, sx -> ${baseHashSql("sx", 15)})) AS hs
        |  FROM sh WHERE len(sh) > 0),
@@ -1439,20 +1456,26 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The connected-components CTE chain over an arbitrary node source
+    * (expects `mh_pairs` in scope; yields `cc(doc_id, cluster)`). Must
+    * sit under WITH RECURSIVE. No leading WITH.
+    */
+  private[operators] def ccCtesOn(nodesRel: String): String =
+    s"""e AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jac >= 0.5),
+       |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM e
+       |        UNION ALL SELECT doc_b, doc_a FROM e),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM $nodesRel
+       |  UNION
+       |  SELECT sym.nbr AS id, reach.label
+       |  FROM reach JOIN sym ON sym.id = reach.id),
+       |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   /** The connected-components CTE chain (expects `mh_pairs` and the
     * `documents` table in scope; yields `cc(doc_id, cluster)`). Shared
     * by the d06 and p06 oracles.
     */
-  private[operators] val ccCtes: String =
-    """e AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jac >= 0.5),
-      |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM e
-      |        UNION ALL SELECT doc_b, doc_a FROM e),
-      |reach AS (
-      |  SELECT doc_id AS id, doc_id AS label FROM documents
-      |  UNION
-      |  SELECT sym.nbr AS id, reach.label
-      |  FROM reach JOIN sym ON sym.id = reach.id),
-      |cc AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id)""".stripMargin
+  private[operators] val ccCtes: String = ccCtesOn("documents")
 
   /** Content-defined segmentation CTEs (yields `segs(doc_id, seg_idx,
     * seg)`), mirroring [[cdcSegments]]; shared by the d14/d16 oracles.

@@ -812,7 +812,60 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** p22: the FULL published cleaning pipeline — p21's three stages
+    * extended with the two every real recipe (C4, RefinedWeb, FineWeb,
+    * Dolma) runs that p21 omits, in the published order:
+    *
+    *   quality filter → perplexity tail-drop → exact dedup →
+    *   fuzzy near-dup dedup → benchmark decontamination
+    *
+    * Fuzzy dedup is d03/d06's machinery over the EXACT-dedup
+    * survivors: MinHash-LSH pairs → connected components →
+    * cluster-min keeper (each near-dup cluster keeps exactly its
+    * lowest doc_id). Decontamination is p13's: benchmark membership
+    * is defined on the FULL corpus (benchmarks are external to the
+    * cleaning run — a document's bench status cannot depend on which
+    * cleaning stage it survived), and survivors overlapping a bench
+    * doc ≥ 10% of their shingles are anti-joined away along with the
+    * bench members themselves.
+    *
+    * Keeper-exact gate: DuckDB replays all five stages from the SAME
+    * factored CTE chains the standalone gates use (qualityCtes /
+    * surprisalCtes / shingle+minhash+CC / the p13 overlap chain) and
+    * must agree on every individual surviving document.
+    *
+    * Scale shape: no stage adds shuffle structure beyond its
+    * standalone form — the chain is quality (map-side) → bucket
+    * (broadcast cutoffs) → exact (hash groupBy) → fuzzy (banded
+    * Σ bucket² + shallow CC, now over the ALREADY-REDUCED survivor
+    * set, the order real recipes use precisely because fuzzy dedup is
+    * the expensive stage) → decontam (broadcast bench index +
+    * anti-join). Catalyst prunes/pushes across every boundary.
+    */
+  def cleanTrainingCorpusFull(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityModelScore(docs)
+      .filter(col("score") >= 0.5).select("doc_id")
+    val kept1 = docs.join(q, "doc_id")
+    val nonTail = TextAnalysis.perplexityBuckets(kept1)
+      .filter(col("bucket") =!= "tail").select("doc_id")
+    val kept2 = kept1.join(nonTail, "doc_id")
+    val exactKeepers = TextAnalysis.fingerprint(kept2)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val kept3 = kept2.join(exactKeepers.select("doc_id"), "doc_id")
+    val fuzzyKeepers = Dedup.minhashClusters(kept3)
+      .filter(col("doc_id") === col("cluster")).select("doc_id")
+    val kept4 = kept3.join(fuzzyKeepers, "doc_id")
+    val hits = Dedup.contaminationOverlap(docs)
+      .select(col("doc_id")).distinct()
+    kept4.filter(col("doc_id") % 50 =!= 0)
+      .join(hits, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p22_clean_corpus_full" -> ((s, d) =>
+      cleanTrainingCorpusFull(Tables.documents(s, d))),
     "p21_clean_corpus" -> ((s, d) =>
       cleanTrainingCorpus(Tables.documents(s, d))),
     "p01_clean_corpus" -> ((s, d) => cleanCorpus(Tables.documents(s, d))),
@@ -909,6 +962,46 @@ object Pipelines {
   }.mkString("CAST((", " + ", ") AS BIGINT)")
 
   val oracle: Map[String, String] = Map(
+    // all five published stages spliced from the same factored CTE
+    // chains the standalone gates use: quality (t18) → perplexity
+    // tail-drop (t21) → exact dedup → fuzzy minhash-CC keeper
+    // (d03/d06, over the exact-dedup survivors) → decontamination
+    // (p13, bench side from the FULL corpus) — keeper-exact
+    "p22_clean_corpus_full" ->
+      s"""WITH RECURSIVE ${TextAnalysis.qualityCtes("documents")},
+         |kept1 AS (SELECT d.* FROM documents d
+         |  JOIN s USING (doc_id) WHERE s.score >= 0.5),
+         |${TextAnalysis.surprisalCtes("kept1")},
+         |ms AS (SELECT doc_id,
+         |   CAST(ROUND((sum_surprisal / n_toks) * 1000000.0, 0)
+         |     AS BIGINT) AS s_micro, k.lang, k.text
+         |  FROM a JOIN kept1 k USING (doc_id)),
+         |${TextAnalysis.pplCutCtes},
+         |kept2 AS (SELECT ms.* FROM ms LEFT JOIN cuts USING (lang)
+         |  WHERE cut1 IS NULL OR s_micro <= cut2),
+         |fpc AS (SELECT doc_id, lang, text,
+         |   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |  FROM kept2),
+         |ek AS (SELECT fp, MIN(doc_id) AS doc_id FROM fpc GROUP BY 1),
+         |kept3 AS (SELECT f.doc_id, f.lang, f.text FROM fpc f
+         |  JOIN ek ON f.doc_id = ek.doc_id),
+         |${Dedup.shingleCteOn("kept3", "toks", "sh")},
+         |${Dedup.minhashPairsCtes},
+         |${Dedup.ccCtesOn("kept3")},
+         |kept4 AS (SELECT k3.* FROM kept3 k3
+         |  JOIN cc ON k3.doc_id = cc.doc_id AND cc.doc_id = cc.cluster),
+         |${Dedup.shingleCteOn("documents", "ftoks", "fsh")},
+         |cnt AS (SELECT doc_id, len(sh) AS n_sh FROM fsh),
+         |fex AS (SELECT doc_id, unnest(sh) AS sv FROM fsh),
+         |bex AS (SELECT doc_id AS bench_id, sv FROM fex WHERE doc_id % 50 = 0),
+         |cex AS (SELECT doc_id, sv FROM fex WHERE doc_id % 50 <> 0),
+         |ov AS (SELECT doc_id, bench_id, COUNT(*) AS common
+         |  FROM cex JOIN bex USING (sv) GROUP BY doc_id, bench_id),
+         |hits AS (SELECT DISTINCT doc_id FROM ov JOIN cnt USING (doc_id)
+         |  WHERE common * 1000000 // n_sh >= 100000)
+         |SELECT doc_id, lang FROM kept4
+         |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+         |ORDER BY doc_id""".stripMargin,
     // the composed pipeline splices the SAME factored CTE chains the
     // standalone t18/t21 oracles use, re-sourced onto each stage's
     // survivor set — DuckDB must agree on every individual keeper

@@ -338,6 +338,18 @@ object EngineQueries {
         // same state sizing as w07 — the stateful operator is the same
         statePartitions = Some(16))
     } finally base.unpersist(): Unit
+    // end the loop at the LSM cadence point: the background policy
+    // inspects the staging depth after the flush cycle — at 3 staged
+    // files it correctly declines (this corpus's 7-year event spread
+    // means ANY partitioned organization is ~1,750 one-row dirs;
+    // measured: a forced drain costs 34-48 s and the organized layout
+    // reads SLOWER than the 3 staged files — the depth gate exists
+    // precisely to amortize that cost until staging is the worse
+    // layout). The drain itself — trigger, crash-safety, read
+    // equality — is pinned by the policy specs; reads are
+    // drain-invariant so the oracle is identical either way.
+    store.maybeCompact(
+      filesPerPartition = s.sparkContext.defaultParallelism): Unit
     val spans = store.read(None, None).getOrElse(
       sys.error("w11: no flush landed in the store"))
     TraceQueries.filterTraces(s, spans, logs,
@@ -400,9 +412,105 @@ object EngineQueries {
     }),
     "w07_spanmerge_stream" -> (spanMergeStreamGate _),
     "w09_spanlog_join_stream" -> (spanLogJoinStreamGate _),
-    "w11_ingest_loop" -> (ingestLoopGate _))
+    "w11_ingest_loop" -> (ingestLoopGate _),
+    "g06_dynamic_schema" -> (dynamicSchemaGate _))
+
+  /** g06: the dynamic log-schema ingest path END TO END — the
+    * reference's hardest semantics (raw-JSON field inference,
+    * duo/src/arrow.rs:70-91; registry merge, duo/src/schema.rs:78-101;
+    * drifted-file reads, the reference's own open FIXME at
+    * duo/src/partition/query.rs:72-75) — and the one reference-core
+    * behavior that previously had no oracle-hashed CORRECTNESS row.
+    *
+    * The feed is the events table serialized to raw JSON LINES and
+    * ingested through [[graft.DuoEngine.ingestJsonLogs]] in two
+    * batches with DRIFTED field sets: even span ids arrive narrow (no
+    * `target`, no `value` — those fields simply absent from the JSON
+    * text, the born-dynamic arrival shape), odd span ids arrive wide.
+    * Each batch is flushed separately, so the cold store holds parquet
+    * files with two genuinely different schemas in the same
+    * partitions. A FRESH engine then answers from disk alone —
+    * registry load → mergeSchema read → conform — and the gate output
+    * is fieldStats over THREE drift classes at once: `code`, a
+    * BORN-DYNAMIC column (absent from the base registry entirely —
+    * only JSON inference + registry widening can surface it); `target`,
+    * a base-registry column the narrow batch omits (nulled by base
+    * widening, F12-dropped from its stats); and `level`, a both-batch
+    * column whose counts cover the full union, so a lost batch-1 file
+    * or a failed drift merge halves them and the hash breaks. The
+    * driver-side JSON feed is the harness — the Seq[String] API IS the
+    * reference's gRPC ingest edge.
+    *
+    * Event times are compressed onto one fixed hour so the
+    * minute-partitioned store lands ~60 partitions instead of one per
+    * distinct event minute (the w11 small-files lesson); fieldStats
+    * is time-agnostic (unbounded, no time filter), so the oracle
+    * needs no time arithmetic at all.
+    */
+  private val G06BaseUs = 1705276800000000L // 2024-01-15T00:00:00Z
+
+  def dynamicSchemaGate(s: SparkSession, d: String): DataFrame = {
+    val logs = eventsAsLogs(s, d).withColumn("time",
+      lit(G06BaseUs) + pmod(col("time"), lit(3600000000L)))
+    def lines(df: DataFrame): Seq[String] =
+      df.toJSON.collect().toIndexedSeq
+    val narrow = logs.filter(col("span_id") % 2 === 0)
+      .select(col("process_id"), col("time"), col("trace_id"),
+        col("span_id"), col("level"), col("message"))
+    val wide = logs.filter(col("span_id") % 2 =!= 0)
+      .select(col("process_id"), col("time"), col("trace_id"),
+        col("span_id"), col("level"), col("message"),
+        col("target"), col("value"),
+        concat(lit("c"), col("span_id") % 7).as("code"))
+    val root = java.nio.file.Files.createTempDirectory("g06_store").toString
+    val ingester = new graft.DuoEngine(s, root)
+    ingester.ingestJsonLogs(lines(narrow)): Unit
+    ingester.flush() // cold files at the narrow schema
+    ingester.ingestJsonLogs(lines(wide)): Unit
+    ingester.flush() // cold files at the widened schema
+    val reader = new graft.DuoEngine(s, root) // fresh: disk is all it has
+    val p = LogQueries.LogSearchParams(service = "svc", unbounded = true)
+    def stats(field: String): DataFrame =
+      reader.fieldStats(field, p).getOrElse(
+        sys.error(s"g06: merged schema lost the '$field' column"))
+        .withColumn("field", lit(field))
+        .select(col("field"), col("value"), col("count"))
+    stats("code").unionAll(stats("target")).unionAll(stats("level"))
+      .orderBy(col("field"), col("count").desc, col("value"))
+  }
 
   val oracle: Map[String, String] = Map(
+    // replay of inference + drift union: target exists only on odd
+    // span ids (the wide batch) and F12 drops batch-1 nulls, so its
+    // stats replay over the odd half; level rides BOTH batches, so
+    // its counts pin that the merged read surfaces every drifted file
+    "g06_dynamic_schema" ->
+      """WITH logs AS (SELECT
+        |  'svc'||CAST(user_id%5 AS VARCHAR)||'-'||CAST(user_id%3 AS VARCHAR) AS process_id,
+        |  event_id AS span_id,
+        |  CASE WHEN event_type='error' THEN 'ERROR' WHEN event_type='signup' THEN 'WARN'
+        |       WHEN event_type='click' THEN 'INFO' WHEN event_type='view' THEN 'DEBUG'
+        |       ELSE 'TRACE' END AS level,
+        |  event_type AS target,
+        |  'c'||CAST(event_id % 7 AS VARCHAR) AS code
+        | FROM events),
+        |cde AS (SELECT 'code' AS field, code AS value,
+        |   CAST(COUNT(code) AS BIGINT) AS "count"
+        | FROM logs WHERE process_id LIKE 'svc%' AND span_id % 2 = 1
+        |   AND code IS NOT NULL
+        | GROUP BY code ORDER BY "count" DESC, value LIMIT 20),
+        |tgt AS (SELECT 'target' AS field, target AS value,
+        |   CAST(COUNT(target) AS BIGINT) AS "count"
+        | FROM logs WHERE process_id LIKE 'svc%' AND span_id % 2 = 1
+        |   AND target IS NOT NULL
+        | GROUP BY target ORDER BY "count" DESC, value LIMIT 20),
+        |lvl AS (SELECT 'level' AS field, level AS value,
+        |   CAST(COUNT(level) AS BIGINT) AS "count"
+        | FROM logs WHERE process_id LIKE 'svc%' AND level IS NOT NULL
+        | GROUP BY level ORDER BY "count" DESC, value LIMIT 20)
+        |SELECT * FROM (SELECT * FROM cde UNION ALL SELECT * FROM tgt
+        |               UNION ALL SELECT * FROM lvl)
+        |ORDER BY field, "count" DESC, value""".stripMargin,
     "w09_spanlog_join_stream" ->
       s"""$spansCte,
          |lgs2 AS (

@@ -76,6 +76,44 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       .option("parquet.bloom.filter.enabled#trace_id", "true")
       .parquet(stagingDir)
 
+  /** The snapshot tree a running [[compact]] folds in: staged files are
+    * MOVED here (atomic per-file renames) when a compaction starts, so
+    * flushes landing in `_staging` afterwards are cleanly "late" — they
+    * survive the swap instead of being deleted with the old tree (the
+    * lost-flush window the lazy snapshot had). Underscore-prefixed like
+    * `_staging`, so partitioned discovery never sees it.
+    */
+  private def compactingDir = s"$dir/_staging_compacting"
+
+  /** Move every parquet file under `from` into `to` (atomic per-file
+    * renames; both under the same table root, so rename never copies).
+    */
+  private def moveFiles(from: File, to: File): Unit = {
+    val files = Option(from.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    if (files.nonEmpty) to.mkdirs(): Unit
+    files.foreach { f =>
+      var dest = new File(to, f.getName)
+      // part-file names carry a job UUID, so collisions are
+      // pathological — but a silent overwrite would drop rows
+      var i = 0
+      while (dest.exists()) { i += 1; dest = new File(to, s"dup$i-${f.getName}") }
+      if (!f.renameTo(dest))
+        throw new java.io.IOException(s"moveFiles: $f -> $dest failed")
+    }
+    rm(from)
+  }
+
+  /** Roll back an interrupted snapshot: files moved to
+    * `_staging_compacting` by a compact() that never promoted belong in
+    * `_staging` again (their rewrite was discarded with the staged
+    * tree).
+    */
+  private def foldCompactingBack(): Unit = {
+    val c = new File(compactingDir)
+    if (c.exists()) moveFiles(c, new File(stagingDir))
+  }
+
   /** The main partitioned tree / the staging tree as DataFrames, None
     * when that side holds no data yet. Schema inference doubles as the
     * distributed "any files?" probe — a driver-side walk would not
@@ -129,9 +167,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     }
     // staged flushes: no directory pruning yet (that is compaction's
     // job), but the row-level time predicate still pushes down onto
-    // the staged files' row-group stats
-    val staged = tryRead(stagingDir)
+    // the staged files' row-group stats. A mid-compaction snapshot
+    // (`_staging_compacting`) is part of the table too — its rows are
+    // not in the main tree until the swap promotes the rewrite.
+    val staged = Seq(stagingDir, compactingDir).flatMap(tryRead)
       .map(df => rowPred.fold(df)(df.where))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
     (main, staged) match {
       case (Some(m), Some(st)) => Some(m.unionByName(st,
         allowMissingColumns = true))
@@ -161,18 +202,31 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     val live = new File(dir)
     val old = new File(oldDir)
     val staged = new File(stagedDir)
+    // late flushes: live+old coexisting means a compact() promoted but
+    // crashed before adopting the flushes that landed in `_staging`
+    // during the rewrite (the folded snapshot sits in old's
+    // `_staging_compacting`, which dies with the old tree) — move the
+    // late files into the live staging tree before dropping old
+    def adoptLateStaging(): Unit = {
+      val lateStaging = new File(old, "_staging")
+      if (lateStaging.exists())
+        moveFiles(lateStaging, new File(stagingDir))
+    }
     if (live.exists()) {
       if (staged.exists()) rm(staged)
-      if (old.exists()) rm(old)
+      if (old.exists()) { adoptLateStaging(); rm(old) }
+      // a snapshot whose compact() never swapped rolls back to staging
+      foldCompactingBack()
     } else if (stagedMarker.exists()) {
       if (!staged.renameTo(live))
         throw new java.io.IOException(s"recover: rename $stagedDir -> $dir failed")
       new File(live, "_STAGED_OK").delete(): Unit
-      if (old.exists()) rm(old)
+      if (old.exists()) { adoptLateStaging(); rm(old) }
     } else if (old.exists()) {
       rm(staged)
       if (!old.renameTo(live))
         throw new java.io.IOException(s"recover: rename $oldDir -> $dir failed")
+      foldCompactingBack()
     }
     recoverPartitions()
   }
@@ -330,13 +384,17 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       blockSize: Option[Long] = None): Unit = {
     recover()
     if (!exists) return
-    // the rewrite folds the staging tree in (deriving its partition
-    // columns the way [[write]] does) and the swap drains it: the
-    // freshly staged rewrite has no `_staging`, and the old tree —
-    // staging included — is dropped after promotion, so a crash at
-    // any step still leaves every staged row in exactly one tree
+    // SNAPSHOT the staging tree by moving its current files into
+    // `_staging_compacting` (atomic renames): the rewrite folds exactly
+    // that snapshot, while flushes landing in `_staging` from here on
+    // are LATE — outside the rewrite, preserved across the swap below
+    // (and by [[recover]] if we crash). The lazy-read form this
+    // replaces deleted any flush that landed between the rewrite's
+    // file-index snapshot and the swap.
+    val stagingF = new File(stagingDir)
+    if (stagingF.exists()) moveFiles(stagingF, new File(compactingDir))
     val mainPart = tryRead(dir)
-    val stagedPart = tryRead(stagingDir).map(_
+    val stagedPart = tryRead(compactingDir).map(_
       .withColumn("__ts", timestamp_micros(col(timeCol)))
       .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
       .withColumn("hour", date_format(col("__ts"), "HH"))
@@ -376,7 +434,56 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       throw new java.io.IOException(s"compact: rename $stagedDir -> $dir failed")
     new File(live, "_STAGED_OK").delete(): Unit
     if (crashAfterStep <= 3) return
+    // adopt flushes that landed in `_staging` during the rewrite (the
+    // folded snapshot dies with the old tree; these files were never
+    // folded, so the move cannot duplicate rows)
+    val lateStaging = new File(oldDir, "_staging")
+    if (lateStaging.exists()) moveFiles(lateStaging, new File(stagingDir))
     rm(new File(oldDir))
+  }
+
+  /** Staged-but-uncompacted file count — the LSM depth signal the
+    * compaction policy triggers on. A driver-side listing of ONE flat
+    * directory (staged flushes write few files each), not a tree walk.
+    */
+  def stagedFileCount: Int = {
+    def count(p: String) = Option(new File(p).listFiles()).toSeq.flatten
+      .count(_.getName.endsWith(".parquet"))
+    count(stagingDir) + count(compactingDir)
+  }
+
+  /** Oldest staged file's age in µs (None when staging is empty) — the
+    * policy's second trigger: a trickle ingest never reaches the count
+    * threshold but must still drain eventually.
+    */
+  def stagedOldestAgeUs(nowUs: Long = System.currentTimeMillis() * 1000L)
+      : Option[Long] = {
+    val files = Option(new File(stagingDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    if (files.isEmpty) None
+    else Some(nowUs - files.map(_.lastModified()).min * 1000L)
+  }
+
+  /** Compaction as a POLICY, not a tool (the LSM background cadence):
+    * drain the staging tree into the partitioned layout when it is
+    * deep enough (`maxStagedFiles`) or old enough (`maxAgeUs`) — the
+    * two triggers every LSM store's background compactor runs on
+    * (depth amortizes write cost; age bounds how long directory
+    * pruning is deferred for staged rows). Returns whether a drain
+    * ran. Reads are identical before and after (read() unions staging
+    * in; the policy spec pins equality), so callers sprinkle this at
+    * cadence points — end of an ingest loop, a timer — without
+    * coordinating with readers. Crash-safe via [[compact]]'s swap +
+    * snapshot discipline.
+    */
+  def maybeCompact(maxStagedFiles: Int = 64,
+      maxAgeUs: Option[Long] = None,
+      nowUs: Long = System.currentTimeMillis() * 1000L,
+      filesPerPartition: Int = 1): Boolean = {
+    val deep = stagedFileCount >= maxStagedFiles
+    val stale = maxAgeUs.exists(lim =>
+      stagedOldestAgeUs(nowUs).exists(_ >= lim))
+    if (deep || stale) { compact(filesPerPartition); true } else false
   }
 
   /** Trace-search span read for the F9∧F10 predicate pair (start range
@@ -450,18 +557,29 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   /** Reference-shaped read path: enumerate minimal partition prefixes
     * with [[TimePrefix]] and read only those directories (the
     * ListingTable-over-prefixes plan, duo/src/partition/query.rs:38-60).
+    * Staged-but-not-yet-compacted flushes are unioned in with the
+    * row-level time predicate (directory pruning for them is
+    * compaction's job) — without this the two read APIs would disagree
+    * on the table's contents between a [[writeStaged]] land and the
+    * next drain.
     */
   def readPrefixes(startUs: Long, endUs: Long,
       schema: Option[StructType] = None): Option[DataFrame] = {
     val paths = TimePrefix.generatePrefixes(startUs, endUs)
       .map(p => s"$dir/$p")
       .filter(p => new File(p).exists())
-    if (paths.isEmpty) None
-    else {
+    val main = if (paths.isEmpty) None else {
       val reader = spark.read.option("mergeSchema", "true")
         .option("basePath", dir)
       val withSchema = schema.map(reader.schema).getOrElse(reader)
       Some(withSchema.parquet(paths: _*).drop("date", "hour", "minute"))
+    }
+    val staged = tryRead(stagingDir)
+      .map(_.where(col(timeCol).between(startUs, endUs)))
+    (main, staged) match {
+      case (Some(m), Some(st)) =>
+        Some(m.unionByName(st, allowMissingColumns = true))
+      case (m, st) => m.orElse(st)
     }
   }
 }

@@ -235,6 +235,38 @@ class EngineSpec extends SparkSpec {
     assert(engine.logTable().filter(col("region").isNull).count() == 3)
   }
 
+  test("drifted JSON flushes land parquet files with genuinely different schemas") {
+    // the g06 gate's disk-level premise: flush 1 (narrow fields) and
+    // flush 2 (adds `target`) must produce files whose FOOTERS differ,
+    // so the merged read is a real drift union, not a no-op
+    val root = tmpRoot()
+    val engine = new DuoEngine(spark, root)
+    assert(engine.ingestJsonLogs(Seq(
+      """{"process_id":"svc-0","time":1760000000000000,"level":"INFO","message":"a"}""")) == 0L)
+    engine.flush()
+    assert(engine.ingestJsonLogs(Seq(
+      """{"process_id":"svc-0","time":1760000000100000,"level":"WARN","message":"b","target":"x","value":1.5}""")) == 0L)
+    engine.flush()
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+      else if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val schemas = walk(new java.io.File(s"$root/log"))
+      .map(f => spark.read.parquet(f.getPath).schema.fieldNames.toSet)
+      .distinct
+    assert(schemas.size == 2, s"expected two distinct file schemas, got $schemas")
+    // `value` is born-dynamic (absent from the base registry), so ONLY
+    // flush 2's file carries it — base-registry columns like `target`
+    // are null-widened into every flush and prove nothing about drift
+    assert(schemas.exists(_.contains("value")) &&
+      schemas.exists(!_.contains("value")))
+    // a fresh engine serves the late column from disk alone, with
+    // batch-1 rows visible as nulls under the merged schema
+    val fresh = new DuoEngine(spark, root)
+    val t = fresh.logTable()
+    assert(t.count() == 2 && t.filter(col("value").isNull).count() == 1)
+  }
+
   test("JSON ingest rejects corrupt lines and flattens nested values") {
     import org.apache.spark.sql.types._
     val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
@@ -260,6 +292,66 @@ class EngineSpec extends SparkSpec {
     // a fully-clean batch reports zero drops
     assert(engine.ingestJsonLogs(Seq(
       """{"process_id":"svc-0","time":3000,"level":"INFO","message":"ok3"}""")) == 0L)
+  }
+
+  test("compaction policy: triggers on depth or age, reads identical, late flush survives") {
+    val root = tmpRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day1 = 1760000000000000L
+    def row(id: Long) = Seq((id, day1 + id, id)).toDF("id", "start", "trace_id")
+    (1L to 3L).foreach(i => store.writeStaged(row(i)))
+    val before = store.read(None, None).get.orderBy("id").collect().toSeq
+    // below both thresholds: no drain
+    assert(!store.maybeCompact(maxStagedFiles = 64))
+    assert(store.stagedFileCount == 3)
+    // depth trigger fires, staging drains into the partitioned layout
+    assert(store.maybeCompact(maxStagedFiles = 3))
+    assert(store.stagedFileCount == 0)
+    assert(store.read(None, None).get.orderBy("id").collect().toSeq == before)
+    // prefix read path agrees post-drain (directory pruning now applies)
+    assert(store.readPrefixes(day1, day1 + 10L).get.count() == 3)
+    // age trigger: a single staged file is too shallow for depth but
+    // crosses the age horizon against a pinned "now"
+    store.writeStaged(row(4L))
+    assert(!store.maybeCompact(maxStagedFiles = 64,
+      maxAgeUs = Some(3600L * 1000000L)))
+    val future = System.currentTimeMillis() * 1000L + 7200L * 1000000L
+    assert(store.maybeCompact(maxStagedFiles = 64,
+      maxAgeUs = Some(3600L * 1000000L), nowUs = future))
+    assert(store.read(None, None).get.count() == 4)
+  }
+
+  test("staged flush landing mid-compaction survives the swap") {
+    val root = tmpRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day1 = 1760000000000000L
+    def row(id: Long) = Seq((id, day1 + id, id)).toDF("id", "start", "trace_id")
+    store.writeStaged(row(1L))
+    // crash AFTER the promote step but before old-tree cleanup — the
+    // window where the lazy-snapshot form deleted concurrent flushes.
+    // A flush lands "during the rewrite" (here: before the interrupted
+    // cleanup), i.e. into _staging while the old tree still exists.
+    store.compact(crashAfterStep = 3)
+    store.writeStaged(row(2L))
+    // hack the late file into the old tree's staging (the state a
+    // concurrent flush would leave: compact() renamed live aside
+    // while the writer kept appending to the live path's _staging)
+    val late = new java.io.File(s"$root/span/_staging")
+    val oldStaging = new java.io.File(s"$root/.old-span/_staging")
+    oldStaging.getParentFile.mkdirs()
+    assert(late.renameTo(oldStaging))
+    // recovery adopts the late flush instead of deleting it with old
+    store.recover()
+    assert(!new java.io.File(s"$root/.old-span").exists())
+    assert(store.read(None, None).get.select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // interrupted-before-swap snapshot rolls back to staging
+    val store2 = new ParquetStore(spark, root, "span", "start")
+    store2.writeStaged(row(3L))
+    store2.compact(crashAfterStep = 1)
+    store2.recover()
+    assert(store2.read(None, None).get.count() == 3)
+    assert(!new java.io.File(s"$root/span/_staging_compacting").exists())
   }
 
   test("compaction swap survives a crash at every step") {

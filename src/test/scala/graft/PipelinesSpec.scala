@@ -49,6 +49,36 @@ class PipelinesSpec extends SparkSpec {
     assert(survivors == byFp.values.toSet)
   }
 
+  test("full pipeline: p21 prefix preserved, fuzzy+decontam stages attrit") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val corpus = graft.Tables.documents(spark, dir)
+    val p21 = Pipelines.cleanTrainingCorpus(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val p22 = Pipelines.cleanTrainingCorpusFull(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    // the full pipeline's first three stages ARE p21, so p22 ⊆ p21
+    assert(p22.nonEmpty && p22.subsetOf(p21))
+    // decontamination must at least drop the bench members themselves
+    // that p21 kept
+    val benchKept = p21.filter(_ % 50 == 0)
+    assert(benchKept.nonEmpty, "fixture has no bench members in p21 output")
+    assert(p22.intersect(benchKept).isEmpty, "bench members survived decontam")
+    // fuzzy stage: every dropped-by-fuzzy doc's cluster keeper survives
+    // to the fuzzy stage (it may still fall to decontamination after)
+    val kept3 = corpus.filter(col("doc_id").isin(p21.toSeq: _*))
+    val clusters = Dedup.minhashClusters(kept3)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    val fuzzyKept = p21.filter(id => clusters(id) == id)
+    assert(fuzzyKept.subsetOf(p21))
+    val expected = fuzzyKept.filter(_ % 50 != 0) -- contaminatedIds(corpus)
+    assert(p22 == expected, "p22 != quality→ppl→exact→fuzzy→decontam replay")
+  }
+
+  private def contaminatedIds(corpus: org.apache.spark.sql.DataFrame) =
+    Dedup.contaminationOverlap(corpus)
+      .select("doc_id").as[Long].collect().toSet
+
   test("leakageSafeSplit via a precomputed cluster table is identical") {
     val clusters = Dedup.minhashClusters(docs)
     val self = Pipelines.leakageSafeSplit(docs).collect().toSet
