@@ -56,13 +56,13 @@ object ScaleProbe {
     val docs1 = Tables.documents(spark, sfDir).localCheckpoint(true)
     val embs1 = Tables.embeddings(spark, sfDir).localCheckpoint(true)
 
-    // ten disjoint-token-space copies: copy 0 is the original; copy k
+    // m disjoint-token-space copies: copy 0 is the original; copy k
     // suffixes every token so shingles/words never collide across
     // copies — the duplicate structure replicates instead of compounding
-    def docs10(): DataFrame = {
-      val copies = (0 until 10).map { k =>
+    def docsN(m: Int): DataFrame = {
+      val copies = (0 until m).map { k =>
         val base = docs1.select(
-          (col("doc_id") * 10 + k).as("doc_id"), col("text"),
+          (col("doc_id") * m + k).as("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars"))
         if (k == 0) base
         else base.withColumn("text",
@@ -71,49 +71,51 @@ object ScaleProbe {
       }
       copies.reduce(_ unionAll _)
     }
-    def embs10(): DataFrame =
-      (0 until 10).map { k =>
-        embs1.select((col("vec_id") * 10 + k).as("vec_id"),
+    def embsN(m: Int): DataFrame =
+      (0 until m).map { k =>
+        embs1.select((col("vec_id") * m + k).as("vec_id"),
           transform(col("embedding"), x => x + lit(k * 1e-4f)).as("embedding"),
           col("label"))
       }.reduce(_ unionAll _)
 
-    val d10 = docs10().localCheckpoint(true)
-    val e10 = embs10().localCheckpoint(true)
-
-    // span/log feeds for the big-state streaming gates (w07/w09): ten
+    // span/log feeds for the big-state streaming gates (w07/w09): m
     // copies under shifted ids — id/parent_id/trace_id shift together
     // so per-trace structure (and therefore merge/join semantics)
     // replicates; null parent_ids stay null (roots stay roots). State
-    // keys (span ids) grow exactly 10×.
+    // keys (span ids) grow exactly m×.
     val (sp1, lg1) = {
       val (sp, lg) = graft.queries.EngineQueries.ordersAsSpans(spark, sfDir)
       (sp.localCheckpoint(true), lg.localCheckpoint(true))
     }
-    def spans10(): DataFrame = (0 until 10).map { k =>
-      sp1.select((col("id") * 10 + k).as("id"),
-        (col("parent_id") * 10 + k).as("parent_id"),
-        (col("trace_id") * 10 + k).as("trace_id"),
+    def spansN(m: Int): DataFrame = (0 until m).map { k =>
+      sp1.select((col("id") * m + k).as("id"),
+        (col("parent_id") * m + k).as("parent_id"),
+        (col("trace_id") * m + k).as("trace_id"),
         col("name"), col("process_id"), col("start"), col("end"),
         col("tags"))
     }.reduce(_ unionAll _)
-    def logs10(): DataFrame = (0 until 10).map { k =>
+    def logsN(m: Int): DataFrame = (0 until m).map { k =>
       lg1.select(col("process_id"), col("time"),
-        (col("trace_id") * 10 + k).as("trace_id"),
-        (col("span_id") * 10 + k).as("span_id"), col("level"))
+        (col("trace_id") * m + k).as("trace_id"),
+        (col("span_id") * m + k).as("span_id"), col("level"))
     }.reduce(_ unionAll _)
-    val sp10 = spans10().localCheckpoint(true)
-    val lg10 = logs10().localCheckpoint(true)
 
     // events grow by copy too: ids and users shift per copy (distinct
-    // users ×10), event days stay — the partition dimension a real
-    // month of 10× traffic keeps
+    // users ×m), event days stay — the partition dimension a real
+    // month of m× traffic keeps
     val evs1 = Tables.events(spark, sfDir).localCheckpoint(true)
-    val ev10 = (0 until 10).map { k =>
-      evs1.select((col("event_id") * 10 + k).as("event_id"), col("ts"),
-        (col("user_id") * 10 + k).as("user_id"), col("event_type"),
+    def evsN(m: Int): DataFrame = (0 until m).map { k =>
+      evs1.select((col("event_id") * m + k).as("event_id"), col("ts"),
+        (col("user_id") * m + k).as("user_id"), col("event_type"),
         col("value"), col("props"))
-    }.reduce(_ unionAll _).localCheckpoint(true)
+    }.reduce(_ unionAll _)
+
+    // SPARK_GRAFT_SCALE_TIERS picks the tiers (default "1x,10x"; the
+    // 100x tier runs a restricted operator set below and wants a
+    // bigger driver heap — SPARK_DRIVER_MEM=48g — because the
+    // streamed-ingest row holds ~60M-key state in the JVM)
+    val tiers = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIERS", "1x,10x")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
     // streaming state metrics: every StreamingQueryProgress carries
     // per-operator state rows / bytes; the buffer aggregates across a
@@ -147,7 +149,10 @@ object ScaleProbe {
       val stateRows = (0L +: ps.map(_.stateOperators.map(_.numRowsTotal).sum)).max
       val stateMb = (0L +: ps.map(_.stateOperators.map(_.memoryUsedBytes).sum))
         .max / 1e6
-      val batches = ps.count(_.stateOperators.nonEmpty)
+      // micro-batches = progress entries that consumed input: stateless
+      // foreachBatch gates (w14) have empty stateOperators, so counting
+      // those would record batches:0 for a gate that ran real batches
+      val batches = ps.count(_.numInputRows > 0)
       println(f"""{"query":"$query","scale":"$scale","rows":$rows,""" +
         f""""sec":$sec%.2f,"state_rows":$stateRows,""" +
         f""""state_mb":$stateMb%.1f,"batches":$batches}""")
@@ -166,8 +171,41 @@ object ScaleProbe {
       println(f"""{"query":"$query","scale":"$scale","rows":$rows,"sec":$sec%.2f,"shuffle_mb":$mb%.1f}""")
     }
 
-    for ((scale, d, e, ev) <- Seq(("1x", docs1, embs1, evs1),
-        ("10x", d10, e10, ev10))) {
+    // ---- 100× tier: the operators whose 10× behavior IS the scale
+    // argument, one decade further — auto-resolution actually engages
+    // its next ⌈log₂⌉ steps (d09: 4→11 planes; m07 banded: 17→45
+    // frames), the one-pass KMV's exchange must stay sketch-bounded,
+    // and the whole staged ingest loop carries ~60M-key merge state.
+    if (tiers.contains("100x")) {
+      val scale = "100x"
+      lazy val d100 = docsN(100).localCheckpoint(true)
+      lazy val e100 = embsN(100).localCheckpoint(true)
+      if (only.isEmpty || only.exists("d09_embedding_lsh_auto".startsWith))
+        measure("d09_embedding_lsh_auto", scale,
+          Dedup.embeddingPairsLsh(e100, 0.4))
+      if (only.isEmpty || only.exists("m07_audio_near_dup_auto".startsWith))
+        measure("m07_audio_near_dup_auto", scale,
+          graft.operators.Multimodal.audioNearDupPairs(spark, d100))
+      if (only.isEmpty || only.exists("x03_kmv_overlap".startsWith))
+        measure("x03_kmv_overlap", scale,
+          graft.operators.Sketches.kmvSourceOverlap(d100))
+      if (only.isEmpty || only.exists("w11_ingest_loop".startsWith)) {
+        lazy val sp100 = spansN(100).localCheckpoint(true)
+        lazy val lg100 = logsN(100).localCheckpoint(true)
+        measureStream("w11_ingest_loop", scale,
+          graft.queries.EngineQueries.ingestLoopRun(spark, sp100, lg100))
+      }
+      Dedup.releaseIntermediates()
+      spark.stop()
+      return
+    }
+
+    for (scale <- Seq("1x", "10x") if tiers.contains(scale)) {
+      val (d, e, ev) =
+        if (scale == "1x") (docs1, embs1, evs1)
+        else (docsN(10).localCheckpoint(true),
+          embsN(10).localCheckpoint(true),
+          evsN(10).localCheckpoint(true))
       measure("d03_minhash_lsh", scale, Dedup.minhashLshPairs(d, 0.5))
       measure("d14_cdc_segment_dedup", scale, Dedup.cdcSegmentDedup(d))
       // vocab trained OUTSIDE the timed closure: `df` is by-name, so an
@@ -262,7 +300,9 @@ object ScaleProbe {
       // rows), batch count stays fixed by the feed split — confirming
       // the state-partition sizing rule (commits = batches ×
       // partitions × stores) holds as state grows 10×
-      val (sp, lg) = if (scale == "1x") (sp1, lg1) else (sp10, lg10)
+      val (sp, lg) = if (scale == "1x") (sp1, lg1)
+        else (spansN(10).localCheckpoint(true),
+          logsN(10).localCheckpoint(true))
       measureStream("w07_spanmerge_stream", scale,
         graft.queries.EngineQueries.spanMergeStreamRun(spark, sp))
       measureStream("w09_spanlog_join_stream", scale,

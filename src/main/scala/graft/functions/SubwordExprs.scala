@@ -257,7 +257,7 @@ final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     pairs.zipWithIndex.foreach { case ((a, b), i) =>
-      m.put(a + " " + b, i): Unit
+      m.put(a + "\u0000" + b, i): Unit
     }
     m
   }
@@ -275,7 +275,7 @@ final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
       var best = Int.MaxValue
       var i = 0
       while (i < syms.length - 1) {
-        val r = rank.get(syms(i) + " " + syms(i + 1))
+        val r = rank.get(syms(i) + "\u0000" + syms(i + 1))
         if (r != null && r < best) best = r
         i += 1
       }

@@ -765,15 +765,21 @@ object Multimodal {
   val M07CalibN = 5000L
 
   /** Auto-sized fingerprint resolution (Resolution scaladoc): frames
-    * grow ⌈log₂(n/n₀)⌉ past the 17-frame default calibrated at the
-    * sf0.1 corpus — at the probe's 10× this yields exactly the
-    * measured 21-frame mitigation (SCALE.md: 26.2 → 7.3 s) without
-    * the caller having to know it. Capped at audioFp's 64-frame max.
+    * grow step·⌈log₂(n/n₀)⌉ past the 17-frame default calibrated at
+    * the sf0.1 corpus. Capped at audioFp's 64-frame max.
+    *
+    * `step`: 1 for a standalone fingerprint column; the BANDED pair
+    * join passes its band count (pigeonhole splits the bits across
+    * maxHam+1 blocking keys, so per-band classes grow 2^(Δ/bands) —
+    * the Resolution scaladoc's banded rule; raising banded width
+    * costs no recall). At 10× with step 4 this derives 33 frames —
+    * measured at the 1×-shaped cost where step 1's 21 frames had
+    * already drifted super-linear (SCALE.md 100× rows).
     */
   private def resolveAudFrames(frames: graft.util.Resolution,
-      docs: DataFrame): Int =
+      docs: DataFrame, step: Int = 1): Int =
     graft.util.Resolution.resolve(frames, docs.count(), M07CalibN,
-      base = AudFrames, hi = 64)
+      base = AudFrames, hi = 64, step = step)
 
   /** Perceptual audio near-dup pairs: the 16-bit fingerprint banded
     * 4×4 (pigeonhole: full recall for hamming ≤ 3 — v2's ≤ 2-bit
@@ -790,8 +796,9 @@ object Multimodal {
     // maxHam+1 bands of ceil(bits/bands) fingerprint bits: pigeonhole
     // puts every hamming<=maxHam pair intact in some band, at ANY
     // resolution — raising `frames` shrinks collision classes without
-    // touching recall
-    val f = resolveAudFrames(frames, docs)
+    // touching recall. Auto therefore grows at the BANDED step (bits
+    // split across bands, so classes per band need bands× the growth)
+    val f = resolveAudFrames(frames, docs, step = maxHam + 1)
     val bits = f - 1
     val bands = maxHam + 1
     val width = (bits + bands - 1) / bands

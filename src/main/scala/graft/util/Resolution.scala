@@ -40,18 +40,32 @@ object Resolution {
   import scala.language.implicitConversions
   implicit def fromInt(v: Int): Resolution = Fixed(v)
 
-  /** base + max(0, ⌈log₂(n/n₀)⌉), clamped to [base, hi]. */
-  def autoBits(n: Long, n0: Long, base: Int, hi: Int): Int =
+  /** base + max(0, step·⌈log₂(n/n₀)⌉), clamped to [base, hi].
+    *
+    * `step` is the bits-per-corpus-doubling rate. 1 (the default) is
+    * right when every added bit doubles the collision-class count —
+    * d09's hyperplane LSH, where each plane IS a key bit. BANDED
+    * Hamming blockers (m07's pigeonhole bands) split their bits
+    * across `bands` independent blocking keys, so an added bit only
+    * reaches one band: classes per band grow 2^(Δbits/bands), and
+    * keeping Σ bucket² flat needs step = bands. The 100× probe
+    * measured the difference (SCALE.md): step 1 leaves m07's per-band
+    * classes growing ∝ n^(1/4). Unlike d09's planes, banded
+    * resolution is recall-FREE to raise — pigeonhole recall for
+    * hamming ≤ maxHam holds at any width.
+    */
+  def autoBits(n: Long, n0: Long, base: Int, hi: Int,
+      step: Int = 1): Int =
     if (n <= n0) base
-    else math.min(hi, base +
+    else math.min(hi, base + step *
       math.ceil(math.log(n.toDouble / n0.toDouble) / math.log(2.0)).toInt)
 
   /** Resolve a knob against a by-name corpus count (only forced for
     * `Auto`).
     */
   def resolve(r: Resolution, n: => Long, n0: Long, base: Int,
-      hi: Int): Int = r match {
+      hi: Int, step: Int = 1): Int = r match {
     case Fixed(v) => v
-    case Auto => autoBits(n, n0, base, hi)
+    case Auto => autoBits(n, n0, base, hi, step)
   }
 }

@@ -68,11 +68,29 @@ private[graft] object StreamGate {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Deletions run on a daemon janitor thread: a gate's dead feed/state
+    * trees (and a previous gate's multi-GB sink dirs) are pure I/O to
+    * remove, and doing it inline would bill the previous gate's
+    * cleanup to the NEXT gate's measured wall time (seen as a ~0.5-1 s
+    * floor creep across the streaming family in the round-13 bench).
+    */
+  private val janitor = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "stream-gate-janitor")
+      t.setDaemon(true)
+      t
+    })
+
   private def reclaim(deadNow: java.nio.file.Path*): Unit = {
     unloadStateStores()
-    deadNow.foreach(deleteTree)
-    var p = deferredDirs.poll()
-    while (p != null) { deleteTree(p); p = deferredDirs.poll() }
+    val batch = deadNow.toVector ++ {
+      val b = Vector.newBuilder[java.nio.file.Path]
+      var p = deferredDirs.poll()
+      while (p != null) { b += p; p = deferredDirs.poll() }
+      b.result()
+    }
+    if (batch.nonEmpty)
+      janitor.execute(() => batch.foreach(deleteTree)): Unit
   }
 
   private def deferDelete(p: java.nio.file.Path): Unit =
