@@ -795,9 +795,11 @@ object Multimodal {
       frames: graft.util.Resolution = graft.util.Resolution.Auto): DataFrame = {
     // maxHam+1 bands of ceil(bits/bands) fingerprint bits: pigeonhole
     // puts every hamming<=maxHam pair intact in some band, at ANY
-    // resolution — raising `frames` shrinks collision classes without
-    // touching recall. Auto therefore grows at the BANDED step (bits
-    // split across bands, so classes per band need bands× the growth)
+    // resolution. Auto grows at the BANDED step (bits split across
+    // bands, so per-band classes need bands× the growth to track n);
+    // the trade is a TIGHTER near-dup band at higher resolution
+    // (fixed maxHam over more bits), not lost members of a fixed band
+    // — see the Resolution scaladoc
     val f = resolveAudFrames(frames, docs, step = maxHam + 1)
     val bits = f - 1
     val bands = maxHam + 1

@@ -338,6 +338,12 @@ object EngineQueries {
         // same state sizing as w07 — the stateful operator is the same
         statePartitions = Some(16))
     } finally base.unpersist(): Unit
+    // the landed store is read lazily by the frame returned below, so
+    // its tree is registered AFTER the stream run (a registration
+    // before it would be drained by this very gate's own reclaim) and
+    // the janitor deletes it at the NEXT gate invocation — without
+    // this a repeat-3 bench pass leaked ~2.5 GB of dead store per run
+    graft.util.StreamGate.deferDelete(java.nio.file.Paths.get(root))
     // end the loop at the LSM cadence point: the background policy
     // inspects the staging depth after the flush cycle — at 3 staged
     // files it correctly declines (this corpus's 7-year event spread

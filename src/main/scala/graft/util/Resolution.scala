@@ -48,11 +48,14 @@ object Resolution {
     * Hamming blockers (m07's pigeonhole bands) split their bits
     * across `bands` independent blocking keys, so an added bit only
     * reaches one band: classes per band grow 2^(Δbits/bands), and
-    * keeping Σ bucket² flat needs step = bands. The 100× probe
-    * measured the difference (SCALE.md): step 1 leaves m07's per-band
-    * classes growing ∝ n^(1/4). Unlike d09's planes, banded
-    * resolution is recall-FREE to raise — pigeonhole recall for
-    * hamming ≤ maxHam holds at any width.
+    * keeping Σ bucket² flat needs step = bands (step 1 leaves m07's
+    * per-band classes growing ∝ n^(1/4) — the 10×/100× probe rows).
+    * The trade differs from d09's: pigeonhole recall for
+    * hamming ≤ maxHam is full at ANY width, but a fixed maxHam over
+    * more bits is a TIGHTER near-dup band (measured: 10.4M pairs at
+    * 21 frames → 6.2M at 33 for the same 10× corpus) — resolution
+    * growth narrows what counts as a near-dup rather than dropping
+    * members of a fixed band.
     */
   def autoBits(n: Long, n0: Long, base: Int, hi: Int,
       step: Int = 1): Int =

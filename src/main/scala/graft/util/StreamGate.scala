@@ -57,6 +57,13 @@ private[graft] object StreamGate {
   private val deferredDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
 
+  // the LAST gate of a process has no successor to drain its deferred
+  // trees — reclaim them on JVM exit so repeated runs don't seed /tmp
+  java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var p = deferredDirs.poll()
+    while (p != null) { deleteTree(p); p = deferredDirs.poll() }
+  }, "stream-gate-exit-janitor"))
+
   private def deleteTree(p: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
@@ -93,7 +100,15 @@ private[graft] object StreamGate {
       janitor.execute(() => batch.foreach(deleteTree)): Unit
   }
 
-  private def deferDelete(p: java.nio.file.Path): Unit =
+  /** Also the hook for gate harnesses whose AUXILIARY trees (e.g.
+    * w11's temp ParquetStore root) are read lazily by the returned
+    * frame: register them here and the janitor reclaims them at the
+    * next gate invocation, by which point the result was consumed.
+    * Without this, a repeat-3 bench pass leaked ~2.5 GB of dead store
+    * tree per w11 run into /tmp (measured: the 100× probe filled the
+    * disk partly on these).
+    */
+  private[graft] def deferDelete(p: java.nio.file.Path): Unit =
     deferredDirs.add(p): Unit
 
   /** @param columns  names given to the tuple-encoded feed columns
