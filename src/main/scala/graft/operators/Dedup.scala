@@ -1247,7 +1247,7 @@ object Dedup {
   private val gateClusterMemo =
     new java.util.WeakHashMap[SparkSession,
       collection.concurrent.TrieMap[String, DataFrame]]()
-  private def sessionMemo(s: SparkSession)
+  private[operators] def sessionMemo(s: SparkSession)
       : collection.concurrent.TrieMap[String, DataFrame] =
     gateClusterMemo.synchronized {
       var m = gateClusterMemo.get(s)

@@ -798,7 +798,20 @@ object Pipelines {
     * sees the whole chain as one plan, so column pruning and filter
     * pushdown cross stage boundaries (the text column is read once).
     */
-  def cleanTrainingCorpus(docs: DataFrame): DataFrame = {
+  def cleanTrainingCorpus(docs: DataFrame): DataFrame =
+    cleanStagesKept3(docs)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** The quality → perplexity → exact-dedup survivor rows (all corpus
+    * columns) — the shared prefix of [[cleanTrainingCorpus]] (whose
+    * output IS this set) and [[cleanTrainingCorpusFull]] (which runs
+    * two more stages over it). Factored so a pipeline that serves
+    * both products computes the three stages once; the p21/p22 gates
+    * memoize it per corpus the way d06/d15 memoize their cluster
+    * artifact.
+    */
+  private[operators] def cleanStagesKept3(docs: DataFrame): DataFrame = {
     val q = TextAnalysis.qualityModelScore(docs)
       .filter(col("score") >= 0.5).select("doc_id")
     val kept1 = docs.join(q, "doc_id")
@@ -808,8 +821,6 @@ object Pipelines {
     val keepers = TextAnalysis.fingerprint(kept2)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     kept2.join(keepers.select("doc_id"), "doc_id")
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
   }
 
   /** p22: the FULL published cleaning pipeline — p21's three stages
@@ -842,16 +853,9 @@ object Pipelines {
     * the expensive stage) → decontam (broadcast bench index +
     * anti-join). Catalyst prunes/pushes across every boundary.
     */
-  def cleanTrainingCorpusFull(docs: DataFrame): DataFrame = {
-    val q = TextAnalysis.qualityModelScore(docs)
-      .filter(col("score") >= 0.5).select("doc_id")
-    val kept1 = docs.join(q, "doc_id")
-    val nonTail = TextAnalysis.perplexityBuckets(kept1)
-      .filter(col("bucket") =!= "tail").select("doc_id")
-    val kept2 = kept1.join(nonTail, "doc_id")
-    val exactKeepers = TextAnalysis.fingerprint(kept2)
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val kept3 = kept2.join(exactKeepers.select("doc_id"), "doc_id")
+  def cleanTrainingCorpusFull(docs: DataFrame,
+      kept3Override: Option[DataFrame] = None): DataFrame = {
+    val kept3 = kept3Override.getOrElse(cleanStagesKept3(docs))
     val fuzzyKeepers = Dedup.minhashClusters(kept3)
       .filter(col("doc_id") === col("cluster")).select("doc_id")
     val kept4 = kept3.join(fuzzyKeepers, "doc_id")
@@ -863,11 +867,22 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** The memoized three-stage survivor artifact the p21/p22 gates
+    * share — a pipeline serving both products computes quality →
+    * perplexity → exact once (the d06/d15 memoized-artifact pattern;
+    * deterministic, so bit-identical to a recompute).
+    */
+  private def gateKept3(s: SparkSession, d: String): DataFrame =
+    Dedup.sessionMemo(s).getOrElseUpdate(s"$d|kept3",
+      cleanStagesKept3(Tables.documents(s, d)).localCheckpoint(true))
+
   val queries: Map[String, Q] = Map(
     "p22_clean_corpus_full" -> ((s, d) =>
-      cleanTrainingCorpusFull(Tables.documents(s, d))),
+      cleanTrainingCorpusFull(Tables.documents(s, d),
+        kept3Override = Some(gateKept3(s, d)))),
     "p21_clean_corpus" -> ((s, d) =>
-      cleanTrainingCorpus(Tables.documents(s, d))),
+      gateKept3(s, d).select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     "p01_clean_corpus" -> ((s, d) => cleanCorpus(Tables.documents(s, d))),
     "p02_quality_keeper" -> ((s, d) =>
       qualityKeeper(Tables.documents(s, d)).orderBy(col("h"))),
