@@ -46,6 +46,15 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       .withColumn("hour", date_format(col("__ts"), "HH"))
       .withColumn("minute", date_format(col("__ts"), "mm"))
       .drop("__ts")
+      // co-locate each partition dir's rows in one task before the
+      // dynamic-partition write: without this every task writes every
+      // dir it touches, so a T-task flush spanning D minutes lands up
+      // to T×D files (measured: a 60-minute-spread flush from a
+      // 32-partition batch wrote ~1,900 one-KB files and every later
+      // read paid the listing). The exchange is bounded by the flush
+      // batch — the store's write unit — and yields exactly one file
+      // per touched partition dir.
+      .repartition(col("date"), col("hour"), col("minute"))
       .write
       .mode("append")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
