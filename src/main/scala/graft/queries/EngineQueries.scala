@@ -419,7 +419,8 @@ object EngineQueries {
     "w07_spanmerge_stream" -> (spanMergeStreamGate _),
     "w09_spanlog_join_stream" -> (spanLogJoinStreamGate _),
     "w11_ingest_loop" -> (ingestLoopGate _),
-    "g06_dynamic_schema" -> (dynamicSchemaGate _))
+    "g06_dynamic_schema" -> (dynamicSchemaGate _),
+    "g07_prefix_read" -> (prefixReadGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -496,6 +497,57 @@ object EngineQueries {
       .orderBy(col("field"), col("count").desc, col("value"))
   }
 
+  /** g07: the reference-shaped PREFIX-LISTING read path oracle-gated —
+    * [[graft.store.TimePrefix]]'s minimal-prefix enumeration over the
+    * real hive tree plus the staged-flush union, the exact
+    * ListingTable-over-prefixes plan the reference runs
+    * (duo/src/partition/query.rs:38-60, duo/src/utils.rs:36-181).
+    * Previously spec-only (the 9 reference rstest vectors + store
+    * specs); this hashes the END of that path against DuckDB.
+    *
+    * The store lands a deterministic ⅕ subset of the events-as-logs
+    * feed (span_id ≡ 1 mod 5 — disjoint from g06's) with times
+    * compressed onto a fixed 3-hour window, as THREE flushes: two
+    * through the partitioned [[graft.store.ParquetStore.write]] (so
+    * minute dirs hold multiple files) and one through
+    * [[graft.store.ParquetStore.writeStaged]] (so the staging union —
+    * the round-13 read-API-agreement fix — is on the hashed path,
+    * not just spec'd). The query range starts and ends MID-MINUTE
+    * with nonzero seconds, pinning the reference's directory-granular
+    * contract: covered minutes = [floorMin(start), truncMin(end) +
+    * 1), rows outside the µs range but inside covered minutes ARE
+    * returned (callers filter after, like the reference), and the
+    * end-bump-iff-seconds quirk fires. Output: per-level row counts
+    * and time extrema over the prefix read.
+    */
+  private val G07WindowUs = 3L * 3600L * 1000000L
+
+  def prefixReadGate(s: SparkSession, d: String): DataFrame = {
+    val logs = eventsAsLogs(s, d).filter(col("span_id") % 5 === 1)
+      .withColumn("time",
+        lit(G06BaseUs) + pmod(col("time"), lit(G07WindowUs)))
+    val root = java.nio.file.Files.createTempDirectory("g07_store").toString
+    graft.util.StreamGate.deferDelete(java.nio.file.Paths.get(root))
+    val store = new graft.store.ParquetStore(s, root, "log", "time")
+    store.write(logs.filter(col("span_id") % 3 === 0))
+    store.write(logs.filter(col("span_id") % 3 === 1))
+    store.writeStaged(logs.filter(col("span_id") % 3 === 2))
+    // [base+30min+17s, base+2h14min+5s]: covered minutes are
+    // [base+30min, base+2h15min) — both bounds land mid-minute
+    val startUs = G06BaseUs + 30L * 60L * 1000000L + 17L * 1000000L
+    val endUs = G06BaseUs + (2L * 3600L + 14L * 60L + 5L) * 1000000L
+    // schema passed explicitly: the caller that owns the table knows
+    // it (the reference's ListingTable is schema'd too), and skipping
+    // per-prefix footer inference across ~100 listed dirs is the
+    // difference between one listing pass and two
+    store.readPrefixes(startUs, endUs, schema = Some(logs.schema))
+      .getOrElse(sys.error("g07: prefix read found no data"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"), min(col("time")).as("t_min"),
+        max(col("time")).as("t_max"))
+      .orderBy(col("level"))
+  }
+
   val oracle: Map[String, String] = Map(
     // replay of inference + drift union: target exists only on odd
     // span ids (the wide batch) and F12 drops batch-1 nulls, so its
@@ -528,6 +580,26 @@ object EngineQueries {
         |SELECT * FROM (SELECT * FROM cde UNION ALL SELECT * FROM tgt
         |               UNION ALL SELECT * FROM lvl)
         |ORDER BY field, "count" DESC, value""".stripMargin,
+    // directory-granular replay: covered minutes = [floorMin(start),
+    // truncMin(end)+1min) for the gate's mid-minute bounds — the
+    // oracle filters the µs-compressed times to exactly that window;
+    // which flush (partitioned or staged) a row landed through is
+    // invisible, which is the union's contract
+    "g07_prefix_read" -> {
+      val base = G06BaseUs
+      val lo = base + 30L * 60L * 1000000L
+      val hi = base + (2L * 3600L + 15L * 60L) * 1000000L
+      s"""WITH logs AS (SELECT
+         |  CASE WHEN event_type='error' THEN 'ERROR' WHEN event_type='signup' THEN 'WARN'
+         |       WHEN event_type='click' THEN 'INFO' WHEN event_type='view' THEN 'DEBUG'
+         |       ELSE 'TRACE' END AS level,
+         |  $base + (epoch_us(ts) % $G07WindowUs) AS time
+         | FROM events WHERE event_id % 5 = 1)
+         |SELECT level, CAST(COUNT(*) AS BIGINT) AS n,
+         | MIN(time) AS t_min, MAX(time) AS t_max
+         |FROM logs WHERE time >= $lo AND time < $hi
+         |GROUP BY level ORDER BY level""".stripMargin
+    },
     "w09_spanlog_join_stream" ->
       s"""$spansCte,
          |lgs2 AS (

@@ -566,11 +566,17 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   /** Reference-shaped read path: enumerate minimal partition prefixes
     * with [[TimePrefix]] and read only those directories (the
     * ListingTable-over-prefixes plan, duo/src/partition/query.rs:38-60).
-    * Staged-but-not-yet-compacted flushes are unioned in with the
-    * row-level time predicate (directory pruning for them is
-    * compaction's job) — without this the two read APIs would disagree
-    * on the table's contents between a [[writeStaged]] land and the
-    * next drain.
+    * Staged-but-not-yet-compacted flushes are unioned in (directory
+    * pruning for them is compaction's job) — without this the two
+    * read APIs would disagree on the table's contents between a
+    * [[writeStaged]] land and the next drain. The staged rows are
+    * filtered to EXACTLY the minute window the prefix set covers
+    * ([floorMin(start), truncMin(end) + bump-if-seconds), mirroring
+    * [[TimePrefix]]'s end-bump quirk) — prefix reads are
+    * directory-granular by contract (callers apply row predicates
+    * after, like the reference's ListingTable), so the staged side
+    * must be minute-granular too or the union's contents would
+    * depend on which side a row landed in.
     */
   def readPrefixes(startUs: Long, endUs: Long,
       schema: Option[StructType] = None): Option[DataFrame] = {
@@ -583,8 +589,13 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       val withSchema = schema.map(reader.schema).getOrElse(reader)
       Some(withSchema.parquet(paths: _*).drop("date", "hour", "minute"))
     }
+    val minUs = 60L * 1000000L
+    val loUs = Math.floorDiv(startUs, minUs) * minUs
+    val endSec = Math.floorDiv(endUs, 1000000L)
+    val bump = Math.floorMod(endSec, 60L) > 0L
+    val hiUs = (Math.floorDiv(endSec, 60L) + (if (bump) 1L else 0L)) * minUs
     val staged = tryRead(stagingDir)
-      .map(_.where(col(timeCol).between(startUs, endUs)))
+      .map(_.where(col(timeCol) >= loUs && col(timeCol) < hiUs))
     (main, staged) match {
       case (Some(m), Some(st)) =>
         Some(m.unionByName(st, allowMissingColumns = true))
