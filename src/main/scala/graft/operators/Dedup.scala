@@ -1502,7 +1502,7 @@ object Dedup {
     * [[embeddingPairsLsh]]; shared by the d09 and d15 oracles. One
     * SELECT per table, bucket from that table's plane stretch.
     */
-  private def embLshPairCtes: String = {
+  private[operators] def embLshPairCtes: String = {
     val tables = (0 until 8).map(t =>
       s"""SELECT vec_id, v, $t AS tbl,
          |  ${Similarity.bucketSql("v", nPlanes = 4, dim = 64, planeOffset = t * 4)} AS bucket

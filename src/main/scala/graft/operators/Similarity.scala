@@ -663,7 +663,43 @@ object Similarity {
     trainedBooks.getOrElseUpdate(s"$d|$GatePqM|$GatePqK|$GatePqIters",
       pqCodebooks(Tables.embeddings(s, d), GatePqM, GatePqK, GatePqIters))
 
+  /** s14: thresholded kNN JOIN — every vector's top-k neighbors with
+    * cos ≥ tau, in one distributed operator (the SemDeDup/retrieval-
+    * mining shape: "for EACH document, its nearest neighbors", not a
+    * handful of query probes like s02-s13). Candidates come from
+    * [[Dedup.embeddingPairsLsh]]'s multi-table LSH (Σ bucket² work,
+    * exact cosine verify, precision 1.0 by construction), symmetrized,
+    * then ranked per query by (cos desc, vec_id) — deterministic
+    * ties, so the DuckDB oracle hash-matches the approximate result.
+    *
+    * Scale shape: the rank window partitions on query_id over the
+    * CANDIDATE list, whose per-query size is bounded by LSH bucket
+    * co-membership (grows with resolution-controlled bucket sizes,
+    * never the corpus), so no window ever sees a corpus-wide
+    * partition; the thresholded form is what production kNN joins run
+    * (a min-similarity floor keeps junk neighbors out of the top-k
+    * and makes the candidate set prunable before ranking).
+    */
+  def knnJoin(embs: DataFrame, k: Int = 5, tau: Double = 0.2,
+      nPlanes: graft.util.Resolution = graft.util.Resolution.Auto,
+      nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val p = Dedup.embeddingPairsLsh(embs, tau, nPlanes, nTables, dim)
+    val sym = p.select(col("vec_a").as("query_id"),
+        col("vec_b").as("vec_id"), col("cos"))
+      .unionAll(p.select(col("vec_b").as("query_id"),
+        col("vec_a").as("vec_id"), col("cos")))
+    sym.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+  }
+
   val queries: Map[String, Q] = Map(
+    // resolution pinned for the same static-oracle reason as d09
+    "s14_knn_join" -> ((s, d) =>
+      knnJoin(Tables.embeddings(s, d),
+          nPlanes = graft.util.Resolution.Fixed(4))
+        .orderBy(col("query_id"), col("rank"))),
     "s01_cosine_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), 5L, 10)
         .orderBy(col("query_id"), col("rank"))),
@@ -861,6 +897,20 @@ object Similarity {
        |  JOIN probes p ON p.cell = a.cell AND x.vec_id <> p.query_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // replays the d09 pair chain (same 4-plane static arithmetic the
+    // pinned gate runs), symmetrizes, ranks per query with the same
+    // deterministic (cos desc, vec_id) tie-break
+    "s14_knn_join" ->
+      s"""WITH ${Dedup.embLshPairCtes},
+         |thr AS (SELECT vec_a, vec_b, cos FROM lshp WHERE cos >= 0.2),
+         |sym AS (SELECT vec_a AS query_id, vec_b AS vec_id, cos FROM thr
+         |        UNION ALL SELECT vec_b, vec_a, cos FROM thr),
+         |rk AS (SELECT query_id, vec_id, cos,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM sym)
+         |SELECT query_id, vec_id, cos, rank FROM rk WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "s05_pq_topk" ->
       s"""WITH $normCtes,
          |${pqCtes(GatePqM, GatePqK, GatePqIters, GateDim)},

@@ -17,6 +17,33 @@ class SimilaritySpec extends SparkSpec {
     (2L, "b", Array(0.0f, 1.0f, 0.0f)))
     .toDF("vec_id", "label", "embedding")
 
+  test("knnJoin: neighbors are true thresholded pairs, ranks dense and cos-ordered") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    val got = Similarity.knnJoin(embs, k = 3, tau = 0.3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank")))
+    assert(got.nonEmpty)
+    // precision 1.0: every reported neighbor is a genuine cos>=tau pair
+    // (the exact all-pairs baseline, symmetrized)
+    val truth = graft.operators.Dedup.embeddingPairs(embs, 0.3)
+      .collect().flatMap(r => {
+        val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> c, (b, a) -> c)
+      }).toMap
+    got.foreach { case (q, n, c, _) =>
+      assert(truth.get((q, n)).contains(c), s"($q,$n,$c) not a true pair") }
+    // per query: ranks are 1..m and cos non-increasing with rank
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length), s"ranks not dense for $q")
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sortBy(-_).toSeq,
+        s"cos not ordered for $q")
+      assert(rows.length <= 3)
+    }
+  }
+
   test("ivfTopK clamps centroids and probes to the corpus size") {
     // 3 vectors but 8 centroids / 5 probes requested: must not throw,
     // and with every cell probed the result is the exact top-k
