@@ -246,11 +246,21 @@ object EngineQueries {
     // undersized store count; with reclamation and the w07 sizing rule
     // (partitions ∝ state volume: a stream-stream join carries FOUR
     // stores per partition) the full corpus runs at capped-era cost.
+    //
+    // Feed cached: each side is landed as TWO parity batches, and
+    // without the cache every landBatch re-runs the orders⋈lineitem
+    // derivation behind `spans`/`logs` (4× at sf0.1)
     val sp = spans
       .select(col("id"), col("trace_id"), col("name"),
-        col("process_id"), col("start"), col("end"))
+        col("process_id"), col("start"), col("end")).cache()
     val lg = logs
-      .select(col("span_id"), col("time"), col("level"))
+      .select(col("span_id"), col("time"), col("level")).cache()
+    try spanLogJoinStreamBody(s, sp, lg)
+    finally { sp.unpersist(): Unit; lg.unpersist(): Unit }
+  }
+
+  private def spanLogJoinStreamBody(s: SparkSession,
+      sp: DataFrame, lg: DataFrame): DataFrame = {
     def parity(c: Column, want: Int) = (c % 2).cast("int") === want
     graft.util.StreamGate.runParquet2(s, "w09_spanlog_join_stream",
       Seq(sp.filter(parity(col("trace_id"), 0)),
