@@ -171,12 +171,13 @@ object ScaleProbe {
       println(f"""{"query":"$query","scale":"$scale","rows":$rows,"sec":$sec%.2f,"shuffle_mb":$mb%.1f}""")
     }
 
-    // ---- 100× tier: the operators whose 10× behavior IS the scale
-    // argument, one decade further — auto-resolution actually engages
-    // its next ⌈log₂⌉ steps (d09: 4→11 planes; m07 banded: 17→45
-    // frames), the one-pass KMV's exchange must stay sketch-bounded,
-    // and the whole staged ingest loop carries ~60M-key merge state.
-    if (tiers.contains("100x")) {
+    // ---- 100× tier (runs AFTER any 1x/10x tiers below): the
+    // operators whose 10× behavior IS the scale argument, one decade
+    // further — auto-resolution actually engages its next ⌈log₂⌉
+    // steps (d09: 4→11 planes), the one-pass KMV's exchange must stay
+    // sketch-bounded, and the whole staged ingest loop carries
+    // ~60M-key merge state.
+    def run100x(): Unit = {
       val scale = "100x"
       lazy val d100 = docsN(100).localCheckpoint(true)
       lazy val e100 = embsN(100).localCheckpoint(true)
@@ -215,8 +216,6 @@ object ScaleProbe {
           "spark.sql.streaming.stateStore.providerClass")
       }
       Dedup.releaseIntermediates()
-      spark.stop()
-      return
     }
 
     for (scale <- Seq("1x", "10x") if tiers.contains(scale)) {
@@ -269,11 +268,14 @@ object ScaleProbe {
       measure("m07_audio_near_dup", scale,
         graft.operators.Multimodal.audioNearDupPairs(spark, d,
           frames = graft.operators.Multimodal.AudFrames))
-      // the mitigation, now AUTO-SIZED: no hand-passed knob — the
-      // operator's default Resolution.Auto counts the corpus and
-      // derives 17 frames at 1× (identical to the cliff row's input)
-      // and 21 at 10× (+⌈log₂10⌉ = 4 gradient bits re-split the
-      // collision classes; candidate cost falls back toward 1× shape)
+      // the mitigation, AUTO-SIZED at the BANDED step (round 13):
+      // Resolution.Auto counts the corpus and derives 17 frames at 1×
+      // (identical to the cliff row's input) and 33 at 10× — step =
+      // maxHam+1 bands × ⌈log₂10⌉, because the bits split across the
+      // pigeonhole bands and per-band classes must track n. The pair
+      // set TIGHTENS with resolution (6.19M at 33 frames vs 10.37M at
+      // the retired step-1 rule's 21 — fixed maxHam over more bits is
+      // a narrower near-dup band); see the Resolution scaladoc.
       if (scale == "10x")
         measure("m07_audio_near_dup_auto", scale,
           graft.operators.Multimodal.audioNearDupPairs(spark, d))
@@ -345,6 +347,7 @@ object ScaleProbe {
         graft.operators.Sketches.rollupStreamRun(spark, ev))
       Dedup.releaseIntermediates()
     }
+    if (tiers.contains("100x")) run100x()
     spark.stop()
   }
 }

@@ -603,14 +603,28 @@ object Dedup {
     * bench_df × corpus_df, the inverted-index bound, not |corpus|×|bench|.
     */
   def contaminationOverlap(docs: DataFrame, benchMod: Long = 50L,
+      minPpm: Long = 100000L, n: Int = 3): DataFrame =
+    contaminationOverlapAgainst(
+      docs.filter(col("doc_id") % benchMod =!= 0),
+      docs.filter(col("doc_id") % benchMod === 0), minPpm, n)
+
+  /** [[contaminationOverlap]] with EXPLICIT corpus/bench frames — the
+    * production shape (the bench side is the eval suite's own text,
+    * not a carve-out), and what lets a composed pipeline (p22) scan
+    * only its SURVIVING corpus against the bench index: the overlap
+    * join is the expensive decontam work, and a groupBy between it
+    * and the consumer's anti-join blocks Catalyst from pushing the
+    * survivor filter through on its own.
+    */
+  def contaminationOverlapAgainst(corpus: DataFrame, bench: DataFrame,
       minPpm: Long = 100000L, n: Int = 3): DataFrame = {
-    val sh = docShingles(docs, n)
+    val sh = docShingles(corpus, n)
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val bench = ex.filter(col("doc_id") % benchMod === 0)
-      .select(col("doc_id").as("bench_id"), col("s"))
-    val overlaps = ex.filter(col("doc_id") % benchMod =!= 0)
-      .join(broadcast(bench), "s")
+    val bex = docShingles(bench, n)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+    val overlaps = ex
+      .join(broadcast(bex), "s")
       .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("common"))
     overlaps.join(counts, "doc_id")
       .withColumn("overlap_ppm", expr("common * 1000000 div n_sh"))
@@ -1386,18 +1400,12 @@ object Dedup {
       s"list_min(list_transform(hv, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashMod))"
     }.mkString("[", ",\n    ", "]")
 
-  /** The minhash+LSH pair CTE chain over an arbitrary shingle relation
-    * (yields `mh_pairs(doc_a, doc_b, jac)`). No leading WITH.
+  /** The minhash+LSH pair CTE chain (expects an `sh` shingle relation
+    * in scope — composed oracles that shingle a DIFFERENT source name
+    * their survivor chain `sh` too, as p22's does; yields
+    * `mh_pairs(doc_a, doc_b, jac)`).
     */
-  private[operators] def minhashPairsCtesOn(shRel: String): String =
-    minhashPairsCtesTmpl.replace("FROM sh ", s"FROM $shRel ")
-
-  /** The minhash+LSH pair CTE chain (expects the [[shingleCte]] `sh`
-    * relation in scope; yields `mh_pairs(doc_a, doc_b, jac)`).
-    */
-  private[operators] lazy val minhashPairsCtes: String = minhashPairsCtesOn("sh")
-
-  private lazy val minhashPairsCtesTmpl: String =
+  private[operators] lazy val minhashPairsCtes: String =
     s"""nz AS (SELECT doc_id, sh, list_transform(sh, sx -> ${base28Sql("sx")}) AS hv,
        |  list_distinct(list_transform(sh, sx -> ${baseHashSql("sx", 15)})) AS hs
        |  FROM sh WHERE len(sh) > 0),

@@ -859,9 +859,17 @@ object Pipelines {
     val fuzzyKeepers = Dedup.minhashClusters(kept3)
       .filter(col("doc_id") === col("cluster")).select("doc_id")
     val kept4 = kept3.join(fuzzyKeepers, "doc_id")
-    val hits = Dedup.contaminationOverlap(docs)
+    // decontam scans only the SURVIVORS against the bench index: the
+    // bench side stays carved from the FULL corpus (benchmarks are
+    // external to the cleaning run), but the expensive inverted-index
+    // overlap join need not touch documents earlier stages dropped —
+    // hits∩kept4 is all the anti-join below can consume, so the
+    // restriction is semantics-identical (oracle unchanged)
+    val survivors = kept4.filter(col("doc_id") % 50 =!= 0)
+    val hits = Dedup.contaminationOverlapAgainst(survivors,
+        docs.filter(col("doc_id") % 50 === 0))
       .select(col("doc_id")).distinct()
-    kept4.filter(col("doc_id") % 50 =!= 0)
+    survivors
       .join(hits, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))

@@ -467,7 +467,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   def stagedOldestAgeUs(nowUs: Long = System.currentTimeMillis() * 1000L)
       : Option[Long] = {
-    val files = Option(new File(stagingDir).listFiles()).toSeq.flatten
+    // both trees, matching stagedFileCount: files a crashed compaction
+    // left in _staging_compacting are the OLDEST staged rows — exactly
+    // what the age bound exists to drain
+    val files = Seq(stagingDir, compactingDir)
+      .flatMap(p => Option(new File(p).listFiles()).toSeq.flatten)
       .filter(_.getName.endsWith(".parquet"))
     if (files.isEmpty) None
     else Some(nowUs - files.map(_.lastModified()).min * 1000L)
@@ -479,11 +483,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * two triggers every LSM store's background compactor runs on
     * (depth amortizes write cost; age bounds how long directory
     * pruning is deferred for staged rows). Returns whether a drain
-    * ran. Reads are identical before and after (read() unions staging
-    * in; the policy spec pins equality), so callers sprinkle this at
-    * cadence points — end of an ingest loop, a timer — without
-    * coordinating with readers. Crash-safe via [[compact]]'s swap +
-    * snapshot discipline.
+    * ran. Reads are identical before and after a drain (read() unions
+    * staging in; the policy spec pins equality), so cadence points —
+    * end of an ingest loop, a timer — never change what a reader
+    * SEES. Operations on one store are serialized by the owning
+    * engine (the reference's single-process model): recover()'s
+    * roll-forward, which every read/compact runs first, assumes no
+    * compaction is mid-flight on another thread. Crash-safe via
+    * [[compact]]'s swap + snapshot discipline.
     */
   def maybeCompact(maxStagedFiles: Int = 64,
       maxAgeUs: Option[Long] = None,
@@ -580,6 +587,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   def readPrefixes(startUs: Long, endUs: Long,
       schema: Option[StructType] = None): Option[DataFrame] = {
+    recover() // same crash-roll-forward guarantee as read()
     val paths = TimePrefix.generatePrefixes(startUs, endUs)
       .map(p => s"$dir/$p")
       .filter(p => new File(p).exists())
@@ -594,8 +602,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     val endSec = Math.floorDiv(endUs, 1000000L)
     val bump = Math.floorMod(endSec, 60L) > 0L
     val hiUs = (Math.floorDiv(endSec, 60L) + (if (bump) 1L else 0L)) * minUs
-    val staged = tryRead(stagingDir)
+    // both staging trees, like read(): rows a running compaction has
+    // snapshotted into _staging_compacting are part of the table until
+    // the swap promotes the rewrite
+    val staged = Seq(stagingDir, compactingDir).flatMap(tryRead)
       .map(_.where(col(timeCol) >= loUs && col(timeCol) < hiUs))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
     (main, staged) match {
       case (Some(m), Some(st)) =>
         Some(m.unionByName(st, allowMissingColumns = true))

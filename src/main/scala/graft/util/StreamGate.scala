@@ -111,6 +111,22 @@ private[graft] object StreamGate {
   private[graft] def deferDelete(p: java.nio.file.Path): Unit =
     deferredDirs.add(p): Unit
 
+  /** Failure-path reclamation for the gates whose success path defers
+    * the root (the parquet-sink variants): an aborted gate has no
+    * result for anyone to consume, so its whole root — partial sink
+    * included — goes straight to the janitor. The success path cannot
+    * pre-register the root instead: the gate's own finally-reclaim
+    * drains the deferred queue, and would delete the sink before the
+    * caller reads it.
+    */
+  private def rootToJanitorOnFailure[A](root: java.nio.file.Path)(
+      body: => A): A =
+    try body
+    catch { case t: Throwable =>
+      janitor.execute(() => deleteTree(root))
+      throw t
+    }
+
   /** @param columns  names given to the tuple-encoded feed columns
     * @param build    the streaming operator under test, applied to the
     *                 named source frame
@@ -167,19 +183,22 @@ private[graft] object StreamGate {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val out = root.resolve("out").toString
-    val stream = build(fileSource(s, root, batches.head.schema))
-    withShufflePartitions(s, statePartitions) {
-      val query = stream.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", root.resolve("chk").toString)
-        .outputMode("append").start()
-      try feed(query, root, batches)
-      finally { query.stop(); reclaim(root.resolve("chk"), root.resolve("in")) }
+    val schema = rootToJanitorOnFailure(root) {
+      val stream = build(fileSource(s, root, batches.head.schema))
+      withShufflePartitions(s, statePartitions) {
+        val query = stream.writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .outputMode("append").start()
+        try feed(query, root, batches)
+        finally { query.stop(); reclaim(root.resolve("chk"), root.resolve("in")) }
+      }
+      stream.schema
     }
     deferDelete(root)
     // explicit schema: a gate whose operator emits zero rows leaves no
     // data files, and a schema-less read of the empty sink would throw
-    s.read.schema(stream.schema).parquet(out)
+    s.read.schema(schema).parquet(out)
   }
 
   /** [[runParquet]]'s sibling for SMALL-output stateful aggregations
@@ -258,24 +277,27 @@ private[graft] object StreamGate {
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val wl = root.resolve("inL"); val wr = root.resolve("inR")
     val out = root.resolve("out").toString
-    val stream = build(
-      fileSourceAt(s, wl, left.head.schema),
-      fileSourceAt(s, wr, right.head.schema))
-    withShufflePartitions(s, statePartitions) {
-      val query = stream.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", root.resolve("chk").toString)
-        .outputMode("append").start()
-      try {
-        (0 until math.max(left.size, right.size)).foreach { i =>
-          left.lift(i).foreach(landBatch(_, root, wl, s"l$i"))
-          right.lift(i).foreach(landBatch(_, root, wr, s"r$i"))
-          query.processAllAvailable()
-        }
-      } finally { query.stop(); reclaim(root.resolve("chk"), wl, wr) }
+    val schema = rootToJanitorOnFailure(root) {
+      val stream = build(
+        fileSourceAt(s, wl, left.head.schema),
+        fileSourceAt(s, wr, right.head.schema))
+      withShufflePartitions(s, statePartitions) {
+        val query = stream.writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .outputMode("append").start()
+        try {
+          (0 until math.max(left.size, right.size)).foreach { i =>
+            left.lift(i).foreach(landBatch(_, root, wl, s"l$i"))
+            right.lift(i).foreach(landBatch(_, root, wr, s"r$i"))
+            query.processAllAvailable()
+          }
+        } finally { query.stop(); reclaim(root.resolve("chk"), wl, wr) }
+      }
+      stream.schema
     }
     deferDelete(root)
-    s.read.schema(stream.schema).parquet(out)
+    s.read.schema(schema).parquet(out)
   }
 
   /** Scoped override of the streaming query's shuffle-partition count
