@@ -632,6 +632,53 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("common"), col("overlap_ppm"))
   }
 
+  /** Ingest-time contamination FLAGGING as a STREAM-STATIC join — the
+    * streaming face of [[contaminationOverlapAgainst]], and the one
+    * Structured Streaming join topology the inventory had not yet
+    * executed (w09 is stream-stream; the stateful gates are aggs/
+    * dedup/mapGroups): incoming documents explode to (doc_id, shingle)
+    * rows and equi-join the STATIC benchmark shingle index — Spark
+    * broadcasts the static side into every micro-batch, the exact
+    * plan a production ingest runs to flag eval leakage the moment a
+    * document lands instead of waiting for the batch decontam sweep
+    * (p13/p22 remain the authoritative keep-side pass). Any-hit
+    * semantics (one shared shingle flags the doc — the GPT-3-style
+    * n-gram collision rule); the streamed flag set is deduplicated
+    * across micro-batches, so state is bounded by the number of
+    * CONTAMINATED ids, not the corpus.
+    */
+  def decontamFlagStream(docs: DataFrame, benchShingles: DataFrame,
+      n: Int = 3): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        explode(call_function("shingles_of", tokens(col("text")), lit(n)))
+          .as("s"))
+      .join(broadcast(benchShingles), "s") // stream-static equi inner
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+  }
+
+  /** w15 gate harness: run [[decontamFlagStream]] as a REAL streaming
+    * execution over the distributed parquet file source — corpus docs
+    * arrive in two parity micro-batches (so a doc's flag can land in
+    * either batch and the cross-batch dedup state is exercised), the
+    * bench shingle index is the static side derived from the same
+    * corpus carve-out the batch gates use (doc_id ≡ 0 mod 50).
+    */
+  def decontamStreamGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docShingles(docs.filter(col("doc_id") % 50 === 0), 3)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"))
+    graft.util.StreamGate.runParquet(s, "w15_decontam_stream",
+      Seq(corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 =!= 0)),
+      stream => decontamFlagStream(stream, bench))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming exact-dedup for an ingest firehose: drops re-arrivals of
     * the same normalized content within the watermark horizon
     * (Structured Streaming's dropDuplicatesWithinWatermark). State is
@@ -1361,7 +1408,8 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))),
     "d19_exact_substring" -> ((s, d) =>
       exactSubstringDedup(Tables.documents(s, d)).orderBy(col("doc_id"))),
-    "w04_neardup_stream" -> (nearDupStreamGate _))
+    "w04_neardup_stream" -> (nearDupStreamGate _),
+    "w15_decontam_stream" -> (decontamStreamGate _))
 
   /** Distinct 3-gram shingles per doc over an arbitrary source, with
     * caller-chosen relation names so one query can shingle two corpora
@@ -1732,6 +1780,14 @@ object Dedup {
     "d08_incremental_dedup" -> incrementalDedupOracle,
     // the bloom pre-filter is output-invariant: same oracle as d08
     "d11_incremental_dedup_bloom" -> incrementalDedupOracle,
+    // streamed flagging ≡ batch any-hit contamination: distinct corpus
+    // docs sharing at least one shingle with the bench carve-out
+    "w15_decontam_stream" ->
+      s"""$shingleCte,
+         |b AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 50 <> 0)
+         |SELECT DISTINCT e.doc_id FROM e JOIN b USING (s)
+         |ORDER BY doc_id""".stripMargin,
     "d09_embedding_near_dup_lsh" ->
       s"""WITH $embLshPairCtes
          |SELECT vec_a, vec_b, cos FROM lshp WHERE cos >= 0.4

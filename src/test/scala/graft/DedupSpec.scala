@@ -114,6 +114,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("streamed decontam flags equal the batch any-hit set, deduped across batches") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val got = Dedup.decontamStreamGate(spark, dir)
+      .as[Long].collect().toSeq
+    // no doc flagged twice even when its shingle hits land in both
+    // parity batches (the cross-batch dedup state)
+    assert(got == got.distinct.sorted)
+    // batch replay of the any-hit rule
+    val docs = graft.Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns.tokens
+    graft.functions.VectorExprs.register(spark)
+    def shingles(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(call_function("shingles_of", tokens(col("text")), lit(3))).as("s"))
+    val bench = shingles(docs.filter(col("doc_id") % 50 === 0))
+      .select("s").distinct()
+    val expected = shingles(docs.filter(col("doc_id") % 50 =!= 0))
+      .join(bench, "s").select("doc_id").distinct()
+      .as[Long].collect().toSeq.sorted
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("embeddingPairs size guard blocks the cartesian without opt-in") {
     // the all-pairs baseline must fail fast above maxRows — BEFORE any
     // pair work — so the O(n²) plan is unreachable on a full corpus by
