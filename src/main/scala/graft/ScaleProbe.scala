@@ -339,6 +339,11 @@ object ScaleProbe {
       // INVERSE of w07/w09's — feed grows 10×, state stays pinned by
       // the sketch bound (≤ ~50 buckets/type, ≤ K hashes/source,
       // w14's persisted partials O(days × 512))
+      // stream-static decontam flagging: the static bench index is
+      // fixed (bench suites don't grow with the corpus), the streamed
+      // side scans linearly, and state ∝ flagged ids
+      measureStream("w15_decontam_stream", scale,
+        Dedup.decontamStreamRun(spark, d))
       measureStream("w12_hist_stream", scale,
         graft.operators.Sketches.histStreamRun(spark, ev))
       measureStream("w13_kmv_stream", scale,

@@ -666,8 +666,16 @@ object Dedup {
     * bench shingle index is the static side derived from the same
     * corpus carve-out the batch gates use (doc_id ≡ 0 mod 50).
     */
-  def decontamStreamGate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def decontamStreamGate(s: SparkSession, d: String): DataFrame =
+    decontamStreamRun(s, Tables.documents(s, d))
+
+  /** w15's streaming execution over a caller-supplied corpus — the
+    * gate passes the sf table; ScaleProbe passes the 10× replica to
+    * measure the stream-static shape (static bench index fixed,
+    * streamed side linear, state ∝ flagged ids).
+    */
+  private[graft] def decontamStreamRun(s: SparkSession,
+      docs: DataFrame): DataFrame = {
     val bench = docShingles(docs.filter(col("doc_id") % 50 === 0), 3)
       .select(explode(col("sh")).as("s")).distinct()
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
