@@ -267,28 +267,114 @@ final class DuoEngine(val spark: SparkSession, root: String,
         if (hasCorrupt) read.filter(col(corruptCol).isNull).drop(corruptCol)
         else read
       if (good.schema.isEmpty) return dropped // every line was corrupt
-      val raw = good.select(good.schema.fields.map { f =>
-        f.dataType match {
-          case _: org.apache.spark.sql.types.StructType |
-               _: org.apache.spark.sql.types.ArrayType |
-               _: org.apache.spark.sql.types.MapType =>
-            to_json(col(f.name)).as(f.name)
-          case _ => col(f.name)
-        }
-      }.toIndexedSeq: _*)
-      val baseTypes = Schemas.logBase.fields.map(f => f.name -> f.dataType).toMap
-      val cols = raw.schema.fields.map { f =>
-        if (f.name == "level")
-          when(upper(col("level")).isin(Schemas.levels: _*), upper(col("level")))
-            .otherwise("DEBUG").as("level")
-        else baseTypes.get(f.name) match {
-          case Some(dt) if dt != f.dataType => col(f.name).cast(dt).as(f.name)
-          case _ => col(f.name)
-        }
-      }
-      appendLogBatch(raw.select(cols.toIndexedSeq: _*))
+      appendLogBatch(normalizeInferredLogs(good))
       dropped
     } finally { read.unpersist(); () }
+  }
+
+  /** Shared dynamic-ingest normalization (duo/src/arrow.rs:70-91):
+    * nested JSON values are re-serialized to JSON text (the registry and
+    * WAL hold scalars only, matching the reference's scalar-oneof wire
+    * values), base-registry columns are cast to their pinned types, and
+    * `level` is normalized (unknown → DEBUG, duo-api/src/common.rs:39-60).
+    */
+  private def normalizeInferredLogs(good: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = good.select(good.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val baseTypes = Schemas.logBase.fields.map(f => f.name -> f.dataType).toMap
+    val cols = raw.schema.fields.map { f =>
+      if (f.name == "level")
+        when(upper(col("level")).isin(Schemas.levels: _*), upper(col("level")))
+          .otherwise("DEBUG").as("level")
+      else baseTypes.get(f.name) match {
+        case Some(dt) if dt != f.dataType => col(f.name).cast(dt).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    raw.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Distributed dynamic-schema JSON ingest — the backfill face of
+    * [[ingestJsonLogs]]. The line-based API mirrors the reference's
+    * single-process gRPC edge (duo/src/grpc/server.rs:124-169); this is
+    * the shape a 100 TB deployment actually runs against the same
+    * semantics: a directory of JSON-line files, schema INFERRED by
+    * Spark's distributed JSON reader (executor-parallel inference pass,
+    * duo/src/arrow.rs:70-91 analog), then the SAME registry merge +
+    * normalization as the line path — one code path for the semantics
+    * ([[normalizeInferredLogs]]), two feeds.
+    *
+    * `direct = true` (default) lands the normalized batch straight in
+    * the partitioned cold store after widening the registry: a backfill
+    * must not double-write through the WAL and buffer in the hot view —
+    * the source files ARE its replay log. `direct = false` routes
+    * through [[appendLogBatch]] (hot view + WAL), byte-identical to the
+    * line path; memory-mode engines always take that route.
+    *
+    * Malformed-line accounting: a file-source frame may not be filtered
+    * on ONLY its corrupt-record column (SPARK-21610), and caching a
+    * backfill to work around that is exactly the scale bug this method
+    * exists to avoid. So: inference runs PERMISSIVE (one pass); iff it
+    * surfaced a corrupt-record column, the data is re-read under the
+    * inferred data schema with DROPMALFORMED and the dropped count is
+    * `non-blank lines − good rows` (one cheap text scan + one count
+    * pass — paid only by corpora that actually contain bad lines; clean
+    * backfills take inference + write and nothing else).
+    *
+    * @return the number of malformed lines dropped (logged, like the
+    *         line path — ingest data loss is counted, never silent)
+    */
+  def ingestJsonLogDir(path: String, direct: Boolean = true): Long = {
+    import org.apache.spark.sql.functions._
+    val corruptCol = "_graft_corrupt_record"
+    val inferred = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+    val hasCorrupt = inferred.schema.fieldNames.contains(corruptCol)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      inferred.schema.fields.filterNot(_.name == corruptCol))
+    if (dataSchema.isEmpty) {
+      // nothing ingestable: empty dir, or every line malformed — the
+      // non-blank line count IS the dropped count (the JSON reader
+      // skips blank lines entirely, so they are not data loss)
+      if (!hasCorrupt) return 0L
+      val dropped = spark.read.textFile(path)
+        .filter(length(trim(col("value"))) > 0).count()
+      org.slf4j.LoggerFactory.getLogger(classOf[DuoEngine])
+        .warn(s"ingestJsonLogDir: dropped $dropped malformed line(s) " +
+          s"from $path (no well-formed records)")
+      return dropped
+    }
+    val (good, dropped) =
+      if (hasCorrupt) {
+        val g = spark.read.schema(dataSchema)
+          .option("mode", "DROPMALFORMED").json(path)
+        val total = spark.read.textFile(path)
+          .filter(length(trim(col("value"))) > 0).count()
+        (g, total - g.count())
+      } else (inferred, 0L)
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(classOf[DuoEngine])
+        .warn(s"ingestJsonLogDir: dropped $dropped malformed line(s) " +
+          s"from $path")
+    val norm = normalizeInferredLogs(good)
+    if (direct && !memoryMode) {
+      this.synchronized {
+        logSchema = SchemaRegistry.merge(logSchema, norm.schema)
+        SchemaRegistry.save(logSchema, logSchemaPath)
+      }
+      logStore.write(norm)
+    } else appendLogBatch(norm)
+    dropped
   }
 }
 

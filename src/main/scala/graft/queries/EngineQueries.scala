@@ -430,7 +430,8 @@ object EngineQueries {
     "w09_spanlog_join_stream" -> (spanLogJoinStreamGate _),
     "w11_ingest_loop" -> (ingestLoopGate _),
     "g06_dynamic_schema" -> (dynamicSchemaGate _),
-    "g07_prefix_read" -> (prefixReadGate _))
+    "g07_prefix_read" -> (prefixReadGate _),
+    "g08_json_dir_ingest" -> (dynamicSchemaDirGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -507,6 +508,57 @@ object EngineQueries {
       .orderBy(col("field"), col("count").desc, col("value"))
   }
 
+  /** g08: the DISTRIBUTED dynamic-schema ingest path — g06's semantics
+    * (raw-JSON inference, registry widening, drifted-file reads) fed
+    * the way a 100 TB backfill actually arrives: directories of
+    * JSON-line FILES through [[graft.DuoEngine.ingestJsonLogDir]]
+    * (`spark.read.json` executor-parallel inference → the same
+    * registry merge + normalization as the line path), with
+    * `direct = true` landing each batch straight in the cold store —
+    * no driver-side `Seq[String]`, no WAL double-write anywhere on the
+    * path. The feed is a DISJOINT ⅕ subset (span_id ≡ 2 mod 5; g06
+    * holds ≡ 0, g07 ≡ 1) written as JSON files by the executors
+    * (`df.write.json`), split into the same narrow/wide drift pair as
+    * g06 so the store again holds parquet files with two genuinely
+    * different schemas. A fresh engine answers from disk alone; the
+    * output is the same three-drift-class fieldStats face, so the
+    * oracle replay is g06's with the subset constant changed — any
+    * divergence between the file feed and the line feed (inference,
+    * normalization, registry, drifted read) breaks the hash.
+    */
+  def dynamicSchemaDirGate(s: SparkSession, d: String): DataFrame = {
+    val logs = eventsAsLogs(s, d).filter(col("span_id") % 5 === 2)
+      .withColumn("time",
+        lit(G06BaseUs) + pmod(col("time"), lit(3600000000L)))
+    val narrow = logs.filter(col("span_id") % 2 === 0)
+      .select(col("process_id"), col("time"), col("trace_id"),
+        col("span_id"), col("level"), col("message"))
+    val wide = logs.filter(col("span_id") % 2 =!= 0)
+      .select(col("process_id"), col("time"), col("trace_id"),
+        col("span_id"), col("level"), col("message"),
+        col("target"), col("value"),
+        concat(lit("c"), col("span_id") % 7).as("code"))
+    val feed = java.nio.file.Files.createTempDirectory("g08_feed")
+    graft.util.StreamGate.deferDelete(feed)
+    // executor-written JSON-line files — the feed never rides the driver
+    narrow.coalesce(4).write.json(s"$feed/batch1")
+    wide.coalesce(4).write.json(s"$feed/batch2")
+    val root = java.nio.file.Files.createTempDirectory("g08_store").toString
+    graft.util.StreamGate.deferDelete(java.nio.file.Paths.get(root))
+    val ingester = new graft.DuoEngine(s, root)
+    ingester.ingestJsonLogDir(s"$feed/batch1"): Unit // cold files, narrow
+    ingester.ingestJsonLogDir(s"$feed/batch2"): Unit // cold files, widened
+    val reader = new graft.DuoEngine(s, root) // fresh: disk is all it has
+    val p = LogQueries.LogSearchParams(service = "svc", unbounded = true)
+    def stats(field: String): DataFrame =
+      reader.fieldStats(field, p).getOrElse(
+        sys.error(s"g08: merged schema lost the '$field' column"))
+        .withColumn("field", lit(field))
+        .select(col("field"), col("value"), col("count"))
+    stats("code").unionAll(stats("target")).unionAll(stats("level"))
+      .orderBy(col("field"), col("count").desc, col("value"))
+  }
+
   /** g07: the reference-shaped PREFIX-LISTING read path oracle-gated —
     * [[graft.store.TimePrefix]]'s minimal-prefix enumeration over the
     * real hive tree plus the staged-flush union, the exact
@@ -573,6 +625,36 @@ object EngineQueries {
         |  event_type AS target,
         |  'c'||CAST(event_id % 7 AS VARCHAR) AS code
         | FROM events WHERE event_id % 5 = 0),
+        |cde AS (SELECT 'code' AS field, code AS value,
+        |   CAST(COUNT(code) AS BIGINT) AS "count"
+        | FROM logs WHERE process_id LIKE 'svc%' AND span_id % 2 = 1
+        |   AND code IS NOT NULL
+        | GROUP BY code ORDER BY "count" DESC, value LIMIT 20),
+        |tgt AS (SELECT 'target' AS field, target AS value,
+        |   CAST(COUNT(target) AS BIGINT) AS "count"
+        | FROM logs WHERE process_id LIKE 'svc%' AND span_id % 2 = 1
+        |   AND target IS NOT NULL
+        | GROUP BY target ORDER BY "count" DESC, value LIMIT 20),
+        |lvl AS (SELECT 'level' AS field, level AS value,
+        |   CAST(COUNT(level) AS BIGINT) AS "count"
+        | FROM logs WHERE process_id LIKE 'svc%' AND level IS NOT NULL
+        | GROUP BY level ORDER BY "count" DESC, value LIMIT 20)
+        |SELECT * FROM (SELECT * FROM cde UNION ALL SELECT * FROM tgt
+        |               UNION ALL SELECT * FROM lvl)
+        |ORDER BY field, "count" DESC, value""".stripMargin,
+    // g06's replay over the disjoint ≡2 mod 5 subset: the file feed and
+    // the line feed share one normalization path, so the oracle differs
+    // only in the subset constant
+    "g08_json_dir_ingest" ->
+      """WITH logs AS (SELECT
+        |  'svc'||CAST(user_id%5 AS VARCHAR)||'-'||CAST(user_id%3 AS VARCHAR) AS process_id,
+        |  event_id AS span_id,
+        |  CASE WHEN event_type='error' THEN 'ERROR' WHEN event_type='signup' THEN 'WARN'
+        |       WHEN event_type='click' THEN 'INFO' WHEN event_type='view' THEN 'DEBUG'
+        |       ELSE 'TRACE' END AS level,
+        |  event_type AS target,
+        |  'c'||CAST(event_id % 7 AS VARCHAR) AS code
+        | FROM events WHERE event_id % 5 = 2),
         |cde AS (SELECT 'code' AS field, code AS value,
         |   CAST(COUNT(code) AS BIGINT) AS "count"
         | FROM logs WHERE process_id LIKE 'svc%' AND span_id % 2 = 1

@@ -294,6 +294,66 @@ class EngineSpec extends SparkSpec {
       """{"process_id":"svc-0","time":3000,"level":"INFO","message":"ok3"}""")) == 0L)
   }
 
+  test("ingestJsonLogDir: file feed ≡ line feed on drifted batches") {
+    // the g08 premise: the distributed file path and the driver line
+    // path share one normalization, so the SAME drifted content lands
+    // identically whichever edge it arrives through
+    val narrow = Seq(
+      """{"process_id":"svc-0","time":1000,"level":"info","message":"a","user_id":42}""",
+      """{"process_id":"svc-0","time":2000,"level":"wat","message":"b","user_id":7}""")
+    val wide = Seq(
+      """{"process_id":"svc-0","time":3000,"level":"ERROR","message":"c","target":"x","value":1.5,"ctx":{"k":1}}""")
+    val lineEng = new DuoEngine(spark, tmpRoot(), memoryMode = true)
+    assert(lineEng.ingestJsonLogs(narrow) == 0L)
+    assert(lineEng.ingestJsonLogs(wide) == 0L)
+    val feed = java.nio.file.Files.createTempDirectory("jsonfeed")
+    java.nio.file.Files.createDirectories(feed.resolve("b1"))
+    java.nio.file.Files.createDirectories(feed.resolve("b2"))
+    java.nio.file.Files.write(feed.resolve("b1/part-0.json"),
+      narrow.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(feed.resolve("b2/part-0.json"),
+      wide.mkString("\n").getBytes("UTF-8"))
+    val fileEng = new DuoEngine(spark, tmpRoot(), memoryMode = true)
+    assert(fileEng.ingestJsonLogDir(feed.resolve("b1").toString) == 0L)
+    assert(fileEng.ingestJsonLogDir(feed.resolve("b2").toString) == 0L)
+    val (a, b) = (lineEng.logTable(), fileEng.logTable())
+    assert(a.schema == b.schema,
+      s"schema drift between feeds: ${a.schema} vs ${b.schema}")
+    val cols = a.columns.sorted.map(col).toIndexedSeq
+    assert(a.select(cols: _*).collect().toSet ==
+      b.select(cols: _*).collect().toSet)
+  }
+
+  test("ingestJsonLogDir direct: straight to cold store, malformed lines counted") {
+    val feed = java.nio.file.Files.createTempDirectory("jsonfeed2")
+    java.nio.file.Files.write(feed.resolve("part-0.json"),
+      Seq(
+        """{"process_id":"svc-0","time":1760000000000000,"level":"INFO","message":"a"}""",
+        """{oops — not json""",
+        """{"process_id":"svc-0","time":1760000000100000,"level":"WARN","message":"b","code":"c1"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val root = tmpRoot()
+    val engine = new DuoEngine(spark, root)
+    // malformed accounting works without caching the input (SPARK-21610
+    // path: DROPMALFORMED re-read + line-count delta)
+    assert(engine.ingestJsonLogDir(feed.toString) == 1L)
+    // direct = true: no hot rows, no WAL — the cold store has the data
+    assert(engine.logMemory.snapshot().isEmpty)
+    assert(!new java.io.File(s"$root/wal/log").exists())
+    // a fresh engine serves both rows (and the dynamic column) from
+    // disk + the persisted registry alone
+    val fresh = new DuoEngine(spark, root)
+    val t = fresh.logTable() // unset bounds: logTable scans the full store
+    assert(t.count() == 2)
+    assert(t.schema.fieldNames.contains("code"))
+    assert(t.filter(col("code") === "c1").count() == 1)
+    // an all-corrupt directory is a counted no-op
+    val bad = java.nio.file.Files.createTempDirectory("jsonfeed3")
+    java.nio.file.Files.write(bad.resolve("part-0.json"),
+      "nope\n\nalso nope".getBytes("UTF-8"))
+    assert(engine.ingestJsonLogDir(bad.toString) == 2L)
+  }
+
   test("compaction policy: triggers on depth or age, reads identical, late flush survives") {
     val root = tmpRoot()
     val store = new ParquetStore(spark, root, "span", "start")
