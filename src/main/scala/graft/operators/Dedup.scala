@@ -1050,10 +1050,14 @@ object Dedup {
 
   def embeddingPairs(embs: DataFrame, tau: Double,
       maxRows: Long = EmbPairsDefaultMaxRows): DataFrame = {
-    val n = embs.count()
-    require(n <= maxRows,
+    // limit(maxRows+1) bounds the guard itself: it scans at most
+    // maxRows+1 rows to decide, instead of a full count of a corpus
+    // that may be 100 TB — the guard must not cost what it guards
+    val probe = math.min(maxRows, Int.MaxValue - 1L).toInt + 1
+    val over = embs.limit(probe).count() > maxRows
+    require(!over,
       s"embeddingPairs is the all-pairs exact baseline (O(n²) pairs): " +
-      s"corpus has $n rows > maxRows=$maxRows. Use embeddingPairsLsh " +
+      s"corpus exceeds maxRows=$maxRows. Use embeddingPairsLsh " +
       s"for the scale path, or pass maxRows explicitly to opt in.")
     graft.functions.VectorExprs.register(embs.sparkSession)
     val e = scopedCache(normalizedVecs(embs))

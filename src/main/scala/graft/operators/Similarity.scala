@@ -641,6 +641,11 @@ object Similarity {
   private val GateKmIters = 3
   private val GateRerankShort = 12
   private val GateRerankK = 5
+  // s14 gate constants — passed EXPLICITLY at the gate call site and
+  // interpolated into its oracle, so a future knnJoin default change
+  // fails visibly instead of silently diverging gate from oracle
+  private val GateKnnK = 5
+  private val GateKnnTau = 0.2
 
   /** Gate-level memo of trained artifacts per corpus dir — the
     * offline-index pattern: a production pipeline trains centroids /
@@ -697,7 +702,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     // resolution pinned for the same static-oracle reason as d09
     "s14_knn_join" -> ((s, d) =>
-      knnJoin(Tables.embeddings(s, d),
+      knnJoin(Tables.embeddings(s, d), k = GateKnnK, tau = GateKnnTau,
           nPlanes = graft.util.Resolution.Fixed(4))
         .orderBy(col("query_id"), col("rank"))),
     "s01_cosine_topk" -> ((s, d) =>
@@ -902,14 +907,14 @@ object Similarity {
     // deterministic (cos desc, vec_id) tie-break
     "s14_knn_join" ->
       s"""WITH ${Dedup.embLshPairCtes},
-         |thr AS (SELECT vec_a, vec_b, cos FROM lshp WHERE cos >= 0.2),
+         |thr AS (SELECT vec_a, vec_b, cos FROM lshp WHERE cos >= $GateKnnTau),
          |sym AS (SELECT vec_a AS query_id, vec_b AS vec_id, cos FROM thr
          |        UNION ALL SELECT vec_b, vec_a, cos FROM thr),
          |rk AS (SELECT query_id, vec_id, cos,
          |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |     ORDER BY cos DESC, vec_id) AS INT) AS rank
          |  FROM sym)
-         |SELECT query_id, vec_id, cos, rank FROM rk WHERE rank <= 5
+         |SELECT query_id, vec_id, cos, rank FROM rk WHERE rank <= $GateKnnK
          |ORDER BY query_id, rank""".stripMargin,
     "s05_pq_topk" ->
       s"""WITH $normCtes,

@@ -110,7 +110,18 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       if (!f.renameTo(dest))
         throw new java.io.IOException(s"moveFiles: $f -> $dest failed")
     }
-    rm(from)
+    // Remove only what this move owns: writer metadata (_SUCCESS,
+    // checksum files) and then the dir IF nothing else remains. A
+    // `_temporary` tree from a concurrent writeStaged commit — or any
+    // entry we don't recognize — means the dir is still someone else's;
+    // deleting it out from under them would eat their in-flight flush.
+    // (Compaction is serialized by contract, but the contract is now
+    // enforced by leaving foreign entries alone instead of narrated.)
+    Option(from.listFiles()).toSeq.flatten
+      .filter(f => f.isFile &&
+        (f.getName == "_SUCCESS" || f.getName.endsWith(".crc")))
+      .foreach(_.delete(): Unit)
+    if (Option(from.listFiles()).toSeq.flatten.isEmpty) from.delete(): Unit
   }
 
   /** Roll back an interrupted snapshot: files moved to

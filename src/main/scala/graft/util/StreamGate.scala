@@ -58,10 +58,16 @@ private[graft] object StreamGate {
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
 
   // the LAST gate of a process has no successor to drain its deferred
-  // trees — reclaim them on JVM exit so repeated runs don't seed /tmp
+  // trees — reclaim them on JVM exit so repeated runs don't seed /tmp.
+  // The hook also drains the async janitor: a deletion batch submitted
+  // by the final gate's reclaim() but not yet executed at exit would
+  // otherwise silently leak its chk/in trees into /tmp.
   java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
     var p = deferredDirs.poll()
     while (p != null) { deleteTree(p); p = deferredDirs.poll() }
+    janitor.shutdown()
+    try janitor.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS): Unit
+    catch { case _: InterruptedException => () }
   }, "stream-gate-exit-janitor"))
 
   private def deleteTree(p: java.nio.file.Path): Unit =
@@ -90,12 +96,21 @@ private[graft] object StreamGate {
 
   private def reclaim(deadNow: java.nio.file.Path*): Unit = {
     unloadStateStores()
-    val batch = deadNow.toVector ++ {
+    val deferred = {
       val b = Vector.newBuilder[java.nio.file.Path]
       var p = deferredDirs.poll()
       while (p != null) { b += p; p = deferredDirs.poll() }
       b.result()
     }
+    // deferred dirs may back a LAZY result frame a caller was required
+    // to drain before invoking another gate; log each deletion so a
+    // contract violation (FileNotFound on a deleted sink) is
+    // attributable to the reclaim that removed it, not a mystery
+    if (deferred.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"reclaiming ${deferred.size} deferred gate dir(s): " +
+          deferred.mkString(", "))
+    val batch = deadNow.toVector ++ deferred
     if (batch.nonEmpty)
       janitor.execute(() => batch.foreach(deleteTree)): Unit
   }
