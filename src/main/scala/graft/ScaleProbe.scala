@@ -206,14 +206,16 @@ object ScaleProbe {
         // with the same exactly-once checkpoint contract. One conf
         // line — the operator, plan, and oracle semantics are
         // untouched, which is itself the measurement: the ingest loop
-        // scales to 100× by configuration, not redesign.
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
-        try measureStream("w11_ingest_loop", scale,
-          graft.queries.EngineQueries.ingestLoopRun(spark, sp100, lg100))
-        finally spark.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
+        // scales to 100× by configuration, not redesign. Since round
+        // 14 the selection is the engine config: StateBackend
+        // .forExpectedKeys(60M keys) > HeapKeyCeiling picks RocksDB —
+        // the rule encodes the OOM measurement this comment records —
+        // and the pick rides the gate harness's scoped stream conf
+        // instead of a hand-set session string.
+        measureStream("w11_ingest_loop", scale,
+          graft.queries.EngineQueries.ingestLoopRun(spark, sp100, lg100,
+            stateBackend = Some(graft.util.StateBackend
+              .forExpectedKeys(60L * 1000 * 1000))))
       }
       Dedup.releaseIntermediates()
     }

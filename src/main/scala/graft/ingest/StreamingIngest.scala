@@ -15,10 +15,22 @@ import graft.DuoEngine
   */
 object StreamingIngest {
 
+  /** @param expectedStateKeys sizing hint for the span-merge state (≈
+    *   peak open spans): selects the state-store backend via
+    *   [[graft.util.StateBackend.forExpectedKeys]] — heap maps below
+    *   the documented ceiling, RocksDB above it (the w11 100× lesson:
+    *   60M keys OOMs the in-heap store; one conf line fixes it). The
+    *   provider is session conf, captured by the query at start; pass
+    *   None to leave the session's current setting untouched.
+    */
   def startSpans(engine: DuoEngine, records: Dataset[SpanRecord],
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      flushEveryBatches: Long = 60): StreamingQuery = {
+      flushEveryBatches: Long = 60,
+      expectedStateKeys: Option[Long] = None): StreamingQuery = {
     import engine.spark.implicits._
+    expectedStateKeys.foreach(n => engine.spark.conf.set(
+      graft.util.StateBackend.ConfKey,
+      graft.util.StateBackend.forExpectedKeys(n)))
     SpanMerger.mergeStream(engine.spark, records)
       .writeStream
       .outputMode("append")

@@ -186,7 +186,7 @@ object EngineQueries {
     * measure how merge state and commit cadence grow with key count.
     */
   private[graft] def spanMergeStreamRun(s: SparkSession,
-      raw: DataFrame): DataFrame = {
+      raw: DataFrame, stateBackend: Option[String] = None): DataFrame = {
     import graft.ingest.{SpanMerger, SpanRecord}
     val (opens, rearrivals, closes, base) = spanRecordFeedFrom(raw)
     try {
@@ -200,7 +200,12 @@ object EngineQueries {
         // vs the session's 32 (measured 9.0 -> 7.8 s warm; 8 partitions
         // adds nothing further). A deployment sizes this to state
         // volume, not to the batch-scan default.
-        statePartitions = Some(16))
+        statePartitions = Some(16),
+        // None at gate scale keeps the session default (heap — the
+        // rule's own pick for ~600k keys); ScaleProbe's big tiers pass
+        // StateBackend.forExpectedKeys so the backend flip is the
+        // config rule, not a hand-set conf
+        stateBackend = stateBackend)
         .orderBy(col("id"))
     } finally base.unpersist(): Unit
   }
@@ -324,7 +329,7 @@ object EngineQueries {
     * flushes + store read-back + search) as one scaling unit.
     */
   private[graft] def ingestLoopRun(s: SparkSession, raw: DataFrame,
-      logs: DataFrame): DataFrame = {
+      logs: DataFrame, stateBackend: Option[String] = None): DataFrame = {
     import graft.ingest.{SpanMerger, SpanRecord}
     val (opens, rearrivals, closes, base) = spanRecordFeedFrom(raw)
     val root = java.nio.file.Files.createTempDirectory("w11_store").toString
@@ -346,7 +351,19 @@ object EngineQueries {
         // the LSM split a real deployment's flush cadence uses
         batch => if (!batch.isEmpty) store.writeStaged(batch),
         // same state sizing as w07 — the stateful operator is the same
-        statePartitions = Some(16))
+        statePartitions = Some(16),
+        // backend is the caller's StateBackend pick: the gate map
+        // passes None (session default = heap, the rule's own answer
+        // for ~600k keys at sf0.1 — far under the ceiling), while
+        // ScaleProbe's 100× tier passes forExpectedKeys(60M) →
+        // RocksDB, the tier whose in-heap OOM set the ceiling.
+        // Forcing RocksDB at bench scale was measured and rejected:
+        // 17.5 s warm vs 7.5 s on heap — at 3 micro-batches the run
+        // is snapshot-commit-dominated (48 store commits), i.e.
+        // configuring against the sizing rule the config exists to
+        // encode. Hash invariance across backends is pinned by spec
+        // (SpanMergerSpec runs the same merge under REAL RocksDB).
+        stateBackend = stateBackend)
     } finally base.unpersist(): Unit
     // the landed store is read lazily by the frame returned below, so
     // its tree is registered AFTER the stream run (a registration

@@ -148,13 +148,14 @@ private[graft] object StreamGate {
     */
   def run[A: Encoder](s: SparkSession, name: String, columns: Seq[String],
       batches: Seq[Seq[A]], build: DataFrame => DataFrame,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      stateBackend: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = MemoryStream[A]
     val out = build(input.toDF().toDF(columns: _*))
     val qname = s"${name}_${seq.incrementAndGet()}"
-    withShufflePartitions(s, statePartitions) {
+    withStreamConf(s, statePartitions, stateBackend) {
       val query = out.writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
       try {
@@ -194,13 +195,14 @@ private[graft] object StreamGate {
     */
   def runParquet(s: SparkSession, name: String, batches: Seq[DataFrame],
       build: DataFrame => DataFrame,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      stateBackend: Option[String] = None): DataFrame = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val out = root.resolve("out").toString
     val schema = rootToJanitorOnFailure(root) {
       val stream = build(fileSource(s, root, batches.head.schema))
-      withShufflePartitions(s, statePartitions) {
+      withStreamConf(s, statePartitions, stateBackend) {
         val query = stream.writeStream.format("parquet")
           .option("path", out)
           .option("checkpointLocation", root.resolve("chk").toString)
@@ -224,11 +226,12 @@ private[graft] object StreamGate {
     */
   def runParquetMem(s: SparkSession, name: String, batches: Seq[DataFrame],
       outputMode: String, build: DataFrame => DataFrame,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      stateBackend: Option[String] = None): DataFrame = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val qname = s"${name}_${seq.incrementAndGet()}"
-    withShufflePartitions(s, statePartitions) {
+    withStreamConf(s, statePartitions, stateBackend) {
       val query = build(fileSource(s, root, batches.head.schema))
         .writeStream.format("memory").queryName(qname)
         .option("checkpointLocation", root.resolve("chk").toString)
@@ -255,11 +258,12 @@ private[graft] object StreamGate {
   def runParquetForeach(s: SparkSession, name: String,
       batches: Seq[DataFrame], build: DataFrame => DataFrame,
       sink: DataFrame => Unit,
-      statePartitions: Option[Int] = None): Unit = {
+      statePartitions: Option[Int] = None,
+      stateBackend: Option[String] = None): Unit = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val stream = build(fileSource(s, root, batches.head.schema))
-    withShufflePartitions(s, statePartitions) {
+    withStreamConf(s, statePartitions, stateBackend) {
       val query = stream.writeStream
         .foreachBatch((df: DataFrame, _: Long) => sink(df))
         .option("checkpointLocation", root.resolve("chk").toString)
@@ -287,7 +291,8 @@ private[graft] object StreamGate {
   def runParquet2(s: SparkSession, name: String,
       left: Seq[DataFrame], right: Seq[DataFrame],
       build: (DataFrame, DataFrame) => DataFrame,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      stateBackend: Option[String] = None): DataFrame = {
     require(left.nonEmpty && right.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val wl = root.resolve("inL"); val wr = root.resolve("inR")
@@ -296,7 +301,7 @@ private[graft] object StreamGate {
       val stream = build(
         fileSourceAt(s, wl, left.head.schema),
         fileSourceAt(s, wr, right.head.schema))
-      withShufflePartitions(s, statePartitions) {
+      withStreamConf(s, statePartitions, stateBackend) {
         val query = stream.writeStream.format("parquet")
           .option("path", out)
           .option("checkpointLocation", root.resolve("chk").toString)
@@ -315,9 +320,11 @@ private[graft] object StreamGate {
     s.read.schema(schema).parquet(out)
   }
 
-  /** Scoped override of the streaming query's shuffle-partition count
-    * (captured at stream start); the session value is restored after,
-    * so surrounding batch plans are untouched. The set/run/restore
+  /** Scoped override of the streaming query's start-time session conf
+    * — shuffle-partition count and/or state-store backend (both are
+    * captured at stream start and pinned into the checkpoint); the
+    * session values are restored after, so surrounding batch plans
+    * are untouched. The set/run/restore
     * window is serialized under [[shuffleLock]]: the override mutates
     * SESSION-global conf, so two concurrent gates (or a gate beside a
     * batch query) on the shared session could otherwise observe or
@@ -326,16 +333,22 @@ private[graft] object StreamGate {
     * parallelism.
     */
   private val shuffleLock = new Object
-  private def withShufflePartitions[A](s: SparkSession,
-      n: Option[Int])(f: => A): A = n match {
-    case None => f
-    case Some(p) => shuffleLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val old = s.conf.get(key)
-      s.conf.set(key, p.toString)
-      try f finally s.conf.set(key, old)
+  private def withStreamConf[A](s: SparkSession, n: Option[Int],
+      backend: Option[String])(f: => A): A =
+    if (n.isEmpty && backend.isEmpty) f
+    else shuffleLock.synchronized {
+      val overrides =
+        n.map("spark.sql.shuffle.partitions" -> _.toString).toSeq ++
+        backend.toSeq.flatMap(StateBackend.sessionConf)
+      // getOption/unset: provider-specific keys (rocksdb.*) are not
+      // registered SQLConf entries, so get() on an unset one throws
+      val olds = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+      overrides.foreach { case (k, v) => s.conf.set(k, v) }
+      try f finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
-  }
 
   private def fileSource(s: SparkSession, root: java.nio.file.Path,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

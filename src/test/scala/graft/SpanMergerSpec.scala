@@ -164,6 +164,40 @@ class SpanMergerSpec extends SparkSpec {
         t.endsWith(""","phase":"closed"}"""))))
   }
 
+  test("state backend is an engine config and results are backend-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.util.StateBackend
+    // the selection rule pins the documented threshold (the w11 100×
+    // finding: in-heap OOM at ~60M keys — SCALE.md)
+    assert(StateBackend.forExpectedKeys(1000L) == StateBackend.HeapProvider)
+    assert(StateBackend.forExpectedKeys(StateBackend.HeapKeyCeiling)
+      == StateBackend.HeapProvider)
+    assert(StateBackend.forExpectedKeys(60L * 1000 * 1000)
+      == StateBackend.RocksDBProvider)
+    // the SAME streamed merge under both providers: provider choice
+    // moves WHERE state lives, never what the operator computes
+    val raw = graft.queries.EngineQueries
+      .ordersAsSpans(spark, "/root/testdata/sf0.001")._1
+      .filter(col("trace_id") % 11 === 0)
+    def runWith(backend: String): Seq[graft.model.Span] = {
+      val (opens, rearrivals, closes, base) =
+        graft.queries.EngineQueries.spanRecordFeedFrom(raw)
+      try graft.util.StreamGate.runParquet(spark, "backend_invariance",
+          Seq(opens, rearrivals.unionAll(closes)),
+          df => SpanMerger.mergeStream(spark, df.as[SpanRecord]).toDF(),
+          statePartitions = Some(4), stateBackend = Some(backend))
+        .as[graft.model.Span].collect().toSeq.sortBy(_.id)
+      finally base.unpersist(): Unit
+    }
+    val heap = runWith(StateBackend.HeapProvider)
+    val rocks = runWith(StateBackend.RocksDBProvider)
+    assert(heap.nonEmpty && heap == rocks)
+    // the scoped override restored the session's provider conf
+    assert(spark.conf.getOption(StateBackend.ConfKey).isEmpty ||
+      !spark.conf.get(StateBackend.ConfKey).contains("RocksDB"))
+  }
+
   test("w11 gate: stream->store->query loop equals the batch pipeline") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
