@@ -65,6 +65,8 @@ private[graft] object StreamGate {
   java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
     var p = deferredDirs.poll()
     while (p != null) { deleteTree(p); p = deferredDirs.poll() }
+    var e = exitDirs.poll()
+    while (e != null) { deleteTree(e); e = exitDirs.poll() }
     janitor.shutdown()
     try janitor.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS): Unit
     catch { case _: InterruptedException => () }
@@ -125,6 +127,17 @@ private[graft] object StreamGate {
     */
   private[graft] def deferDelete(p: java.nio.file.Path): Unit =
     deferredDirs.add(p): Unit
+
+  /** Exit-scoped deletion for MEMOIZED gate artifacts (the g06/g07/g08
+    * stores, built once per corpus dir and reused across bench
+    * repeats): unlike [[deferDelete]] these must SURVIVE intermediate
+    * reclaims — the whole point is the next invocation reads them — so
+    * they live until the JVM exit hook.
+    */
+  private val exitDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private[graft] def deleteOnExit(p: java.nio.file.Path): Unit =
+    exitDirs.add(p): Unit
 
   /** Failure-path reclamation for the gates whose success path defers
     * the root (the parquet-sink variants): an aborted gate has no
