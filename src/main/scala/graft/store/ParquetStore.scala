@@ -397,11 +397,29 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     *   overhead). Specs/probes set it low so a small fixture still
     *   splits into enough row groups to MEASURE skipping.
     */
+  /** @param granularity target DIRECTORY granularity of the rewritten
+    *   tree: "minute" (the reference's ingest layout), "hour", or
+    *   "day". The minute layout is an INGEST-TIME choice, not a read
+    *   contract — pruning is on column predicates, and [[TimePrefix]]
+    *   already collapses fully-covered hours/days — so old data can be
+    *   organized coarser: a wide event-time spread at minute grain is
+    *   thousands of near-empty leaf dirs whose creation dominates the
+    *   drain cost (w11's 7-year span fixture: 34-48 s measured).
+    *   Reads are granularity-invariant: [[read]] prunes on `date` +
+    *   the row time predicate at every level, and [[readPrefixes]]
+    *   falls back to coarser dirs with an equivalent row filter.
+    *   Granularity applies to the WHOLE rewrite (hive discovery
+    *   requires uniform depth), so it fits stores whose main tree is
+    *   compaction-owned (the [[writeStaged]]/LSM shape); a store also
+    *   taking direct minute-grained [[write]]s should stay "minute".
+    */
   def compact(filesPerPartition: Int = 1,
       crashAfterStep: Int = Int.MaxValue,
       zorderOn: Option[(org.apache.spark.sql.Column,
         org.apache.spark.sql.Column)] = None,
-      blockSize: Option[Long] = None): Unit = {
+      blockSize: Option[Long] = None,
+      granularity: String = "minute"): Unit = {
+    val partCols = ParquetStore.partColsFor(granularity)
     recover()
     if (!exists) return
     // SNAPSHOT the staging tree by moving its current files into
@@ -414,33 +432,44 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     val stagingF = new File(stagingDir)
     if (stagingF.exists()) moveFiles(stagingF, new File(compactingDir))
     val mainPart = tryRead(dir)
-    val stagedPart = tryRead(compactingDir).map(_
-      .withColumn("__ts", timestamp_micros(col(timeCol)))
-      .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
-      .withColumn("hour", date_format(col("__ts"), "HH"))
-      .withColumn("minute", date_format(col("__ts"), "mm"))
-      .drop("__ts"))
-    val all = (mainPart, stagedPart) match {
+    val stagedPart = tryRead(compactingDir)
+    val mainRows = mainPart.map(_.drop("date", "hour", "minute"))
+    val all = (mainRows, stagedPart) match {
       case (Some(m), Some(st)) =>
         Some(m.unionByName(st, allowMissingColumns = true))
       case (m, st) => m.orElse(st)
     }
     if (all.isEmpty) return
-    val base = normalizePartCols(all.get)
-      .repartition(filesPerPartition, col("date"), col("hour"), col("minute"))
+    // partition columns re-derived from the row's own time at the
+    // TARGET granularity (the store invariant: dir values are pure
+    // functions of timeCol) — one derivation path whatever mix of
+    // granularities the input trees carried
+    val derived0 = all.get
+      .withColumn("__ts", timestamp_micros(col(timeCol)))
+      .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
+    val derived1 =
+      if (partCols.contains("hour"))
+        derived0.withColumn("hour", date_format(col("__ts"), "HH"))
+      else derived0
+    val derived =
+      (if (partCols.contains("minute"))
+        derived1.withColumn("minute", date_format(col("__ts"), "mm"))
+      else derived1).drop("__ts")
+    val base = derived
+      .repartition(filesPerPartition, partCols.map(col): _*)
     // partition columns lead the sort so the writer's own
     // required-ordering (it otherwise re-sorts each task by the
     // dynamic partition keys, unstably) is already satisfied and the
     // z-order survives into the files
     val writer = zorderOn.fold(base) { case (x, y) =>
-      base.sortWithinPartitions(col("date"), col("hour"), col("minute"),
-        graft.operators.Pipelines.zorderKey(x, y))
+      base.sortWithinPartitions(
+        partCols.map(col) :+ graft.operators.Pipelines.zorderKey(x, y): _*)
     }
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
     blockSize.fold(writer)(b => writer
         .option("parquet.block.size", b.toString))
-      .partitionBy("date", "hour", "minute")
+      .partitionBy(partCols: _*)
       .parquet(stagedDir)
     stagedMarker.createNewFile(): Unit
     if (crashAfterStep <= 1) return
@@ -506,11 +535,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def maybeCompact(maxStagedFiles: Int = 64,
       maxAgeUs: Option[Long] = None,
       nowUs: Long = System.currentTimeMillis() * 1000L,
-      filesPerPartition: Int = 1): Boolean = {
+      filesPerPartition: Int = 1,
+      granularity: String = "minute"): Boolean = {
     val deep = stagedFileCount >= maxStagedFiles
     val stale = maxAgeUs.exists(lim =>
       stagedOldestAgeUs(nowUs).exists(_ >= lim))
-    if (deep || stale) { compact(filesPerPartition); true } else false
+    if (deep || stale) {
+      compact(filesPerPartition, granularity = granularity); true
+    } else false
   }
 
   /** Trace-search span read for the F9∧F10 predicate pair (start range
@@ -599,20 +631,46 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def readPrefixes(startUs: Long, endUs: Long,
       schema: Option[StructType] = None): Option[DataFrame] = {
     recover() // same crash-roll-forward guarantee as read()
-    val paths = TimePrefix.generatePrefixes(startUs, endUs)
+    val wanted = TimePrefix.generatePrefixes(startUs, endUs)
       .map(p => s"$dir/$p")
-      .filter(p => new File(p).exists())
-    val main = if (paths.isEmpty) None else {
-      val reader = spark.read.option("mergeSchema", "true")
-        .option("basePath", dir)
-      val withSchema = schema.map(reader.schema).getOrElse(reader)
-      Some(withSchema.parquet(paths: _*).drop("date", "hour", "minute"))
-    }
+    val (paths, missing) = wanted.partition(p => new File(p).exists())
     val minUs = 60L * 1000000L
     val loUs = Math.floorDiv(startUs, minUs) * minUs
     val endSec = Math.floorDiv(endUs, 1000000L)
     val bump = Math.floorMod(endSec, 60L) > 0L
     val hiUs = (Math.floorDiv(endSec, 60L) + (if (bump) 1L else 0L)) * minUs
+    // COARSE-granularity fallback: a tree [[compact]]ed to hour/day
+    // grain holds a missing minute-prefix's rows as DIRECT files of an
+    // ancestor dir. Those files cover a superset of the prefix's
+    // window, so they are read with an explicit covered-minute row
+    // filter [loUs, hiUs) — the same window the minute DIRECTORIES
+    // cover (contiguous by construction), which keeps the two layouts
+    // observationally identical under the directory-granular contract.
+    // Direct files only (never a recursive dir read): in a
+    // minute-grain tree the ancestor has only subdirs and the fallback
+    // contributes nothing, so the minute layout's plan is untouched.
+    val fallbackFiles = missing.flatMap { p =>
+      val segs = p.stripPrefix(s"$dir/").stripSuffix("/").split("/")
+      // coarser ancestors, nearest first (minute → hour, date; hour →
+      // date) — never above the date level; the FIRST existing one is
+      // the coarse dir that holds this window's rows, if any
+      (1 until segs.length)
+        .map(k => new File(dir, segs.dropRight(k).mkString("/")))
+        .find(_.exists())
+        .toSeq
+        .flatMap(f => Option(f.listFiles()).toSeq.flatten)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    }.distinct
+    val main = if (paths.isEmpty && fallbackFiles.isEmpty) None else {
+      val reader = spark.read.option("mergeSchema", "true")
+        .option("basePath", dir)
+      val withSchema = schema.map(reader.schema).getOrElse(reader)
+      val df = withSchema.parquet(paths ++ fallbackFiles: _*)
+        .drop("date", "hour", "minute")
+      Some(if (fallbackFiles.isEmpty) df
+        else df.where(col(timeCol) >= loUs && col(timeCol) < hiUs))
+    }
     // both staging trees, like read(): rows a running compaction has
     // snapshotted into _staging_compacting are part of the table until
     // the swap promotes the rewrite
@@ -625,4 +683,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       case (m, st) => m.orElse(st)
     }
   }
+}
+
+object ParquetStore {
+  /** Partition columns for a compaction target granularity. */
+  private[store] def partColsFor(granularity: String): Seq[String] =
+    granularity match {
+      case "minute" => Seq("date", "hour", "minute")
+      case "hour" => Seq("date", "hour")
+      case "day" => Seq("date")
+      case g => throw new IllegalArgumentException(
+        s"granularity must be minute|hour|day, got '$g'")
+    }
 }

@@ -381,6 +381,63 @@ class EngineSpec extends SparkSpec {
     assert(store.read(None, None).get.count() == 4)
   }
 
+  test("coarse-granularity drain: reads identical, leaf dirs collapse") {
+    val base = 1760000000000000L // µs epoch, mid-minute times below
+    // 40 rows every 7 minutes ≈ 4.7 hours across two hour boundaries
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, "INFO", base + i * 7L * 60L * 1000000L + 11L * 1000000L))
+    def newStore(g: String): (ParquetStore, String) = {
+      val root = tmpRoot()
+      val st = new ParquetStore(spark, root, "log", "time")
+      st.writeStaged(rows.toDF("id", "level", "time"))
+      st.compact(granularity = g)
+      (st, root)
+    }
+    def dirNames(root: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          f +: Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Nil
+      walk(new java.io.File(s"$root/log")).map(_.getName)
+    }
+    val (minuteStore, _) = newStore("minute")
+    val (hourStore, hourRoot) = newStore("hour")
+    val (dayStore, dayRoot) = newStore("day")
+    // the coarse trees really are coarse: no minute dirs at hour
+    // grain, no hour dirs at day grain
+    assert(!dirNames(hourRoot).exists(_.startsWith("minute=")))
+    assert(dirNames(hourRoot).exists(_.startsWith("hour=")))
+    assert(!dirNames(dayRoot).exists(_.startsWith("hour=")))
+    assert(dirNames(dayRoot).exists(_.startsWith("date=")))
+    // read(): granularity-invariant (date pruning + row predicate)
+    val want = rows.sortBy(_._1)
+    def readAll(st: ParquetStore) = st.read(Some(base), Some(base + 5L * 3600L * 1000000L))
+      .get.orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(readAll(minuteStore) == want)
+    assert(readAll(hourStore) == want)
+    assert(readAll(dayStore) == want)
+    // readPrefixes: mid-minute bounds; the coarse fallback must return
+    // EXACTLY what the minute layout's directory-granular read returns
+    val lo = base + 40L * 60L * 1000000L + 17L * 1000000L
+    val hi = base + 3L * 3600L * 1000000L + 5L * 1000000L
+    def prefixRead(st: ParquetStore) = st.readPrefixes(lo, hi)
+      .get.orderBy("id").as[(Long, String, Long)].collect().toSeq
+    val viaMinute = prefixRead(minuteStore)
+    assert(viaMinute.nonEmpty)
+    assert(prefixRead(hourStore) == viaMinute)
+    assert(prefixRead(dayStore) == viaMinute)
+    // a coarse tree recompacts back to minute grain losslessly (the
+    // partition dirs are pure functions of the time column)
+    hourStore.compact(granularity = "minute")
+    assert(readAll(hourStore) == want)
+    assert(prefixRead(hourStore) == viaMinute)
+    // the policy passes granularity through
+    dayStore.writeStaged(Seq((99L, "WARN", base)).toDF("id", "level", "time"))
+    assert(dayStore.maybeCompact(maxStagedFiles = 1, granularity = "day"))
+    assert(!dirNames(dayRoot).exists(_.startsWith("hour=")))
+    assert(dayStore.read(None, None).get.count() == 41)
+  }
+
   test("staged flush landing mid-compaction survives the swap") {
     val root = tmpRoot()
     val store = new ParquetStore(spark, root, "span", "start")
