@@ -313,6 +313,31 @@ object ScaleProbe {
       // groupBy) — composition must not introduce super-linear cost
       measure("p21_clean_corpus", scale,
         graft.operators.Pipelines.cleanTrainingCorpus(d))
+      // FULL five-stage recipe (p21 + fuzzy MinHash-CC + decontam):
+      // the fuzzy stage runs over the already-reduced survivors and
+      // the decontam index is fixed-size, so growth must track p21's
+      measure("p22_clean_corpus_full", scale,
+        graft.operators.Pipelines.cleanTrainingCorpusFull(d))
+      // thresholded kNN join: candidates are d09's bucket-bounded LSH
+      // chain; the per-query rank window sees candidate lists, never
+      // the corpus — output is capped at n×k rows, so rows must grow
+      // exactly 10× while shuffle tracks the candidate volume
+      measure("s14_knn_join", scale,
+        graft.operators.Similarity.knnJoin(e))
+      // the datum behind s14's scale claim: the rank window partitions
+      // on query_id over the symmetrized CANDIDATE list — report its
+      // per-query size distribution so "bucket-bounded, never the
+      // corpus" is a measured number, not an assertion
+      if (only.isEmpty || only.exists("s14_knn_join".startsWith)) {
+        val cand = Dedup.embeddingPairsLsh(e, 0.2)
+        val sym = cand.select(col("vec_a").as("q"))
+          .unionAll(cand.select(col("vec_b").as("q")))
+        val r = sym.groupBy("q").count()
+          .agg(max("count").as("mx"), avg("count").as("av")).collect()(0)
+        println(f"""{"query":"s14_window_input","scale":"$scale",""" +
+          f""""max_per_query":${r.getLong(0)},""" +
+          f""""avg_per_query":${r.getDouble(1)}%.1f}""")
+      }
       // filtered ANN: pre-filter scan-and-score — linear in the
       // filtered corpus, query side broadcast
       measure("s13_filtered_topk", scale,
@@ -352,6 +377,17 @@ object ScaleProbe {
         graft.operators.Sketches.kmvStreamRun(spark, d))
       measureStream("w14_rollup_stream", scale,
         graft.operators.Sketches.rollupStreamRun(spark, ev))
+      // engine-harness gates over the 10× events feed, UN-memoized
+      // (the probe measures the whole build+read path): g06 rides the
+      // driver-line ingest edge (cost ∝ lines through the driver —
+      // the bound g08 exists to remove), g08 the distributed file
+      // edge, g07 the three-flush store + prefix-listing read
+      measure("g06_dynamic_schema", scale,
+        graft.queries.EngineQueries.dynamicSchemaRun(spark, ev))
+      measure("g08_json_dir_ingest", scale,
+        graft.queries.EngineQueries.jsonDirRun(spark, ev))
+      measure("g07_prefix_read", scale,
+        graft.queries.EngineQueries.prefixReadRun(spark, ev))
       Dedup.releaseIntermediates()
     }
     if (tiers.contains("100x")) run100x()

@@ -21,7 +21,14 @@ object EngineQueries {
     * level from event_type, plus `value` as a dynamic field.
     */
   def eventsAsLogs(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
+    eventsFrameAsLogs(Tables.events(s, d))
+
+  /** The events→logs projection over a caller-supplied events frame —
+    * the scale probe feeds replicated corpora through the same mapping
+    * the gates use.
+    */
+  private[graft] def eventsFrameAsLogs(ev: DataFrame): DataFrame =
+    ev.select(
       concat(lit("svc"), col("user_id") % 5, lit("-"), col("user_id") % 3)
         .as("process_id"),
       expr("ts div 1000").as("time"),
@@ -507,43 +514,82 @@ object EngineQueries {
       root.toString
     })
 
+  /** The narrow/wide drifted-batch pair over a ⅕ subset of an
+    * events-as-logs frame — shared by the g06 (line-feed) and g08
+    * (file-feed) builders and their scale-probe runs. `subsetMod`
+    * keeps the gates' corpora disjoint (g06 ≡ 0, g08 ≡ 2 mod 5);
+    * multiples of 5 still split into both parities, so the two
+    * drifted batches keep their shape at any corpus size.
+    */
+  private def driftFeed(logs0: DataFrame,
+      subsetMod: Int): (DataFrame, DataFrame) = {
+    val logs = logs0.filter(col("span_id") % 5 === subsetMod)
+      .withColumn("time",
+        lit(G06BaseUs) + pmod(col("time"), lit(3600000000L)))
+    val narrow = logs.filter(col("span_id") % 2 === 0)
+      .select(col("process_id"), col("time"), col("trace_id"),
+        col("span_id"), col("level"), col("message"))
+    val wide = logs.filter(col("span_id") % 2 =!= 0)
+      .select(col("process_id"), col("time"), col("trace_id"),
+        col("span_id"), col("level"), col("message"),
+        col("target"), col("value"),
+        concat(lit("c"), col("span_id") % 7).as("code"))
+    (narrow, wide)
+  }
+
+  /** g06's builder: the drifted pair through the driver-line ingest
+    * edge (the reference's gRPC shape), one flush per batch.
+    */
+  private[graft] def dynamicSchemaBuild(s: SparkSession,
+      logs0: DataFrame, root: String): Unit = {
+    val (narrow, wide) = driftFeed(logs0, 0)
+    def lines(df: DataFrame): Seq[String] =
+      df.toJSON.collect().toIndexedSeq
+    val ingester = new graft.DuoEngine(s, root)
+    ingester.ingestJsonLogs(lines(narrow)): Unit
+    ingester.flush() // cold files at the narrow schema
+    ingester.ingestJsonLogs(lines(wide)): Unit
+    ingester.flush() // cold files at the widened schema
+  }
+
+  /** The shared read face of g06/g08: a FRESH engine answers the
+    * three-drift-class fieldStats from disk + registry alone.
+    */
+  private[graft] def driftStats(s: SparkSession, root: String,
+      gate: String): DataFrame = {
+    val reader = new graft.DuoEngine(s, root)
+    val p = LogQueries.LogSearchParams(service = "svc", unbounded = true)
+    def stats(field: String): DataFrame =
+      reader.fieldStats(field, p).getOrElse(
+        sys.error(s"$gate: merged schema lost the '$field' column"))
+        .withColumn("field", lit(field))
+        .select(col("field"), col("value"), col("count"))
+    stats("code").unionAll(stats("target")).unionAll(stats("level"))
+      .orderBy(col("field"), col("count").desc, col("value"))
+  }
+
   def dynamicSchemaGate(s: SparkSession, d: String): DataFrame = {
     // deterministic ⅕ subset (span_id ≡ 0 mod 5, oracle-mirrored):
     // the gate's subject is schema machinery — inference, registry
     // widening, drifted-footer merge — which is row-count-invariant;
     // the full corpus only multiplies JSON-codec and flush volume
-    // (measured 16.3 s at sf0.1 unsubset vs ~6 s). Multiples of 5
-    // still split into both parities, so the two drifted batches keep
-    // their shape.
+    // (measured 16.3 s at sf0.1 unsubset vs ~6 s).
     val root = memoStore("g06", d) { root =>
-      val logs = eventsAsLogs(s, d).filter(col("span_id") % 5 === 0)
-        .withColumn("time",
-          lit(G06BaseUs) + pmod(col("time"), lit(3600000000L)))
-      def lines(df: DataFrame): Seq[String] =
-        df.toJSON.collect().toIndexedSeq
-      val narrow = logs.filter(col("span_id") % 2 === 0)
-        .select(col("process_id"), col("time"), col("trace_id"),
-          col("span_id"), col("level"), col("message"))
-      val wide = logs.filter(col("span_id") % 2 =!= 0)
-        .select(col("process_id"), col("time"), col("trace_id"),
-          col("span_id"), col("level"), col("message"),
-          col("target"), col("value"),
-          concat(lit("c"), col("span_id") % 7).as("code"))
-      val ingester = new graft.DuoEngine(s, root)
-      ingester.ingestJsonLogs(lines(narrow)): Unit
-      ingester.flush() // cold files at the narrow schema
-      ingester.ingestJsonLogs(lines(wide)): Unit
-      ingester.flush() // cold files at the widened schema
+      dynamicSchemaBuild(s, eventsAsLogs(s, d), root)
     }
-    val reader = new graft.DuoEngine(s, root) // fresh: disk is all it has
-    val p = LogQueries.LogSearchParams(service = "svc", unbounded = true)
-    def stats(field: String): DataFrame =
-      reader.fieldStats(field, p).getOrElse(
-        sys.error(s"g06: merged schema lost the '$field' column"))
-        .withColumn("field", lit(field))
-        .select(col("field"), col("value"), col("count"))
-    stats("code").unionAll(stats("target")).unionAll(stats("level"))
-      .orderBy(col("field"), col("count").desc, col("value"))
+    driftStats(s, root, "g06")
+  }
+
+  /** Scale-probe entry: the WHOLE g06 path (feed derivation → line
+    * ingest → flushes → fresh-engine stats) over a caller-supplied
+    * events frame, un-memoized — the probe measures the build.
+    */
+  private[graft] def dynamicSchemaRun(s: SparkSession,
+      ev: DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("g06_probe")
+    graft.util.StreamGate.deferDelete(root)
+    dynamicSchemaBuild(s, eventsFrameAsLogs(ev), root.toString)
+    driftStats(s, root.toString, "g06")
   }
 
   /** g08: the DISTRIBUTED dynamic-schema ingest path — g06's semantics
@@ -564,38 +610,38 @@ object EngineQueries {
     * divergence between the file feed and the line feed (inference,
     * normalization, registry, drifted read) breaks the hash.
     */
+  /** g08's builder: the drifted pair as executor-written JSON files
+    * through the distributed dir-ingest edge, direct to cold store.
+    */
+  private[graft] def jsonDirBuild(s: SparkSession, logs0: DataFrame,
+      root: String): Unit = {
+    val (narrow, wide) = driftFeed(logs0, 2)
+    val feed = java.nio.file.Files.createTempDirectory("g08_feed")
+    graft.util.StreamGate.deferDelete(feed)
+    // executor-written JSON-line files — the feed never rides the
+    // driver (and is dead once the eager ingest below lands it)
+    narrow.coalesce(4).write.json(s"$feed/batch1")
+    wide.coalesce(4).write.json(s"$feed/batch2")
+    val ingester = new graft.DuoEngine(s, root)
+    ingester.ingestJsonLogDir(s"$feed/batch1"): Unit // cold, narrow
+    ingester.ingestJsonLogDir(s"$feed/batch2"): Unit // cold, widened
+  }
+
   def dynamicSchemaDirGate(s: SparkSession, d: String): DataFrame = {
-    val logs = eventsAsLogs(s, d).filter(col("span_id") % 5 === 2)
-      .withColumn("time",
-        lit(G06BaseUs) + pmod(col("time"), lit(3600000000L)))
-    val narrow = logs.filter(col("span_id") % 2 === 0)
-      .select(col("process_id"), col("time"), col("trace_id"),
-        col("span_id"), col("level"), col("message"))
-    val wide = logs.filter(col("span_id") % 2 =!= 0)
-      .select(col("process_id"), col("time"), col("trace_id"),
-        col("span_id"), col("level"), col("message"),
-        col("target"), col("value"),
-        concat(lit("c"), col("span_id") % 7).as("code"))
     val root = memoStore("g08", d) { root =>
-      val feed = java.nio.file.Files.createTempDirectory("g08_feed")
-      graft.util.StreamGate.deferDelete(feed)
-      // executor-written JSON-line files — the feed never rides the
-      // driver (and is dead once the eager ingest below lands it)
-      narrow.coalesce(4).write.json(s"$feed/batch1")
-      wide.coalesce(4).write.json(s"$feed/batch2")
-      val ingester = new graft.DuoEngine(s, root)
-      ingester.ingestJsonLogDir(s"$feed/batch1"): Unit // cold, narrow
-      ingester.ingestJsonLogDir(s"$feed/batch2"): Unit // cold, widened
+      jsonDirBuild(s, eventsAsLogs(s, d), root)
     }
-    val reader = new graft.DuoEngine(s, root) // fresh: disk is all it has
-    val p = LogQueries.LogSearchParams(service = "svc", unbounded = true)
-    def stats(field: String): DataFrame =
-      reader.fieldStats(field, p).getOrElse(
-        sys.error(s"g08: merged schema lost the '$field' column"))
-        .withColumn("field", lit(field))
-        .select(col("field"), col("value"), col("count"))
-    stats("code").unionAll(stats("target")).unionAll(stats("level"))
-      .orderBy(col("field"), col("count").desc, col("value"))
+    driftStats(s, root, "g08")
+  }
+
+  /** Scale-probe entry: the whole g08 path over a caller-supplied
+    * events frame, un-memoized.
+    */
+  private[graft] def jsonDirRun(s: SparkSession, ev: DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("g08_probe")
+    graft.util.StreamGate.deferDelete(root)
+    jsonDirBuild(s, eventsFrameAsLogs(ev), root.toString)
+    driftStats(s, root.toString, "g08")
   }
 
   /** g07: the reference-shaped PREFIX-LISTING read path oracle-gated —
@@ -623,16 +669,22 @@ object EngineQueries {
     */
   private val G07WindowUs = 3L * 3600L * 1000000L
 
-  def prefixReadGate(s: SparkSession, d: String): DataFrame = {
-    val logs = eventsAsLogs(s, d).filter(col("span_id") % 5 === 1)
+  private def g07Logs(logs0: DataFrame): DataFrame =
+    logs0.filter(col("span_id") % 5 === 1)
       .withColumn("time",
         lit(G06BaseUs) + pmod(col("time"), lit(G07WindowUs)))
-    val root = memoStore("g07", d) { root =>
-      val st = new graft.store.ParquetStore(s, root, "log", "time")
-      st.write(logs.filter(col("span_id") % 3 === 0))
-      st.write(logs.filter(col("span_id") % 3 === 1))
-      st.writeStaged(logs.filter(col("span_id") % 3 === 2))
-    }
+
+  private[graft] def prefixReadBuild(s: SparkSession, logs0: DataFrame,
+      root: String): Unit = {
+    val logs = g07Logs(logs0)
+    val st = new graft.store.ParquetStore(s, root, "log", "time")
+    st.write(logs.filter(col("span_id") % 3 === 0))
+    st.write(logs.filter(col("span_id") % 3 === 1))
+    st.writeStaged(logs.filter(col("span_id") % 3 === 2))
+  }
+
+  private[graft] def prefixReadQuery(s: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val store = new graft.store.ParquetStore(s, root, "log", "time")
     // [base+30min+17s, base+2h14min+5s]: covered minutes are
     // [base+30min, base+2h15min) — both bounds land mid-minute
@@ -642,12 +694,30 @@ object EngineQueries {
     // it (the reference's ListingTable is schema'd too), and skipping
     // per-prefix footer inference across ~100 listed dirs is the
     // difference between one listing pass and two
-    store.readPrefixes(startUs, endUs, schema = Some(logs.schema))
+    store.readPrefixes(startUs, endUs, schema = Some(schema))
       .getOrElse(sys.error("g07: prefix read found no data"))
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n"), min(col("time")).as("t_min"),
         max(col("time")).as("t_max"))
       .orderBy(col("level"))
+  }
+
+  def prefixReadGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g07", d) { root =>
+      prefixReadBuild(s, eventsAsLogs(s, d), root)
+    }
+    prefixReadQuery(s, root, g07Logs(eventsAsLogs(s, d)).schema)
+  }
+
+  /** Scale-probe entry: the whole g07 path (three flushes → prefix
+    * listing + staged union) over a caller-supplied events frame.
+    */
+  private[graft] def prefixReadRun(s: SparkSession, ev: DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("g07_probe")
+    graft.util.StreamGate.deferDelete(root)
+    val logs = eventsFrameAsLogs(ev)
+    prefixReadBuild(s, logs, root.toString)
+    prefixReadQuery(s, root.toString, g07Logs(logs).schema)
   }
 
   val oracle: Map[String, String] = Map(
