@@ -184,14 +184,21 @@ object ScaleProbe {
       if (only.isEmpty || only.exists("d09_embedding_lsh_auto".startsWith))
         measure("d09_embedding_lsh_auto", scale,
           Dedup.embeddingPairsLsh(e100, 0.4))
-      // m07 has no 100× row BY MEASUREMENT, not omission: the audio
-      // fixture's pattern WAVs repeat a small variant set, so the TRUE
-      // near-dup pair count is ~quadratic in corpus copies (10.37M
-      // real pairs at 10× already); at 100× the verified OUTPUT alone
-      // is ~1B pairs and the attempted run filled the disk in shuffle
-      // spill. The algorithmic resolution story (banded step rule) is
-      // measured at 10×; output-bound growth is a fixture property a
-      // production corpus with stable duplication rates does not have.
+      // m07's 100× row runs on the LINEAR-FAMILY fixture (round 14):
+      // the standard fixture has 47 fixed envelope families, so at
+      // 100× each family holds ~100× the docs and the TRUE pair set
+      // is quadratic — the attempted run filled the disk with real
+      // output (a fixture property; kept documented in SCALE.md).
+      // Scaling the family space with the corpus (47 × copies) keeps
+      // family SIZES at their 1× value, so true pairs grow linearly —
+      // a grown real corpus's duplication structure — and the row
+      // measures the OPERATOR (Σ bucket² banded-join overhead at the
+      // banded-step resolution), not the fixture's output.
+      if (only.isEmpty || only.exists("m07_audio_near_dup".startsWith))
+        measure("m07_audio_near_dup_linear", scale,
+          graft.operators.Multimodal.audioNearDupPairs(spark, d100,
+            linearFamilies =
+              Some(graft.operators.Multimodal.AudFamilies * 100)))
       if (only.isEmpty || only.exists("x03_kmv_overlap".startsWith))
         measure("x03_kmv_overlap", scale,
           graft.operators.Sketches.kmvSourceOverlap(d100))
@@ -281,6 +288,13 @@ object ScaleProbe {
       if (scale == "10x")
         measure("m07_audio_near_dup_auto", scale,
           graft.operators.Multimodal.audioNearDupPairs(spark, d))
+      // LINEAR-FAMILY rows (round 14): family space ∝ corpus, so true
+      // pairs replicate (linear) and the row isolates operator
+      // overhead — the 1×/10× pair for the 100× decade below
+      measure("m07_audio_near_dup_linear", scale,
+        graft.operators.Multimodal.audioNearDupPairs(spark, d,
+          linearFamilies = Some(graft.operators.Multimodal.AudFamilies *
+            (if (scale == "1x") 1 else 10))))
       // binary codes: two popcounts per candidate, broadcast queries
       measure("s12_binary_hamming", scale,
         graft.operators.Similarity.binaryHammingTopK(e, 5L, 10))

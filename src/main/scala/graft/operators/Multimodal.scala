@@ -621,18 +621,54 @@ object Multimodal {
     * low-hamming collisions don't arise by linear structure.
     */
   val AudFrames = 17
-  def audSeed(id: Long): Int = (id % 47).toInt
-  def audVariant(id: Long): Int = ((id / 141) % 3).toInt
-  def audSpf(id: Long): Int = audSeed(id) % 23 + 30
+
+  /** Family-space size of the fixture (47 envelope families). The
+    * gate/oracle pin this constant; the scale probe passes a LARGER
+    * space (`47 × copies`) so a replicated corpus carries DISTINCT
+    * families per copy — the duplicate structure then replicates
+    * (true pairs ∝ corpus) instead of compounding (families fixed →
+    * family sizes ∝ corpus → true pairs ∝ corpus², the property that
+    * blocked an honest 100× row).
+    */
+  val AudFamilies = 47
+  def audSeed(id: Long): Int = audSeed(id, AudFamilies)
+  def audSeed(id: Long, families: Int): Int = (id % families).toInt
+  def audVariant(id: Long): Int = audVariant(id, AudFamilies)
+  def audVariant(id: Long, families: Int): Int =
+    ((id / (families * 3L)) % 3).toInt
+  def audSpf(id: Long): Int = audSpf(id, AudFamilies)
+  def audSpf(id: Long, families: Int): Int = audSeed(id, families) % 23 + 30
 
   /** Frame amplitude in [100, 3550]: base double-mod pattern plus the
     * v2 single-frame boost. Mirrored verbatim by the m07 oracle SQL.
     */
-  def audAmp(id: Long, f: Int): Int = {
-    val s = audSeed(id)
-    100 + (((s * 73 + f * 9 + 1).toLong * 2654435761L % 1000003L) % 151L)
-      .toInt * 13 +
-      (if (audVariant(id) == 2 && f == s % AudFrames) 1500 else 0)
+  def audAmp(id: Long, f: Int): Int =
+    audAmp(id, f, AudFamilies, AudFrames, mixed = false)
+  def audAmp(id: Long, f: Int, families: Int, envSteps: Int,
+      mixed: Boolean): Int = {
+    val s = audSeed(id, families)
+    val base =
+      if (!mixed)
+        // the GATE fixture's double-mod (oracle-mirrored verbatim).
+        // Not used for scaled family spaces: its f-dependence is a
+        // linear progression mod 151 (adjacent amps differ by a
+        // constant −29 mod 151 except on wrap events), so gradient
+        // bits are biased ~4:1 and the family→fingerprint map
+        // saturates long before the bit width does (measured: 470
+        // families → 158 distinct 33-frame fps)
+        (((s * 73 + f * 9 + 1).toLong * 2654435761L % 1000003L) % 151L)
+          .toInt
+      else {
+        // probe tier: a full-avalanche per-(s, f) mix, so distinct
+        // families carry ~independent envelopes and the true pair
+        // set really is linear in the family count
+        var h = s.toLong * 0x9E3779B97F4A7C15L +
+          (f + 1).toLong * 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        ((h & 0x7fffffffL) % 151L).toInt
+      }
+    100 + base * 13 +
+      (if (audVariant(id, families) == 2 && f == s % envSteps) 1500 else 0)
   }
 
   /** Encode the 17-frame envelope as a REAL mono 16-bit PCM WAV
@@ -641,10 +677,25 @@ object Multimodal {
     * with alternating sign (so the per-frame mean |s| recovers the
     * amplitude exactly), v1 globally inverted.
     */
-  def audioPatternWav(id: Long): Array[Byte] = {
-    val spf = audSpf(id)
-    val n = AudFrames * spf
-    val neg = if (audVariant(id) == 1) -1 else 1
+  def audioPatternWav(id: Long): Array[Byte] =
+    audioPatternWav(id, AudFamilies, AudFrames, mixed = false)
+
+  /** @param envSteps intrinsic envelope resolution of the synthesized
+    *   signal (17 for the gate fixture). The fingerprint can never
+    *   extract more gradient entropy than the SIGNAL carries: at 33 FP
+    *   frames over a 17-step envelope, ~half the adjacent-frame
+    *   comparisons fall inside one step (equal means → dead bits) and
+    *   the fp space saturates (measured: 470 families → 104 distinct
+    *   33-frame fps). The linear-family probe tier therefore grows
+    *   envSteps with the resolved FP frame count — the production
+    *   analog: real audio carries full-bandwidth detail, and raising
+    *   fingerprint frames extracts more of it.
+    */
+  def audioPatternWav(id: Long, families: Int, envSteps: Int,
+      mixed: Boolean): Array[Byte] = {
+    val spf = audSpf(id, families)
+    val n = envSteps * spf
+    val neg = if (audVariant(id, families) == 1) -1 else 1
     val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
@@ -656,7 +707,7 @@ object Multimodal {
     buf.put("data".getBytes("US-ASCII")).putInt(n * 2)
     var i = 0
     while (i < n) {
-      val a = audAmp(id, i / spf)
+      val a = audAmp(id, i / spf, families, envSteps, mixed)
       buf.putShort(((if (i % 2 == 0) a else -a) * neg).toShort)
       i += 1
     }
@@ -666,9 +717,12 @@ object Multimodal {
   /** m07 fixture attach: audio-branch docs carry the pattern WAV, the
     * rest raw text bytes (the no-fingerprint path).
     */
-  def withAudioPattern(docs: DataFrame): DataFrame = {
+  def withAudioPattern(docs: DataFrame,
+      families: Int = AudFamilies,
+      envSteps: Int = AudFrames,
+      mixed: Boolean = false): DataFrame = {
     val gen = udf { (id: Long, text: String) =>
-      if (id % 3 == 2) audioPatternWav(id)
+      if (id % 3 == 2) audioPatternWav(id, families, envSteps, mixed)
       else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     }
     docs.withColumn("payload", gen(col("doc_id"), col("text")))
@@ -748,10 +802,14 @@ object Multimodal {
     * (doc_id, 2-byte fingerprint) rows leave the scan stage.
     */
   def audioFingerprints(spark: SparkSession, docs: DataFrame,
-      frames: graft.util.Resolution = graft.util.Resolution.Auto): DataFrame = {
+      frames: graft.util.Resolution = graft.util.Resolution.Auto,
+      families: Int = AudFamilies,
+      envSteps: Option[Int] = None,
+      mixed: Boolean = false): DataFrame = {
     import spark.implicits._
     val f = resolveAudFrames(frames, docs)
-    withAudioPattern(docs.repartition(spark.sparkContext.defaultParallelism))
+    withAudioPattern(docs.repartition(spark.sparkContext.defaultParallelism),
+        families, envSteps.getOrElse(AudFrames), mixed)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
@@ -792,7 +850,14 @@ object Multimodal {
     */
   def audioNearDupPairs(spark: SparkSession, docs: DataFrame,
       maxHam: Int = 3,
-      frames: graft.util.Resolution = graft.util.Resolution.Auto): DataFrame = {
+      frames: graft.util.Resolution = graft.util.Resolution.Auto,
+      linearFamilies: Option[Int] = None): DataFrame = {
+    // linear-family probe mode (linearFamilies = Some(n), the family
+    // space scaled with the corpus): the
+    // synthesized signal's envelope resolution tracks the resolved FP
+    // frame count, so the fingerprint's extra bits are REAL — see
+    // audioPatternWav's envSteps scaladoc. The gate fixture
+    // (families = 47) keeps its pinned 17-step envelope.
     // maxHam+1 bands of ceil(bits/bands) fingerprint bits: pigeonhole
     // puts every hamming<=maxHam pair intact in some band, at ANY
     // resolution. Auto grows at the BANDED step (bits split across
@@ -804,7 +869,10 @@ object Multimodal {
     val bits = f - 1
     val bands = maxHam + 1
     val width = (bits + bands - 1) / bands
-    val hashed = audioFingerprints(spark, docs, f)
+    val hashed = audioFingerprints(spark, docs, f,
+      families = linearFamilies.getOrElse(AudFamilies),
+      envSteps = linearFamilies.map(_ => f),
+      mixed = linearFamilies.isDefined)
     val rows = Dedup.scopedCache(hashed
       .select(col("doc_id"), col("afp"),
         posexplode(array((0 until bands).map(j =>

@@ -242,6 +242,35 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.wavBytes(8000, 2, 100, seed = 5L)).isEmpty)
   }
 
+  test("linear-family probe fixture: distinct envelopes, gate fixture untouched") {
+    // the generalized signature with the gate constants is the gate
+    // fixture byte-for-byte (oracle/bench behavior pinned)
+    for (id <- 2L to 300L by 3L)
+      assert(java.util.Arrays.equals(Multimodal.audioPatternWav(id),
+        Multimodal.audioPatternWav(id, Multimodal.AudFamilies,
+          Multimodal.AudFrames, mixed = false)), s"id $id")
+    // the scaled family space carries ~independent envelopes: the
+    // mixed amp avoids the gate formula's linear mod-151 progression
+    // (which saturates the fp space — measured 470 families → 158
+    // distinct 33-frame fps), so true pairs scale with families
+    val fams = 470
+    val frames = 33
+    val reps = (0 until fams by 3).flatMap { s =>
+      (0 until 200000).iterator.map(_.toLong)
+        .find(id => id % 3 == 2 && id % fams == s &&
+          Multimodal.audVariant(id, fams) == 0)
+    }
+    val fps = reps.map(id => Multimodal.audioFp(
+      Multimodal.audioPatternWav(id, fams, frames, mixed = true), frames).get)
+    assert(fps.distinct.size == fps.size,
+      s"expected all-distinct fps, got ${fps.distinct.size}/${fps.size}")
+    val close = (for {
+      i <- fps.indices; j <- (i + 1) until fps.size
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= 3
+    } yield 1).size
+    assert(close <= 1, s"cross-family ham<=3 family pairs: $close")
+  }
+
   test("audio banded pairs match brute force; polarity inversion collides at ham 0") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
