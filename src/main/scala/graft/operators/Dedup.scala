@@ -683,7 +683,13 @@ object Dedup {
     graft.util.StreamGate.runParquet(s, "w15_decontam_stream",
       Seq(corpus.filter(col("doc_id") % 2 === 0),
         corpus.filter(col("doc_id") % 2 =!= 0)),
-      stream => decontamFlagStream(stream, bench))
+      stream => decontamFlagStream(stream, bench),
+      // flag-dedup state is tiny (∝ contaminated ids): sized to the
+      // w09 rule like the other small-state gates. Going lower was
+      // measured (r14): 2 partitions saved nothing outside noise —
+      // real gates' batches are work-bound, not commit-bound, at this
+      // size (an isolated MemoryStream floor test misleads here)
+      statePartitions = Some(8))
       .orderBy(col("doc_id"))
   }
 
