@@ -455,7 +455,8 @@ object EngineQueries {
     "w11_ingest_loop" -> (ingestLoopGate _),
     "g06_dynamic_schema" -> (dynamicSchemaGate _),
     "g07_prefix_read" -> (prefixReadGate _),
-    "g08_json_dir_ingest" -> (dynamicSchemaDirGate _))
+    "g08_json_dir_ingest" -> (dynamicSchemaDirGate _),
+    "g09_prefix_read_coarse" -> (prefixReadCoarseGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -720,6 +721,46 @@ object EngineQueries {
     prefixReadQuery(s, root.toString, g07Logs(logs).schema)
   }
 
+  /** g09: the COARSE-granularity read path under the oracle hash —
+    * the same store content as g07 (disjoint build, same ⅕ subset and
+    * 3-hour window) drained to HOUR-grain dirs by
+    * [[graft.store.ParquetStore.compact]], then answered through the
+    * SAME mid-minute prefix query. The prefix enumeration generates
+    * minute-level prefixes that do not exist in an hour tree, so every
+    * partial-hour window exercises readPrefixes' coarse fallback
+    * (first existing ancestor's direct files + covered-minute row
+    * filter) — and the oracle is g07's replay VERBATIM: coarsening the
+    * layout must be observationally invisible, now pinned by hash, not
+    * only by spec.
+    */
+  def prefixReadCoarseGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g09", d) { root =>
+      prefixReadBuild(s, eventsAsLogs(s, d), root)
+      new graft.store.ParquetStore(s, root, "log", "time")
+        .compact(granularity = "hour")
+    }
+    prefixReadQuery(s, root, g07Logs(eventsAsLogs(s, d)).schema)
+  }
+
+  /** g07's DuckDB replay — shared VERBATIM with g09 (the coarse-layout
+    * read must be observationally identical to the minute layout).
+    */
+  private val g07OracleSql: String = {
+    val base = G06BaseUs
+    val lo = base + 30L * 60L * 1000000L
+    val hi = base + (2L * 3600L + 15L * 60L) * 1000000L
+    s"""WITH logs AS (SELECT
+       |  CASE WHEN event_type='error' THEN 'ERROR' WHEN event_type='signup' THEN 'WARN'
+       |       WHEN event_type='click' THEN 'INFO' WHEN event_type='view' THEN 'DEBUG'
+       |       ELSE 'TRACE' END AS level,
+       |  $base + (epoch_us(ts) % $G07WindowUs) AS time
+       | FROM events WHERE event_id % 5 = 1)
+       |SELECT level, CAST(COUNT(*) AS BIGINT) AS n,
+       | MIN(time) AS t_min, MAX(time) AS t_max
+       |FROM logs WHERE time >= $lo AND time < $hi
+       |GROUP BY level ORDER BY level""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // replay of inference + drift union: target exists only on odd
     // span ids (the wide batch) and F12 drops batch-1 nulls, so its
@@ -787,21 +828,10 @@ object EngineQueries {
     // oracle filters the µs-compressed times to exactly that window;
     // which flush (partitioned or staged) a row landed through is
     // invisible, which is the union's contract
-    "g07_prefix_read" -> {
-      val base = G06BaseUs
-      val lo = base + 30L * 60L * 1000000L
-      val hi = base + (2L * 3600L + 15L * 60L) * 1000000L
-      s"""WITH logs AS (SELECT
-         |  CASE WHEN event_type='error' THEN 'ERROR' WHEN event_type='signup' THEN 'WARN'
-         |       WHEN event_type='click' THEN 'INFO' WHEN event_type='view' THEN 'DEBUG'
-         |       ELSE 'TRACE' END AS level,
-         |  $base + (epoch_us(ts) % $G07WindowUs) AS time
-         | FROM events WHERE event_id % 5 = 1)
-         |SELECT level, CAST(COUNT(*) AS BIGINT) AS n,
-         | MIN(time) AS t_min, MAX(time) AS t_max
-         |FROM logs WHERE time >= $lo AND time < $hi
-         |GROUP BY level ORDER BY level""".stripMargin
-    },
+    "g07_prefix_read" -> g07OracleSql,
+    // the hour-compacted store must answer IDENTICALLY: the coarse
+    // read path replays g07's oracle verbatim
+    "g09_prefix_read_coarse" -> g07OracleSql,
     "w09_spanlog_join_stream" ->
       s"""$spansCte,
          |lgs2 AS (
