@@ -986,9 +986,68 @@ object TextAnalysis {
     trainedVocab.getOrElseUpdate(s"$d|$SubwordVocabSize",
       subwordVocab(graft.Tables.documents(s, d)))
 
+  // ---- t22: PII redaction (training-data hygiene pass) ----
+
+  /** The redaction classes, ordered; patterns are deliberately written
+    * in the common subset of Java regex (Spark's codegen'd
+    * `regexp_replace`/`regexp_count`) and RE2 (the DuckDB oracle) —
+    * character classes, bounded repetition, ASCII `\b` — so both
+    * engines redact byte-identically. At 100 TB this pass is a pure
+    * map (regex per row, no shuffle): the cheapest stage in the
+    * pipeline and the first one a compliance review asks for.
+    */
+  val PiiClasses: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._]+@[A-Za-z0-9]+\\.[a-z]{2,4}", "<EMAIL>"),
+    ("ip", "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b555-[0-9]{4}\\b", "<PHONE>"))
+
+  /** Redact the PII classes from `textCol`: one row per document with
+    * per-class match counts (counted BEFORE redaction) and the
+    * redacted text — the form a cleaning pipeline stores. Classes are
+    * applied in [[PiiClasses]] order; the class patterns are mutually
+    * non-overlapping by construction, so order only matters for
+    * documents a custom class list makes ambiguous.
+    */
+  def piiRedact(docs: DataFrame, textCol: Column): DataFrame = {
+    val counts = PiiClasses.map { case (name, rx, _) =>
+      regexp_count(textCol, lit(rx)).cast("long").as(s"n_$name")
+    }
+    val redacted = PiiClasses.foldLeft(textCol) {
+      case (c, (_, rx, tag)) => regexp_replace(c, rx, tag)
+    }
+    docs.select((col("doc_id") +: counts :+ redacted.as("redacted")): _*)
+  }
+
+  /** The t22 gate fixture: the corpus carries no digits at all, so PII
+    * is INJECTED as a pure doc_id function (the m06-m08 fixture
+    * discipline — the oracle recomputes the same raw string in SQL):
+    * doc_id mod 4 picks none/email/IP/phone, with the identifier
+    * derived from the id so every injected value is distinct.
+    */
+  def withPiiFixture(docs: DataFrame): DataFrame =
+    docs.withColumn("raw", concat(col("text"),
+      when(col("doc_id") % 4 === 1,
+        concat(lit(" contact user"), col("doc_id"),
+          lit("@mail"), col("doc_id") % 7, lit(".com")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" from 10."), col("doc_id") % 256,
+            lit("."), col("doc_id") % 64, lit("."), col("doc_id") % 32))
+        .when(col("doc_id") % 4 === 3,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // md5 pins the full redacted string, so count AND replacement
+    // semantics must agree across engines byte-for-byte
+    "t22_pii_redact" -> ((s, d) => {
+      val r = piiRedact(withPiiFixture(Tables.documents(s, d)), col("raw"))
+      r.select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
     // NOTE no .orderBy: the top-k is already TakeOrderedAndProject-
     // ordered; the driver compare sorts rows anyway
     "t15_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
@@ -1246,6 +1305,31 @@ object TextAnalysis {
       lastGateMerges.map(m => "t14_bpe_tokens" -> bpeReplaySql(m))
 
   private val staticOracle: Map[String, String] = Map(
+    // fixture injection + counts + chained regexp_replace mirrored in
+    // DuckDB (RE2): patterns live in the common Java-regex/RE2 subset,
+    // so the md5 of the redacted string pins byte-identical semantics
+    "t22_pii_redact" -> {
+      val Seq((_, emailRx, emailTag), (_, ipRx, ipTag), (_, phoneRx, phoneTag)) =
+        PiiClasses
+      // Scala's "\\." in the pattern string is a single backslash —
+      // DuckDB string literals keep backslashes verbatim, so the
+      // pattern text drops in unchanged
+      s"""WITH raw AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 4 = 1 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+         |       WHEN doc_id % 4 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 64 AS VARCHAR) || '.' || CAST(doc_id % 32 AS VARCHAR)
+         |       WHEN doc_id % 4 = 3 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END AS raw
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(raw, '$emailRx')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(raw, '$ipRx')) AS BIGINT) AS n_ip,
+         | CAST(len(regexp_extract_all(raw, '$phoneRx')) AS BIGINT) AS n_phone,
+         | md5(regexp_replace(regexp_replace(regexp_replace(raw,
+         |   '$emailRx', '$emailTag', 'g'),
+         |   '$ipRx', '$ipTag', 'g'),
+         |   '$phoneRx', '$phoneTag', 'g')) AS redacted_md5
+         |FROM raw ORDER BY doc_id""".stripMargin
+    },
     // expression-tree parity with bm25TopK is deliberate, operator by
     // operator (left-associative * and / in both engines): every
     // arithmetic step is IEEE-identical, the one libm call (ln) is

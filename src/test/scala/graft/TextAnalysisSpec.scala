@@ -383,4 +383,34 @@ class TextAnalysisSpec extends SparkSpec {
     // the tie between abc/bc breaks lexicographically
     assert(v == Seq("ab", "abc", "bc"))
   }
+
+  test("PII redaction: counts, replacement, idempotence, shuffle-free plan") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "mail a.b@host.com and c@x.org please"),
+      (2L, "from 10.1.2.3 to 10.255.0.1 not 11.1.2.3"),
+      (3L, "call 555-1234 or 555-99999 ok"), // 555-99999: \b fails → kept
+      (4L, "clean text only")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs, col("text"))
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("n_email")).toSeq == Seq(2L, 0L, 0L, 0L))
+    assert(r.map(_.getAs[Long]("n_ip")).toSeq == Seq(0L, 2L, 0L, 0L))
+    assert(r.map(_.getAs[Long]("n_phone")).toSeq == Seq(0L, 0L, 1L, 0L))
+    assert(r(0).getAs[String]("redacted") ==
+      "mail <EMAIL> and <EMAIL> please")
+    assert(r(1).getAs[String]("redacted") ==
+      "from <IP> to <IP> not 11.1.2.3")
+    assert(r(2).getAs[String]("redacted") == "call <PHONE> or 555-99999 ok")
+    // idempotent: redacting redacted text changes nothing
+    val again = TextAnalysis.piiRedact(
+      TextAnalysis.piiRedact(docs, col("text"))
+        .select(col("doc_id"), col("redacted").as("text")), col("text"))
+      .orderBy("doc_id").collect()
+    assert(again.map(_.getAs[String]("redacted")).toSeq ==
+      r.map(_.getAs[String]("redacted")).toSeq)
+    // pure map: no exchange anywhere in the plan
+    val plan = TextAnalysis.piiRedact(docs, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
