@@ -381,6 +381,26 @@ class EngineSpec extends SparkSpec {
     assert(store.read(None, None).get.count() == 4)
   }
 
+  test("bloom NDV is sized: a small flush file is not a megabyte of bitset") {
+    // parquet's default expected-NDV is 1,000,000: measured on this
+    // store, a 26-row flush file carried ~1 KB of column data and
+    // ~1.05 MB of trace_id bloom bitset. The store now sizes the hint
+    // (DefaultBloomNdv) — a 2^16 bloom is ~80 KB; this pins that the
+    // option actually reaches the writer on both write paths.
+    val root = tmpRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val t0 = 1760000000000000L
+    store.writeStaged(Seq((1L, t0, 7L)).toDF("id", "start", "trace_id"))
+    store.write(Seq((2L, t0, 8L)).toDF("id", "start", "trace_id"))
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(files)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val fs = files(new java.io.File(s"$root/span"))
+    assert(fs.size >= 2)
+    assert(fs.forall(_.length < 200 * 1024),
+      fs.map(f => s"${f.getName}=${f.length}").mkString(", "))
+  }
+
   test("coarse-granularity drain: reads identical, leaf dirs collapse") {
     val base = 1760000000000000L // µs epoch, mid-minute times below
     // 40 rows every 7 minutes ≈ 4.7 hours across two hour boundaries
