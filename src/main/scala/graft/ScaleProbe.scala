@@ -199,6 +199,13 @@ object ScaleProbe {
           graft.operators.Multimodal.audioNearDupPairs(spark, d100,
             linearFamilies =
               Some(graft.operators.Multimodal.AudFamilies * 100)))
+      // m08's linear decade: fixed 64-bit signature, family space ∝
+      // corpus — Σ bucket² must stay ∝ n with zero resolution change
+      if (only.isEmpty || only.exists("m08_video_near_dup".startsWith))
+        measure("m08_video_near_dup_linear", scale,
+          graft.operators.Multimodal.videoNearDupPairs(spark, d100,
+            linearFamilies =
+              Some(graft.operators.Multimodal.VidFamilies * 100)))
       if (only.isEmpty || only.exists("x03_kmv_overlap".startsWith))
         measure("x03_kmv_overlap", scale,
           graft.operators.Sketches.kmvSourceOverlap(d100))
@@ -322,6 +329,13 @@ object ScaleProbe {
       // width, same ~log n rule as d09/m07
       measure("m08_video_near_dup", scale,
         graft.operators.Multimodal.videoNearDupPairs(spark, d))
+      // LINEAR-FAMILY m08 rows (round 14; see m07): family space ∝
+      // corpus so true pairs replicate — here the 64-bit signature
+      // absorbs the scaled space with NO resolution growth
+      measure("m08_video_near_dup_linear", scale,
+        graft.operators.Multimodal.videoNearDupPairs(spark, d,
+          linearFamilies = Some(graft.operators.Multimodal.VidFamilies *
+            (if (scale == "1x") 1 else 10))))
       // composed cleaning pipeline: three chained stages, shuffle
       // ~linear (map-side scoring, sample-bounded cutoffs, one hash
       // groupBy) — composition must not introduce super-linear cost

@@ -910,19 +910,47 @@ object Multimodal {
   val VidFramesSampled = 4
   val VidW = 17
   val VidH = 8
-  def vidSeed(id: Long): Int = (id % 43).toInt
-  def vidVariant(id: Long): Int = ((id / 129) % 3).toInt
+
+  /** Family-space size of the fixture (43 frame-sequence families).
+    * As with [[AudFamilies]], the scale probe passes `43 × copies` so
+    * a replicated corpus carries DISTINCT families per copy and the
+    * true pair set grows linearly instead of quadratically.
+    */
+  val VidFamilies = 43
+  def vidSeed(id: Long): Int = vidSeed(id, VidFamilies)
+  def vidSeed(id: Long, families: Int): Int = (id % families).toInt
+  def vidVariant(id: Long): Int = vidVariant(id, VidFamilies)
+  def vidVariant(id: Long, families: Int): Int =
+    ((id / (families * 3L)) % 3).toInt
 
   /** Luma of column x in stored frame f, constant down the column (the
     * decoder's column mean recovers it exactly). Mirrored verbatim by
     * the m08 oracle SQL. The v2 boost targets stored frame
     * 2·(seed mod 4) — always one of the SAMPLED indices {0,2,4,6}.
     */
-  def vidCell(id: Long, f: Int, x: Int): Int = {
-    val s = vidSeed(id)
-    40 + (((s * 73 + f * 19 + x * 9 + 1).toLong * 2654435761L % 1000003L)
-      % 151L).toInt +
-      (if (vidVariant(id) == 2 && f == 2 * (s % 4) && x == s % VidW) 60
+  def vidCell(id: Long, f: Int, x: Int): Int =
+    vidCell(id, f, x, VidFamilies, mixed = false)
+  def vidCell(id: Long, f: Int, x: Int, families: Int,
+      mixed: Boolean): Int = {
+    val s = vidSeed(id, families)
+    val base =
+      if (!mixed)
+        // the GATE fixture's double-mod (oracle-mirrored verbatim);
+        // like m07's amp, its x-progression is linear mod 151 — fine
+        // for 43 pinned families, degenerate for a scaled space
+        (((s * 73 + f * 19 + x * 9 + 1).toLong * 2654435761L % 1000003L)
+          % 151L).toInt
+      else {
+        // probe tier: full-avalanche per-(family, frame, cell) mix so
+        // scaled family spaces carry ~independent signatures
+        var h = s.toLong * 0x9E3779B97F4A7C15L +
+          (f * VidW + x + 1).toLong * 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        ((h & 0x7fffffffL) % 151L).toInt
+      }
+    40 + base +
+      (if (vidVariant(id, families) == 2 && f == 2 * (s % 4) &&
+        x == s % VidW) 60
        else 0)
   }
 
@@ -934,9 +962,12 @@ object Multimodal {
     * a `free` box before mdat: a byte-different but frame-identical
     * re-encode.
     */
-  def videoPatternMp4(id: Long): Array[Byte] = {
+  def videoPatternMp4(id: Long): Array[Byte] =
+    videoPatternMp4(id, VidFamilies, mixed = false)
+  def videoPatternMp4(id: Long, families: Int,
+      mixed: Boolean): Array[Byte] = {
     val frameBytes = VidW * VidH
-    val free = if (vidVariant(id) == 1) 16 else 0
+    val free = if (vidVariant(id, families) == 1) 16 else 0
     val mdat = 8 + VidFramesStored * frameBytes
     val buf = java.nio.ByteBuffer.allocate(16 + 116 + free + mdat)
     buf.put(mp4Bytes(1000, VidFramesStored.toLong)) // ftyp + moov/mvhd
@@ -949,7 +980,9 @@ object Multimodal {
       var y = 0
       while (y < VidH) {
         var x = 0
-        while (x < VidW) { buf.put(vidCell(id, f, x).toByte); x += 1 }
+        while (x < VidW) {
+          buf.put(vidCell(id, f, x, families, mixed).toByte); x += 1
+        }
         y += 1
       }
       f += 1
@@ -960,9 +993,11 @@ object Multimodal {
   /** m08 fixture attach: video-branch docs carry the pattern MP4, the
     * rest raw text bytes (the no-signature path).
     */
-  def withVideoPattern(docs: DataFrame): DataFrame = {
+  def withVideoPattern(docs: DataFrame,
+      families: Int = VidFamilies,
+      mixed: Boolean = false): DataFrame = {
     val gen = udf { (id: Long, text: String) =>
-      if (id % 3 == 0) videoPatternMp4(id)
+      if (id % 3 == 0) videoPatternMp4(id, families, mixed)
       else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     }
     docs.withColumn("payload", gen(col("doc_id"), col("text")))
@@ -1031,9 +1066,11 @@ object Multimodal {
   /** Map-side signature column — blobs never shuffle; only
     * (doc_id, 8-byte signature) rows leave the scan stage.
     */
-  def videoSignatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def videoSignatures(spark: SparkSession, docs: DataFrame,
+      families: Int = VidFamilies, mixed: Boolean = false): DataFrame = {
     import spark.implicits._
-    withVideoPattern(docs.repartition(spark.sparkContext.defaultParallelism))
+    withVideoPattern(docs.repartition(spark.sparkContext.defaultParallelism),
+        families, mixed)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
@@ -1055,8 +1092,15 @@ object Multimodal {
     * cells per frame (the d09/m07 log-n rule).
     */
   def videoNearDupPairs(spark: SparkSession, docs: DataFrame,
-      maxHam: Int = 3): DataFrame = {
-    val hashed = videoSignatures(spark, docs)
+      maxHam: Int = 3,
+      linearFamilies: Option[Int] = None): DataFrame = {
+    // linearFamilies = Some(n): the probe's scaled family space (see
+    // m07) — mixed cells, family count ∝ corpus, true pairs linear;
+    // the 64-bit signature space absorbs thousands of families without
+    // cross-family ham≤3 collisions, so unlike m07 no resolution
+    // growth is needed (the container profile's 4-frame cap stands)
+    val hashed = videoSignatures(spark, docs,
+      linearFamilies.getOrElse(VidFamilies), linearFamilies.isDefined)
     val rows = Dedup.scopedCache(hashed
       .select(col("doc_id"), col("vfp"),
         posexplode(array((0 until VidFramesSampled).map(j =>

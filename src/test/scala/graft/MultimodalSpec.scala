@@ -271,6 +271,31 @@ class MultimodalSpec extends SparkSpec {
     assert(close <= 1, s"cross-family ham<=3 family pairs: $close")
   }
 
+  test("linear-family video fixture: distinct signatures, gate fixture untouched") {
+    // gate byte-identity through the generalized signature
+    for (id <- 0L to 300L by 3L)
+      assert(java.util.Arrays.equals(Multimodal.videoPatternMp4(id),
+        Multimodal.videoPatternMp4(id, Multimodal.VidFamilies,
+          mixed = false)), s"id $id")
+    // the scaled family space carries ~independent 64-bit signatures:
+    // no cross-family ham<=3 collisions even without resolution growth
+    val fams = 430
+    val reps = (0 until fams by 3).flatMap { s =>
+      (0 until 200000).iterator.map(_.toLong)
+        .find(id => id % 3 == 0 && id % fams == s &&
+          Multimodal.vidVariant(id, fams) == 0)
+    }
+    val fps = reps.map(id => Multimodal.videoFp(
+      Multimodal.videoPatternMp4(id, fams, mixed = true)).get)
+    assert(fps.distinct.size == fps.size,
+      s"expected all-distinct signatures, got ${fps.distinct.size}/${fps.size}")
+    val close = (for {
+      i <- fps.indices; j <- (i + 1) until fps.size
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= 3
+    } yield 1).size
+    assert(close == 0, s"cross-family ham<=3 family pairs: $close")
+  }
+
   test("audio banded pairs match brute force; polarity inversion collides at ham 0") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
