@@ -206,6 +206,13 @@ object ScaleProbe {
           graft.operators.Multimodal.videoNearDupPairs(spark, d100,
             linearFamilies =
               Some(graft.operators.Multimodal.VidFamilies * 100)))
+      // m06 completes the linear trilogy: image dHash, same 64-bit
+      // no-resolution-change shape as m08
+      if (only.isEmpty || only.exists("m06_image_near_dup".startsWith))
+        measure("m06_image_near_dup_linear", scale,
+          graft.operators.Multimodal.perceptualNearDupPairs(spark, d100,
+            linearFamilies =
+              Some(graft.operators.Multimodal.PatFamilies * 100)))
       if (only.isEmpty || only.exists("x03_kmv_overlap".startsWith))
         measure("x03_kmv_overlap", scale,
           graft.operators.Sketches.kmvSourceOverlap(d100))
@@ -335,6 +342,10 @@ object ScaleProbe {
       measure("m08_video_near_dup_linear", scale,
         graft.operators.Multimodal.videoNearDupPairs(spark, d,
           linearFamilies = Some(graft.operators.Multimodal.VidFamilies *
+            (if (scale == "1x") 1 else 10))))
+      measure("m06_image_near_dup_linear", scale,
+        graft.operators.Multimodal.perceptualNearDupPairs(spark, d,
+          linearFamilies = Some(graft.operators.Multimodal.PatFamilies *
             (if (scale == "1x") 1 else 10))))
       // composed cleaning pipeline: three chained stages, shuffle
       // ~linear (map-side scoring, sample-bounded cutoffs, one hash

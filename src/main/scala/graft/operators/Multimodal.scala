@@ -457,20 +457,42 @@ object Multimodal {
     * cross-family hamming<=3 collisions vanish (verified exhaustively
     * at sf0.1 fixture scale in MultimodalSpec).
     */
-  def patSeed(id: Long): Int = (id % 53).toInt
-  def patVariant(id: Long): Int = ((id / 159) % 3).toInt
+  /** Family-space size of the fixture (53 pattern families); the
+    * scale probe passes `53 × copies` — see [[AudFamilies]].
+    */
+  val PatFamilies = 53
+  def patSeed(id: Long): Int = patSeed(id, PatFamilies)
+  def patSeed(id: Long, families: Int): Int = (id % families).toInt
+  def patVariant(id: Long): Int = patVariant(id, PatFamilies)
+  def patVariant(id: Long, families: Int): Int =
+    ((id / (families * 3L)) % 3).toInt
   def patScale(id: Long): Int = ((id % 2) + 1).toInt
 
   /** Luma of logical cell (x, y) in [40, 250): base pattern + variant
     * perturbations. Mirrored verbatim by the m06 oracle SQL.
     */
-  def patCell(id: Long, x: Int, y: Int): Int = {
-    val s = patSeed(id)
-    val i = (s * 73 + y * 9 + x + 1).toLong
-    val base = 40 + ((i * 2654435761L % 1000003L) % 151L).toInt
+  def patCell(id: Long, x: Int, y: Int): Int =
+    patCell(id, x, y, PatFamilies, mixed = false)
+  def patCell(id: Long, x: Int, y: Int, families: Int,
+      mixed: Boolean): Int = {
+    val s = patSeed(id, families)
+    val base =
+      if (!mixed) {
+        // the GATE fixture's double-mod (oracle-mirrored verbatim)
+        val i = (s * 73 + y * 9 + x + 1).toLong
+        40 + ((i * 2654435761L % 1000003L) % 151L).toInt
+      } else {
+        // probe tier: full-avalanche per-(family, cell) mix — the
+        // m07/m08 linear-family discipline
+        var h = s.toLong * 0x9E3779B97F4A7C15L +
+          (y * 9 + x + 1).toLong * 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        40 + ((h & 0x7fffffffL) % 151L).toInt
+      }
     base +
-      (if (patVariant(id) == 2 && x == s % 8 && y == s % 8) 60 else 0) +
-      (if (patVariant(id) == 1) 25 else 0)
+      (if (patVariant(id, families) == 2 && x == s % 8 && y == s % 8) 60
+       else 0) +
+      (if (patVariant(id, families) == 1) 25 else 0)
   }
 
   /** Encode the 9×8 logical pattern as a real gray PNG at block scale
@@ -478,7 +500,10 @@ object Multimodal {
     * k×k block must recover the logical cell exactly, which is what
     * makes the resize step of [[dhash64]] testable.
     */
-  def patternPngBytes(id: Long): Array[Byte] = {
+  def patternPngBytes(id: Long): Array[Byte] =
+    patternPngBytes(id, PatFamilies, mixed = false)
+  def patternPngBytes(id: Long, families: Int,
+      mixed: Boolean): Array[Byte] = {
     val k = patScale(id)
     val img = new java.awt.image.BufferedImage(
       9 * k, 8 * k, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -486,7 +511,7 @@ object Multimodal {
     while (y < 8 * k) {
       var x = 0
       while (x < 9 * k) {
-        val v = patCell(id, x / k, y / k)
+        val v = patCell(id, x / k, y / k, families, mixed)
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }
@@ -500,9 +525,11 @@ object Multimodal {
   /** m06 fixture attach: image-branch docs carry the pattern PNG, the
     * rest raw text bytes (exercising the no-hash path).
     */
-  def withPatternPayload(docs: DataFrame): DataFrame = {
+  def withPatternPayload(docs: DataFrame,
+      families: Int = PatFamilies,
+      mixed: Boolean = false): DataFrame = {
     val gen = udf { (id: Long, text: String) =>
-      if (id % 3 == 1) patternPngBytes(id)
+      if (id % 3 == 1) patternPngBytes(id, families, mixed)
       else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     }
     docs.withColumn("payload", gen(col("doc_id"), col("text")))
@@ -566,9 +593,11 @@ object Multimodal {
     * same mapInPandas-analog shape as [[decodeMeta]] — blobs never
     * shuffle, only (doc_id, 8-byte hash) rows leave the scan stage.
     */
-  def perceptualHashes(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def perceptualHashes(spark: SparkSession, docs: DataFrame,
+      families: Int = PatFamilies, mixed: Boolean = false): DataFrame = {
     import spark.implicits._
-    withPatternPayload(docs.repartition(spark.sparkContext.defaultParallelism))
+    withPatternPayload(docs.repartition(spark.sparkContext.defaultParallelism),
+        families, mixed)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
@@ -587,8 +616,13 @@ object Multimodal {
     * input is 24 B/row — the blobs stay in the scan stage.
     */
   def perceptualNearDupPairs(spark: SparkSession, docs: DataFrame,
-      maxHam: Int = 3): DataFrame = {
-    val hashed = perceptualHashes(spark, docs)
+      maxHam: Int = 3,
+      linearFamilies: Option[Int] = None): DataFrame = {
+    // linearFamilies: the probe's scaled family space (see m07/m08);
+    // like m08, the 64-bit dHash absorbs thousands of families with
+    // no cross-family ham≤3 collisions — no resolution change needed
+    val hashed = perceptualHashes(spark, docs,
+      linearFamilies.getOrElse(PatFamilies), linearFamilies.isDefined)
     val rows = Dedup.scopedCache(hashed
       .select(col("doc_id"), col("dhash"),
         posexplode(array((0 until 4).map(j =>

@@ -271,6 +271,28 @@ class MultimodalSpec extends SparkSpec {
     assert(close <= 1, s"cross-family ham<=3 family pairs: $close")
   }
 
+  test("linear-family image fixture: distinct dhashes, gate fixture untouched") {
+    for (id <- 1L to 300L by 3L)
+      assert(java.util.Arrays.equals(Multimodal.patternPngBytes(id),
+        Multimodal.patternPngBytes(id, Multimodal.PatFamilies,
+          mixed = false)), s"id $id")
+    val fams = 530
+    val reps = (0 until fams by 3).flatMap { s =>
+      (0 until 200000).iterator.map(_.toLong)
+        .find(id => id % 3 == 1 && id % fams == s &&
+          Multimodal.patVariant(id, fams) == 0)
+    }
+    val fps = reps.map(id => Multimodal.dhash64(
+      Multimodal.patternPngBytes(id, fams, mixed = true)).get)
+    assert(fps.distinct.size == fps.size,
+      s"expected all-distinct dhashes, got ${fps.distinct.size}/${fps.size}")
+    val close = (for {
+      i <- fps.indices; j <- (i + 1) until fps.size
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= 3
+    } yield 1).size
+    assert(close == 0, s"cross-family ham<=3 family pairs: $close")
+  }
+
   test("linear-family video fixture: distinct signatures, gate fixture untouched") {
     // gate byte-identity through the generalized signature
     for (id <- 0L to 300L by 3L)
