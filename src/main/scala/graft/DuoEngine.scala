@@ -53,16 +53,19 @@ final class DuoEngine(val spark: SparkSession, root: String,
   // identical append/replay/clear semantics.
 
   private def walDir(table: String) = s"$root/wal/$table"
+  // WAL paths resolve through the root's own FileSystem (S5, like the
+  // cold store): a local path, HDFS, or object-store root all work.
+  private def walFs = graft.store.StoreFs.fs(
+    new org.apache.hadoop.fs.Path(s"$root/wal"))
   // Seeded from the max sequence already on disk so a crash-restarted
   // engine appends AFTER the replayed files instead of truncating
   // 00000000000000000001.arrow (the reference's timestamped IPC names
   // never collide, duo/src/ipc.rs:31-56).
   private val walSeq = new java.util.concurrent.atomic.AtomicLong(
     Seq("span", "log")
-      .map(t => new java.io.File(walDir(t)))
-      .filter(_.isDirectory)
-      .flatMap(d => Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty))
-      .map(_.getName)
+      .flatMap(t => graft.store.StoreFs.list(walFs,
+        new org.apache.hadoop.fs.Path(walDir(t))))
+      .map(_.getPath.getName)
       // strictly-numeric names only: a stray `backup.arrow` must not
       // make every engine construction throw NumberFormatException
       .collect { case n if n.matches("\\d+\\.arrow") =>
@@ -77,20 +80,16 @@ final class DuoEngine(val spark: SparkSession, root: String,
     else
       batch.write.mode("append").parquet(walDir(table))
 
-  private def walClear(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    Seq("span", "log").map(t => new java.io.File(walDir(t)))
-      .filter(_.exists()).foreach(rm)
-  }
+  private def walClear(): Unit =
+    Seq("span", "log")
+      .map(t => new org.apache.hadoop.fs.Path(walDir(t)))
+      .foreach(p => walFs.delete(p, true): Unit)
 
   private def walReplay(): Unit = Seq(
     ("span", spanMemory), ("log", logMemory)).foreach { case (t, view) =>
     val replayed =
       if (walFormat == "arrow") store.ArrowWal.replayDir(spark, walDir(t))
-      else if (new java.io.File(walDir(t)).exists())
+      else if (walFs.exists(new org.apache.hadoop.fs.Path(walDir(t))))
         Some(spark.read.option("mergeSchema", "true").parquet(walDir(t)))
       else None
     replayed.foreach(view.append)

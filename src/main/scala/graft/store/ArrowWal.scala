@@ -1,6 +1,5 @@
 package graft.store
 
-import java.io.{File, FileInputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
 
 import scala.jdk.CollectionConverters._
@@ -8,6 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.{BigIntVector, BitVector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.hadoop.fs.Path
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -23,6 +24,12 @@ import org.apache.spark.sql.types._
   * span/log base columns plus every type JSON inference produces
   * (long/int/double/boolean/string). Anything else fails loudly rather
   * than corrupting a replay.
+  *
+  * IO goes through the Hadoop FileSystem of the WAL path's scheme
+  * ([[StoreFs]]), like the rest of the store (S5) — a snapshot file is
+  * one flush interval of rows, so reading it whole through the FS
+  * stream (Arrow's seekable byte-array channel) costs what the replay
+  * already materializes.
   */
 object ArrowWal {
 
@@ -43,8 +50,8 @@ object ArrowWal {
     * snapshot, like the reference's timestamped IPC files).
     */
   def write(path: String, schema: StructType, rows: Seq[Row]): Unit = {
-    val dir = new File(path).getParentFile
-    if (dir != null) dir.mkdirs(): Unit
+    val p = new Path(path)
+    val fs = StoreFs.fs(p)
     val alloc = new RootAllocator()
     try {
       val arrowSchema = new ArrowSchema(schema.fields.map(arrowField).toSeq.asJava)
@@ -69,8 +76,9 @@ object ArrowWal {
           }
         }
         root.setRowCount(rows.size)
-        val out = new FileOutputStream(path)
-        val writer = new ArrowFileWriter(root, null, out.getChannel)
+        val out = fs.create(p, true) // parents created by FS contract
+        val writer = new ArrowFileWriter(root, null,
+          java.nio.channels.Channels.newChannel(out))
         try { writer.start(); writer.writeBatch(); writer.end() }
         finally { writer.close(); out.close() }
       } finally root.close()
@@ -81,8 +89,15 @@ object ArrowWal {
   def read(path: String): (StructType, Seq[Row]) = {
     val alloc = new RootAllocator()
     try {
-      val in = new FileInputStream(path)
-      val reader = new ArrowFileReader(in.getChannel, alloc)
+      val p = new Path(path)
+      val fs = StoreFs.fs(p)
+      // whole-file read: the IPC reader needs a seekable channel, and a
+      // WAL snapshot is one bounded flush interval — the rows are about
+      // to be materialized anyway
+      val stream = fs.open(p)
+      val bytes = try stream.readAllBytes() finally stream.close()
+      val reader = new ArrowFileReader(
+        new ByteArrayReadableSeekableByteChannel(bytes), alloc)
       try {
         val root = reader.getVectorSchemaRoot
         val schema = StructType(root.getSchema.getFields.asScala.toSeq.map { f =>
@@ -126,12 +141,13 @@ object ArrowWal {
     * mid-WAL, exactly like the parquet analog's mergeSchema read).
     */
   def replayDir(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val files = Option(new File(dir).listFiles())
-      .map(_.filter(_.getName.endsWith(".arrow")).sortBy(_.getName))
-      .getOrElse(Array.empty)
+    val d = new Path(dir)
+    val files = StoreFs.list(StoreFs.fs(d), d)
+      .filter(_.getPath.getName.endsWith(".arrow"))
+      .sortBy(_.getPath.getName)
     if (files.isEmpty) return None
-    val frames = files.toSeq.map { f =>
-      val (schema, rows) = read(f.getPath)
+    val frames = files.map { f =>
+      val (schema, rows) = read(f.getPath.toString)
       spark.createDataFrame(rows.asJava, schema)
     }
     Some(frames.reduce(SchemaRegistry.unionByNameAllowMissing))

@@ -1,7 +1,6 @@
 package graft.store
 
-import java.io.File
-
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -22,6 +21,16 @@ import org.apache.spark.sql.types.StructType
   *    reference's bloom pruning for trace lookups
   *    (duo/src/partition/writer.rs:45-49).
   *
+  * Storage portability (S5, duo/src/config.rs:69-132): every metadata
+  * operation — existence probes, staging moves, the swap/recover
+  * discipline, prefix listings — runs on `org.apache.hadoop.fs
+  * .FileSystem` resolved from the ROOT's scheme ([[StoreFs]]), so the
+  * same store code serves a local path, an HDFS URI, or an
+  * `s3a://bucket/...` root. The swap's per-file marker + [[recover]]
+  * roll-forward never relies on atomic directory rename, so
+  * object-store rename (copy+delete, non-atomic) degrades the crash
+  * window, not correctness.
+  *
   * At scale: minute-grained dirs are only sensible for recent data; the
   * same layout compacts upward (minute→hour→day files) without changing
   * readers because pruning is on column predicates, not path strings.
@@ -31,6 +40,20 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     bloomNdv: Long = ParquetStore.DefaultBloomNdv) {
 
   private def dir = s"$root/$table"
+
+  /** One FileSystem handle per store, resolved from the root's scheme
+    * (Hadoop caches instances per scheme+authority, so this is the
+    * same object Spark's own parquet source uses for the data files).
+    */
+  private val fs: FileSystem = StoreFs.fs(new Path(s"$root/$table"))
+
+  private def rename(src: Path, dst: Path, what: String): Unit =
+    StoreFs.renameStrict(fs, src, dst, what)
+
+  private def ls(p: Path): Seq[FileStatus] = StoreFs.list(fs, p)
+
+  /** Recursive delete (no-op when absent). */
+  private def rm(p: Path): Unit = { fs.delete(p, true): Unit }
 
   /** Append a batch, deriving partition columns from the row's µs
     * epoch time column. A flush whose rows span D time partitions
@@ -65,7 +88,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       .parquet(dir)
   }
 
-  def exists: Boolean = new File(dir).exists()
+  def exists: Boolean = fs.exists(new Path(dir))
 
   private def stagingDir = s"$dir/_staging"
 
@@ -99,21 +122,24 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   private def compactingDir = s"$dir/_staging_compacting"
 
-  /** Move every parquet file under `from` into `to` (atomic per-file
-    * renames; both under the same table root, so rename never copies).
+  /** Move every parquet file under `from` into `to` (per-file renames;
+    * both under the same table root, so rename never crosses
+    * filesystems — on a local/HDFS root it never copies, on an object
+    * store it is the per-file copy+delete the LSM drain amortizes).
     */
-  private def moveFiles(from: File, to: File): Unit = {
-    val files = Option(from.listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet"))
-    if (files.nonEmpty) to.mkdirs(): Unit
+  private def moveFiles(from: Path, to: Path): Unit = {
+    val files = ls(from)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.nonEmpty) fs.mkdirs(to): Unit
     files.foreach { f =>
-      var dest = new File(to, f.getName)
+      val name = f.getPath.getName
+      var dest = new Path(to, name)
       // part-file names carry a job UUID, so collisions are
       // pathological — but a silent overwrite would drop rows
       var i = 0
-      while (dest.exists()) { i += 1; dest = new File(to, s"dup$i-${f.getName}") }
-      if (!f.renameTo(dest))
-        throw new java.io.IOException(s"moveFiles: $f -> $dest failed")
+      while (fs.exists(dest)) { i += 1; dest = new Path(to, s"dup$i-$name") }
+      if (!fs.rename(f.getPath, dest))
+        throw new java.io.IOException(s"moveFiles: ${f.getPath} -> $dest failed")
     }
     // Remove only what this move owns: writer metadata (_SUCCESS,
     // checksum files) and then the dir IF nothing else remains. A
@@ -122,11 +148,15 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // deleting it out from under them would eat their in-flight flush.
     // (Compaction is serialized by contract, but the contract is now
     // enforced by leaving foreign entries alone instead of narrated.)
-    Option(from.listFiles()).toSeq.flatten
-      .filter(f => f.isFile &&
-        (f.getName == "_SUCCESS" || f.getName.endsWith(".crc")))
-      .foreach(_.delete(): Unit)
-    if (Option(from.listFiles()).toSeq.flatten.isEmpty) from.delete(): Unit
+    ls(from)
+      .filter(s => s.isFile && (s.getPath.getName == "_SUCCESS" ||
+        s.getPath.getName.endsWith(".crc")))
+      .foreach(s => fs.delete(s.getPath, false): Unit)
+    // recursive delete is safe once the LISTING is empty: a checksumming
+    // FileSystem hides its shadow .crc files from listStatus, and an
+    // in-flight writer's `_temporary` tree IS listed — so an empty
+    // listing means only our own checksum shadows can remain
+    if (ls(from).isEmpty) rm(from)
   }
 
   /** Roll back an interrupted snapshot: files moved to
@@ -135,8 +165,8 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * tree).
     */
   private def foldCompactingBack(): Unit = {
-    val c = new File(compactingDir)
-    if (c.exists()) moveFiles(c, new File(stagingDir))
+    val c = new Path(compactingDir)
+    if (fs.exists(c)) moveFiles(c, new Path(stagingDir))
   }
 
   /** The main partitioned tree / the staging tree as DataFrames, None
@@ -145,7 +175,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * scale to a real store's file count.
     */
   private def tryRead(path: String): Option[DataFrame] = {
-    if (!new File(path).exists()) return None
+    if (!fs.exists(new Path(path))) return None
     try Some(spark.read.option("mergeSchema", "true").parquet(path))
     catch {
       // "Unable to infer schema ... It must be specified manually" —
@@ -207,12 +237,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
 
   private def stagedDir = s"$root/.compact-$table"
   private def oldDir = s"$root/.old-$table"
-  private def stagedMarker = new File(stagedDir, "_STAGED_OK")
-
-  private def rm(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(): Unit
-  }
+  private def stagedMarker = new Path(stagedDir, "_STAGED_OK")
 
   /** Roll an interrupted [[compact]] swap forward or back so a reader
     * always finds a complete table:
@@ -224,33 +249,31 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * the common case.
     */
   def recover(): Unit = {
-    val live = new File(dir)
-    val old = new File(oldDir)
-    val staged = new File(stagedDir)
+    val live = new Path(dir)
+    val old = new Path(oldDir)
+    val staged = new Path(stagedDir)
     // late flushes: live+old coexisting means a compact() promoted but
     // crashed before adopting the flushes that landed in `_staging`
     // during the rewrite (the folded snapshot sits in old's
     // `_staging_compacting`, which dies with the old tree) — move the
     // late files into the live staging tree before dropping old
     def adoptLateStaging(): Unit = {
-      val lateStaging = new File(old, "_staging")
-      if (lateStaging.exists())
-        moveFiles(lateStaging, new File(stagingDir))
+      val lateStaging = new Path(old, "_staging")
+      if (fs.exists(lateStaging))
+        moveFiles(lateStaging, new Path(stagingDir))
     }
-    if (live.exists()) {
-      if (staged.exists()) rm(staged)
-      if (old.exists()) { adoptLateStaging(); rm(old) }
+    if (fs.exists(live)) {
+      if (fs.exists(staged)) rm(staged)
+      if (fs.exists(old)) { adoptLateStaging(); rm(old) }
       // a snapshot whose compact() never swapped rolls back to staging
       foldCompactingBack()
-    } else if (stagedMarker.exists()) {
-      if (!staged.renameTo(live))
-        throw new java.io.IOException(s"recover: rename $stagedDir -> $dir failed")
-      new File(live, "_STAGED_OK").delete(): Unit
-      if (old.exists()) { adoptLateStaging(); rm(old) }
-    } else if (old.exists()) {
+    } else if (fs.exists(stagedMarker)) {
+      rename(staged, live, "recover")
+      fs.delete(new Path(live, "_STAGED_OK"), false): Unit
+      if (fs.exists(old)) { adoptLateStaging(); rm(old) }
+    } else if (fs.exists(old)) {
       rm(staged)
-      if (!old.renameTo(live))
-        throw new java.io.IOException(s"recover: rename $oldDir -> $dir failed")
+      rename(old, live, "recover")
       foldCompactingBack()
     }
     recoverPartitions()
@@ -280,9 +303,9 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * swaps), not O(partitions): only leftover temp trees are listed.
     */
   private def recoverPartitions(): Unit = {
-    val rootF = new File(root)
-    if (!rootF.exists()) return
-    val names = Option(rootF.listFiles()).toSeq.flatten.map(_.getName)
+    val rootP = new Path(root)
+    if (!fs.exists(rootP)) return
+    val names = ls(rootP).map(_.getPath.getName)
     val parts = names.collect {
       case n if n.startsWith(partStagedPrefix) =>
         n.substring(partStagedPrefix.length)
@@ -290,24 +313,20 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         n.substring(partOldPrefix.length)
     }.distinct
     for (p <- parts) {
-      val live = new File(dir, p)
-      val staged = new File(rootF, partStagedPrefix + p)
-      val old = new File(rootF, partOldPrefix + p)
-      val marker = new File(staged, "_STAGED_OK")
-      if (live.exists()) {
-        if (staged.exists()) rm(staged)
-        if (old.exists()) rm(old)
-      } else if (marker.exists()) {
-        if (!staged.renameTo(live))
-          throw new java.io.IOException(
-            s"recover: rename $staged -> $live failed")
-        new File(live, "_STAGED_OK").delete(): Unit
-        if (old.exists()) rm(old)
-      } else if (old.exists()) {
+      val live = new Path(dir, p)
+      val staged = new Path(rootP, partStagedPrefix + p)
+      val old = new Path(rootP, partOldPrefix + p)
+      val marker = new Path(staged, "_STAGED_OK")
+      if (fs.exists(live)) {
+        if (fs.exists(staged)) rm(staged)
+        if (fs.exists(old)) rm(old)
+      } else if (fs.exists(marker)) {
+        rename(staged, live, "recover")
+        fs.delete(new Path(live, "_STAGED_OK"), false): Unit
+        if (fs.exists(old)) rm(old)
+      } else if (fs.exists(old)) {
         rm(staged)
-        if (!old.renameTo(live))
-          throw new java.io.IOException(
-            s"recover: rename $old -> $live failed")
+        rename(old, live, "recover")
       }
     }
   }
@@ -329,15 +348,15 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       crashAfterStep: Int = Int.MaxValue): Unit = {
     recover()
     val part = s"date=$date"
-    val live = new File(dir, part)
-    if (!live.exists()) return
-    val staged = new File(root, partStagedPrefix + part)
-    val old = new File(root, partOldPrefix + part)
+    val live = new Path(dir, part)
+    if (!fs.exists(live)) return
+    val staged = new Path(root, partStagedPrefix + part)
+    val old = new Path(root, partOldPrefix + part)
     // basePath keeps the hour/minute partition columns; the constant
     // date column is dropped before the write and re-inferred from
     // the promoted dir name
     val base = normalizePartCols(spark.read.option("mergeSchema", "true")
-        .option("basePath", dir).parquet(live.getPath))
+        .option("basePath", dir).parquet(live.toString))
       .repartition(filesPerPartition, col("hour"), col("minute"))
     val sorted = zorderOn.fold(base) { case (x, y) =>
       base.sortWithinPartitions(col("hour"), col("minute"),
@@ -350,16 +369,13 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     blockSize.fold(writer)(b => writer
         .option("parquet.block.size", b.toString))
       .partitionBy("hour", "minute")
-      .parquet(staged.getPath)
-    new File(staged, "_STAGED_OK").createNewFile(): Unit
+      .parquet(staged.toString)
+    fs.createNewFile(new Path(staged, "_STAGED_OK")): Unit
     if (crashAfterStep <= 1) return
-    if (!live.renameTo(old))
-      throw new java.io.IOException(s"compactDate: rename $live -> $old failed")
+    rename(live, old, "compactDate")
     if (crashAfterStep <= 2) return
-    if (!staged.renameTo(live))
-      throw new java.io.IOException(
-        s"compactDate: rename $staged -> $live failed")
-    new File(live, "_STAGED_OK").delete(): Unit
+    rename(staged, live, "compactDate")
+    fs.delete(new Path(live, "_STAGED_OK"), false): Unit
     if (crashAfterStep <= 3) return
     rm(old)
   }
@@ -436,8 +452,8 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // (and by [[recover]] if we crash). The lazy-read form this
     // replaces deleted any flush that landed between the rewrite's
     // file-index snapshot and the swap.
-    val stagingF = new File(stagingDir)
-    if (stagingF.exists()) moveFiles(stagingF, new File(compactingDir))
+    val stagingP = new Path(stagingDir)
+    if (fs.exists(stagingP)) moveFiles(stagingP, new Path(compactingDir))
     val mainPart = tryRead(dir)
     val stagedPart = tryRead(compactingDir)
     val mainRows = mainPart.map(_.drop("date", "hour", "minute"))
@@ -480,24 +496,22 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         .option("parquet.block.size", b.toString))
       .partitionBy(partCols: _*)
       .parquet(stagedDir)
-    stagedMarker.createNewFile(): Unit
+    fs.createNewFile(stagedMarker): Unit
     if (crashAfterStep <= 1) return
-    val live = new File(dir)
-    if (!live.renameTo(new File(oldDir)))
-      throw new java.io.IOException(s"compact: rename $dir -> $oldDir failed")
+    val live = new Path(dir)
+    rename(live, new Path(oldDir), "compact")
     if (crashAfterStep <= 2) return
     // the marker rides along into the live tree and is dropped below;
     // parquet readers ignore underscore-prefixed files either way
-    if (!new File(stagedDir).renameTo(live))
-      throw new java.io.IOException(s"compact: rename $stagedDir -> $dir failed")
-    new File(live, "_STAGED_OK").delete(): Unit
+    rename(new Path(stagedDir), live, "compact")
+    fs.delete(new Path(live, "_STAGED_OK"), false): Unit
     if (crashAfterStep <= 3) return
     // adopt flushes that landed in `_staging` during the rewrite (the
     // folded snapshot dies with the old tree; these files were never
     // folded, so the move cannot duplicate rows)
-    val lateStaging = new File(oldDir, "_staging")
-    if (lateStaging.exists()) moveFiles(lateStaging, new File(stagingDir))
-    rm(new File(oldDir))
+    val lateStaging = new Path(oldDir, "_staging")
+    if (fs.exists(lateStaging)) moveFiles(lateStaging, new Path(stagingDir))
+    rm(new Path(oldDir))
   }
 
   /** Staged-but-uncompacted file count — the LSM depth signal the
@@ -505,8 +519,8 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * directory (staged flushes write few files each), not a tree walk.
     */
   def stagedFileCount: Int = {
-    def count(p: String) = Option(new File(p).listFiles()).toSeq.flatten
-      .count(_.getName.endsWith(".parquet"))
+    def count(p: String) = ls(new Path(p))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
     count(stagingDir) + count(compactingDir)
   }
 
@@ -520,10 +534,10 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // left in _staging_compacting are the OLDEST staged rows — exactly
     // what the age bound exists to drain
     val files = Seq(stagingDir, compactingDir)
-      .flatMap(p => Option(new File(p).listFiles()).toSeq.flatten)
-      .filter(_.getName.endsWith(".parquet"))
+      .flatMap(p => ls(new Path(p)))
+      .filter(_.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty) None
-    else Some(nowUs - files.map(_.lastModified()).min * 1000L)
+    else Some(nowUs - files.map(_.getModificationTime).min * 1000L)
   }
 
   /** Compaction as a POLICY, not a tool (the LSM background cadence):
@@ -591,21 +605,25 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // hidden subtrees (the `_staging` flat appends, markers) are not
     // part of the partitioned table — same visibility rule the
     // parquet reader's discovery applies
-    def walk(f: File): Seq[File] =
-      if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
-      else if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    def walk(st: FileStatus): Seq[Path] = {
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) Nil
+      else if (st.isDirectory) ls(st.getPath).flatMap(walk)
+      else if (name.endsWith(".parquet")) Seq(st.getPath) else Nil
+    }
     val conf = spark.sparkContext.hadoopConfiguration
-    walk(new File(dir)).flatMap { f =>
+    val top = new Path(dir)
+    val files =
+      if (!fs.exists(top)) Seq.empty else ls(top).flatMap(walk)
+    files.flatMap { fp =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        fp, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getFooter.getBlocks.asScala.toSeq.map { b =>
-        f.getAbsolutePath -> cols.map { c =>
+        fp.toString -> cols.map { c =>
           val cc = b.getColumns.asScala
             .find(_.getPath.toDotString == c)
-            .getOrElse(sys.error(s"rowGroupRanges: no column $c in $f"))
+            .getOrElse(sys.error(s"rowGroupRanges: no column $c in $fp"))
           val st: org.apache.parquet.column.statistics.Statistics[_] =
             cc.getStatistics
           // an all-null group (or stats disabled) has no min/max — a
@@ -614,7 +632,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           // non-null even when the group holds only nulls; the real
           // signals are isEmpty (no stats) and hasNonNullValue
           if (st == null || st.isEmpty || !st.hasNonNullValue)
-            sys.error(s"rowGroupRanges: no min/max stats for $c in $f")
+            sys.error(s"rowGroupRanges: no min/max stats for $c in $fp")
           c -> (st.genericGetMin.asInstanceOf[Number].longValue(),
             st.genericGetMax.asInstanceOf[Number].longValue())
         }.toMap
@@ -636,13 +654,33 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * after, like the reference's ListingTable), so the staged side
     * must be minute-granular too or the union's contents would
     * depend on which side a row landed in.
+    *
+    * Listing discipline for object stores: prefix existence is probed
+    * with ONE listing per distinct PARENT directory (not one HEAD per
+    * prefix — a day window is 1,440 minute prefixes but only ~24
+    * parents), and the coarse-fallback ancestor listings are memoized
+    * per ancestor within the call, so a wide window over a day-grain
+    * tree lists each date dir once. Cost is bounded by DIRECTORIES
+    * TOUCHED, never by window width.
     */
   def readPrefixes(startUs: Long, endUs: Long,
       schema: Option[StructType] = None): Option[DataFrame] = {
     recover() // same crash-roll-forward guarantee as read()
     val wanted = TimePrefix.generatePrefixes(startUs, endUs)
       .map(p => s"$dir/$p")
-    val (paths, missing) = wanted.partition(p => new File(p).exists())
+    // one listing per distinct parent dir answers every child's
+    // existence probe (memoized; object-store LIST beats N× HEAD)
+    val childNames = scala.collection.mutable.Map.empty[String, Set[String]]
+    def children(parent: String): Set[String] =
+      childNames.getOrElseUpdate(parent,
+        ls(new Path(parent)).map(_.getPath.getName).toSet)
+    def prefixExists(p: String): Boolean = {
+      val clean = p.stripSuffix("/")
+      val slash = clean.lastIndexOf('/')
+      children(clean.substring(0, slash))
+        .contains(clean.substring(slash + 1))
+    }
+    val (paths, missing) = wanted.partition(prefixExists)
     val minUs = 60L * 1000000L
     val loUs = Math.floorDiv(startUs, minUs) * minUs
     val endSec = Math.floorDiv(endUs, 1000000L)
@@ -658,18 +696,24 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // Direct files only (never a recursive dir read): in a
     // minute-grain tree the ancestor has only subdirs and the fallback
     // contributes nothing, so the minute layout's plan is untouched.
+    // Ancestor existence + listing reuse the memoized `children` maps,
+    // so N missing minutes under one coarse dir cost ONE listing.
+    val dirFiles = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def parquetFilesIn(d: String): Seq[String] =
+      dirFiles.getOrElseUpdate(d,
+        ls(new Path(d))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString))
     val fallbackFiles = missing.flatMap { p =>
       val segs = p.stripPrefix(s"$dir/").stripSuffix("/").split("/")
       // coarser ancestors, nearest first (minute → hour, date; hour →
       // date) — never above the date level; the FIRST existing one is
       // the coarse dir that holds this window's rows, if any
       (1 until segs.length)
-        .map(k => new File(dir, segs.dropRight(k).mkString("/")))
-        .find(_.exists())
+        .map(k => s"$dir/${segs.dropRight(k).mkString("/")}")
+        .find(prefixExists)
         .toSeq
-        .flatMap(f => Option(f.listFiles()).toSeq.flatten)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.getPath)
+        .flatMap(parquetFilesIn)
     }.distinct
     val main = if (paths.isEmpty && fallbackFiles.isEmpty) None else {
       val reader = spark.read.option("mergeSchema", "true")

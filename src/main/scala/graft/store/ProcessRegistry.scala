@@ -1,7 +1,5 @@
 package graft.store
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-
 import scala.collection.mutable
 
 import org.json4s._
@@ -22,6 +20,9 @@ import graft.model.{Process, TagValue}
   * not observable in JSON: on reload, in-range integers come back as
   * i64, out-of-Long-range unsigned values as u64 bit patterns — the
   * Jaeger edge renders both as "int64" either way.
+  *
+  * IO goes through [[StoreFs]] so the registry file lives wherever the
+  * store root does (S5: local path, HDFS, or object-store URI alike).
   */
 final class ProcessRegistry(path: String) {
 
@@ -66,16 +67,12 @@ final class ProcessRegistry(path: String) {
         "tags" -> JObject(p.tags.toList.sortBy(_._1)
           .map { case (k, v) => k -> tagJson(v) }))
     })
-    val p = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.writeString(p, JsonMethods.compact(JsonMethods.render(ast)),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    StoreFs.writeString(path, JsonMethods.compact(JsonMethods.render(ast)))
   }
 
   private def load(): Unit = {
-    val p = Paths.get(path)
-    if (Files.exists(p)) {
-      JsonMethods.parseOpt(Files.readString(p)).foreach {
+    StoreFs.readString(path).foreach { text =>
+      JsonMethods.parseOpt(text).foreach {
         case JArray(entries) => entries.foreach {
           case JObject(fields) =>
             val m = fields.toMap

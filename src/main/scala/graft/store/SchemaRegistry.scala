@@ -1,7 +1,5 @@
 package graft.store
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -59,21 +57,16 @@ object SchemaRegistry {
 
   /** Persist / load the merged schema as JSON (StructType's own JSON
     * codec — engine-portable, like the reference's serialized Arrow
-    * schema at schema/log_schema.json).
+    * schema at schema/log_schema.json). Through [[StoreFs]] so the
+    * registry lives wherever the store root does (S5: a path under an
+    * `s3a://` root works the same as a local one).
     */
-  def save(schema: StructType, path: String): Unit = {
-    val p = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.writeString(p, schema.json,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-  }
+  def save(schema: StructType, path: String): Unit =
+    StoreFs.writeString(path, schema.json)
 
-  def load(path: String): Option[StructType] = {
-    val p = Paths.get(path)
-    if (Files.exists(p))
-      Some(DataType.fromJson(Files.readString(p)).asInstanceOf[StructType])
-    else None
-  }
+  def load(path: String): Option[StructType] =
+    StoreFs.readString(path)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
 
   /** Startup behavior (duo/src/schema.rs:48-72): stored schema, merged
     * with the compiled-in base (new code may know new base columns).

@@ -102,8 +102,11 @@ class EngineSpec extends SparkSpec {
     val logs = Seq(("svc-0", t0 + 500L, "INFO", "walled", 7L))
       .toDF("process_id", "time", "level", "message", "flag")
     e1.ingestBatch(Seq(rec(1, 11, 300, t0, Some(t0 + 1L))), logs)
-    // the reference's on-disk format: one IPC file per snapshot
+    // the reference's on-disk format: one IPC file per snapshot (the
+    // checksumming local FileSystem's hidden `.crc` shadows are an FS
+    // implementation detail, not WAL contents)
     val spanWal = new java.io.File(s"$root/wal/span").listFiles()
+      .filterNot(_.getName.startsWith("."))
     assert(spanWal.nonEmpty && spanWal.forall(_.getName.endsWith(".arrow")))
     // crash before flush: a fresh engine replays the IPC files,
     // including the dynamic log column
@@ -123,14 +126,16 @@ class EngineSpec extends SparkSpec {
     val logsA = Seq(("svc-0", t0 + 1L, "INFO", "a"))
       .toDF("process_id", "time", "level", "message")
     e1.ingestBatch(Seq(rec(1, 31, 500, t0, Some(t0 + 1L))), logsA)
-    val before = new java.io.File(s"$root/wal/log").listFiles().map(_.getName).toSet
+    def walNames() = new java.io.File(s"$root/wal/log").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet // drop .crc shadows
+    val before = walNames()
     // crash-restart: the new engine must append AFTER the replayed
     // files, not truncate them from sequence 1 again
     val e2 = new DuoEngine(spark, root, walFormat = "arrow")
     val logsB = Seq(("svc-0", t0 + 2L, "INFO", "b"))
       .toDF("process_id", "time", "level", "message")
     e2.appendLogBatch(logsB)
-    val after = new java.io.File(s"$root/wal/log").listFiles().map(_.getName).toSet
+    val after = walNames()
     assert(before.subsetOf(after) && after.size == before.size + 1)
     // a second crash-restart replays BOTH batches
     val e3 = new DuoEngine(spark, root, walFormat = "arrow")
