@@ -334,12 +334,20 @@ object EngineQueries {
     * tables — the gate passes the sf feed; ScaleProbe passes 10×
     * replicas to measure the WHOLE loop (merge state + staged
     * flushes + store read-back + search) as one scaling unit.
+    *
+    * @param storeRoot optional caller-owned store root (any Hadoop
+    *   FileSystem scheme — FsStoreSpec passes a `rawtest://` URI to
+    *   prove the LSM land/drain cycle survives the S5 abstraction at
+    *   its hottest call site); the caller cleans it up. None = a local
+    *   temp root reclaimed by the gate janitor.
     */
   private[graft] def ingestLoopRun(s: SparkSession, raw: DataFrame,
-      logs: DataFrame, stateBackend: Option[String] = None): DataFrame = {
+      logs: DataFrame, stateBackend: Option[String] = None,
+      storeRoot: Option[String] = None): DataFrame = {
     import graft.ingest.{SpanMerger, SpanRecord}
     val (opens, rearrivals, closes, base) = spanRecordFeedFrom(raw)
-    val root = java.nio.file.Files.createTempDirectory("w11_store").toString
+    val root = storeRoot.getOrElse(
+      java.nio.file.Files.createTempDirectory("w11_store").toString)
     val store = new graft.store.ParquetStore(s, root, "spans", "start")
     try {
       graft.util.StreamGate.runParquetForeach(s, "w11_ingest_loop",
@@ -376,8 +384,11 @@ object EngineQueries {
     // its tree is registered AFTER the stream run (a registration
     // before it would be drained by this very gate's own reclaim) and
     // the janitor deletes it at the NEXT gate invocation — without
-    // this a repeat-3 bench pass leaked ~2.5 GB of dead store per run
-    graft.util.StreamGate.deferDelete(java.nio.file.Paths.get(root))
+    // this a repeat-3 bench pass leaked ~2.5 GB of dead store per run.
+    // A caller-supplied root is the caller's to clean up (and may be a
+    // non-local URI the janitor's nio walk could not touch anyway).
+    if (storeRoot.isEmpty)
+      graft.util.StreamGate.deferDelete(java.nio.file.Paths.get(root))
     // end the loop at the LSM cadence point: the background policy
     // inspects the staging depth after the flush cycle — at 3 staged
     // files it correctly declines (this corpus's 7-year event spread

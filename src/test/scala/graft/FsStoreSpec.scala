@@ -82,6 +82,23 @@ class FsStoreSpec extends SparkSpec {
     }
   }
 
+  test("w11 ingest loop lands and queries identically through the FS " +
+      "scheme root") {
+    // the store's hottest call site — streamed flushes through
+    // writeStaged, the LSM policy probe, and the pruning read-back —
+    // run against a rawtest:// root and must answer the w11 gate's
+    // query byte-identically to the local-path root
+    val d = "/root/testdata/sf0.001"
+    val (raw, logs) = graft.queries.EngineQueries.ordersAsSpans(spark, d)
+    val local = graft.queries.EngineQueries
+      .ingestLoopRun(spark, raw, logs).collect().toSeq
+    val viaFs = graft.queries.EngineQueries
+      .ingestLoopRun(spark, raw, logs, storeRoot = Some(newRoot()))
+      .collect().toSeq
+    assert(local.nonEmpty)
+    assert(viaFs == local)
+  }
+
   test("engine root on the FS scheme: registries, WAL, flush, restart") {
     val root = newRoot()
     val e1 = new DuoEngine(spark, root, walFormat = "arrow")
