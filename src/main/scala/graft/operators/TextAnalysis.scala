@@ -988,31 +988,60 @@ object TextAnalysis {
 
   // ---- t22: PII redaction (training-data hygiene pass) ----
 
-  /** The redaction classes, ordered; patterns are deliberately written
-    * in the common subset of Java regex (Spark's codegen'd
-    * `regexp_replace`/`regexp_count`) and RE2 (the DuckDB oracle) —
-    * character classes, bounded repetition, ASCII `\b` — so both
-    * engines redact byte-identically. At 100 TB this pass is a pure
-    * map (regex per row, no shuffle): the cheapest stage in the
-    * pipeline and the first one a compliance review asks for.
+  /** The t22 GATE's redaction classes, ordered; patterns are
+    * deliberately narrow — pinned to the injected fixture's value
+    * shapes — and written in the common subset of Java regex (Spark's
+    * codegen'd `regexp_replace`/`regexp_count`) and RE2 (the DuckDB
+    * oracle) — character classes, bounded repetition, ASCII `\b` — so
+    * both engines redact byte-identically. A deployment redacts with
+    * [[PiiClassesProduction]] (or its own list); this set exists to
+    * hash-gate the OPERATOR, not to define what PII is.
     */
   val PiiClasses: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._]+@[A-Za-z0-9]+\\.[a-z]{2,4}", "<EMAIL>"),
     ("ip", "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
     ("phone", "\\b555-[0-9]{4}\\b", "<PHONE>"))
 
-  /** Redact the PII classes from `textCol`: one row per document with
-    * per-class match counts (counted BEFORE redaction) and the
-    * redacted text — the form a cleaning pipeline stores. Classes are
-    * applied in [[PiiClasses]] order; the class patterns are mutually
-    * non-overlapping by construction, so order only matters for
-    * documents a custom class list makes ambiguous.
+  /** A production-grade default class list — what a real cleaning
+    * pipeline passes: general emails (full local-part charset, TLDs to
+    * 24 chars), octet-precise IPv4 anywhere in address space, E.164
+    * international AND separator-formatted national phone numbers, and
+    * US SSNs. Still the Java/RE2 common subset (alternation, bounded
+    * repetition, ASCII `\b`), so the same list drives either engine.
+    * Order matters only for inputs where classes overlap: IP runs
+    * before phone so a dotted quad is `<IP>`, never a phone-shaped
+    * fragment.
     */
-  def piiRedact(docs: DataFrame, textCol: Column): DataFrame = {
-    val counts = PiiClasses.map { case (name, rx, _) =>
+  val PiiClassesProduction: Seq[(String, String, String)] = {
+    val octet = "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+    Seq(
+      ("email",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,24}", "<EMAIL>"),
+      ("ip", s"\\b$octet(\\.$octet){3}\\b", "<IP>"),
+      ("phone",
+        "\\+[1-9][0-9]{6,14}\\b|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b",
+        "<PHONE>"),
+      ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"))
+  }
+
+  /** Redact PII from `textCol`: one row per document with per-class
+    * match counts (counted BEFORE redaction, one `n_<name>` column per
+    * class) and the redacted text — the form a cleaning pipeline
+    * stores. At 100 TB this pass is a pure map (regex per row, no
+    * shuffle): the cheapest stage in the pipeline and the first one a
+    * compliance review asks for.
+    *
+    * @param classes ordered (name, pattern, replacement) triples —
+    *   applied in order, so earlier classes win where a custom list
+    *   overlaps. Defaults to the gate-pinned [[PiiClasses]];
+    *   deployments pass [[PiiClassesProduction]] or their own list.
+    */
+  def piiRedact(docs: DataFrame, textCol: Column,
+      classes: Seq[(String, String, String)] = PiiClasses): DataFrame = {
+    val counts = classes.map { case (name, rx, _) =>
       regexp_count(textCol, lit(rx)).cast("long").as(s"n_$name")
     }
-    val redacted = PiiClasses.foldLeft(textCol) {
+    val redacted = classes.foldLeft(textCol) {
       case (c, (_, rx, tag)) => regexp_replace(c, rx, tag)
     }
     docs.select((col("doc_id") +: counts :+ redacted.as("redacted")): _*)

@@ -413,4 +413,36 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("production PII classes: broad-TLD emails, general IPv4, E.164 " +
+      "and formatted phones, SSNs") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "reach dev+ops_1@corp.technology today"),
+      (2L, "hosts 192.168.1.1 and 8.8.8.8 but not 999.1.1.1"),
+      (3L, "call +14155552671 or 415-555-2671 or 415.555.2671"),
+      (4L, "ssn 123-45-6789 on file"),
+      (5L, "version 1.2.3 stays")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs, col("text"),
+      TextAnalysis.PiiClassesProduction).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("redacted") == "reach <EMAIL> today")
+    assert(r(0).getAs[Long]("n_email") == 1L)
+    // octet-precise: 999.1.1.1 is not an address and is kept
+    assert(r(1).getAs[String]("redacted") ==
+      "hosts <IP> and <IP> but not 999.1.1.1")
+    assert(r(1).getAs[Long]("n_ip") == 2L)
+    assert(r(2).getAs[String]("redacted") ==
+      "call <PHONE> or <PHONE> or <PHONE>")
+    assert(r(2).getAs[Long]("n_phone") == 3L)
+    assert(r(3).getAs[String]("redacted") == "ssn <SSN> on file")
+    assert(r(3).getAs[Long]("n_ssn") == 1L)
+    // a bare dotted version number is neither an IP (3 parts) nor a
+    // phone — precision, not just recall
+    assert(r(4).getAs[String]("redacted") == "version 1.2.3 stays")
+    // the gate's pinned classes exist for cross-engine hash-pinning,
+    // not coverage: none of these general IPs are in its 10.0.0.0/8
+    val narrow = TextAnalysis.piiRedact(docs, col("text"))
+      .orderBy("doc_id").collect()
+    assert(narrow.map(_.getAs[Long]("n_ip")).sum == 0L)
+  }
 }
