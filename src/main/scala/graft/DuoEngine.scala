@@ -26,7 +26,8 @@ import graft.store.{MemoryView, ParquetStore, ProcessRegistry, SchemaRegistry}
 final class DuoEngine(val spark: SparkSession, root: String,
     memoryMode: Boolean = false,
     nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
-    walFormat: String = "parquet") {
+    walFormat: String = "parquet",
+    maxHotRows: Long = DuoEngine.DefaultMaxHotRows) {
 
   require(walFormat == "parquet" || walFormat == "arrow",
     s"walFormat must be 'parquet' or 'arrow', got '$walFormat'")
@@ -125,6 +126,7 @@ final class DuoEngine(val spark: SparkSession, root: String,
     if (!batch.isEmpty) {
       spanMemory.append(batch)
       if (!memoryMode) walAppend("span", batch)
+      maybeEarlyFlush()
     }
   }
 
@@ -139,8 +141,28 @@ final class DuoEngine(val spark: SparkSession, root: String,
         walAppend("log", batch)
       }
       logMemory.append(batch)
+      maybeEarlyFlush()
     }
   }
+
+  /** Hot-view size guard (beyond the reference, VERDICT r14 #7): the
+    * reference flushes on a fixed 60 s cadence only
+    * (duo/src/grpc/server.rs:89-120), so between flushes its memtable
+    * and WAL grow with ingest rate — unbounded under a spike. Here a
+    * batch that pushes the combined hot-view row count past
+    * `maxHotRows` forces the parquet flush early (same [[flush]]:
+    * drain both views, land, clear WAL), bounding driver memory, WAL
+    * replay cost, and the memory∪parquet union's un-pruned hot side
+    * all at once. The cadence flush remains the normal path; this is
+    * the backstop.
+    */
+  private def maybeEarlyFlush(): Unit =
+    if (!memoryMode && spanMemory.rows + logMemory.rows >= maxHotRows) {
+      org.slf4j.LoggerFactory.getLogger(classOf[DuoEngine])
+        .info(s"hot view at ${spanMemory.rows + logMemory.rows} rows " +
+          s">= $maxHotRows: forcing early flush")
+      flush()
+    }
 
   /** The 60 s parquet flush + WAL clear (ST5): drain both memory views
     * into the partitioned store, then drop the replay log
@@ -380,4 +402,13 @@ final class DuoEngine(val spark: SparkSession, root: String,
 object DuoEngine {
   /** Default cold-read window: 15 minutes (duo/src/query.rs:106). */
   val DefaultWindowUs: Long = 15L * 60L * 1000000L
+
+  /** Default hot-view row ceiling before an early flush is forced.
+    * Sizing: hot rows live as driver-checkpointed local blocks and are
+    * replayed from the WAL on restart — at ~200 B/row the default caps
+    * the hot side near 1 GB and the replay near one flush interval of
+    * a hot ingest. A deployment tunes it to its flush cadence × peak
+    * rate; the 60 s cadence flush remains the normal drain.
+    */
+  val DefaultMaxHotRows: Long = 4000000L
 }

@@ -24,6 +24,7 @@ final class MemoryView(spark: SparkSession, baseSchema: org.apache.spark.sql.typ
 
   private var current: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+  private var n: Long = 0L
   private val lock = new Object
 
   /** Append a micro-batch; the batch is materialized (localCheckpoint)
@@ -32,7 +33,15 @@ final class MemoryView(spark: SparkSession, baseSchema: org.apache.spark.sql.typ
   def append(batch: DataFrame): Unit = lock.synchronized {
     val merged = unionByNameAllowMissing(current, batch)
     current = merged.localCheckpoint(eager = true)
+    // counted on the checkpointed blocks (no upstream recompute) —
+    // feeds the engine's hot-view size guard
+    n = current.count()
   }
+
+  /** Buffered row count — the size signal [[graft.DuoEngine]]'s
+    * early-flush guard triggers on. O(1): maintained at append time.
+    */
+  def rows: Long = lock.synchronized(n)
 
   /** Current queryable snapshot. */
   def snapshot(): DataFrame = lock.synchronized(current)
@@ -44,6 +53,7 @@ final class MemoryView(spark: SparkSession, baseSchema: org.apache.spark.sql.typ
     val out = current
     current = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out.schema)
+    n = 0L
     out
   }
 

@@ -142,6 +142,35 @@ class EngineSpec extends SparkSpec {
     assert(e3.logTable().count() == 2)
   }
 
+  test("hot-view size guard forces an early flush past maxHotRows") {
+    val root = tmpRoot()
+    val engine = new DuoEngine(spark, root, maxHotRows = 5L)
+    def logs(ids: Range) = ids.map(i =>
+      ("svc-0", t0 + i.toLong, "INFO", s"m$i"))
+      .toDF("process_id", "time", "level", "message")
+    engine.appendLogBatch(logs(1 to 3))
+    // under the ceiling: rows stay hot, WAL retained
+    assert(new java.io.File(s"$root/wal/log").exists())
+    assert(new java.io.File(s"$root/log").exists() == false)
+    engine.appendLogBatch(logs(4 to 6))
+    // 6 >= 5: the guard flushed early — WAL cleared, parquet landed
+    assert(!new java.io.File(s"$root/wal/log").exists())
+    assert(new java.io.File(s"$root/log").exists())
+    // nothing lost across the forced drain, and ingest continues
+    assert(engine.logTable().count() == 6)
+    engine.appendLogBatch(logs(7 to 8))
+    assert(new java.io.File(s"$root/wal/log").exists()) // hot again
+    assert(engine.logTable().count() == 8)
+    // the default ceiling is a backstop, not a cadence: small batches
+    // never trigger it
+    val calmRoot = tmpRoot()
+    val calm = new DuoEngine(spark, calmRoot)
+    calm.appendLogBatch(logs(1 to 3))
+    assert(calm.logTable().count() == 3)
+    assert(!new java.io.File(s"$calmRoot/log").exists())
+    assert(new java.io.File(s"$calmRoot/wal/log").exists())
+  }
+
   test("open spans survive batches until closed") {
     val engine = new DuoEngine(spark, tmpRoot(), memoryMode = true)
     val noLogs = Seq.empty[(String, Long, String, String)]
