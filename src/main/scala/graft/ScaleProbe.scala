@@ -427,6 +427,20 @@ object ScaleProbe {
         graft.queries.EngineQueries.jsonDirRun(spark, ev))
       measure("g07_prefix_read", scale,
         graft.queries.EngineQueries.prefixReadRun(spark, ev))
+      // g09's coarse fallback, measured where it could go wrong: a
+      // day-grain tree serving a 30-min vs a 3-hour window — 31 vs 181
+      // missing minute prefixes over the SAME one date dir. The
+      // memoized ancestor listing must make the driver's listing+plan
+      // time track DIRECTORIES TOUCHED (flat across widths), never the
+      // window width; at 10× the date dir holds 10× the files but is
+      // still one listing
+      if (only.isEmpty || only.exists("g09_prefix_read_coarse".startsWith))
+        graft.queries.EngineQueries.prefixReadCoarseProbe(spark, ev)
+          .foreach { case (label, prefixes, listMs, rows) =>
+            println(f"""{"query":"g09_coarse_fallback","scale":"$scale",""" +
+              f""""window":"$label","missing_prefixes":$prefixes,""" +
+              f""""driver_list_ms":$listMs%.1f,"rows":$rows}""")
+          }
       Dedup.releaseIntermediates()
     }
     if (tiers.contains("100x")) run100x()

@@ -737,6 +737,44 @@ object EngineQueries {
     prefixReadQuery(s, root.toString, g07Logs(logs).schema)
   }
 
+  /** Scale-probe datum for the g09 coarse fallback: the claim under
+    * measurement is that a coarse tree serves a WIDE window with
+    * listing cost bounded by DIRECTORIES TOUCHED, never by window
+    * width — every minute prefix in the window is missing from a
+    * day-grain tree, so a naive fallback would list the date dir once
+    * per missing minute (180 listings for a 3-hour window), where the
+    * memoized fallback lists it once total.
+    *
+    * Builds g07's store from the supplied events frame, drains it to
+    * DAY grain (the widest coarse layout), then times the BARE
+    * `readPrefixes` call — the driver-side listing + plan construction,
+    * no job — at several window widths, plus one counted execution per
+    * width. Returns (label, missingMinutePrefixes, driverListMs, rows).
+    */
+  private[graft] def prefixReadCoarseProbe(s: SparkSession,
+      ev: DataFrame): Seq[(String, Int, Double, Long)] = {
+    val root = java.nio.file.Files.createTempDirectory("g09_probe")
+    graft.util.StreamGate.deferDelete(root)
+    val logs = eventsFrameAsLogs(ev)
+    prefixReadBuild(s, logs, root.toString)
+    val st = new graft.store.ParquetStore(s, root.toString, "log", "time")
+    st.compact(granularity = "day")
+    val schema = g07Logs(logs).schema
+    Seq(30, 180).map { mins =>
+      // mid-minute start (the g07 quirk shape); width in whole minutes
+      val startUs = G06BaseUs + 17L * 1000000L
+      val endUs = startUs + mins.toLong * 60L * 1000000L
+      // warm once (FS handle, parquet session state), then time the
+      // driver-side call: listings + plan building happen here
+      st.readPrefixes(startUs, endUs, schema = Some(schema)): Unit
+      val t0 = System.nanoTime()
+      val df = st.readPrefixes(startUs, endUs, schema = Some(schema))
+        .getOrElse(sys.error("g09 probe: day tree served nothing"))
+      val listMs = (System.nanoTime() - t0) / 1e6
+      (s"${mins}min", mins + 1, listMs, df.count())
+    }
+  }
+
   /** g09: the COARSE-granularity read path under the oracle hash —
     * the same store content as g07 (disjoint build, same ⅕ subset and
     * 3-hour window) drained to HOUR-grain dirs by
