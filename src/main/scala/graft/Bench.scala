@@ -22,14 +22,21 @@ object Bench {
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: see Verify — the local-cluster smoke runs
+    // executors as separate JVMs (classes shipped via the driver's
+    // classpath); timings under it are informational, not the record.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+        builder.config("spark.executor.extraClassPath",
+          sys.props("java.class.path"))
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1000000L).selectExpr("sum(id)").collect()

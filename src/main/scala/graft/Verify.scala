@@ -10,13 +10,22 @@ object Verify {
     val Array(sfDir, outDir, rest @ _*) = args
     val only: Set[String] = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master — the multi-executor
+    // smoke (local-cluster[n,c,mem]) runs executors as SEPARATE JVMs,
+    // catching serialization/locality assumptions single-JVM local mode
+    // hides; those JVMs launch from SPARK_HOME, so the library classes
+    // ride the driver's own classpath to them.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+        builder.config("spark.executor.extraClassPath",
+          sys.props("java.class.path"))
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
