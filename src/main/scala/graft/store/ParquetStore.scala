@@ -26,10 +26,11 @@ import org.apache.spark.sql.types.StructType
   * discipline, prefix listings — runs on `org.apache.hadoop.fs
   * .FileSystem` resolved from the ROOT's scheme ([[StoreFs]]), so the
   * same store code serves a local path, an HDFS URI, or an
-  * `s3a://bucket/...` root. The swap's per-file marker + [[recover]]
-  * roll-forward never relies on atomic directory rename, so
-  * object-store rename (copy+delete, non-atomic) degrades the crash
-  * window, not correctness.
+  * `s3a://bucket/...` root. Compaction's promote swap never relies on
+  * atomic directory rename: it runs as marker-driven idempotent phases
+  * ([[swapM1]]) that [[recover]] resumes, so an object-store rename
+  * torn mid-tree (per-object copy+delete) costs a retry, never rows —
+  * pinned by the torn-rename FileSystem spec.
   *
   * At scale: minute-grained dirs are only sensible for recent data; the
   * same layout compacts upward (minute→hour→day files) without changing
@@ -46,9 +47,6 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * same object Spark's own parquet source uses for the data files).
     */
   private val fs: FileSystem = StoreFs.fs(new Path(s"$root/$table"))
-
-  private def rename(src: Path, dst: Path, what: String): Unit =
-    StoreFs.renameStrict(fs, src, dst, what)
 
   private def ls(p: Path): Seq[FileStatus] = StoreFs.list(fs, p)
 
@@ -134,12 +132,21 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     files.foreach { f =>
       val name = f.getPath.getName
       var dest = new Path(to, name)
-      // part-file names carry a job UUID, so collisions are
-      // pathological — but a silent overwrite would drop rows
-      var i = 0
-      while (fs.exists(dest)) { i += 1; dest = new Path(to, s"dup$i-$name") }
-      if (!fs.rename(f.getPath, dest))
-        throw new java.io.IOException(s"moveFiles: ${f.getPath} -> $dest failed")
+      // a dest with the SAME name and size is this very file,
+      // re-encountered when an interrupted move is resumed (part names
+      // carry a job UUID, so two distinct files cannot share one) —
+      // drop the source instead of duplicating its rows
+      if (fs.exists(dest) && fs.getFileStatus(dest).getLen == f.getLen) {
+        fs.delete(f.getPath, false): Unit
+      } else {
+        // any OTHER collision is pathological — but a silent overwrite
+        // would drop rows
+        var i = 0
+        while (fs.exists(dest)) { i += 1; dest = new Path(to, s"dup$i-$name") }
+        if (!fs.rename(f.getPath, dest))
+          throw new java.io.IOException(
+            s"moveFiles: ${f.getPath} -> $dest failed")
+      }
     }
     // Remove only what this move owns: writer metadata (_SUCCESS,
     // checksum files) and then the dir IF nothing else remains. A
@@ -167,6 +174,98 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   private def foldCompactingBack(): Unit = {
     val c = new Path(compactingDir)
     if (fs.exists(c)) moveFiles(c, new Path(stagingDir))
+  }
+
+  /** Recursively merge-move `src` into `dst`, with an IDEMPOTENT
+    * resume contract: re-running after any interruption converges on
+    * "src fully inside dst". The fast path is one directory rename
+    * (atomic on local/HDFS); on a filesystem whose directory rename is
+    * per-object copy+delete (object stores), a rename can return false
+    * having moved PART of the tree — the merge path then walks what
+    * remains: a child name already present in `dst` is the SAME child
+    * re-encountered (file part-names carry job UUIDs; equal size ⇒
+    * equal file ⇒ drop the source), a directory recurses, anything
+    * genuinely conflicting fails loudly rather than dropping rows.
+    */
+  private def mergeMove(src: Path, dst: Path): Unit = {
+    if (!fs.exists(src)) return
+    if (!fs.exists(dst)) {
+      val parent = dst.getParent
+      if (parent != null && !fs.exists(parent)) fs.mkdirs(parent): Unit
+      if (fs.rename(src, dst)) return
+      // a false return may still have moved part of the tree — merge
+      // whatever remains per child
+      if (!fs.exists(src)) return
+      if (!fs.exists(dst)) fs.mkdirs(dst): Unit
+    }
+    ls(src).foreach { st =>
+      val to = new Path(dst, st.getPath.getName)
+      if (st.isDirectory) mergeMove(st.getPath, to)
+      else if (!fs.exists(to)) {
+        if (!fs.rename(st.getPath, to))
+          throw new java.io.IOException(
+            s"mergeMove: ${st.getPath} -> $to failed")
+      } else if (fs.getFileStatus(to).getLen == st.getLen) {
+        fs.delete(st.getPath, false): Unit // the same file, already moved
+      } else throw new java.io.IOException(
+        s"mergeMove: $to exists with a different size than ${st.getPath}")
+    }
+    if (ls(src).isEmpty) rm(src)
+  }
+
+  // ---- torn-promote phase machine ----
+  //
+  // The swap that promotes a completed rewrite uses directory renames,
+  // and on an object store a directory rename is per-object copy+delete
+  // — an interruption leaves the tree SPLIT across source and
+  // destination. Without extra state, a reader's recover() that finds
+  // a (partial) live dir would treat the staged/old trees as stale and
+  // delete rows that had already moved aside: data loss. Two root-level
+  // marker files make every phase idempotent and attributable:
+  //
+  //   m1 ("aside in progress"): created only after the staged rewrite
+  //     is COMPLETE (`_STAGED_OK`). From here the live/old trees hold
+  //     nothing the rewrite lacks except late [[writeStaged]] flushes —
+  //     phase 1 adopts those into the rewrite's staging and drops both
+  //     trees, however a torn rename split them.
+  //   m2 ("promote in progress"): created after phase 1; phase 2
+  //     [[mergeMove]]s the staged tree into the live path (idempotent,
+  //     tear-tolerant) and clears the markers.
+  //
+  // recover() resumes from whichever marker it finds, so a crash or
+  // torn rename at ANY point leaves a store that reads complete.
+  private def swapM1 = new Path(root, s".swap1-$table")
+  private def swapM2 = new Path(root, s".swap2-$table")
+
+  /** Phase 1: the rewrite under `stagedDir` is complete — adopt late
+    * flushes from both (possibly split) old-data trees, drop them,
+    * then hand off to phase 2. Idempotent.
+    */
+  private def finishSwapFrom1(crashAfterStep: Int = Int.MaxValue): Unit = {
+    moveFiles(new Path(stagingDir), new Path(s"$stagedDir/_staging"))
+    moveFiles(new Path(s"$oldDir/_staging"), new Path(s"$stagedDir/_staging"))
+    rm(new Path(dir))
+    rm(new Path(oldDir))
+    fs.createNewFile(swapM2): Unit
+    fs.delete(swapM1, false): Unit
+    if (crashAfterStep <= 3) return
+    finishSwapFrom2()
+  }
+
+  /** Phase 2: old data is gone; move the staged tree (or whatever of
+    * it a previous attempt left behind) into the live path. Idempotent.
+    */
+  private def finishSwapFrom2(): Unit = {
+    val live = new Path(dir)
+    mergeMove(new Path(stagedDir), live)
+    fs.delete(new Path(live, "_STAGED_OK"), false): Unit
+    // legacy tolerance: a late flush parked under an old tree by a
+    // pre-marker layout (or a crash test) is still adopted
+    val lateStaging = new Path(oldDir, "_staging")
+    if (fs.exists(lateStaging)) moveFiles(lateStaging, new Path(stagingDir))
+    rm(new Path(oldDir))
+    fs.delete(swapM2, false): Unit
+    fs.delete(swapM1, false): Unit
   }
 
   /** The main partitioned tree / the staging tree as DataFrames, None
@@ -249,6 +348,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * the common case.
     */
   def recover(): Unit = {
+    // torn-promote resume first: a marker means a swap was mid-flight —
+    // the marker, not the live dir's existence, says whose rows the
+    // (possibly split) trees hold. Without this, a live dir partially
+    // emptied by a torn rename would read as "current" and the legacy
+    // logic below would delete the trees holding the moved rows.
+    if (fs.exists(swapM2)) finishSwapFrom2()
+    else if (fs.exists(swapM1)) {
+      if (fs.exists(stagedMarker)) finishSwapFrom1()
+      else fs.delete(swapM1, false): Unit // no complete rewrite → legacy
+    }
     val live = new Path(dir)
     val old = new Path(oldDir)
     val staged = new Path(stagedDir)
@@ -268,12 +377,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       // a snapshot whose compact() never swapped rolls back to staging
       foldCompactingBack()
     } else if (fs.exists(stagedMarker)) {
-      rename(staged, live, "recover")
+      mergeMove(staged, live)
       fs.delete(new Path(live, "_STAGED_OK"), false): Unit
       if (fs.exists(old)) { adoptLateStaging(); rm(old) }
     } else if (fs.exists(old)) {
       rm(staged)
-      rename(old, live, "recover")
+      mergeMove(old, live)
       foldCompactingBack()
     }
     recoverPartitions()
@@ -302,10 +411,49 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * the whole-table swap, scoped to one `date=…` dir. O(#interrupted
     * swaps), not O(partitions): only leftover temp trees are listed.
     */
+  private def partSwapM(n: Int, part: String) =
+    new Path(root, s".swap$n-$table@$part")
+
+  /** [[finishSwapFrom1]]'s per-partition twin (no staging adoption —
+    * the table-level `_staging` tree never lives under a date dir).
+    */
+  private def finishPartSwapFrom1(part: String,
+      crashAfterStep: Int = Int.MaxValue): Unit = {
+    rm(new Path(dir, part))
+    rm(new Path(root, partOldPrefix + part))
+    fs.createNewFile(partSwapM(2, part)): Unit
+    fs.delete(partSwapM(1, part), false): Unit
+    if (crashAfterStep <= 3) return
+    finishPartSwapFrom2(part)
+  }
+
+  private def finishPartSwapFrom2(part: String): Unit = {
+    val live = new Path(dir, part)
+    mergeMove(new Path(root, partStagedPrefix + part), live)
+    fs.delete(new Path(live, "_STAGED_OK"), false): Unit
+    rm(new Path(root, partOldPrefix + part))
+    fs.delete(partSwapM(2, part), false): Unit
+    fs.delete(partSwapM(1, part), false): Unit
+  }
+
   private def recoverPartitions(): Unit = {
     val rootP = new Path(root)
     if (!fs.exists(rootP)) return
     val names = ls(rootP).map(_.getPath.getName)
+    // torn-promote resume first, same reasoning as [[recover]]'s
+    // table-level prologue: the marker says whose rows the split
+    // trees hold, the live dir's existence does not
+    val m2p = s".swap2-$table@"; val m1p = s".swap1-$table@"
+    names.filter(_.startsWith(m2p)).map(_.substring(m2p.length))
+      .foreach(finishPartSwapFrom2)
+    names.filter(_.startsWith(m1p)).map(_.substring(m1p.length))
+      .foreach { p =>
+        if (!fs.exists(partSwapM(1, p))) () // finished via its m2 above
+        else if (fs.exists(new Path(
+            new Path(root, partStagedPrefix + p), "_STAGED_OK")))
+          finishPartSwapFrom1(p)
+        else fs.delete(partSwapM(1, p), false): Unit // no rewrite → legacy
+      }
     val parts = names.collect {
       case n if n.startsWith(partStagedPrefix) =>
         n.substring(partStagedPrefix.length)
@@ -321,12 +469,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         if (fs.exists(staged)) rm(staged)
         if (fs.exists(old)) rm(old)
       } else if (fs.exists(marker)) {
-        rename(staged, live, "recover")
+        mergeMove(staged, live)
         fs.delete(new Path(live, "_STAGED_OK"), false): Unit
         if (fs.exists(old)) rm(old)
       } else if (fs.exists(old)) {
         rm(staged)
-        rename(old, live, "recover")
+        mergeMove(old, live)
       }
     }
   }
@@ -372,12 +520,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       .parquet(staged.toString)
     fs.createNewFile(new Path(staged, "_STAGED_OK")): Unit
     if (crashAfterStep <= 1) return
-    rename(live, old, "compactDate")
+    // per-partition torn-rename-safe promote (see [[swapM1]]): aside
+    // rename is best-effort, phase 1 drops both (possibly split) trees
+    fs.createNewFile(partSwapM(1, part)): Unit
+    fs.rename(live, old): Unit
     if (crashAfterStep <= 2) return
-    rename(staged, live, "compactDate")
-    fs.delete(new Path(live, "_STAGED_OK"), false): Unit
-    if (crashAfterStep <= 3) return
-    rm(old)
+    finishPartSwapFrom1(part, crashAfterStep)
   }
 
   /** Compact the small files the minute-grained ingest leaves behind:
@@ -498,20 +646,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       .parquet(stagedDir)
     fs.createNewFile(stagedMarker): Unit
     if (crashAfterStep <= 1) return
-    val live = new Path(dir)
-    rename(live, new Path(oldDir), "compact")
+    // PROMOTE through the torn-rename-safe phase machine (markers +
+    // idempotent phases — see the block comment above [[swapM1]]): the
+    // aside rename below is a best-effort fast path whose result does
+    // not matter, because phase 1 treats live/old as one disposable
+    // pool (rewrite complete; only late `_staging` flushes are kept),
+    // however a non-atomic rename split them.
+    fs.createNewFile(swapM1): Unit
+    fs.rename(new Path(dir), new Path(oldDir)): Unit
     if (crashAfterStep <= 2) return
-    // the marker rides along into the live tree and is dropped below;
-    // parquet readers ignore underscore-prefixed files either way
-    rename(new Path(stagedDir), live, "compact")
-    fs.delete(new Path(live, "_STAGED_OK"), false): Unit
-    if (crashAfterStep <= 3) return
-    // adopt flushes that landed in `_staging` during the rewrite (the
-    // folded snapshot dies with the old tree; these files were never
-    // folded, so the move cannot duplicate rows)
-    val lateStaging = new Path(oldDir, "_staging")
-    if (fs.exists(lateStaging)) moveFiles(lateStaging, new Path(stagingDir))
-    rm(new Path(oldDir))
+    finishSwapFrom1(crashAfterStep)
   }
 
   /** Staged-but-uncompacted file count — the LSM depth signal the

@@ -33,23 +33,6 @@ private[graft] object StoreFs {
 
   def fs(path: Path): FileSystem = path.getFileSystem(conf)
 
-  /** Strict rename for the store's swap discipline: fails loudly
-    * instead of adopting Hadoop's rename-into-existing-directory
-    * semantics (HDFS/posix `mv` nests src INSIDE an existing dst dir —
-    * a silent layout corruption where the swap requires dst absent;
-    * `java.io.File#renameTo` simply failed, which [[ParquetStore]]
-    * already turned into an exception).
-    */
-  def renameStrict(fs: FileSystem, src: Path, dst: Path, what: String): Unit = {
-    if (fs.exists(dst))
-      throw new java.io.IOException(
-        s"$what: rename target $dst already exists")
-    val parent = dst.getParent
-    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent): Unit
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"$what: rename $src -> $dst failed")
-  }
-
   /** A directory's children ([] when absent) — one listing RPC on an
     * object store, where `java.io.File#listFiles` cannot leave the
     * local disk at all.

@@ -19,6 +19,37 @@ class RawTestFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("rawtest:///")
 }
 
+/** A FileSystem whose directory rename can TEAR — move part of the
+  * tree, then report failure — which is exactly what an interrupted
+  * object-store "rename" (per-object copy+delete; S3A documents
+  * directory rename as non-atomic) leaves behind. Armed per test via
+  * [[TornRenameFileSystem.tearDstPrefix]]: the next directory rename
+  * whose DESTINATION name matches moves half the children and returns
+  * false. The store's promote phases must converge anyway.
+  */
+class TornRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.Path
+  override def getScheme: String = "torn"
+  override def getUri: java.net.URI = java.net.URI.create("torn:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    val pfx = TornRenameFileSystem.tearDstPrefix
+    if (pfx.exists(dst.getName.startsWith) && exists(src) &&
+        getFileStatus(src).isDirectory && !exists(dst)) {
+      TornRenameFileSystem.tearDstPrefix = None // one tear per arming
+      TornRenameFileSystem.torn.incrementAndGet(): Unit
+      val kids = listStatus(src)
+      mkdirs(dst): Unit
+      kids.take(kids.length / 2 + kids.length % 2).foreach(k =>
+        super.rename(k.getPath, new Path(dst, k.getPath.getName)): Unit)
+      false
+    } else super.rename(src, dst)
+  }
+}
+object TornRenameFileSystem {
+  @volatile var tearDstPrefix: Option[String] = None
+  val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class FsStoreSpec extends SparkSpec {
   import spark.implicits._
 
@@ -97,6 +128,91 @@ class FsStoreSpec extends SparkSpec {
       .collect().toSeq
     assert(local.nonEmpty)
     assert(viaFs == local)
+  }
+
+  private def tornRoot(): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.torn.impl", classOf[TornRenameFileSystem].getName)
+    TornRenameFileSystem.tearDstPrefix = None
+    "torn://" + java.nio.file.Files.createTempDirectory("tornstore").toString
+  }
+
+  private def rootNames(root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).map(_.getPath.getName).toSet
+  }
+
+  // rows across two date partitions so a torn directory rename really
+  // SPLITS the table (half the date dirs moved, half left behind)
+  private val dayUs = 86400L * 1000000L
+  private def spanRows(ids: Seq[Long]) =
+    ids.map(i => (i, t0 + (i % 2) * dayUs, i)).toDF("id", "start", "trace_id")
+
+  test("a swap torn mid-aside-rename loses no rows (the object-store " +
+      "non-atomic-rename case)") {
+    val root = tornRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    store.writeStaged(spanRows(1L to 6L))
+    store.compact() // clean promote: live tree with two date dirs
+    store.writeStaged(spanRows(7L to 8L))
+    // the NEXT live→old aside rename moves half the live tree then
+    // fails — and the process "crashes" right after (crashAfterStep=2)
+    TornRenameFileSystem.tearDstPrefix = Some(".old-span")
+    val tornBefore = TornRenameFileSystem.torn.get()
+    store.compact(crashAfterStep = 2)
+    assert(TornRenameFileSystem.torn.get() == tornBefore + 1, "tear fired")
+    // a flush lands while the swap sits torn (the writer's path always
+    // targets the live dir's _staging)
+    store.writeStaged(spanRows(Seq(9L)))
+    // a FRESH reader must recover every row: 1-8 from the completed
+    // rewrite, 9 from the late flush — the pre-phase-machine recovery
+    // saw the partial live dir, kept it, and deleted the moved half
+    // with the old tree
+    val again = new ParquetStore(spark, root, "span", "start")
+    assert(again.read(None, None).get.select("id").as[Long]
+      .collect().toSet == (1L to 9L).map(identity).toSet)
+    // and the swap is fully settled: no markers, no aside/staged trees
+    val leftover = rootNames(root)
+      .filter(n => n.startsWith(".swap") || n.startsWith(".old-") ||
+        n.startsWith(".compact-"))
+    assert(leftover.isEmpty, leftover.toString)
+  }
+
+  test("a promote rename torn mid-tree converges without a crash") {
+    val root = tornRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    store.writeStaged(spanRows(1L to 6L))
+    store.compact()
+    store.writeStaged(spanRows(7L to 8L))
+    // tear the staged→live promote itself (dst = the table dir);
+    // compact() is NOT interrupted — mergeMove must finish the job
+    // in the same call
+    TornRenameFileSystem.tearDstPrefix = Some("span")
+    store.compact()
+    assert(TornRenameFileSystem.tearDstPrefix.isEmpty, "tear consumed")
+    assert(store.read(None, None).get.select("id").as[Long]
+      .collect().toSet == (1L to 8L).toSet)
+    val leftover = rootNames(root)
+      .filter(n => n.startsWith(".swap") || n.startsWith(".old-") ||
+        n.startsWith(".compact-"))
+    assert(leftover.isEmpty, leftover.toString)
+  }
+
+  test("a per-date swap torn mid-aside loses no rows") {
+    val root = tornRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    store.writeStaged(spanRows(1L to 8L))
+    store.compact(filesPerPartition = 2) // two files per minute dir
+    val date = java.time.Instant.ofEpochSecond(t0 / 1000000L)
+      .toString.take(10)
+    TornRenameFileSystem.tearDstPrefix = Some(s".old-span@date=$date")
+    store.compactDate(date, crashAfterStep = 2)
+    val again = new ParquetStore(spark, root, "span", "start")
+    assert(again.read(None, None).get.select("id").as[Long]
+      .collect().toSet == (1L to 8L).toSet)
+    val leftover = rootNames(root).filter(_.startsWith(".swap"))
+    assert(leftover.isEmpty, leftover.toString)
   }
 
   test("engine root on the FS scheme: registries, WAL, flush, restart") {
