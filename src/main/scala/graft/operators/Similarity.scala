@@ -439,25 +439,49 @@ object Similarity {
     val cents: Seq[Array[Double]] = centroids.getOrElse(
       e.orderBy(col("vec_id")).limit(nCentroids)
         .collect().map(_.getSeq[Double](1).toArray).toSeq)
-    // a corpus smaller than nCentroids yields fewer cells — clamp so
-    // centCos never indexes past the collected set, and probe at most
-    // every cell that exists
-    val nCells = cents.size
-    require(nCells > 0, "ivfTopK: empty corpus")
-    val probe = math.min(nProbe, nCells)
-    // cos(v, c_j) through the kernels; array_norm(literal) constant-folds.
-    // Rounded to 9 places so cell assignment is hash-exact across engines
-    // by construction (evaluation-order-independent), not by luck.
+    require(cents.nonEmpty, "ivfTopK: empty corpus")
+    ivfProbeRank(ivfAssign(e, cents), queryMaxId, k, nProbe, cents)
+  }
+
+  /** Per-cell cos scores against the literal centroid set, as an
+    * array of (cos, -j) structs — array_max picks the highest cos with
+    * ties to the LOWEST cell index. cos(v, c_j) runs through the
+    * codegen kernels; array_norm(literal) constant-folds. Rounded to 9
+    * places so cell assignment is hash-exact across engines by
+    * construction (evaluation-order-independent), not by luck.
+    */
+  private def ivfCellScores(cents: Seq[Array[Double]]): Column = {
     def centCos(j: Int) = {
       val c = typedlit(cents(j))
       round(call_function("array_dot", col("v"), c) /
         (call_function("array_norm", col("v")) * call_function("array_norm", c)), 9)
     }
-    // (cos, -j) struct-max = highest cos, ties to the LOWEST cell index
-    val cellScores = array((0 until nCells).map(j =>
+    array(cents.indices.map(j =>
       struct(centCos(j).as("cos"), lit(-j).as("jneg"))): _*)
-    val assigned = e
-      .withColumn("cell", -array_max(cellScores).getField("jneg"))
+  }
+
+  /** IVF cell assignment over a (vec_id, v) frame: a PURE PROJECTION
+    * against literal centroids — the corpus never shuffles, and the
+    * same plan runs over a batch frame or a streaming micro-batch
+    * (w16's index-maintenance path).
+    */
+  private[operators] def ivfAssign(e: DataFrame,
+      cents: Seq[Array[Double]]): DataFrame =
+    e.withColumn("cell", -array_max(ivfCellScores(cents)).getField("jneg"))
+
+  /** The probe side of an IVF search over an ASSIGNED postings table
+    * (vec_id, v, cell): queries pick their `nProbe` nearest cells,
+    * score only those cells' vectors, rank per query. The postings
+    * may come from [[ivfAssign]] run inline (ivfTopK) or from an
+    * incrementally-maintained landed index (w16) — the results are
+    * identical by construction, which w16's oracle pins by hash.
+    */
+  private[operators] def ivfProbeRank(assigned: DataFrame, queryMaxId: Long,
+      k: Int, nProbe: Int, cents: Seq[Array[Double]]): DataFrame = {
+    // a corpus smaller than the centroid set yields fewer cells —
+    // probe at most every cell that exists
+    val probe = math.min(nProbe, cents.size)
+    val cellScores = ivfCellScores(cents)
     val probes = assigned.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         posexplode(cellScores).as(Seq("ign", "sc")))
@@ -473,6 +497,36 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** w16: streaming ANN index MAINTENANCE — the continuous-ingestion
+    * path a production vector index runs. The embeddings corpus
+    * arrives as three file-source micro-batches; each batch is
+    * assigned to its trained IVF cell in-stream ([[ivfAssign]] — a
+    * pure projection, so the stream needs no state or watermark) and
+    * APPENDED to the postings store by the parquet sink: the index is
+    * built incrementally, batch by batch, never rebuilt. The s04
+    * probe query then answers from the landed postings, and the
+    * oracle is s04's batch-index replay VERBATIM — maintaining the
+    * index under arrival must be observationally identical to
+    * building it from the full corpus (the g07/g09 shared-oracle
+    * pattern, applied to ANN).
+    *
+    * At scale: each arriving batch costs one map pass + one append;
+    * search cost is unchanged (same cells, same probe plan). The
+    * trained centroids are the pinned artifact — re-training cadence
+    * is the deployment's knob, exactly like any production IVF.
+    */
+  private[graft] def ivfStreamRun(s: SparkSession, embs: DataFrame,
+      queryMaxId: Long, k: Int, nProbe: Int,
+      cents: Seq[Array[Double]]): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val batches = (0 until 3).map(i =>
+      e.filter(pmod(col("vec_id"), lit(3)) === i))
+    val landed = graft.util.StreamGate.runParquet(s, "w16_ivf_stream",
+      batches, df => ivfAssign(df, cents))
+    ivfProbeRank(landed, queryMaxId, k, nProbe, cents)
   }
 
   /** Cell-balanced (diversity) sampling: keep the first ceil(n·num/den)
@@ -728,6 +782,11 @@ object Similarity {
       ivfTopK(Tables.embeddings(s, d), 5L, 10,
           nCentroids = GateKmK, nProbe = 2, centroids = Some(gateCents(s, d)))
         .orderBy(col("query_id"), col("rank"))),
+    // the INCREMENTALLY-maintained index must answer s04's probe
+    // identically (shared oracle, see ivfStreamRun)
+    "w16_ivf_stream" -> ((s, d) =>
+      ivfStreamRun(s, Tables.embeddings(s, d), 5L, 10, 2, gateCents(s, d))
+        .orderBy(col("query_id"), col("rank"))),
     "s02_lsh_buckets" -> ((s, d) =>
       lshBuckets(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
     "s03_lsh_pairs" -> ((s, d) =>
@@ -901,7 +960,12 @@ object Similarity {
        |  FROM encp x JOIN asgc a ON a.vec_id = x.vec_id
        |  JOIN probes p ON p.cell = a.cell AND x.vec_id <> p.query_id)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = oracleBase +
+    // w16's contract IS s04's oracle verbatim: incremental index
+    // maintenance must be observationally identical to a batch build
+    ("w16_ivf_stream" -> oracleBase("s04_ivf_topk"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     // replays the d09 pair chain (same 4-plane static arithmetic the
     // pinned gate runs), symmetrizes, ranks per query with the same
     // deterministic (cos desc, vec_id) tie-break

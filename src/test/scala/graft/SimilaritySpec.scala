@@ -57,6 +57,23 @@ class SimilaritySpec extends SparkSpec {
       == brute.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq)
   }
 
+  test("streaming IVF maintenance equals the batch-built index exactly") {
+    // the real embeddings corpus through the w16 path: three arrival
+    // micro-batches, in-stream cell assignment, parquet-appended
+    // postings — the probe answers must be byte-identical to ivfTopK
+    // over the same corpus and centroids
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.kMeansCentroids(embs, k = 8, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("query_id", "rank")
+      .select("query_id", "vec_id", "cos", "rank").collect().toSeq
+    val batch = rows(Similarity.ivfTopK(embs, 5L, 10,
+      nProbe = 2, centroids = Some(cents)))
+    val streamed = rows(Similarity.ivfStreamRun(spark, embs, 5L, 10, 2, cents))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("k-means centroids separate blobs and feed ivfTopK") {
     // three tight direction-blobs; ids 0..2 are one seed per blob so
     // the deterministic lowest-id init starts well-placed
