@@ -467,7 +467,8 @@ object EngineQueries {
     "g06_dynamic_schema" -> (dynamicSchemaGate _),
     "g07_prefix_read" -> (prefixReadGate _),
     "g08_json_dir_ingest" -> (dynamicSchemaDirGate _),
-    "g09_prefix_read_coarse" -> (prefixReadCoarseGate _))
+    "g09_prefix_read_coarse" -> (prefixReadCoarseGate _),
+    "g10_expire" -> (expireGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -809,6 +810,56 @@ object EngineQueries {
     prefixReadQuery(s, root, g07Logs(eventsAsLogs(s, d)).schema)
   }
 
+  /** g10: RETENTION under the oracle hash — the store operation the
+    * reference lacks entirely (duo grows forever; no expiry anywhere
+    * in duo/src). A disjoint ⅕ subset (span_id ≡ 3 mod 5) lands with
+    * times spread over a FIVE-DAY window: two thirds through the
+    * staged path drained at DAY grain (five `date=` dirs), the last
+    * third as two staged flushes split exactly at the retention
+    * boundary (so file-granular footer-stats expiry and the
+    * directory rule agree — the straddler-kept-whole conservatism is
+    * spec'd, not gated). [[graft.store.ParquetStore.expire]] runs
+    * with a MID-DAY cutoff; reads must then equal a day-floor time
+    * filter, which is exactly what the DuckDB oracle replays. The
+    * gate re-expires the memoized store every invocation — expiry is
+    * idempotent, so the hash pins that too.
+    */
+  private val G10WindowUs = 5L * 86400L * 1000000L
+  private val G10BoundaryUs = G06BaseUs + 2L * 86400L * 1000000L
+
+  private def g10Logs(logs0: DataFrame): DataFrame =
+    logs0.filter(col("span_id") % 5 === 3)
+      .withColumn("time",
+        lit(G06BaseUs) + pmod(col("time"), lit(G10WindowUs)))
+
+  private[graft] def expireBuild(s: SparkSession, logs0: DataFrame,
+      root: String): Unit = {
+    val logs = g10Logs(logs0)
+    val st = new graft.store.ParquetStore(s, root, "log", "time")
+    st.writeStaged(logs.filter(col("span_id") % 3 < 2))
+    st.compact(granularity = "day") // five date dirs
+    // two staged flushes split EXACTLY at the retention day floor
+    st.writeStaged(logs.filter(col("span_id") % 3 === 2 &&
+      col("time") < G10BoundaryUs))
+    st.writeStaged(logs.filter(col("span_id") % 3 === 2 &&
+      col("time") >= G10BoundaryUs))
+  }
+
+  def expireGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g10", d) { root =>
+      expireBuild(s, eventsAsLogs(s, d), root)
+    }
+    val st = new graft.store.ParquetStore(s, root, "log", "time")
+    // mid-day-2 cutoff: 2024-01-17T07:13:05Z — day floor = base + 2d
+    st.expire(G10BoundaryUs +
+      (7L * 3600L + 13L * 60L + 5L) * 1000000L): Unit
+    st.read(None, None).getOrElse(sys.error("g10: store empty"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"), min(col("time")).as("t_min"),
+        max(col("time")).as("t_max"))
+      .orderBy(col("level"))
+  }
+
   /** g07's DuckDB replay — shared VERBATIM with g09 (the coarse-layout
     * read must be observationally identical to the minute layout).
     */
@@ -899,6 +950,19 @@ object EngineQueries {
     // the hour-compacted store must answer IDENTICALLY: the coarse
     // read path replays g07's oracle verbatim
     "g09_prefix_read_coarse" -> g07OracleSql,
+    // expiry at a mid-day cutoff must read as a DAY-FLOOR time filter
+    // (directory-granular retention; see expireGate)
+    "g10_expire" ->
+      s"""WITH logs AS (SELECT
+         |  CASE WHEN event_type='error' THEN 'ERROR' WHEN event_type='signup' THEN 'WARN'
+         |       WHEN event_type='click' THEN 'INFO' WHEN event_type='view' THEN 'DEBUG'
+         |       ELSE 'TRACE' END AS level,
+         |  $G06BaseUs + (epoch_us(ts) % $G10WindowUs) AS time
+         | FROM events WHERE event_id % 5 = 3)
+         |SELECT level, CAST(COUNT(*) AS BIGINT) AS n,
+         | MIN(time) AS t_min, MAX(time) AS t_max
+         |FROM logs WHERE time >= $G10BoundaryUs
+         |GROUP BY level ORDER BY level""".stripMargin,
     "w09_spanlog_join_stream" ->
       s"""$spansCte,
          |lgs2 AS (

@@ -712,6 +712,74 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     } else false
   }
 
+  /** Retention (beyond the reference, which grows forever — no expiry
+    * anywhere in duo/src): drop data older than `cutoffUs`, at the
+    * granularities a 100 TB store can afford to delete at:
+    *
+    *  - the PARTITIONED tree drops whole `date=` dirs strictly before
+    *    the cutoff's UTC date — the drop-old-days shape every
+    *    observability retention job runs; the cutoff's own date is
+    *    kept whole (one listing + N recursive deletes, no data read);
+    *  - the STAGING trees drop a file when its parquet footer says
+    *    max(timeCol) < the cutoff's day floor — file-granular, footer
+    *    stats only, still no data read. A file STRADDLING the boundary
+    *    is kept whole (conservative: retention may retain up to one
+    *    extra day/file; exact trimming is what the next [[compact]]
+    *    gives, since its rewrite re-derives dirs from surviving rows).
+    *
+    * Both grains share the day-floor boundary, so reads after an
+    * expiry equal a `timeCol >= dayFloor(cutoff)` filter whenever no
+    * staged file straddles the floor (the straddler-kept case only
+    * ever RETAINS extra rows, never loses any). Deletes are idempotent
+    * — no swap or marker needed; a crash mid-expiry leaves fewer dirs
+    * for the next run. Returns (dateDirsDropped, stagedFilesDropped).
+    */
+  def expire(cutoffUs: Long): (Int, Int) = {
+    recover()
+    if (!exists) return (0, 0)
+    val cutoffDate = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(cutoffUs, 1000000L)),
+      java.time.ZoneOffset.UTC)
+    val dayFloorUs = cutoffDate.atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000L
+    // ISO dates compare chronologically as strings
+    val expiredDirs = ls(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date=") &&
+        s.getPath.getName.stripPrefix("date=") < cutoffDate.toString)
+    expiredDirs.foreach(s => rm(s.getPath))
+    val droppedFiles = Seq(stagingDir, compactingDir)
+      .flatMap(p => ls(new Path(p)))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .count { s =>
+        // stats missing ⇒ unprovable ⇒ keep (loud is rowGroupRanges'
+        // job; retention must only ever delete what it can prove dead)
+        fileMaxStat(s.getPath).exists(_ < dayFloorUs) && {
+          fs.delete(s.getPath, false): Unit; true
+        }
+      }
+    (expiredDirs.size, droppedFiles)
+  }
+
+  /** max(timeCol) across one parquet file's row groups, from footer
+    * statistics alone (None when any group lacks usable stats).
+    */
+  private def fileMaxStat(p: Path): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val maxes = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == timeCol)
+          .map(_.getStatistics)
+          .filter(st => st != null && !st.isEmpty && st.hasNonNullValue)
+          .map(_.genericGetMax.asInstanceOf[Number].longValue())
+      }
+      if (maxes.isEmpty || maxes.exists(_.isEmpty)) None
+      else Some(maxes.flatten.max)
+    } finally r.close()
+  }
+
   /** Trace-search span read for the F9∧F10 predicate pair (start range
     * AND duration range, duo/src/query.rs:141-152) with the derived
     * END-RANGE conjunct: `duration = end − start` is an arithmetic
