@@ -919,6 +919,165 @@ object TextAnalysis {
       .withColumn("keep", (col("score") >= 0.5).cast("int"))
   }
 
+  // ------------------------------------ trained quality classifier (t23)
+
+  /** Training hyperparameters for the in-engine logistic classifier —
+    * pinned constants shared with the oracle's symbolic replay.
+    */
+  val LrIters = 5
+  val LrRate = 0.5
+
+  /** The LR feature row: t18's interpretable features as DETERMINISTIC
+    * doubles (log token count rounded to 6 dp; the ratio features are
+    * exact integer ppm/centi divisions cast once), plus the training
+    * label — the English stratum is the positive class, the label this
+    * corpus's features can actually express (the stopword ratio is an
+    * English-stopword ratio); in production the labels come from a
+    * curated positive set (wiki-vs-crawl) exactly the same way.
+    */
+  private def lrFeatures(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val nPunct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val nStop = regexp_count(col("text"), lit("\\b(the|a|and|of|to)\\b"))
+    docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        nTok.cast("long").as("n_tokens"),
+        nPunct.cast("long").as("np"),
+        nStop.cast("long").as("ns"),
+        length(col("text")).cast("long").as("lc"))
+      .select(col("doc_id"), col("y"),
+        round(log(col("n_tokens").cast("double")), 6).as("x1"),
+        (expr("ns * 1000000 div n_tokens").cast("double") / 1000000.0)
+          .as("x2"),
+        (expr("np * 1000000 div n_tokens").cast("double") / 1000000.0)
+          .as("x3"),
+        (expr("lc * 100 div n_tokens").cast("double") / 100.0).as("x4"))
+  }
+
+  /** TRAIN the quality classifier in-engine — the step t18 leaves to
+    * an offline job. Full-batch logistic gradient descent, made
+    * bit-reproducible the way every trained gate artifact here is
+    * (k-means, PQ, BPE): per-document gradient contributions are
+    * EXACT decimal products — p, y, and the feature are cast to
+    * 6 dp decimals, so (p−y)·x is an exact 12 dp decimal with NO
+    * rounding step (rounding a product of two 6 dp values AT 6 dp
+    * lands on structurally exact .5 boundaries, where each engine's
+    * binary double representation flips its own coin — measured:
+    * gradients off at 1e-7 from epoch 1) — summed as decimals
+    * (order-independent, no float reduction tree). Weights round to
+    * 9 dp per step; the oracle replays the SAME loop from the raw
+    * table as iterated CTEs, so a diverging float anywhere in 5
+    * epochs breaks the hash.
+    *
+    * Scale shape: one cached feature scan; each epoch is ONE partial
+    * aggregation collapsing to a single 5-gradient row on the driver
+    * (the kMeansCentroids broadcast-artifact pattern) — 100 TB trains
+    * in `iters` scans with no shuffle wider than the partial agg.
+    */
+  def trainQualityLr(docs: DataFrame, iters: Int = LrIters,
+      rate: Double = LrRate): Array[Double] = {
+    val f = lrFeatures(docs).cache()
+    try {
+      val n = f.count().toDouble
+      require(n > 0, "trainQualityLr: empty corpus")
+      var w = Array.fill(5)(0.0)
+      val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
+      for (_ <- 1 to iters) {
+        val z = round(lit(w(0)) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3") +
+          lit(w(4)) * col("x4"), 6)
+        val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+        val resid = p.cast("decimal(16,6)") - col("y").cast("decimal(16,6)")
+        val g = f.select(xs.zipWithIndex.map { case (x, j) =>
+          sum(resid * x.cast("decimal(16,6)")).as(s"g$j") }: _*)
+          .collect()(0)
+        w = w.indices.map(j =>
+          BigDecimal(w(j) - rate * g.getDecimal(j).doubleValue() / n)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+      }
+      w
+    } finally { f.unpersist(); () }
+  }
+
+  /** Score with TRAINED weights — t18's inference shape (map-side
+    * codegen, literal weights, no shuffle), weights from
+    * [[trainQualityLr]] instead of shipped constants.
+    */
+  def lrQualityScore(docs: DataFrame, w: Seq[Double]): DataFrame =
+    lrFeatures(docs)
+      .withColumn("z", round(lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3") +
+        lit(w(4)) * col("x4"), 6))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+      .drop("y")
+
+  private val trainedLrW =
+    collection.concurrent.TrieMap.empty[String, Array[Double]]
+  private def gateLrWeights(s: SparkSession, d: String): Array[Double] =
+    trainedLrW.getOrElseUpdate(s"$d|$LrIters|$LrRate",
+      trainQualityLr(Tables.documents(s, d)))
+
+  /** The t23 oracle's iterated-CTE training replay (the lloydCtes
+    * pattern): feature CTE + `LrIters` (gradient, weight) CTE pairs,
+    * every arithmetic step mirroring [[trainQualityLr]] exactly —
+    * 6 dp rounded per-doc contributions into DECIMAL sums, 9 dp
+    * rounded weight updates.
+    */
+  private def lrCtes(src: String): String = {
+    val feat =
+      s"""lrf0 AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS np,
+         |  CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b'))
+         |    AS BIGINT) AS ns,
+         |  CAST(length(text) AS BIGINT) AS lc,
+         |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         | FROM $src),
+         |lrf AS (SELECT doc_id, y,
+         |  ROUND(ln(CAST(n_tokens AS DOUBLE)), 6) AS x1,
+         |  CAST((ns * 1000000) // n_tokens AS DOUBLE) / 1000000.0 AS x2,
+         |  CAST((np * 1000000) // n_tokens AS DOUBLE) / 1000000.0 AS x3,
+         |  CAST((lc * 100) // n_tokens AS DOUBLE) / 100.0 AS x4 FROM lrf0),
+         |lrn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM lrf),
+         |lrw0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2,
+         |  0.0 AS w3, 0.0 AS w4)""".stripMargin
+    val iters = (1 to LrIters).map { t =>
+      s"""lrg$t AS (SELECT
+         |   SUM(rd * CAST(1.0 AS DECIMAL(16,6))) AS g0,
+         |   SUM(rd * CAST(x1 AS DECIMAL(16,6))) AS g1,
+         |   SUM(rd * CAST(x2 AS DECIMAL(16,6))) AS g2,
+         |   SUM(rd * CAST(x3 AS DECIMAL(16,6))) AS g3,
+         |   SUM(rd * CAST(x4 AS DECIMAL(16,6))) AS g4
+         |  FROM (SELECT x1, x2, x3, x4,
+         |     CAST(p AS DECIMAL(16,6)) - CAST(y AS DECIMAL(16,6)) AS rd
+         |   FROM (SELECT y, x1, x2, x3, x4,
+         |     ROUND(1.0 / (1.0 + exp(-ROUND(w.b + w.w1 * x1 + w.w2 * x2
+         |       + w.w3 * x3 + w.w4 * x4, 6))), 6) AS p
+         |    FROM lrf, lrw${t - 1} w))),
+         |lrw$t AS (SELECT
+         |   ROUND(w.b  - $LrRate * CAST(g.g0 AS DOUBLE) / n.c, 9) AS b,
+         |   ROUND(w.w1 - $LrRate * CAST(g.g1 AS DOUBLE) / n.c, 9) AS w1,
+         |   ROUND(w.w2 - $LrRate * CAST(g.g2 AS DOUBLE) / n.c, 9) AS w2,
+         |   ROUND(w.w3 - $LrRate * CAST(g.g3 AS DOUBLE) / n.c, 9) AS w3,
+         |   ROUND(w.w4 - $LrRate * CAST(g.g4 AS DOUBLE) / n.c, 9) AS w4
+         |  FROM lrw${t - 1} w, lrg$t g, lrn n)""".stripMargin
+    }
+    (feat +: iters).mkString(",\n")
+  }
+
+  private[operators] def lrOracleSql: String =
+    s"""WITH ${lrCtes("documents")},
+       |lrsc AS (SELECT f.doc_id, f.y, f.x1, f.x2, f.x3, f.x4,
+       |   ROUND(w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4, 6)
+       |     AS z
+       |  FROM lrf f, lrw$LrIters w)
+       |SELECT doc_id, x1, x2, x3, x4, z,
+       |  ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+       |  CASE WHEN ROUND(1.0 / (1.0 + exp(-z)), 6) >= 0.5 THEN 1 ELSE 0
+       |    END AS keep
+       |FROM lrsc ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- importance resampling
 
   val DsirBuckets = 1024
@@ -1086,6 +1245,11 @@ object TextAnalysis {
     "t17_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d))),
     "t18_quality_model" -> ((s, d) =>
       qualityModelScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // the model t18 ships as literals, TRAINED in-engine — the oracle
+    // replays all five gradient epochs from the raw table
+    "t23_lr_quality" -> ((s, d) =>
+      lrQualityScore(Tables.documents(s, d), gateLrWeights(s, d).toSeq)
+        .orderBy(col("doc_id"))),
     "t19_bigram_lm" -> ((s, d) =>
       bigramSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t20_trigram_lm" -> ((s, d) =>
@@ -1459,6 +1623,7 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, punct_ppm, stop_ppm, mlen_c, z, score,
          |  CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    "t23_lr_quality" -> lrOracleSql,
     "t17_dsir_select" -> {
       val b60 = (0 until 15).map { j =>
         s"CAST(${Dedup.hexValSql(s"substr(md5('t17:' || bg), ${j + 1}, 1)")} " +

@@ -414,6 +414,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("trained LR quality: partitioning-invariant weights that " +
+      "separate the label strata") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val w1 = TextAnalysis.trainQualityLr(docs).toSeq
+    // decimal gradient sums are order-independent: any partitioning
+    // trains the identical model
+    val w2 = TextAnalysis.trainQualityLr(docs.repartition(7)).toSeq
+    assert(w1 == w2)
+    // the trained scores actually separate the positive stratum
+    val s = TextAnalysis.lrQualityScore(docs, w1)
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("y")), "doc_id")
+      .groupBy("y").agg(avg("score").as("m")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(s(1) > s(0), s.toString)
+  }
+
   test("production PII classes: broad-TLD emails, general IPv4, E.164 " +
       "and formatted phones, SSNs") {
     import org.apache.spark.sql.functions._
