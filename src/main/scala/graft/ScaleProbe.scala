@@ -283,6 +283,11 @@ object ScaleProbe {
       // census tables vocabulary-bounded, scoring rows one per
       // distinct (doc, v, w)
       measure("t19_bigram_lm", scale, TextAnalysis.bigramSurprisal(d))
+      // in-engine LR training + scoring: five epochs = five feature
+      // scans each collapsing to ONE 5-gradient row (shuffle flat at
+      // any corpus size); scoring map-side — wall must track the scan
+      measure("t23_lr_train_score", scale,
+        TextAnalysis.lrQualityScore(d, TextAnalysis.trainQualityLr(d)))
       // perceptual audio: decode + fingerprint map-side, band join on
       // 2-byte keys
       // cliff row: resolution PINNED at the gate default — this is the
