@@ -264,9 +264,20 @@ object Pipelines {
     * inside one stream's namespace, so pack ids never cross parts.
     */
   def packSegments(docs: DataFrame, maxTokens: Long = 512L,
+      digits: Int = 1): DataFrame =
+    packSegmentsCounts(docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens")), maxTokens,
+      digits)
+
+  /** [[packSegments]] over a precomputed (doc_id, n_tokens) table —
+    * the counts-core split mirroring [[sequencePackCounts]], so the
+    * segment map can be built from REAL tokenizer counts
+    * ([[packExport]] feeds it subword piece counts).
+    */
+  def packSegmentsCounts(counts: DataFrame, maxTokens: Long = 512L,
       digits: Int = 1): DataFrame = {
     val ns = col("part").cast("long") * lit(1L << 40)
-    sequencePackPartitioned(docs, maxTokens, digits)
+    sequencePackCounts(counts, maxTokens, digits)
       .select(col("doc_id"), col("part"), col("n_tokens"), col("start_tok"),
         explode(sequence(col("pack_first"), col("pack_last"))).as("pack_id"))
       .withColumn("p_local", col("pack_id") - ns)
@@ -279,6 +290,59 @@ object Pipelines {
         (col("seg_start") - col("start_tok")).as("doc_off"),
         (col("seg_start") - col("p_local") * maxTokens).as("pack_off"),
         (col("seg_end") - col("seg_start")).as("seg_len"))
+  }
+
+  /** p23 gate constant — pack length for the materialized export. */
+  val PackExportTokens: Long = 256L
+
+  /** p23: the packed-example MATERIALIZATION — the step after the
+    * layout math: each pack's actual token-piece sequence, assembled
+    * from the real subword tokenizer stream ([[TextAnalysis
+    * .subwordTokenize]]'s pieces, word order preserved) through the
+    * [[packSegmentsCounts]] tiling. One row per pack: segment count,
+    * token count (== maxTokens for every pack but a stream's last),
+    * and the space-joined piece text a training job would write as its
+    * fixed-length example (pieces are substrings of whitespace-free
+    * words, so the join is lossless).
+    *
+    * Scale shape: the piece stream assembles with subwordTokenize's
+    * distinct-word kernel fold + word-keyed join; the layout is the
+    * 16^digits-parallel-windows cumsum (never a single-task chain);
+    * the assembly groupBy keys on pack_id — each pack is ≤ maxTokens
+    * tokens by construction, so collect_list is bounded by the pack
+    * length, and a doc's slice rides to at most
+    * ceil(n/maxTokens)+1 packs. No corpus-wide state anywhere.
+    */
+  def packExport(docs: DataFrame, vocab: Seq[String],
+      maxTokens: Long = PackExportTokens, digits: Int = 1): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val pieces = docs.select(explode(tokens(col("text"))).as("word"))
+      .distinct()
+      .select(col("word"),
+        TextAnalysis.subwordPieceArr(col("word"), vocab).as("ps"))
+    val flat = Dedup.scopedCache(docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .join(pieces, "word")
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "flatten(transform(array_sort(collect_list(struct(pos, ps))), x -> x.ps))")
+        .as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .filter(col("n_tokens") >= 1))
+    val seg = packSegmentsCounts(
+      flat.select(col("doc_id"), col("n_tokens")), maxTokens, digits)
+    seg.join(flat, "doc_id")
+      .select(col("pack_id"), col("pack_off"),
+        expr("slice(t, cast(doc_off + 1 as int), cast(seg_len as int))")
+          .as("seg"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        expr(
+          "flatten(transform(array_sort(collect_list(struct(pack_off, seg))), x -> x.seg))")
+          .as("toks"))
+      .select(col("pack_id"), col("n_segs"),
+        size(col("toks")).as("n_toks"),
+        array_join(col("toks"), " ").as("pack_text"))
   }
 
   /** Shard-shuffle gate constants — single source of truth for plan +
@@ -931,6 +995,9 @@ object Pipelines {
     "p11_pack_segments" -> ((s, d) =>
       packSegments(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("pack_id"))),
+    "p23_pack_export" -> ((s, d) =>
+      packExport(Tables.documents(s, d), TextAnalysis.gateVocab(s, d))
+        .orderBy(col("pack_id"))),
     // packing on REAL tokenizer counts: subword pieces (t11's trained
     // vocab, memoized) drive the same partitioned layout as p09
     "p13_decontaminated" -> ((s, d) =>
@@ -1315,6 +1382,42 @@ object Pipelines {
          | CAST(part AS BIGINT) * ${1L << 40} + (start_tok + n_tokens - 1) // 512 AS pack_last,
          | start_tok % 512 AS pack_offset
          |FROM o ORDER BY doc_id""".stripMargin
+    },
+    "p23_pack_export" -> {
+      val hx1 = Dedup.hexValSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")
+      val m = PackExportTokens
+      s"""WITH RECURSIVE ${TextAnalysis.subwordPieceCtes},
+         |pl AS (SELECT doc_id, flatten(list(ps ORDER BY pos)) AS t
+         |  FROM docw2 JOIN tok2 USING (word) GROUP BY doc_id),
+         |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  $hx1 AS part FROM pl WHERE len(t) >= 1),
+         |o AS (SELECT doc_id, t, part, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY part
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS start_tok
+         | FROM c),
+         |sg AS (SELECT doc_id, t, part, n_tokens, start_tok,
+         |  unnest([p for p in
+         |    range(start_tok // $m, (start_tok + n_tokens - 1) // $m + 1)])
+         |    AS p_local
+         | FROM o),
+         |se AS (SELECT CAST(part AS BIGINT) * ${1L << 40} + p_local AS pack_id,
+         |  GREATEST(start_tok, p_local * $m) - start_tok AS doc_off,
+         |  GREATEST(start_tok, p_local * $m) - p_local * $m AS pack_off,
+         |  LEAST(start_tok + n_tokens, (p_local + 1) * $m)
+         |    - GREATEST(start_tok, p_local * $m) AS seg_len,
+         |  t
+         | FROM sg),
+         |segs AS (SELECT pack_id, pack_off,
+         |  t[CAST(doc_off + 1 AS INT) : CAST(doc_off + seg_len AS INT)] AS seg
+         | FROM se),
+         |pk AS (SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |  flatten(list(seg ORDER BY pack_off)) AS toks
+         | FROM segs GROUP BY pack_id)
+         |SELECT pack_id, n_segs, CAST(len(toks) AS INT) AS n_toks,
+         | array_to_string(toks, ' ') AS pack_text
+         |FROM pk ORDER BY pack_id""".stripMargin
     },
     "p06_cluster_split" -> {
       def hx(i: Int) = Dedup.hexValSql(s"substr(md5(CAST(cluster AS VARCHAR)), $i, 1)")

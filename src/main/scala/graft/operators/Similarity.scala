@@ -753,6 +753,62 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** s15 gate constant — single-bit probe flips, shared plan + oracle. */
+  val GateProbeFlips: Int = 2
+
+  /** s15: MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH:
+    * Efficient Indexing for High-Dimensional Similarity Search",
+    * VLDB'07): instead of paying recall for table count, each query
+    * probes its own hyperplane bucket PLUS the `flips` buckets that
+    * differ in the planes with the smallest projection margin — the
+    * buckets a true near neighbor most likely fell into when it
+    * landed just across a hyperplane. Probe order is deterministic:
+    * planes ranked by (|margin|, plane index), single-bit flips only
+    * (the 1-step probe sequence; Lv et al.'s multi-step sequence
+    * generalizes the same candidate join).
+    *
+    * Scale shape: identical to the single-bucket LSH join with the
+    * probe side exploded ×(flips+1) — the corpus side is hashed on
+    * its ONE bucket id, queries broadcast with their probe list, and
+    * per-query candidates stay bucket-bounded (≤ flips+1 buckets,
+    * never the corpus). No distinct is needed: a query's probe set is
+    * distinct by construction, so a corpus vector joins at most once
+    * per query. The ranking window partitions by query over that
+    * bounded candidate list.
+    */
+  def multiProbeTopK(embs: DataFrame, queryMaxId: Long, k: Int,
+      flips: Int = GateProbeFlips, nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(flips >= 0 && flips <= nPlanes,
+      s"flips must be in [0, $nPlanes]: $flips")
+    graft.functions.VectorExprs.register(embs.sparkSession)
+    val b = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val margins = array((0 until nPlanes).map { j =>
+      struct(
+        abs(call_function("array_dot", col("qv"),
+          typedlit(planeWeights(j, dim)))).as("m"),
+        lit(j).as("j"))
+    }: _*)
+    val q = b.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket").as("qb"))
+      .withColumn("ms", margins)
+      .select(col("query_id"), col("qv"),
+        explode(concat(
+          array(col("qb")),
+          expr(s"transform(slice(array_sort(ms), 1, $flips)," +
+            " s -> qb ^ shiftleft(1, s.j))"))).as("pb"))
+    b.join(broadcast(q),
+        col("bucket") === col("pb") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFast("qv", "v"), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+  }
+
   val queries: Map[String, Q] = Map(
     // resolution pinned for the same static-oracle reason as d09
     "s14_knn_join" -> ((s, d) =>
@@ -789,6 +845,9 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))),
     "s02_lsh_buckets" -> ((s, d) =>
       lshBuckets(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
+    "s15_multiprobe_topk" -> ((s, d) =>
+      multiProbeTopK(Tables.embeddings(s, d), 5L, 10)
+        .orderBy(col("query_id"), col("rank"))),
     "s03_lsh_pairs" -> ((s, d) =>
       lshCandidatePairs(Tables.embeddings(s, d), 0.3)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -827,15 +886,25 @@ object Similarity {
     * v; `planeOffset` selects the table's stretch of the hyperplane
     * family (mirrors [[graft.functions.TextFns.lshBucket]]).
     */
+  /** Oracle SQL fragment: raw projection of list column v onto
+    * md5-hyperplane `plane` — [[graft.functions.TextFns.planeWeights]]
+    * replayed symbolically (hex digit of the md5 first char, −7.5).
+    * Both engines sum the products in index order, so the doubles are
+    * bit-identical and sign/margin comparisons agree exactly.
+    */
+  private[operators] def planeDotSql(v: String, plane: Int,
+      dim: Int = 64): String =
+    s"""list_sum([$v[i+1] * (CASE
+       |   WHEN ascii(substr(md5('$plane:'||CAST(i AS VARCHAR)), 1, 1)) >= 97
+       |   THEN ascii(substr(md5('$plane:'||CAST(i AS VARCHAR)), 1, 1)) - 87
+       |   ELSE ascii(substr(md5('$plane:'||CAST(i AS VARCHAR)), 1, 1)) - 48 END - 7.5)
+       |  for i in range(0, $dim)])""".stripMargin
+
   private[operators] def bucketSql(v: String, nPlanes: Int = 8,
       dim: Int = 64, planeOffset: Int = 0): String = {
     val planeBits = (0 until nPlanes).map { j =>
-      val p = planeOffset + j
-      s"""CASE WHEN list_sum([$v[i+1] * (CASE
-         |   WHEN ascii(substr(md5('$p:'||CAST(i AS VARCHAR)), 1, 1)) >= 97
-         |   THEN ascii(substr(md5('$p:'||CAST(i AS VARCHAR)), 1, 1)) - 87
-         |   ELSE ascii(substr(md5('$p:'||CAST(i AS VARCHAR)), 1, 1)) - 48 END - 7.5)
-         |  for i in range(0, $dim)]) >= 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+      s"CASE WHEN ${planeDotSql(v, planeOffset + j, dim)} >= 0" +
+        s" THEN ${1 << j} ELSE 0 END"
     }
     planeBits.mkString("(", " + ", ")")
   }
@@ -1142,6 +1211,34 @@ object Similarity {
       s"""$embCte
          |SELECT vec_id, label, ${bucketSql("v")} AS bucket
          |FROM e ORDER BY vec_id""".stripMargin,
+    "s15_multiprobe_topk" -> {
+      val planeStructs = (0 until 8).map(j =>
+        s"{'m': ABS(${planeDotSql("qv", j)}), 'j': $j}").mkString(",\n  ")
+      s"""$embCte,
+         |bk AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+         |  FROM bk WHERE vec_id < 5),
+         |pm AS (SELECT query_id, qb, unnest([
+         |  $planeStructs
+         |  ], recursive := true) FROM q),
+         |pr AS (SELECT query_id, qb, j,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY m, j) AS rn
+         |  FROM pm),
+         |probes AS (SELECT query_id, qb AS pb FROM q
+         |  UNION ALL
+         |  SELECT query_id, xor(qb, 1 << j) AS pb FROM pr
+         |  WHERE rn <= $GateProbeFlips),
+         |cand AS (SELECT p.query_id, q.qv, b.vec_id, b.v
+         |  FROM probes p JOIN q USING (query_id)
+         |  JOIN bk b ON b.bucket = p.pb AND b.vec_id <> p.query_id),
+         |scored AS (SELECT query_id, vec_id,
+         |   round(list_cosine_similarity(qv, v), 6) AS cos FROM cand),
+         |ranked AS (SELECT query_id, vec_id, cos,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
     "s03_lsh_pairs" ->
       s"""$embCte,
          |bk AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e)

@@ -100,6 +100,107 @@ object TextAnalysis {
         expr("top_bigram_n * 1000000 div n_bigrams").as("top_ppm"),
         expr("dup_bigram_n * 1000000 div n_bigrams").as("dup_ppm"))
 
+  /** Gopher repetition-filter thresholds (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Table A1), in integer ppm of document characters —
+    * single source of truth for the t24 plan AND oracle. A document
+    * whose top-{2,3,4}-gram covers more than 20/18/16% of its
+    * characters, or whose duplicated {5,6,7}-grams cover more than
+    * 15/14/13%, is machine-boilerplate and dropped.
+    */
+  val GopherTopNs: Seq[Int] = Seq(2, 3, 4)
+  val GopherDupNs: Seq[Int] = Seq(5, 6, 7)
+  val GopherTopPpm: Map[Int, Long] =
+    Map(2 -> 200000L, 3 -> 180000L, 4 -> 160000L)
+  val GopherDupPpm: Map[Int, Long] =
+    Map(5 -> 150000L, 6 -> 140000L, 7 -> 130000L)
+
+  /** The full Gopher repetition suite ([[repetitionSignals]] is the
+    * bigram-mass subset): per document, the character fraction covered
+    * by the hottest {2,3,4}-gram and the character fraction covered by
+    * duplicated {5,6,7}-grams, plus the composite keep flag at the
+    * paper's thresholds. Two deliberate, documented conventions keep
+    * the numbers bit-identical on any engine:
+    *
+    *  - characters are TOKEN characters (separators excluded) on both
+    *    numerator and denominator, so the metric is insensitive to
+    *    whitespace convention;
+    *  - top-n coverage maximizes count × gram-chars directly ("the
+    *    n-gram covering the most characters") rather than Gopher's
+    *    pick-most-frequent-then-measure — identical when the modal
+    *    gram is unique, deterministic (no tie-break rule needed) and
+    *    conservative (never smaller) when it is not. Overlapping
+    *    occurrences can push top ppm past 1e6, same as the paper's
+    *    own caveat.
+    *
+    * Duplicated-gram coverage is a true position union (an occurrence
+    * of ANY duplicated n-gram covers its n token positions; a token in
+    * two duplicated grams counts once), not an occurrence sum —
+    * Gopher's definition, and what d19's covered-position machinery
+    * does cross-doc, here per-doc.
+    *
+    * Scale shape: everything keys on doc_id or (doc_id, gram) — six
+    * partial-agg groupBys and doc-keyed joins, no corpus-wide state,
+    * no window. The explode fan-out is Σ_n (tokens-n+1) rows per doc
+    * ≈ 6× the token count; duplicate-position explode is ×n on the
+    * DUPLICATED mass only, then distinct on (doc, n, pos).
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("tok_chars",
+        expr("aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x)"))
+    def grams(n: Int) = base
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t)-$n+1), i -> array_join(slice(t, i, $n), ' '))"))
+          .as(Seq("p0", "g")))
+    val tops = GopherTopNs.map { n =>
+      grams(n)
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt") * (length(col("g")) - lit(n - 1)))
+          .as(s"top${n}_chars"))
+    }
+    val dups = GopherDupNs.map { n =>
+      val g = grams(n)
+      // all occurrences of a within-doc duplicated n-gram cover their
+      // n token positions; union, then price positions by token chars
+      val covered = g
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"), collect_list(col("p0")).as("ps"))
+        .filter(col("cnt") >= 2)
+        .select(col("doc_id"), explode(col("ps")).as("p0"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(p0, p0 + $n - 1)")).as("q"))
+        .distinct()
+      covered
+        .join(base.select(col("doc_id"),
+          posexplode(expr("transform(t, x -> length(x))")).as(Seq("q", "len"))),
+          Seq("doc_id", "q"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("len")).cast("long").as(s"dup${n}_chars"))
+    }
+    val joined = (tops ++ dups).foldLeft(
+      base.select(col("doc_id"), col("tok_chars"))) {
+      (acc, d) => acc.join(d, Seq("doc_id"), "left")
+    }
+    val ppmCols = (GopherTopNs.map(n => s"top$n") ++
+      GopherDupNs.map(n => s"dup$n")).map { c =>
+      expr(s"coalesce(${c}_chars, 0L) * 1000000 div tok_chars").as(s"${c}_ppm")
+    }
+    val keep = (GopherTopNs.map(n =>
+      expr(s"coalesce(top${n}_chars, 0L) * 1000000 div tok_chars") <=
+        lit(GopherTopPpm(n))) ++
+      GopherDupNs.map(n =>
+        expr(s"coalesce(dup${n}_chars, 0L) * 1000000 div tok_chars") <=
+          lit(GopherDupPpm(n))))
+      .reduce(_ && _).cast("int").as("keep")
+    joined.select(
+      col("doc_id") +: col("tok_chars") +: ppmCols :+ keep: _*)
+  }
+
   /** Context-window chunking: split each document into token windows of
     * `chunkTokens` with `overlap` tokens of lookback — the pass that
     * turns long documents into model-sized training rows. Chunk starts
@@ -1289,6 +1390,8 @@ object TextAnalysis {
       qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t04_fingerprint" -> ((s, d) =>
       fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "t24_gopher_repetition" -> ((s, d) =>
+      gopherRepetition(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t06_repetition" -> ((s, d) =>
       repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "t07_chunking" -> ((s, d) =>
@@ -1422,7 +1525,7 @@ object TextAnalysis {
     * match length is computed once in a subquery so the advance and
     * the extracted piece can't diverge.
     */
-  private val subwordPieceCtes: String =
+  private[operators] val subwordPieceCtes: String =
     s"""$subwordVocabCtes,
        |rec2 AS (
        |  SELECT word, 1 AS pos, []::VARCHAR[] AS pieces FROM w
@@ -1753,6 +1856,56 @@ object TextAnalysis {
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         | substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp64
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t24_gopher_repetition" -> {
+      // per-n CTE chains generated from the same constants as the plan
+      val topCtes = GopherTopNs.map { n =>
+        s"""g$n AS (SELECT doc_id,
+           |  unnest([array_to_string(t[i:i+${n - 1}], ' ')
+           |          for i in range(1, len(t)-$n+2)]) AS g
+           | FROM b WHERE len(t) >= $n),
+           |c$n AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g$n GROUP BY doc_id, g),
+           |top$n AS (SELECT doc_id,
+           |  CAST(MAX(cnt * (length(g) - ${n - 1})) AS BIGINT) AS top${n}_chars
+           | FROM c$n GROUP BY doc_id)""".stripMargin
+      }
+      val dupCtes = GopherDupNs.map { n =>
+        s"""p$n AS (SELECT doc_id,
+           |  unnest([{'p': i, 'g': array_to_string(t[i:i+${n - 1}], ' ')}
+           |          for i in range(1, len(t)-$n+2)], recursive := true)
+           | FROM b WHERE len(t) >= $n),
+           |c$n AS (SELECT doc_id, g, COUNT(*) AS cnt, list(p) AS ps
+           | FROM p$n GROUP BY doc_id, g),
+           |cov$n AS (SELECT DISTINCT doc_id,
+           |  unnest(flatten([range(p, p+$n) for p in ps])) AS q
+           | FROM c$n WHERE cnt >= 2),
+           |dup$n AS (SELECT c.doc_id, CAST(SUM(tp.len) AS BIGINT) AS dup${n}_chars
+           | FROM cov$n c JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.q = tp.q
+           | GROUP BY c.doc_id)""".stripMargin
+      }
+      val ppm = (GopherTopNs.map(n => s"top$n") ++ GopherDupNs.map(n => s"dup$n"))
+        .map(c => s"COALESCE(${c}_chars, 0) * 1000000 // tok_chars AS ${c}_ppm")
+        .mkString(",\n ")
+      val keepConds = (GopherTopNs.map(n =>
+        s"COALESCE(top${n}_chars, 0) * 1000000 // tok_chars <= ${GopherTopPpm(n)}") ++
+        GopherDupNs.map(n =>
+          s"COALESCE(dup${n}_chars, 0) * 1000000 // tok_chars <= ${GopherDupPpm(n)}"))
+        .mkString(" AND ")
+      val joins = (GopherTopNs.map(n => s"top$n") ++ GopherDupNs.map(n => s"dup$n"))
+        .map(c => s"LEFT JOIN $c USING (doc_id)").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |b AS (SELECT doc_id, t,
+         |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS tok_chars
+         | FROM t),
+         |tokpos AS (SELECT doc_id,
+         |  unnest([{'q': i, 'len': length(t[i])} for i in range(1, len(t)+1)],
+         |         recursive := true)
+         | FROM b),
+         |${(topCtes ++ dupCtes).mkString(",\n")}
+         |SELECT b.doc_id, tok_chars,
+         | $ppm,
+         | CASE WHEN $keepConds THEN 1 ELSE 0 END AS keep
+         |FROM b $joins ORDER BY b.doc_id""".stripMargin
+    },
     "t06_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |b AS (SELECT doc_id, [t[i]||' '||t[i+1] for i in range(1, len(t))] AS bs FROM t),

@@ -125,6 +125,42 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("pack export cuts exact fixed-length sequences and loses no piece") {
+    // tiny vocab + maxTokens=4 forces docs to straddle packs; greedy
+    // split: "abcd"->[ab,cd], "cdab"->[cd,ab], "abab"->[ab,ab],
+    // "x"->[x] (single-char fallback)
+    val d = Seq(
+      (1L, "abcd ab"), (2L, "cdab abab"), (3L, "ab x abcd"),
+      (4L, "abab abab cdab"), (5L, "x"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("ab", "cd")
+    val out = Pipelines.packExport(d, vocab, maxTokens = 4L).cache()
+    val rows = out.select("pack_id", "n_segs", "n_toks", "pack_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    // conservation: every piece of every doc lands in exactly one pack
+    val totalPieces = 3 + 4 + 4 + 6 + 1
+    assert(rows.map(_._3).sum == totalPieces, s"pieces lost: $rows")
+    rows.foreach { case (_, _, n, txt) =>
+      assert(n <= 4 && txt.split(" ").length == n) }
+    // every pack but each stream's LAST is exactly full
+    val byPart = rows.groupBy(_._1 >> 40)
+    byPart.values.foreach { ps =>
+      val sorted = ps.sortBy(_._1)
+      sorted.dropRight(1).foreach { case (id, _, n, _) =>
+        assert(n == 4, s"non-final pack $id not full") }
+    }
+    // each doc's piece stream is a contiguous slice of its stream's
+    // concatenated text (the layout is concat-and-cut, not shuffle)
+    val streams = byPart.map { case (p, ps) =>
+      p -> ps.sortBy(_._1).map(_._4).mkString(" ") }
+    val pieceText = Map(1L -> "ab cd ab", 2L -> "cd ab ab ab",
+      3L -> "ab x ab cd", 4L -> "ab ab ab ab cd ab", 5L -> "x")
+    pieceText.foreach { case (_, t) =>
+      assert(streams.values.exists(s => s.contains(t)),
+        s"doc stream '$t' not contiguous in any part stream") }
+    out.unpersist(): Unit
+  }
+
   test("corpus census counts every doc once and shares sum to ~1e6") {
     val cdocs = Seq(
       (0L, "the cat and the dog of the house went to the garden in peace", "web"),

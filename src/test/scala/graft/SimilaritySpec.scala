@@ -196,6 +196,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
   }
 
+  test("multi-probe flips recover recall the single bucket loses") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(embs, 5L, 10))
+    // flips=0 degenerates to the plain single-bucket LSH search; each
+    // added flip can only ADD candidates, so recall is monotone in
+    // flips and must strictly improve on this corpus (near neighbors
+    // straddling a low-margin hyperplane IS the failure mode
+    // multi-probe exists for). Measured at 4 planes, where the
+    // 500-vector corpus gives ~31 vectors/bucket and the probe signal
+    // is strong (0.18 -> 0.38 at flips=2); at the gate's 8 planes the
+    // same corpus spreads over 199 buckets and every variant bottoms
+    // out near zero recall — a corpus-sizing fact, not an operator one
+    // (Resolution.Auto exists for exactly this).
+    val r = Seq(0, 1, 2).map { f =>
+      val got = pairs(
+        Similarity.multiProbeTopK(embs, 5L, 10, flips = f, nPlanes = 4))
+      (got & exact).size.toDouble / exact.size
+    }
+    info(s"multi-probe recall@10 at 4 planes, flips 0/1/2 = $r")
+    assert(r == r.sorted, s"recall not monotone in flips: $r")
+    assert(r.last > r.head, s"probing never helped: $r")
+    // probe-set arithmetic: flips+1 distinct buckets per query, so
+    // candidate growth is bounded by the probed-bucket population —
+    // never the corpus
+    val cand0 =
+      Similarity.multiProbeTopK(embs, 5L, 1000, flips = 0).count()
+    val cand2 =
+      Similarity.multiProbeTopK(embs, 5L, 1000, flips = 2).count()
+    assert(cand2 >= cand0 && cand2 < embs.count() * 5,
+      s"candidates unbounded: $cand0 -> $cand2")
+  }
+
   test("binary codes replay the sign words and Hamming recall is informative") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())

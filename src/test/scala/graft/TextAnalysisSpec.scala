@@ -26,6 +26,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(_._2 == "en"))
   }
 
+  test("gopher repetition matches hand-computed coverage and keep flags") {
+    // doc 1: "a b" x3 then distinct tail — hot bigram half the chars
+    // doc 2: "x y z w" x3 — every dup-n window covers the whole doc
+    // doc 3: 26 distinct letters — the only doc clean enough to keep
+    // doc 4: multi-char tokens — pins CHAR (not token-count) weighting
+    val docs = Seq(
+      (1L, "a b a b a b c d e f g h"),
+      (2L, "x y z w x y z w x y z w"),
+      (3L, ('a' to 'z').mkString(" ")),
+      (4L, "aa bb aa bb cc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Int)]
+      .collect().toSeq
+    assert(got == Seq(
+      // (doc, tok_chars, top2, top3, top4, dup5, dup6, dup7, keep)
+      (1L, 12L, 500000L, 500000L, 666666L, 0L, 0L, 0L, 0),
+      (2L, 12L, 500000L, 750000L, 1000000L, 1000000L, 1000000L, 1000000L, 0),
+      (3L, 26L, 76923L, 115384L, 153846L, 0L, 0L, 0L, 1),
+      (4L, 10L, 800000L, 600000L, 800000L, 0L, 0L, 0L, 0)), s"got $got")
+  }
+
+  test("gopher dup coverage is a position union, not an occurrence sum") {
+    // "p q r s t" appears 3x ADJACENT, so the duplicated 5-grams (11
+    // occurrences incl. the rotations) overlap heavily; an
+    // occurrence-sum would claim 55 token-chars of 17, the true
+    // position union is tokens 1..15 of 17
+    val docs = Seq(
+      (1L, "p q r s t p q r s t p q r s t u v")).toDF("doc_id", "text")
+    val row = TextAnalysis.gopherRepetition(docs)
+      .select("dup5_ppm").as[Long].collect().head
+    assert(row == 15L * 1000000L / 17L, s"got $row")
+  }
+
   test("bm25 matches the hand-computed score and excludes non-matching docs") {
     // corpus: N=3, avgdl=(4+4+2)/3; "cat" df=2, "dog" df=1; doc 3 has
     // no query term and must not appear
