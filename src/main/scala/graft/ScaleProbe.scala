@@ -29,6 +29,24 @@ import graft.operators.{Dedup, TextAnalysis}
   * query names restrict the probe (prefix match) for fast iteration on
   * one operator's scaling row.
   */
+/** Listing-counting FileSystem for the g12 manifest probe: every
+  * `listStatus` through the `probefs://` scheme increments the
+  * counter, so the probe reports LIST-call counts — the metric an
+  * object store actually rate-limits — not just wall time.
+  */
+class CountingProbeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "probefs"
+  override def getUri: java.net.URI = java.net.URI.create("probefs:///")
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingProbeFs.lists.incrementAndGet(): Unit
+    super.listStatus(f)
+  }
+}
+object CountingProbeFs {
+  val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
@@ -446,6 +464,48 @@ object ScaleProbe {
               f""""window":"$label","missing_prefixes":$prefixes,""" +
               f""""driver_list_ms":$listMs%.1f,"rows":$rows}""")
           }
+      // g12: the manifest's claim is LIST-call elimination — build the
+      // g07 store on a counting FileSystem, drain (publishes the
+      // manifest), and count listStatus calls for the same prefix read
+      // planned from the manifest vs from listings. At 10× the tree
+      // holds 10× the files across the same ~105 minute dirs; the
+      // manifest plan must stay at a CONSTANT handful of LISTs
+      // (the _manifest dir itself) while the listing plan pays
+      // O(dirs). Executed counts too — executor file reads are
+      // opens, not lists, so the gap is pure planning.
+      if (only.isEmpty || only.exists("g12_manifest_read".startsWith)) {
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.probefs.impl", classOf[CountingProbeFs].getName)
+        val local = java.nio.file.Files.createTempDirectory("g12_probe")
+        graft.util.StreamGate.deferDelete(local)
+        val root = s"probefs://$local"
+        val (logs, schema, startUs, endUs) =
+          graft.queries.EngineQueries.g07ProbeParts(spark, ev)
+        graft.queries.EngineQueries.prefixReadBuild(spark, logs, root)
+        val st = new graft.store.ParquetStore(spark, root, "log", "time")
+        st.compact()
+        for (mode <- Seq("manifest", "listing")) {
+          if (mode == "listing")
+            graft.store.StoreFs.fs(
+                new org.apache.hadoop.fs.Path(s"$root/log"))
+              .delete(new org.apache.hadoop.fs.Path(
+                s"$root/log/_manifest"), true): Unit
+          // warm once (FS handle, parquet session state), then count
+          st.readPrefixes(startUs, endUs, schema = Some(schema)): Unit
+          CountingProbeFs.lists.set(0)
+          val t0 = System.nanoTime()
+          val df = st.readPrefixes(startUs, endUs, schema = Some(schema))
+            .getOrElse(sys.error("g12 probe: store served nothing"))
+          val planLists = CountingProbeFs.lists.get
+          val planMs = (System.nanoTime() - t0) / 1e6
+          val rows = df.count()
+          val totalLists = CountingProbeFs.lists.get
+          println(f"""{"query":"g12_manifest_plan","scale":"$scale",""" +
+            f""""mode":"$mode","plan_lists":$planLists,""" +
+            f""""total_lists":$totalLists,"plan_ms":$planMs%.1f,""" +
+            f""""rows":$rows}""")
+        }
+      }
       Dedup.releaseIntermediates()
     }
     if (tiers.contains("100x")) run100x()

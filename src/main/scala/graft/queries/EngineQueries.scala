@@ -468,7 +468,8 @@ object EngineQueries {
     "g07_prefix_read" -> (prefixReadGate _),
     "g08_json_dir_ingest" -> (dynamicSchemaDirGate _),
     "g09_prefix_read_coarse" -> (prefixReadCoarseGate _),
-    "g10_expire" -> (expireGate _))
+    "g10_expire" -> (expireGate _),
+    "g12_manifest_read" -> (manifestReadGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -687,6 +688,17 @@ object EngineQueries {
       .withColumn("time",
         lit(G06BaseUs) + pmod(col("time"), lit(G07WindowUs)))
 
+  /** g07's feed, logs schema and probe window for external probes
+    * (the g12 manifest listing-count probe builds its own store).
+    */
+  private[graft] def g07ProbeParts(s: SparkSession, ev: DataFrame)
+      : (DataFrame, org.apache.spark.sql.types.StructType, Long, Long) = {
+    val logs = eventsFrameAsLogs(ev)
+    val startUs = G06BaseUs + 30L * 60L * 1000000L + 17L * 1000000L
+    val endUs = G06BaseUs + (2L * 3600L + 14L * 60L + 5L) * 1000000L
+    (logs, g07Logs(logs).schema, startUs, endUs)
+  }
+
   private[graft] def prefixReadBuild(s: SparkSession, logs0: DataFrame,
       root: String): Unit = {
     val logs = g07Logs(logs0)
@@ -807,6 +819,38 @@ object EngineQueries {
         sys.error("g09: g07 base store is empty")))
       dst.compact(granularity = "hour")
     }
+    prefixReadQuery(s, root, g07Logs(eventsAsLogs(s, d)).schema)
+  }
+
+  /** g12: the MANIFEST-planned read path under the oracle hash — the
+    * same store content as g07, staged into a fresh root and drained
+    * at minute grain (the manifest-publishing compaction,
+    * [[graft.store.StoreManifest]]), then answered through the SAME
+    * mid-minute prefix query with the manifest PRESENT: every
+    * prefix-existence probe and file enumeration in that read plans
+    * from the one `_manifest` generation — zero tree listings — and
+    * the oracle is g07's replay VERBATIM, so the hash pins that
+    * manifest-planned and listing-planned reads are observationally
+    * identical. (g09's hour tree also publishes a manifest since its
+    * drain rebuilds one, so the coarse-fallback-through-manifest path
+    * is pinned by g09's own hash; this gate pins the minute-grain
+    * prefix-expansion path.) The gate asserts manifest presence
+    * loudly — a silent fallback to listings would pass the hash
+    * while gating nothing.
+    */
+  def manifestReadGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g12", d) { root =>
+      val src = new graft.store.ParquetStore(s, g07Store(s, d),
+        "log", "time")
+      val dst = new graft.store.ParquetStore(s, root, "log", "time")
+      dst.writeStaged(src.read(None, None).getOrElse(
+        sys.error("g12: g07 base store is empty")))
+      dst.compact()
+    }
+    val st = new graft.store.ParquetStore(s, root, "log", "time")
+    if (!st.manifestPresent) sys.error(
+      "g12: manifest missing after compact — the gate would silently " +
+        "fall back to listings")
     prefixReadQuery(s, root, g07Logs(eventsAsLogs(s, d)).schema)
   }
 
@@ -950,6 +994,9 @@ object EngineQueries {
     // the hour-compacted store must answer IDENTICALLY: the coarse
     // read path replays g07's oracle verbatim
     "g09_prefix_read_coarse" -> g07OracleSql,
+    // the manifest-planned read must be observationally identical to
+    // the listing-planned one — g07's replay, shared verbatim again
+    "g12_manifest_read" -> g07OracleSql,
     // expiry at a mid-day cutoff must read as a DAY-FLOOR time filter
     // (directory-granular retention; see expireGate)
     "g10_expire" ->

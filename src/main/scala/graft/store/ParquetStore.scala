@@ -50,6 +50,19 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
 
   private def ls(p: Path): Seq[FileStatus] = StoreFs.list(fs, p)
 
+  /** Listing-free read planning for the partitioned tree (see
+    * [[StoreManifest]]): invalidated before every mutation, rebuilt by
+    * the layout-owning operations (compact/compactDate/expire), reads
+    * fall back to listing whenever absent.
+    */
+  private val manifest = new StoreManifest(fs, dir)
+
+  /** Whether reads currently plan from the manifest (specs/gates). */
+  def manifestPresent: Boolean = manifest.present
+
+  /** The manifest's relative data-file paths (specs). */
+  private[graft] def manifestFiles: Option[Seq[String]] = manifest.read()
+
   /** Recursive delete (no-op when absent). */
   private def rm(p: Path): Unit = { fs.delete(p, true): Unit }
 
@@ -62,6 +75,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * flush touches the current few minutes.
     */
   def write(batch: DataFrame): Unit = {
+    // invalidate-then-mutate: a crash mid-append leaves NO manifest
+    // (readers fall back to listing), never one missing the new files.
+    // Direct appends do not rebuild — a full-walk per minute-flush
+    // would defeat the append; the next compact() re-publishes.
+    manifest.invalidate()
     batch
       .withColumn("__ts", timestamp_micros(col(timeCol)))
       .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
@@ -242,6 +260,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * then hand off to phase 2. Idempotent.
     */
   private def finishSwapFrom1(crashAfterStep: Int = Int.MaxValue): Unit = {
+    manifest.invalidate() // live tree is about to change shape
     moveFiles(new Path(stagingDir), new Path(s"$stagedDir/_staging"))
     moveFiles(new Path(s"$oldDir/_staging"), new Path(s"$stagedDir/_staging"))
     rm(new Path(dir))
@@ -256,6 +275,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * it a previous attempt left behind) into the live path. Idempotent.
     */
   private def finishSwapFrom2(): Unit = {
+    manifest.invalidate()
     val live = new Path(dir)
     mergeMove(new Path(stagedDir), live)
     fs.delete(new Path(live, "_STAGED_OK"), false): Unit
@@ -284,6 +304,23 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     }
   }
 
+  /** The partitioned tree as a DataFrame, planned from the manifest
+    * when one is present (explicit file list + basePath: partition
+    * columns and pruning behave exactly as in the directory read, but
+    * NO tree listing happens — at an object-store 100 TB that listing
+    * is thousands of rate-limited LIST calls) and from directory
+    * discovery otherwise.
+    */
+  private def tryReadMain(): Option[DataFrame] =
+    manifest.read() match {
+      case Some(rel) if rel.isEmpty => None
+      case Some(rel) =>
+        Some(spark.read.option("mergeSchema", "true")
+          .option("basePath", dir)
+          .parquet(rel.map(r => s"$dir/$r"): _*))
+      case None => tryRead(dir)
+    }
+
   /** Read with optional µs time-range pruning pushed onto the partition
     * columns; mergeSchema covers dynamic log-schema drift across files
     * (the reference's open FIXME at duo/src/partition/query.rs:72-75).
@@ -299,7 +336,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       case (None, Some(e)) => Some(col(timeCol) <= e)
       case _ => None
     }
-    val main = tryRead(dir).map { base =>
+    val main = tryReadMain().map { base =>
       val pruned = (startUs, endUs) match {
         case (Some(s), Some(e)) =>
           // Conservative day-granular partition predicate + exact row
@@ -377,10 +414,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       // a snapshot whose compact() never swapped rolls back to staging
       foldCompactingBack()
     } else if (fs.exists(stagedMarker)) {
+      manifest.invalidate()
       mergeMove(staged, live)
       fs.delete(new Path(live, "_STAGED_OK"), false): Unit
       if (fs.exists(old)) { adoptLateStaging(); rm(old) }
     } else if (fs.exists(old)) {
+      manifest.invalidate()
       rm(staged)
       mergeMove(old, live)
       foldCompactingBack()
@@ -419,6 +458,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   private def finishPartSwapFrom1(part: String,
       crashAfterStep: Int = Int.MaxValue): Unit = {
+    manifest.invalidate()
     rm(new Path(dir, part))
     rm(new Path(root, partOldPrefix + part))
     fs.createNewFile(partSwapM(2, part)): Unit
@@ -428,6 +468,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   }
 
   private def finishPartSwapFrom2(part: String): Unit = {
+    manifest.invalidate()
     val live = new Path(dir, part)
     mergeMove(new Path(root, partStagedPrefix + part), live)
     fs.delete(new Path(live, "_STAGED_OK"), false): Unit
@@ -522,10 +563,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     if (crashAfterStep <= 1) return
     // per-partition torn-rename-safe promote (see [[swapM1]]): aside
     // rename is best-effort, phase 1 drops both (possibly split) trees
+    manifest.invalidate()
     fs.createNewFile(partSwapM(1, part)): Unit
     fs.rename(live, old): Unit
     if (crashAfterStep <= 2) return
     finishPartSwapFrom1(part, crashAfterStep)
+    if (crashAfterStep > 3) manifest.rebuild()
   }
 
   /** Compact the small files the minute-grained ingest leaves behind:
@@ -602,7 +645,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // file-index snapshot and the swap.
     val stagingP = new Path(stagingDir)
     if (fs.exists(stagingP)) moveFiles(stagingP, new Path(compactingDir))
-    val mainPart = tryRead(dir)
+    val mainPart = tryReadMain()
     val stagedPart = tryRead(compactingDir)
     val mainRows = mainPart.map(_.drop("date", "hour", "minute"))
     val all = (mainRows, stagedPart) match {
@@ -656,6 +699,10 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     fs.rename(new Path(dir), new Path(oldDir)): Unit
     if (crashAfterStep <= 2) return
     finishSwapFrom1(crashAfterStep)
+    // publish the manifest only when the swap fully completed (the
+    // crashAfterStep early-returns model a crash: manifest stays
+    // absent and readers list — correct, just unindexed)
+    if (crashAfterStep > 3) manifest.rebuild()
   }
 
   /** Staged-but-uncompacted file count — the LSM depth signal the
@@ -746,6 +793,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     val expiredDirs = ls(new Path(dir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date=") &&
         s.getPath.getName.stripPrefix("date=") < cutoffDate.toString)
+    if (expiredDirs.nonEmpty) manifest.invalidate()
     expiredDirs.foreach(s => rm(s.getPath))
     val droppedFiles = Seq(stagingDir, compactingDir)
       .flatMap(p => ls(new Path(p)))
@@ -757,6 +805,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           fs.delete(s.getPath, false): Unit; true
         }
       }
+    // re-publish after the drops (staged files are outside the
+    // manifest, so only directory drops strictly require this; the
+    // rebuild also indexes a store that never compacted — expiry is a
+    // layout-owning operation like compact)
+    if (expiredDirs.nonEmpty) manifest.rebuild()
     (expiredDirs.size, droppedFiles)
   }
 
@@ -880,12 +933,31 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     recover() // same crash-roll-forward guarantee as read()
     val wanted = TimePrefix.generatePrefixes(startUs, endUs)
       .map(p => s"$dir/$p")
+    // manifest fast path: one GET of the file list answers EVERY
+    // prefix-existence probe and coarse-fallback file lookup below
+    // with zero listings (the derived parent→children map covers the
+    // whole tree); absent manifest falls back to per-parent listings
+    val manifestRels: Option[Seq[String]] = manifest.read()
+    val byParent: Option[Map[String, Set[String]]] =
+      manifestRels.map { rels =>
+        val m = scala.collection.mutable.Map.empty[String, Set[String]]
+        rels.foreach { r =>
+          var parent = dir
+          r.split("/").foreach { seg =>
+            m.update(parent, m.getOrElse(parent, Set.empty) + seg)
+            parent = s"$parent/$seg"
+          }
+        }
+        m.toMap
+      }
     // one listing per distinct parent dir answers every child's
     // existence probe (memoized; object-store LIST beats N× HEAD)
     val childNames = scala.collection.mutable.Map.empty[String, Set[String]]
-    def children(parent: String): Set[String] =
-      childNames.getOrElseUpdate(parent,
+    def children(parent: String): Set[String] = byParent match {
+      case Some(m) => m.getOrElse(parent.stripSuffix("/"), Set.empty)
+      case None => childNames.getOrElseUpdate(parent,
         ls(new Path(parent)).map(_.getPath.getName).toSet)
+    }
     def prefixExists(p: String): Boolean = {
       val clean = p.stripSuffix("/")
       val slash = clean.lastIndexOf('/')
@@ -911,11 +983,18 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // Ancestor existence + listing reuse the memoized `children` maps,
     // so N missing minutes under one coarse dir cost ONE listing.
     val dirFiles = scala.collection.mutable.Map.empty[String, Seq[String]]
-    def parquetFilesIn(d: String): Seq[String] =
-      dirFiles.getOrElseUpdate(d,
+    def parquetFilesIn(d: String): Seq[String] = byParent match {
+      // manifest children are file AND subdir names; the .parquet
+      // filter keeps exactly the direct files, like the listing path
+      case Some(m) =>
+        m.getOrElse(d.stripSuffix("/"), Set.empty).toSeq
+          .filter(_.endsWith(".parquet")).sorted
+          .map(n => s"${d.stripSuffix("/")}/$n")
+      case None => dirFiles.getOrElseUpdate(d,
         ls(new Path(d))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString))
+    }
     val fallbackFiles = missing.flatMap { p =>
       val segs = p.stripPrefix(s"$dir/").stripSuffix("/").split("/")
       // coarser ancestors, nearest first (minute → hour, date; hour →
@@ -927,11 +1006,23 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         .toSeq
         .flatMap(parquetFilesIn)
     }.distinct
-    val main = if (paths.isEmpty && fallbackFiles.isEmpty) None else {
+    // with a manifest, expand each existing prefix DIR to its exact
+    // file list too — the read plans with zero directory listings
+    // (prefixes can sit at any level: TimePrefix collapses covered
+    // hours/days, so expansion is by path prefix, not direct children)
+    val mainInputs = manifestRels match {
+      case Some(rels) =>
+        paths.flatMap { p =>
+          val rel = p.stripPrefix(s"$dir/").stripSuffix("/")
+          rels.filter(_.startsWith(rel + "/")).map(r => s"$dir/$r")
+        } ++ fallbackFiles
+      case None => paths ++ fallbackFiles
+    }
+    val main = if (mainInputs.isEmpty) None else {
       val reader = spark.read.option("mergeSchema", "true")
         .option("basePath", dir)
       val withSchema = schema.map(reader.schema).getOrElse(reader)
-      val df = withSchema.parquet(paths ++ fallbackFiles: _*)
+      val df = withSchema.parquet(mainInputs: _*)
         .drop("date", "hour", "minute")
       Some(if (fallbackFiles.isEmpty) df
         else df.where(col(timeCol) >= loUs && col(timeCol) < hiUs))

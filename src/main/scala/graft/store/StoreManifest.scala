@@ -1,0 +1,122 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** File-listing-free read planning for a [[ParquetStore]]'s
+  * partitioned tree — the Iceberg/Delta manifest idea at this store's
+  * scale: after a compaction (the operation that OWNS the cold
+  * layout), the complete data-file list is written to one
+  * `_manifest/gen-*` file, and reads plan from that single file
+  * instead of walking the tree. On an object store a recursive
+  * listing of a minute-grained tree is thousands of LIST calls
+  * (rate-limited, latency-bound); the manifest makes read planning
+  * one GET. (Reference storage layer: duo/src/partition/query.rs
+  * lists per prefix; its FIXME'd cost at scale is what this removes.)
+  *
+  * Consistency contract (single-writer, like the store itself):
+  * every mutation of the partitioned tree calls [[invalidate]] BEFORE
+  * touching data and the layout-owning operations ([[ParquetStore
+  * .compact]]/`compactDate`/`expire`) [[rebuild]] afterwards — so a
+  * crash at ANY point leaves either no manifest (readers fall back to
+  * listing: correct, just slower) or a manifest matching the tree.
+  * Direct minute-grained [[ParquetStore.write]]s only invalidate (a
+  * full-walk rebuild per flush would defeat the append's cheapness);
+  * the LSM-shaped ingest ([[ParquetStore.writeStaged]]) never touches
+  * the partitioned tree at all, so the manifest stays valid through
+  * any amount of staged landing — manifest-present is the natural
+  * state of a compaction-owned store.
+  *
+  * The underscore prefix hides `_manifest` from Spark's partition
+  * discovery, like `_staging`.
+  */
+final class StoreManifest(fs: FileSystem, tableDir: String) {
+
+  private def mdir = new Path(tableDir, "_manifest")
+
+  /** Drop every manifest generation (idempotent). Called BEFORE any
+    * partitioned-tree mutation, so a reader never plans from a list
+    * describing the pre-mutation tree.
+    */
+  def invalidate(): Unit = { fs.delete(mdir, true): Unit }
+
+  /** Walk the partitioned tree (skipping `_`/`.`-prefixed subtrees:
+    * staging, markers, the manifest itself) and write the complete
+    * relative-path list as a new generation. The walk costs one
+    * recursive listing — the same order as the compaction promote
+    * that just ran, amortized onto the write path so readers never
+    * pay it. An incremental manifest (patch per rewrite) is the
+    * at-scale upgrade; the FORMAT (self-counting, generation-named)
+    * already admits it.
+    */
+  def rebuild(): Unit = {
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rootUri = new Path(tableDir).toUri.getPath
+    def walk(p: Path): Unit = StoreFs.list(fs, p).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) {
+          val full = st.getPath.toUri.getPath
+          files += full.stripPrefix(rootUri).stripPrefix("/")
+        }
+      }
+    }
+    val root = new Path(tableDir)
+    if (fs.exists(root)) walk(root)
+    val body = (s"count=${files.size}" +: files.sorted)
+      .mkString("", "\n", "\n")
+    fs.mkdirs(mdir): Unit
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new Path(mdir, s".tmp-$uuid")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val gen = new Path(mdir,
+      f"gen-${System.currentTimeMillis()}%019d-$uuid.list")
+    if (!fs.rename(tmp, gen))
+      throw new java.io.IOException(s"manifest publish failed: $gen")
+    // keep only the newest generation (best effort; readers take the
+    // lexicographic max, so a failed delete costs bytes, not truth)
+    StoreFs.list(fs, mdir)
+      .filter(s => s.getPath.getName.startsWith("gen-") &&
+        s.getPath.getName < gen.getName)
+      .foreach(s => fs.delete(s.getPath, false): Unit)
+  }
+
+  /** The newest generation's relative data-file paths, or None when
+    * no (readable, self-consistent) manifest exists — the caller then
+    * falls back to listing. A torn write can't be mis-read: the
+    * temp-name write + rename publishes whole files only, and the
+    * self-count rejects a truncated body.
+    */
+  def read(): Option[Seq[String]] = {
+    if (!fs.exists(mdir)) return None
+    val gens = StoreFs.list(fs, mdir)
+      .filter(_.getPath.getName.startsWith("gen-"))
+    if (gens.isEmpty) return None
+    val latest = gens.maxBy(_.getPath.getName).getPath
+    try {
+      val in = fs.open(latest)
+      val body =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString(StandardCharsets.UTF_8)
+        } finally in.close()
+      val lines = body.split("\n", -1).toSeq.dropRight(1)
+      lines.headOption match {
+        case Some(h) if h.startsWith("count=") &&
+            h.stripPrefix("count=").toIntOption.contains(lines.size - 1) =>
+          Some(lines.tail)
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Whether a manifest generation is present (for specs/gates). */
+  def present: Boolean = read().isDefined
+}

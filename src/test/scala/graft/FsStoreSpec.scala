@@ -95,6 +95,86 @@ class FsStoreSpec extends SparkSpec {
     assert(pruned.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("manifest lifecycle: compact publishes, reads agree with " +
+      "listing, staged appends stay valid, write() invalidates") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    def batch(ids: Seq[Long]) =
+      ids.map(i => (i, t0 + i * 60L * 1000000L, i * 10L))
+        .toDF("id", "start", "trace_id")
+    def idsVia(st: ParquetStore) = st.read(None, None).get
+      .select("id").as[Long].collect().toSet
+    store.writeStaged(batch(Seq(1L, 2L, 3L)))
+    assert(!store.manifestPresent, "no manifest before first compact")
+    store.compact()
+    assert(store.manifestPresent, "compact must publish the manifest")
+    val mf = store.manifestFiles.get
+    assert(mf.nonEmpty && mf.forall(r =>
+      r.startsWith("date=") && r.endsWith(".parquet")), s"paths: $mf")
+    assert(idsVia(store) == Set(1L, 2L, 3L))
+    // prefix read through the manifest (zero listings) equals the
+    // listing path: drop the manifest via a raw FS delete and re-read
+    val win = (t0, t0 + 4L * 60L * 1000000L)
+    def prefixIds() = store.readPrefixes(win._1, win._2)
+      .get.select("id").as[Long].collect().toSet
+    val viaManifest = prefixIds()
+    val fsys = graft.store.StoreFs.fs(
+      new org.apache.hadoop.fs.Path(s"$root/span"))
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/span/_manifest"),
+      true): Unit
+    assert(!store.manifestPresent)
+    assert(prefixIds() == viaManifest && viaManifest == Set(1L, 2L, 3L))
+    // LSM: staged appends never touch the partitioned tree, so the
+    // manifest republished by this compact survives them and reads
+    // union the staged rows in
+    store.compact() // republish
+    store.writeStaged(batch(Seq(4L)))
+    assert(store.manifestPresent, "staged land must not invalidate")
+    assert(idsVia(store) == Set(1L, 2L, 3L, 4L))
+    // a direct partitioned write invalidates (invalidate-then-mutate);
+    // reads fall back to listing and stay correct
+    store.write(batch(Seq(5L)))
+    assert(!store.manifestPresent, "direct write must invalidate")
+    assert(idsVia(store) == Set(1L, 2L, 3L, 4L, 5L))
+    // the next drain reindexes everything
+    store.compact()
+    assert(store.manifestPresent)
+    assert(idsVia(store) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(store.manifestFiles.get.forall(_.startsWith("date=")))
+  }
+
+  test("manifest: crash-interrupted compact leaves no manifest; a " +
+      "torn generation file is rejected; coarse trees stay covered") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val rows = Seq((1L, t0, 100L), (2L, t0 + 61L * 1000000L, 200L))
+      .toDF("id", "start", "trace_id")
+    store.writeStaged(rows)
+    store.compact(crashAfterStep = 2) // dies mid-swap
+    assert(!store.manifestPresent,
+      "a crashed compact must not publish a manifest")
+    // recover() (via read) rolls the swap forward; reads list
+    assert(store.read(None, None).get.count() == 2)
+    store.compact(granularity = "hour")
+    assert(store.manifestPresent)
+    // hour-grain manifest serves the minute-prefix query through the
+    // coarse fallback with zero listings
+    assert(store.readPrefixes(t0, t0 + 2L * 60L * 1000000L)
+      .get.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // a truncated generation (torn upload) fails the self-count and
+    // reads fall back to listing instead of planning from half a list
+    val fsys = graft.store.StoreFs.fs(
+      new org.apache.hadoop.fs.Path(s"$root/span"))
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/span/_manifest")
+    val gen = fsys.listStatus(mdir)
+      .filter(_.getPath.getName.startsWith("gen-")).head.getPath
+    val out = fsys.create(gen, true)
+    out.write("count=7\ndate=x/part-0.parquet\n".getBytes("UTF-8"))
+    out.close()
+    assert(!store.manifestPresent, "torn manifest must be rejected")
+    assert(store.read(None, None).get.count() == 2)
+  }
+
   test("crash-interrupted swap recovers at every step on the FS scheme") {
     (1 to 3).foreach { step =>
       val root = newRoot()
