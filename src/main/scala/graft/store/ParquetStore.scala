@@ -61,7 +61,8 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def manifestPresent: Boolean = manifest.present
 
   /** The manifest's relative data-file paths (specs). */
-  private[graft] def manifestFiles: Option[Seq[String]] = manifest.read()
+  private[graft] def manifestFiles: Option[Seq[String]] =
+    manifest.read().map(_.map(_.rel))
 
   /** Recursive delete (no-op when absent). */
   private def rm(p: Path): Unit = { fs.delete(p, true): Unit }
@@ -305,19 +306,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   }
 
   /** The partitioned tree as a DataFrame, planned from the manifest
-    * when one is present (explicit file list + basePath: partition
-    * columns and pruning behave exactly as in the directory read, but
-    * NO tree listing happens — at an object-store 100 TB that listing
-    * is thousands of rate-limited LIST calls) and from directory
-    * discovery otherwise.
+    * when one is present — via [[ManifestFileIndex]], so partition
+    * columns, pruning, and schema behave exactly as in the directory
+    * read but NOT ONE filesystem listing happens (at an object-store
+    * 100 TB that listing is thousands of rate-limited LIST calls) —
+    * and from directory discovery otherwise.
     */
   private def tryReadMain(): Option[DataFrame] =
     manifest.read() match {
-      case Some(rel) if rel.isEmpty => None
-      case Some(rel) =>
-        Some(spark.read.option("mergeSchema", "true")
-          .option("basePath", dir)
-          .parquet(rel.map(r => s"$dir/$r"): _*))
+      case Some(entries) =>
+        ManifestFileIndex.relation(spark, dir, entries, None)
       case None => tryRead(dir)
     }
 
@@ -937,13 +935,15 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // prefix-existence probe and coarse-fallback file lookup below
     // with zero listings (the derived parent→children map covers the
     // whole tree); absent manifest falls back to per-parent listings
-    val manifestRels: Option[Seq[String]] = manifest.read()
+    val manifestEntries: Option[Seq[StoreManifest.Entry]] = manifest.read()
+    val entryByRel: Map[String, StoreManifest.Entry] =
+      manifestEntries.map(_.map(e => e.rel -> e).toMap).getOrElse(Map.empty)
     val byParent: Option[Map[String, Set[String]]] =
-      manifestRels.map { rels =>
+      manifestEntries.map { entries =>
         val m = scala.collection.mutable.Map.empty[String, Set[String]]
-        rels.foreach { r =>
+        entries.foreach { e =>
           var parent = dir
-          r.split("/").foreach { seg =>
+          e.rel.split("/").foreach { seg =>
             m.update(parent, m.getOrElse(parent, Set.empty) + seg)
             parent = s"$parent/$seg"
           }
@@ -1007,25 +1007,34 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         .flatMap(parquetFilesIn)
     }.distinct
     // with a manifest, expand each existing prefix DIR to its exact
-    // file list too — the read plans with zero directory listings
-    // (prefixes can sit at any level: TimePrefix collapses covered
-    // hours/days, so expansion is by path prefix, not direct children)
-    val mainInputs = manifestRels match {
-      case Some(rels) =>
-        paths.flatMap { p =>
+    // file list (prefixes can sit at any level: TimePrefix collapses
+    // covered hours/days, so expansion is by path prefix, not direct
+    // children) and plan through [[ManifestFileIndex]] — the whole
+    // read plans with ZERO filesystem listings; the listing path hands
+    // Spark the prefix dirs and pays one list per input
+    val main = manifestEntries match {
+      case Some(entries) =>
+        val expanded = paths.flatMap { p =>
           val rel = p.stripPrefix(s"$dir/").stripSuffix("/")
-          rels.filter(_.startsWith(rel + "/")).map(r => s"$dir/$r")
-        } ++ fallbackFiles
-      case None => paths ++ fallbackFiles
-    }
-    val main = if (mainInputs.isEmpty) None else {
-      val reader = spark.read.option("mergeSchema", "true")
-        .option("basePath", dir)
-      val withSchema = schema.map(reader.schema).getOrElse(reader)
-      val df = withSchema.parquet(mainInputs: _*)
-        .drop("date", "hour", "minute")
-      Some(if (fallbackFiles.isEmpty) df
-        else df.where(col(timeCol) >= loUs && col(timeCol) < hiUs))
+          entries.collect { case e if e.rel.startsWith(rel + "/") => e.rel }
+        } ++ fallbackFiles.map(_.stripPrefix(s"$dir/"))
+        val selected = expanded.distinct.flatMap(entryByRel.get)
+        ManifestFileIndex.relation(spark, dir, selected, schema).map { df0 =>
+          val df = df0.drop("date", "hour", "minute")
+          if (fallbackFiles.isEmpty) df
+          else df.where(col(timeCol) >= loUs && col(timeCol) < hiUs)
+        }
+      case None =>
+        val mainInputs = paths ++ fallbackFiles
+        if (mainInputs.isEmpty) None else {
+          val reader = spark.read.option("mergeSchema", "true")
+            .option("basePath", dir)
+          val withSchema = schema.map(reader.schema).getOrElse(reader)
+          val df = withSchema.parquet(mainInputs: _*)
+            .drop("date", "hour", "minute")
+          Some(if (fallbackFiles.isEmpty) df
+            else df.where(col(timeCol) >= loUs && col(timeCol) < hiUs))
+        }
     }
     // both staging trees, like read(): rows a running compaction has
     // snapshotted into _staging_compacting are part of the table until

@@ -33,6 +33,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 final class StoreManifest(fs: FileSystem, tableDir: String) {
 
+  import StoreManifest.Entry
+
   private def mdir = new Path(tableDir, "_manifest")
 
   /** Drop every manifest generation (idempotent). Called BEFORE any
@@ -59,7 +61,11 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         if (st.isDirectory) walk(st.getPath)
         else if (name.endsWith(".parquet")) {
           val full = st.getPath.toUri.getPath
-          files += full.stripPrefix(rootUri).stripPrefix("/")
+          val rel = full.stripPrefix(rootUri).stripPrefix("/")
+          // rel first so sorted lines sort by path; size + mtime ride
+          // along so reads can hand Spark complete FileStatuses and
+          // plan with ZERO filesystem calls (see [[ManifestFileIndex]])
+          files += s"$rel\t${st.getLen}\t${st.getModificationTime}"
         }
       }
     }
@@ -85,13 +91,14 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       .foreach(s => fs.delete(s.getPath, false): Unit)
   }
 
-  /** The newest generation's relative data-file paths, or None when
-    * no (readable, self-consistent) manifest exists — the caller then
-    * falls back to listing. A torn write can't be mis-read: the
-    * temp-name write + rename publishes whole files only, and the
-    * self-count rejects a truncated body.
+  /** The newest generation's entries (relative path, size, mtime), or
+    * None when no (readable, self-consistent) manifest exists — the
+    * caller then falls back to listing. A torn write can't be
+    * mis-read: the temp-name write + rename publishes whole files
+    * only, and the self-count plus per-line field check reject a
+    * truncated or malformed body.
     */
-  def read(): Option[Seq[String]] = {
+  def read(): Option[Seq[Entry]] = {
     if (!fs.exists(mdir)) return None
     val gens = StoreFs.list(fs, mdir)
       .filter(_.getPath.getName.startsWith("gen-"))
@@ -111,7 +118,17 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       lines.headOption match {
         case Some(h) if h.startsWith("count=") &&
             h.stripPrefix("count=").toIntOption.contains(lines.size - 1) =>
-          Some(lines.tail)
+          val entries = lines.tail.map { l =>
+            l.split("\t") match {
+              case Array(rel, size, mtime) =>
+                (size.toLongOption, mtime.toLongOption) match {
+                  case (Some(s), Some(m)) => Some(Entry(rel, s, m))
+                  case _ => None
+                }
+              case _ => None
+            }
+          }
+          if (entries.forall(_.isDefined)) Some(entries.flatten) else None
         case _ => None
       }
     } catch { case _: java.io.IOException => None }
@@ -119,4 +136,12 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
 
   /** Whether a manifest generation is present (for specs/gates). */
   def present: Boolean = read().isDefined
+}
+
+object StoreManifest {
+  /** One data file: path relative to the table dir, plus the size and
+    * mtime a read plan needs to construct the `FileStatus` without
+    * touching the filesystem.
+    */
+  final case class Entry(rel: String, size: Long, mtime: Long)
 }

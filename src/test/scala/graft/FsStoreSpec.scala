@@ -50,6 +50,23 @@ object TornRenameFileSystem {
   val torn = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** Counts every `listStatus` through the `lcount://` scheme — the
+  * call an object store rate-limits — so the manifest's zero-listing
+  * read planning is pinned as a measured property, not a code claim.
+  */
+class CountingListFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "lcount"
+  override def getUri: java.net.URI = java.net.URI.create("lcount:///")
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingListFileSystem.lists.incrementAndGet(): Unit
+    super.listStatus(f)
+  }
+}
+object CountingListFileSystem {
+  val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class FsStoreSpec extends SparkSpec {
   import spark.implicits._
 
@@ -173,6 +190,40 @@ class FsStoreSpec extends SparkSpec {
     out.close()
     assert(!store.manifestPresent, "torn manifest must be rejected")
     assert(store.read(None, None).get.count() == 2)
+  }
+
+  test("manifest-planned prefix reads perform (almost) zero listings; " +
+      "the listing planner pays one per directory") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.lcount.impl", classOf[CountingListFileSystem].getName)
+    val root = "lcount://" +
+      java.nio.file.Files.createTempDirectory("lcount")
+    val store = new ParquetStore(spark, root, "span", "start")
+    val rows = (1L to 40L).map(i => (i, t0 + i * 60L * 1000000L, i))
+      .toDF("id", "start", "trace_id")
+    store.writeStaged(rows)
+    store.compact() // publishes the manifest; ~40 minute dirs
+    def readAll() = store.readPrefixes(t0, t0 + 41L * 60L * 1000000L)
+      .get.count()
+    assert(readAll() == 40L) // warm: FS instance cache, session state
+    CountingListFileSystem.lists.set(0)
+    assert(readAll() == 40L)
+    val planLists = CountingListFileSystem.lists.get
+    // the only permitted listing is the _manifest generation lookup —
+    // the 40 minute dirs and their date/hour parents are NEVER listed,
+    // and the scan itself opens files by manifest size/offset
+    assert(planLists <= 2, s"manifest-planned read listed $planLists×")
+    // without the manifest the planner lists per parent dir + Spark's
+    // file index lists each prefix dir it is handed — the O(dirs) cost
+    // the manifest removes
+    graft.store.StoreFs.fs(new org.apache.hadoop.fs.Path(s"$root/span"))
+      .delete(new org.apache.hadoop.fs.Path(s"$root/span/_manifest"),
+        true): Unit
+    CountingListFileSystem.lists.set(0)
+    assert(readAll() == 40L)
+    val listingLists = CountingListFileSystem.lists.get
+    assert(listingLists >= 40,
+      s"expected O(dirs) listings without a manifest, got $listingLists")
   }
 
   test("crash-interrupted swap recovers at every step on the FS scheme") {
