@@ -335,21 +335,46 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       case _ => None
     }
     val main = tryReadMain().map { base =>
+      // Partition predicate at the FINEST grain the tree exposes
+      // (minute → hour → date, probed from the inferred partition
+      // columns so hour/day-compacted trees still prune at their own
+      // grain) + exact row predicate on the time column; both push
+      // down (partition pruning + parquet row-group stats). The
+      // predicate is conservative (boundary partitions kept whole) and
+      // the row filter is exact, so tightening the grain changes the
+      // FILES READ, never the rows returned: a one-hour window over a
+      // year-deep minute store plans ~60 files instead of a whole
+      // day's 1,440.
+      val hasHour = base.columns.contains("hour")
+      val hasMinute = hasHour && base.columns.contains("minute")
+      def dayStr(us: Long) =
+        date_format(timestamp_micros(lit(us)), "yyyy-MM-dd")
+      def hourOf(us: Long): Int =
+        Math.floorMod(Math.floorDiv(us, 3600L * 1000000L), 24L).toInt
+      def minuteOf(us: Long): Int =
+        Math.floorMod(Math.floorDiv(us, 60L * 1000000L), 60L).toInt
+      def prune(us: Long, lower: Boolean): org.apache.spark.sql.Column = {
+        val d = dayStr(us)
+        val sameDay =
+          if (lower) col("date") > d else col("date") < d
+        if (hasMinute) sameDay || (col("date") === d &&
+          (if (lower) col("hour") > hourOf(us) ||
+              (col("hour") === hourOf(us) && col("minute") >= minuteOf(us))
+           else col("hour") < hourOf(us) ||
+              (col("hour") === hourOf(us) && col("minute") <= minuteOf(us))))
+        else if (hasHour) sameDay || (col("date") === d &&
+          (if (lower) col("hour") >= hourOf(us) else col("hour") <= hourOf(us)))
+        else if (lower) col("date") >= d
+        else col("date") <= d
+      }
       val pruned = (startUs, endUs) match {
         case (Some(s), Some(e)) =>
-          // Conservative day-granular partition predicate + exact row
-          // predicate on the time column; both push down (dir pruning +
-          // parquet row-group stats).
-          base.where(
-            col("date") >= date_format(timestamp_micros(lit(s)), "yyyy-MM-dd") &&
-            col("date") <= date_format(timestamp_micros(lit(e)), "yyyy-MM-dd") &&
+          base.where(prune(s, lower = true) && prune(e, lower = false) &&
             col(timeCol).between(s, e))
         case (Some(s), None) =>
-          base.where(col("date") >= date_format(timestamp_micros(lit(s)), "yyyy-MM-dd") &&
-            col(timeCol) >= s)
+          base.where(prune(s, lower = true) && col(timeCol) >= s)
         case (None, Some(e)) =>
-          base.where(col("date") <= date_format(timestamp_micros(lit(e)), "yyyy-MM-dd") &&
-            col(timeCol) <= e)
+          base.where(prune(e, lower = false) && col(timeCol) <= e)
         case _ => base
       }
       pruned.drop("date", "hour", "minute")
@@ -560,13 +585,22 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     fs.createNewFile(new Path(staged, "_STAGED_OK")): Unit
     if (crashAfterStep <= 1) return
     // per-partition torn-rename-safe promote (see [[swapM1]]): aside
-    // rename is best-effort, phase 1 drops both (possibly split) trees
+    // rename is best-effort, phase 1 drops both (possibly split) trees.
+    // Manifest: snapshot prior entries BEFORE invalidating — only this
+    // date's subtree changes, so the rebuild re-walks it alone and
+    // keeps every other date's entries verbatim (a full-tree walk per
+    // per-date drain would re-pay the listing bill the manifest
+    // retires; on a years-deep store that is the whole cost)
+    val priorEntries = manifest.read()
     manifest.invalidate()
     fs.createNewFile(partSwapM(1, part)): Unit
     fs.rename(live, old): Unit
     if (crashAfterStep <= 2) return
     finishPartSwapFrom1(part, crashAfterStep)
-    if (crashAfterStep > 3) manifest.rebuild()
+    if (crashAfterStep > 3) priorEntries match {
+      case Some(prior) => manifest.rebuildScoped(prior, part)
+      case None => manifest.rebuild()
+    }
   }
 
   /** Compact the small files the minute-grained ingest leaves behind:
@@ -791,6 +825,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     val expiredDirs = ls(new Path(dir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date=") &&
         s.getPath.getName.stripPrefix("date=") < cutoffDate.toString)
+    val priorEntries = manifest.read()
     if (expiredDirs.nonEmpty) manifest.invalidate()
     expiredDirs.foreach(s => rm(s.getPath))
     val droppedFiles = Seq(stagingDir, compactingDir)
@@ -804,10 +839,17 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         }
       }
     // re-publish after the drops (staged files are outside the
-    // manifest, so only directory drops strictly require this; the
-    // rebuild also indexes a store that never compacted — expiry is a
-    // layout-owning operation like compact)
-    if (expiredDirs.nonEmpty) manifest.rebuild()
+    // manifest, so only directory drops strictly require this). The
+    // survivor set is prior-minus-dropped-prefixes — published with
+    // ZERO walking; a store that never published (prior None) pays the
+    // full walk once, since expiry is layout-owning like compact
+    if (expiredDirs.nonEmpty) priorEntries match {
+      case Some(prior) =>
+        val dropped = expiredDirs.map(_.getPath.getName)
+        manifest.republish(prior.filterNot(e =>
+          dropped.exists(d => e.rel.startsWith(d + "/"))))
+      case None => manifest.rebuild()
+    }
     (expiredDirs.size, droppedFiles)
   }
 

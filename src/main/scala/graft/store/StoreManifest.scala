@@ -43,17 +43,37 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   def invalidate(): Unit = { fs.delete(mdir, true): Unit }
 
-  /** Walk the partitioned tree (skipping `_`/`.`-prefixed subtrees:
-    * staging, markers, the manifest itself) and write the complete
-    * relative-path list as a new generation. The walk costs one
-    * recursive listing — the same order as the compaction promote
-    * that just ran, amortized onto the write path so readers never
-    * pay it. An incremental manifest (patch per rewrite) is the
-    * at-scale upgrade; the FORMAT (self-counting, generation-named)
-    * already admits it.
+  /** Walk the whole partitioned tree (skipping `_`/`.`-prefixed
+    * subtrees: staging, markers, the manifest itself) and write the
+    * complete file list as a new generation. The walk costs one
+    * recursive listing — the same order as the full-compaction promote
+    * that just ran, amortized onto the write path so readers never pay
+    * it. Mutations scoped to one subtree use [[rebuildScoped]] /
+    * [[republish]] instead of paying this full walk.
     */
-  def rebuild(): Unit = {
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+  def rebuild(): Unit = publish(walkEntries(new Path(tableDir)))
+
+  /** Incremental rebuild after a mutation scoped to ONE partition
+    * subtree (per-date compaction): `prior` entries outside
+    * `refreshPrefix` are kept verbatim — no walk — and only the
+    * refreshed subtree is re-walked. On a store with years of dates a
+    * per-date drain would otherwise pay a full-tree walk per swap,
+    * exactly the listing bill the manifest exists to retire. `prior`
+    * MUST be read before the mutation's [[invalidate]] (single-writer,
+    * so it still describes every untouched subtree).
+    */
+  def rebuildScoped(prior: Seq[Entry], refreshPrefix: String): Unit = {
+    val kept = prior.filterNot(_.rel.startsWith(refreshPrefix + "/"))
+    publish(kept ++ walkEntries(new Path(tableDir, refreshPrefix)))
+  }
+
+  /** Publish an already-known entry list (expiry: the survivor set is
+    * prior-minus-dropped-prefixes — zero walking).
+    */
+  def republish(entries: Seq[Entry]): Unit = publish(entries)
+
+  private def walkEntries(start: Path): Seq[Entry] = {
+    val files = scala.collection.mutable.ArrayBuffer.empty[Entry]
     val rootUri = new Path(tableDir).toUri.getPath
     def walk(p: Path): Unit = StoreFs.list(fs, p).foreach { st =>
       val name = st.getPath.getName
@@ -62,16 +82,20 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         else if (name.endsWith(".parquet")) {
           val full = st.getPath.toUri.getPath
           val rel = full.stripPrefix(rootUri).stripPrefix("/")
-          // rel first so sorted lines sort by path; size + mtime ride
-          // along so reads can hand Spark complete FileStatuses and
-          // plan with ZERO filesystem calls (see [[ManifestFileIndex]])
-          files += s"$rel\t${st.getLen}\t${st.getModificationTime}"
+          files += Entry(rel, st.getLen, st.getModificationTime)
         }
       }
     }
-    val root = new Path(tableDir)
-    if (fs.exists(root)) walk(root)
-    val body = (s"count=${files.size}" +: files.sorted)
+    if (fs.exists(start)) walk(start)
+    files.toSeq
+  }
+
+  private def publish(entries: Seq[Entry]): Unit = {
+    // rel first so sorted lines sort by path; size + mtime ride along
+    // so reads can hand Spark complete FileStatuses and plan with ZERO
+    // filesystem calls (see [[ManifestFileIndex]])
+    val lines = entries.map(e => s"${e.rel}\t${e.size}\t${e.mtime}")
+    val body = (s"count=${lines.size}" +: lines.sorted)
       .mkString("", "\n", "\n")
     fs.mkdirs(mdir): Unit
     val uuid = java.util.UUID.randomUUID().toString

@@ -60,11 +60,14 @@ class CountingListFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def listStatus(f: org.apache.hadoop.fs.Path)
       : Array[org.apache.hadoop.fs.FileStatus] = {
     CountingListFileSystem.lists.incrementAndGet(): Unit
+    CountingListFileSystem.paths.add(f.toString): Unit
     super.listStatus(f)
   }
 }
 object CountingListFileSystem {
   val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+  val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { lists.set(0); paths.clear() }
 }
 
 class FsStoreSpec extends SparkSpec {
@@ -224,6 +227,97 @@ class FsStoreSpec extends SparkSpec {
     val listingLists = CountingListFileSystem.lists.get
     assert(listingLists >= 40,
       s"expected O(dirs) listings without a manifest, got $listingLists")
+  }
+
+  test("incremental manifest maintenance: a per-date drain walks only " +
+      "its subtree; expiry republishes without walking at all") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.lcount.impl", classOf[CountingListFileSystem].getName)
+    val root = "lcount://" +
+      java.nio.file.Files.createTempDirectory("lcountinc")
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day = 24L * 3600L * 1000000L
+    // three dates × two minutes each
+    val rows = (0 until 3).flatMap(d => Seq(
+        (d * 10L + 1L, t0 + d * day, 1L),
+        (d * 10L + 2L, t0 + d * day + 60L * 1000000L, 2L)))
+      .toDF("id", "start", "trace_id")
+    store.writeStaged(rows)
+    store.compact()
+    val before = store.manifestFiles.get
+    val dates = before.map(_.split("/").head.stripPrefix("date="))
+      .distinct.sorted
+    assert(dates.size == 3)
+    // drain date 0 alone: the rebuild re-walks ONE date subtree (its
+    // hour/minute dirs), never the other two dates' trees
+    CountingListFileSystem.reset()
+    store.compactDate(dates.head)
+    val listedDuringDrain =
+      CountingListFileSystem.paths.toArray(Array.empty[String]).toSeq
+    assert(!listedDuringDrain.exists(p =>
+        p.contains(s"date=${dates(1)}") || p.contains(s"date=${dates(2)}")),
+      s"a date-0 drain must never list other dates' subtrees; " +
+        s"listed: $listedDuringDrain")
+    val after = store.manifestFiles.get
+    assert(after.count(_.startsWith(s"date=${dates.head}/")) > 0)
+    assert(after.filterNot(_.startsWith(s"date=${dates.head}/")).toSet ==
+      before.filterNot(_.startsWith(s"date=${dates.head}/")).toSet,
+      "untouched dates' entries must carry over verbatim")
+    // reads still agree with the incremental manifest
+    assert(store.read(None, None).get.count() == 6)
+    assert(store.manifestPresent)
+    // expire the first date: survivor list published with NO tree walk
+    // (the only listings are expire's own root + staging-dir scans)
+    val preExpire = store.manifestFiles.get
+    CountingListFileSystem.reset()
+    val (droppedDirs, _) = store.expire(t0 + day + 1L)
+    val listedDuringExpire =
+      CountingListFileSystem.paths.toArray(Array.empty[String]).toSeq
+    assert(droppedDirs == 1)
+    assert(store.manifestFiles.get.toSet ==
+      preExpire.filterNot(_.startsWith(s"date=${dates.head}/")).toSet)
+    // expire lists the table root (to find expired dirs), staging
+    // dirs, and the manifest gen dir — never inside any date subtree
+    assert(!listedDuringExpire.exists(_.contains("/hour=")),
+      s"expiry must not walk date subtrees; listed: $listedDuringExpire")
+    assert(store.read(None, None).get.count() == 4)
+  }
+
+  test("time-ranged reads prune to the window's minute partitions, " +
+      "not the whole day; coarse trees prune at their own grain") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      // collect() executes THIS df's own queryExecution (count() would
+      // build a new one and leave these metrics untouched)
+      df.collect(): Unit
+      def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case o => o.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    // six rows in six distinct minutes straddling an hour boundary
+    val rows = Seq(0L, 1L, 2L, 59L, 60L, 61L).zipWithIndex.map {
+      case (m, i) => (i.toLong, t0 + m * 60L * 1000000L, i.toLong) }
+      .toDF("id", "start", "trace_id")
+    store.writeStaged(rows)
+    store.compact() // minute grain: six files
+    val win = (t0 + 60L * 1000000L, t0 + 2L * 60L * 1000000L + 1L)
+    val minuteRead = store.read(Some(win._1), Some(win._2)).get
+    assert(minuteRead.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(scanNumFiles(minuteRead) == 2L,
+      "a two-minute window over a minute tree must plan exactly 2 files")
+    // hour-compacted tree: same window, same rows, hour-grain pruning
+    store.compact(granularity = "hour")
+    val hourRead = store.read(Some(win._1), Some(win._2)).get
+    assert(hourRead.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(scanNumFiles(hourRead) == 1L,
+      "the window sits in one hour: the other hour's file must prune")
   }
 
   test("crash-interrupted swap recovers at every step on the FS scheme") {
