@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** A Spark `FileIndex` built entirely from [[StoreManifest]] entries:
   * every `FileStatus` Spark needs for split planning (path, size,
@@ -53,17 +53,6 @@ object ManifestFileIndex {
     */
   private val NominalBlockSize = 128L * 1024 * 1024
 
-  /** StructType.asNullable is private[spark]; same recursive relax. */
-  private def allNullable(dt: DataType): DataType = dt match {
-    case st: StructType => StructType(st.fields.map(f =>
-      f.copy(dataType = allNullable(f.dataType), nullable = true)))
-    case at: ArrayType =>
-      at.copy(elementType = allNullable(at.elementType), containsNull = true)
-    case mt: MapType => mt.copy(keyType = allNullable(mt.keyType),
-      valueType = allNullable(mt.valueType), valueContainsNull = true)
-    case other => other
-  }
-
   /** The given manifest entries as a DataFrame, planned listing-free.
     * `dataSchema` skips footer inference when the caller already knows
     * the (merged) schema; otherwise schemas are merged from the
@@ -84,7 +73,7 @@ object ManifestFileIndex {
     // a caller-pinned schema reads exactly as through spark.read.schema
     dataSchema.orElse(fmt.inferSchema(spark, opts, statuses)).map { ds =>
       val rel = HadoopFsRelation(index, index.partitionSchema,
-        allNullable(ds).asInstanceOf[StructType], None, fmt, opts)(spark)
+        StoreManifest.allNullable(ds), None, fmt, opts)(spark)
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(rel)
     }

@@ -62,7 +62,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
 
   /** The manifest's relative data-file paths (specs). */
   private[graft] def manifestFiles: Option[Seq[String]] =
-    manifest.read().map(_.map(_.rel))
+    manifest.read().map(_.entries.map(_.rel))
+
+  /** The manifest's recorded merged data schema (specs). */
+  private[graft] def manifestSchema
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifest.read().flatMap(_.schema)
 
   /** Recursive delete (no-op when absent). */
   private def rm(p: Path): Unit = { fs.delete(p, true): Unit }
@@ -314,8 +319,8 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   private def tryReadMain(): Option[DataFrame] =
     manifest.read() match {
-      case Some(entries) =>
-        ManifestFileIndex.relation(spark, dir, entries, None)
+      case Some(snap) =>
+        ManifestFileIndex.relation(spark, dir, snap.entries, snap.schema)
       case None => tryRead(dir)
     }
 
@@ -733,8 +738,10 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     finishSwapFrom1(crashAfterStep)
     // publish the manifest only when the swap fully completed (the
     // crashAfterStep early-returns model a crash: manifest stays
-    // absent and readers list — correct, just unindexed)
-    if (crashAfterStep > 3) manifest.rebuild()
+    // absent and readers list — correct, just unindexed). The rewrite
+    // wrote every file from ONE DataFrame, so its schema IS the
+    // merged data schema — recorded so reads skip footer inference
+    if (crashAfterStep > 3) manifest.rebuild(Some(all.get.schema))
   }
 
   /** Staged-but-uncompacted file count — the LSM depth signal the
@@ -846,7 +853,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     if (expiredDirs.nonEmpty) priorEntries match {
       case Some(prior) =>
         val dropped = expiredDirs.map(_.getPath.getName)
-        manifest.republish(prior.filterNot(e =>
+        manifest.republish(prior.entries.filterNot(e =>
           dropped.exists(d => e.rel.startsWith(d + "/"))))
       case None => manifest.rebuild()
     }
@@ -977,13 +984,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // prefix-existence probe and coarse-fallback file lookup below
     // with zero listings (the derived parent→children map covers the
     // whole tree); absent manifest falls back to per-parent listings
-    val manifestEntries: Option[Seq[StoreManifest.Entry]] = manifest.read()
+    val manifestSnap: Option[StoreManifest.Snapshot] = manifest.read()
     val entryByRel: Map[String, StoreManifest.Entry] =
-      manifestEntries.map(_.map(e => e.rel -> e).toMap).getOrElse(Map.empty)
+      manifestSnap.map(_.entries.map(e => e.rel -> e).toMap)
+        .getOrElse(Map.empty)
     val byParent: Option[Map[String, Set[String]]] =
-      manifestEntries.map { entries =>
+      manifestSnap.map { snap =>
         val m = scala.collection.mutable.Map.empty[String, Set[String]]
-        entries.foreach { e =>
+        snap.entries.foreach { e =>
           var parent = dir
           e.rel.split("/").foreach { seg =>
             m.update(parent, m.getOrElse(parent, Set.empty) + seg)
@@ -1054,14 +1062,18 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // children) and plan through [[ManifestFileIndex]] — the whole
     // read plans with ZERO filesystem listings; the listing path hands
     // Spark the prefix dirs and pays one list per input
-    val main = manifestEntries match {
-      case Some(entries) =>
+    val main = manifestSnap match {
+      case Some(snap) =>
         val expanded = paths.flatMap { p =>
           val rel = p.stripPrefix(s"$dir/").stripSuffix("/")
-          entries.collect { case e if e.rel.startsWith(rel + "/") => e.rel }
+          snap.entries.collect {
+            case e if e.rel.startsWith(rel + "/") => e.rel }
         } ++ fallbackFiles.map(_.stripPrefix(s"$dir/"))
         val selected = expanded.distinct.flatMap(entryByRel.get)
-        ManifestFileIndex.relation(spark, dir, selected, schema).map { df0 =>
+        // caller-pinned schema wins; else the manifest's recorded one;
+        // else footer inference over exactly the selected files
+        ManifestFileIndex.relation(spark, dir, selected,
+            schema.orElse(snap.schema)).map { df0 =>
           val df = df0.drop("date", "hour", "minute")
           if (fallbackFiles.isEmpty) df
           else df.where(col(timeCol) >= loUs && col(timeCol) < hiUs)

@@ -33,7 +33,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 final class StoreManifest(fs: FileSystem, tableDir: String) {
 
-  import StoreManifest.Entry
+  import StoreManifest.{Entry, Snapshot}
 
   private def mdir = new Path(tableDir, "_manifest")
 
@@ -51,7 +51,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * it. Mutations scoped to one subtree use [[rebuildScoped]] /
     * [[republish]] instead of paying this full walk.
     */
-  def rebuild(): Unit = publish(walkEntries(new Path(tableDir)))
+  def rebuild(schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = publish(walkEntries(new Path(tableDir)), schema)
 
   /** Incremental rebuild after a mutation scoped to ONE partition
     * subtree (per-date compaction): `prior` entries outside
@@ -62,15 +63,22 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * MUST be read before the mutation's [[invalidate]] (single-writer,
     * so it still describes every untouched subtree).
     */
-  def rebuildScoped(prior: Seq[Entry], refreshPrefix: String): Unit = {
-    val kept = prior.filterNot(_.rel.startsWith(refreshPrefix + "/"))
-    publish(kept ++ walkEntries(new Path(tableDir, refreshPrefix)))
+  def rebuildScoped(prior: Snapshot, refreshPrefix: String): Unit = {
+    val kept = prior.entries.filterNot(_.rel.startsWith(refreshPrefix + "/"))
+    // a per-date rewrite reads its subtree with mergeSchema and writes
+    // files carrying the full unified column set, so the prior merged
+    // schema stays exactly right
+    publish(kept ++ walkEntries(new Path(tableDir, refreshPrefix)),
+      prior.schema)
   }
 
   /** Publish an already-known entry list (expiry: the survivor set is
-    * prior-minus-dropped-prefixes — zero walking).
+    * prior-minus-dropped-prefixes — zero walking). No schema: dropping
+    * a date dir can retire the only files carrying a drifted column,
+    * and a stale schema would resurrect it as all-null — readers infer
+    * from footers until the next compact re-publishes.
     */
-  def republish(entries: Seq[Entry]): Unit = publish(entries)
+  def republish(entries: Seq[Entry]): Unit = publish(entries, None)
 
   private def walkEntries(start: Path): Seq[Entry] = {
     val files = scala.collection.mutable.ArrayBuffer.empty[Entry]
@@ -90,12 +98,19 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     files.toSeq
   }
 
-  private def publish(entries: Seq[Entry]): Unit = {
+  private def publish(entries: Seq[Entry],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     // rel first so sorted lines sort by path; size + mtime ride along
     // so reads can hand Spark complete FileStatuses and plan with ZERO
-    // filesystem calls (see [[ManifestFileIndex]])
+    // filesystem calls (see [[ManifestFileIndex]]). The merged data
+    // schema (when the publisher knows it — compact just wrote every
+    // file from one DataFrame) rides as a single JSON line, so reads
+    // skip per-file footer inference entirely: plan cost becomes ONE
+    // GET total, invariant in file count.
     val lines = entries.map(e => s"${e.rel}\t${e.size}\t${e.mtime}")
-    val body = (s"count=${lines.size}" +: lines.sorted)
+    val schemaLine = schema.toSeq.map(s =>
+      s"schema\t${StoreManifest.allNullable(s).json}")
+    val body = (s"count=${lines.size}" +: (schemaLine ++ lines.sorted))
       .mkString("", "\n", "\n")
     fs.mkdirs(mdir): Unit
     val uuid = java.util.UUID.randomUUID().toString
@@ -115,14 +130,14 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       .foreach(s => fs.delete(s.getPath, false): Unit)
   }
 
-  /** The newest generation's entries (relative path, size, mtime), or
-    * None when no (readable, self-consistent) manifest exists — the
-    * caller then falls back to listing. A torn write can't be
-    * mis-read: the temp-name write + rename publishes whole files
-    * only, and the self-count plus per-line field check reject a
-    * truncated or malformed body.
+  /** The newest generation's snapshot (entries + the publisher's
+    * merged data schema when recorded), or None when no (readable,
+    * self-consistent) manifest exists — the caller then falls back to
+    * listing. A torn write can't be mis-read: the temp-name write +
+    * rename publishes whole files only, and the self-count plus
+    * per-line field checks reject a truncated or malformed body.
     */
-  def read(): Option[Seq[Entry]] = {
+  def read(): Option[Snapshot] = {
     if (!fs.exists(mdir)) return None
     val gens = StoreFs.list(fs, mdir)
       .filter(_.getPath.getName.startsWith("gen-"))
@@ -139,10 +154,19 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           buf.toString(StandardCharsets.UTF_8)
         } finally in.close()
       val lines = body.split("\n", -1).toSeq.dropRight(1)
-      lines.headOption match {
-        case Some(h) if h.startsWith("count=") &&
-            h.stripPrefix("count=").toIntOption.contains(lines.size - 1) =>
-          val entries = lines.tail.map { l =>
+      lines.headOption.flatMap { h =>
+        val schemaJson = lines.drop(1).headOption
+          .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
+        val entryLines = if (schemaJson.isDefined) lines.drop(2)
+          else lines.drop(1)
+        if (!h.startsWith("count=") ||
+            !h.stripPrefix("count=").toIntOption.contains(entryLines.size))
+          None
+        else {
+          val schema = schemaJson.map(j =>
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          val entries = entryLines.map { l =>
             l.split("\t") match {
               case Array(rel, size, mtime) =>
                 (size.toLongOption, mtime.toLongOption) match {
@@ -152,10 +176,17 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
               case _ => None
             }
           }
-          if (entries.forall(_.isDefined)) Some(entries.flatten) else None
-        case _ => None
+          if (entries.forall(_.isDefined))
+            Some(Snapshot(entries.flatten, schema))
+          else None
+        }
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      case _: java.io.IOException => None
+      // a corrupt schema JSON poisons the whole generation: fall back
+      // to listing rather than plan from half a snapshot
+      case _: IllegalArgumentException => None
+    }
   }
 
   /** Whether a manifest generation is present (for specs/gates). */
@@ -168,4 +199,34 @@ object StoreManifest {
     * touching the filesystem.
     */
   final case class Entry(rel: String, size: Long, mtime: Long)
+
+  /** One manifest generation: the complete file list, plus the merged
+    * data schema when the publishing operation knew it.
+    */
+  final case class Snapshot(entries: Seq[Entry],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  /** StructType.asNullable is private[spark]; same recursive relax —
+    * a stored schema must read exactly as spark.read's inference
+    * (all-nullable) or plan-level nullability would differ between the
+    * manifest and listing paths.
+    */
+  private[store] def allNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case at: ArrayType => at.copy(
+        elementType = allNullable(at.elementType), containsNull = true)
+      case mt: MapType => mt.copy(keyType = allNullable(mt.keyType),
+        valueType = allNullable(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private[store] def allNullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    allNullable(st: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 }

@@ -63,11 +63,17 @@ class CountingListFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
     CountingListFileSystem.paths.add(f.toString): Unit
     super.listStatus(f)
   }
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CountingListFileSystem.opens.incrementAndGet(): Unit
+    super.open(f, bufferSize)
+  }
 }
 object CountingListFileSystem {
   val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  def reset(): Unit = { lists.set(0); paths.clear() }
+  def reset(): Unit = { lists.set(0); opens.set(0); paths.clear() }
 }
 
 class FsStoreSpec extends SparkSpec {
@@ -281,6 +287,51 @@ class FsStoreSpec extends SparkSpec {
     assert(!listedDuringExpire.exists(_.contains("/hour=")),
       s"expiry must not walk date subtrees; listed: $listedDuringExpire")
     assert(store.read(None, None).get.count() == 4)
+  }
+
+  test("the manifest's recorded schema removes footer inference from " +
+      "plan time: one GET plans the whole table") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.lcount.impl", classOf[CountingListFileSystem].getName)
+    val root = "lcount://" +
+      java.nio.file.Files.createTempDirectory("lcountsch")
+    val store = new ParquetStore(spark, root, "span", "start")
+    val rows = (1L to 40L).map(i => (i, t0 + i * 60L * 1000000L, i))
+      .toDF("id", "start", "trace_id")
+    store.writeStaged(rows)
+    store.compact()
+    val recorded = store.manifestSchema
+    assert(recorded.exists(_.fieldNames.toSet ==
+      Set("id", "start", "trace_id")), s"schema missing: $recorded")
+    store.read(None, None).get.count(): Unit // warm FS + session state
+    CountingListFileSystem.reset()
+    val df = store.read(None, None).get // plan only — no action
+    val planOpens = CountingListFileSystem.opens.get
+    assert(planOpens <= 1,
+      s"schema-carrying manifest must plan with one GET, opened $planOpens")
+    assert(df.columns.toSet ==
+      Set("id", "start", "trace_id"))
+    assert(df.count() == 40L)
+    // strip the schema line (count= header counts entries only, so the
+    // generation stays valid): planning now pays footer inference over
+    // the 40 files — the bill the recorded schema removes
+    val fsys = graft.store.StoreFs.fs(
+      new org.apache.hadoop.fs.Path(s"$root/span"))
+    val gen = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/span/_manifest"))
+      .filter(_.getPath.getName.startsWith("gen-")).head.getPath
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fsys.open(gen)),
+      "UTF-8")
+    val stripped = body.linesIterator.filterNot(_.startsWith("schema\t"))
+      .mkString("", "\n", "\n")
+    val out = fsys.create(gen, true)
+    out.write(stripped.getBytes("UTF-8")); out.close()
+    assert(store.manifestSchema.isEmpty && store.manifestPresent)
+    CountingListFileSystem.reset()
+    assert(store.read(None, None).get.count() == 40L)
+    assert(CountingListFileSystem.opens.get > 40,
+      "without the recorded schema, planning must re-read footers")
   }
 
   test("time-ranged reads prune to the window's minute partitions, " +
