@@ -1064,10 +1064,22 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // Spark the prefix dirs and pays one list per input
     val main = manifestSnap match {
       case Some(snap) =>
+        // prefix → file expansion by binary search over the sorted rel
+        // list: O(P log N + hits), not O(P·N) — a day window over a
+        // million-file manifest is 1,440 probes, not 1.4B startsWith
+        val sortedRels = snap.entries.map(_.rel).sorted.toIndexedSeq
+        def relsUnder(prefix: String): Seq[String] = {
+          val q = prefix + "/"
+          var lo = 0; var hi = sortedRels.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (sortedRels(mid) < q) lo = mid + 1 else hi = mid
+          }
+          Iterator.range(lo, sortedRels.length).map(sortedRels)
+            .takeWhile(_.startsWith(q)).toSeq
+        }
         val expanded = paths.flatMap { p =>
-          val rel = p.stripPrefix(s"$dir/").stripSuffix("/")
-          snap.entries.collect {
-            case e if e.rel.startsWith(rel + "/") => e.rel }
+          relsUnder(p.stripPrefix(s"$dir/").stripSuffix("/"))
         } ++ fallbackFiles.map(_.stripPrefix(s"$dir/"))
         val selected = expanded.distinct.flatMap(entryByRel.get)
         // caller-pinned schema wins; else the manifest's recorded one;
