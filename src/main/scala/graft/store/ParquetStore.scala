@@ -785,6 +785,34 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * compaction is mid-flight on another thread. Crash-safe via
     * [[compact]]'s swap + snapshot discipline.
     */
+  /** Small-file compaction PLANNING from pure metadata (the OPTIMIZE /
+    * rewrite-planning half of Delta/Iceberg maintenance at this
+    * store's scale): the `date=` partitions whose file population
+    * violates the target — more than `maxFilesPerDate` files, or more
+    * than one file averaging under `minAvgBytes` — most-fragmented
+    * first. Costs one manifest GET (tree walk only when no manifest
+    * exists); ZERO data reads, so an operator cadence can run it every
+    * few minutes against a 100 TB store. Heal each returned date with
+    * [[compactDate]] — whose scoped manifest republish keeps the next
+    * plan call one GET too. Direct minute-grained [[write]]s are the
+    * fragmentation source this catches (each flush appends a file per
+    * touched minute); the staged/LSM path is [[maybeCompact]]'s
+    * depth/age policy instead.
+    */
+  def planCompactions(maxFilesPerDate: Int = 8,
+      minAvgBytes: Long = 4L * 1024 * 1024): Seq[String] = {
+    recover()
+    if (!exists) return Seq.empty
+    val entries = manifest.read().map(_.entries).getOrElse(manifest.walkNow())
+    entries.groupBy(_.rel.takeWhile(_ != '/'))
+      .collect { case (datePart, fs) if datePart.startsWith("date=") &&
+          (fs.size > maxFilesPerDate ||
+            (fs.size > 1 && fs.map(_.size).sum / fs.size < minAvgBytes)) =>
+        (datePart.stripPrefix("date="), fs.size)
+      }
+      .toSeq.sortBy { case (d, n) => (-n, d) }.map(_._1)
+  }
+
   def maybeCompact(maxStagedFiles: Int = 64,
       maxAgeUs: Option[Long] = None,
       nowUs: Long = System.currentTimeMillis() * 1000L,

@@ -80,6 +80,13 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   def republish(entries: Seq[Entry]): Unit = publish(entries, None)
 
+  /** Walk the live tree into entries NOW, without publishing — the
+    * listing fallback for metadata consumers ([[ParquetStore
+    * .planCompactions]]) when no manifest generation exists.
+    */
+  private[store] def walkNow(): Seq[Entry] =
+    walkEntries(new Path(tableDir))
+
   private def walkEntries(start: Path): Seq[Entry] = {
     val files = scala.collection.mutable.ArrayBuffer.empty[Entry]
     val rootUri = new Path(tableDir).toUri.getPath

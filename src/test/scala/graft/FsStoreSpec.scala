@@ -371,6 +371,50 @@ class FsStoreSpec extends SparkSpec {
       "the window sits in one hour: the other hour's file must prune")
   }
 
+  test("planCompactions flags fragmented dates from the manifest " +
+      "alone and goes quiet once compactDate heals them") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.lcount.impl", classOf[CountingListFileSystem].getName)
+    val root = "lcount://" +
+      java.nio.file.Files.createTempDirectory("lcountplan")
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day = 24L * 3600L * 1000000L
+    def batch(ids: Seq[Long], dayOff: Long) =
+      ids.map(i => (i, t0 + dayOff * day + (i % 3) * 60L * 1000000L, i))
+        .toDF("id", "start", "trace_id")
+    // day 0: ten direct flushes into the same few minutes (the
+    // fragmentation source); day 1: one flush
+    (0L until 10L).foreach(k =>
+      store.write(batch(Seq(k * 3, k * 3 + 1, k * 3 + 2), 0L)))
+    store.write(batch(Seq(100L, 101L, 102L), 1L))
+    // no manifest yet (direct writes invalidate): planning walks
+    val dates = store.planCompactions(maxFilesPerDate = 8,
+      minAvgBytes = 0L)
+    assert(dates.size == 1, s"expected one fragmented date, got $dates")
+    // heal it; the scoped republish makes the NEXT plan one GET with
+    // zero listings
+    store.compact() // full drain publishes the manifest
+    store.compactDate(dates.head)
+    CountingListFileSystem.reset()
+    assert(store.planCompactions(maxFilesPerDate = 8,
+      minAvgBytes = 0L).isEmpty)
+    assert(!CountingListFileSystem.paths.toArray(Array.empty[String])
+        .exists(_.contains("/date=")),
+      "a manifest-backed plan must not list any date subtree")
+    // the avg-size rule: tiny files under an absurd floor flag both
+    // days (each has >1 file only if compaction left >1 — use count 1,
+    // so only multi-file days can trip it)
+    val bySize = store.planCompactions(maxFilesPerDate = 1000,
+      minAvgBytes = Long.MaxValue / 4)
+    val filesByDate = store.manifestFiles.get
+      .groupBy(_.takeWhile(_ != '/')).view.mapValues(_.size).toMap
+    assert(bySize.toSet ==
+      filesByDate.collect { case (d, n) if n > 1 =>
+        d.stripPrefix("date=") }.toSet,
+      s"avg-size rule mismatch: $bySize vs $filesByDate")
+    assert(store.read(None, None).get.count() == 33L)
+  }
+
   test("crash-interrupted swap recovers at every step on the FS scheme") {
     (1 to 3).foreach { step =>
       val root = newRoot()
