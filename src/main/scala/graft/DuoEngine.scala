@@ -176,6 +176,28 @@ final class DuoEngine(val spark: SparkSession, root: String,
     walClear()
   }
 
+  /** Periodic storage maintenance (the operator cadence the reference
+    * lacks — duo never rewrites its partitions): plan small-file
+    * compactions for both stores from their manifests
+    * ([[graft.store.ParquetStore.planCompactions]] — one metadata GET,
+    * zero data reads) and heal up to `maxHeals` of the
+    * most-fragmented date partitions each via the crash-safe per-date
+    * swap. The 60 s [[flush]] appends a file per touched minute, so a
+    * long-running ingest inevitably fragments; a maintenance cadence
+    * calling this keeps read plans bounded without ever blocking the
+    * ingest path. Returns table → dates healed. No-op in memory mode.
+    */
+  def maintain(maxFilesPerDate: Int = 8,
+      minAvgBytes: Long = 4L * 1024 * 1024,
+      maxHeals: Int = 2): Map[String, Seq[String]] =
+    if (memoryMode) Map.empty
+    else Seq("span" -> spanStore, "log" -> logStore).map { case (n, st) =>
+      val dates = st.planCompactions(maxFilesPerDate, minAvgBytes)
+        .take(maxHeals)
+      dates.foreach(d => st.compactDate(d))
+      n -> dates
+    }.toMap
+
   // ---- query surface (memory ∪ parquet, SURVEY §3) ----
 
   /** Queryable log table: hot view ∪ parquet pruned to [start,end]. */

@@ -189,10 +189,11 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         }
       }
     } catch {
-      case _: java.io.IOException => None
-      // a corrupt schema JSON poisons the whole generation: fall back
-      // to listing rather than plan from half a snapshot
-      case _: IllegalArgumentException => None
+      // any unreadable/corrupt generation (I/O, torn body, malformed
+      // schema JSON — json4s throws its own parse exceptions) poisons
+      // the WHOLE generation: fall back to listing rather than plan
+      // from half a snapshot
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

@@ -199,6 +199,16 @@ class FsStoreSpec extends SparkSpec {
     out.close()
     assert(!store.manifestPresent, "torn manifest must be rejected")
     assert(store.read(None, None).get.count() == 2)
+    // a generation whose schema line holds garbage JSON must also be
+    // rejected whole (json4s parse exceptions included), not crash the
+    // reader and not plan from half a snapshot
+    val out2 = fsys.create(gen, true)
+    out2.write(
+      "count=1\nschema\t{not json]\ndate=x/part-0.parquet\t1\t1\n"
+        .getBytes("UTF-8"))
+    out2.close()
+    assert(!store.manifestPresent, "corrupt schema JSON must be rejected")
+    assert(store.read(None, None).get.count() == 2)
   }
 
   test("manifest-planned prefix reads perform (almost) zero listings; " +
@@ -551,5 +561,28 @@ class FsStoreSpec extends SparkSpec {
     assert(e3.logTable().count() == 1)
     // dynamic schema registry persisted and re-merged through the FS
     assert(e3.logTable().columns.contains("flag"))
+  }
+
+  test("engine maintenance heals flush fragmentation: maintain() " +
+      "compacts the flagged dates and queries are unchanged") {
+    val root = newRoot()
+    val e = new DuoEngine(spark, root, walFormat = "arrow")
+    import org.apache.spark.sql.functions.lit
+    // ten cadence flushes into the same minute: ten log files land
+    (0 until 10).foreach { k =>
+      e.appendLogBatch(Seq((s"svc-$k", t0 + k * 1000L, "INFO", s"m$k", k.toLong))
+        .toDF("process_id", "time", "level", "message", "flag"))
+      e.flush()
+    }
+    val before = e.logTable().count()
+    val healed = e.maintain(maxFilesPerDate = 4, minAvgBytes = 0L)
+    assert(healed("log").size == 1, s"expected one healed date: $healed")
+    assert(healed("span").isEmpty)
+    // healed: the planner goes quiet and the table reads identically
+    assert(e.maintain(maxFilesPerDate = 4, minAvgBytes = 0L)
+      .values.forall(_.isEmpty))
+    assert(e.logTable().count() == before)
+    assert(e.logTable().where(lit(true)).select("flag")
+      .as[Long].collect().toSet == (0L until 10L).toSet)
   }
 }
