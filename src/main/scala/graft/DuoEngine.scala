@@ -178,14 +178,19 @@ final class DuoEngine(val spark: SparkSession, root: String,
 
   /** Periodic storage maintenance (the operator cadence the reference
     * lacks — duo never rewrites its partitions): plan small-file
-    * compactions for both stores from their manifests
-    * ([[graft.store.ParquetStore.planCompactions]] — one metadata GET,
-    * zero data reads) and heal up to `maxHeals` of the
-    * most-fragmented date partitions each via the crash-safe per-date
-    * swap. The 60 s [[flush]] appends a file per touched minute, so a
-    * long-running ingest inevitably fragments; a maintenance cadence
-    * calling this keeps read plans bounded without ever blocking the
-    * ingest path. Returns table → dates healed. No-op in memory mode.
+    * compactions for both stores
+    * ([[graft.store.ParquetStore.planCompactions]] — pure metadata,
+    * zero data reads; one manifest GET when a manifest is live, a
+    * tree walk when the 60 s direct-write [[flush]] has invalidated
+    * it) and heal up to `maxHeals` of the most-fragmented date
+    * partitions each via the crash-safe per-date swap, whose scoped
+    * republish restores the one-GET planning until the next flush.
+    * The flush appends a file per touched minute, so a long-running
+    * ingest inevitably fragments; a maintenance cadence calling this
+    * keeps read plans bounded without ever blocking the ingest path,
+    * and the planner's leaf-dir guard makes repeated calls converge
+    * (a healed date is never re-flagged). Returns table → dates
+    * healed. No-op in memory mode.
     */
   def maintain(maxFilesPerDate: Int = 8,
       minAvgBytes: Long = 4L * 1024 * 1024,

@@ -352,23 +352,28 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       // day's 1,440.
       val hasHour = base.columns.contains("hour")
       val hasMinute = hasHour && base.columns.contains("minute")
+      // bound values via the SAME date_format derivation the write path
+      // uses (session-timezone; foldable, so partition pruning still
+      // constant-folds them) — pure-UTC arithmetic here would silently
+      // prune rows on non-UTC sessions, where a row's partition day
+      // differs from its UTC day
       def dayStr(us: Long) =
         date_format(timestamp_micros(lit(us)), "yyyy-MM-dd")
-      def hourOf(us: Long): Int =
-        Math.floorMod(Math.floorDiv(us, 3600L * 1000000L), 24L).toInt
-      def minuteOf(us: Long): Int =
-        Math.floorMod(Math.floorDiv(us, 60L * 1000000L), 60L).toInt
+      def hourStr(us: Long) =
+        date_format(timestamp_micros(lit(us)), "HH").cast("int")
+      def minStr(us: Long) =
+        date_format(timestamp_micros(lit(us)), "mm").cast("int")
       def prune(us: Long, lower: Boolean): org.apache.spark.sql.Column = {
-        val d = dayStr(us)
+        val d = dayStr(us); val h = hourStr(us); val m = minStr(us)
         val sameDay =
           if (lower) col("date") > d else col("date") < d
         if (hasMinute) sameDay || (col("date") === d &&
-          (if (lower) col("hour") > hourOf(us) ||
-              (col("hour") === hourOf(us) && col("minute") >= minuteOf(us))
-           else col("hour") < hourOf(us) ||
-              (col("hour") === hourOf(us) && col("minute") <= minuteOf(us))))
+          (if (lower) col("hour") > h ||
+              (col("hour") === h && col("minute") >= m)
+           else col("hour") < h ||
+              (col("hour") === h && col("minute") <= m)))
         else if (hasHour) sameDay || (col("date") === d &&
-          (if (lower) col("hour") >= hourOf(us) else col("hour") <= hourOf(us)))
+          (if (lower) col("hour") >= h else col("hour") <= h))
         else if (lower) col("date") >= d
         else col("date") <= d
       }
@@ -787,17 +792,21 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   /** Small-file compaction PLANNING from pure metadata (the OPTIMIZE /
     * rewrite-planning half of Delta/Iceberg maintenance at this
-    * store's scale): the `date=` partitions whose file population
-    * violates the target — more than `maxFilesPerDate` files, or more
-    * than one file averaging under `minAvgBytes` — most-fragmented
-    * first. Costs one manifest GET (tree walk only when no manifest
-    * exists); ZERO data reads, so an operator cadence can run it every
-    * few minutes against a 100 TB store. Heal each returned date with
-    * [[compactDate]] — whose scoped manifest republish keeps the next
-    * plan call one GET too. Direct minute-grained [[write]]s are the
-    * fragmentation source this catches (each flush appends a file per
-    * touched minute); the staged/LSM path is [[maybeCompact]]'s
-    * depth/age policy instead.
+    * store's scale): the `date=` partitions [[compactDate]] can
+    * actually IMPROVE — more files than leaf (minute) dirs, i.e. some
+    * minute holds several flush files, AND over `maxFilesPerDate`
+    * files or averaging under `minAvgBytes` — most-fragmented first.
+    * The leaf-dir guard makes heal→plan CONVERGE: compactDate rewrites
+    * to `filesPerPartition` files per minute dir, so a date already at
+    * one-file-per-minute is never re-flagged (a date whose problem is
+    * too MANY minute dirs needs `compact(granularity = "hour")`, a
+    * different, whole-tree decision). Dates already compacted to hour/
+    * day grain are skipped for the same reason — compactDate requires
+    * the minute layout. Costs one manifest GET when the store is
+    * compaction-owned; a direct-write ingest invalidates the manifest,
+    * so planning walks the tree until the first heal republishes.
+    * ZERO data reads either way. The staged/LSM path is
+    * [[maybeCompact]]'s depth/age policy instead.
     */
   def planCompactions(maxFilesPerDate: Int = 8,
       minAvgBytes: Long = 4L * 1024 * 1024): Seq[String] = {
@@ -805,10 +814,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     if (!exists) return Seq.empty
     val entries = manifest.read().map(_.entries).getOrElse(manifest.walkNow())
     entries.groupBy(_.rel.takeWhile(_ != '/'))
-      .collect { case (datePart, fs) if datePart.startsWith("date=") &&
-          (fs.size > maxFilesPerDate ||
-            (fs.size > 1 && fs.map(_.size).sum / fs.size < minAvgBytes)) =>
-        (datePart.stripPrefix("date="), fs.size)
+      .collect { case (datePart, files) if datePart.startsWith("date=") && {
+          val minuteGrain = files.forall(_.rel.count(_ == '/') == 3)
+          val leafDirs = files
+            .map(e => e.rel.take(e.rel.lastIndexOf('/'))).distinct.size
+          minuteGrain && files.size > leafDirs &&
+            (files.size > maxFilesPerDate ||
+              files.map(_.size).sum / files.size < minAvgBytes)
+        } => (datePart.stripPrefix("date="), files.size)
       }
       .toSeq.sortBy { case (d, n) => (-n, d) }.map(_._1)
   }
@@ -851,16 +864,25 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def expire(cutoffUs: Long): (Int, Int) = {
     recover()
     if (!exists) return (0, 0)
+    // the cutoff's calendar day in the SESSION timezone — the same
+    // derivation the write path's date_format uses for the dir names;
+    // a UTC LocalDate here would, on a west-of-UTC session, drop a
+    // `date=` dir holding rows AFTER the cutoff instant
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
     val cutoffDate = java.time.LocalDate.ofInstant(
       java.time.Instant.ofEpochSecond(Math.floorDiv(cutoffUs, 1000000L)),
-      java.time.ZoneOffset.UTC)
-    val dayFloorUs = cutoffDate.atStartOfDay(java.time.ZoneOffset.UTC)
+      zone)
+    val dayFloorUs = cutoffDate.atStartOfDay(zone)
       .toInstant.toEpochMilli * 1000L
     // ISO dates compare chronologically as strings
     val expiredDirs = ls(new Path(dir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date=") &&
         s.getPath.getName.stripPrefix("date=") < cutoffDate.toString)
-    val priorEntries = manifest.read()
+    // snapshot-before-invalidate, and only when something will drop —
+    // a no-op retention tick must not pay a manifest GET + parse
+    val priorEntries =
+      if (expiredDirs.isEmpty) None else manifest.read()
     if (expiredDirs.nonEmpty) manifest.invalidate()
     expiredDirs.foreach(s => rm(s.getPath))
     val droppedFiles = Seq(stagingDir, compactingDir)
@@ -1002,6 +1024,13 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * per ancestor within the call, so a wide window over a day-grain
     * tree lists each date dir once. Cost is bounded by DIRECTORIES
     * TOUCHED, never by window width.
+    */
+  /** Schema contract when `schema` is None: a manifest-planned read
+    * answers with the TABLE's merged schema (the manifest records it;
+    * drifted columns absent from the window surface as nulls), while
+    * the listing fallback infers over only the selected files — the
+    * window-local schema. Callers that pin hashes pass `schema`
+    * explicitly, which both paths honor identically.
     */
   def readPrefixes(startUs: Long, endUs: Long,
       schema: Option[StructType] = None): Option[DataFrame] = {

@@ -397,10 +397,17 @@ class FsStoreSpec extends SparkSpec {
     (0L until 10L).foreach(k =>
       store.write(batch(Seq(k * 3, k * 3 + 1, k * 3 + 2), 0L)))
     store.write(batch(Seq(100L, 101L, 102L), 1L))
-    // no manifest yet (direct writes invalidate): planning walks
+    // no manifest yet (direct writes invalidate): planning walks.
+    // day 0 has 30 files over 3 minute dirs (> cap, leaf guard trips);
+    // day 1 has 3 files over 3 dirs — already one per leaf, never
+    // flagged however tiny its files (compactDate could not improve it)
     val dates = store.planCompactions(maxFilesPerDate = 8,
       minAvgBytes = 0L)
     assert(dates.size == 1, s"expected one fragmented date, got $dates")
+    // the avg-size rule respects the same leaf-dir convergence guard:
+    // an absurd floor still flags only the multi-file-per-leaf date
+    assert(store.planCompactions(maxFilesPerDate = 1000,
+      minAvgBytes = Long.MaxValue / 4) == dates)
     // heal it; the scoped republish makes the NEXT plan one GET with
     // zero listings
     store.compact() // full drain publishes the manifest
@@ -411,17 +418,16 @@ class FsStoreSpec extends SparkSpec {
     assert(!CountingListFileSystem.paths.toArray(Array.empty[String])
         .exists(_.contains("/date=")),
       "a manifest-backed plan must not list any date subtree")
-    // the avg-size rule: tiny files under an absurd floor flag both
-    // days (each has >1 file only if compaction left >1 — use count 1,
-    // so only multi-file days can trip it)
-    val bySize = store.planCompactions(maxFilesPerDate = 1000,
-      minAvgBytes = Long.MaxValue / 4)
-    val filesByDate = store.manifestFiles.get
-      .groupBy(_.takeWhile(_ != '/')).view.mapValues(_.size).toMap
-    assert(bySize.toSet ==
-      filesByDate.collect { case (d, n) if n > 1 =>
-        d.stripPrefix("date=") }.toSet,
-      s"avg-size rule mismatch: $bySize vs $filesByDate")
+    // post-heal, even the absurd floor is quiet: one file per leaf is
+    // the planner's fixed point
+    assert(store.planCompactions(maxFilesPerDate = 1000,
+      minAvgBytes = Long.MaxValue / 4).isEmpty)
+    // an hour-compacted tree is skipped outright (compactDate needs
+    // the minute layout; coarse grain is a deliberate layout choice)
+    store.compact(granularity = "hour")
+    assert(store.planCompactions(maxFilesPerDate = 0,
+      minAvgBytes = Long.MaxValue / 4).isEmpty,
+      "coarse-grain dates must never be flagged")
     assert(store.read(None, None).get.count() == 33L)
   }
 
