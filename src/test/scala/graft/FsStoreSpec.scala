@@ -431,6 +431,41 @@ class FsStoreSpec extends SparkSpec {
     assert(store.read(None, None).get.count() == 33L)
   }
 
+  test("non-UTC session: pruning bounds and the expiry cutoff follow " +
+      "the session timezone — no rows lost near the local/UTC day split") {
+    val tzKey = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York") // UTC-4 on this date
+      val root = newRoot()
+      val store = new ParquetStore(spark, root, "span", "start")
+      // rows at UTC 02:30 / 03:30 land on the PREVIOUS local date
+      // (hours 22/23 of 2025-10-08 New York)
+      val base = java.time.Instant.parse("2025-10-09T00:00:00Z")
+        .toEpochMilli * 1000L
+      val h = 3600L * 1000000L
+      val rows = Seq((1L, base + 2L * h + 30L * 60L * 1000000L, 1L),
+          (2L, base + 3L * h + 30L * 60L * 1000000L, 2L))
+        .toDF("id", "start", "trace_id")
+      store.writeStaged(rows)
+      store.compact()
+      // upper bound exactly at row 2's instant: pure-UTC hour math
+      // would derive hour 3 and prune the hour=23 partition — the
+      // session-timezone bounds must keep both rows
+      val got = store.read(Some(base + 2L * h),
+          Some(base + 3L * h + 30L * 60L * 1000000L)).get
+        .select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L),
+        s"window rows lost to timezone-skewed pruning: $got")
+      // expiry cutoff at UTC midnight: its NY calendar day is STILL
+      // 2025-10-08, so the date=2025-10-08 dir (whose rows are AFTER
+      // the cutoff instant) must survive — a UTC cutoff day dropped it
+      val (dropped, _) = store.expire(base)
+      assert(dropped == 0, "expiry deleted rows newer than the cutoff")
+      assert(store.read(None, None).get.count() == 2)
+    } finally spark.conf.set(tzKey, prior)
+  }
+
   test("crash-interrupted swap recovers at every step on the FS scheme") {
     (1 to 3).foreach { step =>
       val root = newRoot()
