@@ -186,16 +186,23 @@ object TextAnalysis {
       base.select(col("doc_id"), col("tok_chars"))) {
       (acc, d) => acc.join(d, Seq("doc_id"), "left")
     }
+    // tok_chars = 0 (empty/whitespace-only doc) is guarded IDENTICALLY
+    // here and in the oracle SQL — ppm 0, keep 0 — because the two
+    // engines disagree on raw division by zero (Spark `div` → null,
+    // DuckDB `//` → error), the same degenerate-document convention
+    // the other t-gates use
     val ppmCols = (GopherTopNs.map(n => s"top$n") ++
       GopherDupNs.map(n => s"dup$n")).map { c =>
-      expr(s"coalesce(${c}_chars, 0L) * 1000000 div tok_chars").as(s"${c}_ppm")
+      expr(s"if(tok_chars > 0, " +
+        s"coalesce(${c}_chars, 0L) * 1000000 div tok_chars, 0L)")
+        .as(s"${c}_ppm")
     }
-    val keep = (GopherTopNs.map(n =>
+    val keep = ((col("tok_chars") > 0L) +: (GopherTopNs.map(n =>
       expr(s"coalesce(top${n}_chars, 0L) * 1000000 div tok_chars") <=
         lit(GopherTopPpm(n))) ++
       GopherDupNs.map(n =>
         expr(s"coalesce(dup${n}_chars, 0L) * 1000000 div tok_chars") <=
-          lit(GopherDupPpm(n))))
+          lit(GopherDupPpm(n)))))
       .reduce(_ && _).cast("int").as("keep")
     joined.select(
       col("doc_id") +: col("tok_chars") +: ppmCols :+ keep: _*)
@@ -1882,13 +1889,17 @@ object TextAnalysis {
            | FROM cov$n c JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.q = tp.q
            | GROUP BY c.doc_id)""".stripMargin
       }
+      // same tok_chars = 0 guard as the plan (Spark div → null vs
+      // DuckDB // → error): ppm 0, keep 0 for degenerate documents
       val ppm = (GopherTopNs.map(n => s"top$n") ++ GopherDupNs.map(n => s"dup$n"))
-        .map(c => s"COALESCE(${c}_chars, 0) * 1000000 // tok_chars AS ${c}_ppm")
+        .map(c => s"CASE WHEN tok_chars > 0 THEN " +
+          s"COALESCE(${c}_chars, 0) * 1000000 // tok_chars ELSE 0 END " +
+          s"AS ${c}_ppm")
         .mkString(",\n ")
-      val keepConds = (GopherTopNs.map(n =>
+      val keepConds = (s"tok_chars > 0" +: (GopherTopNs.map(n =>
         s"COALESCE(top${n}_chars, 0) * 1000000 // tok_chars <= ${GopherTopPpm(n)}") ++
         GopherDupNs.map(n =>
-          s"COALESCE(dup${n}_chars, 0) * 1000000 // tok_chars <= ${GopherDupPpm(n)}"))
+          s"COALESCE(dup${n}_chars, 0) * 1000000 // tok_chars <= ${GopherDupPpm(n)}")))
         .mkString(" AND ")
       val joins = (GopherTopNs.map(n => s"top$n") ++ GopherDupNs.map(n => s"dup$n"))
         .map(c => s"LEFT JOIN $c USING (doc_id)").mkString(" ")

@@ -14,23 +14,44 @@ import org.apache.spark.sql.types.StructType
   *    (`date=…/hour=…/minute=…` hive layout via partitionBy), not by the
   *    flush wall-clock minute — so partition pruning is correct even for
   *    late data, which the reference's layout gets wrong.
-  *  - reads go through one root path with partition-column predicates;
-  *    Catalyst prunes directories (replacing the manual prefix listing,
-  *    kept as [[readPrefixes]] for the non-hive layout).
+  *  - reads go through partition-column predicates; Catalyst prunes
+  *    directories (replacing the manual prefix listing, kept as
+  *    [[readPrefixes]] for the reference-shaped plan).
   *  - a parquet bloom filter on trace_id is written, matching the
   *    reference's bloom pruning for trace lookups
   *    (duo/src/partition/writer.rs:45-49).
   *
   * Storage portability (S5, duo/src/config.rs:69-132): every metadata
-  * operation — existence probes, staging moves, the swap/recover
-  * discipline, prefix listings — runs on `org.apache.hadoop.fs
-  * .FileSystem` resolved from the ROOT's scheme ([[StoreFs]]), so the
-  * same store code serves a local path, an HDFS URI, or an
-  * `s3a://bucket/...` root. Compaction's promote swap never relies on
-  * atomic directory rename: it runs as marker-driven idempotent phases
-  * ([[swapM1]]) that [[recover]] resumes, so an object-store rename
-  * torn mid-tree (per-object copy+delete) costs a retry, never rows —
-  * pinned by the torn-rename FileSystem spec.
+  * operation — existence probes, listings, marker files, manifest
+  * publishes — runs on `org.apache.hadoop.fs.FileSystem` resolved from
+  * the ROOT's scheme ([[StoreFs]]), so the same store code serves a
+  * local path, an HDFS URI, or an `s3a://bucket/...` root.
+  *
+  * Snapshot isolation (round-16; the reference has no analog — it
+  * never rewrites files, duo/src/partition/writer.rs:55-59): layout
+  * mutations never modify or delete a file a reader could have
+  * planned. Rewrites land in immutable `_gen-<millis>-<uuid>` trees
+  * under the table dir (underscore-hidden from legacy discovery);
+  * the [[StoreManifest]] generation publish — one temp-write + rename
+  * — is the single atomic commit point, carrying both the new live
+  * file list and the tombstones of the files it supersedes. Superseded
+  * files stay on disk until [[vacuum]] reclaims them after a grace
+  * window, so a query planned from the previous generation (or
+  * listing) in ANOTHER session executes green across a concurrent
+  * [[compact]]/[[compactDate]]/[[expire]] — the Iceberg/Delta
+  * discipline. There is no multi-directory swap left to tear: the only
+  * rename any mutation performs is the single manifest file's, and a
+  * torn generation is rejected whole by its self-count (readers fall
+  * back to the previous retained generation).
+  *
+  * Writer fencing: the store is single-WRITER by contract; the
+  * contract is enforced by an epoch lease under `_lock` — each store
+  * instance claims `lease-<epoch>-<uuid>` (monotone epoch) before its
+  * first mutation and re-verifies it still holds the lexicographic max
+  * before every subsequent one, so a second writer on the same root
+  * fences the first loudly ([[ParquetStore.WriterFencedException]])
+  * instead of interleaving mutations into silent corruption. Readers
+  * never fence.
   *
   * At scale: minute-grained dirs are only sensible for recent data; the
   * same layout compacts upward (minute→hour→day files) without changing
@@ -50,10 +71,10 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
 
   private def ls(p: Path): Seq[FileStatus] = StoreFs.list(fs, p)
 
-  /** Listing-free read planning for the partitioned tree (see
-    * [[StoreManifest]]): invalidated before every mutation, rebuilt by
-    * the layout-owning operations (compact/compactDate/expire), reads
-    * fall back to listing whenever absent.
+  /** Listing-free read planning + the mutation commit point (see
+    * [[StoreManifest]]): reads plan from the newest readable
+    * generation whenever one exists and fall back to listing the
+    * legacy tree otherwise.
     */
   private val manifest = new StoreManifest(fs, dir)
 
@@ -69,8 +90,58 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       : Option[org.apache.spark.sql.types.StructType] =
     manifest.read().flatMap(_.schema)
 
+  /** The manifest's tombstoned-but-not-yet-vacuumed rels (specs). */
+  private[graft] def manifestDead: Option[Seq[String]] =
+    manifest.read().map(_.dead.map(_.rel))
+
   /** Recursive delete (no-op when absent). */
   private def rm(p: Path): Unit = { fs.delete(p, true): Unit }
+
+  // ---- writer fencing (epoch lease) ----
+
+  private def lockDir = new Path(dir, "_lock")
+
+  /** This instance's lease file name, once claimed. */
+  @volatile private var myLease: Option[String] = None
+
+  private def leaseNames(): Seq[String] =
+    ls(lockDir).map(_.getPath.getName).filter(_.startsWith("lease-"))
+
+  /** Claim (first mutation) or verify (every later mutation) this
+    * instance's writer lease. Claiming creates a lease file with an
+    * epoch strictly above every existing one; verification checks the
+    * instance still holds the lexicographic max. Two instances
+    * claiming concurrently create DISTINCT files (uuid suffix) — the
+    * lexicographic winner proceeds, the loser throws on its own
+    * verify. One LIST per mutation; mutations are heavyweight
+    * (rewrites, flushes), so the fence is noise against them.
+    */
+  private def fence(): Unit = myLease match {
+    case None =>
+      val existing = leaseNames().sorted
+      val epoch = existing.lastOption
+        .flatMap(_.stripPrefix("lease-").takeWhile(_ != '-').toLongOption)
+        .getOrElse(0L) + 1L
+      val name = f"lease-$epoch%019d-${java.util.UUID.randomUUID()}"
+      fs.mkdirs(lockDir): Unit
+      fs.createNewFile(new Path(lockDir, name)): Unit
+      myLease = Some(name)
+      // prune leases strictly below ours (never a newer claimant's)
+      leaseNames().filter(_ < name).sorted.dropRight(2)
+        .foreach(n => fs.delete(new Path(lockDir, n), false): Unit)
+      verifyLease(name)
+    case Some(name) => verifyLease(name)
+  }
+
+  private def verifyLease(name: String): Unit = {
+    val names = leaseNames()
+    if (names.isEmpty || names.max != name)
+      throw new ParquetStore.WriterFencedException(
+        s"$dir: writer lease $name fenced by ${names.sorted.lastOption
+          .getOrElse("(lock dir cleared)")} — another writer owns this store")
+  }
+
+  // ---- writes ----
 
   /** Append a batch, deriving partition columns from the row's µs
     * epoch time column. A flush whose rows span D time partitions
@@ -81,11 +152,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * flush touches the current few minutes.
     */
   def write(batch: DataFrame): Unit = {
-    // invalidate-then-mutate: a crash mid-append leaves NO manifest
-    // (readers fall back to listing), never one missing the new files.
-    // Direct appends do not rebuild — a full-walk per minute-flush
-    // would defeat the append; the next compact() re-publishes.
-    manifest.invalidate()
+    fence()
+    // dirty-before-mutate: once a manifest exists, readers plan from
+    // it — the marker (dropped BEFORE any new file can land) tells
+    // them to union a legacy-tree walk in until the next compaction
+    // folds the appended files. A crash after the marker but before
+    // the append leaves a spurious marker: readers pay a walk that
+    // finds nothing new — correct, just unindexed.
+    manifest.markDirty()
     batch
       .withColumn("__ts", timestamp_micros(col(timeCol)))
       .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
@@ -128,175 +202,86 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * layout. This is the LSM-shaped ingest split every real columnar
     * store uses: land fast now, organize in the background.
     */
-  def writeStaged(batch: DataFrame): Unit =
+  def writeStaged(batch: DataFrame): Unit = {
+    fence()
     batch.write.mode("append")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
       .option("parquet.bloom.filter.expected.ndv#trace_id",
         bloomNdv.toString)
       .parquet(stagingDir)
+  }
 
-  /** The snapshot tree a running [[compact]] folds in: staged files are
-    * MOVED here (atomic per-file renames) when a compaction starts, so
-    * flushes landing in `_staging` afterwards are cleanly "late" — they
-    * survive the swap instead of being deleted with the old tree (the
-    * lost-flush window the lazy snapshot had). Underscore-prefixed like
-    * `_staging`, so partitioned discovery never sees it.
-    */
-  private def compactingDir = s"$dir/_staging_compacting"
+  // ---- truth resolution (what IS the table right now) ----
 
-  /** Move every parquet file under `from` into `to` (per-file renames;
-    * both under the same table root, so rename never crosses
-    * filesystems — on a local/HDFS root it never copies, on an object
-    * store it is the per-file copy+delete the LSM drain amortizes).
+  /** The planning state one read or mutation works from: the live main
+    * file list (manifest entries, plus a legacy walk's extras when
+    * dirty markers are present), the recorded schema when it is still
+    * exact, the tombstone set, and the dirty markers observed (so a
+    * compaction clears exactly those). None ⇔ no readable manifest
+    * generation — the store is in legacy listing mode (never
+    * compacted, or catastrophic manifest loss).
     */
-  private def moveFiles(from: Path, to: Path): Unit = {
-    val files = ls(from)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (files.nonEmpty) fs.mkdirs(to): Unit
-    files.foreach { f =>
-      val name = f.getPath.getName
-      var dest = new Path(to, name)
-      // a dest with the SAME name and size is this very file,
-      // re-encountered when an interrupted move is resumed (part names
-      // carry a job UUID, so two distinct files cannot share one) —
-      // drop the source instead of duplicating its rows
-      if (fs.exists(dest) && fs.getFileStatus(dest).getLen == f.getLen) {
-        fs.delete(f.getPath, false): Unit
-      } else {
-        // any OTHER collision is pathological — but a silent overwrite
-        // would drop rows
-        var i = 0
-        while (fs.exists(dest)) { i += 1; dest = new Path(to, s"dup$i-$name") }
-        if (!fs.rename(f.getPath, dest))
-          throw new java.io.IOException(
-            s"moveFiles: ${f.getPath} -> $dest failed")
-      }
+  private case class Truth(entries: Seq[StoreManifest.Entry],
+      schema: Option[StructType], deadRels: Set[String],
+      dirtyNames: Seq[String], dead: Seq[StoreManifest.Dead])
+
+  private def truth(): Option[Truth] = {
+    val (snapOpt, dirty) = manifest.readState()
+    snapOpt.map { snap =>
+    val deadRels = snap.deadRels
+    if (dirty.isEmpty)
+      Truth(snap.entries, snap.schema, deadRels, Nil, snap.dead)
+    else {
+      // dirty: direct write()s appended to the legacy tree since the
+      // last publish — union a walk in, minus files the manifest
+      // already lists (a legacy rel can be IN the manifest: a store
+      // that never gen-compacted publishes legacy rels) and minus
+      // tombstones (superseded files still on disk until vacuum)
+      val known = snap.entries.map(_.rel).toSet
+      val extras = manifest.walkLegacy()
+        .filterNot(e => known(e.rel) || deadRels(e.rel))
+      // the recorded schema can't cover columns the dirty appends
+      // introduced — drop to footer inference until the next compact
+      Truth(snap.entries ++ extras, None, deadRels, dirty, snap.dead)
     }
-    // Remove only what this move owns: writer metadata (_SUCCESS,
-    // checksum files) and then the dir IF nothing else remains. A
-    // `_temporary` tree from a concurrent writeStaged commit — or any
-    // entry we don't recognize — means the dir is still someone else's;
-    // deleting it out from under them would eat their in-flight flush.
-    // (Compaction is serialized by contract, but the contract is now
-    // enforced by leaving foreign entries alone instead of narrated.)
-    ls(from)
-      .filter(s => s.isFile && (s.getPath.getName == "_SUCCESS" ||
-        s.getPath.getName.endsWith(".crc")))
-      .foreach(s => fs.delete(s.getPath, false): Unit)
-    // recursive delete is safe once the LISTING is empty: a checksumming
-    // FileSystem hides its shadow .crc files from listStatus, and an
-    // in-flight writer's `_temporary` tree IS listed — so an empty
-    // listing means only our own checksum shadows can remain
-    if (ls(from).isEmpty) rm(from)
-  }
-
-  /** Roll back an interrupted snapshot: files moved to
-    * `_staging_compacting` by a compact() that never promoted belong in
-    * `_staging` again (their rewrite was discarded with the staged
-    * tree).
-    */
-  private def foldCompactingBack(): Unit = {
-    val c = new Path(compactingDir)
-    if (fs.exists(c)) moveFiles(c, new Path(stagingDir))
-  }
-
-  /** Recursively merge-move `src` into `dst`, with an IDEMPOTENT
-    * resume contract: re-running after any interruption converges on
-    * "src fully inside dst". The fast path is one directory rename
-    * (atomic on local/HDFS); on a filesystem whose directory rename is
-    * per-object copy+delete (object stores), a rename can return false
-    * having moved PART of the tree — the merge path then walks what
-    * remains: a child name already present in `dst` is the SAME child
-    * re-encountered (file part-names carry job UUIDs; equal size ⇒
-    * equal file ⇒ drop the source), a directory recurses, anything
-    * genuinely conflicting fails loudly rather than dropping rows.
-    */
-  private def mergeMove(src: Path, dst: Path): Unit = {
-    if (!fs.exists(src)) return
-    if (!fs.exists(dst)) {
-      val parent = dst.getParent
-      if (parent != null && !fs.exists(parent)) fs.mkdirs(parent): Unit
-      if (fs.rename(src, dst)) return
-      // a false return may still have moved part of the tree — merge
-      // whatever remains per child
-      if (!fs.exists(src)) return
-      if (!fs.exists(dst)) fs.mkdirs(dst): Unit
     }
-    ls(src).foreach { st =>
-      val to = new Path(dst, st.getPath.getName)
-      if (st.isDirectory) mergeMove(st.getPath, to)
-      else if (!fs.exists(to)) {
-        if (!fs.rename(st.getPath, to))
-          throw new java.io.IOException(
-            s"mergeMove: ${st.getPath} -> $to failed")
-      } else if (fs.getFileStatus(to).getLen == st.getLen) {
-        fs.delete(st.getPath, false): Unit // the same file, already moved
-      } else throw new java.io.IOException(
-        s"mergeMove: $to exists with a different size than ${st.getPath}")
+  }
+
+  /** rel → rel without its leading `_gen-…` tree segment: the LOGICAL
+    * path (`date=…/hour=…/minute=…/file`), the coordinate space
+    * prefixes, planning, and grain checks operate in. A rewrite tree
+    * is an implementation detail of WHERE a partition's bytes live.
+    */
+  private def logicalRel(rel: String): String =
+    if (rel.startsWith("_gen-")) rel.substring(rel.indexOf('/') + 1)
+    else rel
+
+  private def treeRootOf(rel: String): String =
+    if (rel.startsWith("_gen-")) rel.take(rel.indexOf('/')) else ""
+
+  /** Plan the given entries as a DataFrame with ZERO filesystem
+    * listings: one [[ManifestFileIndex]] per tree root (Spark's
+    * partition-path parser refuses mixed `date=…` depths below one
+    * basePath, so legacy and each `_gen-*` tree plan as their own
+    * relation), unioned by name. Partition columns, pruning and types
+    * are identical to a directory read per tree.
+    */
+  private def relationFor(entries: Seq[StoreManifest.Entry],
+      schema: Option[StructType]): Option[DataFrame] = {
+    if (entries.isEmpty) return None
+    val byTree = entries.groupBy(e => treeRootOf(e.rel))
+    val parts = byTree.toSeq.sortBy(_._1).flatMap { case (tree, es) =>
+      val base = if (tree.isEmpty) dir else s"$dir/$tree"
+      val scoped = es.map(e => e.copy(rel = logicalRel(e.rel)))
+      ManifestFileIndex.relation(spark, base, scoped, schema)
     }
-    if (ls(src).isEmpty) rm(src)
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
-  // ---- torn-promote phase machine ----
-  //
-  // The swap that promotes a completed rewrite uses directory renames,
-  // and on an object store a directory rename is per-object copy+delete
-  // — an interruption leaves the tree SPLIT across source and
-  // destination. Without extra state, a reader's recover() that finds
-  // a (partial) live dir would treat the staged/old trees as stale and
-  // delete rows that had already moved aside: data loss. Two root-level
-  // marker files make every phase idempotent and attributable:
-  //
-  //   m1 ("aside in progress"): created only after the staged rewrite
-  //     is COMPLETE (`_STAGED_OK`). From here the live/old trees hold
-  //     nothing the rewrite lacks except late [[writeStaged]] flushes —
-  //     phase 1 adopts those into the rewrite's staging and drops both
-  //     trees, however a torn rename split them.
-  //   m2 ("promote in progress"): created after phase 1; phase 2
-  //     [[mergeMove]]s the staged tree into the live path (idempotent,
-  //     tear-tolerant) and clears the markers.
-  //
-  // recover() resumes from whichever marker it finds, so a crash or
-  // torn rename at ANY point leaves a store that reads complete.
-  private def swapM1 = new Path(root, s".swap1-$table")
-  private def swapM2 = new Path(root, s".swap2-$table")
-
-  /** Phase 1: the rewrite under `stagedDir` is complete — adopt late
-    * flushes from both (possibly split) old-data trees, drop them,
-    * then hand off to phase 2. Idempotent.
-    */
-  private def finishSwapFrom1(crashAfterStep: Int = Int.MaxValue): Unit = {
-    manifest.invalidate() // live tree is about to change shape
-    moveFiles(new Path(stagingDir), new Path(s"$stagedDir/_staging"))
-    moveFiles(new Path(s"$oldDir/_staging"), new Path(s"$stagedDir/_staging"))
-    rm(new Path(dir))
-    rm(new Path(oldDir))
-    fs.createNewFile(swapM2): Unit
-    fs.delete(swapM1, false): Unit
-    if (crashAfterStep <= 3) return
-    finishSwapFrom2()
-  }
-
-  /** Phase 2: old data is gone; move the staged tree (or whatever of
-    * it a previous attempt left behind) into the live path. Idempotent.
-    */
-  private def finishSwapFrom2(): Unit = {
-    manifest.invalidate()
-    val live = new Path(dir)
-    mergeMove(new Path(stagedDir), live)
-    fs.delete(new Path(live, "_STAGED_OK"), false): Unit
-    // legacy tolerance: a late flush parked under an old tree by a
-    // pre-marker layout (or a crash test) is still adopted
-    val lateStaging = new Path(oldDir, "_staging")
-    if (fs.exists(lateStaging)) moveFiles(lateStaging, new Path(stagingDir))
-    rm(new Path(oldDir))
-    fs.delete(swapM2, false): Unit
-    fs.delete(swapM1, false): Unit
-  }
-
-  /** The main partitioned tree / the staging tree as DataFrames, None
-    * when that side holds no data yet. Schema inference doubles as the
-    * distributed "any files?" probe — a driver-side walk would not
+  /** The legacy tree / the staging tree as DataFrames via Spark
+    * directory discovery, None when that side holds no data yet. Only
+    * the no-manifest mode plans this way. Schema inference doubles as
+    * the distributed "any files?" probe — a driver-side walk would not
     * scale to a real store's file count.
     */
   private def tryRead(path: String): Option[DataFrame] = {
@@ -310,19 +295,21 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     }
   }
 
-  /** The partitioned tree as a DataFrame, planned from the manifest
-    * when one is present — via [[ManifestFileIndex]], so partition
-    * columns, pruning, and schema behave exactly as in the directory
-    * read but NOT ONE filesystem listing happens (at an object-store
-    * 100 TB that listing is thousands of rate-limited LIST calls) —
-    * and from directory discovery otherwise.
+  /** Staged parquet files still live (listing minus tombstones: a
+    * drained staged file stays on disk until vacuum, but is no longer
+    * part of the table).
     */
-  private def tryReadMain(): Option[DataFrame] =
-    manifest.read() match {
-      case Some(snap) =>
-        ManifestFileIndex.relation(spark, dir, snap.entries, snap.schema)
-      case None => tryRead(dir)
-    }
+  private def stagedStatuses(deadRels: Set[String]): Seq[FileStatus] =
+    ls(new Path(stagingDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !deadRels(s"_staging/${s.getPath.getName}"))
+
+  private def readStaged(deadRels: Set[String]): Option[DataFrame] = {
+    val files = stagedStatuses(deadRels)
+    if (files.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.getPath.toString): _*))
+  }
 
   /** Read with optional µs time-range pruning pushed onto the partition
     * columns; mergeSchema covers dynamic log-schema drift across files
@@ -331,7 +318,6 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * the logical table schema.
     */
   def read(startUs: Option[Long], endUs: Option[Long]): Option[DataFrame] = {
-    recover()
     if (!exists) return None
     val rowPred: Option[org.apache.spark.sql.Column] = (startUs, endUs) match {
       case (Some(s), Some(e)) => Some(col(timeCol).between(s, e))
@@ -339,19 +325,45 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       case (None, Some(e)) => Some(col(timeCol) <= e)
       case _ => None
     }
-    val main = tryReadMain().map { base =>
+    val t = truth()
+    val (mainOpt, grainDepth) = t match {
+      case Some(tr) =>
+        // partition grain from the entries themselves (logical rel
+        // depth), so a mixed-grain union prunes at the COMMON grain
+        val depths = tr.entries.map(e => logicalRel(e.rel).count(_ == '/'))
+        (relationFor(tr.entries, tr.schema),
+          if (depths.isEmpty) 0 else depths.min)
+      case None =>
+        val base = tryRead(dir)
+        val d = base.map { b =>
+          if (b.columns.contains("minute")) 3
+          else if (b.columns.contains("hour")) 2
+          else if (b.columns.contains("date")) 1 else 0
+        }.getOrElse(0)
+        (base, d)
+    }
+    val main = mainOpt.map { base =>
       // Partition predicate at the FINEST grain the tree exposes
-      // (minute → hour → date, probed from the inferred partition
-      // columns so hour/day-compacted trees still prune at their own
-      // grain) + exact row predicate on the time column; both push
-      // down (partition pruning + parquet row-group stats). The
-      // predicate is conservative (boundary partitions kept whole) and
-      // the row filter is exact, so tightening the grain changes the
-      // FILES READ, never the rows returned: a one-hour window over a
+      // (minute → hour → date, probed from the layout so hour/day-
+      // compacted trees still prune at their own grain) + exact row
+      // predicate on the time column; both push down (partition
+      // pruning + parquet row-group stats). The predicate is
+      // conservative (boundary partitions kept whole) and the row
+      // filter is exact, so tightening the grain changes the FILES
+      // READ, never the rows returned: a one-hour window over a
       // year-deep minute store plans ~60 files instead of a whole
       // day's 1,440.
-      val hasHour = base.columns.contains("hour")
-      val hasMinute = hasHour && base.columns.contains("minute")
+      val hasHour = grainDepth >= 2 && base.columns.contains("hour")
+      // minute-grain pruning additionally requires the session zone to
+      // have NO UTC-offset transition near the bound instant: in a DST
+      // fall-back hour the repeated local minutes are not monotone in
+      // event time (01:05 EST is AFTER 01:50 EDT), so a minute bound
+      // would prune same-hour partitions holding in-window rows. Near
+      // a transition the boundary HOUR is kept whole instead — ≤59
+      // extra files planned, rows unchanged (the row predicate is
+      // exact either way).
+      val hasMinute = hasHour && grainDepth >= 3 &&
+        base.columns.contains("minute")
       // bound values via the SAME date_format derivation the write path
       // uses (session-timezone; foldable, so partition pruning still
       // constant-folds them) — pure-UTC arithmetic here would silently
@@ -363,11 +375,22 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         date_format(timestamp_micros(lit(us)), "HH").cast("int")
       def minStr(us: Long) =
         date_format(timestamp_micros(lit(us)), "mm").cast("int")
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone"))
+      def minuteSafe(us: Long): Boolean = {
+        val rules = zone.getRules
+        rules.isFixedOffset || {
+          val inst = java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L))
+          val next = rules.nextTransition(inst.minusSeconds(3600))
+          next == null || next.getInstant.isAfter(inst.plusSeconds(3600))
+        }
+      }
       def prune(us: Long, lower: Boolean): org.apache.spark.sql.Column = {
         val d = dayStr(us); val h = hourStr(us); val m = minStr(us)
         val sameDay =
           if (lower) col("date") > d else col("date") < d
-        if (hasMinute) sameDay || (col("date") === d &&
+        if (hasMinute && minuteSafe(us)) sameDay || (col("date") === d &&
           (if (lower) col("hour") > h ||
               (col("hour") === h && col("minute") >= m)
            else col("hour") < h ||
@@ -391,12 +414,9 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     }
     // staged flushes: no directory pruning yet (that is compaction's
     // job), but the row-level time predicate still pushes down onto
-    // the staged files' row-group stats. A mid-compaction snapshot
-    // (`_staging_compacting`) is part of the table too — its rows are
-    // not in the main tree until the swap promotes the rewrite.
-    val staged = Seq(stagingDir, compactingDir).flatMap(tryRead)
+    // the staged files' row-group stats
+    val staged = readStaged(t.map(_.deadRels).getOrElse(Set.empty))
       .map(df => rowPred.fold(df)(df.where))
-      .reduceOption(_.unionByName(_, allowMissingColumns = true))
     (main, staged) match {
       case (Some(m), Some(st)) => Some(m.unionByName(st,
         allowMissingColumns = true))
@@ -404,228 +424,97 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     }
   }
 
-  private def stagedDir = s"$root/.compact-$table"
-  private def oldDir = s"$root/.old-$table"
-  private def stagedMarker = new Path(stagedDir, "_STAGED_OK")
+  // ---- compaction (manifest-commit protocol) ----
 
-  /** Roll an interrupted [[compact]] swap forward or back so a reader
-    * always finds a complete table:
-    *  - live dir present → any leftover staged/old trees are stale; drop.
-    *  - live missing but a FULLY staged tree exists (marker written after
-    *    the staging write completed) → promote it, drop the old tree.
-    *  - live missing, no complete staged tree → restore the old tree.
-    * Runs before every read and compact; three file-existence checks in
-    * the common case.
-    */
-  def recover(): Unit = {
-    // torn-promote resume first: a marker means a swap was mid-flight —
-    // the marker, not the live dir's existence, says whose rows the
-    // (possibly split) trees hold. Without this, a live dir partially
-    // emptied by a torn rename would read as "current" and the legacy
-    // logic below would delete the trees holding the moved rows.
-    if (fs.exists(swapM2)) finishSwapFrom2()
-    else if (fs.exists(swapM1)) {
-      if (fs.exists(stagedMarker)) finishSwapFrom1()
-      else fs.delete(swapM1, false): Unit // no complete rewrite → legacy
-    }
-    val live = new Path(dir)
-    val old = new Path(oldDir)
-    val staged = new Path(stagedDir)
-    // late flushes: live+old coexisting means a compact() promoted but
-    // crashed before adopting the flushes that landed in `_staging`
-    // during the rewrite (the folded snapshot sits in old's
-    // `_staging_compacting`, which dies with the old tree) — move the
-    // late files into the live staging tree before dropping old
-    def adoptLateStaging(): Unit = {
-      val lateStaging = new Path(old, "_staging")
-      if (fs.exists(lateStaging))
-        moveFiles(lateStaging, new Path(stagingDir))
-    }
-    if (fs.exists(live)) {
-      if (fs.exists(staged)) rm(staged)
-      if (fs.exists(old)) { adoptLateStaging(); rm(old) }
-      // a snapshot whose compact() never swapped rolls back to staging
-      foldCompactingBack()
-    } else if (fs.exists(stagedMarker)) {
-      manifest.invalidate()
-      mergeMove(staged, live)
-      fs.delete(new Path(live, "_STAGED_OK"), false): Unit
-      if (fs.exists(old)) { adoptLateStaging(); rm(old) }
-    } else if (fs.exists(old)) {
-      manifest.invalidate()
-      rm(staged)
-      mergeMove(old, live)
-      foldCompactingBack()
-    }
-    recoverPartitions()
-  }
-
-  /** Re-pin the partition columns to their canonical zero-padded
-    * string forms before a compaction rewrite. Hive partition-value
-    * type INFERENCE parses `hour=08` as the integer 8, so a naive
-    * read→write round-trip renames the dir to `hour=8` — silently
-    * breaking the zero-padded layout [[TimePrefix]]'s path strings
-    * (readPrefixes) depend on, and leaving a table whose pre- and
-    * post-compaction dirs disagree. lpad(cast(x, string), 2, '0') is
-    * a fixed point for both the inferred-int and original-string
-    * forms; `date` round-trips through DateType as ISO unchanged.
-    */
-  private def normalizePartCols(df: DataFrame): DataFrame = df
-    .withColumn("date", col("date").cast("string"))
-    .withColumn("hour", lpad(col("hour").cast("string"), 2, "0"))
-    .withColumn("minute", lpad(col("minute").cast("string"), 2, "0"))
-
-  private def partStagedPrefix = s".compact-$table@"
-  private def partOldPrefix = s".old-$table@"
-
-  /** [[recover]]'s per-partition pass: roll any interrupted
-    * [[compactDate]] swap forward or back — same three-way logic as
-    * the whole-table swap, scoped to one `date=…` dir. O(#interrupted
-    * swaps), not O(partitions): only leftover temp trees are listed.
-    */
-  private def partSwapM(n: Int, part: String) =
-    new Path(root, s".swap$n-$table@$part")
-
-  /** [[finishSwapFrom1]]'s per-partition twin (no staging adoption —
-    * the table-level `_staging` tree never lives under a date dir).
-    */
-  private def finishPartSwapFrom1(part: String,
-      crashAfterStep: Int = Int.MaxValue): Unit = {
-    manifest.invalidate()
-    rm(new Path(dir, part))
-    rm(new Path(root, partOldPrefix + part))
-    fs.createNewFile(partSwapM(2, part)): Unit
-    fs.delete(partSwapM(1, part), false): Unit
-    if (crashAfterStep <= 3) return
-    finishPartSwapFrom2(part)
-  }
-
-  private def finishPartSwapFrom2(part: String): Unit = {
-    manifest.invalidate()
-    val live = new Path(dir, part)
-    mergeMove(new Path(root, partStagedPrefix + part), live)
-    fs.delete(new Path(live, "_STAGED_OK"), false): Unit
-    rm(new Path(root, partOldPrefix + part))
-    fs.delete(partSwapM(2, part), false): Unit
-    fs.delete(partSwapM(1, part), false): Unit
-  }
-
-  private def recoverPartitions(): Unit = {
-    val rootP = new Path(root)
-    if (!fs.exists(rootP)) return
-    val names = ls(rootP).map(_.getPath.getName)
-    // torn-promote resume first, same reasoning as [[recover]]'s
-    // table-level prologue: the marker says whose rows the split
-    // trees hold, the live dir's existence does not
-    val m2p = s".swap2-$table@"; val m1p = s".swap1-$table@"
-    names.filter(_.startsWith(m2p)).map(_.substring(m2p.length))
-      .foreach(finishPartSwapFrom2)
-    names.filter(_.startsWith(m1p)).map(_.substring(m1p.length))
-      .foreach { p =>
-        if (!fs.exists(partSwapM(1, p))) () // finished via its m2 above
-        else if (fs.exists(new Path(
-            new Path(root, partStagedPrefix + p), "_STAGED_OK")))
-          finishPartSwapFrom1(p)
-        else fs.delete(partSwapM(1, p), false): Unit // no rewrite → legacy
-      }
-    val parts = names.collect {
-      case n if n.startsWith(partStagedPrefix) =>
-        n.substring(partStagedPrefix.length)
-      case n if n.startsWith(partOldPrefix) =>
-        n.substring(partOldPrefix.length)
-    }.distinct
-    for (p <- parts) {
-      val live = new Path(dir, p)
-      val staged = new Path(rootP, partStagedPrefix + p)
-      val old = new Path(rootP, partOldPrefix + p)
-      val marker = new Path(staged, "_STAGED_OK")
-      if (fs.exists(live)) {
-        if (fs.exists(staged)) rm(staged)
-        if (fs.exists(old)) rm(old)
-      } else if (fs.exists(marker)) {
-        mergeMove(staged, live)
-        fs.delete(new Path(live, "_STAGED_OK"), false): Unit
-        if (fs.exists(old)) rm(old)
-      } else if (fs.exists(old)) {
-        rm(staged)
-        mergeMove(old, live)
-      }
-    }
-  }
+  private def newGenName(): String =
+    f"_gen-${System.currentTimeMillis()}%013d-" +
+      java.util.UUID.randomUUID().toString
 
   /** Compact ONE date partition — the incremental form compaction
     * actually takes at scale: a rolling background job over
     * partitions older than the hot ingest tail, never a whole-table
     * rewrite (at 100 TB the [[compact]] full rewrite is a migration
-    * tool, not a cadence). Same crash-safe swap discipline, scoped to
-    * the `date=…` dir: staged rewrite + marker, live-aside, promote,
-    * drop — [[recover]] rolls an interrupted swap forward or back per
-    * partition. Never touches other dates or the `_staging` tree
-    * (draining staging is the whole-table pass's job).
+    * tool, not a cadence). The date's current files (whatever trees
+    * they live in) are rewritten into a fresh immutable `_gen-*` tree;
+    * the manifest publish — prior entries minus the date's, plus the
+    * rewrite's, tombstones extended — is the atomic commit. Old files
+    * stay on disk for concurrent readers until [[vacuum]]. Never
+    * touches other dates or the `_staging` tree (draining staging is
+    * the whole-table pass's job).
+    *
+    * `crashAfterStep` (tests only) aborts after the numbered step:
+    * 1 = rewrite tree fully written but UNPUBLISHED (readers see the
+    * old state; the orphan tree is vacuum's to reclaim), 2 = manifest
+    * generation published (the mutation is fully visible).
     */
   def compactDate(date: String, filesPerPartition: Int = 1,
       zorderOn: Option[(org.apache.spark.sql.Column,
         org.apache.spark.sql.Column)] = None,
       blockSize: Option[Long] = None,
       crashAfterStep: Int = Int.MaxValue): Unit = {
-    recover()
+    fence()
+    val t = truth()
+    val mainEntries = t.map(_.entries).getOrElse(manifest.walkLegacy())
     val part = s"date=$date"
-    val live = new Path(dir, part)
-    if (!fs.exists(live)) return
-    val staged = new Path(root, partStagedPrefix + part)
-    val old = new Path(root, partOldPrefix + part)
-    // basePath keeps the hour/minute partition columns; the constant
-    // date column is dropped before the write and re-inferred from
-    // the promoted dir name
-    val base = normalizePartCols(spark.read.option("mergeSchema", "true")
-        .option("basePath", dir).parquet(live.toString))
-      .repartition(filesPerPartition, col("hour"), col("minute"))
+    val eD = mainEntries.filter(e => logicalRel(e.rel).startsWith(part + "/"))
+    if (eD.isEmpty) return
+    // partition columns re-derived from the row's own time (the store
+    // invariant: dir values are pure functions of timeCol in the
+    // session zone) — one derivation path whatever trees the input
+    // files lived in. compactDate targets the minute layout
+    // (planCompactions only flags minute-grain dates).
+    val rows = relationFor(eD, t.flatMap(_.schema)).getOrElse(return)
+      .drop("date", "hour", "minute")
+      .withColumn("__ts", timestamp_micros(col(timeCol)))
+      .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("__ts"), "HH"))
+      .withColumn("minute", date_format(col("__ts"), "mm"))
+      .drop("__ts")
+    val base = rows.repartition(filesPerPartition, col("hour"), col("minute"))
     val sorted = zorderOn.fold(base) { case (x, y) =>
       base.sortWithinPartitions(col("hour"), col("minute"),
         graft.operators.Pipelines.zorderKey(x, y))
     }
-    val writer = sorted.drop("date").write.mode("overwrite")
+    val gen = newGenName()
+    val writer = sorted.write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
       .option("parquet.bloom.filter.expected.ndv#trace_id",
         bloomNdv.toString)
     blockSize.fold(writer)(b => writer
         .option("parquet.block.size", b.toString))
-      .partitionBy("hour", "minute")
-      .parquet(staged.toString)
-    fs.createNewFile(new Path(staged, "_STAGED_OK")): Unit
+      .partitionBy("date", "hour", "minute")
+      .parquet(s"$dir/$gen")
     if (crashAfterStep <= 1) return
-    // per-partition torn-rename-safe promote (see [[swapM1]]): aside
-    // rename is best-effort, phase 1 drops both (possibly split) trees.
-    // Manifest: snapshot prior entries BEFORE invalidating — only this
-    // date's subtree changes, so the rebuild re-walks it alone and
-    // keeps every other date's entries verbatim (a full-tree walk per
-    // per-date drain would re-pay the listing bill the manifest
-    // retires; on a years-deep store that is the whole cost)
-    val priorEntries = manifest.read()
-    manifest.invalidate()
-    fs.createNewFile(partSwapM(1, part)): Unit
-    fs.rename(live, old): Unit
-    if (crashAfterStep <= 2) return
-    finishPartSwapFrom1(part, crashAfterStep)
-    if (crashAfterStep > 3) priorEntries match {
-      case Some(prior) => manifest.rebuildScoped(prior, part)
-      case None => manifest.rebuild()
-    }
+    // COMMIT: prior entries outside the date kept verbatim — no walk —
+    // plus the rewrite's walk (bounded by the files just written).
+    // The prior merged schema stays exact only when it was exact
+    // before (not dirty): the rewrite read with that schema pinned, so
+    // its files carry the full unified column set.
+    val now = System.currentTimeMillis()
+    val kept = mainEntries.filterNot(e =>
+      logicalRel(e.rel).startsWith(part + "/"))
+    manifest.publish(kept ++ manifest.walkSubtree(gen),
+      t.flatMap(_.schema),
+      t.map(_.dead).getOrElse(Nil) ++
+        eD.map(e => StoreManifest.Dead(e.rel, now)))
   }
 
   /** Compact the small files the minute-grained ingest leaves behind:
-    * rewrite every (date,hour,minute) partition into `filesPerPartition`
-    * files. Readers are unaffected (same hive layout, same pruning);
-    * at scale this runs periodically over partitions older than the hot
-    * ingest tail.
+    * fold the whole main truth plus the staged flushes into one fresh
+    * `_gen-*` tree at the target granularity, committed by a manifest
+    * generation whose tombstones cover every superseded file (old main
+    * files AND the drained staged files — both stay on disk for
+    * concurrent readers until [[vacuum]]). Readers are unaffected
+    * (same hive layout per tree, same pruning); at scale this runs
+    * periodically over stores whose main tree is compaction-owned.
     *
-    * Crash-safe swap: stage the rewrite to a temp tree and mark it
-    * complete, rename live aside, promote the staged tree, then drop the
-    * old tree. A crash between any two steps leaves a state [[recover]]
-    * rolls to a complete table — never a missing or half-visible one.
     * `crashAfterStep` (tests only) aborts after the numbered step:
-    * 1 = staged+marker written, 2 = live renamed aside, 3 = staged
-    * promoted.
+    * 1 = rewrite tree fully written but UNPUBLISHED — readers still
+    * see the pre-compaction state exactly (main + staging), the orphan
+    * tree is invisible (underscore-hidden, referenced by nothing) and
+    * is vacuum's to reclaim; 2 = manifest generation published — the
+    * drain is fully visible, only the observed dirty markers' cleanup
+    * is outstanding (harmless: a dirty walk finds no extras).
     */
   /** @param zorderOn optional pair of 16-bit-domain dimension columns
     *   (values clamped to [0, 65535]) to Morton-order rows by WITHIN
@@ -664,10 +553,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     *   Reads are granularity-invariant: [[read]] prunes on `date` +
     *   the row time predicate at every level, and [[readPrefixes]]
     *   falls back to coarser dirs with an equivalent row filter.
-    *   Granularity applies to the WHOLE rewrite (hive discovery
-    *   requires uniform depth), so it fits stores whose main tree is
-    *   compaction-owned (the [[writeStaged]]/LSM shape); a store also
-    *   taking direct minute-grained [[write]]s should stay "minute".
+    *   Granularity applies to the WHOLE rewrite (each tree's hive
+    *   discovery requires uniform depth), so it fits stores whose main
+    *   tree is compaction-owned (the [[writeStaged]]/LSM shape); a
+    *   store also taking direct minute-grained [[write]]s should stay
+    *   "minute".
     */
   def compact(filesPerPartition: Int = 1,
       crashAfterStep: Int = Int.MaxValue,
@@ -676,21 +566,23 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       blockSize: Option[Long] = None,
       granularity: String = "minute"): Unit = {
     val partCols = ParquetStore.partColsFor(granularity)
-    recover()
+    fence()
     if (!exists) return
-    // SNAPSHOT the staging tree by moving its current files into
-    // `_staging_compacting` (atomic renames): the rewrite folds exactly
-    // that snapshot, while flushes landing in `_staging` from here on
-    // are LATE — outside the rewrite, preserved across the swap below
-    // (and by [[recover]] if we crash). The lazy-read form this
-    // replaces deleted any flush that landed between the rewrite's
-    // file-index snapshot and the swap.
-    val stagingP = new Path(stagingDir)
-    if (fs.exists(stagingP)) moveFiles(stagingP, new Path(compactingDir))
-    val mainPart = tryReadMain()
-    val stagedPart = tryRead(compactingDir)
-    val mainRows = mainPart.map(_.drop("date", "hour", "minute"))
-    val all = (mainRows, stagedPart) match {
+    // SNAPSHOT: the staged file list and main truth are captured NOW;
+    // a flush landing in `_staging` after this listing is cleanly
+    // "late" — outside the rewrite, outside the tombstones, visible
+    // before and after the commit.
+    val t = truth()
+    val deadRels = t.map(_.deadRels).getOrElse(Set.empty)
+    val stagedF = stagedStatuses(deadRels)
+    val mainEntries = t.map(_.entries).getOrElse(manifest.walkLegacy())
+    val mainRows = relationFor(mainEntries, t.flatMap(_.schema))
+      .map(_.drop("date", "hour", "minute"))
+    val stagedRows =
+      if (stagedF.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(stagedF.map(_.getPath.toString): _*))
+    val all = (mainRows, stagedRows) match {
       case (Some(m), Some(st)) =>
         Some(m.unionByName(st, allowMissingColumns = true))
       case (m, st) => m.orElse(st)
@@ -717,6 +609,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // required-ordering (it otherwise re-sorts each task by the
     // dynamic partition keys, unstably) is already satisfied and the
     // z-order survives into the files
+    val gen = newGenName()
     val writer = zorderOn.fold(base) { case (x, y) =>
       base.sortWithinPartitions(
         partCols.map(col) :+ graft.operators.Pipelines.zorderKey(x, y): _*)
@@ -728,36 +621,109 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     blockSize.fold(writer)(b => writer
         .option("parquet.block.size", b.toString))
       .partitionBy(partCols: _*)
-      .parquet(stagedDir)
-    fs.createNewFile(stagedMarker): Unit
+      .parquet(s"$dir/$gen")
     if (crashAfterStep <= 1) return
-    // PROMOTE through the torn-rename-safe phase machine (markers +
-    // idempotent phases — see the block comment above [[swapM1]]): the
-    // aside rename below is a best-effort fast path whose result does
-    // not matter, because phase 1 treats live/old as one disposable
-    // pool (rewrite complete; only late `_staging` flushes are kept),
-    // however a non-atomic rename split them.
-    fs.createNewFile(swapM1): Unit
-    fs.rename(new Path(dir), new Path(oldDir)): Unit
+    // COMMIT: one manifest publish flips the table from (old main ∪
+    // staged) to the rewrite — entries walked from the files just
+    // written (bounded), schema exact (every file written from ONE
+    // DataFrame), tombstones = everything superseded plus the prior
+    // not-yet-vacuumed set carried forward.
+    val now = System.currentTimeMillis()
+    manifest.publish(manifest.walkSubtree(gen), Some(all.get.schema),
+      t.map(_.dead).getOrElse(Nil) ++
+        (mainEntries.map(_.rel) ++
+          stagedF.map(s => s"_staging/${s.getPath.getName}"))
+          .map(StoreManifest.Dead(_, now)))
     if (crashAfterStep <= 2) return
-    finishSwapFrom1(crashAfterStep)
-    // publish the manifest only when the swap fully completed (the
-    // crashAfterStep early-returns model a crash: manifest stays
-    // absent and readers list — correct, just unindexed). The rewrite
-    // wrote every file from ONE DataFrame, so its schema IS the
-    // merged data schema — recorded so reads skip footer inference
-    if (crashAfterStep > 3) manifest.rebuild(Some(all.get.schema))
+    // the legacy extras this pass folded are now in the manifest —
+    // clear exactly the markers observed at the snapshot (a marker
+    // dropped by a later write must survive; single-writer makes that
+    // impossible here, but the discipline is free)
+    manifest.clearDirty(t.map(_.dirtyNames).getOrElse(Nil))
   }
+
+  /** Reclaim what the manifest-commit protocol deferred: tombstoned
+    * files whose mutation is at least `graceMs` old, `_gen-*` trees no
+    * retained generation references (crashed rewrites, or fully-
+    * superseded trees emptied by tombstone reclaim), and retained
+    * manifest generations beyond the newest that are older than the
+    * grace window. The grace window IS the snapshot-isolation
+    * guarantee: a reader holds its planned `FileStatus`es safely for
+    * up to `graceMs` after the mutation that superseded them.
+    * Idempotent; crash at any point leaves strictly less to reclaim.
+    * Returns (tombstonedFilesDeleted, orphanTreesDeleted, gensPruned).
+    */
+  def vacuum(graceMs: Long): (Int, Int, Int) = {
+    fence()
+    val now = System.currentTimeMillis()
+    val snap = manifest.read()
+    // 1. ripe tombstones → delete the files (idempotent: missing = ok)
+    val ripe = snap.map(_.dead.filter(_.millis + graceMs <= now))
+      .getOrElse(Nil)
+    ripe.foreach(d => fs.delete(new Path(s"$dir/${d.rel}"), false): Unit)
+    // drop now-empty partition dirs the tombstones vacated (legacy
+    // tree dirs; gen trees are handled whole below). Depth-bounded:
+    // only parents of deleted files are probed.
+    val tableP = new Path(dir)
+    ripe.map(d => new Path(s"$dir/${d.rel}").getParent).distinct
+      .foreach { p =>
+        var cur = p
+        // a dir holding only writer metadata (`_SUCCESS`) is as empty
+        // as the tombstones left it — drop the marker with the dir
+        def onlyMarkers(children: Seq[FileStatus]): Boolean =
+          children.forall(s => s.isFile && s.getPath.getName == "_SUCCESS")
+        while (cur != null && cur != tableP && fs.exists(cur) && {
+            val cs = ls(cur); cs.isEmpty || onlyMarkers(cs) }) {
+          rm(cur)
+          cur = cur.getParent
+        }
+      }
+    // 2. republish with the reclaimed tombstones pruned (entries and
+    // schema unchanged) so the dead list never grows unboundedly
+    if (ripe.nonEmpty) snap.foreach { s =>
+      val ripeSet = ripe.map(_.rel).toSet
+      manifest.publish(s.entries, s.schema,
+        s.dead.filterNot(d => ripeSet(d.rel)))
+    }
+    // 3. prune retained generations past the grace window (newest kept
+    // unconditionally — it IS the table) BEFORE the orphan scan, so a
+    // tree referenced only by an out-of-grace generation is reclaimed
+    // in this same pass
+    val gens = manifest.genNames()
+    val pruned = gens.dropRight(1).filter(genFileMillis(_).exists(
+      _ + graceMs <= now))
+    pruned.foreach(manifest.deleteGen)
+    // 4. orphan gen trees: referenced (live OR tombstoned) by NO
+    // retained generation and older than the grace window — crashed
+    // rewrites, or trees whose last live file a prior vacuum
+    // reclaimed. Every retained generation counts: an older gen is
+    // exactly what a corrupt-latest reader falls back to.
+    val referenced: Set[String] = manifest.readAll().flatMap(s =>
+      (s.entries.map(e => treeRootOf(e.rel)) ++
+        s.dead.map(d => treeRootOf(d.rel))).filter(_.nonEmpty)).toSet
+    val orphans = ls(new Path(dir)).filter { s =>
+      s.isDirectory && s.getPath.getName.startsWith("_gen-") &&
+        !referenced(s.getPath.getName) &&
+        s.getModificationTime + graceMs <= now &&
+        genNameMillis(s.getPath.getName).forall(_ + graceMs <= now)
+    }
+    orphans.foreach(s => rm(s.getPath))
+    (ripe.size, orphans.size, pruned.size)
+  }
+
+  private def genNameMillis(name: String): Option[Long] =
+    name.stripPrefix("_gen-").takeWhile(_.isDigit).toLongOption
+
+  private def genFileMillis(name: String): Option[Long] =
+    name.stripPrefix("gen-").takeWhile(_.isDigit).toLongOption
 
   /** Staged-but-uncompacted file count — the LSM depth signal the
     * compaction policy triggers on. A driver-side listing of ONE flat
-    * directory (staged flushes write few files each), not a tree walk.
+    * directory (staged flushes write few files each) minus the
+    * already-drained tombstones, not a tree walk.
     */
-  def stagedFileCount: Int = {
-    def count(p: String) = ls(new Path(p))
-      .count(s => s.getPath.getName.endsWith(".parquet"))
-    count(stagingDir) + count(compactingDir)
-  }
+  def stagedFileCount: Int =
+    stagedStatuses(manifest.read().map(_.deadRels).getOrElse(Set.empty)).size
 
   /** Oldest staged file's age in µs (None when staging is empty) — the
     * policy's second trigger: a trickle ingest never reaches the count
@@ -765,31 +731,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   def stagedOldestAgeUs(nowUs: Long = System.currentTimeMillis() * 1000L)
       : Option[Long] = {
-    // both trees, matching stagedFileCount: files a crashed compaction
-    // left in _staging_compacting are the OLDEST staged rows — exactly
-    // what the age bound exists to drain
-    val files = Seq(stagingDir, compactingDir)
-      .flatMap(p => ls(new Path(p)))
-      .filter(_.getPath.getName.endsWith(".parquet"))
+    val files = stagedStatuses(
+      manifest.read().map(_.deadRels).getOrElse(Set.empty))
     if (files.isEmpty) None
     else Some(nowUs - files.map(_.getModificationTime).min * 1000L)
   }
 
-  /** Compaction as a POLICY, not a tool (the LSM background cadence):
-    * drain the staging tree into the partitioned layout when it is
-    * deep enough (`maxStagedFiles`) or old enough (`maxAgeUs`) — the
-    * two triggers every LSM store's background compactor runs on
-    * (depth amortizes write cost; age bounds how long directory
-    * pruning is deferred for staged rows). Returns whether a drain
-    * ran. Reads are identical before and after a drain (read() unions
-    * staging in; the policy spec pins equality), so cadence points —
-    * end of an ingest loop, a timer — never change what a reader
-    * SEES. Operations on one store are serialized by the owning
-    * engine (the reference's single-process model): recover()'s
-    * roll-forward, which every read/compact runs first, assumes no
-    * compaction is mid-flight on another thread. Crash-safe via
-    * [[compact]]'s swap + snapshot discipline.
-    */
   /** Small-file compaction PLANNING from pure metadata (the OPTIMIZE /
     * rewrite-planning half of Delta/Iceberg maintenance at this
     * store's scale): the `date=` partitions [[compactDate]] can
@@ -803,21 +750,22 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * different, whole-tree decision). Dates already compacted to hour/
     * day grain are skipped for the same reason — compactDate requires
     * the minute layout. Costs one manifest GET when the store is
-    * compaction-owned; a direct-write ingest invalidates the manifest,
-    * so planning walks the tree until the first heal republishes.
-    * ZERO data reads either way. The staged/LSM path is
-    * [[maybeCompact]]'s depth/age policy instead.
+    * compaction-owned; a dirty store (direct-write ingest) pays a
+    * legacy-tree walk until the next compaction folds the appends.
+    * ZERO data reads either way. Leaf dirs are LOGICAL (gen-tree
+    * prefixes stripped), so a date whose files straddle a rewrite tree
+    * and fresh legacy flushes is counted — and healed — as one date.
     */
   def planCompactions(maxFilesPerDate: Int = 8,
       minAvgBytes: Long = 4L * 1024 * 1024): Seq[String] = {
-    recover()
     if (!exists) return Seq.empty
-    val entries = manifest.read().map(_.entries).getOrElse(manifest.walkNow())
-    entries.groupBy(_.rel.takeWhile(_ != '/'))
+    val entries = truth().map(_.entries).getOrElse(manifest.walkLegacy())
+    entries.groupBy(e => logicalRel(e.rel).takeWhile(_ != '/'))
       .collect { case (datePart, files) if datePart.startsWith("date=") && {
-          val minuteGrain = files.forall(_.rel.count(_ == '/') == 3)
-          val leafDirs = files
-            .map(e => e.rel.take(e.rel.lastIndexOf('/'))).distinct.size
+          val rels = files.map(e => logicalRel(e.rel))
+          val minuteGrain = rels.forall(_.count(_ == '/') == 3)
+          val leafDirs = rels
+            .map(r => r.take(r.lastIndexOf('/'))).distinct.size
           minuteGrain && files.size > leafDirs &&
             (files.size > maxFilesPerDate ||
               files.map(_.size).sum / files.size < minAvgBytes)
@@ -826,6 +774,19 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       .toSeq.sortBy { case (d, n) => (-n, d) }.map(_._1)
   }
 
+  /** Compaction as a POLICY, not a tool (the LSM background cadence):
+    * drain the staging tree into the partitioned layout when it is
+    * deep enough (`maxStagedFiles`) or old enough (`maxAgeUs`) — the
+    * two triggers every LSM store's background compactor runs on
+    * (depth amortizes write cost; age bounds how long directory
+    * pruning is deferred for staged rows). Returns whether a drain
+    * ran. Reads are identical before and after a drain (read() unions
+    * staging in; the policy spec pins equality), so cadence points —
+    * end of an ingest loop, a timer — never change what a reader
+    * SEES. Mutations on one store are serialized by the owning
+    * engine and fenced against other writers; concurrent READERS are
+    * safe across a drain (snapshot isolation — see the class doc).
+    */
   def maybeCompact(maxStagedFiles: Int = 64,
       maxAgeUs: Option[Long] = None,
       nowUs: Long = System.currentTimeMillis() * 1000L,
@@ -843,26 +804,30 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * anywhere in duo/src): drop data older than `cutoffUs`, at the
     * granularities a 100 TB store can afford to delete at:
     *
-    *  - the PARTITIONED tree drops whole `date=` dirs strictly before
-    *    the cutoff's UTC date — the drop-old-days shape every
-    *    observability retention job runs; the cutoff's own date is
-    *    kept whole (one listing + N recursive deletes, no data read);
-    *  - the STAGING trees drop a file when its parquet footer says
+    *  - the MAIN truth drops whole `date=` partitions strictly before
+    *    the cutoff's session-zone date — the drop-old-days shape every
+    *    observability retention job runs (pure metadata; the cutoff's
+    *    own date is kept whole);
+    *  - the STAGING tree drops a file when its parquet footer says
     *    max(timeCol) < the cutoff's day floor — file-granular, footer
     *    stats only, still no data read. A file STRADDLING the boundary
     *    is kept whole (conservative: retention may retain up to one
     *    extra day/file; exact trimming is what the next [[compact]]
     *    gives, since its rewrite re-derives dirs from surviving rows).
     *
-    * Both grains share the day-floor boundary, so reads after an
-    * expiry equal a `timeCol >= dayFloor(cutoff)` filter whenever no
-    * staged file straddles the floor (the straddler-kept case only
-    * ever RETAINS extra rows, never loses any). Deletes are idempotent
-    * — no swap or marker needed; a crash mid-expiry leaves fewer dirs
-    * for the next run. Returns (dateDirsDropped, stagedFilesDropped).
+    * With a live manifest the drop is a pure manifest operation:
+    * survivors republished, dropped files tombstoned (schema-free —
+    * dropping a date can retire the only files carrying a drifted
+    * column, and a stale schema would resurrect it as all-null;
+    * readers infer from footers until the next compact re-publishes),
+    * bytes reclaimed by [[vacuum]] after the grace window — so
+    * concurrent readers planned before the expiry stay green. A
+    * never-compacted store (no manifest) deletes eagerly, as plain
+    * listing-mode stores always have. Returns
+    * (datePartitionsDropped, stagedFilesDropped).
     */
   def expire(cutoffUs: Long): (Int, Int) = {
-    recover()
+    fence()
     if (!exists) return (0, 0)
     // the cutoff's calendar day in the SESSION timezone — the same
     // derivation the write path's date_format uses for the dir names;
@@ -875,39 +840,46 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       zone)
     val dayFloorUs = cutoffDate.atStartOfDay(zone)
       .toInstant.toEpochMilli * 1000L
-    // ISO dates compare chronologically as strings
-    val expiredDirs = ls(new Path(dir))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date=") &&
-        s.getPath.getName.stripPrefix("date=") < cutoffDate.toString)
-    // snapshot-before-invalidate, and only when something will drop —
-    // a no-op retention tick must not pay a manifest GET + parse
-    val priorEntries =
-      if (expiredDirs.isEmpty) None else manifest.read()
-    if (expiredDirs.nonEmpty) manifest.invalidate()
-    expiredDirs.foreach(s => rm(s.getPath))
-    val droppedFiles = Seq(stagingDir, compactingDir)
-      .flatMap(p => ls(new Path(p)))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .count { s =>
-        // stats missing ⇒ unprovable ⇒ keep (loud is rowGroupRanges'
-        // job; retention must only ever delete what it can prove dead)
-        fileMaxStat(s.getPath).exists(_ < dayFloorUs) && {
-          fs.delete(s.getPath, false): Unit; true
+    truth() match {
+      case Some(t) =>
+        // ISO dates compare chronologically as strings
+        def dateOf(rel: String): String = {
+          val l = logicalRel(rel)
+          l.take(math.max(l.indexOf('/'), 0)).stripPrefix("date=")
         }
-      }
-    // re-publish after the drops (staged files are outside the
-    // manifest, so only directory drops strictly require this). The
-    // survivor set is prior-minus-dropped-prefixes — published with
-    // ZERO walking; a store that never published (prior None) pays the
-    // full walk once, since expiry is layout-owning like compact
-    if (expiredDirs.nonEmpty) priorEntries match {
-      case Some(prior) =>
-        val dropped = expiredDirs.map(_.getPath.getName)
-        manifest.republish(prior.entries.filterNot(e =>
-          dropped.exists(d => e.rel.startsWith(d + "/"))))
-      case None => manifest.rebuild()
+        val (droppedE, kept) = t.entries.partition(e =>
+          dateOf(e.rel).nonEmpty && dateOf(e.rel) < cutoffDate.toString)
+        val stagedDead = stagedStatuses(t.deadRels).filter(s =>
+          fileMaxStat(s.getPath).exists(_ < dayFloorUs))
+        if (droppedE.isEmpty && stagedDead.isEmpty) return (0, 0)
+        val now = System.currentTimeMillis()
+        manifest.publish(kept, None,
+          t.dead ++ (droppedE.map(_.rel) ++
+            stagedDead.map(s => s"_staging/${s.getPath.getName}"))
+            .map(StoreManifest.Dead(_, now)))
+        (droppedE.map(e => logicalRel(e.rel).takeWhile(_ != '/'))
+          .distinct.size, stagedDead.size)
+      case None =>
+        // never-compacted store: eager deletes, the plain shape.
+        // Idempotent — a crash mid-expiry leaves fewer dirs for the
+        // next run.
+        val expiredDirs = ls(new Path(dir))
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("date=") &&
+            s.getPath.getName.stripPrefix("date=") < cutoffDate.toString)
+        expiredDirs.foreach(s => rm(s.getPath))
+        val droppedFiles = ls(new Path(stagingDir))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .count { s =>
+            // stats missing ⇒ unprovable ⇒ keep (loud is
+            // rowGroupRanges' job; retention must only ever delete
+            // what it can prove dead)
+            fileMaxStat(s.getPath).exists(_ < dayFloorUs) && {
+              fs.delete(s.getPath, false): Unit; true
+            }
+          }
+        (expiredDirs.size, droppedFiles)
     }
-    (expiredDirs.size, droppedFiles)
   }
 
   /** max(timeCol) across one parquet file's row groups, from footer
@@ -954,29 +926,23 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         col(endCol).between(startLo + durLo, startHi + durHi)))
 
   /** Per-row-group [min, max] footer statistics for `cols` over the
-    * PARTITIONED tree — the metadata a stats-aware reader prunes on
-    * ([[readSpanRange]]'s skip measurement reads this). Staged flushes
-    * are deliberately excluded: `_staging` is the un-organized tail
-    * whose layout [[compact]] has not built yet, so its stats are not
-    * part of any layout-pruning claim — measure skip ratios after the
-    * drain, the state the claim is about.
+    * main truth — the metadata a stats-aware reader prunes on
+    * ([[readSpanRange]]'s skip measurement reads this). With a live
+    * manifest the file list comes straight from it (ZERO listings —
+    * footer opens are reads of the files themselves); a never-
+    * compacted store walks. Staged flushes are deliberately excluded:
+    * `_staging` is the un-organized tail whose layout [[compact]] has
+    * not built yet, so its stats are not part of any layout-pruning
+    * claim — measure skip ratios after the drain, the state the claim
+    * is about.
     */
   def rowGroupRanges(
       cols: Seq[String]): Seq[(String, Map[String, (Long, Long)])] = {
     import scala.jdk.CollectionConverters._
-    // hidden subtrees (the `_staging` flat appends, markers) are not
-    // part of the partitioned table — same visibility rule the
-    // parquet reader's discovery applies
-    def walk(st: FileStatus): Seq[Path] = {
-      val name = st.getPath.getName
-      if (name.startsWith("_") || name.startsWith(".")) Nil
-      else if (st.isDirectory) ls(st.getPath).flatMap(walk)
-      else if (name.endsWith(".parquet")) Seq(st.getPath) else Nil
-    }
     val conf = spark.sparkContext.hadoopConfiguration
-    val top = new Path(dir)
-    val files =
-      if (!fs.exists(top)) Seq.empty else ls(top).flatMap(walk)
+    val files: Seq[Path] =
+      truth().map(_.entries).getOrElse(manifest.walkLegacy())
+        .map(e => new Path(s"$dir/${e.rel}"))
     files.flatMap { fp =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         fp, conf)
@@ -1017,61 +983,58 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * must be minute-granular too or the union's contents would
     * depend on which side a row landed in.
     *
-    * Listing discipline for object stores: prefix existence is probed
-    * with ONE listing per distinct PARENT directory (not one HEAD per
+    * Listing discipline for object stores: with a manifest, the whole
+    * plan (prefix existence, coarse fallback, file expansion) derives
+    * from the one GET. Without one, prefix existence is probed with
+    * ONE listing per distinct PARENT directory (not one HEAD per
     * prefix — a day window is 1,440 minute prefixes but only ~24
     * parents), and the coarse-fallback ancestor listings are memoized
     * per ancestor within the call, so a wide window over a day-grain
     * tree lists each date dir once. Cost is bounded by DIRECTORIES
     * TOUCHED, never by window width.
-    */
-  /** Schema contract when `schema` is None: a manifest-planned read
-    * answers with the TABLE's merged schema (the manifest records it;
-    * drifted columns absent from the window surface as nulls), while
-    * the listing fallback infers over only the selected files — the
-    * window-local schema. Callers that pin hashes pass `schema`
-    * explicitly, which both paths honor identically.
+    *
+    * Schema contract when `schema` is None: the result's column set is
+    * the WINDOW-LOCAL merged schema — inferred over exactly the files
+    * the window selects — on every path (manifest, dirty, listing), so
+    * an identical query answers with an identical shape regardless of
+    * background maintenance state. Callers that pin hashes pass
+    * `schema` explicitly, which every path honors identically.
     */
   def readPrefixes(startUs: Long, endUs: Long,
       schema: Option[StructType] = None): Option[DataFrame] = {
-    recover() // same crash-roll-forward guarantee as read()
-    val wanted = TimePrefix.generatePrefixes(startUs, endUs)
-      .map(p => s"$dir/$p")
-    // manifest fast path: one GET of the file list answers EVERY
-    // prefix-existence probe and coarse-fallback file lookup below
-    // with zero listings (the derived parent→children map covers the
-    // whole tree); absent manifest falls back to per-parent listings
-    val manifestSnap: Option[StoreManifest.Snapshot] = manifest.read()
-    val entryByRel: Map[String, StoreManifest.Entry] =
-      manifestSnap.map(_.entries.map(e => e.rel -> e).toMap)
+    val wantedRel = TimePrefix.generatePrefixes(startUs, endUs)
+      .map(_.stripSuffix("/"))
+    val t = truth()
+    val entryByLogical: Map[String, Seq[StoreManifest.Entry]] =
+      t.map(_.entries.groupBy(e => logicalRel(e.rel)))
         .getOrElse(Map.empty)
-    val byParent: Option[Map[String, Set[String]]] =
-      manifestSnap.map { snap =>
-        val m = scala.collection.mutable.Map.empty[String, Set[String]]
-        snap.entries.foreach { e =>
-          var parent = dir
-          e.rel.split("/").foreach { seg =>
-            m.update(parent, m.getOrElse(parent, Set.empty) + seg)
-            parent = s"$parent/$seg"
-          }
+    // LOGICAL parent → child names, derived once from the truth
+    // entries (manifest mode: zero listings) or from memoized
+    // per-parent listings (legacy mode)
+    val byParent: Option[Map[String, Set[String]]] = t.map { tr =>
+      val m = scala.collection.mutable.Map.empty[String, Set[String]]
+      tr.entries.foreach { e =>
+        var parent = ""
+        logicalRel(e.rel).split("/").foreach { seg =>
+          m.update(parent, m.getOrElse(parent, Set.empty) + seg)
+          parent = if (parent.isEmpty) seg else s"$parent/$seg"
         }
-        m.toMap
       }
-    // one listing per distinct parent dir answers every child's
-    // existence probe (memoized; object-store LIST beats N× HEAD)
+      m.toMap
+    }
     val childNames = scala.collection.mutable.Map.empty[String, Set[String]]
-    def children(parent: String): Set[String] = byParent match {
-      case Some(m) => m.getOrElse(parent.stripSuffix("/"), Set.empty)
-      case None => childNames.getOrElseUpdate(parent,
-        ls(new Path(parent)).map(_.getPath.getName).toSet)
+    def children(parentRel: String): Set[String] = byParent match {
+      case Some(m) => m.getOrElse(parentRel, Set.empty)
+      case None => childNames.getOrElseUpdate(parentRel,
+        ls(new Path(if (parentRel.isEmpty) dir else s"$dir/$parentRel"))
+          .map(_.getPath.getName).toSet)
     }
-    def prefixExists(p: String): Boolean = {
-      val clean = p.stripSuffix("/")
-      val slash = clean.lastIndexOf('/')
-      children(clean.substring(0, slash))
-        .contains(clean.substring(slash + 1))
+    def prefixExists(rel: String): Boolean = {
+      val slash = rel.lastIndexOf('/')
+      val parent = if (slash < 0) "" else rel.substring(0, slash)
+      children(parent).contains(rel.substring(slash + 1))
     }
-    val (paths, missing) = wanted.partition(prefixExists)
+    val (present, missing) = wantedRel.partition(prefixExists)
     val minUs = 60L * 1000000L
     val loUs = Math.floorDiv(startUs, minUs) * minUs
     val endSec = Math.floorDiv(endUs, 1000000L)
@@ -1087,44 +1050,38 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // Direct files only (never a recursive dir read): in a
     // minute-grain tree the ancestor has only subdirs and the fallback
     // contributes nothing, so the minute layout's plan is untouched.
-    // Ancestor existence + listing reuse the memoized `children` maps,
-    // so N missing minutes under one coarse dir cost ONE listing.
     val dirFiles = scala.collection.mutable.Map.empty[String, Seq[String]]
-    def parquetFilesIn(d: String): Seq[String] = byParent match {
-      // manifest children are file AND subdir names; the .parquet
-      // filter keeps exactly the direct files, like the listing path
+    def parquetChildFiles(parentRel: String): Seq[String] = byParent match {
+      // truth children are file AND subdir names; the .parquet filter
+      // keeps exactly the direct files, like the listing path
       case Some(m) =>
-        m.getOrElse(d.stripSuffix("/"), Set.empty).toSeq
+        m.getOrElse(parentRel, Set.empty).toSeq
           .filter(_.endsWith(".parquet")).sorted
-          .map(n => s"${d.stripSuffix("/")}/$n")
-      case None => dirFiles.getOrElseUpdate(d,
-        ls(new Path(d))
+          .map(n => if (parentRel.isEmpty) n else s"$parentRel/$n")
+      case None => dirFiles.getOrElseUpdate(parentRel,
+        ls(new Path(if (parentRel.isEmpty) dir else s"$dir/$parentRel"))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString))
+          .map(s => if (parentRel.isEmpty) s.getPath.getName
+            else s"$parentRel/${s.getPath.getName}"))
     }
-    val fallbackFiles = missing.flatMap { p =>
-      val segs = p.stripPrefix(s"$dir/").stripSuffix("/").split("/")
+    val fallbackRels = missing.flatMap { p =>
+      val segs = p.split("/")
       // coarser ancestors, nearest first (minute → hour, date; hour →
       // date) — never above the date level; the FIRST existing one is
       // the coarse dir that holds this window's rows, if any
       (1 until segs.length)
-        .map(k => s"$dir/${segs.dropRight(k).mkString("/")}")
+        .map(k => segs.dropRight(k).mkString("/"))
         .find(prefixExists)
         .toSeq
-        .flatMap(parquetFilesIn)
+        .flatMap(parquetChildFiles)
     }.distinct
-    // with a manifest, expand each existing prefix DIR to its exact
-    // file list (prefixes can sit at any level: TimePrefix collapses
-    // covered hours/days, so expansion is by path prefix, not direct
-    // children) and plan through [[ManifestFileIndex]] — the whole
-    // read plans with ZERO filesystem listings; the listing path hands
-    // Spark the prefix dirs and pays one list per input
-    val main = manifestSnap match {
-      case Some(snap) =>
-        // prefix → file expansion by binary search over the sorted rel
-        // list: O(P log N + hits), not O(P·N) — a day window over a
-        // million-file manifest is 1,440 probes, not 1.4B startsWith
-        val sortedRels = snap.entries.map(_.rel).sorted.toIndexedSeq
+    val main = t match {
+      case Some(tr) =>
+        // prefix → file expansion by binary search over the sorted
+        // LOGICAL rel list: O(P log N + hits), not O(P·N) — a day
+        // window over a million-file manifest is 1,440 probes, not
+        // 1.4B startsWith
+        val sortedRels = entryByLogical.keys.toIndexedSeq.sorted
         def relsUnder(prefix: String): Seq[String] = {
           val q = prefix + "/"
           var lo = 0; var hi = sortedRels.length
@@ -1135,36 +1092,28 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           Iterator.range(lo, sortedRels.length).map(sortedRels)
             .takeWhile(_.startsWith(q)).toSeq
         }
-        val expanded = paths.flatMap { p =>
-          relsUnder(p.stripPrefix(s"$dir/").stripSuffix("/"))
-        } ++ fallbackFiles.map(_.stripPrefix(s"$dir/"))
-        val selected = expanded.distinct.flatMap(entryByRel.get)
-        // caller-pinned schema wins; else the manifest's recorded one;
-        // else footer inference over exactly the selected files
-        ManifestFileIndex.relation(spark, dir, selected,
-            schema.orElse(snap.schema)).map { df0 =>
+        val expanded = present.flatMap(relsUnder) ++ fallbackRels
+        val selected = expanded.distinct
+          .flatMap(entryByLogical.getOrElse(_, Nil))
+        relationFor(selected, schema).map { df0 =>
           val df = df0.drop("date", "hour", "minute")
-          if (fallbackFiles.isEmpty) df
+          if (fallbackRels.isEmpty) df
           else df.where(col(timeCol) >= loUs && col(timeCol) < hiUs)
         }
       case None =>
-        val mainInputs = paths ++ fallbackFiles
+        val mainInputs = (present ++ fallbackRels).map(r => s"$dir/$r")
         if (mainInputs.isEmpty) None else {
           val reader = spark.read.option("mergeSchema", "true")
             .option("basePath", dir)
           val withSchema = schema.map(reader.schema).getOrElse(reader)
           val df = withSchema.parquet(mainInputs: _*)
             .drop("date", "hour", "minute")
-          Some(if (fallbackFiles.isEmpty) df
+          Some(if (fallbackRels.isEmpty) df
             else df.where(col(timeCol) >= loUs && col(timeCol) < hiUs))
         }
     }
-    // both staging trees, like read(): rows a running compaction has
-    // snapshotted into _staging_compacting are part of the table until
-    // the swap promotes the rewrite
-    val staged = Seq(stagingDir, compactingDir).flatMap(tryRead)
+    val staged = readStaged(t.map(_.deadRels).getOrElse(Set.empty))
       .map(_.where(col(timeCol) >= loUs && col(timeCol) < hiUs))
-      .reduceOption(_.unionByName(_, allowMissingColumns = true))
     (main, staged) match {
       case (Some(m), Some(st)) =>
         Some(m.unionByName(st, allowMissingColumns = true))
@@ -1174,6 +1123,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
 }
 
 object ParquetStore {
+  /** A mutation was attempted by a store instance whose writer lease
+    * has been superseded: a second writer claimed the store root. The
+    * single-writer contract is enforced, not narrated — the loser
+    * fails loudly; readers are unaffected.
+    */
+  final class WriterFencedException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Expected distinct trace_ids per written FILE for the trace_id
     * bloom filter. Parquet sizes the bloom bitset from this hint and
     * DEFAULTS to 1,000,000 — measured on the engine's own stores: a

@@ -5,87 +5,96 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** File-listing-free read planning for a [[ParquetStore]]'s
-  * partitioned tree — the Iceberg/Delta manifest idea at this store's
-  * scale: after a compaction (the operation that OWNS the cold
-  * layout), the complete data-file list is written to one
-  * `_manifest/gen-*` file, and reads plan from that single file
-  * instead of walking the tree. On an object store a recursive
-  * listing of a minute-grained tree is thousands of LIST calls
-  * (rate-limited, latency-bound); the manifest makes read planning
-  * one GET. (Reference storage layer: duo/src/partition/query.rs
-  * lists per prefix; its FIXME'd cost at scale is what this removes.)
+  * partitioned trees — the Iceberg/Delta manifest idea at this store's
+  * scale: the complete data-file list is written to one
+  * `_manifest/gen-*` file per layout mutation, and reads plan from
+  * that single file instead of walking the tree. On an object store a
+  * recursive listing of a minute-grained tree is thousands of LIST
+  * calls (rate-limited, latency-bound); the manifest makes read
+  * planning one GET. (Reference storage layer: duo/src/partition/
+  * query.rs lists per prefix; its FIXME'd cost at scale is what this
+  * removes.)
   *
-  * Consistency contract (single-writer, like the store itself):
-  * every mutation of the partitioned tree calls [[invalidate]] BEFORE
-  * touching data and the layout-owning operations ([[ParquetStore
-  * .compact]]/`compactDate`/`expire`) [[rebuild]] afterwards — so a
-  * crash at ANY point leaves either no manifest (readers fall back to
-  * listing: correct, just slower) or a manifest matching the tree.
-  * Direct minute-grained [[ParquetStore.write]]s only invalidate (a
+  * Snapshot-isolation contract (round-16): the manifest generation IS
+  * the commit point for every layout mutation. Rewrites land in
+  * immutable `_gen-*` trees and become visible only when a new
+  * generation referencing them publishes (single temp-write + rename);
+  * files a mutation supersedes are never deleted inline — they are
+  * recorded as `dead` lines IN the new generation (tombstones,
+  * atomically visible with the entries that replace them) and
+  * reclaimed later by [[ParquetStore.vacuum]] once a grace window has
+  * passed. A reader that planned from generation G therefore holds
+  * `FileStatus`es for files that remain on disk until G's successors
+  * are at least the grace window old — a query can overlap a
+  * compaction in another session (the Iceberg/Delta discipline).
+  * [[publish]] retains the newest [[StoreManifest.KeepGens]]
+  * generations (corruption insurance: [[read]] falls back
+  * newest→oldest to the first self-consistent one); vacuum prunes
+  * retained generations past the grace window.
+  *
+  * Direct minute-grained [[ParquetStore.write]]s do not republish (a
   * full-walk rebuild per flush would defeat the append's cheapness);
-  * the LSM-shaped ingest ([[ParquetStore.writeStaged]]) never touches
-  * the partitioned tree at all, so the manifest stays valid through
-  * any amount of staged landing — manifest-present is the natural
-  * state of a compaction-owned store.
+  * they drop a `dirty-*` marker instead, telling readers the legacy
+  * tree holds files beyond the manifest — reads then union a legacy
+  * walk in (minus tombstones) until the next compaction folds the
+  * extras and clears the markers. The LSM-shaped ingest
+  * ([[ParquetStore.writeStaged]]) never touches the manifest at all.
   *
   * The underscore prefix hides `_manifest` from Spark's partition
   * discovery, like `_staging`.
   */
 final class StoreManifest(fs: FileSystem, tableDir: String) {
 
-  import StoreManifest.{Entry, Snapshot}
+  import StoreManifest.{Dead, Entry, Snapshot}
 
   private def mdir = new Path(tableDir, "_manifest")
 
-  /** Drop every manifest generation (idempotent). Called BEFORE any
-    * partitioned-tree mutation, so a reader never plans from a list
-    * describing the pre-mutation tree.
+  /** Whether any generation file exists (one listing; cheaper than a
+    * full [[read]] when only presence matters, e.g. the write path's
+    * dirty-marker decision).
     */
-  def invalidate(): Unit = { fs.delete(mdir, true): Unit }
+  def anyGenExists: Boolean =
+    StoreFs.list(fs, mdir).exists(_.getPath.getName.startsWith("gen-"))
 
-  /** Walk the whole partitioned tree (skipping `_`/`.`-prefixed
-    * subtrees: staging, markers, the manifest itself) and write the
-    * complete file list as a new generation. The walk costs one
-    * recursive listing — the same order as the full-compaction promote
-    * that just ran, amortized onto the write path so readers never pay
-    * it. Mutations scoped to one subtree use [[rebuildScoped]] /
-    * [[republish]] instead of paying this full walk.
+  /** Record that the legacy tree has been appended to since the last
+    * publish: readers must union a legacy walk in until a compaction
+    * folds the extras. One marker is enough — skip the create when one
+    * is already present (same listing answers both questions).
     */
-  def rebuild(schema: Option[org.apache.spark.sql.types.StructType] = None)
-      : Unit = publish(walkEntries(new Path(tableDir)), schema)
-
-  /** Incremental rebuild after a mutation scoped to ONE partition
-    * subtree (per-date compaction): `prior` entries outside
-    * `refreshPrefix` are kept verbatim — no walk — and only the
-    * refreshed subtree is re-walked. On a store with years of dates a
-    * per-date drain would otherwise pay a full-tree walk per swap,
-    * exactly the listing bill the manifest exists to retire. `prior`
-    * MUST be read before the mutation's [[invalidate]] (single-writer,
-    * so it still describes every untouched subtree).
-    */
-  def rebuildScoped(prior: Snapshot, refreshPrefix: String): Unit = {
-    val kept = prior.entries.filterNot(_.rel.startsWith(refreshPrefix + "/"))
-    // a per-date rewrite reads its subtree with mergeSchema and writes
-    // files carrying the full unified column set, so the prior merged
-    // schema stays exactly right
-    publish(kept ++ walkEntries(new Path(tableDir, refreshPrefix)),
-      prior.schema)
+  def markDirty(): Unit = {
+    val names = StoreFs.list(fs, mdir).map(_.getPath.getName)
+    if (names.exists(_.startsWith("gen-")) &&
+        !names.exists(_.startsWith("dirty-"))) {
+      fs.createNewFile(new Path(mdir,
+        s"dirty-${System.currentTimeMillis()}-" +
+          java.util.UUID.randomUUID().toString)): Unit
+    }
   }
 
-  /** Publish an already-known entry list (expiry: the survivor set is
-    * prior-minus-dropped-prefixes — zero walking). No schema: dropping
-    * a date dir can retire the only files carrying a drifted column,
-    * and a stale schema would resurrect it as all-null — readers infer
-    * from footers until the next compact re-publishes.
-    */
-  def republish(entries: Seq[Entry]): Unit = publish(entries, None)
+  /** The dirty-marker file names currently present. */
+  def dirtyMarkers(): Seq[String] =
+    StoreFs.list(fs, mdir).map(_.getPath.getName)
+      .filter(_.startsWith("dirty-"))
 
-  /** Walk the live tree into entries NOW, without publishing — the
-    * listing fallback for metadata consumers ([[ParquetStore
-    * .planCompactions]]) when no manifest generation exists.
+  /** Remove exactly the given markers (a compaction clears the ones it
+    * OBSERVED before folding; markers dropped later must survive).
     */
-  private[store] def walkNow(): Seq[Entry] =
-    walkEntries(new Path(tableDir))
+  def clearDirty(names: Seq[String]): Unit =
+    names.foreach(n => fs.delete(new Path(mdir, n), false): Unit)
+
+  /** Walk the legacy partitioned tree (skipping `_`/`.`-prefixed
+    * subtrees: staging, gen trees, markers, the manifest itself) into
+    * entries NOW, without publishing — the dirty-mode union source and
+    * the fallback for metadata consumers when no generation exists.
+    */
+  def walkLegacy(): Seq[Entry] = walkEntries(new Path(tableDir))
+
+  /** Walk one subtree (a just-written `_gen-*` dir) into entries whose
+    * rels are relative to the TABLE dir (so they carry the gen
+    * prefix). Bounded by the files the rewrite just wrote.
+    */
+  def walkSubtree(sub: String): Seq[Entry] =
+    walkEntries(new Path(tableDir, sub))
 
   private def walkEntries(start: Path): Seq[Entry] = {
     val files = scala.collection.mutable.ArrayBuffer.empty[Entry]
@@ -105,8 +114,18 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     files.toSeq
   }
 
-  private def publish(entries: Seq[Entry],
-      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+  /** Publish a new generation: the complete live-file list, the merged
+    * data schema when the publisher knows it, and the cumulative
+    * tombstone list (files superseded but not yet vacuumed). The
+    * temp-write + single-file rename makes the publish the atomic
+    * commit point; the self-count plus per-line field checks reject a
+    * torn body on read. Prior generations are retained (newest
+    * [[StoreManifest.KeepGens]]) so a corrupt latest degrades to the
+    * previous consistent snapshot instead of a tree walk.
+    */
+  def publish(entries: Seq[Entry],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dead: Seq[Dead]): Unit = {
     // rel first so sorted lines sort by path; size + mtime ride along
     // so reads can hand Spark complete FileStatuses and plan with ZERO
     // filesystem calls (see [[ManifestFileIndex]]). The merged data
@@ -117,7 +136,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     val lines = entries.map(e => s"${e.rel}\t${e.size}\t${e.mtime}")
     val schemaLine = schema.toSeq.map(s =>
       s"schema\t${StoreManifest.allNullable(s).json}")
-    val body = (s"count=${lines.size}" +: (schemaLine ++ lines.sorted))
+    val deadLines = dead.map(d => s"dead\t${d.rel}\t${d.millis}")
+    val body = (s"count=${lines.size}" +:
+      (schemaLine ++ deadLines.sorted ++ lines.sorted))
       .mkString("", "\n", "\n")
     fs.mkdirs(mdir): Unit
     val uuid = java.util.UUID.randomUUID().toString
@@ -129,27 +150,63 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       f"gen-${System.currentTimeMillis()}%019d-$uuid.list")
     if (!fs.rename(tmp, gen))
       throw new java.io.IOException(s"manifest publish failed: $gen")
-    // keep only the newest generation (best effort; readers take the
-    // lexicographic max, so a failed delete costs bytes, not truth)
-    StoreFs.list(fs, mdir)
-      .filter(s => s.getPath.getName.startsWith("gen-") &&
-        s.getPath.getName < gen.getName)
+    // retain the newest KeepGens generations (best effort; readers
+    // take the newest READABLE, so a failed delete costs bytes, not
+    // truth). Age-based pruning beyond this is vacuum's job.
+    val gens = StoreFs.list(fs, mdir)
+      .filter(_.getPath.getName.startsWith("gen-"))
+      .sortBy(_.getPath.getName)
+    gens.dropRight(StoreManifest.KeepGens)
       .foreach(s => fs.delete(s.getPath, false): Unit)
   }
 
-  /** The newest generation's snapshot (entries + the publisher's
-    * merged data schema when recorded), or None when no (readable,
-    * self-consistent) manifest exists — the caller then falls back to
-    * listing. A torn write can't be mis-read: the temp-name write +
-    * rename publishes whole files only, and the self-count plus
-    * per-line field checks reject a truncated or malformed body.
+  /** Generation file names, oldest → newest (vacuum's pruning input). */
+  def genNames(): Seq[String] =
+    StoreFs.list(fs, mdir).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).sorted
+
+  /** Drop one generation file by name (vacuum). */
+  def deleteGen(name: String): Unit =
+    fs.delete(new Path(mdir, name), false): Unit
+
+  /** The newest READABLE generation's snapshot, or None when no
+    * self-consistent generation exists — the caller then treats the
+    * store as never-compacted (legacy listing mode). A torn write
+    * can't be mis-read: the temp-name write + rename publishes whole
+    * files only, and the self-count plus per-line field checks reject
+    * a truncated or malformed body — which then falls back to the
+    * PREVIOUS retained generation (a stale-but-consistent snapshot)
+    * rather than to half a snapshot.
     */
-  def read(): Option[Snapshot] = {
-    if (!fs.exists(mdir)) return None
-    val gens = StoreFs.list(fs, mdir)
+  def read(): Option[Snapshot] = readState()._1
+
+  /** [[read]] plus the current dirty markers, resolved from ONE
+    * `_manifest` listing — the planning state every read and mutation
+    * starts from (two separate calls would double the metadata LIST
+    * bill on the hot path).
+    */
+  def readState(): (Option[Snapshot], Seq[String]) = {
+    val names = StoreFs.list(fs, mdir)
+    val dirty = names.map(_.getPath.getName).filter(_.startsWith("dirty-"))
+    val gens = names
       .filter(_.getPath.getName.startsWith("gen-"))
-    if (gens.isEmpty) return None
-    val latest = gens.maxBy(_.getPath.getName).getPath
+      .sortBy(_.getPath.getName)(Ordering[String].reverse)
+    (gens.iterator.flatMap(g => parseGen(g.getPath)).nextOption(), dirty)
+  }
+
+  /** Every retained readable generation, newest first (vacuum's
+    * reference set: a tree referenced by ANY retained generation is
+    * not an orphan).
+    */
+  def readAll(): Seq[Snapshot] = {
+    if (!fs.exists(mdir)) return Seq.empty
+    StoreFs.list(fs, mdir)
+      .filter(_.getPath.getName.startsWith("gen-"))
+      .sortBy(_.getPath.getName)(Ordering[String].reverse)
+      .flatMap(g => parseGen(g.getPath))
+  }
+
+  private def parseGen(latest: Path): Option[Snapshot] = {
     try {
       val in = fs.open(latest)
       val body =
@@ -164,8 +221,10 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       lines.headOption.flatMap { h =>
         val schemaJson = lines.drop(1).headOption
           .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
-        val entryLines = if (schemaJson.isDefined) lines.drop(2)
+        val afterSchema = if (schemaJson.isDefined) lines.drop(2)
           else lines.drop(1)
+        val (deadLines, entryLines) =
+          afterSchema.span(_.startsWith("dead\t"))
         if (!h.startsWith("count=") ||
             !h.stripPrefix("count=").toIntOption.contains(entryLines.size))
           None
@@ -173,6 +232,13 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           val schema = schemaJson.map(j =>
             org.apache.spark.sql.types.DataType.fromJson(j)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
+          val dead = deadLines.map { l =>
+            l.stripPrefix("dead\t").split("\t") match {
+              case Array(rel, millis) =>
+                millis.toLongOption.map(Dead(rel, _))
+              case _ => None
+            }
+          }
           val entries = entryLines.map { l =>
             l.split("\t") match {
               case Array(rel, size, mtime) =>
@@ -183,36 +249,53 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
               case _ => None
             }
           }
-          if (entries.forall(_.isDefined))
-            Some(Snapshot(entries.flatten, schema))
+          if (entries.forall(_.isDefined) && dead.forall(_.isDefined))
+            Some(Snapshot(entries.flatten, schema, dead.flatten))
           else None
         }
       }
     } catch {
       // any unreadable/corrupt generation (I/O, torn body, malformed
       // schema JSON — json4s throws its own parse exceptions) poisons
-      // the WHOLE generation: fall back to listing rather than plan
-      // from half a snapshot
+      // that GENERATION: the caller falls back to the next-older one
       case scala.util.control.NonFatal(_) => None
     }
   }
 
-  /** Whether a manifest generation is present (for specs/gates). */
+  /** Whether a readable manifest generation is present (specs/gates). */
   def present: Boolean = read().isDefined
 }
 
 object StoreManifest {
-  /** One data file: path relative to the table dir, plus the size and
-    * mtime a read plan needs to construct the `FileStatus` without
-    * touching the filesystem.
+  /** Generations retained by [[StoreManifest.publish]]: newest is the
+    * truth, older ones are corruption insurance and the snapshot-
+    * isolation window's metadata (their data files live until vacuum's
+    * grace passes).
+    */
+  val KeepGens: Int = 3
+
+  /** One data file: path relative to the table dir (a leading
+    * `_gen-…` segment names the rewrite tree it lives in), plus the
+    * size and mtime a read plan needs to construct the `FileStatus`
+    * without touching the filesystem.
     */
   final case class Entry(rel: String, size: Long, mtime: Long)
 
-  /** One manifest generation: the complete file list, plus the merged
-    * data schema when the publishing operation knew it.
+  /** One tombstone: a superseded file (still on disk) and the wall
+    * clock of the mutation that killed it — vacuum deletes it once
+    * `millis + grace` has passed.
+    */
+  final case class Dead(rel: String, millis: Long)
+
+  /** One manifest generation: the complete live-file list, the merged
+    * data schema when the publishing operation knew it, and the
+    * cumulative not-yet-vacuumed tombstones.
     */
   final case class Snapshot(entries: Seq[Entry],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dead: Seq[Dead]) {
+    def deadRels: Set[String] = dead.map(_.rel).toSet
+  }
 
   /** StructType.asNullable is private[spark]; same recursive relax —
     * a stored schema must read exactly as spark.read's inference

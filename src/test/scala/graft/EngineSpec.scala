@@ -525,57 +525,112 @@ class EngineSpec extends SparkSpec {
       .collect().toSet == Set(3L, 6L))
   }
 
-  test("staged flush landing mid-compaction survives the swap") {
+  test("staged flush landing after the rewrite snapshot survives the commit") {
     val root = tmpRoot()
     val store = new ParquetStore(spark, root, "span", "start")
     val day1 = 1760000000000000L
     def row(id: Long) = Seq((id, day1 + id, id)).toDF("id", "start", "trace_id")
     store.writeStaged(row(1L))
-    // crash AFTER the promote step but before old-tree cleanup — the
-    // window where the lazy-snapshot form deleted concurrent flushes.
-    // A flush lands "during the rewrite" (here: before the interrupted
-    // cleanup), i.e. into _staging while the old tree still exists.
-    store.compact(crashAfterStep = 3)
+    // crash AFTER the rewrite tree is written but BEFORE the manifest
+    // commit: the table still reads as the pre-compaction state (the
+    // orphan gen tree is referenced by nothing), and a flush landing
+    // now is cleanly "late" — outside the interrupted rewrite
+    store.compact(crashAfterStep = 1)
     store.writeStaged(row(2L))
-    // hack the late file into the old tree's staging (the state a
-    // concurrent flush would leave: compact() renamed live aside
-    // while the writer kept appending to the live path's _staging)
-    val late = new java.io.File(s"$root/span/_staging")
-    val oldStaging = new java.io.File(s"$root/.old-span/_staging")
-    oldStaging.getParentFile.mkdirs()
-    assert(late.renameTo(oldStaging))
-    // recovery adopts the late flush instead of deleting it with old
-    store.recover()
-    assert(!new java.io.File(s"$root/.old-span").exists())
     assert(store.read(None, None).get.select("id").as[Long]
       .collect().toSet == Set(1L, 2L))
-    // interrupted-before-swap snapshot rolls back to staging
-    val store2 = new ParquetStore(spark, root, "span", "start")
-    store2.writeStaged(row(3L))
-    store2.compact(crashAfterStep = 1)
-    store2.recover()
-    assert(store2.read(None, None).get.count() == 3)
-    assert(!new java.io.File(s"$root/span/_staging_compacting").exists())
+    // the next drain folds both and commits
+    store.compact()
+    assert(store.read(None, None).get.select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    assert(store.stagedFileCount == 0)
+    // crash AFTER the commit (manifest published, dirty-marker cleanup
+    // outstanding): the drain is already fully visible
+    store.writeStaged(row(3L))
+    store.compact(crashAfterStep = 2)
+    assert(store.read(None, None).get.select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    assert(store.stagedFileCount == 0)
   }
 
-  test("compaction swap survives a crash at every step") {
+  test("compaction commit survives a crash at every step") {
     val day1 = 1760000000000000L
-    (1 to 3).foreach { step =>
+    (1 to 2).foreach { step =>
       val root = tmpRoot()
       val store = new ParquetStore(spark, root, "span", "start")
       store.write(Seq((1L, day1, 100L), (2L, day1 + 1000L, 200L))
         .toDF("id", "start", "trace_id"))
       store.compact(crashAfterStep = step)
-      // whatever the crash point, a reader finds the complete table
+      // whatever the crash point, a reader finds the complete table —
+      // the manifest publish is the single atomic commit, so the
+      // table is either exactly pre- or exactly post-drain
       val rows = store.read(None, None).get.select("id").as[Long]
         .collect().toSeq.sorted
       assert(rows == Seq(1L, 2L), s"after crash at step $step")
-      // and the next compaction completes the swap cleanly
+      // and the next compaction completes cleanly; vacuum reclaims the
+      // orphan tree and the superseded files once the grace passes
       store.compact()
       assert(store.read(None, None).get.count() == 2, s"recompact after $step")
-      assert(!new java.io.File(s"$root/.compact-span").exists())
-      assert(!new java.io.File(s"$root/.old-span").exists())
+      store.vacuum(graceMs = 0L)
+      assert(store.read(None, None).get.count() == 2, s"post-vacuum after $step")
+      val genDirs = Option(new java.io.File(s"$root/span").listFiles())
+        .toSeq.flatten.filter(_.getName.startsWith("_gen-"))
+      assert(genDirs.size == 1, s"exactly the live tree survives: $genDirs")
     }
+  }
+
+  test("snapshot isolation: a plan from before compact()/expire() " +
+      "executes green after them") {
+    val root = tmpRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day1 = 1760000000000000L
+    val day = 86400L * 1000000L
+    def rows(ids: Long*) = ids.map(i => (i, day1 + (i % 3) * day, i))
+      .toDF("id", "start", "trace_id").coalesce(1)
+    store.writeStaged(rows(1L, 2L, 3L))
+    store.compact() // manifest-planned tree
+    store.writeStaged(rows(4L))
+    // PLAN now (manifest generation G: gen tree + one staged file)...
+    val planned = store.read(None, None).get.select("id")
+    // ...then mutate the store underneath it: a second drain folds the
+    // staged file into a NEW gen tree and tombstones everything the
+    // old plan references; an expiry then drops a date
+    store.compact()
+    store.expire(day1 + day) // drops date of ids ≡ 0 (id 3)
+    // the OLD plan still executes green and answers from ITS snapshot:
+    // tombstoned files stay on disk until vacuum's grace passes
+    assert(planned.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // a NEW plan sees the post-expiry table
+    assert(store.read(None, None).get.select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+    // after the grace window, vacuum reclaims — and new plans still
+    // answer identically
+    store.vacuum(graceMs = 0L)
+    assert(store.read(None, None).get.select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+  }
+
+  test("writer fencing: a second writer on the same root fences the first") {
+    val root = tmpRoot()
+    val a = new ParquetStore(spark, root, "span", "start")
+    val day1 = 1760000000000000L
+    def row(id: Long) = Seq((id, day1 + id, id)).toDF("id", "start", "trace_id")
+    a.writeStaged(row(1L)) // a claims the lease
+    val b = new ParquetStore(spark, root, "span", "start")
+    b.writeStaged(row(2L)) // b claims a higher epoch
+    // the loser's next MUTATION throws loudly...
+    intercept[graft.store.ParquetStore.WriterFencedException] {
+      a.writeStaged(row(3L))
+    }
+    intercept[graft.store.ParquetStore.WriterFencedException] {
+      a.compact()
+    }
+    // ...while readers (either handle) are unaffected
+    assert(a.read(None, None).get.count() == 2)
+    assert(b.read(None, None).get.count() == 2)
+    // and the winner keeps working
+    b.compact()
+    assert(b.read(None, None).get.count() == 2)
   }
 
   test("streaming ingest wires merged spans into the engine") {

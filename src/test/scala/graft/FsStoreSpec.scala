@@ -130,56 +130,68 @@ class FsStoreSpec extends SparkSpec {
         .toDF("id", "start", "trace_id")
     def idsVia(st: ParquetStore) = st.read(None, None).get
       .select("id").as[Long].collect().toSet
+    def logical(r: String): String =
+      if (r.startsWith("_gen-")) r.substring(r.indexOf('/') + 1) else r
     store.writeStaged(batch(Seq(1L, 2L, 3L)))
     assert(!store.manifestPresent, "no manifest before first compact")
     store.compact()
     assert(store.manifestPresent, "compact must publish the manifest")
     val mf = store.manifestFiles.get
-    assert(mf.nonEmpty && mf.forall(r =>
-      r.startsWith("date=") && r.endsWith(".parquet")), s"paths: $mf")
+    assert(mf.nonEmpty && mf.forall(r => r.startsWith("_gen-") &&
+      logical(r).startsWith("date=") && r.endsWith(".parquet")),
+      s"paths: $mf")
     assert(idsVia(store) == Set(1L, 2L, 3L))
-    // prefix read through the manifest (zero listings) equals the
-    // listing path: drop the manifest via a raw FS delete and re-read
+    // the drained staged file is tombstoned, not deleted — on disk for
+    // concurrent readers until vacuum, invisible to new plans
+    assert(store.manifestDead.get.exists(_.startsWith("_staging/")))
+    assert(store.stagedFileCount == 0)
     val win = (t0, t0 + 4L * 60L * 1000000L)
     def prefixIds() = store.readPrefixes(win._1, win._2)
       .get.select("id").as[Long].collect().toSet
-    val viaManifest = prefixIds()
-    val fsys = graft.store.StoreFs.fs(
-      new org.apache.hadoop.fs.Path(s"$root/span"))
-    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/span/_manifest"),
-      true): Unit
-    assert(!store.manifestPresent)
-    assert(prefixIds() == viaManifest && viaManifest == Set(1L, 2L, 3L))
-    // LSM: staged appends never touch the partitioned tree, so the
-    // manifest republished by this compact survives them and reads
-    // union the staged rows in
-    store.compact() // republish
+    assert(prefixIds() == Set(1L, 2L, 3L))
+    // LSM: staged appends never touch the manifest, so it survives
+    // them and reads union the staged rows in
     store.writeStaged(batch(Seq(4L)))
-    assert(store.manifestPresent, "staged land must not invalidate")
+    assert(store.manifestPresent, "staged land must not touch the manifest")
     assert(idsVia(store) == Set(1L, 2L, 3L, 4L))
-    // a direct partitioned write invalidates (invalidate-then-mutate);
-    // reads fall back to listing and stay correct
+    // a direct partitioned write marks the manifest DIRTY instead of
+    // dropping it: reads union a legacy-tree walk in and stay correct,
+    // and the manifest keeps serving the gen-tree files
     store.write(batch(Seq(5L)))
-    assert(!store.manifestPresent, "direct write must invalidate")
+    assert(store.manifestPresent,
+      "direct write must keep the manifest (dirty), not drop it")
     assert(idsVia(store) == Set(1L, 2L, 3L, 4L, 5L))
-    // the next drain reindexes everything
+    assert(store.readPrefixes(t0, t0 + 6L * 60L * 1000000L)
+      .get.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L),
+      "prefix reads must see dirty legacy appends and staged rows")
+    // (the t0..4min window end-bumps into id 4's minute — staged rows
+    // are minute-granular like the directory contract)
+    assert(prefixIds() == Set(1L, 2L, 3L, 4L))
+    // the next drain folds the staged AND dirty appends and reindexes
     store.compact()
     assert(store.manifestPresent)
     assert(idsVia(store) == Set(1L, 2L, 3L, 4L, 5L))
-    assert(store.manifestFiles.get.forall(_.startsWith("date=")))
+    assert(store.manifestFiles.get.forall(r =>
+      r.startsWith("_gen-") && logical(r).startsWith("date=")))
+    // vacuum reclaims everything superseded; reads unchanged
+    store.vacuum(graceMs = 0L)
+    assert(idsVia(store) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(store.manifestDead.get.isEmpty)
   }
 
-  test("manifest: crash-interrupted compact leaves no manifest; a " +
-      "torn generation file is rejected; coarse trees stay covered") {
+  test("manifest: an unpublished rewrite is invisible; a torn " +
+      "generation falls back to the previous retained one; coarse " +
+      "trees stay covered") {
     val root = newRoot()
     val store = new ParquetStore(spark, root, "span", "start")
     val rows = Seq((1L, t0, 100L), (2L, t0 + 61L * 1000000L, 200L))
       .toDF("id", "start", "trace_id")
     store.writeStaged(rows)
-    store.compact(crashAfterStep = 2) // dies mid-swap
+    store.compact(crashAfterStep = 1) // dies before the commit
     assert(!store.manifestPresent,
       "a crashed compact must not publish a manifest")
-    // recover() (via read) rolls the swap forward; reads list
+    // the orphan rewrite tree is referenced by nothing: reads still
+    // answer from the pre-compaction state (the staged files)
     assert(store.read(None, None).get.count() == 2)
     store.compact(granularity = "hour")
     assert(store.manifestPresent)
@@ -187,27 +199,36 @@ class FsStoreSpec extends SparkSpec {
     // coarse fallback with zero listings
     assert(store.readPrefixes(t0, t0 + 2L * 60L * 1000000L)
       .get.select("id").as[Long].collect().toSet == Set(1L, 2L))
-    // a truncated generation (torn upload) fails the self-count and
-    // reads fall back to listing instead of planning from half a list
+    // publish a second generation (a no-op-ish drain), then TEAR it:
+    // the self-count rejects the truncated body whole and reads fall
+    // back to the PREVIOUS retained generation — a stale-but-
+    // consistent snapshot, never half a list
+    store.compact(granularity = "hour")
     val fsys = graft.store.StoreFs.fs(
       new org.apache.hadoop.fs.Path(s"$root/span"))
     val mdir = new org.apache.hadoop.fs.Path(s"$root/span/_manifest")
-    val gen = fsys.listStatus(mdir)
-      .filter(_.getPath.getName.startsWith("gen-")).head.getPath
-    val out = fsys.create(gen, true)
+    val newestGen = fsys.listStatus(mdir)
+      .filter(_.getPath.getName.startsWith("gen-"))
+      .maxBy(_.getPath.getName).getPath
+    val out = fsys.create(newestGen, true)
     out.write("count=7\ndate=x/part-0.parquet\n".getBytes("UTF-8"))
     out.close()
-    assert(!store.manifestPresent, "torn manifest must be rejected")
+    assert(store.manifestPresent,
+      "the previous retained generation must still serve")
     assert(store.read(None, None).get.count() == 2)
-    // a generation whose schema line holds garbage JSON must also be
-    // rejected whole (json4s parse exceptions included), not crash the
-    // reader and not plan from half a snapshot
-    val out2 = fsys.create(gen, true)
-    out2.write(
-      "count=1\nschema\t{not json]\ndate=x/part-0.parquet\t1\t1\n"
-        .getBytes("UTF-8"))
-    out2.close()
-    assert(!store.manifestPresent, "corrupt schema JSON must be rejected")
+    // corrupt EVERY generation (garbage schema JSON included — json4s
+    // throws its own parse exceptions): the reader must reject them
+    // all without crashing; the store degrades to listing mode, where
+    // the not-yet-vacuumed staged files still hold every row
+    fsys.listStatus(mdir).filter(_.getPath.getName.startsWith("gen-"))
+      .foreach { g =>
+        val o = fsys.create(g.getPath, true)
+        o.write(
+          "count=1\nschema\t{not json]\ndate=x/part-0.parquet\t1\t1\n"
+            .getBytes("UTF-8"))
+        o.close()
+      }
+    assert(!store.manifestPresent, "corrupt generations must be rejected")
     assert(store.read(None, None).get.count() == 2)
   }
 
@@ -222,27 +243,40 @@ class FsStoreSpec extends SparkSpec {
       .toDF("id", "start", "trace_id")
     store.writeStaged(rows)
     store.compact() // publishes the manifest; ~40 minute dirs
-    def readAll() = store.readPrefixes(t0, t0 + 41L * 60L * 1000000L)
-      .get.count()
-    assert(readAll() == 40L) // warm: FS instance cache, session state
+    store.vacuum(graceMs = 0L) // reclaim staging so its listing is gone
+    def readAll(st: ParquetStore) =
+      st.readPrefixes(t0, t0 + 41L * 60L * 1000000L).get.count()
+    assert(readAll(store) == 40L) // warm: FS instance cache, session state
     CountingListFileSystem.lists.set(0)
-    assert(readAll() == 40L)
+    assert(readAll(store) == 40L)
     val planLists = CountingListFileSystem.lists.get
-    // the only permitted listing is the _manifest generation lookup —
-    // the 40 minute dirs and their date/hour parents are NEVER listed,
-    // and the scan itself opens files by manifest size/offset
+    // the only permitted listings are the _manifest state lookup and
+    // the (empty) staging probe — the 40 minute dirs and their
+    // date/hour parents are NEVER listed, and the scan itself opens
+    // files by manifest size/offset
     assert(planLists <= 2, s"manifest-planned read listed $planLists×")
-    // without the manifest the planner lists per parent dir + Spark's
-    // file index lists each prefix dir it is handed — the O(dirs) cost
-    // the manifest removes
-    graft.store.StoreFs.fs(new org.apache.hadoop.fs.Path(s"$root/span"))
-      .delete(new org.apache.hadoop.fs.Path(s"$root/span/_manifest"),
-        true): Unit
-    CountingListFileSystem.lists.set(0)
-    assert(readAll() == 40L)
-    val listingLists = CountingListFileSystem.lists.get
-    assert(listingLists >= 40,
-      s"expected O(dirs) listings without a manifest, got $listingLists")
+    // a never-compacted store (direct writes only) plans by listing:
+    // one list per parent dir + Spark's file index lists each prefix
+    // dir it is handed — the O(dirs) cost the manifest removes.
+    // parallelPartitionDiscovery would push those listings to
+    // executors past 32 dirs, where this driver-side counter can't see
+    // them — keep the probe driver-side regardless of deployment mode
+    spark.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
+    try {
+      val root2 = "lcount://" +
+        java.nio.file.Files.createTempDirectory("lcountlegacy")
+      val legacy = new ParquetStore(spark, root2, "span", "start")
+      legacy.write(rows)
+      assert(!legacy.manifestPresent)
+      assert(readAll(legacy) == 40L)
+      CountingListFileSystem.lists.set(0)
+      assert(readAll(legacy) == 40L)
+      val listingLists = CountingListFileSystem.lists.get
+      assert(listingLists >= 40,
+        s"expected O(dirs) listings without a manifest, got $listingLists")
+    } finally spark.conf.unset(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold")
   }
 
   test("incremental manifest maintenance: a per-date drain walks only " +
@@ -260,12 +294,14 @@ class FsStoreSpec extends SparkSpec {
       .toDF("id", "start", "trace_id")
     store.writeStaged(rows)
     store.compact()
+    def logical(r: String): String =
+      if (r.startsWith("_gen-")) r.substring(r.indexOf('/') + 1) else r
     val before = store.manifestFiles.get
-    val dates = before.map(_.split("/").head.stripPrefix("date="))
-      .distinct.sorted
+    val dates = before.map(r => logical(r).split("/").head
+      .stripPrefix("date=")).distinct.sorted
     assert(dates.size == 3)
-    // drain date 0 alone: the rebuild re-walks ONE date subtree (its
-    // hour/minute dirs), never the other two dates' trees
+    // drain date 0 alone: the commit re-walks ONE rewrite tree (the
+    // date's new files), never the other two dates' subtrees
     CountingListFileSystem.reset()
     store.compactDate(dates.head)
     val listedDuringDrain =
@@ -275,15 +311,19 @@ class FsStoreSpec extends SparkSpec {
       s"a date-0 drain must never list other dates' subtrees; " +
         s"listed: $listedDuringDrain")
     val after = store.manifestFiles.get
-    assert(after.count(_.startsWith(s"date=${dates.head}/")) > 0)
-    assert(after.filterNot(_.startsWith(s"date=${dates.head}/")).toSet ==
-      before.filterNot(_.startsWith(s"date=${dates.head}/")).toSet,
+    assert(after.count(r =>
+      logical(r).startsWith(s"date=${dates.head}/")) > 0)
+    assert(after.filterNot(r =>
+        logical(r).startsWith(s"date=${dates.head}/")).toSet ==
+      before.filterNot(r =>
+        logical(r).startsWith(s"date=${dates.head}/")).toSet,
       "untouched dates' entries must carry over verbatim")
     // reads still agree with the incremental manifest
     assert(store.read(None, None).get.count() == 6)
     assert(store.manifestPresent)
     // expire the first date: survivor list published with NO tree walk
-    // (the only listings are expire's own root + staging-dir scans)
+    // and no eager deletes (the dropped files are tombstoned for
+    // vacuum, so concurrent readers stay green)
     val preExpire = store.manifestFiles.get
     CountingListFileSystem.reset()
     val (droppedDirs, _) = store.expire(t0 + day + 1L)
@@ -291,9 +331,10 @@ class FsStoreSpec extends SparkSpec {
       CountingListFileSystem.paths.toArray(Array.empty[String]).toSeq
     assert(droppedDirs == 1)
     assert(store.manifestFiles.get.toSet ==
-      preExpire.filterNot(_.startsWith(s"date=${dates.head}/")).toSet)
-    // expire lists the table root (to find expired dirs), staging
-    // dirs, and the manifest gen dir — never inside any date subtree
+      preExpire.filterNot(r =>
+        logical(r).startsWith(s"date=${dates.head}/")).toSet)
+    // expire lists only the manifest state and the staging dir — never
+    // inside any date subtree, not even the table root
     assert(!listedDuringExpire.exists(_.contains("/hour=")),
       s"expiry must not walk date subtrees; listed: $listedDuringExpire")
     assert(store.read(None, None).get.count() == 4)
@@ -466,19 +507,21 @@ class FsStoreSpec extends SparkSpec {
     } finally spark.conf.set(tzKey, prior)
   }
 
-  test("crash-interrupted swap recovers at every step on the FS scheme") {
-    (1 to 3).foreach { step =>
+  test("crash-interrupted compaction reads complete at every step on " +
+      "the FS scheme") {
+    (1 to 2).foreach { step =>
       val root = newRoot()
       val store = new ParquetStore(spark, root, "span", "start")
       store.write(Seq((1L, t0, 100L), (2L, t0 + 1000L, 200L))
         .toDF("id", "start", "trace_id"))
       store.compact(crashAfterStep = step)
-      // whatever the crash point, read()'s recover() finds a complete
-      // table — the marker + roll-forward discipline through the FS API
+      // whatever the crash point, a reader finds a complete table —
+      // the manifest publish is the single atomic commit through the
+      // FS API; before it the rewrite tree is referenced by nothing
       val rows = store.read(None, None).get.select("id").as[Long]
         .collect().toSeq.sorted
       assert(rows == Seq(1L, 2L), s"crash after step $step")
-      // and a FRESH store over the same root recovers identically
+      // and a FRESH store over the same root answers identically
       val again = new ParquetStore(spark, root, "span", "start")
       assert(again.read(None, None).get.count() == 2, s"fresh, step $step")
     }
@@ -520,69 +563,49 @@ class FsStoreSpec extends SparkSpec {
   private def spanRows(ids: Seq[Long]) =
     ids.map(i => (i, t0 + (i % 2) * dayUs, i)).toDF("id", "start", "trace_id")
 
-  test("a swap torn mid-aside-rename loses no rows (the object-store " +
-      "non-atomic-rename case)") {
+  test("no directory rename exists to tear: the full lifecycle on a " +
+      "tearing FS never triggers a tear and loses no rows") {
+    // The round-15 store promoted compactions by renaming whole
+    // directory trees — on an object store a non-atomic, tearable
+    // operation that needed a marker-driven phase machine to survive.
+    // The manifest-commit protocol replaced every one of those: a
+    // rewrite lands in a fresh `_gen-*` tree and the only rename ANY
+    // mutation performs is the single manifest FILE's (atomic on every
+    // FS; a torn body is rejected by its self-count). This pins that
+    // claim mechanically: arm the tearing FS for every directory name
+    // the store ever targets and run the whole lifecycle — the tear
+    // must never even FIRE, and every row must survive.
     val root = tornRoot()
     val store = new ParquetStore(spark, root, "span", "start")
-    store.writeStaged(spanRows(1L to 6L))
-    store.compact() // clean promote: live tree with two date dirs
-    store.writeStaged(spanRows(7L to 8L))
-    // the NEXT live→old aside rename moves half the live tree then
-    // fails — and the process "crashes" right after (crashAfterStep=2)
-    TornRenameFileSystem.tearDstPrefix = Some(".old-span")
     val tornBefore = TornRenameFileSystem.torn.get()
-    store.compact(crashAfterStep = 2)
-    assert(TornRenameFileSystem.torn.get() == tornBefore + 1, "tear fired")
-    // a flush lands while the swap sits torn (the writer's path always
-    // targets the live dir's _staging)
-    store.writeStaged(spanRows(Seq(9L)))
-    // a FRESH reader must recover every row: 1-8 from the completed
-    // rewrite, 9 from the late flush — the pre-phase-machine recovery
-    // saw the partial live dir, kept it, and deleted the moved half
-    // with the old tree
-    val again = new ParquetStore(spark, root, "span", "start")
-    assert(again.read(None, None).get.select("id").as[Long]
-      .collect().toSet == (1L to 9L).map(identity).toSet)
-    // and the swap is fully settled: no markers, no aside/staged trees
+    def lifecycle(prefix: String): Unit = {
+      TornRenameFileSystem.tearDstPrefix = Some(prefix)
+      store.writeStaged(spanRows(1L to 6L))
+      store.compact()
+      store.writeStaged(spanRows(7L to 8L))
+      store.compact(filesPerPartition = 2)
+      val date = java.time.Instant.ofEpochSecond(t0 / 1000000L)
+        .toString.take(10)
+      store.compactDate(date)
+      store.vacuum(graceMs = 0L)
+      assert(store.read(None, None).get.select("id").as[Long]
+        .collect().toSet == (1L to 8L).toSet, s"rows lost under $prefix")
+    }
+    // every directory family the old swap machinery renamed, plus the
+    // new trees and store-metadata dirs themselves. (Spark's OWN job
+    // committer renames `date=…` dirs from `_temporary` inside the
+    // tree being written — internal to one write call, never a
+    // cross-reader promote — so that name is Spark's to manage, not
+    // part of the store's metadata protocol.)
+    Seq("span", ".old-span", ".compact-span", "_gen-", "_staging",
+      "_manifest").foreach(lifecycle)
+    assert(TornRenameFileSystem.torn.get() == tornBefore,
+      "a directory rename fired — the commit protocol must not rename trees")
+    TornRenameFileSystem.tearDstPrefix = None
+    // and no swap-era leftovers ever appear at the root
     val leftover = rootNames(root)
       .filter(n => n.startsWith(".swap") || n.startsWith(".old-") ||
         n.startsWith(".compact-"))
-    assert(leftover.isEmpty, leftover.toString)
-  }
-
-  test("a promote rename torn mid-tree converges without a crash") {
-    val root = tornRoot()
-    val store = new ParquetStore(spark, root, "span", "start")
-    store.writeStaged(spanRows(1L to 6L))
-    store.compact()
-    store.writeStaged(spanRows(7L to 8L))
-    // tear the staged→live promote itself (dst = the table dir);
-    // compact() is NOT interrupted — mergeMove must finish the job
-    // in the same call
-    TornRenameFileSystem.tearDstPrefix = Some("span")
-    store.compact()
-    assert(TornRenameFileSystem.tearDstPrefix.isEmpty, "tear consumed")
-    assert(store.read(None, None).get.select("id").as[Long]
-      .collect().toSet == (1L to 8L).toSet)
-    val leftover = rootNames(root)
-      .filter(n => n.startsWith(".swap") || n.startsWith(".old-") ||
-        n.startsWith(".compact-"))
-    assert(leftover.isEmpty, leftover.toString)
-  }
-
-  test("a per-date swap torn mid-aside loses no rows") {
-    val root = tornRoot()
-    val store = new ParquetStore(spark, root, "span", "start")
-    store.writeStaged(spanRows(1L to 8L))
-    store.compact(filesPerPartition = 2) // two files per minute dir
-    val date = java.time.Instant.ofEpochSecond(t0 / 1000000L)
-      .toString.take(10)
-    TornRenameFileSystem.tearDstPrefix = Some(s".old-span@date=$date")
-    store.compactDate(date, crashAfterStep = 2)
-    val again = new ParquetStore(spark, root, "span", "start")
-    assert(again.read(None, None).get.select("id").as[Long]
-      .collect().toSet == (1L to 8L).toSet)
-    val leftover = rootNames(root).filter(_.startsWith(".swap"))
     assert(leftover.isEmpty, leftover.toString)
   }
 

@@ -255,6 +255,7 @@ class StreamingWindowSpec extends SparkSpec {
     assert(parquetFiles().size >= 2)
     val before = store.read(None, None).get.select("id").as[Long].collect().sorted
     store.compact()
+    store.vacuum(graceMs = 0L) // reclaim the superseded small files
     assert(parquetFiles().size == 1)
     val after = store.read(None, None).get.select("id").as[Long].collect().sorted
     assert(after.sameElements(before))
@@ -279,6 +280,7 @@ class StreamingWindowSpec extends SparkSpec {
     val zx = ((col("start") / 1000000L).cast("long") % 65536)
     val zy = least((col("end") - col("start")) / 1000L, lit(65535L)).cast("long")
     store.compact(zorderOn = Some((zx, zy)))
+    store.vacuum(graceMs = 0L) // only the z-ordered rewrite remains
     // the single compacted file's physical row order IS the z-order —
     // that is what makes row-group min/max stats tight in BOTH
     // dimensions (the skip guarantee itself is pinned by the p18 spec)
@@ -329,16 +331,21 @@ class StreamingWindowSpec extends SparkSpec {
     val staging = new java.io.File(s"$root/span/_staging")
     assert(staging.exists() && staging.listFiles()
       .exists(_.getName.endsWith(".parquet")))
-    // a crash mid-compaction (after live is renamed aside) must not
-    // lose staged rows: recover() promotes the drained rewrite
+    // a "crash" right after the commit (manifest published, marker
+    // cleanup outstanding) must not lose staged rows: the drain is
+    // already fully visible and staging reads as drained
     store.compact(crashAfterStep = 2)
     assert(ids(store.read(None, None).get) == (1L to 300L))
-    assert(!new java.io.File(s"$root/span/_staging").exists(),
-      "recovery should land the drained tree")
-    // a clean compaction after more staged appends drains them too
+    assert(store.stagedFileCount == 0,
+      "drained staged files must be tombstoned out of the staging view")
+    // a clean compaction after more staged appends drains them too;
+    // vacuum reclaims the tombstoned staging bytes
     store.writeStaged(batch(301 to 350))
     store.compact()
-    assert(!new java.io.File(s"$root/span/_staging").exists())
+    assert(store.stagedFileCount == 0)
+    store.vacuum(graceMs = 0L)
+    assert(!new java.io.File(s"$root/span/_staging").exists(),
+      "vacuum should reclaim the drained staging files and dir")
     assert(ids(store.read(None, None).get) == (1L to 350L))
   }
 
@@ -367,14 +374,17 @@ class StreamingWindowSpec extends SparkSpec {
     assert(files("date=2025-10-09").size >= 2 && day2Before.size >= 2)
     def ids(): Seq[Long] = store.read(None, None).get
       .select("id").as[Long].collect().sorted.toSeq
-    // crash after live-aside: recover() (run by read) promotes the
-    // staged rewrite — no rows lost, day 2 untouched
-    store.compactDate("2025-10-09", crashAfterStep = 2)
+    // crash after the rewrite but before the manifest commit: the
+    // table still reads exactly as before — no rows lost or doubled,
+    // day 2 untouched
+    store.compactDate("2025-10-09", crashAfterStep = 1)
     assert(ids() == (1L to 200L))
     assert(files("date=2025-10-10") == day2Before, "day 2 was touched")
-    // clean pass: one file per (hour, minute), padded dir names intact
+    // clean pass + vacuum: one file per (hour, minute), padded dir
+    // names intact (the rewrite re-derives them from the time column)
     store.compactDate("2025-10-09")
-    val day1After = files("date=2025-10-09")
+    store.vacuum(graceMs = 0L)
+    val day1After = files("").filter(_.contains("date=2025-10-09"))
     assert(day1After.size == 1, s"expected 1 compacted file: $day1After")
     assert(day1After.head.contains("hour=08"),
       s"zero-padded hour dir lost: $day1After")
@@ -383,6 +393,7 @@ class StreamingWindowSpec extends SparkSpec {
     // the whole-table pass preserves padding too (regression: hour=00
     // would otherwise come back as hour=0)
     store.compact()
+    store.vacuum(graceMs = 0L)
     val all = files("")
     assert(all.exists(_.contains("hour=00")) &&
       all.exists(_.contains("minute=05")) && !all.exists(_.contains("hour=0/")),

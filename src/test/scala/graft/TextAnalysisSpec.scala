@@ -49,6 +49,26 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 10L, 800000L, 600000L, 800000L, 0L, 0L, 0L, 0)), s"got $got")
   }
 
+  test("gopher repetition on a zero-token-char document: ppm 0, keep 0, " +
+      "never a division error or null") {
+    // empty and whitespace-only docs have tok_chars = 0 — the raw
+    // ratio is undefined and the engines disagree on raw ÷0 (Spark
+    // div → null, DuckDB // → null/error), so both sides pin the
+    // degenerate convention explicitly
+    val docs = Seq((1L, ""), (2L, " "), (3L, ('a' to 'z').mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Int)]
+      .collect().toSeq
+    assert(got.length == 3)
+    got.take(2).foreach { r =>
+      assert(r._2 == 0L && r._3 == 0L && r._8 == 0L && r._9 == 0,
+        s"degenerate doc must score (0 ppm, keep 0): $r")
+    }
+    assert(got(2)._9 == 1, s"normal doc unaffected: ${got(2)}")
+  }
+
   test("gopher dup coverage is a position union, not an occurrence sum") {
     // "p q r s t" appears 3x ADJACENT, so the duplicated 5-grams (11
     // occurrences incl. the rotations) overlap heavily; an
