@@ -181,10 +181,13 @@ final class DuoEngine(val spark: SparkSession, root: String,
     * compactions for both stores
     * ([[graft.store.ParquetStore.planCompactions]] — pure metadata,
     * zero data reads; one manifest GET when a manifest is live, a
-    * tree walk when the 60 s direct-write [[flush]] has invalidated
-    * it) and heal up to `maxHeals` of the most-fragmented date
-    * partitions each via the crash-safe per-date swap, whose scoped
-    * republish restores the one-GET planning until the next flush.
+    * tree walk when the 60 s direct-write [[flush]] has marked it
+    * dirty) and heal up to `maxHeals` of the most-fragmented date
+    * partitions each via the manifest-committed per-date rewrite,
+    * whose scoped republish restores the one-GET planning until the
+    * next flush; concurrent readers planned before a heal stay green
+    * (snapshot isolation — superseded files live until the vacuum
+    * grace passes).
     * The flush appends a file per touched minute, so a long-running
     * ingest inevitably fragments; a maintenance cadence calling this
     * keeps read plans bounded without ever blocking the ingest path,
@@ -192,14 +195,24 @@ final class DuoEngine(val spark: SparkSession, root: String,
     * (a healed date is never re-flagged). Returns table → dates
     * healed. No-op in memory mode.
     */
+  /** @param vacuumGraceMs snapshot-isolation grace for the vacuum leg:
+    *   files tombstoned longer ago than this are reclaimed. The
+    *   default (30 min) comfortably exceeds any interactive query's
+    *   runtime; a deployment sizes it to its slowest reader.
+    */
   def maintain(maxFilesPerDate: Int = 8,
       minAvgBytes: Long = 4L * 1024 * 1024,
-      maxHeals: Int = 2): Map[String, Seq[String]] =
+      maxHeals: Int = 2,
+      vacuumGraceMs: Long = 30L * 60L * 1000L): Map[String, Seq[String]] =
     if (memoryMode) Map.empty
     else Seq("span" -> spanStore, "log" -> logStore).map { case (n, st) =>
       val dates = st.planCompactions(maxFilesPerDate, minAvgBytes)
         .take(maxHeals)
       dates.foreach(d => st.compactDate(d))
+      // reclaim what previous mutations deferred (tombstoned files,
+      // orphan rewrite trees, aged manifest generations) — the other
+      // half of the maintenance cadence; a no-op when nothing is ripe
+      st.vacuum(vacuumGraceMs): Unit
       n -> dates
     }.toMap
 

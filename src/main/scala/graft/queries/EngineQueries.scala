@@ -469,7 +469,8 @@ object EngineQueries {
     "g08_json_dir_ingest" -> (dynamicSchemaDirGate _),
     "g09_prefix_read_coarse" -> (prefixReadCoarseGate _),
     "g10_expire" -> (expireGate _),
-    "g12_manifest_read" -> (manifestReadGate _))
+    "g12_manifest_read" -> (manifestReadGate _),
+    "g13_maintain_live" -> (maintainGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -854,6 +855,43 @@ object EngineQueries {
     prefixReadQuery(s, root, g07Logs(eventsAsLogs(s, d)).schema)
   }
 
+  /** g13: the MAINTENANCE CADENCE end-to-end under the oracle hash —
+    * [[graft.DuoEngine.maintain]] running between live cadence flushes
+    * (the w11 pattern applied to maintenance). g07's feed lands as SIX
+    * direct engine flushes into the same 3-hour window (each flush
+    * appends a file per touched minute, so leaf dirs fragment exactly
+    * as a long-running ingest fragments them), and maintain() runs
+    * AFTER EVERY SECOND FLUSH — planCompactions flags the fragmented
+    * date, compactDate heals it through the manifest-commit protocol,
+    * vacuum (grace 0) reclaims the superseded files — while later
+    * flushes keep landing on the healed store (dirty-marker mode).
+    * The final state is then answered through the SAME mid-minute
+    * prefix query, and the oracle is g07's replay VERBATIM: however
+    * many heal/flush/vacuum interleavings the store went through, the
+    * table must be observationally identical to one clean landing.
+    * This pins that dirty-walk union + scoped rebuild + tombstone
+    * reclaim compose under live traffic — the composition no single-
+    * operation spec can pin.
+    */
+  def maintainGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g13", d) { root =>
+      val logs = g07Logs(eventsAsLogs(s, d))
+      val engine = new graft.DuoEngine(s, root)
+      (0 until 6).foreach { k =>
+        engine.appendLogBatch(logs.filter(col("span_id") % 6 === k))
+        engine.flush() // the 60 s cadence: direct partitioned write
+        if (k % 2 == 1)
+          engine.maintain(maxFilesPerDate = 4, minAvgBytes = 0L,
+            vacuumGraceMs = 0L): Unit
+      }
+    }
+    val st = new graft.store.ParquetStore(s, root, "log", "time")
+    if (!st.manifestPresent) sys.error(
+      "g13: manifest missing after maintenance — the heals never " +
+        "published")
+    prefixReadQuery(s, root, g07Logs(eventsAsLogs(s, d)).schema)
+  }
+
   /** g10: RETENTION under the oracle hash — the store operation the
     * reference lacks entirely (duo grows forever; no expiry anywhere
     * in duo/src). A disjoint ⅕ subset (span_id ≡ 3 mod 5) lands with
@@ -997,6 +1035,9 @@ object EngineQueries {
     // the manifest-planned read must be observationally identical to
     // the listing-planned one — g07's replay, shared verbatim again
     "g12_manifest_read" -> g07OracleSql,
+    // maintenance under live traffic (flush/heal/vacuum interleaved)
+    // must be observationally invisible — g07's replay, verbatim
+    "g13_maintain_live" -> g07OracleSql,
     // expiry at a mid-day cutoff must read as a DAY-FLOOR time filter
     // (directory-granular retention; see expireGate)
     "g10_expire" ->

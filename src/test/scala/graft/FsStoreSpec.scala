@@ -385,6 +385,39 @@ class FsStoreSpec extends SparkSpec {
       "without the recorded schema, planning must re-read footers")
   }
 
+  test("rowGroupRanges plans from the manifest: footer-stats " +
+      "readback with zero tree listings") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.lcount.impl", classOf[CountingListFileSystem].getName)
+    val root = "lcount://" +
+      java.nio.file.Files.createTempDirectory("lcountrg")
+    val store = new ParquetStore(spark, root, "span", "start")
+    val rows = (1L to 400L).map(i =>
+      (i, t0 + (i % 40L) * 60L * 1000000L, t0 + (i % 40L) * 60L * 1000000L
+        + (i % 7L) * 1000000L, i))
+      .toDF("id", "start", "end", "trace_id")
+    store.writeStaged(rows)
+    // z-ordered drain with small row groups — the layout the skip
+    // measurement is about
+    store.compact(
+      zorderOn = Some((
+        ((col("start") % 60000000L) / 1000L).cast("long"),
+        least((col("end") - col("start")) / 1000L, lit(65535L))
+          .cast("long"))),
+      blockSize = Some(32 * 1024L))
+    store.vacuum(graceMs = 0L)
+    store.rowGroupRanges(Seq("start", "end")): Unit // warm FS handles
+    CountingListFileSystem.reset()
+    val ranges = store.rowGroupRanges(Seq("start", "end"))
+    assert(ranges.nonEmpty)
+    assert(ranges.forall { case (_, m) =>
+      m("start")._1 <= m("start")._2 && m("end")._1 <= m("end")._2 })
+    // the only listing is the _manifest state lookup — the partitioned
+    // tree itself is never walked (footer opens are reads, not LISTs)
+    val lists = CountingListFileSystem.lists.get
+    assert(lists <= 2, s"manifest-planned rowGroupRanges listed $lists×")
+  }
+
   test("time-ranged reads prune to the window's minute partitions, " +
       "not the whole day; coarse trees prune at their own grain") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
@@ -504,6 +537,43 @@ class FsStoreSpec extends SparkSpec {
       val (dropped, _) = store.expire(base)
       assert(dropped == 0, "expiry deleted rows newer than the cutoff")
       assert(store.read(None, None).get.count() == 2)
+    } finally spark.conf.set(tzKey, prior)
+  }
+
+  test("DST fall-back: minute-grain pruning keeps the repeated hour " +
+      "whole — no rows lost where local minutes are not monotone") {
+    val tzKey = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val root = newRoot()
+      val store = new ParquetStore(spark, root, "span", "start")
+      // 2021-11-07: clocks fall back 02:00 EDT → 01:00 EST, so local
+      // 01:00-01:59 happens TWICE (05:00-05:59Z as EDT, 06:00-06:59Z
+      // as EST). Minute values in that local hour are NOT monotone in
+      // event time: 01:05 EST (06:05Z) is 15 minutes AFTER 01:50 EDT
+      // (05:50Z).
+      val r1 = java.time.Instant.parse("2021-11-07T05:50:00Z")
+        .toEpochMilli * 1000L // local 01:50 EDT → minute=50
+      val r2 = java.time.Instant.parse("2021-11-07T06:05:00Z")
+        .toEpochMilli * 1000L // local 01:05 EST → minute=05
+      store.writeStaged(Seq((1L, r1, 1L), (2L, r2, 2L))
+        .toDF("id", "start", "trace_id"))
+      store.compact() // minute-grain dirs derived in the session zone
+      // window [r1, r2]: a naive minute-grain lower bound (minute ≥ 50
+      // within hour 01) prunes r2's minute=05 partition even though
+      // its instant is INSIDE the window; the upper bound (minute ≤ 5)
+      // symmetrically prunes r1. Near a transition the boundary hour
+      // must be kept whole — the exact row predicate does the rest.
+      val got = store.read(Some(r1), Some(r2)).get
+        .select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L),
+        s"rows lost to non-monotone DST minutes: $got")
+      // and each one-sided window too (lower-only / upper-only bounds)
+      assert(store.read(Some(r1 + 1L), Some(r2)).get
+        .select("id").as[Long].collect().toSet == Set(2L))
+      assert(store.read(Some(r1), Some(r2 - 1L)).get
+        .select("id").as[Long].collect().toSet == Set(1L))
     } finally spark.conf.set(tzKey, prior)
   }
 
