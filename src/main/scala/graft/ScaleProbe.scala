@@ -234,6 +234,19 @@ object ScaleProbe {
       if (only.isEmpty || only.exists("x03_kmv_overlap".startsWith))
         measure("x03_kmv_overlap", scale,
           graft.operators.Sketches.kmvSourceOverlap(d100))
+      // g12's third decade (round 16): "one GET plans the table" must
+      // hold when the same ~181 minute dirs carry 100× the file bytes
+      // — plan_lists stays at the constant handful while the listing
+      // baseline stays O(dirs)
+      if (only.isEmpty || only.exists("g12_manifest_read".startsWith))
+        g12Probe(scale, evsN(100).localCheckpoint(true))
+      // t23's third decade (round 16): five epochs of one partial agg
+      // each — the shuffle is five 5-value gradient rows at ANY corpus
+      // size, so wall time must track the feature scan alone
+      if (only.isEmpty || only.exists("t23_lr_train_score".startsWith))
+        measure("t23_lr_train_score", scale,
+          TextAnalysis.lrQualityScore(d100,
+            TextAnalysis.trainQualityLr(d100)))
       if (only.isEmpty || only.exists("w11_ingest_loop".startsWith)) {
         val sp100 = spansN(100).localCheckpoint(true)
         val lg100 = logsN(100).localCheckpoint(true)
@@ -348,6 +361,37 @@ object ScaleProbe {
       if (scale == "10x")
         measure("d09_embedding_lsh_auto", scale,
           Dedup.embeddingPairsLsh(e, 0.4))
+      // TABLES-vs-PROBES frontier (round 16): the recall knob's COST
+      // asymmetry measured — a table multiplies the index (one
+      // exploded (tbl, bucket) row per vector per table, the replica
+      // that scales with a 100 TB corpus), a probe only explodes the
+      // probe side of the join. Each row reports recall vs the exact
+      // n² baseline, wall time, and the index rows the config pays;
+      // the SCALE.md claim is equal-or-better recall at half the
+      // index (pinned functionally in DedupSpec).
+      if (scale == "1x" &&
+          (only.isEmpty || only.exists("d09_multiprobe_frontier".startsWith))) {
+        val nVecs = e.count()
+        val exact = Dedup.embeddingPairs(e, 0.4, maxRows = nVecs)
+          .select("vec_a", "vec_b")
+          .as[(Long, Long)](org.apache.spark.sql.Encoders.product)
+          .collect().toSet
+        for ((tables, flips) <- Seq((8, 0), (4, 0), (4, 2), (2, 0), (2, 3))) {
+          val t0 = System.nanoTime()
+          val got = Dedup.embeddingPairsLsh(e, 0.4,
+              nPlanes = graft.util.Resolution.Fixed(4),
+              nTables = tables, probeFlips = flips)
+            .select("vec_a", "vec_b")
+            .as[(Long, Long)](org.apache.spark.sql.Encoders.product)
+            .collect().toSet
+          val sec = (System.nanoTime() - t0) / 1e9
+          val recall = if (exact.isEmpty) 1.0
+            else (got & exact).size.toDouble / exact.size
+          println(f"""{"query":"d09_multiprobe_frontier","scale":"$scale",""" +
+            f""""tables":$tables,"flips":$flips,"recall":$recall%.3f,""" +
+            f""""sec":$sec%.2f,"index_rows":${nVecs * tables}}""")
+        }
+      }
       // trigram LM: one census level deeper than t19 — the trigram
       // table is the only vocabulary²-ish growth; scoring rows stay
       // one per distinct (doc, u, v, w)
@@ -473,42 +517,50 @@ object ScaleProbe {
       // (the _manifest dir itself) while the listing plan pays
       // O(dirs). Executed counts too — executor file reads are
       // opens, not lists, so the gap is pure planning.
-      if (only.isEmpty || only.exists("g12_manifest_read".startsWith)) {
-        spark.sparkContext.hadoopConfiguration
-          .set("fs.probefs.impl", classOf[CountingProbeFs].getName)
-        val local = java.nio.file.Files.createTempDirectory("g12_probe")
-        graft.util.StreamGate.deferDelete(local)
-        val root = s"probefs://$local"
-        val (logs, schema, startUs, endUs) =
-          graft.queries.EngineQueries.g07ProbeParts(spark, ev)
-        graft.queries.EngineQueries.prefixReadBuild(spark, logs, root)
-        val st = new graft.store.ParquetStore(spark, root, "log", "time")
-        st.compact()
-        for (mode <- Seq("manifest", "listing")) {
-          if (mode == "listing")
-            graft.store.StoreFs.fs(
-                new org.apache.hadoop.fs.Path(s"$root/log"))
-              .delete(new org.apache.hadoop.fs.Path(
-                s"$root/log/_manifest"), true): Unit
-          // warm once (FS handle, parquet session state), then count
-          st.readPrefixes(startUs, endUs, schema = Some(schema)): Unit
-          CountingProbeFs.lists.set(0)
-          val t0 = System.nanoTime()
-          val df = st.readPrefixes(startUs, endUs, schema = Some(schema))
-            .getOrElse(sys.error("g12 probe: store served nothing"))
-          val planLists = CountingProbeFs.lists.get
-          val planMs = (System.nanoTime() - t0) / 1e6
-          val rows = df.count()
-          val totalLists = CountingProbeFs.lists.get
-          println(f"""{"query":"g12_manifest_plan","scale":"$scale",""" +
-            f""""mode":"$mode","plan_lists":$planLists,""" +
-            f""""total_lists":$totalLists,"plan_ms":$planMs%.1f,""" +
-            f""""rows":$rows}""")
-        }
-      }
+      if (only.isEmpty || only.exists("g12_manifest_read".startsWith))
+        g12Probe(scale, ev)
       Dedup.releaseIntermediates()
     }
     if (tiers.contains("100x")) run100x()
     spark.stop()
+  }
+
+  /** The g12 LIST-elimination measurement at one tier: a compacted
+    * (manifest-planned) store vs a never-compacted (legacy listing)
+    * store over the SAME content — since round 16 the manifest is the
+    * table of record once a store compacts (rewrites live in `_gen-*`
+    * trees the legacy listing never sees), so the listing baseline is
+    * a store built by direct writes alone, exactly the state a
+    * pre-first-compaction deployment is in.
+    */
+  private def g12Probe(scale: String,
+      ev: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = ev.sparkSession
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.probefs.impl", classOf[CountingProbeFs].getName)
+    val (logs, schema, startUs, endUs) =
+      graft.queries.EngineQueries.g07ProbeParts(spark, ev)
+    for (mode <- Seq("manifest", "listing")) {
+      val local = java.nio.file.Files.createTempDirectory(s"g12_$mode")
+      graft.util.StreamGate.deferDelete(local)
+      val root = s"probefs://$local"
+      graft.queries.EngineQueries.prefixReadBuild(spark, logs, root)
+      val st = new graft.store.ParquetStore(spark, root, "log", "time")
+      if (mode == "manifest") st.compact()
+      // warm once (FS handle, parquet session state), then count
+      st.readPrefixes(startUs, endUs, schema = Some(schema)): Unit
+      CountingProbeFs.lists.set(0)
+      val t0 = System.nanoTime()
+      val df = st.readPrefixes(startUs, endUs, schema = Some(schema))
+        .getOrElse(sys.error("g12 probe: store served nothing"))
+      val planLists = CountingProbeFs.lists.get
+      val planMs = (System.nanoTime() - t0) / 1e6
+      val rows = df.count()
+      val totalLists = CountingProbeFs.lists.get
+      println(f"""{"query":"g12_manifest_plan","scale":"$scale",""" +
+        f""""mode":"$mode","plan_lists":$planLists,""" +
+        f""""total_lists":$totalLists,"plan_ms":$planMs%.1f,""" +
+        f""""rows":$rows}""")
+    }
   }
 }

@@ -1102,19 +1102,35 @@ object Dedup {
     */
   val D09CalibN = 2000L
 
+  /** @param probeFlips multi-probe extension (Lv et al., VLDB'07 —
+    *   the s15 result applied to the PAIR join): each vector probes
+    *   its own bucket per table PLUS the `probeFlips` buckets that
+    *   differ in the planes with the smallest projection margin — the
+    *   buckets a true near-duplicate most likely fell into when it
+    *   landed just across a hyperplane. Probes buy recall WITHOUT more
+    *   tables: the index side stays ONE (tbl, bucket) row per table
+    *   per vector (the replica cost that multiplies a 100 TB index),
+    *   only the probe side explodes ×(flips+1). 0 (the default) is the
+    *   classic single-bucket join, bit-for-bit as before. The
+    *   tables-vs-probes recall/cost frontier is measured in ScaleProbe
+    *   (d09_multiprobe_frontier) and recorded in SCALE.md.
+    */
   def embeddingPairsLsh(embs: DataFrame, tau: Double,
       nPlanes: graft.util.Resolution = graft.util.Resolution.Auto,
-      nTables: Int = 8, dim: Int = 64): DataFrame = {
-    import graft.functions.TextFns.lshBucket
+      nTables: Int = 8, dim: Int = 64, probeFlips: Int = 0): DataFrame = {
+    import graft.functions.TextFns.{lshBucket, planeWeights}
     // Auto-sized resolution (Resolution scaladoc): planes grow
     // ⌈log₂(n/n₀)⌉ past the 4-plane default calibrated at the sf0.1
     // corpus, so bucket occupancy — and with it Σ bucket² candidate
     // work — stays ~flat as the corpus grows instead of re-creating
     // the measured 6.6× cliff. Recall per table falls with planes;
-    // production buys it back with nTables (OR-amplification, the
-    // documented trade).
+    // production buys it back with probeFlips (margin-ranked
+    // multi-probe — no index growth) or nTables (OR-amplification,
+    // one more index replica per table).
     val planes = graft.util.Resolution.resolve(nPlanes, embs.count(),
       D09CalibN, base = 4, hi = 24)
+    require(probeFlips >= 0 && probeFlips <= planes,
+      s"probeFlips must be in [0, $planes]: $probeFlips")
     val e = normalizedVecs(embs)
     val bk = e.select(col("vec_id"), col("v"),
       posexplode(array((0 until nTables).map(t =>
@@ -1128,13 +1144,47 @@ object Dedup {
     // Measured at sf0.1 (2000 × dim-64, ~2M candidates): 11.9 s → ~3 s;
     // at 100 TB the array-free dedup shuffle is the difference between
     // a bounded exchange and re-shipping the corpus ×L.
-    bk.as("a").join(bk.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(call_function("array_dot", col("a.v"), col("b.v")), 6).as("cos"))
-      .filter(col("cos") >= tau)
-      .dropDuplicates("vec_a", "vec_b")
+    if (probeFlips == 0) {
+      bk.as("a").join(bk.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(call_function("array_dot", col("a.v"), col("b.v")), 6).as("cos"))
+        .filter(col("cos") >= tau)
+        .dropDuplicates("vec_a", "vec_b")
+    } else {
+      // probe side: per (vector, table), the own bucket plus the
+      // probeFlips lowest-|margin| single-bit flips (margins ranked by
+      // (|projection|, plane index) — deterministic, like s15). The
+      // join is ASYMMETRIC (probe rows × one-bucket index rows), so a
+      // pair is found when EITHER endpoint probes the other's bucket —
+      // canonicalize with least/greatest before the pair-dedup.
+      val perTable = array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col("v"), planes, dim, t * planes).as("qb"),
+          array((0 until planes).map { j =>
+            struct(
+              abs(call_function("array_dot", col("v"),
+                typedlit(planeWeights(t * planes + j, dim)))).as("m"),
+              lit(j).as("j"))
+          }: _*).as("ms"))
+      }: _*)
+      val probes = e
+        .select(col("vec_id"), col("v"), explode(perTable).as("ts"))
+        .select(col("vec_id"), col("v"), col("ts.tbl").as("tbl"),
+          explode(concat(array(col("ts.qb")),
+            expr(s"transform(slice(array_sort(ts.ms), 1, $probeFlips)," +
+              " s -> ts.qb ^ shiftleft(1, s.j))"))).as("bucket"))
+      probes.as("a").join(bk.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(
+          least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+          round(call_function("array_dot", col("a.v"), col("b.v")), 6).as("cos"))
+        .filter(col("cos") >= tau)
+        .dropDuplicates("vec_a", "vec_b")
+    }
   }
 
   /** Intra-document repetition REMOVAL: within each document, repeated

@@ -114,6 +114,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH pairs: probes buy recall without more index " +
+      "tables; precision stays 1.0") {
+    // the s15 result applied to the pair join (VERDICT r15 #6):
+    // d09's recall knob multiplied the index (nTables replicas, the
+    // cost that scales with a 100 TB corpus); probeFlips explodes only
+    // the probe side. Pinned: (a) every multi-probe pair is a true
+    // pair, (b) probes at FEWER tables recover at least the recall of
+    // the un-probed run at those tables — and on this fixture at
+    // least the 8-table un-probed recall with HALF the index.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Dedup.embeddingPairs(embs, 0.3))
+    val t4 = pairSet(Dedup.embeddingPairsLsh(embs, 0.3, nTables = 4))
+    val t4p2 = pairSet(Dedup.embeddingPairsLsh(embs, 0.3, nTables = 4,
+      probeFlips = 2))
+    val t8 = pairSet(Dedup.embeddingPairsLsh(embs, 0.3, nTables = 8))
+    assert((t4p2 -- exact).isEmpty, s"false positives: ${t4p2 -- exact}")
+    // probing a table's neighbor buckets can only ADD candidates
+    assert(t4.subsetOf(t4p2),
+      s"multi-probe lost un-probed pairs: ${t4 -- t4p2}")
+    if (exact.nonEmpty) {
+      def recall(s: Set[(Long, Long)]) =
+        (s & exact).size.toDouble / exact.size
+      info(f"recall: 4 tables ${recall(t4)}%.3f, 4 tables + 2 probes " +
+        f"${recall(t4p2)}%.3f, 8 tables ${recall(t8)}%.3f " +
+        f"over ${exact.size} exact pairs")
+      assert(recall(t4p2) >= recall(t8),
+        "2-probe 4-table recall fell below the 8-table index on the " +
+          "fixture — the fewer-tables claim regressed")
+    }
+  }
+
   test("streamed decontam flags equal the batch any-hit set, deduped across batches") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())

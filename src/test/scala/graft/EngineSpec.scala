@@ -269,6 +269,52 @@ class EngineSpec extends SparkSpec {
     assert(engine.logTable().filter(col("region").isNull).count() == 3)
   }
 
+  test("expiry retiring a drifted column's only files: the registry " +
+      "keeps the column, reads resurrect it as all-null, stats are empty") {
+    // The registry↔manifest contract after retention (VERDICT r15 #7),
+    // DECIDED as documented resurrect-as-null: the schema registry
+    // records the union of schemas ever ingested — it is the QUERY
+    // surface's contract, so a saved query referencing the column
+    // keeps planning after the data retires and deterministically
+    // answers null. Registry GC on expiry would make a column's
+    // existence depend on retention timing (and cost a full-schema
+    // scan to prove no survivor carries it). fieldStats' null-drop
+    // (F12, g06's drift semantics) then makes the retired column's
+    // stats EMPTY, not an error — g06 and g10 compose.
+    val root = tmpRoot()
+    val engine = new DuoEngine(spark, root)
+    val day = 86400L * 1000000L
+    val t0 = 1705276800000000L // 2024-01-15T00:00:00Z
+    // old date carries the drifted column; new date never has it
+    engine.appendLogBatch(Seq(("svc-0", t0 + 1000L, "INFO", "m1", 7L))
+      .toDF("process_id", "time", "level", "message", "tmp_col"))
+    engine.flush()
+    engine.appendLogBatch(Seq(("svc-0", t0 + day + 1000L, "INFO", "m2"))
+      .toDF("process_id", "time", "level", "message"))
+    engine.flush()
+    assert(engine.fieldStats("tmp_col",
+        LogSearchParams(service = "svc", unbounded = true))
+      .get.collect().length == 1)
+    // retention drops the only files carrying tmp_col
+    val store = new ParquetStore(spark, root, "log", "time")
+    assert(store.expire(t0 + day)._1 == 1)
+    val tbl = engine.logTable()
+    // the registry still serves the column — resurrected as all-null
+    assert(tbl.columns.contains("tmp_col"))
+    assert(tbl.count() == 1)
+    assert(tbl.filter(col("tmp_col").isNull).count() == 1)
+    // and its stats are deterministically EMPTY (null-drop), no error
+    val stats = engine.fieldStats("tmp_col",
+      LogSearchParams(service = "svc", unbounded = true)).get.collect()
+    assert(stats.isEmpty, s"retired column stats: ${stats.toSeq}")
+    // a fresh engine over the same root agrees (registry persisted)
+    val e2 = new DuoEngine(spark, root)
+    assert(e2.logTable().columns.contains("tmp_col"))
+    assert(e2.fieldStats("tmp_col",
+      LogSearchParams(service = "svc", unbounded = true))
+      .get.collect().isEmpty)
+  }
+
   test("drifted JSON flushes land parquet files with genuinely different schemas") {
     // the g06 gate's disk-level premise: flush 1 (narrow fields) and
     // flush 2 (adds `target`) must produce files whose FOOTERS differ,
