@@ -23,6 +23,19 @@ import org.apache.spark.sql.types.StructType
   * directory read — only the I/O to discover the files is gone.
   * (Iceberg/Delta read planning at this store's scale; the reference
   * lists per prefix at query time, duo/src/partition/query.rs.)
+  *
+  * Spark-internal surface, version-pinned: this extends
+  * `execution.datasources.PartitioningAwareFileIndex` and the
+  * companion casts to `sql.classic.SparkSession` for
+  * `baseRelationToDataFrame` — developer-internal API, stable across
+  * Spark 4.1.x (the build's pinned line) but free to move in a minor
+  * bump. Upgrade checklist: (1) `leafFiles`/`leafDirToChildrenFiles`/
+  * `partitionSpec` signatures, (2) the "basePath" parameters key,
+  * (3) the classic-session cast. Breakage degrades loudly at compile
+  * time, not silently at read time; if the index ever has to be
+  * dropped, [[ParquetStore]]'s legacy listing mode is the functional
+  * (slower) fallback for never-compacted stores, and a
+  * DataSourceV2 `FileTable` port is the forward path.
   */
 final class ManifestFileIndex(
     spark: SparkSession,

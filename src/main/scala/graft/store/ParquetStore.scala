@@ -94,6 +94,30 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   private[graft] def manifestDead: Option[Seq[String]] =
     manifest.read().map(_.dead.map(_.rel))
 
+  /** Retained manifest generations, oldest → newest — the snapshots
+    * [[readGeneration]] can time-travel to. Retention is
+    * [[StoreManifest.KeepGens]] generations, pruned past the grace by
+    * [[vacuum]]; the newest IS the current table.
+    */
+  def generations(): Seq[String] = manifest.genNames()
+
+  /** The MAIN table as of one retained generation — time travel, the
+    * capability the commit protocol gives for free: a generation's
+    * entries still name on-disk files until vacuum's grace passes, so
+    * planning from an older generation answers exactly the table that
+    * generation committed (partition pruning and schema included).
+    * Staged flushes are deliberately excluded: `_staging` is the
+    * unversioned ingest tail — rows enter version history when a
+    * drain commits them. None when the generation is pruned/corrupt or
+    * names already-vacuumed files' tree shape (execution would then
+    * fail on the missing files — time travel reaches exactly as far
+    * as the vacuum grace, the documented isolation window).
+    */
+  def readGeneration(gen: String): Option[DataFrame] =
+    manifest.readGen(gen).flatMap(snap =>
+      relationFor(snap.entries, snap.schema)
+        .map(_.drop("date", "hour", "minute")))
+
   /** Recursive delete (no-op when absent). */
   private def rm(p: Path): Unit = { fs.delete(p, true): Unit }
 

@@ -169,6 +169,14 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   def deleteGen(name: String): Unit =
     fs.delete(new Path(mdir, name), false): Unit
 
+  /** One SPECIFIC retained generation's snapshot (time travel: its
+    * data files live until vacuum's grace passes). None when the name
+    * is gone or the body fails the self-checks.
+    */
+  def readGen(name: String): Option[Snapshot] =
+    if (!name.startsWith("gen-")) None
+    else parseGen(new Path(mdir, name))
+
   /** The newest READABLE generation's snapshot, or None when no
     * self-consistent generation exists — the caller then treats the
     * store as never-compacted (legacy listing mode). A torn write

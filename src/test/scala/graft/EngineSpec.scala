@@ -656,6 +656,37 @@ class EngineSpec extends SparkSpec {
       .collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("time travel: retained generations answer the table AS OF " +
+      "their commit, as far back as the vacuum grace") {
+    val root = tmpRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day1 = 1760000000000000L
+    val day = 86400L * 1000000L
+    def rows(ids: Long*) = ids.map(i => (i, day1 + (i % 3) * day, i))
+      .toDF("id", "start", "trace_id").coalesce(1)
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    store.writeStaged(rows(1L, 2L))
+    store.compact() // gen A: {1,2}
+    val genA = store.generations().last
+    store.writeStaged(rows(3L))
+    store.compact() // gen B: {1,2,3}
+    val genB = store.generations().last
+    store.expire(day1 + day) // gen C: drops day-0 rows (id 3)
+    val genC = store.generations().last
+    assert(store.generations() == Seq(genA, genB, genC).sorted)
+    // each retained generation answers ITS table
+    assert(idsOf(store.readGeneration(genA).get) == Set(1L, 2L))
+    assert(idsOf(store.readGeneration(genB).get) == Set(1L, 2L, 3L))
+    assert(idsOf(store.readGeneration(genC).get) == Set(1L, 2L))
+    assert(idsOf(store.read(None, None).get) == Set(1L, 2L))
+    // vacuum past the grace prunes history; the current table remains
+    store.vacuum(graceMs = 0L)
+    assert(store.generations().size == 1)
+    assert(store.readGeneration(genA).isEmpty)
+    assert(idsOf(store.read(None, None).get) == Set(1L, 2L))
+  }
+
   test("writer fencing: a second writer on the same root fences the first") {
     val root = tmpRoot()
     val a = new ParquetStore(spark, root, "span", "start")
