@@ -267,6 +267,12 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def services(): Seq[String] =
     processes.all.map(_.serviceName).distinct
 
+  /** The live merged log schema — GET /api/logs/schema's payload
+    * (duo/src/schema.rs:74-76: the route serializes the mutable merged
+    * schema, not the base one).
+    */
+  def currentLogSchema: org.apache.spark.sql.types.StructType = logSchema
+
   def spanNames(service: String): DataFrame =
     LogQueries.spanNames(spanTable(), service)
 

@@ -152,7 +152,7 @@ object Jaeger {
     "processID" -> JString(s.processID),
     "warnings" -> JArray(s.warnings.toList.map(JString(_))))
 
-  private def traceJson(t: JaegerTrace): JValue = JObject(
+  private[api] def traceJson(t: JaegerTrace): JValue = JObject(
     "traceID" -> JString(t.traceID),
     "spans" -> JArray(t.spans.toList.map(spanJson)),
     "processes" -> JObject(t.processes.toList.sortBy(_._1).map {
@@ -173,7 +173,7 @@ object Jaeger {
     * in (duo/src/web/serialize.rs:140-153): constant total/limit/offset
     * zeros and a null errors slot.
     */
-  private def envelope(items: List[JValue]): String =
+  private[api] def envelope(items: List[JValue]): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       "data" -> JArray(items),
       "total" -> JInt(0),

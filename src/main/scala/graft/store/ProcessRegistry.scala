@@ -44,7 +44,7 @@ final class ProcessRegistry(path: String) {
   def byService(service: String): Seq[Process] =
     this.synchronized(procs.values.filter(_.serviceName == service).toSeq)
 
-  private def tagJson(v: TagValue): JValue =
+  private[graft] def tagJson(v: TagValue): JValue =
     v.boolVal.map(JBool(_))
       .orElse(v.u64Val.map(u => JInt(BigInt(java.lang.Long.toUnsignedString(u)))))
       .orElse(v.i64Val.map(i => JInt(BigInt(i))))
