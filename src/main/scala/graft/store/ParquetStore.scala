@@ -50,7 +50,17 @@ import org.apache.spark.sql.types.StructType
   * first mutation and re-verifies it still holds the lexicographic max
   * before every subsequent one, so a second writer on the same root
   * fences the first loudly ([[ParquetStore.WriterFencedException]])
-  * instead of interleaving mutations into silent corruption. Readers
+  * instead of interleaving mutations into silent corruption. The lease
+  * is verified TWICE per committing mutation — at mutation start and
+  * again at the commit point, immediately before the manifest publish
+  * — because a rewrite can run for minutes: a writer fenced mid-rewrite
+  * must fail at its commit, not land a stale generation as the newest
+  * truth. Belt-and-braces under the commit itself,
+  * [[StoreManifest.publish]] is an expected-parent CAS: every commit
+  * names the generation its planning snapshot read, and the publish
+  * throws [[StoreManifest.ConcurrentCommitException]] when any other
+  * generation is newest — so even a mutation that somehow passed both
+  * lease checks cannot overwrite another writer's commit. Readers
   * never fence.
   *
   * At scale: minute-grained dirs are only sensible for recent data; the
@@ -245,7 +255,8 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * generation — the store is in legacy listing mode (never
     * compacted, or catastrophic manifest loss).
     */
-  private case class Truth(entries: Seq[StoreManifest.Entry],
+  private case class Truth(gen: String,
+      entries: Seq[StoreManifest.Entry],
       schema: Option[StructType], deadRels: Set[String],
       dirtyNames: Seq[String], dead: Seq[StoreManifest.Dead])
 
@@ -254,7 +265,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     snapOpt.map { snap =>
     val deadRels = snap.deadRels
     if (dirty.isEmpty)
-      Truth(snap.entries, snap.schema, deadRels, Nil, snap.dead)
+      Truth(snap.gen, snap.entries, snap.schema, deadRels, Nil, snap.dead)
     else {
       // dirty: direct write()s appended to the legacy tree since the
       // last publish — union a walk in, minus files the manifest
@@ -266,10 +277,20 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         .filterNot(e => known(e.rel) || deadRels(e.rel))
       // the recorded schema can't cover columns the dirty appends
       // introduced — drop to footer inference until the next compact
-      Truth(snap.entries ++ extras, None, deadRels, dirty, snap.dead)
+      Truth(snap.gen, snap.entries ++ extras, None, deadRels, dirty,
+        snap.dead)
     }
     }
   }
+
+  /** Test seam (specs only): runs after a mutation's rewrite fully
+    * lands, immediately before its commit (the lease re-verify +
+    * manifest publish) — the only way a spec can interleave a SECOND
+    * writer's full mutation inside the first writer's in-flight one
+    * and prove the publish-time fence + expected-parent CAS reject
+    * the stale commit.
+    */
+  private[graft] var beforeCommit: () => Unit = () => ()
 
   /** rel → rel without its leading `_gen-…` tree segment: the LOGICAL
     * path (`date=…/hour=…/minute=…/file`), the coordinate space
@@ -513,14 +534,20 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // plus the rewrite's walk (bounded by the files just written).
     // The prior merged schema stays exact only when it was exact
     // before (not dirty): the rewrite read with that schema pinned, so
-    // its files carry the full unified column set.
+    // its files carry the full unified column set. The lease is
+    // RE-verified here (the rewrite may have run for minutes; a writer
+    // fenced mid-rewrite must not land a stale truth) and the publish
+    // CASes on the planning snapshot's generation.
+    beforeCommit()
+    fence()
     val now = System.currentTimeMillis()
     val kept = mainEntries.filterNot(e =>
       logicalRel(e.rel).startsWith(part + "/"))
     manifest.publish(kept ++ manifest.walkSubtree(gen),
       t.flatMap(_.schema),
       t.map(_.dead).getOrElse(Nil) ++
-        eD.map(e => StoreManifest.Dead(e.rel, now)))
+        eD.map(e => StoreManifest.Dead(e.rel, now)),
+      parent = t.map(_.gen))
   }
 
   /** Compact the small files the minute-grained ingest leaves behind:
@@ -651,13 +678,20 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // staged) to the rewrite — entries walked from the files just
     // written (bounded), schema exact (every file written from ONE
     // DataFrame), tombstones = everything superseded plus the prior
-    // not-yet-vacuumed set carried forward.
+    // not-yet-vacuumed set carried forward. The lease is RE-verified
+    // at the commit point (a whole-table rewrite can run for minutes;
+    // a writer fenced mid-rewrite must fail here, not publish a truth
+    // missing the fencer's commits) and the publish CASes on the
+    // planning snapshot's generation.
+    beforeCommit()
+    fence()
     val now = System.currentTimeMillis()
     manifest.publish(manifest.walkSubtree(gen), Some(all.get.schema),
       t.map(_.dead).getOrElse(Nil) ++
         (mainEntries.map(_.rel) ++
           stagedF.map(s => s"_staging/${s.getPath.getName}"))
-          .map(StoreManifest.Dead(_, now)))
+          .map(StoreManifest.Dead(_, now)),
+      parent = t.map(_.gen))
     if (crashAfterStep <= 2) return
     // the legacy extras this pass folded are now in the manifest —
     // clear exactly the markers observed at the snapshot (a marker
@@ -703,11 +737,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         }
       }
     // 2. republish with the reclaimed tombstones pruned (entries and
-    // schema unchanged) so the dead list never grows unboundedly
+    // schema unchanged) so the dead list never grows unboundedly —
+    // lease re-verified and CAS'd on the snapshot read at step 1,
+    // like every commit
     if (ripe.nonEmpty) snap.foreach { s =>
       val ripeSet = ripe.map(_.rel).toSet
+      fence()
       manifest.publish(s.entries, s.schema,
-        s.dead.filterNot(d => ripeSet(d.rel)))
+        s.dead.filterNot(d => ripeSet(d.rel)), parent = Some(s.gen))
     }
     // 3. prune retained generations past the grace window (newest kept
     // unconditionally — it IS the table) BEFORE the orphan scan, so a
@@ -877,10 +914,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           fileMaxStat(s.getPath).exists(_ < dayFloorUs))
         if (droppedE.isEmpty && stagedDead.isEmpty) return (0, 0)
         val now = System.currentTimeMillis()
+        fence()
         manifest.publish(kept, None,
           t.dead ++ (droppedE.map(_.rel) ++
             stagedDead.map(s => s"_staging/${s.getPath.getName}"))
-            .map(StoreManifest.Dead(_, now)))
+            .map(StoreManifest.Dead(_, now)),
+          parent = Some(t.gen))
         (droppedE.map(e => logicalRel(e.rel).takeWhile(_ != '/'))
           .distinct.size, stagedDead.size)
       case None =>

@@ -125,7 +125,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   def publish(entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
-      dead: Seq[Dead]): Unit = {
+      dead: Seq[Dead], parent: Option[String]): Unit = {
     // rel first so sorted lines sort by path; size + mtime ride along
     // so reads can hand Spark complete FileStatuses and plan with ZERO
     // filesystem calls (see [[ManifestFileIndex]]). The merged data
@@ -134,11 +134,12 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // skip per-file footer inference entirely: plan cost becomes ONE
     // GET total, invariant in file count.
     val lines = entries.map(e => s"${e.rel}\t${e.size}\t${e.mtime}")
+    val parentLine = parent.toSeq.map(p => s"parent\t$p")
     val schemaLine = schema.toSeq.map(s =>
       s"schema\t${StoreManifest.allNullable(s).json}")
     val deadLines = dead.map(d => s"dead\t${d.rel}\t${d.millis}")
     val body = (s"count=${lines.size}" +:
-      (schemaLine ++ deadLines.sorted ++ lines.sorted))
+      (parentLine ++ schemaLine ++ deadLines.sorted ++ lines.sorted))
       .mkString("", "\n", "\n")
     fs.mkdirs(mdir): Unit
     val uuid = java.util.UUID.randomUUID().toString
@@ -146,6 +147,31 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // expected-parent CAS, re-checked as late as the filesystem
+    // allows (immediately before the rename atom): `parent` is the
+    // newest generation the publishing mutation PLANNED from (None =
+    // planned from a store with no manifest). If any other generation
+    // is newest now, another writer committed since that planning
+    // snapshot — landing this publish would make a stale file list
+    // the newest truth, silently dropping the other writer's rows —
+    // so the publish is rejected whole. A plain filesystem offers no
+    // true compare-and-swap on rename, so a conflicting rename inside
+    // the check→rename window is still conceivable; the window is
+    // microseconds against mutations that run for minutes, and the
+    // writer-lease re-verification every mutation performs just
+    // before calling publish ([[ParquetStore]] `fence()`) closes the
+    // practical remainder: both landing writers cannot each hold the
+    // max lease.
+    val newestNow = StoreFs.list(fs, mdir).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).maxOption
+    if (newestNow != parent) {
+      fs.delete(tmp, false): Unit
+      throw new StoreManifest.ConcurrentCommitException(
+        s"$tableDir: publish expected parent generation " +
+          s"${parent.getOrElse("(none)")} but newest is " +
+          s"${newestNow.getOrElse("(none)")} — another writer " +
+          "committed since this mutation's planning snapshot")
+    }
     val gen = new Path(mdir,
       f"gen-${System.currentTimeMillis()}%019d-$uuid.list")
     if (!fs.rename(tmp, gen))
@@ -227,10 +253,14 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         } finally in.close()
       val lines = body.split("\n", -1).toSeq.dropRight(1)
       lines.headOption.flatMap { h =>
-        val schemaJson = lines.drop(1).headOption
-          .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
-        val afterSchema = if (schemaJson.isDefined) lines.drop(2)
+        val parentName = lines.drop(1).headOption
+          .filter(_.startsWith("parent\t")).map(_.stripPrefix("parent\t"))
+        val afterParent = if (parentName.isDefined) lines.drop(2)
           else lines.drop(1)
+        val schemaJson = afterParent.headOption
+          .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
+        val afterSchema = if (schemaJson.isDefined) afterParent.drop(1)
+          else afterParent
         val (deadLines, entryLines) =
           afterSchema.span(_.startsWith("dead\t"))
         if (!h.startsWith("count=") ||
@@ -258,7 +288,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
             }
           }
           if (entries.forall(_.isDefined) && dead.forall(_.isDefined))
-            Some(Snapshot(entries.flatten, schema, dead.flatten))
+            Some(Snapshot(latest.getName, parentName, entries.flatten,
+              schema, dead.flatten))
           else None
         }
       }
@@ -295,15 +326,30 @@ object StoreManifest {
     */
   final case class Dead(rel: String, millis: Long)
 
-  /** One manifest generation: the complete live-file list, the merged
-    * data schema when the publishing operation knew it, and the
-    * cumulative not-yet-vacuumed tombstones.
+  /** One manifest generation: its own file name, the parent
+    * generation it committed over (None = first ever, or written
+    * before the parent line existed), the complete live-file list,
+    * the merged data schema when the publishing operation knew it,
+    * and the cumulative not-yet-vacuumed tombstones. The recorded
+    * parent makes each generation's lineage auditable and is what
+    * the expected-parent CAS in [[StoreManifest.publish]] verifies.
     */
-  final case class Snapshot(entries: Seq[Entry],
+  final case class Snapshot(gen: String, parent: Option[String],
+      entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
       dead: Seq[Dead]) {
     def deadRels: Set[String] = dead.map(_.rel).toSet
   }
+
+  /** A publish's expected-parent check failed: another writer
+    * committed a generation after the mutation's planning snapshot.
+    * Landing the publish anyway would make a stale file list the
+    * newest truth (dropping the other writer's committed rows), so
+    * the mutation fails whole — re-plan from the new newest
+    * generation and retry.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
 
   /** StructType.asNullable is private[spark]; same recursive relax —
     * a stored schema must read exactly as spark.read's inference

@@ -710,6 +710,45 @@ class EngineSpec extends SparkSpec {
     assert(b.read(None, None).get.count() == 2)
   }
 
+  test("publish-time fencing: a writer fenced DURING its in-flight " +
+      "compact is rejected at its commit — the fencer's rows never " +
+      "disappear") {
+    val root = tmpRoot()
+    val a = new ParquetStore(spark, root, "span", "start")
+    val day1 = 1760000000000000L
+    def row(id: Long) = Seq((id, day1 + id, id))
+      .toDF("id", "start", "trace_id")
+    a.writeStaged(row(1L))
+    a.compact() // gen 1: {1}
+    a.writeStaged(row(2L))
+    // A's second compact passes its start-of-mutation fence and fully
+    // writes its rewrite tree; then — before A's commit — writer B
+    // claims a higher epoch (fencing A), lands row 3 and compacts.
+    // The exact two-writer misconfiguration fencing exists for.
+    var bStore: ParquetStore = null
+    a.beforeCommit = () => {
+      bStore = new ParquetStore(spark, root, "span", "start")
+      bStore.writeStaged(row(3L))
+      bStore.compact() // B's commit: {1, 2, 3} (drains A's staged 2)
+    }
+    try intercept[graft.store.ParquetStore.WriterFencedException] {
+      a.compact()
+    } finally a.beforeCommit = () => ()
+    // B's generation stays the newest truth: nothing B committed is
+    // lost, and A's staged row rode B's drain in
+    def ids(st: ParquetStore) = st.read(None, None).get
+      .select("id").as[Long].collect().toSet
+    assert(ids(bStore) == Set(1L, 2L, 3L))
+    // A's orphaned unpublished rewrite tree is invisible and vacuum
+    // reclaims it; the table is unchanged
+    bStore.vacuum(graceMs = 0L)
+    assert(ids(bStore) == Set(1L, 2L, 3L))
+    val genDirs = Option(new java.io.File(s"$root/span").listFiles())
+      .toSeq.flatten.filter(_.getName.startsWith("_gen-"))
+    assert(genDirs.size == 1,
+      s"only B's live tree survives vacuum: $genDirs")
+  }
+
   test("streaming ingest wires merged spans into the engine") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -179,6 +179,43 @@ class FsStoreSpec extends SparkSpec {
     assert(store.manifestDead.get.isEmpty)
   }
 
+  test("manifest publish is an expected-parent CAS: a commit planned " +
+      "from a superseded generation is rejected whole") {
+    val root = newRoot()
+    val tableDir = s"$root/span"
+    val fs = graft.store.StoreFs.fs(new org.apache.hadoop.fs.Path(tableDir))
+    val m = new graft.store.StoreManifest(fs, tableDir)
+    def e(rel: String) = graft.store.StoreManifest.Entry(rel, 1L, 1L)
+    // first-ever publish expects NO generation…
+    m.publish(Seq(e("a.parquet")), None, Nil, parent = None)
+    val g1 = m.genNames().last
+    // …and a second first-ever publish (two writers both planning from
+    // an empty store) is rejected
+    intercept[graft.store.StoreManifest.ConcurrentCommitException] {
+      m.publish(Seq(e("b.parquet")), None, Nil, parent = None)
+    }
+    // a chained commit names its planning generation and lands;
+    // lineage is recorded in the generation body
+    m.publish(Seq(e("a.parquet"), e("b.parquet")), None, Nil,
+      parent = Some(g1))
+    val g2 = m.genNames().last
+    assert(m.read().get.parent.contains(g1))
+    // a commit still naming g1 — planned before g2 landed — is
+    // rejected: landing it would drop b.parquet from the newest truth
+    intercept[graft.store.StoreManifest.ConcurrentCommitException] {
+      m.publish(Seq(e("a.parquet"), e("c.parquet")), None, Nil,
+        parent = Some(g1))
+    }
+    // the rejected publishes left no generation and no temp debris;
+    // the table is exactly g2's
+    assert(m.genNames() == Seq(g1, g2))
+    assert(m.read().get.entries.map(_.rel).sorted ==
+      Seq("a.parquet", "b.parquet"))
+    assert(graft.store.StoreFs.list(fs,
+      new org.apache.hadoop.fs.Path(tableDir, "_manifest"))
+      .forall(!_.getPath.getName.startsWith(".tmp-")))
+  }
+
   test("manifest: an unpublished rewrite is invisible; a torn " +
       "generation falls back to the previous retained one; coarse " +
       "trees stay covered") {
