@@ -284,6 +284,53 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def getTrace(traceId: Long): DataFrame =
     TraceQueries.getTrace(spark, spanTable(), logTable(), traceId)
 
+  // ---- time travel at the query surface ----
+
+  /** Retained manifest generations of a table's store, oldest →
+    * newest — the AS-OF coordinates the `*AsOf` views accept. Empty in
+    * memory mode or before the store's first compaction.
+    */
+  def generations(table: String): Seq[String] =
+    if (memoryMode) Seq.empty else storeOf(table).generations()
+
+  private def storeOf(table: String): ParquetStore = table match {
+    case "span" => spanStore
+    case "log" => logStore
+    case t => throw new IllegalArgumentException(
+      s"unknown table '$t': expected span|log")
+  }
+
+  /** The COMMITTED log table as of one retained generation — the
+    * operational question the storage engine's retained history
+    * answers in one call: "what did this table hold before
+    * yesterday's retention/compaction?". Deliberately excludes the
+    * hot memory view and staged flushes: version history covers
+    * commits, and the un-drained ingest tail has no generation
+    * coordinate. Conformed to the live registry schema like every
+    * engine log view. None when the generation is pruned/vacuumed —
+    * history reaches exactly as far as the store's vacuum grace.
+    */
+  def logTableAsOf(gen: String): Option[DataFrame] =
+    if (memoryMode) None
+    else logStore.readGeneration(gen)
+      .map(SchemaRegistry.conform(_, logSchema))
+
+  /** Span-table counterpart of [[logTableAsOf]]. */
+  def spanTableAsOf(gen: String): Option[DataFrame] =
+    if (memoryMode) None else spanStore.readGeneration(gen)
+
+  /** Trace search AS OF pinned generations of both stores — "what did
+    * this trace look like before the last expiry?" as one call. The
+    * search params' time window applies as a row predicate (partition
+    * pruning still applies inside the pinned generation's trees).
+    */
+  def searchTracesAsOf(p: TraceQueries.TraceSearchParams,
+      spanGen: String, logGen: String): Option[DataFrame] =
+    for {
+      sp <- spanTableAsOf(spanGen)
+      lg <- logTableAsOf(logGen)
+    } yield TraceQueries.filterTraces(spark, sp, lg, p)
+
   /** Typed views for API-edge consumers. */
   def spans: Dataset[Span] = {
     import spark.implicits._

@@ -1645,9 +1645,11 @@ object Dedup {
   }
 
   /** Shared by d08 and d11 — the bloom pre-filter is exactness-
-    * preserving, so both plans must hash-match the same SQL.
+    * preserving, so both plans must hash-match the same SQL — and by
+    * g15 (EngineQueries), where the incoming batch is derived from
+    * the store's generation diff instead of the caller's split.
     */
-  private val incrementalDedupOracle: String =
+  private[graft] val incrementalDedupOracle: String =
     """WITH h AS (SELECT doc_id,
       |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h FROM documents),
       |landed AS (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0),

@@ -470,7 +470,9 @@ object EngineQueries {
     "g09_prefix_read_coarse" -> (prefixReadCoarseGate _),
     "g10_expire" -> (expireGate _),
     "g12_manifest_read" -> (manifestReadGate _),
-    "g13_maintain_live" -> (maintainGate _))
+    "g13_maintain_live" -> (maintainGate _),
+    "g14_time_travel" -> (timeTravelGate _),
+    "g15_cdc_incremental" -> (cdcIncrementalGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -942,6 +944,101 @@ object EngineQueries {
       .orderBy(col("level"))
   }
 
+  /** g14: TIME TRAVEL under the oracle hash — the table AS OF a
+    * pinned retained generation, answered through the ENGINE surface
+    * ([[graft.DuoEngine.logTableAsOf]]). g10's five-day feed lands as
+    * two live staged flushes, then three committed generations follow:
+    * A = the full table drained at day grain, B = the same rows
+    * re-laid at hour grain (a pure re-layout commit), C = expiry of
+    * the first two days (the current truth, a strict subset). The gate
+    * then vacuums WITHIN the grace window (reclaiming nothing — the
+    * isolation contract), pins the OLDEST retained generation, and
+    * answers the full-table aggregate from it; the oracle is the
+    * PRE-expiry table, so a readGeneration that silently fell through
+    * to the newest truth would fail the hash (the in-gate count check
+    * makes that loud first). History reaching exactly as far as the
+    * vacuum grace is the documented contract; EngineSpec pins the
+    * post-grace pruning side.
+    */
+  def timeTravelGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g14", d) { root =>
+      val logs = g10Logs(eventsAsLogs(s, d))
+      val st = new graft.store.ParquetStore(s, root, "log", "time")
+      st.writeStaged(logs.filter(col("span_id") % 2 === 0))
+      st.writeStaged(logs.filter(col("span_id") % 2 =!= 0))
+      st.compact(granularity = "day") // gen A: the full five-day table
+      st.compact(granularity = "hour") // gen B: same rows, re-layout
+      // gen C: mid-day-2 cutoff (g10's) retires the first two dates
+      st.expire(G10BoundaryUs +
+        (7L * 3600L + 13L * 60L + 5L) * 1000000L): Unit
+    }
+    val st = new graft.store.ParquetStore(s, root, "log", "time")
+    // vacuum inside the grace window: a no-op on retained history —
+    // the snapshot-isolation guarantee the AS-OF read then relies on
+    st.vacuum(graceMs = 7L * 86400L * 1000L): Unit
+    val engine = new graft.DuoEngine(s, root)
+    val gens = engine.generations("log")
+    if (gens.size < 3) sys.error(
+      s"g14: expected 3 retained generations, got ${gens.size}")
+    val asOf = engine.logTableAsOf(gens.head).getOrElse(
+      sys.error("g14: oldest retained generation unreadable"))
+    // time travel must reach a DIFFERENT truth than the current
+    // table — otherwise this gate could not tell an as-of read from a
+    // fallen-through read of the newest generation
+    val curN = engine.logTable().count()
+    val asOfN = asOf.count()
+    if (asOfN <= curN) sys.error(
+      s"g14: expiry should leave the current table ($curN rows) " +
+        s"strictly below the pinned generation ($asOfN rows)")
+    asOf.groupBy(col("level"))
+      .agg(count(lit(1)).as("n"), min(col("time")).as("t_min"),
+        max(col("time")).as("t_max"))
+      .orderBy(col("level"))
+  }
+
+  /** g15: generation-diff CDC closing the loop between the storage
+    * engine and the pipeline operators — d08's incremental dedup with
+    * the "new docs" increment derived from the store's OWN generation
+    * diff ([[graft.store.ParquetStore.changesBetween]]) instead of a
+    * caller-supplied batch. The landed corpus (even doc ids, day 1)
+    * commits as generation A; the incoming batch (odd ids) lands on
+    * day 2 as a direct append and is folded by a date-SCOPED
+    * [[graft.store.ParquetStore.compactDate]] — the rolling
+    * maintenance shape — into generation B, so the file-level diff
+    * B∖A is exactly the increment. The oracle is d08's VERBATIM: the
+    * storage-derived increment must reproduce the caller-supplied
+    * split bit for bit.
+    */
+  def cdcIncrementalGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g15", d) { root =>
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      def timed(df: DataFrame, dayOff: Long) = df.withColumn("time",
+        lit(G06BaseUs + dayOff * 86400000000L) +
+          pmod(col("doc_id"), lit(60)) * 1000000L)
+      val st = new graft.store.ParquetStore(s, root, "documents", "time")
+      st.write(timed(docs.filter(col("doc_id") % 2 === 0), 0L))
+      st.compact() // gen A: the landed corpus
+      st.write(timed(docs.filter(col("doc_id") % 2 =!= 0), 1L))
+      val zone = java.time.ZoneId.of(
+        s.conf.get("spark.sql.session.timeZone"))
+      val day2 = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochSecond(G06BaseUs / 1000000L + 86400L),
+        zone).toString
+      st.compactDate(day2) // gen B: scoped fold of the day-2 increment
+    }
+    val st = new graft.store.ParquetStore(s, root, "documents", "time")
+    val gens = st.generations()
+    if (gens.size < 2) sys.error(
+      s"g15: expected 2 generations, got ${gens.size}")
+    val landed = st.readGeneration(gens.head).getOrElse(
+      sys.error("g15: generation A unreadable"))
+    val incoming = st.changesBetween(gens.head, gens.last).getOrElse(
+      sys.error("g15: empty generation diff"))
+    graft.operators.Dedup.incrementalDedup(landed, incoming)
+      .orderBy(col("doc_id"))
+  }
+
   /** g07's DuckDB replay — shared VERBATIM with g09 (the coarse-layout
     * read must be observationally identical to the minute layout).
     */
@@ -1038,6 +1135,24 @@ object EngineQueries {
     // maintenance under live traffic (flush/heal/vacuum interleaved)
     // must be observationally invisible — g07's replay, verbatim
     "g13_maintain_live" -> g07OracleSql,
+    // time travel: the pinned oldest generation answers the
+    // PRE-expiry full-table aggregate (g10's CTE without the
+    // retention filter) — a fall-through to the newest truth would
+    // produce g10's filtered rows and fail this hash
+    "g14_time_travel" ->
+      s"""WITH logs AS (SELECT
+         |  CASE WHEN event_type='error' THEN 'ERROR' WHEN event_type='signup' THEN 'WARN'
+         |       WHEN event_type='click' THEN 'INFO' WHEN event_type='view' THEN 'DEBUG'
+         |       ELSE 'TRACE' END AS level,
+         |  $G06BaseUs + (epoch_us(ts) % $G10WindowUs) AS time
+         | FROM events WHERE event_id % 5 = 3)
+         |SELECT level, CAST(COUNT(*) AS BIGINT) AS n,
+         | MIN(time) AS t_min, MAX(time) AS t_max
+         |FROM logs GROUP BY level ORDER BY level""".stripMargin,
+    // generation-diff CDC must reproduce d08's caller-supplied batch
+    // split bit for bit — the oracle is d08's VERBATIM
+    "g15_cdc_incremental" ->
+      graft.operators.Dedup.incrementalDedupOracle,
     // expiry at a mid-day cutoff must read as a DAY-FLOOR time filter
     // (directory-granular retention; see expireGate)
     "g10_expire" ->

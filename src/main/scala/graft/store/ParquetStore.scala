@@ -128,6 +128,30 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       relationFor(snap.entries, snap.schema)
         .map(_.drop("date", "hour", "minute")))
 
+  /** Generation-diff incremental read (CDC): the rows in files `genB`
+    * references that `genA` does not — the incremental-consumer shape
+    * Delta/Iceberg deployments feed downstream jobs with, derived here
+    * entirely from the two retained manifests (no extra change files).
+    * File-granular, so it is EXACT when the mutations between the two
+    * generations only added data in new files — appends landed and
+    * folded by a date-scoped [[compactDate]], the rolling form
+    * maintenance takes at scale; a whole-table [[compact]] between the
+    * generations rewrites every byte into a fresh tree and the diff
+    * degenerates (correctly, but uselessly) to the full table — the
+    * same caveat Delta's docs put on file-level CDF without change
+    * files. Both generations must still be retained (history reaches
+    * exactly as far as the vacuum grace); None otherwise, or when no
+    * file was added.
+    */
+  def changesBetween(genA: String, genB: String): Option[DataFrame] =
+    for {
+      a <- manifest.readGen(genA)
+      b <- manifest.readGen(genB)
+      have = a.entries.map(_.rel).toSet
+      added = b.entries.filterNot(e => have(e.rel))
+      df <- relationFor(added, b.schema)
+    } yield df.drop("date", "hour", "minute")
+
   /** Recursive delete (no-op when absent). */
   private def rm(p: Path): Unit = { fs.delete(p, true): Unit }
 

@@ -687,6 +687,45 @@ class EngineSpec extends SparkSpec {
     assert(idsOf(store.read(None, None).get) == Set(1L, 2L))
   }
 
+  test("engine-surface time travel and generation-diff CDC: AsOf " +
+      "views answer pinned history; changesBetween is the scoped " +
+      "increment") {
+    val root = tmpRoot()
+    val st = new ParquetStore(spark, root, "log", "time")
+    val day1 = 1760000000000000L
+    val day = 86400L * 1000000L
+    def batch(ids: Seq[Long], dayOff: Long) = ids
+      .map(i => (s"svc-$i", day1 + dayOff * day + i * 1000000L, "INFO"))
+      .toDF("process_id", "time", "level")
+    st.write(batch(Seq(1L, 2L), 0L))
+    st.compact() // gen A: day-1 rows
+    st.write(batch(Seq(3L, 4L, 5L), 1L)) // day-2 append
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val day2Str = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(day1 / 1000000L + 86400L),
+      zone).toString
+    st.compactDate(day2Str) // gen B: scoped fold of the increment
+    val engine = new DuoEngine(spark, root)
+    val gens = engine.generations("log")
+    assert(gens.size == 2)
+    def pids(df: org.apache.spark.sql.DataFrame) =
+      df.select("process_id").as[String].collect().toSet
+    // each generation answers ITS committed table through the engine
+    // view (conformed to the registry schema like every log view)
+    assert(pids(engine.logTableAsOf(gens.head).get) ==
+      Set("svc-1", "svc-2"))
+    assert(pids(engine.logTableAsOf(gens.last).get) ==
+      Set("svc-1", "svc-2", "svc-3", "svc-4", "svc-5"))
+    // the file-level generation diff is exactly the day-2 increment:
+    // the scoped fold touched no day-1 file
+    assert(pids(st.changesBetween(gens.head, gens.last).get) ==
+      Set("svc-3", "svc-4", "svc-5"))
+    // unknown/pruned generations answer None, loudly not wrongly
+    assert(engine.logTableAsOf("gen-0000-bogus.list").isEmpty)
+    assert(st.changesBetween(gens.head, "gen-0000-bogus.list").isEmpty)
+  }
+
   test("writer fencing: a second writer on the same root fences the first") {
     val root = tmpRoot()
     val a = new ParquetStore(spark, root, "span", "start")
