@@ -348,16 +348,20 @@ object ScaleProbe {
       // binary codes: two popcounts per candidate, broadcast queries
       measure("s12_binary_hamming", scale,
         graft.operators.Similarity.binaryHammingTopK(e, 5L, 10))
-      // cliff row: planes PINNED at the gate default (the designed
-      // super-linear measurement — bucket count fixed, sizes grow 10×)
+      // cliff row: EVERY knob pinned at the historical gate default
+      // (the designed super-linear measurement — bucket count fixed,
+      // sizes grow 10×); explicit tables/probes keep this baseline
+      // stable now that the un-pinned defaults engage the frontier
+      // schedule above the calibration corpus
       measure("d09_embedding_lsh", scale,
-        Dedup.embeddingPairsLsh(e, 0.4, nPlanes = 4))
-      // the mitigation, now AUTO-SIZED: no hand-passed knob — the
-      // default Resolution.Auto counts the corpus and derives 4 planes
-      // at 1× and 8 at 10× (+⌈log₂10⌉ = 4; one past the measured
-      // 7-plane row, further from the cliff), re-bounding bucket
-      // occupancy so candidate cost falls back toward the 1× level —
-      // the recall trade is the price
+        Dedup.embeddingPairsLsh(e, 0.4, nPlanes = 4, nTables = 8,
+          probeFlips = 0))
+      // the mitigation, now FULLY auto-sized: no hand-passed knob —
+      // Resolution.Auto counts the corpus and derives 8 planes at 10×
+      // (+⌈log₂10⌉ = 4 past the 4-plane calibration), and the
+      // (tables, probes) schedule picks the measured frontier's
+      // (4, 2) above the calibration corpus — half the index replicas
+      // of the old 8-table default, recall bought back with probes
       if (scale == "10x")
         measure("d09_embedding_lsh_auto", scale,
           Dedup.embeddingPairsLsh(e, 0.4))

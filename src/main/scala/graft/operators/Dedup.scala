@@ -1110,30 +1110,62 @@ object Dedup {
     *   landed just across a hyperplane. Probes buy recall WITHOUT more
     *   tables: the index side stays ONE (tbl, bucket) row per table
     *   per vector (the replica cost that multiplies a 100 TB index),
-    *   only the probe side explodes ×(flips+1). 0 (the default) is the
-    *   classic single-bucket join, bit-for-bit as before. The
+    *   only the probe side explodes ×(flips+1). 0 is the classic
+    *   single-bucket join. Both `nTables` and `probeFlips` default to
+    *   [[graft.util.Resolution.AutoInt]]: the pair is then picked
+    *   from the measured frontier ([[graft.util.Resolution
+    *   .lshTableProbes]]) — (8, 0) at or below the calibration
+    *   corpus (gates bit-identical), (4, 2) above it. The
     *   tables-vs-probes recall/cost frontier is measured in ScaleProbe
     *   (d09_multiprobe_frontier) and recorded in SCALE.md.
     */
+  /** The exact knob resolution [[embeddingPairsLsh]] applies, factored
+    * for spec visibility (the corpus count is only forced when a knob
+    * is left auto): planes from the ⌈log₂⌉ ladder, (tables, probes)
+    * from the measured frontier, a scheduled probe count clamped to
+    * the plane count (a caller-pinned one is validated instead).
+    */
+  private[graft] def lshConfig(n: => Long,
+      nPlanes: graft.util.Resolution, nTables: Int,
+      probeFlips: Int): (Int, Int, Int) = {
+    lazy val nRows = n
+    val planes = graft.util.Resolution.resolve(nPlanes, nRows,
+      D09CalibN, base = 4, hi = 24)
+    lazy val sched = graft.util.Resolution.lshTableProbes(nRows, D09CalibN)
+    val tables =
+      if (nTables == graft.util.Resolution.AutoInt) sched._1 else nTables
+    val flips =
+      if (probeFlips == graft.util.Resolution.AutoInt)
+        math.min(sched._2, planes)
+      else probeFlips
+    require(flips >= 0 && flips <= planes,
+      s"probeFlips must be in [0, $planes]: $flips")
+    (planes, tables, flips)
+  }
+
   def embeddingPairsLsh(embs: DataFrame, tau: Double,
       nPlanes: graft.util.Resolution = graft.util.Resolution.Auto,
-      nTables: Int = 8, dim: Int = 64, probeFlips: Int = 0): DataFrame = {
+      nTables: Int = graft.util.Resolution.AutoInt, dim: Int = 64,
+      probeFlips: Int = graft.util.Resolution.AutoInt): DataFrame = {
     import graft.functions.TextFns.{lshBucket, planeWeights}
     // Auto-sized resolution (Resolution scaladoc): planes grow
     // ⌈log₂(n/n₀)⌉ past the 4-plane default calibrated at the sf0.1
     // corpus, so bucket occupancy — and with it Σ bucket² candidate
     // work — stays ~flat as the corpus grows instead of re-creating
     // the measured 6.6× cliff. Recall per table falls with planes;
-    // production buys it back with probeFlips (margin-ranked
-    // multi-probe — no index growth) or nTables (OR-amplification,
-    // one more index replica per table).
-    val planes = graft.util.Resolution.resolve(nPlanes, embs.count(),
-      D09CalibN, base = 4, hi = 24)
-    require(probeFlips >= 0 && probeFlips <= planes,
-      s"probeFlips must be in [0, $planes]: $probeFlips")
+    // by default the (tables, probes) pair is ALSO corpus-derived
+    // from the measured frontier ([[graft.util.Resolution
+    // .lshTableProbes]]): at or below the calibration corpus the
+    // classic 8-table un-probed join (gate corpora — bit-identical
+    // hashes), above it 4 tables + 2 margin-ranked probe flips — the
+    // cheaper-index configuration a 100 TB caller should get without
+    // reading SCALE.md. Explicit arguments pin either knob.
+    lazy val nRows = embs.count()
+    val (planes, tables, flips) =
+      lshConfig(nRows, nPlanes, nTables, probeFlips)
     val e = normalizedVecs(embs)
     val bk = e.select(col("vec_id"), col("v"),
-      posexplode(array((0 until nTables).map(t =>
+      posexplode(array((0 until tables).map(t =>
         lshBucket(col("v"), planes, dim, t * planes)): _*))
         .as(Seq("tbl", "bucket")))
     // Score INSIDE the bucket join and filter before the pair-dedup: a
@@ -1144,7 +1176,7 @@ object Dedup {
     // Measured at sf0.1 (2000 × dim-64, ~2M candidates): 11.9 s → ~3 s;
     // at 100 TB the array-free dedup shuffle is the difference between
     // a bounded exchange and re-shipping the corpus ×L.
-    if (probeFlips == 0) {
+    if (flips == 0) {
       bk.as("a").join(bk.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -1159,7 +1191,7 @@ object Dedup {
       // join is ASYMMETRIC (probe rows × one-bucket index rows), so a
       // pair is found when EITHER endpoint probes the other's bucket —
       // canonicalize with least/greatest before the pair-dedup.
-      val perTable = array((0 until nTables).map { t =>
+      val perTable = array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),
           lshBucket(col("v"), planes, dim, t * planes).as("qb"),
           array((0 until planes).map { j =>
@@ -1173,7 +1205,7 @@ object Dedup {
         .select(col("vec_id"), col("v"), explode(perTable).as("ts"))
         .select(col("vec_id"), col("v"), col("ts.tbl").as("tbl"),
           explode(concat(array(col("ts.qb")),
-            expr(s"transform(slice(array_sort(ts.ms), 1, $probeFlips)," +
+            expr(s"transform(slice(array_sort(ts.ms), 1, $flips)," +
               " s -> ts.qb ^ shiftleft(1, s.j))"))).as("bucket"))
       probes.as("a").join(bk.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -1226,7 +1258,8 @@ object Dedup {
     */
   def semanticClusters(embs: DataFrame, tau: Double,
       nPlanes: graft.util.Resolution = graft.util.Resolution.Auto,
-      nTables: Int = 8, dim: Int = 64): DataFrame = {
+      nTables: Int = graft.util.Resolution.AutoInt,
+      dim: Int = 64): DataFrame = {
     val edges = embeddingPairsLsh(embs, tau, nPlanes, nTables, dim)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val cc = connectedComponents(embs.select(col("vec_id").as("doc_id")), edges)

@@ -741,7 +741,8 @@ object Similarity {
     */
   def knnJoin(embs: DataFrame, k: Int = 5, tau: Double = 0.2,
       nPlanes: graft.util.Resolution = graft.util.Resolution.Auto,
-      nTables: Int = 8, dim: Int = 64): DataFrame = {
+      nTables: Int = graft.util.Resolution.AutoInt,
+      dim: Int = 64): DataFrame = {
     val p = Dedup.embeddingPairsLsh(embs, tau, nPlanes, nTables, dim)
     val sym = p.select(col("vec_a").as("query_id"),
         col("vec_b").as("vec_id"), col("cos"))

@@ -71,4 +71,27 @@ object Resolution {
     case Fixed(v) => v
     case Auto => autoBits(n, n0, base, hi, step)
   }
+
+  /** Sentinel for Int knobs that default to corpus-derived values
+    * (the LSH pair join's tables/probes): callers pass a real value
+    * to pin a configuration, the sentinel to let the operator size
+    * itself from the corpus count.
+    */
+  val AutoInt: Int = -1
+
+  /** (tables, probeFlips) for the multi-table LSH pair join — the
+    * MEASURED recall/index-cost frontier (SCALE.md "Multi-probe vs
+    * tables", ScaleProbe d09_multiprobe_frontier), not a formula. At
+    * or below the calibration corpus n₀: the classic 8-table
+    * un-probed join — the configuration every gate was pinned at, so
+    * gate corpora (≤ n₀ by construction) stay bit-identical. Above
+    * n₀: 4 tables + 2 margin-ranked probe flips — on the measured
+    * frontier that is 0.943 recall vs the 8-table join's 0.757 at
+    * HALF the index rows, and at 100 TB the index replica cost (one
+    * exploded (tbl, bucket) row per vector per table) is the
+    * constraint, so recall is bought with probes (which explode only
+    * the probe side of the join), never with index replicas.
+    */
+  def lshTableProbes(n: Long, n0: Long): (Int, Int) =
+    if (n <= n0) (8, 0) else (4, 2)
 }

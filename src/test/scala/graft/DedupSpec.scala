@@ -129,10 +129,12 @@ class DedupSpec extends SparkSpec {
     def pairSet(df: org.apache.spark.sql.DataFrame) = df
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     val exact = pairSet(Dedup.embeddingPairs(embs, 0.3))
-    val t4 = pairSet(Dedup.embeddingPairsLsh(embs, 0.3, nTables = 4))
+    val t4 = pairSet(Dedup.embeddingPairsLsh(embs, 0.3, nTables = 4,
+      probeFlips = 0))
     val t4p2 = pairSet(Dedup.embeddingPairsLsh(embs, 0.3, nTables = 4,
       probeFlips = 2))
-    val t8 = pairSet(Dedup.embeddingPairsLsh(embs, 0.3, nTables = 8))
+    val t8 = pairSet(Dedup.embeddingPairsLsh(embs, 0.3, nTables = 8,
+      probeFlips = 0))
     assert((t4p2 -- exact).isEmpty, s"false positives: ${t4p2 -- exact}")
     // probing a table's neighbor buckets can only ADD candidates
     assert(t4.subsetOf(t4p2),
@@ -146,6 +148,44 @@ class DedupSpec extends SparkSpec {
       assert(recall(t4p2) >= recall(t8),
         "2-probe 4-table recall fell below the 8-table index on the " +
           "fixture — the fewer-tables claim regressed")
+    }
+  }
+
+  test("above the calibration corpus the un-pinned defaults engage " +
+      "the frontier schedule: auto ≡ explicit (4 tables, 2 probes)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val embs = graft.Tables.embeddings(spark, dir)
+    // inflate past D09CalibN with id-shifted copies: distinct vec_ids,
+    // same vectors — corpus size is all the schedule looks at
+    import org.apache.spark.sql.functions.{col, lit}
+    val big = (0 until 5).map(k => embs.withColumn("vec_id",
+        col("vec_id") + lit(k * 1000000L)))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    assert(big.count() > Dedup.D09CalibN)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val auto = pairSet(Dedup.embeddingPairsLsh(big, 0.5))
+    val pinned = pairSet(Dedup.embeddingPairsLsh(big, 0.5,
+      nTables = 4, probeFlips = 2))
+    assert(auto == pinned,
+      "corpus-derived (tables, probes) must equal the measured " +
+        "frontier's explicit configuration above the calibration count")
+    // the wiring itself, pinned at the unit level (a fixture of exact
+    // copies saturates recall for every configuration, so set
+    // equality alone cannot distinguish (4, 2) from (8, 0)): the
+    // resolver the operator applies yields the frontier pair above
+    // the calibration count, the gate configuration at/below it, and
+    // clamps a scheduled probe count to a caller-pinned plane count
+    import graft.util.Resolution
+    assert(Dedup.lshConfig(2500L, Resolution.Auto, Resolution.AutoInt,
+      Resolution.AutoInt) == ((5, 4, 2)))
+    assert(Dedup.lshConfig(2000L, Resolution.Auto, Resolution.AutoInt,
+      Resolution.AutoInt) == ((4, 8, 0)))
+    assert(Dedup.lshConfig(2500L, Resolution.Fixed(1), Resolution.AutoInt,
+      Resolution.AutoInt) == ((1, 4, 1)))
+    intercept[IllegalArgumentException] {
+      Dedup.lshConfig(2500L, Resolution.Fixed(1), Resolution.AutoInt, 2)
     }
   }
 

@@ -45,6 +45,19 @@ class ResolutionSpec extends AnyFunSuite {
     assert(Resolution.autoBits(Long.MaxValue / 2, 5000, 17, 64) == 64)
   }
 
+  test("the (tables, probes) schedule follows the measured frontier") {
+    // at or below the calibration corpus: the classic 8-table
+    // un-probed join — every gate corpus lands here, so gate hashes
+    // are bit-identical to the former fixed defaults
+    assert(Resolution.lshTableProbes(500, 2000) == ((8, 0)))
+    assert(Resolution.lshTableProbes(2000, 2000) == ((8, 0)))
+    // above it: the measured frontier's cheaper-index configuration —
+    // 4 tables + 2 probe flips, 0.943 recall at half the index rows
+    // of the un-probed 8-table join (SCALE.md d09_multiprobe_frontier)
+    assert(Resolution.lshTableProbes(2001, 2000) == ((4, 2)))
+    assert(Resolution.lshTableProbes(2000000, 2000) == ((4, 2)))
+  }
+
   test("Fixed passes through; Int lifts implicitly") {
     assert(Resolution.resolve(Resolution.Fixed(7), sys.error("not forced"),
       2000, 4, 24) == 7)
