@@ -267,9 +267,15 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def services(): Seq[String] =
     processes.all.map(_.serviceName).distinct
 
-  /** The live merged log schema — GET /api/logs/schema's payload
-    * (duo/src/schema.rs:74-76: the route serializes the mutable merged
-    * schema, not the base one).
+  /** The live merged log schema — the accessor intended to back a
+    * schema endpoint like the reference's GET /api/logs/schema
+    * (duo/src/schema.rs:74-76 serializes the mutable merged schema,
+    * not the base one); no HTTP route exists in this engine-scoped
+    * library. A future endpoint must NOT serialize StructType JSON
+    * directly: the reference's wire form is serde-serialized Arrow
+    * Schema JSON (duo/src/web/logs.rs:38), so wire parity needs an
+    * explicit StructType→Arrow-schema-JSON translation with a parity
+    * test against the reference format.
     */
   def currentLogSchema: org.apache.spark.sql.types.StructType = logSchema
 
@@ -330,6 +336,64 @@ final class DuoEngine(val spark: SparkSession, root: String,
       sp <- spanTableAsOf(spanGen)
       lg <- logTableAsOf(logGen)
     } yield TraceQueries.filterTraces(spark, sp, lg, p)
+
+  /** Log-registry GC — the operator-invoked maintenance call for
+    * long-lived stores ([[SchemaRegistry.gc]]): drop registry columns
+    * that NO retained data observably carries. Liveness is a NON-NULL
+    * count, not footer presence, because [[flush]] lands the hot
+    * view's union schema — every file written after a column appeared
+    * carries it as all-null padding, so footers cannot prove death;
+    * but under the engine's resurrect-as-null contract (EngineSpec's
+    * retired-column test) a column that is all-null across the
+    * current table AND every retained generation (time travel reaches
+    * them) is observationally identical to an absent one, which is
+    * exactly when dropping it changes no retained query result. The
+    * price is one column-pruned aggregate scan per retained frame —
+    * the "full-schema scan to prove no survivor carries it" the
+    * contract predicted gc would cost, paid only when the operator
+    * invokes it (never automatic: existence must not depend on
+    * retention timing by default). Base columns are never dropped.
+    * After gc a saved query referencing a dropped column fails loudly
+    * at analysis — the documented trade. Requires a flushed hot view
+    * (un-flushed rows have no retained truth to scan). Returns the
+    * dropped names (empty = nothing provably dead; idempotent).
+    */
+  def gcLogSchema(): Seq[String] = {
+    if (memoryMode) return Seq.empty
+    require(logMemory.isEmpty,
+      "gcLogSchema: flush() the hot view first — un-flushed rows " +
+        "have no retained on-disk truth to prove their columns live")
+    val baseNames = Schemas.logBase.fieldNames.toSet
+    val candidates = logSchema.fieldNames.toSeq.filterNot(baseNames)
+    if (candidates.isEmpty) return Seq.empty
+    // the retained truth: the current table (staged + dirty appends
+    // included) plus every OLDER retained generation (the newest is
+    // a subset of the current read)
+    val frames = logStore.read(None, None).toSeq ++
+      logStore.generations().dropRight(1)
+        .flatMap(g => logStore.readGeneration(g))
+    val live = scala.collection.mutable.Set.empty[String]
+    frames.foreach { df =>
+      val toProbe = candidates
+        .filter(c => df.columns.contains(c) && !live.contains(c))
+      if (toProbe.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, count}
+        val counts = df.agg(count(col(toProbe.head)).as(toProbe.head),
+            toProbe.tail.map(c => count(col(c)).as(c)): _*)
+          .collect()(0)
+        toProbe.foreach(c =>
+          if (counts.getAs[Long](c) > 0L) live += c)
+      }
+    }
+    val before = logSchema
+    val after = SchemaRegistry.gc(before, live.toSet, baseNames)
+    val dropped = before.fieldNames.toSeq.diff(after.fieldNames.toSeq)
+    if (dropped.nonEmpty) {
+      logSchema = after
+      SchemaRegistry.save(after, logSchemaPath)
+    }
+    dropped
+  }
 
   /** Typed views for API-edge consumers. */
   def spans: Dataset[Span] = {

@@ -64,7 +64,7 @@ object Jaeger {
   }
 
   /** Decode a span's JSON tag map into typed Jaeger tags. */
-  private[api] def tagKVs(tagsJson: Option[String]): Seq[KeyValue] =
+  private def tagKVs(tagsJson: Option[String]): Seq[KeyValue] =
     tagsJson.toSeq.flatMap { j =>
       JsonMethods.parseOpt(j).toSeq.flatMap {
         case JObject(fields) => fields.map { case (k, v) => toKV(k, v) }
@@ -152,7 +152,7 @@ object Jaeger {
     "processID" -> JString(s.processID),
     "warnings" -> JArray(s.warnings.toList.map(JString(_))))
 
-  private[api] def traceJson(t: JaegerTrace): JValue = JObject(
+  private def traceJson(t: JaegerTrace): JValue = JObject(
     "traceID" -> JString(t.traceID),
     "spans" -> JArray(t.spans.toList.map(spanJson)),
     "processes" -> JObject(t.processes.toList.sortBy(_._1).map {
@@ -173,7 +173,7 @@ object Jaeger {
     * in (duo/src/web/serialize.rs:140-153): constant total/limit/offset
     * zeros and a null errors slot.
     */
-  private[api] def envelope(items: List[JValue]): String =
+  private def envelope(items: List[JValue]): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       "data" -> JArray(items),
       "total" -> JInt(0),

@@ -55,6 +55,23 @@ object SchemaRegistry {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Registry GC for long-lived stores: keep every `protect`ed field
+    * (the compiled-in base — the engine's query contract) and every
+    * field in `live` (columns some retained data still carries); drop
+    * the rest. The registry otherwise widens FOREVER (the decided
+    * resurrect-as-null contract keeps retired columns queryable), so
+    * after years of drifted JSON ingest every `conform` projection
+    * pays the full historical union — this is the explicit,
+    * OPERATOR-INVOKED trim (never automatic: an automatic gc would
+    * make a column's existence depend on retention timing, the exact
+    * trade the contract decided against). After gc a saved query
+    * referencing a dropped column fails loudly at analysis — the
+    * documented trade the operator accepts by invoking it.
+    */
+  def gc(schema: StructType, live: Set[String],
+      protect: Set[String]): StructType =
+    StructType(schema.fields.filter(f => protect(f.name) || live(f.name)))
+
   /** Persist / load the merged schema as JSON (StructType's own JSON
     * codec — engine-portable, like the reference's serialized Arrow
     * schema at schema/log_schema.json). Through [[StoreFs]] so the

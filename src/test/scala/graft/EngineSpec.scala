@@ -315,6 +315,55 @@ class EngineSpec extends SparkSpec {
       .get.collect().isEmpty)
   }
 
+  test("registry GC (operator-invoked) drops exactly the columns no " +
+      "retained data carries; saved queries then fail loudly; base " +
+      "columns and live drift survive") {
+    val root = tmpRoot()
+    val engine = new DuoEngine(spark, root)
+    val day = 86400L * 1000000L
+    val t0 = 1705276800000000L
+    // old date: the only carrier of tmp_col; new date: carries
+    // keep_col, which must survive gc
+    engine.appendLogBatch(Seq(("svc-0", t0 + 1000L, "INFO", "m1", 7L))
+      .toDF("process_id", "time", "level", "message", "tmp_col"))
+    engine.flush()
+    engine.appendLogBatch(
+      Seq(("svc-0", t0 + day + 1000L, "INFO", "m2", "x"))
+        .toDF("process_id", "time", "level", "message", "keep_col"))
+    engine.flush()
+    // an un-flushed hot view blocks gc (its columns have no on-disk
+    // schema to prove them live)
+    engine.appendLogBatch(Seq(("svc-0", t0 + day + 2000L, "INFO", "m3"))
+      .toDF("process_id", "time", "level", "message"))
+    intercept[IllegalArgumentException] { engine.gcLogSchema() }
+    engine.flush()
+    // with all carriers still retained, gc drops nothing
+    assert(engine.gcLogSchema().isEmpty)
+    // retention drops tmp_col's only files; the default contract
+    // (resurrect-as-null) still holds until the operator opts out
+    val store = new ParquetStore(spark, root, "log", "time")
+    assert(store.expire(t0 + day)._1 == 1)
+    assert(engine.logTable().columns.contains("tmp_col"))
+    // gc proves tmp_col dead from the store truth and drops ONLY it
+    assert(engine.gcLogSchema() == Seq("tmp_col"))
+    val tbl = engine.logTable()
+    assert(!tbl.columns.contains("tmp_col"))
+    assert(tbl.columns.contains("keep_col"))
+    // a saved query referencing the dropped column now fails loudly —
+    // the documented trade of invoking gc
+    intercept[org.apache.spark.sql.AnalysisException] {
+      tbl.select("tmp_col").collect()
+    }
+    // fieldStats degrades to None (unknown field), not an empty frame
+    assert(engine.fieldStats("tmp_col",
+      LogSearchParams(service = "svc", unbounded = true)).isEmpty)
+    // persisted: a fresh engine over the same root agrees; idempotent
+    val e2 = new DuoEngine(spark, root)
+    assert(!e2.logTable().columns.contains("tmp_col"))
+    assert(e2.logTable().columns.contains("keep_col"))
+    assert(e2.gcLogSchema().isEmpty)
+  }
+
   test("drifted JSON flushes land parquet files with genuinely different schemas") {
     // the g06 gate's disk-level premise: flush 1 (narrow fields) and
     // flush 2 (adds `target`) must produce files whose FOOTERS differ,
