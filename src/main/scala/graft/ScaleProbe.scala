@@ -525,8 +525,61 @@ object ScaleProbe {
         g12Probe(scale, ev)
       Dedup.releaseIntermediates()
     }
+    if (only.isEmpty || only.exists("manifest_publish_cost".startsWith))
+      publishCostProbe()
     if (tiers.contains("100x")) run100x()
     spark.stop()
+  }
+
+  /** The commit protocol's metadata write amplification, measured
+    * (VERDICT r16 #5): every [[graft.store.StoreManifest.publish]]
+    * rewrites the FULL entry list — O(files) bytes per generation,
+    * ×KeepGens retained on disk — and every mutation's planning
+    * `readState` pays one LIST + one O(files) GET. This probe runs a
+    * w11-like commit cadence (10 sequential full-list commits, each
+    * CAS-chained on its predecessor like a real mutation) at
+    * 1×/10×/100× file counts, purely driver-side (no Spark jobs —
+    * the cost under measurement is filesystem metadata I/O). The
+    * design's stated cost is LINEAR in files per commit; if a
+    * deployment's flush cadence × table file count makes that bill
+    * material (flush-per-second on a million-file table ≈ tens of
+    * MB/s of manifest rewrites), the follow-up is the Delta/Iceberg
+    * discipline — incremental delta-log commits + periodic
+    * checkpoints — which changes only this file's write path, not
+    * readers.
+    */
+  private def publishCostProbe(): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.store.{StoreFs, StoreManifest}
+    for (n <- Seq(1000, 10000, 100000)) {
+      val local = java.nio.file.Files.createTempDirectory(s"pubcost_$n")
+      graft.util.StreamGate.deferDelete(local)
+      val fs = StoreFs.fs(new Path(local.toString))
+      val m = new StoreManifest(fs, local.toString)
+      val entries = (0 until n).map(i => StoreManifest.Entry(
+        f"date=2024-01-15/hour=${i / 3600 % 24}%02d/minute=${i / 60 % 60}%02d/part-$i%07d.parquet",
+        1234567L, 1700000000000L + i))
+      var parent: Option[String] = None
+      var pubNs = 0L
+      var readNs = 0L
+      val pubs = 10
+      (0 until pubs).foreach { _ =>
+        val t0 = System.nanoTime()
+        m.publish(entries, None, Nil, parent)
+        pubNs += System.nanoTime() - t0
+        val t1 = System.nanoTime()
+        val snap = m.readState()._1.get
+        readNs += System.nanoTime() - t1
+        parent = Some(snap.gen)
+      }
+      val retained = StoreFs.list(fs,
+          new Path(local.toString, "_manifest"))
+        .filter(_.getPath.getName.startsWith("gen-")).map(_.getLen).sum
+      println(f"""{"query":"manifest_publish_cost","files":$n,""" +
+        f""""publishes":$pubs,"avg_publish_ms":${pubNs / 1e6 / pubs}%.2f,""" +
+        f""""avg_read_ms":${readNs / 1e6 / pubs}%.2f,""" +
+        f""""retained_bytes":$retained,"gens":${m.genNames().size}}""")
+    }
   }
 
   /** The g12 LIST-elimination measurement at one tier: a compacted
