@@ -47,6 +47,14 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
 
   import StoreManifest.{Dead, Entry, Snapshot}
 
+  /** Test seam (specs only): runs after [[publish]]'s expected-parent
+    * pre-check passes, immediately before its rename — the only way a
+    * spec can interleave a second publisher INSIDE the pre-check→
+    * rename window and prove the post-rename conflict detection makes
+    * that race loud instead of a silent lost update.
+    */
+  private[graft] var beforeRename: () => Unit = () => ()
+
   private def mdir = new Path(tableDir, "_manifest")
 
   /** Whether any generation file exists (one listing; cheaper than a
@@ -172,10 +180,35 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           s"${newestNow.getOrElse("(none)")} — another writer " +
           "committed since this mutation's planning snapshot")
     }
+    beforeRename()
     val gen = new Path(mdir,
       f"gen-${System.currentTimeMillis()}%019d-$uuid.list")
     if (!fs.rename(tmp, gen))
       throw new java.io.IOException(s"manifest publish failed: $gen")
+    // post-rename conflict detection closes the pre-check→rename race:
+    // two publishers that BOTH passed the pre-check before either
+    // renamed have both landed a generation over the same parent — the
+    // filesystem gave each a distinct file, so neither rename failed,
+    // and whichever sorts last would silently supersede the other's
+    // entries and tombstones. Re-list now: if ANY other generation
+    // newer than the parent exists, THIS publish rolls its own
+    // generation back and fails loudly — regardless of which name
+    // sorts higher, because the other publisher may already have
+    // returned success and its commit must stay the truth. Outcomes:
+    // sequential-but-racing publishers → exactly one winner (the first
+    // post-checker sees only itself); truly simultaneous ones → both
+    // roll back and throw (spurious CAS failure — callers re-plan and
+    // retry), never a silent lost update.
+    val conflicting = StoreFs.list(fs, mdir).map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && n != gen.getName &&
+        parent.forall(_ < n))
+    if (conflicting.nonEmpty) {
+      fs.delete(gen, false): Unit
+      throw new StoreManifest.ConcurrentCommitException(
+        s"$tableDir: publish of ${gen.getName} lost a race over parent " +
+          s"${parent.getOrElse("(none)")} to ${conflicting.sorted.last} " +
+          "— rolled back; re-plan from the new newest generation")
+    }
     // retain the newest KeepGens generations (best effort; readers
     // take the newest READABLE, so a failed delete costs bytes, not
     // truth). Age-based pruning beyond this is vacuum's job.

@@ -214,6 +214,31 @@ class FsStoreSpec extends SparkSpec {
     assert(graft.store.StoreFs.list(fs,
       new org.apache.hadoop.fs.Path(tableDir, "_manifest"))
       .forall(!_.getPath.getName.startsWith(".tmp-")))
+    // the pre-check→rename WINDOW: a second publisher landing fully
+    // inside it (both passed the pre-check over parent g2) is caught
+    // by the post-rename conflict detection — the publisher that
+    // landed first keeps its commit, the later one rolls its own
+    // generation back and throws; the race is loud, never a silent
+    // lost update
+    var raced = false
+    m.beforeRename = () => if (!raced) {
+      raced = true
+      m.publish(Seq(e("a.parquet"), e("b.parquet"), e("d.parquet")),
+        None, Nil, parent = Some(g2))
+    }
+    try intercept[graft.store.StoreManifest.ConcurrentCommitException] {
+      m.publish(Seq(e("a.parquet"), e("b.parquet"), e("x.parquet")),
+        None, Nil, parent = Some(g2))
+    } finally m.beforeRename = () => ()
+    // the in-window winner's commit is the newest truth and the
+    // loser's generation is gone from the retained set
+    val snap = m.read().get
+    assert(snap.parent.contains(g2))
+    assert(snap.entries.map(_.rel).sorted ==
+      Seq("a.parquet", "b.parquet", "d.parquet"))
+    assert(m.genNames().size == 3) // g1, g2, winner — loser rolled back
+    assert(m.readAll().forall(s =>
+      !s.entries.exists(_.rel == "x.parquet")))
   }
 
   test("manifest: an unpublished rewrite is invisible; a torn " +
