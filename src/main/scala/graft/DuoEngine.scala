@@ -337,6 +337,14 @@ final class DuoEngine(val spark: SparkSession, root: String,
       lg <- logTableAsOf(logGen)
     } yield TraceQueries.filterTraces(spark, sp, lg, p)
 
+  /** Log search AS OF a retained log-store generation — the log-side
+    * twin of [[searchTracesAsOf]]. The search window applies as a row
+    * predicate inside the pinned generation.
+    */
+  def searchLogsAsOf(p: LogQueries.LogSearchParams,
+      gen: String): Option[DataFrame] =
+    logTableAsOf(gen).map(LogQueries.search(_, p))
+
   /** Log-registry GC — the operator-invoked maintenance call for
     * long-lived stores ([[SchemaRegistry.gc]]): drop registry columns
     * that NO retained data observably carries. Liveness is a NON-NULL

@@ -773,6 +773,32 @@ class EngineSpec extends SparkSpec {
     // unknown/pruned generations answer None, loudly not wrongly
     assert(engine.logTableAsOf("gen-0000-bogus.list").isEmpty)
     assert(st.changesBetween(gens.head, "gen-0000-bogus.list").isEmpty)
+    // the search surfaces: a trace retired by expiry stays reachable
+    // AS OF the pre-expiry span generation — "what did this trace
+    // look like before yesterday's retention?" as one call
+    import graft.model.Span
+    val sst = new ParquetStore(spark, root, "span", "start")
+    def spanRow(tid: Long, dayOff: Long) = Seq(
+      Span(tid * 10, None, tid, "op", "svc-0", day1 + dayOff * day,
+        Some(day1 + dayOff * day + 1000L), None)).toDF()
+    sst.write(spanRow(9001L, 0L))
+    sst.write(spanRow(9002L, 1L))
+    sst.compact() // span gen A: both traces
+    sst.expire(day1 + day): Unit // span gen B: the day-1 trace retired
+    val sgens = engine.generations("span")
+    assert(sgens.size == 2)
+    val p = graft.query.TraceQueries.TraceSearchParams(
+      service = "svc", unbounded = true)
+    def tids(df: org.apache.spark.sql.DataFrame) =
+      df.select("trace_id").as[Long].collect().toSet
+    assert(tids(engine.searchTraces(p)) == Set(9002L))
+    assert(tids(engine.searchTracesAsOf(p, sgens.head, gens.last).get) ==
+      Set(9001L, 9002L))
+    // log-side twin: the pinned older log generation answers its own
+    // committed rows through the same search pipeline
+    val lp = LogSearchParams(service = "svc", unbounded = true)
+    assert(engine.searchLogsAsOf(lp, gens.head).get.count() == 2)
+    assert(engine.searchLogs(lp).count() == 5)
   }
 
   test("writer fencing: a second writer on the same root fences the first") {
