@@ -198,7 +198,16 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // sequential-but-racing publishers → exactly one winner (the first
     // post-checker sees only itself); truly simultaneous ones → both
     // roll back and throw (spurious CAS failure — callers re-plan and
-    // retry), never a silent lost update.
+    // retry), never a silent lost update. Residual (documented, not
+    // closable on a plain filesystem): a THIRD publisher that reads a
+    // racer's generation as its planning snapshot inside that racer's
+    // rename→rollback window (microseconds) and completes its entire
+    // publish there would chain onto a lineage that omits the race
+    // winner's commit. The writer lease ([[ParquetStore]] fencing,
+    // re-verified at every commit point) is the actual mutual
+    // exclusion that makes three concurrent publishers impossible;
+    // this CAS + rollback is its belt-and-braces for the
+    // misconfigured-second-writer case it exists to catch.
     val conflicting = StoreFs.list(fs, mdir).map(_.getPath.getName)
       .filter(n => n.startsWith("gen-") && n != gen.getName &&
         parent.forall(_ < n))
