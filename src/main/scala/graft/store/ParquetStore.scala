@@ -152,6 +152,28 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       df <- relationFor(added, b.schema)
     } yield df.drop("date", "hour", "minute")
 
+  /** The delete side of [[changesBetween]]: the rows in files `genA`
+    * references that `genB` no longer does — what a downstream
+    * consumer must INVALIDATE when retention ([[expire]]) ran between
+    * the generations. Plannable only while the removed files are
+    * still on disk (they are tombstoned, not deleted, until vacuum's
+    * grace passes — the same window that bounds time travel), and
+    * file-granular with the same rewrite caveat as the insert side:
+    * a compaction between the generations moves rows across files and
+    * surfaces them here as removed (and in changesBetween as added) —
+    * spurious-but-consistent churn, the caveat Delta's docs put on
+    * file-level CDF. None when a generation is pruned or nothing was
+    * removed.
+    */
+  def removedBetween(genA: String, genB: String): Option[DataFrame] =
+    for {
+      a <- manifest.readGen(genA)
+      b <- manifest.readGen(genB)
+      kept = b.entries.map(_.rel).toSet
+      removed = a.entries.filterNot(e => kept(e.rel))
+      df <- relationFor(removed, a.schema)
+    } yield df.drop("date", "hour", "minute")
+
   /** Recursive delete (no-op when absent). */
   private def rm(p: Path): Unit = { fs.delete(p, true): Unit }
 

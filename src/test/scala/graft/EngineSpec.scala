@@ -773,6 +773,17 @@ class EngineSpec extends SparkSpec {
     // unknown/pruned generations answer None, loudly not wrongly
     assert(engine.logTableAsOf("gen-0000-bogus.list").isEmpty)
     assert(st.changesBetween(gens.head, "gen-0000-bogus.list").isEmpty)
+    // the delete side of the CDC pair: between a re-layout commit and
+    // its predecessor the whole table churns (rewrite caveat, both
+    // directions); between expiry generations removedBetween is
+    // exactly the retired rows a downstream consumer must invalidate
+    val preExpire = st.generations().last
+    st.expire(day1 + day): Unit // retires the day-1 rows
+    val postExpire = st.generations().last
+    assert(pids(st.removedBetween(preExpire, postExpire).get) ==
+      Set("svc-1", "svc-2"))
+    assert(st.changesBetween(preExpire, postExpire).isEmpty,
+      "expiry adds nothing — the insert side must be empty")
     // the search surfaces: a trace retired by expiry stays reachable
     // AS OF the pre-expiry span generation — "what did this trace
     // look like before yesterday's retention?" as one call
@@ -795,10 +806,11 @@ class EngineSpec extends SparkSpec {
     assert(tids(engine.searchTracesAsOf(p, sgens.head, gens.last).get) ==
       Set(9001L, 9002L))
     // log-side twin: the pinned older log generation answers its own
-    // committed rows through the same search pipeline
+    // committed rows through the same search pipeline, while the
+    // current table reflects the expiry above
     val lp = LogSearchParams(service = "svc", unbounded = true)
     assert(engine.searchLogsAsOf(lp, gens.head).get.count() == 2)
-    assert(engine.searchLogs(lp).count() == 5)
+    assert(engine.searchLogs(lp).count() == 3)
   }
 
   test("writer fencing: a second writer on the same root fences the first") {
