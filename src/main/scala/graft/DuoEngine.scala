@@ -267,15 +267,14 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def services(): Seq[String] =
     processes.all.map(_.serviceName).distinct
 
-  /** The live merged log schema — the accessor intended to back a
-    * schema endpoint like the reference's GET /api/logs/schema
-    * (duo/src/schema.rs:74-76 serializes the mutable merged schema,
-    * not the base one); no HTTP route exists in this engine-scoped
-    * library. A future endpoint must NOT serialize StructType JSON
-    * directly: the reference's wire form is serde-serialized Arrow
-    * Schema JSON (duo/src/web/logs.rs:38), so wire parity needs an
-    * explicit StructType→Arrow-schema-JSON translation with a parity
-    * test against the reference format.
+  /** The live merged log schema — GET /api/logs/schema's backing
+    * accessor (duo/src/schema.rs:74-76 serializes the mutable merged
+    * schema, not the base one). The route ([[graft.api.HttpApi]])
+    * does NOT serialize StructType JSON: the reference's wire form is
+    * serde-serialized Arrow Schema JSON (duo/src/web/logs.rs:38), so
+    * it goes through [[graft.api.ArrowSchemaJson]] — the explicit
+    * StructType→arrow-schema-53-serde translation, parity-pinned in
+    * HttpApiSpec against the reference base schema's expected JSON.
     */
   def currentLogSchema: org.apache.spark.sql.types.StructType = logSchema
 

@@ -1,0 +1,282 @@
+package graft.api
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.DuoEngine
+import graft.model.Span
+import graft.query.{LogQueries, TraceQueries}
+
+/** The reference's HTTP query façade (duo/src/web/mod.rs:72-82) over a
+  * [[graft.DuoEngine]], on the JDK's built-in `HttpServer` — ZERO
+  * added dependencies, which is what makes an HTTP layer possible in
+  * this engine-scoped library at all. Routes and their wire shapes
+  * follow the reference handler by handler:
+  *
+  *   - `GET /api/traces?service&operation&limit&start&end&minDuration&maxDuration`
+  *     → JaegerData envelope of assembled traces (duo/src/web/trace.rs:36-41)
+  *   - `GET /api/traces/:id` → envelope of `[trace]` / `[]`; a
+  *     non-numeric id is 404 (trace.rs:62-78)
+  *   - `GET /api/services` → envelope of service names (trace.rs:44-49)
+  *   - `GET /api/services/:service/operations` → envelope of span
+  *     names (trace.rs:52-59)
+  *   - `GET /api/logs?service&limit&skip&start&end&expr` → BARE JSON
+  *     array of logs in the reference `Log` serde shape — base fields
+  *     in declaration order, dynamic fields flattened
+  *     (duo/src/web/logs.rs:101-115, duo/src/models.rs:34-52)
+  *   - `GET /api/logs/schema` → the live merged schema as
+  *     arrow-schema serde JSON ([[ArrowSchemaJson]], logs.rs:37-39)
+  *   - `GET /api/logs/stats/:field` → bare array of `{value, count}`;
+  *     unknown field is 404 (logs.rs:64-98)
+  *   - `GET /stats` → `{"process": {id: process}, "logs": 0,
+  *     "spans": 0}` (mod.rs:96-105)
+  *
+  * Query-parameter leniency mirrors deser.rs: `limit`/`skip` ignore
+  * unparseable values (option_ignore_error), `start`/`end` are µs
+  * integers, `minDuration`/`maxDuration` are duration strings through
+  * the C2 parser (deser.rs:196-240 routes them through
+  * parse_duration). A missing required `service` is 400, as axum's
+  * Query extractor rejects it. The UI asset routes (duo-ui static
+  * files, mod.rs:26-55) stay out of scope — this is the engine
+  * library's API surface, not a bundled frontend.
+  *
+  * Threading: handlers run on the server's executor and call
+  * DataFrame actions; the engine's hot-view snapshot and stores are
+  * safe for concurrent READS (queries never fence). Port 0 binds an
+  * ephemeral port (specs); [[boundPort]] reports it.
+  */
+final class HttpApi(engine: DuoEngine, port: Int = 0) {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = server.start()
+
+  def stop(): Unit = server.stop(0)
+
+  // ---- dispatch ----
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath
+      val q = params(ex)
+      path match {
+        case "/api/traces" => traces(ex, q)
+        case p if p.startsWith("/api/traces/") =>
+          traceById(ex, p.stripPrefix("/api/traces/"))
+        case "/api/services" =>
+          json(ex, 200, Jaeger.renderNames(engine.services()))
+        case p if p.startsWith("/api/services/") &&
+            p.endsWith("/operations") =>
+          operations(ex, p.stripPrefix("/api/services/")
+            .stripSuffix("/operations"))
+        case "/api/logs" => logs(ex, q)
+        case "/api/logs/schema" =>
+          json(ex, 200, ArrowSchemaJson.toJson(engine.currentLogSchema))
+        case p if p.startsWith("/api/logs/stats/") =>
+          fieldStats(ex, p.stripPrefix("/api/logs/stats/"), q)
+        case "/stats" => stats(ex)
+        case _ => text(ex, 404, "404")
+      }
+    } catch {
+      // a handler bug must answer 500, never wedge the exchange open
+      case scala.util.control.NonFatal(e) =>
+        text(ex, 500, s"internal error: ${e.getMessage}")
+    } finally ex.close()
+  }
+
+  // ---- handlers ----
+
+  private def traces(ex: HttpExchange, q: Map[String, String]): Unit =
+    q.get("service") match {
+      case None => text(ex, 400, "missing required parameter: service")
+      case Some(service) =>
+        val p = TraceQueries.TraceSearchParams(
+          service = service,
+          operation = q.get("operation"),
+          startUs = q.get("start").flatMap(_.toLongOption),
+          endUs = q.get("end").flatMap(_.toLongOption),
+          minDurationUs = q.get("minDuration")
+            .flatMap(graft.functions.Timing.parseDuration),
+          maxDurationUs = q.get("maxDuration")
+            .flatMap(graft.functions.Timing.parseDuration),
+          limit = q.get("limit").flatMap(_.toIntOption).getOrElse(20))
+        json(ex, 200,
+          Jaeger.renderTraces(collectTraces(engine.searchTraces(p))))
+    }
+
+  private def traceById(ex: HttpExchange, raw: String): Unit =
+    raw.toLongOption match {
+      case None => text(ex, 404, s"trace $raw not found")
+      case Some(tid) =>
+        json(ex, 200,
+          Jaeger.renderTraces(collectTraces(engine.getTrace(tid))))
+    }
+
+  private def operations(ex: HttpExchange, service: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val names = engine.spanNames(URLDecoder.decode(service, "UTF-8"))
+      .select(col("name")).collect().map(_.getString(0)).toSeq
+    json(ex, 200, Jaeger.renderNames(names))
+  }
+
+  /** Assembled-trace rows → Jaeger traces: the span structs carry
+    * everything but the trace id, which rides the row.
+    */
+  private def collectTraces(df: org.apache.spark.sql.DataFrame)
+      : Seq[Jaeger.JaegerTrace] = {
+    val procs = engine.processes.all
+    df.collect().toSeq.map { row =>
+      val tid = row.getAs[Long]("trace_id")
+      val spans = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+        "spans").toSeq.map { s =>
+        Span(
+          id = s.getAs[Long]("id"),
+          parent_id = Option(s.getAs[java.lang.Long]("parent_id"))
+            .map(_.longValue()),
+          trace_id = tid,
+          name = s.getAs[String]("name"),
+          process_id = s.getAs[String]("process_id"),
+          start = s.getAs[Long]("start"),
+          end = Option(s.getAs[java.lang.Long]("end")).map(_.longValue()),
+          tags = Option(s.getAs[String]("tags")))
+      }
+      Jaeger.toJaegerTrace(tid, spans, procs)
+    }
+  }
+
+  private def logs(ex: HttpExchange, q: Map[String, String]): Unit =
+    q.get("service") match {
+      case None => text(ex, 400, "missing required parameter: service")
+      case Some(service) =>
+        val p = LogQueries.LogSearchParams(
+          service = service,
+          startUs = q.get("start").flatMap(_.toLongOption),
+          endUs = q.get("end").flatMap(_.toLongOption),
+          expr = q.get("expr"),
+          skip = q.get("skip").flatMap(_.toIntOption).getOrElse(0),
+          limit = q.get("limit").flatMap(_.toIntOption).getOrElse(50))
+        val df = engine.searchLogs(p)
+        val cols = df.columns.toSeq
+        val rows = df.collect().toSeq.map(r => logJson(cols, r))
+        json(ex, 200,
+          JsonMethods.compact(JsonMethods.render(JArray(rows.toList))))
+    }
+
+  /** One log row in the reference `Log` serde shape: the base nine in
+    * struct-declaration order (duo/src/models.rs:34-52 — nulls kept,
+    * serde derives emit Option::None as null), then the dynamic
+    * columns flattened with nulls OMITTED (the reference's per-row
+    * fields HashMap only holds the keys that row actually carried).
+    */
+  private val logBaseOrder = Seq("process_id", "span_id", "trace_id",
+    "level", "target", "file", "line", "time", "message")
+
+  private def logJson(cols: Seq[String],
+      r: org.apache.spark.sql.Row): JValue = {
+    def v(name: String): JValue =
+      if (!cols.contains(name) || r.isNullAt(cols.indexOf(name))) JNull
+      else r.get(cols.indexOf(name)) match {
+        case s: String => JString(s)
+        case l: java.lang.Long => JLong(l)
+        case i: java.lang.Integer => JInt(BigInt(i.intValue()))
+        case d: java.lang.Double => JDouble(d)
+        case b: java.lang.Boolean => JBool(b)
+        case other => JString(other.toString)
+      }
+    val base = logBaseOrder.map(n => n -> v(n))
+    val dynamic = cols.filterNot(logBaseOrder.contains)
+      .flatMap(n => v(n) match {
+        case JNull => None
+        case jv => Some(n -> jv)
+      })
+    JObject((base ++ dynamic).toList)
+  }
+
+  private def fieldStats(ex: HttpExchange, field: String,
+      q: Map[String, String]): Unit =
+    q.get("service") match {
+      case None => text(ex, 400, "missing required parameter: service")
+      case Some(service) =>
+        val p = LogQueries.LogSearchParams(
+          service = service,
+          startUs = q.get("start").flatMap(_.toLongOption),
+          endUs = q.get("end").flatMap(_.toLongOption),
+          expr = q.get("expr"))
+        engine.fieldStats(URLDecoder.decode(field, "UTF-8"), p) match {
+          case None => text(ex, 404, s"Field $field not exists")
+          case Some(df) =>
+            val cols = df.columns.toSeq
+            val items = df.collect().toSeq.map { r =>
+              val value = r.get(cols.indexOf("value")) match {
+                case s: String => JString(s)
+                case l: java.lang.Long => JLong(l)
+                case i: java.lang.Integer => JInt(BigInt(i.intValue()))
+                case d: java.lang.Double => JDouble(d)
+                case b: java.lang.Boolean => JBool(b)
+                case other => JString(String.valueOf(other))
+              }
+              JObject("value" -> value,
+                "count" -> JLong(r.getAs[Long]("count")))
+            }
+            json(ex, 200,
+              JsonMethods.compact(JsonMethods.render(JArray(items.toList))))
+        }
+    }
+
+  private def stats(ex: HttpExchange): Unit = {
+    val procs = engine.processes.all.map { p =>
+      p.id -> JObject(
+        "id" -> JString(p.id),
+        "service_name" -> JString(p.serviceName),
+        "tags" -> JObject(p.tags.toSeq.sortBy(_._1).map { case (k, tv) =>
+          k -> engine.processes.tagJson(tv)
+        }.toList))
+    }
+    val body = JObject(
+      "process" -> JObject(procs.toList),
+      "logs" -> JInt(0),
+      "spans" -> JInt(0))
+    json(ex, 200, JsonMethods.compact(JsonMethods.render(body)))
+  }
+
+  // ---- plumbing ----
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&").toSeq)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(URLDecoder.decode(k, "UTF-8") ->
+              URLDecoder.decode(v, "UTF-8"))
+          case Array(k) if k.nonEmpty =>
+            Some(URLDecoder.decode(k, "UTF-8") -> "")
+          case _ => None
+        }
+      }.toMap
+
+  private def json(ex: HttpExchange, code: Int, body: String): Unit =
+    respond(ex, code, body, "application/json")
+
+  private def text(ex: HttpExchange, code: Int, body: String): Unit =
+    respond(ex, code, body, "text/plain; charset=utf-8")
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    // CORS like the reference's permissive layer (mod.rs:63-68)
+    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val out = ex.getResponseBody
+    try out.write(bytes) finally out.close()
+  }
+}

@@ -173,6 +173,13 @@ object Jaeger {
     * in (duo/src/web/serialize.rs:140-153): constant total/limit/offset
     * zeros and a null errors slot.
     */
+  /** Envelope of bare string items — GET /api/services and
+    * /api/services/:service/operations both wrap plain name lists in
+    * JaegerData (duo/src/web/trace.rs:44-59).
+    */
+  def renderNames(names: Seq[String]): String =
+    envelope(names.toList.map(JString(_)))
+
   private def envelope(items: List[JValue]): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       "data" -> JArray(items),

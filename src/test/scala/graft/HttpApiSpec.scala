@@ -1,0 +1,144 @@
+package graft
+
+import graft.api.{ArrowSchemaJson, HttpApi}
+import graft.model.{Span, TagValue}
+
+/** The HTTP façade's route surface and wire shapes (SURVEY "missing"
+  * item 2, minus the UI asset bundle): real HTTP round-trips through
+  * the JDK client against a live engine — every assertion is a
+  * reference wire-shape claim with its duo/src/web citation on the
+  * handler.
+  */
+class HttpApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1760000000000000L
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  /** The reference base log schema's arrow-schema-53 serde JSON
+    * (duo/src/schema.rs:31-42 through the serde derive the `serde`
+    * feature of arrow-schema 53 generates) — the exact payload
+    * GET /api/logs/schema must open with for wire parity, unsigned
+    * widths included even though Spark stores them signed.
+    */
+  private val baseArrowJson: String = {
+    def f(name: String, tok: String, nullable: Boolean) =
+      s"""{"name":"$name","data_type":"$tok","nullable":$nullable,""" +
+        s""""dict_id":0,"dict_is_ordered":false}"""
+    Seq(
+      f("process_id", "Utf8", nullable = false),
+      f("time", "Int64", nullable = false),
+      f("trace_id", "UInt64", nullable = true),
+      f("span_id", "UInt64", nullable = true),
+      f("level", "Utf8", nullable = false),
+      f("target", "Utf8", nullable = true),
+      f("file", "Utf8", nullable = true),
+      f("line", "UInt32", nullable = true),
+      f("message", "Utf8", nullable = true)
+    ).mkString("""{"fields":[""", ",", "]}")
+  }
+
+  test("HTTP facade serves the reference route surface with its wire " +
+      "shapes") {
+    val root = java.nio.file.Files.createTempDirectory("httpapi").toString
+    val engine = new DuoEngine(spark, root)
+    engine.processes.register("example",
+      Map("telemetry.sdk" -> TagValue.str("duo"))): Unit
+    engine.appendSpanBatch(Seq(
+      Span(101L, None, 9001L, "foo", "example-0", t0,
+        Some(t0 + 250000L), Some("""{"busy":"3.00ms"}""")),
+      Span(102L, Some(101L), 9001L, "bar", "example-0", t0 + 10000L,
+        Some(t0 + 120000L), None),
+      Span(201L, None, 9002L, "foo", "example-0", t0 + 500000L,
+        Some(t0 + 600000L), None)).toDF())
+    engine.appendLogBatch(Seq(
+      ("example-0", t0 + 5000L, Some(9001L), Some(101L), "INFO",
+        Some("hello")),
+      ("example-0", t0 + 200000L, Some(9001L), Some(101L), "ERROR",
+        Some("Oops!")))
+      .toDF("process_id", "time", "trace_id", "span_id", "level",
+        "message"))
+    val win = s"start=${t0 - 1000000L}&end=${t0 + 1000000L}"
+    val api = new HttpApi(engine)
+    api.start()
+    try {
+      val port = api.boundPort
+      // /api/services: JaegerData envelope of registered names
+      val (sc1, services) = get(port, "/api/services")
+      assert(sc1 == 200)
+      assert(services ==
+        """{"data":["example"],"total":0,"limit":0,"offset":0,"errors":null}""")
+      // /api/services/:service/operations: distinct span names, sorted
+      val (_, ops) = get(port, "/api/services/example/operations")
+      assert(ops.contains(""""data":["bar","foo"]"""), ops)
+      // /api/traces: both traces in the window, Jaeger shapes intact
+      val (sc2, traces) = get(port, s"/api/traces?service=example&$win")
+      assert(sc2 == 200)
+      assert(traces.contains(""""traceID":"9001"""") &&
+        traces.contains(""""traceID":"9002""""), traces)
+      assert(traces.contains(""""operationName":"foo""""))
+      assert(traces.contains(""""refType":"CHILD_OF""""))
+      assert(traces.contains(""""serviceName":"example""""))
+      // minDuration through the C2 duration parser drops the 100ms trace
+      val (_, longOnly) = get(port,
+        s"/api/traces?service=example&$win&minDuration=200ms")
+      assert(longOnly.contains("9001") && !longOnly.contains("9002"),
+        longOnly)
+      // /api/traces/:id — exact trace; non-numeric id is 404
+      val (_, one) = get(port, "/api/traces/9001")
+      assert(one.contains(""""traceID":"9001"""") && !one.contains("9002"))
+      assert(get(port, "/api/traces/not-a-number")._1 == 404)
+      // /api/logs: BARE array, serde field order, base nulls kept,
+      // µs time, sorted time-desc
+      val (_, logsBody) = get(port, s"/api/logs?service=example&$win")
+      assert(logsBody.startsWith("["), logsBody)
+      assert(logsBody.contains(""""message":"Oops!""""))
+      assert(logsBody.contains(s""""time":${t0 + 200000L}"""))
+      assert(logsBody.contains(""""file":null"""))
+      assert(logsBody.indexOf("Oops!") < logsBody.indexOf("hello"),
+        "logs must sort time-desc like the reference's list handler")
+      // /api/logs/stats/:field; unknown field is 404
+      val (_, stats) = get(port,
+        s"/api/logs/stats/level?service=example&$win")
+      assert(stats.contains(""""value":"ERROR"""") &&
+        stats.contains(""""count":1"""), stats)
+      assert(get(port, "/api/logs/stats/nope?service=example")._1 == 404)
+      // /api/logs/schema: the arrow-schema serde payload, unsigned
+      // widths pinned by name
+      val (_, schemaBody) = get(port, "/api/logs/schema")
+      assert(schemaBody == baseArrowJson, schemaBody)
+      assert(schemaBody == ArrowSchemaJson.toJson(engine.currentLogSchema))
+      // a drifted JSON ingest widens the served schema and flattens
+      // into the log rows (dynamic nulls omitted per the reference's
+      // per-row fields map)
+      engine.ingestJsonLogs(Seq(
+        s"""{"process_id":"example-0","time":${t0 + 300000L},""" +
+          """"level":"INFO","message":"m3","region":"eu"}""")): Unit
+      val (_, schema2) = get(port, "/api/logs/schema")
+      assert(schema2.contains(
+        """{"name":"region","data_type":"Utf8","nullable":true,"""))
+      val (_, logs2) = get(port, s"/api/logs?service=example&$win")
+      assert(logs2.contains(""""region":"eu""""))
+      assert(logs2.indexOf("region") == logs2.lastIndexOf("region"),
+        "rows without the dynamic field must omit the key")
+      // /stats: the process map + zeroed counters
+      val (_, st) = get(port, "/stats")
+      assert(st.contains(""""process":{"example-0":{"id":"example-0",""" +
+        """"service_name":"example""""), st)
+      assert(st.contains(""""logs":0""") && st.contains(""""spans":0"""))
+      // axum-like rejections: missing required service, unknown route
+      assert(get(port, "/api/traces")._1 == 400)
+      assert(get(port, "/api/logs")._1 == 400)
+      assert(get(port, "/nope")._1 == 404)
+    } finally api.stop()
+  }
+}
