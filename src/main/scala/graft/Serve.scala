@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Runnable server entry point — the drop-in shape of the reference's
+  * `duo` binary minus the gRPC listener (duo/src/main.rs boots the
+  * memory store, the web server, and the ingest loop): boots an engine
+  * over a store root and serves the HTTP query façade
+  * ([[graft.api.HttpApi]]) against it. Ingest arrives through the
+  * library API (`DuoEngine.ingest*`) or the JSON-file backfill edge
+  * (`ingestJsonLogDir`) — the reference's gRPC transport is the one
+  * façade a drop-in replacement still needs and is out of reach
+  * without protobuf/HTTP2 dependencies (SURVEY "missing" item 1).
+  *
+  * Usage: `runMain graft.Serve <storeRoot> [port]` — port defaults to
+  * the reference's 3000 (duo/src/config.rs).
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(
+      sys.error("usage: graft.Serve <storeRoot> [port]"))
+    val port = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(3000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new DuoEngine(spark, root)
+    val api = new graft.api.HttpApi(engine, port)
+    api.start()
+    println(s"duospark query API listening on http://127.0.0.1:${api.boundPort}")
+    // serve until killed; flush the hot view on shutdown so nothing
+    // buffered is lost (the reference's ctrl-c path flushes too)
+    sys.addShutdownHook {
+      api.stop()
+      engine.flush()
+    }
+    Thread.currentThread().join()
+  }
+}
