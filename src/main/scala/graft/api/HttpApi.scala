@@ -34,6 +34,9 @@ import graft.query.{LogQueries, TraceQueries}
   *     unknown field is 404 (logs.rs:64-98)
   *   - `GET /stats` → `{"process": {id: process}, "logs": 0,
   *     "spans": 0}` (mod.rs:96-105)
+  *   - `POST /api/ingest/logs` — EXTENSION (see [[ingestLogs]]): the
+  *     raw-JSON log ingest edge over HTTP, since the reference's gRPC
+  *     transport needs dependencies this library cannot take
   *
   * Query-parameter leniency mirrors deser.rs: `limit`/`skip` ignore
   * unparseable values (option_ignore_error), `start`/`end` are µs
@@ -77,6 +80,7 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
             p.endsWith("/operations") =>
           operations(ex, p.stripPrefix("/api/services/")
             .stripSuffix("/operations"))
+        case "/api/ingest/logs" => ingestLogs(ex)
         case "/api/logs" => logs(ex, q)
         case "/api/logs/schema" =>
           json(ex, 200, ArrowSchemaJson.toJson(engine.currentLogSchema))
@@ -151,6 +155,28 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
       Jaeger.toJaegerTrace(tid, spans, procs)
     }
   }
+
+  /** EXTENSION route (no reference analog — duo ingests over gRPC,
+    * which this dependency-frozen library cannot speak): the raw-JSON
+    * log ingest edge (duo/src/arrow.rs:70-91 semantics via
+    * [[graft.DuoEngine.ingestJsonLogs]]) over plain HTTP, so a
+    * deployment without the gRPC client still has a remote ingest
+    * path. `POST /api/ingest/logs` with newline-delimited JSON log
+    * events; responds `{"accepted": n, "malformed": m}` — malformed
+    * lines are counted and dropped exactly like the file-feed edge.
+    */
+  private def ingestLogs(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "POST")
+      text(ex, 405, "POST newline-delimited JSON log events")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val malformed = engine.ingestJsonLogs(lines)
+      json(ex, 200,
+        s"""{"accepted":${lines.size - malformed},""" +
+          s""""malformed":$malformed}""")
+    }
 
   private def logs(ex: HttpExchange, q: Map[String, String]): Unit =
     q.get("service") match {

@@ -139,6 +139,29 @@ class HttpApiSpec extends SparkSpec {
       assert(get(port, "/api/traces")._1 == 400)
       assert(get(port, "/api/logs")._1 == 400)
       assert(get(port, "/nope")._1 == 404)
+      // EXTENSION: remote ingest over HTTP (ND-JSON) — malformed lines
+      // counted and dropped like the file feed; the good row is
+      // immediately queryable
+      val ndjson =
+        s"""{"process_id":"example-0","time":${t0 + 400000L},""" +
+          """"level":"WARN","message":"posted"}""" + "\nnot json\n"
+      val (scIn, inBody) = post(port, "/api/ingest/logs", ndjson)
+      assert(scIn == 200 && inBody == """{"accepted":1,"malformed":1}""",
+        inBody)
+      val (_, logs3) = get(port, s"/api/logs?service=example&$win")
+      assert(logs3.contains(""""message":"posted""""))
+      assert(get(port, "/api/ingest/logs")._1 == 405)
     } finally api.stop()
+  }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
   }
 }
