@@ -33,11 +33,19 @@ object Serve {
     api.start()
     println(s"duospark query API listening on http://127.0.0.1:${api.boundPort}")
     // serve until killed; flush the hot view on shutdown so nothing
-    // buffered is lost (the reference's ctrl-c path flushes too)
-    sys.addShutdownHook {
-      api.stop()
-      engine.flush()
-    }
+    // buffered is lost (the reference's ctrl-c path flushes too).
+    // Registered through Hadoop's ShutdownHookManager at a priority
+    // ABOVE Spark's own hook (which stops the SparkContext): a plain
+    // JVM shutdown hook runs concurrently with Spark's in unspecified
+    // order, and a flush racing the context teardown would lose the
+    // buffered rows this hook exists to save.
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit = {
+          api.stop()
+          engine.flush()
+        }
+      }, 100)
     Thread.currentThread().join()
   }
 }

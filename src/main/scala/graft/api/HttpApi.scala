@@ -57,6 +57,16 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
+  // concurrent handlers (daemon threads so an exiting JVM never hangs
+  // on the server): without an executor the JDK server dispatches
+  // every request on ONE thread, and a single slow collect would
+  // serialize the whole API behind it
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "http-api")
+      t.setDaemon(true)
+      t
+    }))
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -70,6 +80,7 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
     try {
       val path = ex.getRequestURI.getPath
       val q = params(ex)
+      if (ex.getRequestMethod == "OPTIONS") { preflight(ex); return }
       path match {
         case "/api/traces" => traces(ex, q)
         case p if p.startsWith("/api/traces/") =>
@@ -117,7 +128,11 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
     }
 
   private def traceById(ex: HttpExchange, raw: String): Unit =
-    raw.toLongOption match {
+    // ids render UNSIGNED on every response (Jaeger.renderId), so the
+    // lookup must parse the same u64 space back — a signed parse
+    // would 404 exactly the ids this API itself emitted for the upper
+    // half of the space (the reference parses a u64, trace.rs:67)
+    scala.util.Try(java.lang.Long.parseUnsignedLong(raw)).toOption match {
       case None => text(ex, 404, s"trace $raw not found")
       case Some(tid) =>
         json(ex, 200,
@@ -126,7 +141,9 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
 
   private def operations(ex: HttpExchange, service: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val names = engine.spanNames(URLDecoder.decode(service, "UTF-8"))
+    // getPath already percent-decoded the segment — decoding twice
+    // would corrupt names containing '+' or literal '%'
+    val names = engine.spanNames(service)
       .select(col("name")).collect().map(_.getString(0)).toSeq
     json(ex, 200, Jaeger.renderNames(names))
   }
@@ -205,11 +222,24 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
   private val logBaseOrder = Seq("process_id", "span_id", "trace_id",
     "level", "target", "file", "line", "time", "message")
 
+  /** Names whose longs are u64 bit patterns and must serialize
+    * UNSIGNED (the reference `Log` holds `Option<u64>`; the served
+    * schema declares them UInt64) — a signed render would put
+    * negative ids on the wire for the upper half of the space.
+    */
+  private val unsignedCols = Set("trace_id", "span_id")
+
+  private def unsignedJson(l: Long): JValue =
+    if (l >= 0L) JLong(l)
+    else JInt(BigInt(java.lang.Long.toUnsignedString(l)))
+
   private def logJson(cols: Seq[String],
       r: org.apache.spark.sql.Row): JValue = {
     def v(name: String): JValue =
       if (!cols.contains(name) || r.isNullAt(cols.indexOf(name))) JNull
       else r.get(cols.indexOf(name)) match {
+        case l: java.lang.Long if unsignedCols(name) =>
+          unsignedJson(l.longValue())
         case s: String => JString(s)
         case l: java.lang.Long => JLong(l)
         case i: java.lang.Integer => JInt(BigInt(i.intValue()))
@@ -236,12 +266,15 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
           startUs = q.get("start").flatMap(_.toLongOption),
           endUs = q.get("end").flatMap(_.toLongOption),
           expr = q.get("expr"))
-        engine.fieldStats(URLDecoder.decode(field, "UTF-8"), p) match {
+        // field arrives percent-decoded via getPath — no second decode
+        engine.fieldStats(field, p) match {
           case None => text(ex, 404, s"Field $field not exists")
           case Some(df) =>
             val cols = df.columns.toSeq
             val items = df.collect().toSeq.map { r =>
               val value = r.get(cols.indexOf("value")) match {
+                case l: java.lang.Long if unsignedCols(field) =>
+                  unsignedJson(l.longValue())
                 case s: String => JString(s)
                 case l: java.lang.Long => JLong(l)
                 case i: java.lang.Integer => JInt(BigInt(i.intValue()))
@@ -288,6 +321,20 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
           case _ => None
         }
       }.toMap
+
+  /** CORS preflight — the other half of the reference's permissive
+    * tower-http layer (mod.rs:63-68): without answering OPTIONS, a
+    * browser on another origin would block the POST ingest route (and
+    * any request with non-simple headers) despite the allow-origin
+    * header on responses.
+    */
+  private def preflight(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Allow-Methods", "GET, POST")
+    h.set("Access-Control-Allow-Headers", "Content-Type")
+    ex.sendResponseHeaders(204, -1L)
+  }
 
   private def json(ex: HttpExchange, code: Int, body: String): Unit =
     respond(ex, code, body, "application/json")

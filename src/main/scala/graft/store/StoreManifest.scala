@@ -198,16 +198,20 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // sequential-but-racing publishers → exactly one winner (the first
     // post-checker sees only itself); truly simultaneous ones → both
     // roll back and throw (spurious CAS failure — callers re-plan and
-    // retry), never a silent lost update. Residual (documented, not
-    // closable on a plain filesystem): a THIRD publisher that reads a
-    // racer's generation as its planning snapshot inside that racer's
-    // rename→rollback window (microseconds) and completes its entire
-    // publish there would chain onto a lineage that omits the race
-    // winner's commit. The writer lease ([[ParquetStore]] fencing,
-    // re-verified at every commit point) is the actual mutual
-    // exclusion that makes three concurrent publishers impossible;
-    // this CAS + rollback is its belt-and-braces for the
-    // misconfigured-second-writer case it exists to catch.
+    // retry), never a silent lost update. Residuals (documented, not
+    // closable on a plain filesystem — rename is the only atom):
+    // inside the loser's rename→rollback window (microseconds), a
+    // READER that lists then may briefly adopt the rolled-back
+    // generation as truth (its files exist on disk, so the query
+    // executes; it observed a commit that never became durable), and
+    // a THIRD publisher that plans from it would chain onto a lineage
+    // omitting the race winner's commit. The writer lease
+    // ([[ParquetStore]] fencing, re-verified at every commit point)
+    // is the actual mutual exclusion that makes racing publishers
+    // impossible; this CAS + rollback is its belt-and-braces for the
+    // misconfigured-second-writer case it exists to catch, and its
+    // anomalies are strictly narrower than the silent lost update it
+    // replaces.
     val conflicting = StoreFs.list(fs, mdir).map(_.getPath.getName)
       .filter(n => n.startsWith("gen-") && n != gen.getName &&
         parent.forall(_ < n))

@@ -59,7 +59,11 @@ class HttpApiSpec extends SparkSpec {
       Span(102L, Some(101L), 9001L, "bar", "example-0", t0 + 10000L,
         Some(t0 + 120000L), None),
       Span(201L, None, 9002L, "foo", "example-0", t0 + 500000L,
-        Some(t0 + 600000L), None)).toDF())
+        Some(t0 + 600000L), None),
+      // upper-half u64 trace id (bit-cast negative long): the API
+      // must round-trip the unsigned id IT emits
+      Span(301L, None, -1L, "big", "example-0", t0 + 700000L,
+        Some(t0 + 710000L), None)).toDF())
     engine.appendLogBatch(Seq(
       ("example-0", t0 + 5000L, Some(9001L), Some(101L), "INFO",
         Some("hello")),
@@ -79,7 +83,7 @@ class HttpApiSpec extends SparkSpec {
         """{"data":["example"],"total":0,"limit":0,"offset":0,"errors":null}""")
       // /api/services/:service/operations: distinct span names, sorted
       val (_, ops) = get(port, "/api/services/example/operations")
-      assert(ops.contains(""""data":["bar","foo"]"""), ops)
+      assert(ops.contains(""""data":["bar","big","foo"]"""), ops)
       // /api/traces: both traces in the window, Jaeger shapes intact
       val (sc2, traces) = get(port, s"/api/traces?service=example&$win")
       assert(sc2 == 200)
@@ -97,6 +101,13 @@ class HttpApiSpec extends SparkSpec {
       val (_, one) = get(port, "/api/traces/9001")
       assert(one.contains(""""traceID":"9001"""") && !one.contains("9002"))
       assert(get(port, "/api/traces/not-a-number")._1 == 404)
+      // an upper-half u64 id renders unsigned AND looks itself up —
+      // the lookup parses the same id space the responses emit
+      val u64 = java.lang.Long.toUnsignedString(-1L)
+      assert(traces.contains(s""""traceID":"$u64""""))
+      val (_, big) = get(port, s"/api/traces/$u64")
+      assert(big.contains(s""""traceID":"$u64"""") &&
+        big.contains(""""operationName":"big""""), big)
       // /api/logs: BARE array, serde field order, base nulls kept,
       // µs time, sorted time-desc
       val (_, logsBody) = get(port, s"/api/logs?service=example&$win")
@@ -151,7 +162,30 @@ class HttpApiSpec extends SparkSpec {
       val (_, logs3) = get(port, s"/api/logs?service=example&$win")
       assert(logs3.contains(""""message":"posted""""))
       assert(get(port, "/api/ingest/logs")._1 == 405)
+      // CORS preflight answers 204 with the allow headers (the other
+      // half of the reference's permissive layer)
+      val (scOpt, optHeaders) = options(port, "/api/ingest/logs")
+      assert(scOpt == 204)
+      assert(optHeaders.exists { case (k, v) =>
+        k.equalsIgnoreCase("Access-Control-Allow-Methods") &&
+          v.contains("POST")
+      }, optHeaders)
     } finally api.stop()
+  }
+
+  private def options(port: Int,
+      path: String): (Int, Seq[(String, String)]) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      .method("OPTIONS", java.net.http.HttpRequest.BodyPublishers.noBody())
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    import scala.jdk.CollectionConverters._
+    (resp.statusCode(), resp.headers().map().asScala.toSeq.flatMap {
+      case (k, vs) => vs.asScala.map(k -> _)
+    })
   }
 
   private def post(port: Int, path: String, body: String): (Int, String) = {
