@@ -121,8 +121,12 @@ final class DuoEngine(val spark: SparkSession, root: String,
 
   /** Append a batch of already-merged spans to the hot view (+WAL) —
     * the foreachBatch entry used by [[graft.ingest.StreamingIngest]].
+    * Synchronized like [[appendLogBatch]]: the WAL-append → view-append
+    * sequence must not interleave with a concurrent [[flush]]'s
+    * drain → WAL-clear, or a batch's replay log can be cleared before
+    * its rows reach the store (crash = silent loss).
     */
-  def appendSpanBatch(batch: DataFrame): Unit = {
+  def appendSpanBatch(batch: DataFrame): Unit = this.synchronized {
     if (!batch.isEmpty) {
       spanMemory.append(batch)
       if (!memoryMode) walAppend("span", batch)
@@ -132,8 +136,14 @@ final class DuoEngine(val spark: SparkSession, root: String,
 
   /** Append a batch of log rows (dynamic columns welcome) to the hot
     * view, widening and persisting the merged schema (+WAL).
+    * Synchronized: this is concurrently reachable (the HTTP ingest
+    * route runs on a thread pool), and the registry read-modify-write
+    * (merge + save) would otherwise lose a column when two batches
+    * introduce different dynamic fields at once — conform would then
+    * silently drop the lost column from every query result. The lock
+    * also orders WAL appends against [[flush]]'s WAL clear.
     */
-  def appendLogBatch(batch: DataFrame): Unit = {
+  def appendLogBatch(batch: DataFrame): Unit = this.synchronized {
     if (!batch.isEmpty) {
       logSchema = SchemaRegistry.merge(logSchema, batch.schema)
       if (!memoryMode) {
@@ -167,14 +177,17 @@ final class DuoEngine(val spark: SparkSession, root: String,
   /** The 60 s parquet flush + WAL clear (ST5): drain both memory views
     * into the partitioned store, then drop the replay log
     * (duo/src/grpc/server.rs:89-120). No-op in memory mode.
+    * Synchronized against the append paths (the monitor is reentrant,
+    * so [[maybeEarlyFlush]]'s nested call is fine): a WAL clear must
+    * never land between another thread's walAppend and view append.
     */
-  def flush(): Unit = if (!memoryMode) {
+  def flush(): Unit = this.synchronized { if (!memoryMode) {
     val spans = spanMemory.drain()
     if (!spans.isEmpty) spanStore.write(spans)
     val logs = logMemory.drain()
     if (!logs.isEmpty) logStore.write(logs)
     walClear()
-  }
+  } }
 
   /** Periodic storage maintenance (the operator cadence the reference
     * lacks — duo never rewrites its partitions): plan small-file

@@ -19,7 +19,13 @@ object Serve {
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse(
       sys.error("usage: graft.Serve <storeRoot> [port]"))
-    val port = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(3000)
+    // a present-but-unparseable port must fail loudly, not silently
+    // bind the default ('graft.Serve /data 8o80' listening on 3000
+    // would be a misconfiguration nobody notices)
+    val port = args.drop(1).headOption
+      .map(s => s.toIntOption.getOrElse(
+        sys.error(s"unparseable port argument: '$s'")))
+      .getOrElse(3000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -29,7 +35,11 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val engine = new DuoEngine(spark, root)
-    val api = new graft.api.HttpApi(engine, port)
+    // hardening knobs from the environment: CORS stays off unless a
+    // deployment names an origin; a token gates the mutating route
+    val api = new graft.api.HttpApi(engine, port,
+      corsOrigin = sys.env.get("SPARK_GRAFT_CORS_ORIGIN"),
+      ingestToken = sys.env.get("SPARK_GRAFT_INGEST_TOKEN"))
     api.start()
     println(s"duospark query API listening on http://127.0.0.1:${api.boundPort}")
     // serve until killed; flush the hot view on shutdown so nothing

@@ -49,10 +49,31 @@ import graft.query.{LogQueries, TraceQueries}
   *
   * Threading: handlers run on the server's executor and call
   * DataFrame actions; the engine's hot-view snapshot and stores are
-  * safe for concurrent READS (queries never fence). Port 0 binds an
-  * ephemeral port (specs); [[boundPort]] reports it.
+  * safe for concurrent READS (queries never fence), and the ingest
+  * route funnels into the engine's synchronized append path. Port 0
+  * binds an ephemeral port (specs); [[boundPort]] reports it.
+  *
+  * Hardening knobs (all default-closed; the reference's permissive
+  * tower-http layer is OPT-IN here because this API carries data):
+  *   - `corsOrigin`: when set, responses carry
+  *     `Access-Control-Allow-Origin` with that value and OPTIONS
+  *     preflights answer the allow headers; when None (default) no
+  *     CORS headers are emitted, so a browser on another origin
+  *     cannot read responses.
+  *   - `ingestToken`: when set, `POST /api/ingest/logs` requires
+  *     `X-Graft-Token: <token>` (a non-simple header, which also
+  *     forces a CORS preflight on cross-site attempts) — 401
+  *     otherwise.
+  *   - `maxIngestBytes`: the ingest body cap (413 beyond it) — an
+  *     unbounded readAllBytes of an arbitrary POST would let one
+  *     request OOM the driver.
   */
-final class HttpApi(engine: DuoEngine, port: Int = 0) {
+final class HttpApi(engine: DuoEngine, port: Int = 0,
+    corsOrigin: Option[String] = None,
+    ingestToken: Option[String] = None,
+    maxIngestBytes: Int = 16 * 1024 * 1024) {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[HttpApi])
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -101,9 +122,16 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
         case _ => text(ex, 404, "404")
       }
     } catch {
-      // a handler bug must answer 500, never wedge the exchange open
+      // a handler bug must answer 500, never wedge the exchange open.
+      // If the handler already sent response headers (failure mid-body
+      // write), a second sendResponseHeaders would itself throw and
+      // escape to the executor thread — skip the reply then. The
+      // exception detail stays in the server log; clients get a
+      // generic message (internal text is not a wire contract).
       case scala.util.control.NonFatal(e) =>
-        text(ex, 500, s"internal error: ${e.getMessage}")
+        log.warn(s"handler failed for ${ex.getRequestURI}", e)
+        if (ex.getAttribute(HttpApi.SentAttr) == null)
+          scala.util.Try(text(ex, 500, "internal error")): Unit
     } finally ex.close()
   }
 
@@ -185,15 +213,41 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
   private def ingestLogs(ex: HttpExchange): Unit =
     if (ex.getRequestMethod != "POST")
       text(ex, 405, "POST newline-delimited JSON log events")
-    else {
-      val body = new String(ex.getRequestBody.readAllBytes(),
-        StandardCharsets.UTF_8)
-      val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      val malformed = engine.ingestJsonLogs(lines)
-      json(ex, 200,
-        s"""{"accepted":${lines.size - malformed},""" +
-          s""""malformed":$malformed}""")
+    else if (ingestToken.exists(t =>
+        Option(ex.getRequestHeaders.getFirst("X-Graft-Token"))
+          .forall(_ != t)))
+      text(ex, 401, "missing or invalid X-Graft-Token")
+    else readBounded(ex) match {
+      case None =>
+        text(ex, 413, s"ingest body exceeds $maxIngestBytes bytes")
+      case Some(body) =>
+        val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        val malformed = engine.ingestJsonLogs(lines)
+        json(ex, 200,
+          s"""{"accepted":${lines.size - malformed},""" +
+            s""""malformed":$malformed}""")
     }
+
+  /** Read the request body up to [[maxIngestBytes]]; None when the
+    * declared Content-Length or the actual stream exceeds the cap —
+    * the stream is capped DURING the read (a hostile client can lie
+    * about, or omit, Content-Length).
+    */
+  private def readBounded(ex: HttpExchange): Option[String] = {
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(_.toLongOption)
+    if (declared.exists(_ > maxIngestBytes)) return None
+    val in = ex.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = in.read(chunk)
+    while (n >= 0 && buf.size() <= maxIngestBytes) {
+      buf.write(chunk, 0, n)
+      n = in.read(chunk)
+    }
+    if (buf.size() > maxIngestBytes) None
+    else Some(buf.toString(StandardCharsets.UTF_8))
+  }
 
   private def logs(ex: HttpExchange, q: Map[String, String]): Unit =
     q.get("service") match {
@@ -323,16 +377,21 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
       }.toMap
 
   /** CORS preflight — the other half of the reference's permissive
-    * tower-http layer (mod.rs:63-68): without answering OPTIONS, a
-    * browser on another origin would block the POST ingest route (and
-    * any request with non-simple headers) despite the allow-origin
-    * header on responses.
+    * tower-http layer (mod.rs:63-68), emitted only when the deployment
+    * opted into `corsOrigin`: without answering OPTIONS, a browser on
+    * the allowed origin would block the POST ingest route (and any
+    * request with non-simple headers) despite the allow-origin header
+    * on responses. With CORS unconfigured the 204 carries no allow
+    * headers, so the browser blocks the cross-origin call.
     */
   private def preflight(ex: HttpExchange): Unit = {
-    val h = ex.getResponseHeaders
-    h.set("Access-Control-Allow-Origin", "*")
-    h.set("Access-Control-Allow-Methods", "GET, POST")
-    h.set("Access-Control-Allow-Headers", "Content-Type")
+    corsOrigin.foreach { origin =>
+      val h = ex.getResponseHeaders
+      h.set("Access-Control-Allow-Origin", origin)
+      h.set("Access-Control-Allow-Methods", "GET, POST")
+      h.set("Access-Control-Allow-Headers", "Content-Type, X-Graft-Token")
+    }
+    ex.setAttribute(HttpApi.SentAttr, java.lang.Boolean.TRUE)
     ex.sendResponseHeaders(204, -1L)
   }
 
@@ -346,10 +405,21 @@ final class HttpApi(engine: DuoEngine, port: Int = 0) {
       contentType: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
-    // CORS like the reference's permissive layer (mod.rs:63-68)
-    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+    // CORS like the reference's permissive layer (mod.rs:63-68) — but
+    // only when a deployment opted in: a blanket `*` on data-bearing
+    // responses lets any website read this API cross-origin
+    corsOrigin.foreach(o =>
+      ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
+    ex.setAttribute(HttpApi.SentAttr, java.lang.Boolean.TRUE)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val out = ex.getResponseBody
     try out.write(bytes) finally out.close()
   }
+}
+
+object HttpApi {
+  /** Exchange attribute marking that response headers were sent —
+    * the error path must not attempt a second sendResponseHeaders.
+    */
+  private[api] val SentAttr = "graft.headersSent"
 }

@@ -40,11 +40,28 @@ object LogQueries {
     * expression against the frame's schema via Catalyst; on any parse or
     * resolution failure fall back to `message ILIKE '%text%'`
     * (duo/src/web/logs.rs:45-57).
+    *
+    * Security: this string is remotely reachable (the HTTP façade's
+    * `expr` parameter), and Spark's builtin surface includes
+    * `reflect`/`java_method` — arbitrary public-static JVM invocation,
+    * which the reference's DataFusion expr surface has no equivalent
+    * of, so route parity does not cover it. The ANALYZED tree is
+    * inspected (not the raw text — that misses aliases and casing):
+    * any `CallMethodViaReflection` node rejects the expression into
+    * the same ILIKE fallback as a parse failure, i.e. the hostile
+    * string degrades to a harmless substring match.
     */
   def userPredicate(df: DataFrame, exprStr: String): Column =
     Try {
       val c = expr(exprStr)
-      df.select(c).queryExecution.analyzed // force resolution against schema
+      val analyzed =
+        df.select(c).queryExecution.analyzed // force resolution
+      val reflective = analyzed.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions
+          .CallMethodViaReflection => true
+        case _ => false
+      })
+      require(!reflective, "reflective expression rejected")
       c
     }.getOrElse(col("message").ilike(s"%$exprStr%"))
 

@@ -23,6 +23,47 @@ class EngineSpec extends SparkSpec {
       end: Option[Long]) =
     SpanRecord(seq, id, None, trace, "op", "svc-0", start, end, Map.empty)
 
+  test("concurrent log ingest: no dynamic column lost to the registry " +
+      "read-modify-write, no WAL entry cleared ahead of its rows") {
+    // the HTTP ingest route makes appendLogBatch concurrently
+    // reachable; two writers introducing DIFFERENT dynamic columns
+    // race the registry merge+save, and a concurrent flush races the
+    // walAppend→append sequence against its walClear. The engine
+    // serializes all three on its monitor — every column survives and
+    // every row is queryable afterwards.
+    val root = tmpRoot()
+    val engine = new DuoEngine(spark, root, nowUs = () => t0 + 60000000L)
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val tasks = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            if (i % 3 == 2) engine.flush()
+            else {
+              val colName = if (i % 3 == 0) "left_col" else "right_col"
+              engine.appendLogBatch(
+                Seq(("svc-0", t0 + i, "INFO", s"m$i", s"v$i"))
+                  .toDF("process_id", "time", "level", "message", colName))
+            }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    engine.flush()
+    val schema = engine.currentLogSchema.fieldNames.toSet
+    assert(schema.contains("left_col") && schema.contains("right_col"),
+      schema)
+    // every appended row present exactly once (memory or parquet)
+    assert(engine.logTable(Some(t0), Some(t0 + n)).count() == 4)
+    // a restart replays nothing stale: WAL was cleared by the final
+    // flush, and the registry serves both columns from disk
+    val engine2 = new DuoEngine(spark, root, nowUs = () => t0 + 60000000L)
+    val schema2 = engine2.currentLogSchema.fieldNames.toSet
+    assert(schema2.contains("left_col") && schema2.contains("right_col"))
+    assert(engine2.logTable(Some(t0), Some(t0 + n)).count() == 4)
+  }
+
   test("ingest -> flush -> query unions memory and parquet") {
     val root = tmpRoot()
     // clock pinned near the data so the default 15-min window covers it

@@ -72,7 +72,9 @@ class HttpApiSpec extends SparkSpec {
       .toDF("process_id", "time", "trace_id", "span_id", "level",
         "message"))
     val win = s"start=${t0 - 1000000L}&end=${t0 + 1000000L}"
-    val api = new HttpApi(engine)
+    // the reference's permissive CORS layer is OPT-IN here (data-
+    // bearing API); this test opts in to pin the parity shape
+    val api = new HttpApi(engine, corsOrigin = Some("*"))
     api.start()
     try {
       val port = api.boundPort
@@ -173,6 +175,76 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("facade hardening: CORS off by default, ingest token + body " +
+      "cap, reflective expr rejected into the ILIKE fallback") {
+    val root = java.nio.file.Files.createTempDirectory("httpsec").toString
+    val engine = new DuoEngine(spark, root)
+    engine.appendLogBatch(Seq(
+      ("example-0", t0, "INFO", Some("hello world")))
+      .toDF("process_id", "time", "level", "message"))
+    val api = new HttpApi(engine, ingestToken = Some("s3cret"),
+      maxIngestBytes = 256)
+    api.start()
+    try {
+      val port = api.boundPort
+      val win = s"start=${t0 - 1000000L}&end=${t0 + 1000000L}"
+      // no CORS opt-in → no allow-origin on data responses, no allow
+      // headers on preflight (a cross-origin page cannot read this API)
+      val respHeaders = getHeaders(port, s"/api/logs?service=example&$win")
+      assert(!respHeaders.exists(_._1
+        .equalsIgnoreCase("Access-Control-Allow-Origin")), respHeaders)
+      val (scOpt, optHeaders) = options(port, "/api/ingest/logs")
+      assert(scOpt == 204)
+      assert(!optHeaders.exists(_._1
+        .equalsIgnoreCase("Access-Control-Allow-Methods")), optHeaders)
+      // the mutating route requires the token header (which also
+      // forces a CORS preflight on any cross-site attempt)
+      val line = s"""{"process_id":"example-0","time":${t0 + 1L},""" +
+        """"level":"WARN","message":"tok"}"""
+      assert(post(port, "/api/ingest/logs", line)._1 == 401)
+      assert(post(port, "/api/ingest/logs", line,
+        Seq("X-Graft-Token" -> "wrong"))._1 == 401)
+      val (scOk, okBody) = post(port, "/api/ingest/logs", line,
+        Seq("X-Graft-Token" -> "s3cret"))
+      assert(scOk == 200 && okBody.contains(""""accepted":1"""), okBody)
+      // body cap: one oversized POST answers 413 instead of buffering
+      // an arbitrary payload on the driver
+      val big = ("x" * 300)
+      assert(post(port, "/api/ingest/logs", big,
+        Seq("X-Graft-Token" -> "s3cret"))._1 == 413)
+      // a reflective expr (Spark's java_method reaches arbitrary
+      // public statics — no DataFusion equivalent, so parity doesn't
+      // cover it) degrades to the ILIKE fallback: no rows match the
+      // hostile text, and nothing is invoked
+      val hostile = java.net.URLEncoder.encode(
+        "java_method('java.lang.System','getenv','HOME') like '%/%'",
+        "UTF-8")
+      val (scH, hBody) = get(port,
+        s"/api/logs?service=example&$win&expr=$hostile")
+      assert(scH == 200 && hBody == "[]", hBody)
+      // the same route still serves a benign expr
+      val benign = java.net.URLEncoder.encode(
+        "message like '%world%'", "UTF-8")
+      val (_, bBody) = get(port,
+        s"/api/logs?service=example&$win&expr=$benign")
+      assert(bBody.contains(""""message":"hello world""""), bBody)
+    } finally api.stop()
+  }
+
+  private def getHeaders(port: Int,
+      path: String): Seq[(String, String)] = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    import scala.jdk.CollectionConverters._
+    resp.headers().map().asScala.toSeq.flatMap { case (k, vs) =>
+      vs.asScala.map(k -> _)
+    }
+  }
+
   private def options(port: Int,
       path: String): (Int, Seq[(String, String)]) = {
     val client = java.net.http.HttpClient.newHttpClient()
@@ -188,13 +260,14 @@ class HttpApiSpec extends SparkSpec {
     })
   }
 
-  private def post(port: Int, path: String, body: String): (Int, String) = {
+  private def post(port: Int, path: String, body: String,
+      headers: Seq[(String, String)] = Nil): (Int, String) = {
     val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest
+    var b = java.net.http.HttpRequest
       .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-      .build()
-    val resp = client.send(req,
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    val resp = client.send(b.build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
   }
