@@ -174,6 +174,71 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       df <- relationFor(removed, a.schema)
     } yield df.drop("date", "hour", "minute")
 
+  /** ROW-exact CDC (round 18, closing the file-granular caveat): the
+    * rows whose `keyCols` exist in `genB` but nowhere in `genA` — true
+    * inserts under ANY lineage, including a whole-table [[compact]]
+    * between the generations that moves every row to fresh files. The
+    * file-granular prefilter keeps it cheap: a row in a file BOTH
+    * generations reference is trivially in both tables (files are
+    * immutable), so only genB's ADDED files need scanning; each
+    * candidate is then anti-joined against genA's full key set —
+    * column-pruned to the keys at the scan, distinct'd, broadcast by
+    * AQE when small, shuffled on the key otherwise. Cost scales with
+    * (rows in added files) + (genA's key cardinality), never the full
+    * cross of both snapshots. Some(empty frame) when the lineage was
+    * pure re-layout (the compaction-churn case the file-granular form
+    * mis-reports); None only when a generation is pruned/unreadable
+    * or genB plans empty.
+    */
+  def changesBetween(genA: String, genB: String,
+      keyCols: Seq[String]): Option[DataFrame] =
+    for {
+      a <- manifest.readGen(genA)
+      b <- manifest.readGen(genB)
+      have = a.entries.map(_.rel).toSet
+      added = b.entries.filterNot(e => have(e.rel))
+      df <- plannedOrEmpty(added, b.entries, b.schema)
+    } yield antiOnKeys(df, a.entries, a.schema, keyCols)
+
+  /** The delete side of the keyed CDC: rows whose `keyCols` exist in
+    * `genA` but nowhere in `genB` — true deletes under any lineage
+    * (same prefilter: only genA's REMOVED files can hold them).
+    */
+  def removedBetween(genA: String, genB: String,
+      keyCols: Seq[String]): Option[DataFrame] =
+    for {
+      a <- manifest.readGen(genA)
+      b <- manifest.readGen(genB)
+      kept = b.entries.map(_.rel).toSet
+      removed = a.entries.filterNot(e => kept(e.rel))
+      df <- plannedOrEmpty(removed, a.entries, a.schema)
+    } yield antiOnKeys(df, b.entries, b.schema, keyCols)
+
+  /** Plan `subset` as a frame; an empty subset plans the full list
+    * limited to 0 (Catalyst's OptimizeLimitZero folds it to an empty
+    * relation — no scan) so a pure re-layout still yields a typed
+    * empty result instead of None.
+    */
+  private def plannedOrEmpty(subset: Seq[StoreManifest.Entry],
+      all: Seq[StoreManifest.Entry],
+      schema: Option[StructType]): Option[DataFrame] =
+    relationFor(subset, schema)
+      .map(_.drop("date", "hour", "minute"))
+      .orElse(relationFor(all, schema)
+        .map(_.drop("date", "hour", "minute").limit(0)))
+
+  private def antiOnKeys(df: DataFrame,
+      otherEntries: Seq[StoreManifest.Entry],
+      otherSchema: Option[StructType], keyCols: Seq[String]): DataFrame =
+    relationFor(otherEntries, otherSchema) match {
+      case Some(other) =>
+        // key columns only (column-pruned scan) + distinct: the anti
+        // join's build side is the key SET, not the other snapshot
+        df.join(other.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+      case None => df // the other generation is empty: all rows differ
+    }
+
   /** Recursive delete (no-op when absent). */
   private def rm(p: Path): Unit = { fs.delete(p, true): Unit }
 
@@ -795,10 +860,15 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // 3. prune retained generations past the grace window (newest kept
     // unconditionally — it IS the table) BEFORE the orphan scan, so a
     // tree referenced only by an out-of-grace generation is reclaimed
-    // in this same pass
+    // in this same pass. Chain-aware (round 18): a generation file a
+    // WITHIN-grace head's delta chain folds through must survive even
+    // when it is itself older than the grace — deleting a checkpoint
+    // out from under a live delta head would make the head unreadable.
     val gens = manifest.genNames()
-    val pruned = gens.dropRight(1).filter(genFileMillis(_).exists(
-      _ + graceMs <= now))
+    val roots = gens.filter(g => gens.lastOption.contains(g) ||
+      genFileMillis(g).forall(_ + graceMs > now))
+    val needed = manifest.neededFor(roots)
+    val pruned = gens.filterNot(needed)
     pruned.foreach(manifest.deleteGen)
     // 4. orphan gen trees: referenced (live OR tombstoned) by NO
     // retained generation and older than the grace window — crashed

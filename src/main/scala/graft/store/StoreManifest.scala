@@ -2,35 +2,54 @@ package graft.store
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** File-listing-free read planning for a [[ParquetStore]]'s
   * partitioned trees — the Iceberg/Delta manifest idea at this store's
-  * scale: the complete data-file list is written to one
-  * `_manifest/gen-*` file per layout mutation, and reads plan from
-  * that single file instead of walking the tree. On an object store a
-  * recursive listing of a minute-grained tree is thousands of LIST
-  * calls (rate-limited, latency-bound); the manifest makes read
-  * planning one GET. (Reference storage layer: duo/src/partition/
-  * query.rs lists per prefix; its FIXME'd cost at scale is what this
-  * removes.)
+  * scale: reads plan from the `_manifest` directory instead of walking
+  * the tree. On an object store a recursive listing of a minute-grained
+  * tree is thousands of LIST calls (rate-limited, latency-bound); the
+  * manifest makes read planning one LIST plus a handful of cached GETs.
+  * (Reference storage layer: duo/src/partition/query.rs lists per
+  * prefix; its FIXME'd cost at scale is what this removes.)
   *
-  * Snapshot-isolation contract (round-16): the manifest generation IS
-  * the commit point for every layout mutation. Rewrites land in
-  * immutable `_gen-*` trees and become visible only when a new
-  * generation referencing them publishes (single temp-write + rename);
-  * files a mutation supersedes are never deleted inline — they are
-  * recorded as `dead` lines IN the new generation (tombstones,
-  * atomically visible with the entries that replace them) and
-  * reclaimed later by [[ParquetStore.vacuum]] once a grace window has
-  * passed. A reader that planned from generation G therefore holds
-  * `FileStatus`es for files that remain on disk until G's successors
-  * are at least the grace window old — a query can overlap a
-  * compaction in another session (the Iceberg/Delta discipline).
-  * [[publish]] retains the newest [[StoreManifest.KeepGens]]
-  * generations (corruption insurance: [[read]] falls back
-  * newest→oldest to the first self-consistent one); vacuum prunes
-  * retained generations past the grace window.
+  * Commit format (round 18 — the Delta-log discipline): a generation
+  * file is either a CHECKPOINT (`gen-*.list`: the complete live-file
+  * list, exactly the pre-round-18 format, so existing stores read
+  * unchanged) or a DELTA (`gen-*.delta`: only this commit's adds,
+  * drops, tombstone changes and parent pointer). [[publish]] keeps its
+  * absolute-state signature — callers still hand it the full intended
+  * table state — and the manifest itself diffs that against the parent
+  * snapshot to decide the form: a delta when the diff is smaller than
+  * the table and the chain since the last checkpoint is shorter than
+  * [[StoreManifest.CheckpointEvery]]; a checkpoint otherwise (first
+  * publish, whole-table rewrites, cadence rollover). Reading folds
+  * checkpoint + delta suffix. Per-commit manifest bytes therefore
+  * scale with the MUTATION, not the table — the measured O(files)
+  * publish cost at 10⁶ files (SCALE.md "Manifest publish cost") drops
+  * to O(delta) for the flush/compactDate/expire cadence that dominates
+  * at 100 TB — while planning stays one LIST + cached GETs (each
+  * generation file is immutable, so parses are memoized by
+  * name/size/mtime and a warm planner re-GETs nothing).
+  *
+  * Snapshot-isolation contract (round-16, unchanged): the manifest
+  * generation IS the commit point for every layout mutation. Rewrites
+  * land in immutable `_gen-*` trees and become visible only when a new
+  * generation referencing them publishes (single temp-write + rename —
+  * the SAME rename atom whichever form the body takes); files a
+  * mutation supersedes are never deleted inline — they are recorded as
+  * tombstones IN the new generation (atomically visible with the
+  * entries that replace them) and reclaimed later by
+  * [[ParquetStore.vacuum]] once a grace window has passed. A reader
+  * that planned from generation G therefore holds `FileStatus`es for
+  * files that remain on disk until G's successors are at least the
+  * grace window old — a query can overlap a compaction in another
+  * session (the Iceberg/Delta discipline). [[publish]] retains the
+  * newest [[StoreManifest.KeepGens]] generations PLUS every older file
+  * their delta chains fold through (corruption insurance: [[read]]
+  * falls back newest→oldest to the first generation that folds whole);
+  * vacuum prunes retained generations past the grace window,
+  * chain-aware the same way.
   *
   * Direct minute-grained [[ParquetStore.write]]s do not republish (a
   * full-walk rebuild per flush would defeat the append's cheapness);
@@ -45,7 +64,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 final class StoreManifest(fs: FileSystem, tableDir: String) {
 
-  import StoreManifest.{Dead, Entry, Snapshot}
+  import StoreManifest.{CheckpointEvery, Dead, Entry, KeepGens, Snapshot}
 
   /** Test seam (specs only): runs after [[publish]]'s expected-parent
     * pre-check passes, immediately before its rename — the only way a
@@ -122,14 +141,249 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     files.toSeq
   }
 
-  /** Publish a new generation: the complete live-file list, the merged
-    * data schema when the publisher knows it, and the cumulative
-    * tombstone list (files superseded but not yet vacuumed). The
-    * temp-write + single-file rename makes the publish the atomic
-    * commit point; the self-count plus per-line field checks reject a
-    * torn body on read. Prior generations are retained (newest
-    * [[StoreManifest.KeepGens]]) so a corrupt latest degrades to the
-    * previous consistent snapshot instead of a tree walk.
+  // ---- raw generation bodies (parse layer) ----
+
+  /** One parsed generation FILE, before chain folding: a checkpoint
+    * carries the absolute state, a delta carries one commit's patch
+    * plus its required parent pointer. Both carry the ABSOLUTE schema
+    * state (a publisher that no longer knows the exact schema writes
+    * none, and readers must drop to footer inference — expire's
+    * drifted-column contract).
+    */
+  private sealed trait RawGen
+  private final case class FullGen(parent: Option[String],
+      entries: Seq[Entry],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dead: Seq[Dead]) extends RawGen
+  private final case class DeltaGen(parent: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      adds: Seq[Entry], drops: Seq[String],
+      deadPlus: Seq[Dead], deadMinus: Seq[String]) extends RawGen
+
+  /** Immutable-file parse memo: generation files are written once via
+    * temp+rename and never modified, so a parse keyed by
+    * (name, size, mtime) stays valid for the file's lifetime — a warm
+    * planner's readState re-GETs nothing, and the delta chain costs
+    * one LIST however often the table is planned. The size/mtime key
+    * (not name alone) keeps spec-style in-place corruption visible.
+    */
+  private val parseMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), Option[RawGen]]
+
+  private def parseRaw(st: FileStatus): Option[RawGen] =
+    parseMemo.getOrElseUpdate(
+      (st.getPath.getName, st.getLen, st.getModificationTime),
+      parseRawUncached(st.getPath))
+
+  private def parseRawUncached(p: Path): Option[RawGen] = {
+    try {
+      val in = fs.open(p)
+      val body =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString(StandardCharsets.UTF_8)
+        } finally in.close()
+      val lines = body.split("\n", -1).toSeq.dropRight(1)
+      lines.headOption.flatMap { h =>
+        if (h.startsWith("count=")) parseFull(h, lines.drop(1))
+        else if (h.startsWith("delta=")) parseDelta(h, lines.drop(1))
+        else None
+      }
+    } catch {
+      // any unreadable/corrupt generation (I/O, torn body, malformed
+      // schema JSON — json4s throws its own parse exceptions) poisons
+      // that GENERATION: the caller falls back to the next-older one
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** The pre-round-18 full-list body, unchanged: `count=N` (entry
+    * lines only — they come last, so a torn suffix always breaks the
+    * count), optional `parent`, optional `schema`, `dead` lines,
+    * entry lines.
+    */
+  private def parseFull(h: String, rest: Seq[String]): Option[RawGen] = {
+    val parentName = rest.headOption
+      .filter(_.startsWith("parent\t")).map(_.stripPrefix("parent\t"))
+    val afterParent = if (parentName.isDefined) rest.drop(1) else rest
+    val schemaJson = afterParent.headOption
+      .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
+    val afterSchema = if (schemaJson.isDefined) afterParent.drop(1)
+      else afterParent
+    val (deadLines, entryLines) = afterSchema.span(_.startsWith("dead\t"))
+    if (!h.stripPrefix("count=").toIntOption.contains(entryLines.size))
+      None
+    else {
+      val schema = schemaJson.map(parseSchema)
+      val dead = deadLines.map(l => parseDead(l.stripPrefix("dead\t")))
+      val entries = entryLines.map(parseEntry)
+      if (entries.forall(_.isDefined) && dead.forall(_.isDefined))
+        Some(FullGen(parentName, entries.flatten, schema, dead.flatten))
+      else None
+    }
+  }
+
+  /** One commit's patch: `delta=N` counts EVERY following line (any
+    * torn suffix breaks it — deltas can be adds-free, so an entry-only
+    * count would miss a truncation through the tombstone lines),
+    * required `parent`, optional `schema` (ABSOLUTE state), then
+    * `del` / `dead-` / `dead+` / `add` lines.
+    */
+  private def parseDelta(h: String, rest: Seq[String]): Option[RawGen] = {
+    if (!h.stripPrefix("delta=").toIntOption.contains(rest.size))
+      return None
+    val parentName = rest.headOption
+      .filter(_.startsWith("parent\t")).map(_.stripPrefix("parent\t"))
+    if (parentName.isEmpty) return None // a delta without a parent is torn
+    val afterParent = rest.drop(1)
+    val schemaJson = afterParent.headOption
+      .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
+    val afterSchema = if (schemaJson.isDefined) afterParent.drop(1)
+      else afterParent
+    try {
+      val schema = schemaJson.map(parseSchema)
+      val drops = scala.collection.mutable.ArrayBuffer.empty[String]
+      val deadMinus = scala.collection.mutable.ArrayBuffer.empty[String]
+      val deadPlus = scala.collection.mutable.ArrayBuffer.empty[Option[Dead]]
+      val adds = scala.collection.mutable.ArrayBuffer.empty[Option[Entry]]
+      var malformed = false
+      afterSchema.foreach {
+        case l if l.startsWith("del\t") => drops += l.stripPrefix("del\t")
+        case l if l.startsWith("dead-\t") =>
+          deadMinus += l.stripPrefix("dead-\t")
+        case l if l.startsWith("dead+\t") =>
+          deadPlus += parseDead(l.stripPrefix("dead+\t"))
+        case l if l.startsWith("add\t") =>
+          adds += parseEntry(l.stripPrefix("add\t"))
+        case _ => malformed = true
+      }
+      if (malformed || deadPlus.exists(_.isEmpty) || adds.exists(_.isEmpty))
+        None
+      else Some(DeltaGen(parentName.get, schema, adds.toSeq.flatten,
+        drops.toSeq, deadPlus.toSeq.flatten, deadMinus.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def parseSchema(json: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def parseDead(l: String): Option[Dead] = l.split("\t") match {
+    case Array(rel, millis) => millis.toLongOption.map(Dead(rel, _))
+    case _ => None
+  }
+
+  private def parseEntry(l: String): Option[Entry] = l.split("\t") match {
+    case Array(rel, size, mtime) =>
+      (size.toLongOption, mtime.toLongOption) match {
+        case (Some(s), Some(m)) => Some(Entry(rel, s, m))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  // ---- chain folding (snapshot layer) ----
+
+  private def genStatuses(): Map[String, FileStatus] =
+    StoreFs.list(fs, mdir).filter(_.getPath.getName.startsWith("gen-"))
+      .map(s => s.getPath.getName -> s).toMap
+
+  /** Fold one generation's chain into its absolute snapshot: a
+    * checkpoint IS its snapshot; a delta patches its parent's fold.
+    * None when this generation — or ANY link its chain needs — is
+    * missing, torn or cyclic: half a chain must read as no chain, the
+    * same all-or-nothing contract a torn full list has. `statuses`
+    * comes from the ONE listing the calling read performed, so folding
+    * costs zero extra filesystem calls when the parse memo is warm.
+    * Iterative one-pass application (collect the chain, patch one
+    * keyed map, sort ONCE): a per-link rebuild of a 10⁵-entry list
+    * would make planning O(files × depth) in memory — measured 10×
+    * the checkpoint-read cost at depth 9 — for no semantic gain.
+    */
+  private def fold(name: String,
+      statuses: Map[String, FileStatus]): Option[Snapshot] = {
+    val chain =
+      scala.collection.mutable.ArrayBuffer.empty[(String, RawGen)]
+    var cur = name
+    var full: Option[FullGen] = None
+    while (full.isEmpty) {
+      if (chain.size > StoreManifest.MaxChain) return None // cyclic
+      statuses.get(cur).flatMap(parseRaw) match {
+        case None => return None // missing/torn link poisons the head
+        case Some(f: FullGen) => full = Some(f); chain += ((cur, f))
+        case Some(d: DeltaGen) => chain += ((cur, d)); cur = d.parent
+      }
+    }
+    val fg = full.get
+    val entryMap = scala.collection.mutable.LinkedHashMap
+      .from(fg.entries.map(e => e.rel -> e))
+    val deadMap = scala.collection.mutable.LinkedHashMap
+      .from(fg.dead.map(d => d.rel -> d))
+    var schema = fg.schema
+    chain.dropRight(1).reverseIterator.foreach {
+      case (_, d: DeltaGen) =>
+        d.drops.foreach(entryMap.remove(_): Unit)
+        d.adds.foreach(e => entryMap(e.rel) = e)
+        d.deadMinus.foreach(deadMap.remove(_): Unit)
+        d.deadPlus.foreach(x => deadMap(x.rel) = x)
+        schema = d.schema // ABSOLUTE per commit, like a checkpoint's
+      case _ => // unreachable: only the chain tail is a FullGen
+    }
+    val parent = chain.head._2 match {
+      case d: DeltaGen => Some(d.parent)
+      case f: FullGen => f.parent
+    }
+    Some(Snapshot(name, parent,
+      entryMap.values.toSeq.sortBy(_.rel), schema,
+      deadMap.values.toSeq, depth = chain.size - 1))
+  }
+
+  /** The file names `name`'s fold reads, itself included (delta chain
+    * back to its checkpoint) — what retention and vacuum must keep for
+    * `name` to stay readable. Walks raw parents without folding; stops
+    * at a checkpoint, a missing link, or the cycle guard.
+    */
+  private def chainNames(name: String,
+      statuses: Map[String, FileStatus]): Seq[String] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur: Option[String] = Some(name)
+    while (cur.isDefined && acc.size <= StoreManifest.MaxChain) {
+      val n = cur.get
+      acc += n
+      cur = statuses.get(n).flatMap(parseRaw) match {
+        case Some(d: DeltaGen) => Some(d.parent)
+        case _ => None
+      }
+    }
+    acc.toSeq
+  }
+
+  /** Every file name needed to fold ANY of the given heads (vacuum's
+    * and retention's keep-set).
+    */
+  private[graft] def neededFor(heads: Seq[String]): Set[String] = {
+    val statuses = genStatuses()
+    heads.flatMap(chainNames(_, statuses)).toSet
+  }
+
+  // ---- publish (commit layer) ----
+
+  /** Publish a new generation carrying the ABSOLUTE intended state:
+    * the complete live-file list, the merged data schema when the
+    * publisher knows it, and the cumulative tombstone list (files
+    * superseded but not yet vacuumed). The manifest diffs that state
+    * against the parent snapshot and writes a DELTA file when the diff
+    * is small and the chain short, a full CHECKPOINT otherwise —
+    * either way the temp-write + single-file rename is the atomic
+    * commit point, and the self-count plus per-line field checks
+    * reject a torn body on read. Prior generations are retained
+    * (newest [[StoreManifest.KeepGens]] heads plus their chains) so a
+    * corrupt latest degrades to the previous consistent snapshot
+    * instead of a tree walk.
     */
   def publish(entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
@@ -139,21 +393,56 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // filesystem calls (see [[ManifestFileIndex]]). The merged data
     // schema (when the publisher knows it — compact just wrote every
     // file from one DataFrame) rides as a single JSON line, so reads
-    // skip per-file footer inference entirely: plan cost becomes ONE
-    // GET total, invariant in file count.
-    val lines = entries.map(e => s"${e.rel}\t${e.size}\t${e.mtime}")
-    val parentLine = parent.toSeq.map(p => s"parent\t$p")
-    val schemaLine = schema.toSeq.map(s =>
-      s"schema\t${StoreManifest.allNullable(s).json}")
-    val deadLines = dead.map(d => s"dead\t${d.rel}\t${d.millis}")
-    val body = (s"count=${lines.size}" +:
-      (parentLine ++ schemaLine ++ deadLines.sorted ++ lines.sorted))
-      .mkString("", "\n", "\n")
+    // skip per-file footer inference entirely.
+    val normSchema = schema.map(StoreManifest.allNullable)
+    val parentSnap = parent.flatMap(p => fold(p, genStatuses()))
+    val (body, ext) = parentSnap match {
+      case Some(ps) if ps.depth + 1 < CheckpointEvery =>
+        val pByRel = ps.entries.map(e => e.rel -> e).toMap
+        val nByRel = entries.map(e => e.rel -> e).toMap
+        // full-Entry comparison: a rel whose size/mtime changed (a
+        // re-walked legacy file) re-publishes as drop+add so folds
+        // carry the fresh FileStatus
+        val adds = entries.filter(e => !pByRel.get(e.rel).contains(e))
+        val drops = ps.entries.collect {
+          case e if !nByRel.get(e.rel).contains(e) => e.rel }
+        val pDead = ps.dead.map(d => d.rel -> d).toMap
+        val nDead = dead.map(d => d.rel -> d).toMap
+        val deadPlus = dead.filter(d => !pDead.get(d.rel).contains(d))
+        val deadMinus = ps.dead.collect {
+          case d if !nDead.get(d.rel).contains(d) => d.rel }
+        val patchLines = adds.size + drops.size +
+          deadPlus.size + deadMinus.size
+        if (patchLines >= math.max(1, entries.size)) (None, ".list")
+        else {
+          val schemaLine = normSchema.toSeq.map(s => s"schema\t${s.json}")
+          val lines = s"parent\t${parent.get}" +: (schemaLine ++
+            drops.sorted.map(r => s"del\t$r") ++
+            deadMinus.sorted.map(r => s"dead-\t$r") ++
+            deadPlus.map(d => s"dead+\t${d.rel}\t${d.millis}")
+              .sorted ++
+            adds.map(e => s"add\t${e.rel}\t${e.size}\t${e.mtime}")
+              .sorted)
+          (Some((s"delta=${lines.size}" +: lines)
+            .mkString("", "\n", "\n")), ".delta")
+        }
+      case _ => (None, ".list") // first publish, deep chain, or the
+                                // parent no longer folds → checkpoint
+    }
+    val finalBody = body.getOrElse {
+      val lines = entries.map(e => s"${e.rel}\t${e.size}\t${e.mtime}")
+      val parentLine = parent.toSeq.map(p => s"parent\t$p")
+      val schemaLine = normSchema.toSeq.map(s => s"schema\t${s.json}")
+      val deadLines = dead.map(d => s"dead\t${d.rel}\t${d.millis}")
+      (s"count=${lines.size}" +:
+        (parentLine ++ schemaLine ++ deadLines.sorted ++ lines.sorted))
+        .mkString("", "\n", "\n")
+    }
     fs.mkdirs(mdir): Unit
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(mdir, s".tmp-$uuid")
     val out = fs.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    try out.write(finalBody.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // expected-parent CAS, re-checked as late as the filesystem
     // allows (immediately before the rename atom): `parent` is the
@@ -182,7 +471,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     }
     beforeRename()
     val gen = new Path(mdir,
-      f"gen-${System.currentTimeMillis()}%019d-$uuid.list")
+      f"gen-${System.currentTimeMillis()}%019d-$uuid$ext")
     if (!fs.rename(tmp, gen))
       throw new java.io.IOException(s"manifest publish failed: $gen")
     // post-rename conflict detection closes the pre-check→rename race:
@@ -222,17 +511,21 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           s"${parent.getOrElse("(none)")} to ${conflicting.sorted.last} " +
           "— rolled back; re-plan from the new newest generation")
     }
-    // retain the newest KeepGens generations (best effort; readers
-    // take the newest READABLE, so a failed delete costs bytes, not
+    // retain the newest KeepGens generation HEADS plus every older
+    // file their delta chains fold through (best effort; readers take
+    // the newest FOLDABLE head, so a failed delete costs bytes, not
     // truth). Age-based pruning beyond this is vacuum's job.
-    val gens = StoreFs.list(fs, mdir)
-      .filter(_.getPath.getName.startsWith("gen-"))
-      .sortBy(_.getPath.getName)
-    gens.dropRight(StoreManifest.KeepGens)
-      .foreach(s => fs.delete(s.getPath, false): Unit)
+    val statuses = genStatuses()
+    val heads = statuses.keys.toSeq.sorted.takeRight(KeepGens)
+    val keep = heads.flatMap(chainNames(_, statuses)).toSet
+    statuses.keys.filterNot(keep).foreach(n =>
+      fs.delete(new Path(mdir, n), false): Unit)
   }
 
-  /** Generation file names, oldest → newest (vacuum's pruning input). */
+  /** Generation file names, oldest → newest (vacuum's pruning input
+    * and the time-travel coordinate list — checkpoints and deltas
+    * both, since each names a complete snapshot via its fold).
+    */
   def genNames(): Seq[String] =
     StoreFs.list(fs, mdir).map(_.getPath.getName)
       .filter(_.startsWith("gen-")).sorted
@@ -243,35 +536,39 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
 
   /** One SPECIFIC retained generation's snapshot (time travel: its
     * data files live until vacuum's grace passes). None when the name
-    * is gone or the body fails the self-checks.
+    * is gone, the body fails the self-checks, or its delta chain lost
+    * a link.
     */
   def readGen(name: String): Option[Snapshot] =
     if (!name.startsWith("gen-")) None
-    else parseGen(new Path(mdir, name))
+    else fold(name, genStatuses())
 
   /** The newest READABLE generation's snapshot, or None when no
-    * self-consistent generation exists — the caller then treats the
-    * store as never-compacted (legacy listing mode). A torn write
-    * can't be mis-read: the temp-name write + rename publishes whole
-    * files only, and the self-count plus per-line field checks reject
-    * a truncated or malformed body — which then falls back to the
+    * generation folds whole — the caller then treats the store as
+    * never-compacted (legacy listing mode). A torn write can't be
+    * mis-read: the temp-name write + rename publishes whole files
+    * only, and the self-count plus per-line field checks reject a
+    * truncated or malformed body — which then falls back to the
     * PREVIOUS retained generation (a stale-but-consistent snapshot)
-    * rather than to half a snapshot.
+    * rather than to half a snapshot; a delta whose chain lost a link
+    * is rejected the same all-or-nothing way.
     */
   def read(): Option[Snapshot] = readState()._1
 
   /** [[read]] plus the current dirty markers, resolved from ONE
     * `_manifest` listing — the planning state every read and mutation
     * starts from (two separate calls would double the metadata LIST
-    * bill on the hot path).
+    * bill on the hot path). Folding the newest head's delta chain
+    * costs no further filesystem calls once the immutable-file parse
+    * memo is warm.
     */
   def readState(): (Option[Snapshot], Seq[String]) = {
     val names = StoreFs.list(fs, mdir)
     val dirty = names.map(_.getPath.getName).filter(_.startsWith("dirty-"))
-    val gens = names
-      .filter(_.getPath.getName.startsWith("gen-"))
-      .sortBy(_.getPath.getName)(Ordering[String].reverse)
-    (gens.iterator.flatMap(g => parseGen(g.getPath)).nextOption(), dirty)
+    val statuses = names.filter(_.getPath.getName.startsWith("gen-"))
+      .map(s => s.getPath.getName -> s).toMap
+    val heads = statuses.keys.toSeq.sorted(Ordering[String].reverse)
+    (heads.iterator.flatMap(fold(_, statuses)).nextOption(), dirty)
   }
 
   /** Every retained readable generation, newest first (vacuum's
@@ -279,72 +576,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * not an orphan).
     */
   def readAll(): Seq[Snapshot] = {
-    if (!fs.exists(mdir)) return Seq.empty
-    StoreFs.list(fs, mdir)
-      .filter(_.getPath.getName.startsWith("gen-"))
-      .sortBy(_.getPath.getName)(Ordering[String].reverse)
-      .flatMap(g => parseGen(g.getPath))
-  }
-
-  private def parseGen(latest: Path): Option[Snapshot] = {
-    try {
-      val in = fs.open(latest)
-      val body =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](64 * 1024)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          buf.toString(StandardCharsets.UTF_8)
-        } finally in.close()
-      val lines = body.split("\n", -1).toSeq.dropRight(1)
-      lines.headOption.flatMap { h =>
-        val parentName = lines.drop(1).headOption
-          .filter(_.startsWith("parent\t")).map(_.stripPrefix("parent\t"))
-        val afterParent = if (parentName.isDefined) lines.drop(2)
-          else lines.drop(1)
-        val schemaJson = afterParent.headOption
-          .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
-        val afterSchema = if (schemaJson.isDefined) afterParent.drop(1)
-          else afterParent
-        val (deadLines, entryLines) =
-          afterSchema.span(_.startsWith("dead\t"))
-        if (!h.startsWith("count=") ||
-            !h.stripPrefix("count=").toIntOption.contains(entryLines.size))
-          None
-        else {
-          val schema = schemaJson.map(j =>
-            org.apache.spark.sql.types.DataType.fromJson(j)
-              .asInstanceOf[org.apache.spark.sql.types.StructType])
-          val dead = deadLines.map { l =>
-            l.stripPrefix("dead\t").split("\t") match {
-              case Array(rel, millis) =>
-                millis.toLongOption.map(Dead(rel, _))
-              case _ => None
-            }
-          }
-          val entries = entryLines.map { l =>
-            l.split("\t") match {
-              case Array(rel, size, mtime) =>
-                (size.toLongOption, mtime.toLongOption) match {
-                  case (Some(s), Some(m)) => Some(Entry(rel, s, m))
-                  case _ => None
-                }
-              case _ => None
-            }
-          }
-          if (entries.forall(_.isDefined) && dead.forall(_.isDefined))
-            Some(Snapshot(latest.getName, parentName, entries.flatten,
-              schema, dead.flatten))
-          else None
-        }
-      }
-    } catch {
-      // any unreadable/corrupt generation (I/O, torn body, malformed
-      // schema JSON — json4s throws its own parse exceptions) poisons
-      // that GENERATION: the caller falls back to the next-older one
-      case scala.util.control.NonFatal(_) => None
-    }
+    val statuses = genStatuses()
+    statuses.keys.toSeq.sorted(Ordering[String].reverse)
+      .flatMap(fold(_, statuses))
   }
 
   /** Whether a readable manifest generation is present (specs/gates). */
@@ -352,12 +586,29 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
 }
 
 object StoreManifest {
-  /** Generations retained by [[StoreManifest.publish]]: newest is the
-    * truth, older ones are corruption insurance and the snapshot-
-    * isolation window's metadata (their data files live until vacuum's
-    * grace passes).
+  /** Generation HEADS retained by [[StoreManifest.publish]] (plus the
+    * chain files each head's fold needs): newest is the truth, older
+    * ones are corruption insurance and the snapshot-isolation window's
+    * metadata (their data files live until vacuum's grace passes).
     */
   val KeepGens: Int = 3
+
+  /** Checkpoint cadence: a publish whose parent chain has already
+    * grown this long folds the chain into a full `.list` checkpoint
+    * instead of appending another delta — bounding both the fold
+    * depth a read pays and the file count retention must keep.
+    * Ten is Delta Lake's own default ratio of commits per checkpoint
+    * neighborhood at this metadata scale: deltas stay a few hundred
+    * bytes for flush-sized commits, so a chain of ten costs less to
+    * read than one extra full list costs to write per commit.
+    */
+  val CheckpointEvery: Int = 10
+
+  /** Fold-depth guard: no legal chain exceeds [[CheckpointEvery]], so
+    * anything past this is a corrupt/cyclic parent graph and the fold
+    * rejects it rather than spinning.
+    */
+  private[store] val MaxChain: Int = 64
 
   /** One data file: path relative to the table dir (a leading
     * `_gen-…` segment names the rewrite tree it lives in), plus the
@@ -372,18 +623,20 @@ object StoreManifest {
     */
   final case class Dead(rel: String, millis: Long)
 
-  /** One manifest generation: its own file name, the parent
-    * generation it committed over (None = first ever, or written
-    * before the parent line existed), the complete live-file list,
-    * the merged data schema when the publishing operation knew it,
-    * and the cumulative not-yet-vacuumed tombstones. The recorded
-    * parent makes each generation's lineage auditable and is what
-    * the expected-parent CAS in [[StoreManifest.publish]] verifies.
+  /** One manifest generation's FOLDED state: its own file name, the
+    * parent generation it committed over (None = first ever), the
+    * complete live-file list, the merged data schema when the
+    * publishing operation knew it, the cumulative not-yet-vacuumed
+    * tombstones, and the delta-chain depth since the last checkpoint
+    * (0 = this file IS a checkpoint — what the publish cadence
+    * rolls over on). The recorded parent makes each generation's
+    * lineage auditable and is what the expected-parent CAS in
+    * [[StoreManifest.publish]] verifies.
     */
   final case class Snapshot(gen: String, parent: Option[String],
       entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
-      dead: Seq[Dead]) {
+      dead: Seq[Dead], depth: Int = 0) {
     def deadRels: Set[String] = dead.map(_.rel).toSet
   }
 

@@ -781,4 +781,148 @@ class FsStoreSpec extends SparkSpec {
     assert(e.logTable().where(lit(true)).select("flag")
       .as[Long].collect().toSet == (0L until 10L).toSet)
   }
+
+  test("delta-log commits: cadence rolls checkpoints, per-commit bytes " +
+      "scale with the delta, torn/missing links fall back whole") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("deltalog")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    val mdir = new org.apache.hadoop.fs.Path(local.toString, "_manifest")
+    def genFiles() = fsys.listStatus(mdir)
+      .filter(_.getPath.getName.startsWith("gen-")).sortBy(_.getPath.getName)
+    // a large table: the checkpoint is O(files), each append's delta
+    // must NOT be
+    val base = (0 until 5000).map(i => StoreManifest.Entry(
+      f"date=2024-01-15/part-$i%05d.parquet", 1000L + i, 1700000000000L + i))
+    m.publish(base, None, Nil, parent = None)
+    assert(genFiles().last.getPath.getName.endsWith(".list"),
+      "first publish must be a checkpoint")
+    val checkpointBytes = genFiles().last.getLen
+    // flush-cadence commits: +5 files each → tiny .delta files
+    var entries = base
+    var parent = m.read().map(_.gen)
+    val deltaSizes = (0 until 6).map { k =>
+      entries = entries ++ (0 until 5).map(i => StoreManifest.Entry(
+        f"date=2024-01-16/part-$k%02d-$i.parquet", 999L, 1700000100000L + k))
+      m.publish(entries, None, Nil, parent)
+      val newest = genFiles().last
+      parent = Some(newest.getPath.getName)
+      assert(newest.getPath.getName.endsWith(".delta"),
+        s"append commit $k should be a delta")
+      newest.getLen
+    }
+    assert(deltaSizes.max < checkpointBytes / 10,
+      s"delta bytes ${deltaSizes.max} must be far below the " +
+        s"checkpoint's $checkpointBytes")
+    // the folded head equals the absolute state, depth counts the chain
+    val snap = m.read().get
+    assert(snap.entries.size == 5030 && snap.depth == 6)
+    // time travel to a MID-chain delta folds its own prefix
+    val midGen = genFiles().apply(3).getPath.getName
+    assert(m.readGen(midGen).get.entries.size == 5015)
+    // cadence rollover: drive the chain past CheckpointEvery — the
+    // manifest folds it into a FRESH checkpoint on its own (and
+    // retention then prunes the old checkpoint's superseded chain,
+    // so the count stays small: assert on the name, not the count)
+    val firstCkpt = genFiles().head.getPath.getName
+    (0 until StoreManifest.CheckpointEvery).foreach { k =>
+      entries = entries ++ Seq(StoreManifest.Entry(
+        s"date=2024-01-17/part-$k.parquet", 1L, 1700000200000L + k))
+      m.publish(entries, None, Nil, parent)
+      parent = m.read().map(_.gen)
+    }
+    val ckpts = genFiles().map(_.getPath.getName)
+      .filter(_.endsWith(".list"))
+    assert(ckpts.nonEmpty && ckpts.forall(_ > firstCkpt),
+      s"the chain must have rolled into a NEW checkpoint: $ckpts")
+    assert(m.read().get.depth < StoreManifest.CheckpointEvery)
+    assert(m.read().get.entries.size == 5030 + StoreManifest.CheckpointEvery)
+    // retention keeps every chain link the retained heads fold
+    // through: all KeepGens heads must still read
+    val names = m.genNames()
+    names.takeRight(StoreManifest.KeepGens).foreach(n =>
+      assert(m.readGen(n).isDefined, s"retained head $n must fold"))
+    // TORN newest delta: the fold rejects it whole and falls back to
+    // its parent's state — never half a patch
+    entries = entries ++ Seq(StoreManifest.Entry(
+      "date=2024-01-18/part-x.parquet", 1L, 1700000300000L))
+    m.publish(entries, None, Nil, m.read().map(_.gen))
+    val newest = genFiles().last
+    assert(newest.getPath.getName.endsWith(".delta"))
+    val beforeTear = m.read().get.entries.size
+    val out = fsys.create(newest.getPath, true)
+    out.write("delta=3\nparent\tgen-x\n".getBytes("UTF-8")) // count lies
+    out.close()
+    val fallback = m.read().get
+    assert(fallback.entries.size == beforeTear - 1,
+      "a torn delta must fall back to the parent snapshot")
+    assert(!fallback.gen.endsWith(newest.getPath.getName))
+    // MISSING chain link: delete a delta mid-chain — heads folding
+    // through it reject whole; the newest checkpoint-rooted prefix
+    // that still folds serves
+    val afterCkpt = m.genNames().filter(_.endsWith(".delta"))
+    if (afterCkpt.nonEmpty) {
+      m.deleteGen(afterCkpt.head)
+      val served = m.read()
+      assert(served.isDefined,
+        "a checkpoint must still serve after a delta link vanishes")
+      assert(served.get.depth == 0 ||
+        m.readGen(served.get.gen).isDefined)
+    }
+  }
+
+  test("store-level delta commits: expire and compactDate publish " +
+      "deltas, reads and time travel agree, vacuum keeps the chain") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day = 86400L * 1000000L
+    def batch(ids: Seq[Long], dayOff: Long) =
+      ids.map(i => (i, t0 + dayOff * day + i * 60L * 1000000L, i * 10L))
+        .toDF("id", "start", "trace_id")
+    // proportions matter: deltas land only when the patch is smaller
+    // than the table (a mutation rewriting MOST files rightly
+    // re-checkpoints), so the bulk (day 3) dwarfs the mutated dates
+    store.writeStaged(batch(Seq(1L, 2L), 0L)) // day 1: expire target
+    store.writeStaged(batch(Seq(31L, 32L, 33L), 1L)) // day 2: heal target
+    store.writeStaged(batch((61L to 80L).toSeq, 2L)) // day 3: bulk
+    store.compact() // checkpoint: 25 minute files
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/span/_manifest")
+    val fsys = graft.store.StoreFs.fs(mdir)
+    def exts() = fsys.listStatus(mdir)
+      .filter(_.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.getName.split('.').last).toSeq.sorted
+    assert(exts() == Seq("list"))
+    // a date-scoped heal and a retention drop are both DELTAS
+    store.write(batch(Seq(34L), 1L)) // dirty append into day 2
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val day2 = java.time.LocalDate.ofInstant(java.time.Instant
+      .ofEpochSecond((t0 + day) / 1000000L), zone).toString
+    store.compactDate(day2)
+    store.expire(t0 + day) // drops day 1
+    assert(exts() == Seq("delta", "delta", "list"), exts().toString)
+    val liveIds = Set(31L, 32L, 33L, 34L) ++ (61L to 80L)
+    assert(store.read(None, None).get.select("id").as[Long]
+      .collect().toSet == liveIds)
+    // time travel across the chain: the checkpoint still answers the
+    // pre-expiry table, the mid delta the pre-expiry+heal one
+    val gens = store.generations()
+    assert(store.readGeneration(gens.head).get.count() == 25)
+    assert(store.readGeneration(gens(1)).get.select("id").as[Long]
+      .collect().toSet == (liveIds ++ Set(1L, 2L)))
+    // vacuum within grace: chain intact, everything still readable
+    store.vacuum(graceMs = 7L * 86400L * 1000L): Unit
+    assert(store.generations().size == 3)
+    assert(store.read(None, None).get.count() == liveIds.size)
+    // vacuum past grace: generation files the newest head's CHAIN
+    // folds through (its checkpoint root included) survive even when
+    // out-of-grace — the table never goes unreadable out from under
+    // the delta head — while ripe tombstoned DATA files reclaim
+    store.vacuum(graceMs = 0L): Unit
+    val after = store.generations()
+    assert(after.contains(gens.last), "newest head must survive")
+    assert(store.read(None, None).get.select("id").as[Long]
+      .collect().toSet == liveIds)
+  }
 }
