@@ -472,7 +472,8 @@ object EngineQueries {
     "g12_manifest_read" -> (manifestReadGate _),
     "g13_maintain_live" -> (maintainGate _),
     "g14_time_travel" -> (timeTravelGate _),
-    "g15_cdc_incremental" -> (cdcIncrementalGate _))
+    "g15_cdc_incremental" -> (cdcIncrementalGate _),
+    "g16_cdc_keyed" -> (cdcKeyedGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -1039,6 +1040,65 @@ object EngineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** g16: KEYED row-exact CDC across rewrite lineages — the caveat
+    * the file-granular forms document ("a compaction between the
+    * generations surfaces every moved row as removed+added") made a
+    * first-class, hash-pinned answer
+    * ([[graft.store.ParquetStore.changesBetween(genA:String,genB:String,keyCols:Seq[String])*]]).
+    * Lineage: gen A commits the landed corpus (even doc ids); gen B
+    * is a PURE RE-LAYOUT (whole-table compact to hour grain — every
+    * row moves files, zero rows change); gen C folds a genuinely new
+    * day-2 batch (odd ids). Pinned in one result: across the
+    * re-layout the FILE-granular diff churns the full corpus while
+    * the KEYED diff is exactly empty in both directions, and across
+    * the real append the keyed diff reproduces the increment's count
+    * and id-sum — all against constants DuckDB derives from the raw
+    * documents table, so a keyed join that leaked re-laid rows (or
+    * dropped real ones) breaks the hash.
+    */
+  def cdcKeyedGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g16", d) { root =>
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      def timed(df: DataFrame, dayOff: Long) = df.withColumn("time",
+        lit(G06BaseUs + dayOff * 86400000000L) +
+          pmod(col("doc_id"), lit(60)) * 1000000L)
+      val st = new graft.store.ParquetStore(s, root, "documents", "time")
+      st.write(timed(docs.filter(col("doc_id") % 2 === 0), 0L))
+      st.compact() // gen A: the landed corpus
+      st.compact(granularity = "hour") // gen B: pure re-layout
+      st.write(timed(docs.filter(col("doc_id") % 2 =!= 0), 1L))
+      val zone = java.time.ZoneId.of(
+        s.conf.get("spark.sql.session.timeZone"))
+      val day2 = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochSecond(G06BaseUs / 1000000L + 86400L),
+        zone).toString
+      st.compactDate(day2) // gen C: the true day-2 increment
+    }
+    val st = new graft.store.ParquetStore(s, root, "documents", "time")
+    val gens = st.generations()
+    if (gens.size < 3) sys.error(
+      s"g16: expected 3 generations, got ${gens.size}")
+    val (a, b, c) = (gens.head, gens(1), gens.last)
+    val key = Seq("doc_id")
+    def n(df: Option[DataFrame]): Long = df.map(_.count()).getOrElse(0L)
+    val fileChurn = n(st.changesBetween(a, b))
+    val keyedAb = n(st.changesBetween(a, b, key))
+    val keyedRemovedAb = n(st.removedBetween(a, b, key))
+    val keyedAc = st.changesBetween(a, c, key).getOrElse(
+      sys.error("g16: keyed diff A→C unreadable"))
+    val acAgg = keyedAc.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("s")).collect()(0)
+    import s.implicits._
+    Seq(
+      ("file_churn_ab", fileChurn),
+      ("keyed_changes_ab", keyedAb),
+      ("keyed_changes_ac", acAgg.getAs[Long]("n")),
+      ("keyed_removed_ab", keyedRemovedAb),
+      ("keyed_sum_ac", acAgg.getAs[Long]("s")))
+      .toDF("kind", "n").orderBy(col("kind"))
+  }
+
   /** g07's DuckDB replay — shared VERBATIM with g09 (the coarse-layout
     * read must be observationally identical to the minute layout).
     */
@@ -1153,6 +1213,22 @@ object EngineQueries {
     // split bit for bit — the oracle is d08's VERBATIM
     "g15_cdc_incremental" ->
       graft.operators.Dedup.incrementalDedupOracle,
+    // keyed CDC across a pure re-layout: file-granular churns the
+    // full even corpus, keyed is empty both ways; across the real
+    // append it reproduces the odd increment's count and id-sum
+    "g16_cdc_keyed" ->
+      """SELECT 'file_churn_ab' AS kind,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL SELECT 'keyed_changes_ab', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'keyed_changes_ac',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 2 = 1)
+        |UNION ALL SELECT 'keyed_removed_ab', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'keyed_sum_ac',
+        |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+        |    WHERE doc_id % 2 = 1)
+        |ORDER BY kind""".stripMargin,
     // expiry at a mid-day cutoff must read as a DAY-FLOOR time filter
     // (directory-granular retention; see expireGate)
     "g10_expire" ->
