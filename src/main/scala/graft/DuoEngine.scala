@@ -229,6 +229,55 @@ final class DuoEngine(val spark: SparkSession, root: String,
       n -> dates
     }.toMap
 
+  /** Opt-in background cadences — the reference binary's timer loops
+    * (duo/src/grpc/server.rs:31-120 drives a 1 s ingest tick, a 10 s
+    * WAL snapshot and a 60 s parquet flush) re-expressed for this
+    * engine's shape: the WAL here is written synchronously per append
+    * (strictly stronger than the reference's 10 s snapshot window), so
+    * the loops that remain are the parquet [[flush]] (durability
+    * without an explicit call — a crashed unattended server loses at
+    * most one cadence of hot rows, which the WAL replays anyway) and
+    * [[maintain]] (small-file healing + vacuum, the cadence the
+    * reference lacks entirely). Ticks run on a daemon scheduler,
+    * serialize against ingest on the engine monitor, and log-and-
+    * continue on failure (a transient store error must not kill the
+    * cadence). `0` disables a loop. Returns a closeable that stops
+    * both; idempotent. No-op scheduler in memory mode.
+    */
+  def startCadences(flushEveryMs: Long,
+      maintainEveryMs: Long = 0L): AutoCloseable = {
+    val log = org.slf4j.LoggerFactory.getLogger(classOf[DuoEngine])
+    val exec = java.util.concurrent.Executors.newScheduledThreadPool(1,
+      (r: Runnable) => {
+        val t = new Thread(r, "duo-cadence")
+        t.setDaemon(true)
+        t
+      })
+    def loop(everyMs: Long, name: String)(body: => Unit): Unit =
+      if (!memoryMode && everyMs > 0L) {
+        exec.scheduleWithFixedDelay(() => {
+          try body
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"$name cadence tick failed", e)
+          }
+        }, everyMs, everyMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+      }
+    loop(flushEveryMs, "flush") { flush() }
+    loop(maintainEveryMs, "maintain") { maintain(): Unit }
+    () => {
+      // graceful first: interrupting a mid-flight flush would strand
+      // the WAL behind an already-landed parquet write (the replay-
+      // duplicate window a crash has anyway — no reason to widen it
+      // on an orderly shutdown)
+      exec.shutdown()
+      if (!exec.awaitTermination(30,
+          java.util.concurrent.TimeUnit.SECONDS))
+        exec.shutdownNow(): Unit
+    }
+  }
+
   // ---- query surface (memory ∪ parquet, SURVEY §3) ----
 
   /** Queryable log table: hot view ∪ parquet pruned to [start,end]. */
@@ -356,6 +405,42 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def searchLogsAsOf(p: LogQueries.LogSearchParams,
       gen: String): Option[DataFrame] =
     logTableAsOf(gen).map(LogQueries.search(_, p))
+
+  /** Generation-diff CDC at the engine surface (the remote-facade
+    * backing for `GET /api/changes`): rows added between two retained
+    * generations of a table's store — file-granular by default (exact
+    * when the lineage only added files; the documented compaction-
+    * churn caveat), row-exact when `keyCols` names the row identity
+    * (anti-join against the other generation's key set — see
+    * [[graft.store.ParquetStore]]). Log-table frames are conformed to
+    * the live registry like every other engine log view. None when a
+    * generation is pruned (history reaches exactly as far as the
+    * vacuum grace) or in memory mode.
+    */
+  def changesBetween(table: String, from: String, to: String,
+      keyCols: Seq[String] = Nil): Option[DataFrame] =
+    if (memoryMode) None
+    else {
+      val st = storeOf(table)
+      val df = if (keyCols.isEmpty) st.changesBetween(from, to)
+      else st.changesBetween(from, to, keyCols)
+      if (table == "log") df.map(SchemaRegistry.conform(_, logSchema))
+      else df
+    }
+
+  /** The delete side of [[changesBetween]]: rows a downstream
+    * consumer must invalidate.
+    */
+  def removedBetween(table: String, from: String, to: String,
+      keyCols: Seq[String] = Nil): Option[DataFrame] =
+    if (memoryMode) None
+    else {
+      val st = storeOf(table)
+      val df = if (keyCols.isEmpty) st.removedBetween(from, to)
+      else st.removedBetween(from, to, keyCols)
+      if (table == "log") df.map(SchemaRegistry.conform(_, logSchema))
+      else df
+    }
 
   /** Log-registry GC — the operator-invoked maintenance call for
     * long-lived stores ([[SchemaRegistry.gc]]): drop registry columns

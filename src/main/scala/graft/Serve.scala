@@ -40,6 +40,18 @@ object Serve {
     val api = new graft.api.HttpApi(engine, port,
       corsOrigin = sys.env.get("SPARK_GRAFT_CORS_ORIGIN"),
       ingestToken = sys.env.get("SPARK_GRAFT_INGEST_TOKEN"))
+    // the reference binary's timer loops (duo/src/grpc/server.rs:
+    // 31-120): parquet flush every 60 s by default, plus the
+    // maintenance cadence (small-file healing + vacuum) the reference
+    // lacks; 0 disables either. Without these a crashed unattended
+    // server would lose everything since the last explicit flush
+    // (modulo WAL replay) and nothing would ever heal fragmentation.
+    def cadence(envKey: String, default: Long): Long =
+      sys.env.get(envKey).map(s => s.toLongOption.getOrElse(
+        sys.error(s"unparseable $envKey: '$s'"))).getOrElse(default)
+    val cadences = engine.startCadences(
+      flushEveryMs = cadence("SPARK_GRAFT_FLUSH_MS", 60000L),
+      maintainEveryMs = cadence("SPARK_GRAFT_MAINTAIN_MS", 300000L))
     api.start()
     println(s"duospark query API listening on http://127.0.0.1:${api.boundPort}")
     // serve until killed; flush the hot view on shutdown so nothing
@@ -53,6 +65,7 @@ object Serve {
       new Runnable {
         override def run(): Unit = {
           api.stop()
+          cadences.close()
           engine.flush()
         }
       }, 100)

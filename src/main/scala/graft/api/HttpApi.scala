@@ -37,6 +37,11 @@ import graft.query.{LogQueries, TraceQueries}
   *   - `POST /api/ingest/logs` — EXTENSION (see [[ingestLogs]]): the
   *     raw-JSON log ingest edge over HTTP, since the reference's gRPC
   *     transport needs dependencies this library cannot take
+  *   - `GET /api/generations/:table` — EXTENSION: retained
+  *     time-travel coordinates; `asof=<gen>` on `/api/logs` and
+  *     `spanAsof`+`logAsof` on `/api/traces` answer from pinned
+  *     generations; `GET /api/changes?table&from&to[&keys][&removed]
+  *     [&limit]` serves the generation-diff CDC (see [[changes]])
   *
   * Query-parameter leniency mirrors deser.rs: `limit`/`skip` ignore
   * unparseable values (option_ignore_error), `start`/`end` are µs
@@ -113,6 +118,9 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
           operations(ex, p.stripPrefix("/api/services/")
             .stripSuffix("/operations"))
         case "/api/ingest/logs" => ingestLogs(ex)
+        case p if p.startsWith("/api/generations/") =>
+          generations(ex, p.stripPrefix("/api/generations/"))
+        case "/api/changes" => changes(ex, q)
         case "/api/logs" => logs(ex, q)
         case "/api/logs/schema" =>
           json(ex, 200, ArrowSchemaJson.toJson(engine.currentLogSchema))
@@ -151,9 +159,90 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
           maxDurationUs = q.get("maxDuration")
             .flatMap(graft.functions.Timing.parseDuration),
           limit = q.get("limit").flatMap(_.toIntOption).getOrElse(20))
-        json(ex, 200,
-          Jaeger.renderTraces(collectTraces(engine.searchTraces(p))))
+        // EXTENSION: AS-OF search over pinned retained generations of
+        // BOTH stores (spanAsof + logAsof, required together) — the
+        // engine's time-travel surface made remotely reachable
+        (q.get("spanAsof"), q.get("logAsof")) match {
+          case (None, None) =>
+            json(ex, 200,
+              Jaeger.renderTraces(collectTraces(engine.searchTraces(p))))
+          case (Some(sg), Some(lg)) =>
+            engine.searchTracesAsOf(p, sg, lg) match {
+              case None => text(ex, 404,
+                "generation not retained (pruned or never committed)")
+              case Some(df) =>
+                json(ex, 200, Jaeger.renderTraces(collectTraces(df)))
+            }
+          case _ => text(ex, 400,
+            "spanAsof and logAsof must be supplied together")
+        }
     }
+
+  /** EXTENSION: the retained time-travel coordinates of one table's
+    * store, oldest → newest — what an operator passes as `asof` /
+    * `spanAsof` / `logAsof` / the CDC bounds. Unknown table is 404.
+    */
+  private def generations(ex: HttpExchange, table: String): Unit =
+    scala.util.Try(engine.generations(table)).toOption match {
+      case None => text(ex, 404, s"unknown table '$table'")
+      case Some(gens) => json(ex, 200, Jaeger.renderNames(gens))
+    }
+
+  /** EXTENSION: generation-diff CDC over HTTP —
+    * `GET /api/changes?table&from&to[&keys=c1,c2][&removed=true]
+    * [&limit=n]`: the rows added (or with `removed=true`,
+    * invalidated) between two retained generations, file-granular by
+    * default and row-exact when `keys` names the row identity. Bare
+    * JSON array of rows (generic column rendering — the span table
+    * rides this route too), capped by `limit` (default 1000) so an
+    * incremental consumer pages instead of pulling an unbounded diff
+    * through one response.
+    */
+  private def changes(ex: HttpExchange, q: Map[String, String]): Unit =
+    (q.get("from"), q.get("to")) match {
+      case (Some(from), Some(to)) =>
+        val table = q.getOrElse("table", "log")
+        val keys = q.get("keys").toSeq
+          .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        val limit = q.get("limit").flatMap(_.toIntOption).getOrElse(1000)
+        val removed = q.get("removed").contains("true")
+        val diff = scala.util.Try {
+          if (removed) engine.removedBetween(table, from, to, keys)
+          else engine.changesBetween(table, from, to, keys)
+        }.toOption.flatten
+        diff match {
+          case None => text(ex, 404,
+            "generation not retained, no diff, or unknown table")
+          case Some(df) =>
+            val limited = df.limit(limit)
+            val cols = limited.columns.toSeq
+            val rows = limited.collect().toSeq
+              .map(r => rowJson(cols, r))
+            json(ex, 200,
+              JsonMethods.compact(JsonMethods.render(JArray(rows.toList))))
+        }
+      case _ => text(ex, 400, "missing required parameters: from, to")
+    }
+
+  /** Generic row rendering for the CDC route: every column in frame
+    * order, nulls kept (no serde-shape claim here — the reference has
+    * no CDC wire format to mirror).
+    */
+  private def rowJson(cols: Seq[String],
+      r: org.apache.spark.sql.Row): JValue =
+    JObject(cols.zipWithIndex.map { case (name, i) =>
+      name -> (if (r.isNullAt(i)) JNull
+      else r.get(i) match {
+        case l: java.lang.Long if unsignedCols(name) =>
+          unsignedJson(l.longValue())
+        case s: String => JString(s)
+        case l: java.lang.Long => JLong(l)
+        case i2: java.lang.Integer => JInt(BigInt(i2.intValue()))
+        case d: java.lang.Double => JDouble(d)
+        case b: java.lang.Boolean => JBool(b)
+        case other => JString(String.valueOf(other))
+      })
+    }.toList)
 
   private def traceById(ex: HttpExchange, raw: String): Unit =
     // ids render UNSIGNED on every response (Jaeger.renderId), so the
@@ -260,11 +349,22 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
           expr = q.get("expr"),
           skip = q.get("skip").flatMap(_.toIntOption).getOrElse(0),
           limit = q.get("limit").flatMap(_.toIntOption).getOrElse(50))
-        val df = engine.searchLogs(p)
-        val cols = df.columns.toSeq
-        val rows = df.collect().toSeq.map(r => logJson(cols, r))
-        json(ex, 200,
-          JsonMethods.compact(JsonMethods.render(JArray(rows.toList))))
+        // EXTENSION: `asof=<generation>` answers from the pinned
+        // retained log-store generation (time travel over HTTP); the
+        // plain route stays the current truth
+        val searched = q.get("asof") match {
+          case None => Some(engine.searchLogs(p))
+          case Some(gen) => engine.searchLogsAsOf(p, gen)
+        }
+        searched match {
+          case None => text(ex, 404,
+            "generation not retained (pruned or never committed)")
+          case Some(df) =>
+            val cols = df.columns.toSeq
+            val rows = df.collect().toSeq.map(r => logJson(cols, r))
+            json(ex, 200,
+              JsonMethods.compact(JsonMethods.render(JArray(rows.toList))))
+        }
     }
 
   /** One log row in the reference `Log` serde shape: the base nine in

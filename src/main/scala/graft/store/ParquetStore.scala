@@ -825,6 +825,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def vacuum(graceMs: Long): (Int, Int, Int) = {
     fence()
     val now = System.currentTimeMillis()
+    // 0. lease housekeeping: claims leave a bounded trickle of
+    // superseded lease files (each claim prunes to the top few), but a
+    // long-lived writer that never re-claims would still pay the
+    // residue in every mutation's LIST — vacuum holds the max lease
+    // right now (fence() above), so everything strictly below it is a
+    // dead claimant's and can go.
+    myLease.foreach { mine =>
+      leaseNames().filter(_ < mine)
+        .foreach(n => fs.delete(new Path(lockDir, n), false): Unit)
+    }
     val snap = manifest.read()
     // 1. ripe tombstones → delete the files (idempotent: missing = ok)
     val ripe = snap.map(_.dead.filter(_.millis + graceMs <= now))

@@ -782,6 +782,32 @@ class FsStoreSpec extends SparkSpec {
       .as[Long].collect().toSet == (0L until 10L).toSet)
   }
 
+  test("lease housekeeping: vacuum prunes every superseded writer " +
+      "lease; the fence itself is unchanged") {
+    val root = newRoot()
+    def claim(): ParquetStore = {
+      val s = new ParquetStore(spark, root, "span", "start")
+      // first mutation claims the lease
+      s.writeStaged(Seq((1L, t0, 1L)).toDF("id", "start", "trace_id"))
+      s
+    }
+    val stores = (0 until 5).map(_ => claim())
+    val lockDir = new org.apache.hadoop.fs.Path(s"$root/span/_lock")
+    val fsys = graft.store.StoreFs.fs(lockDir)
+    def leases() = fsys.listStatus(lockDir).map(_.getPath.getName)
+      .filter(_.startsWith("lease-")).toSeq
+    // claims self-prune to a bounded residue, but never to zero
+    assert(leases().size >= 2 && leases().size <= 4, leases().toString)
+    stores.last.vacuum(graceMs = 0L): Unit
+    assert(leases().size <= 2,
+      s"vacuum must prune superseded leases: ${leases()}")
+    // the fence still stands: a superseded writer's next mutation dies
+    intercept[graft.store.ParquetStore.WriterFencedException] {
+      stores.head.writeStaged(
+        Seq((2L, t0, 2L)).toDF("id", "start", "trace_id"))
+    }
+  }
+
   test("delta-log commits: cadence rolls checkpoints, per-commit bytes " +
       "scale with the delta, torn/missing links fall back whole") {
     import graft.store.{StoreFs, StoreManifest}

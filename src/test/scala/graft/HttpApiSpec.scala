@@ -231,6 +231,105 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("time travel and CDC over the facade: asof answers the " +
+      "pre-expiry truth while the plain route serves the current one, " +
+      "/api/changes serves the generation diff") {
+    val root = java.nio.file.Files.createTempDirectory("httptt").toString
+    val day = 86400000000L
+    val engine = new DuoEngine(spark, root, nowUs = () => t0 + 60000000L)
+    engine.appendLogBatch(Seq(
+      ("svc-0", t0, "INFO", "old-day"),
+      ("svc-0", t0 + day, "INFO", "new-day"))
+      .toDF("process_id", "time", "level", "message"))
+    engine.flush()
+    val st = new graft.store.ParquetStore(spark, root, "log", "time")
+    st.compact() // gen A: both days committed
+    st.expire(t0 + day): Unit // gen B: day 1 retired
+    val api = new HttpApi(engine)
+    api.start()
+    try {
+      val port = api.boundPort
+      // the retained coordinates are remotely discoverable
+      val (scG, gensBody) = get(port, "/api/generations/log")
+      assert(scG == 200 && gensBody.contains("gen-"), gensBody)
+      assert(get(port, "/api/generations/nope")._1 == 404)
+      val gens = engine.generations("log")
+      assert(gens.size == 2)
+      val win = s"start=${t0 - 1000000L}&end=${t0 + day + 1000000L}"
+      // plain route: the current (post-expiry) truth
+      val (_, cur) = get(port, s"/api/logs?service=svc&$win")
+      assert(cur.contains("new-day") && !cur.contains("old-day"), cur)
+      // asof the pre-expiry generation: both days
+      val (scA, old) = get(port,
+        s"/api/logs?service=svc&$win&asof=${gens.head}")
+      assert(scA == 200 && old.contains("old-day") &&
+        old.contains("new-day"), old)
+      // a pruned/unknown generation is 404, not a silent fall-through
+      assert(get(port,
+        s"/api/logs?service=svc&$win&asof=gen-0000-nope.list")._1 == 404)
+      // the trace route requires BOTH pins together
+      assert(get(port,
+        s"/api/traces?service=svc&spanAsof=${gens.head}")._1 == 400)
+      // CDC: expiry between the generations is a REMOVED diff — the
+      // retired day-1 row pages out; the insert side has no diff
+      val (scR, removed) = get(port, s"/api/changes?table=log&" +
+        s"from=${gens.head}&to=${gens.last}&removed=true")
+      assert(scR == 200 && removed.contains("old-day") &&
+        !removed.contains("new-day"), removed)
+      assert(get(port, s"/api/changes?table=log&from=${gens.head}" +
+        s"&to=${gens.last}")._1 == 404)
+      assert(get(port, "/api/changes?table=log&from=x")._1 == 400)
+    } finally api.stop()
+  }
+
+  test("cadence loops make the server durable unattended: HTTP ingest " +
+      "→ cadence flush → crash WITHOUT the shutdown hook → a fresh " +
+      "engine answers from cold parquet") {
+    val root = java.nio.file.Files.createTempDirectory("cadence").toString
+    val engine = new DuoEngine(spark, root,
+      nowUs = () => t0 + 60000000L)
+    val cadences = engine.startCadences(flushEveryMs = 250L)
+    val api = new HttpApi(engine)
+    api.start()
+    try {
+      val line = s"""{"process_id":"svc-0","time":${t0 + 1000L},""" +
+        """"level":"INFO","message":"durable"}"""
+      val (sc, _) = post(api.boundPort, "/api/ingest/logs", line)
+      assert(sc == 200)
+      // the flush cadence must land the row in the partitioned store
+      // without ANY explicit flush call
+      val logDir = java.nio.file.Paths.get(root, "log")
+      val deadline = System.currentTimeMillis() + 15000L
+      // the flush is complete once parquet HAS landed and the WAL is
+      // cleared — a "crash" inside the write→clear window would
+      // legitimately replay the row on restart (the same duplicate
+      // window the reference's flush-then-clear cadence has)
+      val walLog = java.nio.file.Paths.get(root, "wal", "log")
+      def flushed(): Boolean = java.nio.file.Files.exists(logDir) && {
+        val s = java.nio.file.Files.walk(logDir)
+        try s.anyMatch(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_staging"))
+        finally s.close()
+      } && !java.nio.file.Files.exists(walLog)
+      while (!flushed() && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      assert(flushed(), "cadence flush never landed parquet")
+    } finally { api.stop(); cadences.close() }
+    // "kill -9": no shutdown hook ran — the abandoned engine is simply
+    // dropped. A fresh engine must answer from disk alone, and the
+    // WAL must already be clear (the cadence flush drained it), so
+    // nothing replays twice.
+    val fresh = new DuoEngine(spark, root, nowUs = () => t0 + 60000000L)
+    val found = fresh.searchLogs(graft.query.LogQueries.LogSearchParams(
+      service = "svc", unbounded = true))
+    assert(found.count() == 1)
+    val walDir = java.nio.file.Paths.get(root, "wal", "log")
+    assert(!java.nio.file.Files.exists(walDir) ||
+      { val s = java.nio.file.Files.list(walDir)
+        try !s.findAny().isPresent finally s.close() },
+      "the cadence flush must have cleared the WAL")
+  }
+
   private def getHeaders(port: Int,
       path: String): Seq[(String, String)] = {
     val client = java.net.http.HttpClient.newHttpClient()
