@@ -170,10 +170,19 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private val parseMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Long), Option[RawGen]]
 
-  private def parseRaw(st: FileStatus): Option[RawGen] =
+  private def parseRaw(st: FileStatus): Option[RawGen] = {
+    // bound the memo: a cadence-committing engine publishes a new
+    // generation every flush, and a checkpoint's cached parse holds
+    // the full entry list — unbounded, months of cadences would pin
+    // every checkpoint ever retained. The working set is the current
+    // chain + retained heads (≤ KeepGens + CheckpointEvery files), so
+    // a whole-cache reset on overflow costs one re-read of exactly
+    // that working set.
+    if (parseMemo.size > StoreManifest.ParseMemoCap) parseMemo.clear()
     parseMemo.getOrElseUpdate(
       (st.getPath.getName, st.getLen, st.getModificationTime),
       parseRawUncached(st.getPath))
+  }
 
   private def parseRawUncached(p: Path): Option[RawGen] = {
     try {
@@ -609,6 +618,13 @@ object StoreManifest {
     * rejects it rather than spinning.
     */
   private[store] val MaxChain: Int = 64
+
+  /** Parse-memo bound: comfortably above the live working set
+    * (KeepGens heads + one chain ≤ ~13 files) so steady-state reads
+    * never evict, while a months-long cadence can't pin every
+    * checkpoint ever published.
+    */
+  private[store] val ParseMemoCap: Int = 64
 
   /** One data file: path relative to the table dir (a leading
     * `_gen-…` segment names the rewrite tree it lives in), plus the
