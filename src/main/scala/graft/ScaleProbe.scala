@@ -551,7 +551,14 @@ object ScaleProbe {
   private def publishCostProbe(): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.store.{StoreFs, StoreManifest}
-    for (n <- Seq(1000, 10000, 100000)) {
+    // default tiers cover the per-round record; the 100-TB
+    // extrapolation target (~10⁶ files) is opt-in via env because its
+    // checkpoint writes cost real wall/disk on every probe run
+    val tiers = sys.env.get("SPARK_GRAFT_PUBCOST_TIERS")
+      .map(_.split(",").toSeq.flatMap(_.trim.toIntOption))
+      .filter(_.nonEmpty)
+      .getOrElse(Seq(1000, 10000, 100000))
+    for (n <- tiers) {
       val local = java.nio.file.Files.createTempDirectory(s"pubcost_$n")
       graft.util.StreamGate.deferDelete(local)
       val fs = StoreFs.fs(new Path(local.toString))

@@ -313,7 +313,29 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * would make planning O(files × depth) in memory — measured 10×
     * the checkpoint-read cost at depth 9 — for no semantic gain.
     */
+  /** Folded-snapshot memo, HEAD-keyed by (name, size, mtime): chain
+    * files are immutable (temp-write + rename, never modified), so a
+    * head's fold is valid as long as the head file itself is — the
+    * planning read before a mutation and the mutation's own
+    * parent-fold then share one fold instead of paying the O(files)
+    * assembly twice (measured 1.2 s each at 10⁶ entries). Tightly
+    * capped: each cached snapshot holds a full entry list.
+    */
+  private val foldMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), Option[Snapshot]]
+
   private def fold(name: String,
+      statuses: Map[String, FileStatus]): Option[Snapshot] =
+    statuses.get(name) match {
+      case None => None
+      case Some(st) =>
+        if (foldMemo.size > 16) foldMemo.clear()
+        foldMemo.getOrElseUpdate(
+          (name, st.getLen, st.getModificationTime),
+          foldUncached(name, statuses))
+    }
+
+  private def foldUncached(name: String,
       statuses: Map[String, FileStatus]): Option[Snapshot] = {
     val chain =
       scala.collection.mutable.ArrayBuffer.empty[(String, RawGen)]
@@ -407,14 +429,22 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     val parentSnap = parent.flatMap(p => fold(p, genStatuses()))
     val (body, ext) = parentSnap match {
       case Some(ps) if ps.depth + 1 < CheckpointEvery =>
-        val pByRel = ps.entries.map(e => e.rel -> e).toMap
-        val nByRel = entries.map(e => e.rel -> e).toMap
+        // presized java maps: the diff runs once per commit over the
+        // FULL entry lists, and an immutable .toMap of 10⁶ tuples was
+        // the measured bulk of a 1M-file delta publish
+        def byRel(es: Seq[Entry]): java.util.HashMap[String, Entry] = {
+          val m = new java.util.HashMap[String, Entry](es.size * 2)
+          es.foreach(e => m.put(e.rel, e))
+          m
+        }
+        val pByRel = byRel(ps.entries)
+        val nByRel = byRel(entries)
         // full-Entry comparison: a rel whose size/mtime changed (a
         // re-walked legacy file) re-publishes as drop+add so folds
         // carry the fresh FileStatus
-        val adds = entries.filter(e => !pByRel.get(e.rel).contains(e))
+        val adds = entries.filter(e => pByRel.get(e.rel) != e)
         val drops = ps.entries.collect {
-          case e if !nByRel.get(e.rel).contains(e) => e.rel }
+          case e if nByRel.get(e.rel) != e => e.rel }
         val pDead = ps.dead.map(d => d.rel -> d).toMap
         val nDead = dead.map(d => d.rel -> d).toMap
         val deadPlus = dead.filter(d => !pDead.get(d.rel).contains(d))

@@ -279,6 +279,12 @@ class HttpApiSpec extends SparkSpec {
       assert(get(port, s"/api/changes?table=log&from=${gens.head}" +
         s"&to=${gens.last}")._1 == 404)
       assert(get(port, "/api/changes?table=log&from=x")._1 == 400)
+      // keyed mode rides the same route: the retired row is a TRUE
+      // delete under the message key, so it still pages out
+      val (scK, keyed) = get(port, s"/api/changes?table=log&" +
+        s"from=${gens.head}&to=${gens.last}&removed=true&keys=message")
+      assert(scK == 200 && keyed.contains("old-day") &&
+        !keyed.contains("new-day"), keyed)
     } finally api.stop()
   }
 

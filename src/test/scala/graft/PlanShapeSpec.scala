@@ -357,4 +357,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"global sort for top-k:\n$plan")
     assert(!plan.contains("Exchange"), s"shuffle in a map+top-k plan:\n$plan")
   }
+
+  test("keyed CDC anti-join: the key side scans ONLY the key column " +
+      "and the join broadcasts it") {
+    // the plan the keyed diff must produce at 100 TB: the other
+    // snapshot contributes a column-pruned distinct key set (never its
+    // full rows), consumed by a LeftAnti join — broadcast here (small
+    // fixture + AQE), shuffled-on-key at scale, never a row-payload
+    // exchange of the other snapshot
+    val root = java.nio.file.Files
+      .createTempDirectory("cdcplan").toString
+    val t0 = 1760000000000000L
+    val st = new graft.store.ParquetStore(spark, root, "documents", "time")
+    val rows = (1L to 40L).map(i =>
+      (i, s"text body $i", t0 + i * 1000000L))
+      .toDF("doc_id", "text", "time")
+    st.write(rows.filter($"doc_id" <= 20L))
+    st.compact()
+    st.write(rows.filter($"doc_id" > 20L))
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val day = java.time.LocalDate.ofInstant(java.time.Instant
+      .ofEpochSecond(t0 / 1000000L), zone).toString
+    st.compactDate(day)
+    val gens = st.generations()
+    val keyed = st.changesBetween(gens.head, gens.last,
+      Seq("doc_id")).get
+    // execute once so AQE finalizes the physical join choice
+    assert(keyed.count() == 20L)
+    val plan = keyed.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop") == false &&
+        plan.contains("SortMergeJoin"),
+      s"anti join neither broadcast nor key-shuffled:\n$plan")
+    // the OTHER snapshot's scan must read the key column alone —
+    // dragging `text` through the distinct would ship the corpus
+    val keyScan = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && !l.contains("text"))
+    assert(keyScan.exists(_.contains("doc_id")),
+      s"no key-only pruned scan in:\n$plan")
+  }
 }
