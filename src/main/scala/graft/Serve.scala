@@ -39,7 +39,11 @@ object Serve {
     // deployment names an origin; a token gates the mutating route
     val api = new graft.api.HttpApi(engine, port,
       corsOrigin = sys.env.get("SPARK_GRAFT_CORS_ORIGIN"),
-      ingestToken = sys.env.get("SPARK_GRAFT_INGEST_TOKEN"))
+      ingestToken = sys.env.get("SPARK_GRAFT_INGEST_TOKEN"),
+      // point at a built frontend (the reference's embedded duo-ui
+      // output works unchanged) and the binary serves it like
+      // mod.rs:26-55; unset = API-only, non-API paths 404
+      uiDir = sys.env.get("SPARK_GRAFT_UI_DIR"))
     // the reference binary's timer loops (duo/src/grpc/server.rs:
     // 31-120): parquet flush every 60 s by default, plus the
     // maintenance cadence (small-file healing + vacuum) the reference

@@ -48,9 +48,16 @@ import graft.query.{LogQueries, TraceQueries}
   * integers, `minDuration`/`maxDuration` are duration strings through
   * the C2 parser (deser.rs:196-240 routes them through
   * parse_duration). A missing required `service` is 400, as axum's
-  * Query extractor rejects it. The UI asset routes (duo-ui static
-  * files, mod.rs:26-55) stay out of scope — this is the engine
-  * library's API surface, not a bundled frontend.
+  * Query extractor rejects it. The UI asset routes (mod.rs:26-55
+  * serves the rust-embedded `duo-ui` build) are available OPT-IN via
+  * `uiDir`: point it at a directory holding the built frontend and
+  * every non-API GET serves from it with the reference's rewrites
+  * (`""` → `index.html`, `trace*`/`search*` → `trace.html`, mime by
+  * extension, octet-stream fallback, 404 otherwise). The frontend
+  * BUILD itself stays out of the library (it is Svelte, not engine) —
+  * but a user with the reference's `ui/` output drops it in unchanged.
+  * Resolution is traversal-proof: the normalized target must stay
+  * under `uiDir`.
   *
   * Threading: handlers run on the server's executor and call
   * DataFrame actions; the engine's hot-view snapshot and stores are
@@ -76,7 +83,8 @@ import graft.query.{LogQueries, TraceQueries}
 final class HttpApi(engine: DuoEngine, port: Int = 0,
     corsOrigin: Option[String] = None,
     ingestToken: Option[String] = None,
-    maxIngestBytes: Int = 16 * 1024 * 1024) {
+    maxIngestBytes: Int = 16 * 1024 * 1024,
+    uiDir: Option[String] = None) {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[HttpApi])
 
@@ -127,6 +135,8 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
         case p if p.startsWith("/api/logs/stats/") =>
           fieldStats(ex, p.stripPrefix("/api/logs/stats/"), q)
         case "/stats" => stats(ex)
+        case p if uiDir.isDefined && ex.getRequestMethod == "GET" &&
+            !p.startsWith("/api/") => staticFile(ex, p)
         case _ => text(ex, 404, "404")
       }
     } catch {
@@ -460,6 +470,65 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
     json(ex, 200, JsonMethods.compact(JsonMethods.render(body)))
   }
 
+  /** Static UI assets, reference rewrites included (mod.rs:32-54:
+    * `""` → `index.html`, a path starting `trace`/`search` →
+    * `trace.html` — the SPA's client-side routes — anything else is
+    * the literal file). 404 for absent files like `UiAssets::get`'s
+    * None arm. getPath already percent-decoded the path, so `%2e%2e`
+    * arrives as `..` — the normalize-then-prefix check rejects any
+    * resolution that escapes the UI root, and an unparseable path
+    * (NUL bytes) 404s rather than 500s.
+    */
+  private def staticFile(ex: HttpExchange, rawPath: String): Unit = {
+    val trimmed = rawPath.dropWhile(_ == '/')
+    val name =
+      if (trimmed.isEmpty) "index.html"
+      else if (trimmed.startsWith("trace") || trimmed.startsWith("search"))
+        "trace.html"
+      else trimmed
+    val resolved = scala.util.Try {
+      val root = java.nio.file.Paths.get(uiDir.get)
+        .toAbsolutePath.normalize
+      val target = root.resolve(name).normalize
+      if (target.startsWith(root) &&
+          java.nio.file.Files.isRegularFile(target)) Some(target)
+      else None
+    }.toOption.flatten
+    resolved match {
+      case None => text(ex, 404, "404")
+      case Some(target) =>
+        respondBytes(ex, 200,
+          java.nio.file.Files.readAllBytes(target), mimeFor(name))
+    }
+  }
+
+  /** Extension → Content-Type for the UI assets (the reference uses
+    * mime_guess with an octet-stream fallback, mod.rs:42).
+    */
+  private def mimeFor(name: String): String = {
+    val ext = name.lastIndexOf('.') match {
+      case -1 => ""
+      case i => name.substring(i + 1).toLowerCase
+    }
+    ext match {
+      case "html" | "htm" => "text/html; charset=utf-8"
+      case "js" | "mjs" => "text/javascript"
+      case "css" => "text/css"
+      case "json" | "map" => "application/json"
+      case "svg" => "image/svg+xml"
+      case "png" => "image/png"
+      case "jpg" | "jpeg" => "image/jpeg"
+      case "gif" => "image/gif"
+      case "ico" => "image/x-icon"
+      case "woff" => "font/woff"
+      case "woff2" => "font/woff2"
+      case "ttf" => "font/ttf"
+      case "wasm" => "application/wasm"
+      case "txt" => "text/plain; charset=utf-8"
+      case _ => "application/octet-stream"
+    }
+  }
+
   // ---- plumbing ----
 
   private def params(ex: HttpExchange): Map[String, String] =
@@ -502,8 +571,12 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
     respond(ex, code, body, "text/plain; charset=utf-8")
 
   private def respond(ex: HttpExchange, code: Int, body: String,
-      contentType: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
+      contentType: String): Unit =
+    respondBytes(ex, code, body.getBytes(StandardCharsets.UTF_8),
+      contentType)
+
+  private def respondBytes(ex: HttpExchange, code: Int,
+      bytes: Array[Byte], contentType: String): Unit = {
     ex.getResponseHeaders.set("Content-Type", contentType)
     // CORS like the reference's permissive layer (mod.rs:63-68) — but
     // only when a deployment opted in: a blanket `*` on data-bearing

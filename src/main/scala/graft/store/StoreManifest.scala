@@ -15,7 +15,8 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   *
   * Commit format (round 18 — the Delta-log discipline): a generation
   * file is either a CHECKPOINT (`gen-*.list`: the complete live-file
-  * list, exactly the pre-round-18 format, so existing stores read
+  * list — the pre-round-18 body, now gzip-compressed on write; reads
+  * sniff the gzip magic, so existing plain-text stores read
   * unchanged) or a DELTA (`gen-*.delta`: only this commit's adds,
   * drops, tombstone changes and parent pointer). [[publish]] keeps its
   * absolute-state signature — callers still hand it the full intended
@@ -187,14 +188,32 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private def parseRawUncached(p: Path): Option[RawGen] = {
     try {
       val in = fs.open(p)
-      val body =
+      val raw =
         try {
           val buf = new java.io.ByteArrayOutputStream()
           val chunk = new Array[Byte](64 * 1024)
           var n = in.read(chunk)
           while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          buf.toString(StandardCharsets.UTF_8)
+          buf.toByteArray
         } finally in.close()
+      // gzip-sniff (magic 1f 8b): checkpoints compress ~10× (shared
+      // path prefixes), legacy plain bodies and the small deltas stay
+      // uncompressed — both forms must read forever. A TRUNCATED gzip
+      // body throws (missing CRC trailer) into the catch below, the
+      // same whole-generation rejection a torn plain count gets.
+      val body =
+        if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+            (raw(1) & 0xff) == 0x8b) {
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw), 64 * 1024)
+          try {
+            val buf = new java.io.ByteArrayOutputStream(raw.length * 8)
+            val chunk = new Array[Byte](64 * 1024)
+            var n = gz.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = gz.read(chunk) }
+            buf.toString(StandardCharsets.UTF_8)
+          } finally gz.close()
+        } else new String(raw, StandardCharsets.UTF_8)
       val lines = body.split("\n", -1).toSeq.dropRight(1)
       lines.headOption.flatMap { h =>
         if (h.startsWith("count=")) parseFull(h, lines.drop(1))
@@ -480,8 +499,18 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     fs.mkdirs(mdir): Unit
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(mdir, s".tmp-$uuid")
+    // checkpoints gzip (the O(files) body is ~90% shared path/digit
+    // prefixes — measured ~10× smaller, and the CRC trailer makes a
+    // torn body loudly unreadable); deltas stay plain text: they are
+    // hundreds of bytes, and a greppable commit log is worth more
+    // than the ~300 saved. BEST_SPEED: at 10⁶ entries the default
+    // level's extra ratio is not worth tripling the compress wall on
+    // every cadence rollover.
+    val payload =
+      if (ext == ".list") StoreManifest.gzip(finalBody)
+      else finalBody.getBytes(StandardCharsets.UTF_8)
     val out = fs.create(tmp, true)
-    try out.write(finalBody.getBytes(StandardCharsets.UTF_8))
+    try out.write(payload)
     finally out.close()
     // expected-parent CAS, re-checked as late as the filesystem
     // allows (immediately before the rename atom): `parent` is the
@@ -695,6 +724,22 @@ object StoreManifest {
     */
   final class ConcurrentCommitException(msg: String)
     extends IllegalStateException(msg)
+
+  /** Gzip a generation body (checkpoint write path). BEST_SPEED — the
+    * body is line-sorted tab-separated paths, so even the fastest
+    * level folds the shared `date=…/hour=…` prefixes ~10×; the default
+    * level buys a few more percent for ~3× the wall at 10⁶ entries.
+    */
+  private[store] def gzip(body: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(
+      math.max(64, body.length / 8))
+    val gz = new java.util.zip.GZIPOutputStream(bos, 64 * 1024) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+    }
+    gz.write(body.getBytes(StandardCharsets.UTF_8))
+    gz.close()
+    bos.toByteArray
+  }
 
   /** StructType.asNullable is private[spark]; same recursive relax —
     * a stored schema must read exactly as spark.read's inference

@@ -433,8 +433,14 @@ class FsStoreSpec extends SparkSpec {
     val gen = fsys.listStatus(
         new org.apache.hadoop.fs.Path(s"$root/span/_manifest"))
       .filter(_.getPath.getName.startsWith("gen-")).head.getPath
+    val rawGen =
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fsys.open(gen))
+    // checkpoint bodies are gzip on disk since round 18 — decompress
+    // to edit; writing the stripped body back PLAIN is fine (reads
+    // sniff the magic, both forms are valid forever)
     val body = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fsys.open(gen)),
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(rawGen)).readAllBytes(),
       "UTF-8")
     val stripped = body.linesIterator.filterNot(_.startsWith("schema\t"))
       .mkString("", "\n", "\n")
@@ -896,6 +902,57 @@ class FsStoreSpec extends SparkSpec {
       assert(served.get.depth == 0 ||
         m.readGen(served.get.gen).isDefined)
     }
+  }
+
+  test("checkpoint bodies are gzip on disk, read back exactly; plain " +
+      "legacy checkpoints still read; truncated gzip falls back whole") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("gzckpt")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    val mdir = new org.apache.hadoop.fs.Path(local.toString, "_manifest")
+    val entries = (0 until 2000).map(i => StoreManifest.Entry(
+      f"date=2024-01-15/hour=${i / 100}%02d/part-$i%05d.parquet",
+      1000L + i, 1700000000000L + i))
+    m.publish(entries, None, Nil, parent = None)
+    val ckpt = fsys.listStatus(mdir)
+      .filter(_.getPath.getName.endsWith(".list")).maxBy(_.getPath.getName)
+    // on-disk form: gzip magic, and far below the plain body's size
+    val in = fsys.open(ckpt.getPath)
+    val head = new Array[Byte](2)
+    in.readFully(head); in.close()
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
+      "checkpoint body must be gzip on disk")
+    val plainSize = entries.map(e =>
+      s"${e.rel}\t${e.size}\t${e.mtime}\n".length.toLong).sum
+    assert(ckpt.getLen < plainSize / 5,
+      s"gzip checkpoint ${ckpt.getLen} B should be well below the " +
+        s"plain body's ~$plainSize B")
+    assert(m.read().get.entries == entries.sortBy(_.rel))
+    // a PLAIN-TEXT checkpoint (the pre-round-18 on-disk form) written
+    // beside it must keep reading: sniff, don't assume
+    val older = new org.apache.hadoop.fs.Path(mdir,
+      "gen-0000000000000000001-legacy.list")
+    val legacyBody = "count=1\nlegacy/part-0.parquet\t7\t7\n"
+    val o = fsys.create(older, true)
+    o.write(legacyBody.getBytes("UTF-8")); o.close()
+    assert(m.readGen(older.getName).exists(
+      _.entries == Seq(StoreManifest.Entry("legacy/part-0.parquet", 7, 7))))
+    // TRUNCATED gzip (torn write): the missing CRC trailer rejects the
+    // generation whole and reads fall back to the older one
+    val full = {
+      val s = fsys.open(ckpt.getPath)
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = s.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = s.read(chunk) }
+      s.close(); buf.toByteArray
+    }
+    val torn = fsys.create(ckpt.getPath, true)
+    torn.write(full, 0, full.length / 2); torn.close()
+    val served = m.read()
+    assert(served.isDefined && served.get.gen == older.getName,
+      "a torn gzip checkpoint must fall back to the previous generation")
   }
 
   test("store-level delta commits: expire and compactDate publish " +

@@ -336,6 +336,51 @@ class HttpApiSpec extends SparkSpec {
       "the cadence flush must have cleared the WAL")
   }
 
+  test("static UI serving: reference rewrites, mime types, traversal " +
+      "rejected; API routes win; default stays API-only") {
+    val root = java.nio.file.Files.createTempDirectory("uiroot").toString
+    val engine = new DuoEngine(spark, root)
+    val ui = java.nio.file.Files.createTempDirectory("uidir")
+    java.nio.file.Files.writeString(ui.resolve("index.html"),
+      "<html>duo index</html>")
+    java.nio.file.Files.writeString(ui.resolve("trace.html"),
+      "<html>duo trace</html>")
+    java.nio.file.Files.createDirectory(ui.resolve("assets"))
+    java.nio.file.Files.writeString(ui.resolve("assets").resolve("app.js"),
+      "console.log('ui')")
+    val api = new HttpApi(engine, uiDir = Some(ui.toString))
+    api.start()
+    try {
+      val port = api.boundPort
+      // "" → index.html (mod.rs:34)
+      val (scRoot, index) = get(port, "/")
+      assert(scRoot == 200 && index.contains("duo index"))
+      assert(getHeaders(port, "/").exists { case (k, v) =>
+        k.equalsIgnoreCase("Content-Type") && v.startsWith("text/html") })
+      // trace*/search* → trace.html (the SPA's client routes, mod.rs:35)
+      assert(get(port, "/search?service=x")._2.contains("duo trace"))
+      assert(get(port, "/trace/123")._2.contains("duo trace"))
+      // literal asset with its mime
+      val (scJs, js) = get(port, "/assets/app.js")
+      assert(scJs == 200 && js.contains("console.log"))
+      assert(getHeaders(port, "/assets/app.js").exists { case (k, v) =>
+        k.equalsIgnoreCase("Content-Type") && v == "text/javascript" })
+      // absent file → 404 (UiAssets::get None arm, mod.rs:48-52)
+      assert(get(port, "/missing.png")._1 == 404)
+      // traversal: %2e%2e decodes to .. in getPath — the normalized
+      // target escapes the UI root and must 404, never serve
+      assert(get(port, "/%2e%2e/%2e%2e/etc/hosts")._1 == 404)
+      // API routes take precedence over the static tree
+      assert(get(port, "/api/logs/schema")._1 == 200)
+    } finally api.stop()
+    // uiDir unset (the default): non-API paths stay 404 — the engine
+    // library's API-only posture is unchanged
+    val apiOnly = new HttpApi(engine)
+    apiOnly.start()
+    try assert(get(apiOnly.boundPort, "/")._1 == 404)
+    finally apiOnly.stop()
+  }
+
   private def getHeaders(port: Int,
       path: String): Seq[(String, String)] = {
     val client = java.net.http.HttpClient.newHttpClient()
