@@ -481,37 +481,46 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
               .sorted ++
             adds.map(e => s"add\t${e.rel}\t${e.size}\t${e.mtime}")
               .sorted)
-          (Some((s"delta=${lines.size}" +: lines)
-            .mkString("", "\n", "\n")), ".delta")
+          (Some((s"delta=${lines.size}" +: lines).iterator), ".delta")
         }
       case _ => (None, ".list") // first publish, deep chain, or the
                                 // parent no longer folds → checkpoint
     }
-    val finalBody = body.getOrElse {
+    val bodyLines = body.getOrElse {
+      // the line SEQ must exist for the sort, but nothing bigger: the
+      // write below streams it, so no 77 MB concatenated body string /
+      // byte array / compression buffer ever materializes (three
+      // O(files) driver allocations at the 10⁶-file tier)
       val lines = entries.map(e => s"${e.rel}\t${e.size}\t${e.mtime}")
       val parentLine = parent.toSeq.map(p => s"parent\t$p")
       val schemaLine = normSchema.toSeq.map(s => s"schema\t${s.json}")
       val deadLines = dead.map(d => s"dead\t${d.rel}\t${d.millis}")
-      (s"count=${lines.size}" +:
-        (parentLine ++ schemaLine ++ deadLines.sorted ++ lines.sorted))
-        .mkString("", "\n", "\n")
+      Iterator(s"count=${lines.size}") ++ parentLine ++ schemaLine ++
+        deadLines.sorted ++ lines.sorted
     }
     fs.mkdirs(mdir): Unit
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(mdir, s".tmp-$uuid")
     // checkpoints gzip (the O(files) body is ~90% shared path/digit
-    // prefixes — measured ~10× smaller, and the CRC trailer makes a
+    // prefixes — measured ~13× smaller, and the CRC trailer makes a
     // torn body loudly unreadable); deltas stay plain text: they are
     // hundreds of bytes, and a greppable commit log is worth more
     // than the ~300 saved. BEST_SPEED: at 10⁶ entries the default
     // level's extra ratio is not worth tripling the compress wall on
-    // every cadence rollover.
-    val payload =
-      if (ext == ".list") StoreManifest.gzip(finalBody)
-      else finalBody.getBytes(StandardCharsets.UTF_8)
-    val out = fs.create(tmp, true)
-    try out.write(payload)
-    finally out.close()
+    // every cadence rollover. Lines stream straight through the
+    // (optionally gzip) writer into the temp file.
+    val raw = fs.create(tmp, true)
+    val sink: java.io.OutputStream =
+      if (ext == ".list")
+        new java.util.zip.GZIPOutputStream(raw, 64 * 1024) {
+          `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+        }
+      else raw
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(sink, StandardCharsets.UTF_8),
+      64 * 1024)
+    try bodyLines.foreach { l => w.write(l); w.write('\n') }
+    finally w.close() // closes gzip (CRC trailer) then the file stream
     // expected-parent CAS, re-checked as late as the filesystem
     // allows (immediately before the rename atom): `parent` is the
     // newest generation the publishing mutation PLANNED from (None =
@@ -724,22 +733,6 @@ object StoreManifest {
     */
   final class ConcurrentCommitException(msg: String)
     extends IllegalStateException(msg)
-
-  /** Gzip a generation body (checkpoint write path). BEST_SPEED — the
-    * body is line-sorted tab-separated paths, so even the fastest
-    * level folds the shared `date=…/hour=…` prefixes ~10×; the default
-    * level buys a few more percent for ~3× the wall at 10⁶ entries.
-    */
-  private[store] def gzip(body: String): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(
-      math.max(64, body.length / 8))
-    val gz = new java.util.zip.GZIPOutputStream(bos, 64 * 1024) {
-      `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
-    }
-    gz.write(body.getBytes(StandardCharsets.UTF_8))
-    gz.close()
-    bos.toByteArray
-  }
 
   /** StructType.asNullable is private[spark]; same recursive relax —
     * a stored schema must read exactly as spark.read's inference
