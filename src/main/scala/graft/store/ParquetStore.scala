@@ -836,10 +836,17 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         .foreach(n => fs.delete(new Path(lockDir, n), false): Unit)
     }
     val snap = manifest.read()
-    // 1. ripe tombstones → delete the files (idempotent: missing = ok)
+    // 1. ripe tombstones → delete the files (idempotent: missing = ok).
+    // Parallel beyond a small batch: on an object store each delete is
+    // a ~tens-of-ms round trip, and a compaction-heavy table whose
+    // grace just expired can owe 10⁵-10⁶ of them (the 100 TB tier) —
+    // sequentially that is hours, pooled it is bounded by store
+    // throughput (Delta's vacuum distributes deletes for the same
+    // reason; driver-side threads suffice here because a delete is
+    // all-latency-no-data and FileSystem clients are thread-safe).
     val ripe = snap.map(_.dead.filter(_.millis + graceMs <= now))
       .getOrElse(Nil)
-    ripe.foreach(d => fs.delete(new Path(s"$dir/${d.rel}"), false): Unit)
+    deleteBatch(ripe.map(d => new Path(s"$dir/${d.rel}")))
     // drop now-empty partition dirs the tombstones vacated (legacy
     // tree dirs; gen trees are handled whole below). Depth-bounded:
     // only parents of deleted files are probed.
@@ -897,6 +904,31 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     orphans.foreach(s => rm(s.getPath))
     (ripe.size, orphans.size, pruned.size)
   }
+
+  /** Delete many files, pooled when the batch is large. 32 threads:
+    * deletes are pure metadata round trips, so the win is latency
+    * overlap, and more would only invite object-store rate limits.
+    * Failures propagate (vacuum callers treat a failed delete as a
+    * retryable pass — the tombstone stays until one succeeds).
+    */
+  private def deleteBatch(paths: Seq[Path]): Unit =
+    if (paths.size <= 64)
+      paths.foreach(p => fs.delete(p, false): Unit)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32,
+        (r: Runnable) => {
+          val t = new Thread(r, "store-vacuum-delete")
+          t.setDaemon(true)
+          t
+        })
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+          paths.map(p => (() => { fs.delete(p, false): Unit
+            }): java.util.concurrent.Callable[Unit])
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get(): Unit)
+      } finally pool.shutdown()
+    }
 
   private def genNameMillis(name: String): Option[Long] =
     name.stripPrefix("_gen-").takeWhile(_.isDigit).toLongOption

@@ -904,6 +904,40 @@ class FsStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum's pooled delete reclaims a large ripe batch whole: " +
+      "every tombstoned file gone, dead list pruned, table unchanged") {
+    import graft.store.{StoreFs, StoreManifest}
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    store.writeStaged(Seq((1L, t0, 10L)).toDF("id", "start", "trace_id"))
+    store.compact()
+    val live = store.read(None, None).get.count()
+    // fabricate a >64-file ripe batch (the pooled path) without paying
+    // 100 Spark writes: raw junk files + a manifest generation that
+    // tombstones them, exactly the state a big compaction leaves
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(s"$root/span"))
+    val junk = (0 until 100).map { i =>
+      val rel = f"_staging/junk-$i%03d.parquet"
+      val o = fsys.create(
+        new org.apache.hadoop.fs.Path(s"$root/span/$rel"), true)
+      o.write(Array.fill(16)(i.toByte)); o.close()
+      rel
+    }
+    // a second StoreManifest over the same dir publishes like any
+    // other writer would; the store re-reads it at vacuum time
+    val m = new StoreManifest(fsys, s"$root/span")
+    val snap = m.read().get
+    m.publish(snap.entries, snap.schema,
+      snap.dead ++ junk.map(StoreManifest.Dead(_, 0L)),
+      parent = Some(snap.gen))
+    val (ripe, _, _) = store.vacuum(graceMs = 0L)
+    assert(ripe >= 100, s"expected the junk batch ripe, got $ripe")
+    junk.foreach(r => assert(!fsys.exists(
+      new org.apache.hadoop.fs.Path(s"$root/span/$r")), s"$r survived"))
+    assert(store.manifestDead.get.isEmpty)
+    assert(store.read(None, None).get.count() == live)
+  }
+
   test("checkpoint bodies are gzip on disk, read back exactly; plain " +
       "legacy checkpoints still read; truncated gzip falls back whole") {
     import graft.store.{StoreFs, StoreManifest}
