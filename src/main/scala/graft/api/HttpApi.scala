@@ -56,8 +56,8 @@ import graft.query.{LogQueries, TraceQueries}
   * extension, octet-stream fallback, 404 otherwise). The frontend
   * BUILD itself stays out of the library (it is Svelte, not engine) —
   * but a user with the reference's `ui/` output drops it in unchanged.
-  * Resolution is traversal-proof: the normalized target must stay
-  * under `uiDir`.
+  * Resolution is traversal-proof by REAL path (symlinks resolved):
+  * the resolved target must stay under `uiDir`.
   *
   * Threading: handlers run on the server's executor and call
   * DataFrame actions; the engine's hot-view snapshot and stores are
@@ -87,6 +87,16 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
     uiDir: Option[String] = None) {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[HttpApi])
+
+  /** The UI root, resolved ONCE: a typo'd uiDir must fail loudly at
+    * construction, not as indistinguishable 404s on every route.
+    */
+  private val uiRoot: Option[java.nio.file.Path] = uiDir.map { d =>
+    val p = java.nio.file.Paths.get(d).toAbsolutePath.normalize
+    require(java.nio.file.Files.isDirectory(p),
+      s"uiDir is not a directory: $d")
+    p
+  }
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -135,7 +145,9 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
         case p if p.startsWith("/api/logs/stats/") =>
           fieldStats(ex, p.stripPrefix("/api/logs/stats/"), q)
         case "/stats" => stats(ex)
-        case p if uiDir.isDefined && ex.getRequestMethod == "GET" &&
+        case p if uiRoot.isDefined &&
+            (ex.getRequestMethod == "GET" ||
+              ex.getRequestMethod == "HEAD") &&
             !p.startsWith("/api/") => staticFile(ex, p)
         case _ => text(ex, 404, "404")
       }
@@ -474,10 +486,14 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
     * `""` → `index.html`, a path starting `trace`/`search` →
     * `trace.html` — the SPA's client-side routes — anything else is
     * the literal file). 404 for absent files like `UiAssets::get`'s
-    * None arm. getPath already percent-decoded the path, so `%2e%2e`
-    * arrives as `..` — the normalize-then-prefix check rejects any
-    * resolution that escapes the UI root, and an unparseable path
-    * (NUL bytes) 404s rather than 500s.
+    * None arm. Containment is by REAL path, not lexical: getPath
+    * already percent-decoded the request (so `%2e%2e` arrives as
+    * `..`), and `toRealPath` resolves symlinks too — a link inside
+    * the UI dir pointing outside it 404s instead of serving the
+    * linked file. Unparseable paths (NUL bytes) 404 rather than 500.
+    * The body streams (Files.copy) so a large asset never holds a
+    * full in-heap copy per concurrent client; HEAD answers headers
+    * only.
     */
   private def staticFile(ex: HttpExchange, rawPath: String): Unit = {
     val trimmed = rawPath.dropWhile(_ == '/')
@@ -486,19 +502,29 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
       else if (trimmed.startsWith("trace") || trimmed.startsWith("search"))
         "trace.html"
       else trimmed
+    val root = uiRoot.get
     val resolved = scala.util.Try {
-      val root = java.nio.file.Paths.get(uiDir.get)
-        .toAbsolutePath.normalize
-      val target = root.resolve(name).normalize
-      if (target.startsWith(root) &&
+      // toRealPath throws on absence — Try folds that into the 404
+      val target = root.resolve(name).toRealPath()
+      if (target.startsWith(root.toRealPath()) &&
           java.nio.file.Files.isRegularFile(target)) Some(target)
       else None
     }.toOption.flatten
     resolved match {
       case None => text(ex, 404, "404")
       case Some(target) =>
-        respondBytes(ex, 200,
-          java.nio.file.Files.readAllBytes(target), mimeFor(name))
+        ex.getResponseHeaders.set("Content-Type", mimeFor(name))
+        corsOrigin.foreach(o =>
+          ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
+        ex.setAttribute(HttpApi.SentAttr, java.lang.Boolean.TRUE)
+        if (ex.getRequestMethod == "HEAD") {
+          ex.sendResponseHeaders(200, -1L)
+        } else {
+          ex.sendResponseHeaders(200, java.nio.file.Files.size(target))
+          val out = ex.getResponseBody
+          try java.nio.file.Files.copy(target, out): Unit
+          finally out.close()
+        }
     }
   }
 

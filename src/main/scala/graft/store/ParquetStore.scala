@@ -926,7 +926,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         val tasks: Seq[java.util.concurrent.Callable[Unit]] =
           paths.map(p => (() => { fs.delete(p, false): Unit
             }): java.util.concurrent.Callable[Unit])
-        pool.invokeAll(tasks.asJava).asScala.foreach(_.get(): Unit)
+        pool.invokeAll(tasks.asJava).asScala.foreach { f =>
+          // unwrap: callers must see the same IOException (naming the
+          // failing path) whichever side of the pool threshold the
+          // batch landed on
+          try f.get(): Unit
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
       } finally pool.shutdown()
     }
 

@@ -188,31 +188,21 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private def parseRawUncached(p: Path): Option[RawGen] = {
     try {
       val in = fs.open(p)
-      val raw =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](64 * 1024)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          buf.toByteArray
-        } finally in.close()
-      // gzip-sniff (magic 1f 8b): checkpoints compress ~10× (shared
+      val raw = try in.readAllBytes() finally in.close()
+      // gzip-sniff (magic 1f 8b): checkpoints compress ~13× (shared
       // path prefixes), legacy plain bodies and the small deltas stay
       // uncompressed — both forms must read forever. A TRUNCATED gzip
       // body throws (missing CRC trailer) into the catch below, the
       // same whole-generation rejection a torn plain count gets.
+      // readAllBytes grows its own buffer — no presize arithmetic to
+      // overflow, and one fewer O(body) copy per uncached parse.
       val body =
         if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
             (raw(1) & 0xff) == 0x8b) {
           val gz = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(raw), 64 * 1024)
-          try {
-            val buf = new java.io.ByteArrayOutputStream(raw.length * 8)
-            val chunk = new Array[Byte](64 * 1024)
-            var n = gz.read(chunk)
-            while (n >= 0) { buf.write(chunk, 0, n); n = gz.read(chunk) }
-            buf.toString(StandardCharsets.UTF_8)
-          } finally gz.close()
+          try new String(gz.readAllBytes(), StandardCharsets.UTF_8)
+          finally gz.close()
         } else new String(raw, StandardCharsets.UTF_8)
       val lines = body.split("\n", -1).toSeq.dropRight(1)
       lines.headOption.flatMap { h =>

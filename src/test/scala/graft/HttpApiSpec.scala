@@ -370,9 +370,31 @@ class HttpApiSpec extends SparkSpec {
       // traversal: %2e%2e decodes to .. in getPath — the normalized
       // target escapes the UI root and must 404, never serve
       assert(get(port, "/%2e%2e/%2e%2e/etc/hosts")._1 == 404)
+      // symlink escape: a link INSIDE uiDir to a file outside it
+      // resolves under the root lexically but not by real path — 404,
+      // never the linked file's contents
+      val outside = java.nio.file.Files.createTempFile("uileak", ".txt")
+      java.nio.file.Files.writeString(outside, "secret")
+      java.nio.file.Files.createSymbolicLink(
+        ui.resolve("leak.txt"), outside)
+      assert(get(port, "/leak.txt")._1 == 404,
+        "a symlink escaping uiDir must not serve")
+      // HEAD answers headers only (health checks), same 200 + mime
+      val headClient = java.net.http.HttpClient.newHttpClient()
+      val headResp = headClient.send(
+        java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/"))
+          .method("HEAD",
+            java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(headResp.statusCode() == 200 && headResp.body().isEmpty)
       // API routes take precedence over the static tree
       assert(get(port, "/api/logs/schema")._1 == 200)
     } finally api.stop()
+    // a typo'd uiDir fails at construction — never silent 404s
+    intercept[IllegalArgumentException] {
+      new HttpApi(engine, uiDir = Some(ui.toString + "-no-such-dir"))
+    }
     // uiDir unset (the default): non-API paths stay 404 — the engine
     // library's API-only posture is unchanged
     val apiOnly = new HttpApi(engine)
