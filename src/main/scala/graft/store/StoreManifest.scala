@@ -170,19 +170,33 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   private val parseMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Long), Option[RawGen]]
+  private val parseMemoEntries = new java.util.concurrent.atomic.AtomicLong
 
   private def parseRaw(st: FileStatus): Option[RawGen] = {
-    // bound the memo: a cadence-committing engine publishes a new
-    // generation every flush, and a checkpoint's cached parse holds
-    // the full entry list — unbounded, months of cadences would pin
-    // every checkpoint ever retained. The working set is the current
-    // chain + retained heads (≤ KeepGens + CheckpointEvery files), so
-    // a whole-cache reset on overflow costs one re-read of exactly
-    // that working set.
-    if (parseMemo.size > StoreManifest.ParseMemoCap) parseMemo.clear()
+    // bound the memo two ways: by FILE count (a cadence-committing
+    // engine publishes every flush; months of cadences must not pin
+    // every checkpoint ever retained) and by cumulative cached ENTRY
+    // count — at the 100 TB tier one checkpoint's parse holds ~10⁶
+    // Entry objects (~150 MB), so a count-only cap would admit
+    // gigabytes. The working set is the current chain + retained
+    // heads (≤ KeepGens + CheckpointEvery files, usually one
+    // checkpoint among them), so a whole-cache reset on overflow
+    // costs one re-read of exactly that working set.
+    if (parseMemo.size > StoreManifest.ParseMemoCap ||
+        parseMemoEntries.get > StoreManifest.MemoEntryCap) {
+      parseMemo.clear()
+      parseMemoEntries.set(0)
+    }
     parseMemo.getOrElseUpdate(
-      (st.getPath.getName, st.getLen, st.getModificationTime),
-      parseRawUncached(st.getPath))
+      (st.getPath.getName, st.getLen, st.getModificationTime), {
+        val parsed = parseRawUncached(st.getPath)
+        parseMemoEntries.addAndGet(parsed match {
+          case Some(f: FullGen) => f.entries.size.toLong
+          case Some(d: DeltaGen) => d.adds.size.toLong
+          case None => 0L
+        }): Unit
+        parsed
+      })
   }
 
   private def parseRawUncached(p: Path): Option[RawGen] = {
@@ -332,16 +346,28 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   private val foldMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Long), Option[Snapshot]]
+  private val foldMemoEntries = new java.util.concurrent.atomic.AtomicLong
 
   private def fold(name: String,
       statuses: Map[String, FileStatus]): Option[Snapshot] =
     statuses.get(name) match {
       case None => None
       case Some(st) =>
-        if (foldMemo.size > 16) foldMemo.clear()
+        // double cap like parseMemo's: each cached fold holds a FULL
+        // entry list, so 16 heads of a million-file table would be
+        // ~2.4 GB under a count-only bound
+        if (foldMemo.size > 16 ||
+            foldMemoEntries.get > StoreManifest.MemoEntryCap) {
+          foldMemo.clear()
+          foldMemoEntries.set(0)
+        }
         foldMemo.getOrElseUpdate(
-          (name, st.getLen, st.getModificationTime),
-          foldUncached(name, statuses))
+          (name, st.getLen, st.getModificationTime), {
+            val snap = foldUncached(name, statuses)
+            snap.foreach(s =>
+              foldMemoEntries.addAndGet(s.entries.size.toLong): Unit)
+            snap
+          })
     }
 
   private def foldUncached(name: String,
@@ -683,6 +709,16 @@ object StoreManifest {
     * checkpoint ever published.
     */
   private[store] val ParseMemoCap: Int = 64
+
+  /** Cumulative cached-ENTRY bound shared by both memos' overflow
+    * checks: ~4M entries ≈ 600 MB of cached metadata at most, i.e. a
+    * few checkpoints of a million-file table — enough for the live
+    * working set (one chain's checkpoint + KeepGens folds), small
+    * enough that time-traveling across many retained generations of a
+    * huge table cycles the cache instead of exhausting the driver
+    * heap.
+    */
+  private[store] val MemoEntryCap: Long = 4L * 1000L * 1000L
 
   /** One data file: path relative to the table dir (a leading
     * `_gen-…` segment names the rewrite tree it lives in), plus the
