@@ -360,6 +360,13 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def generations(table: String): Seq[String] =
     if (memoryMode) Seq.empty else storeOf(table).generations()
 
+  /** One retained generation's operation-audit string (see
+    * [[graft.store.ParquetStore.generationInfo]]). None in memory
+    * mode, for pruned generations, and for pre-audit ones.
+    */
+  def generationInfo(table: String, gen: String): Option[String] =
+    if (memoryMode) None else storeOf(table).generationInfo(gen)
+
   private def storeOf(table: String): ParquetStore = table match {
     case "span" => spanStore
     case "log" => logStore

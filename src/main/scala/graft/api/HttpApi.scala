@@ -37,8 +37,9 @@ import graft.query.{LogQueries, TraceQueries}
   *   - `POST /api/ingest/logs` — EXTENSION (see [[ingestLogs]]): the
   *     raw-JSON log ingest edge over HTTP, since the reference's gRPC
   *     transport needs dependencies this library cannot take
-  *   - `GET /api/generations/:table` — EXTENSION: retained
-  *     time-travel coordinates; `asof=<gen>` on `/api/logs` and
+  *   - `GET /api/generations/:table[?info=true]` — EXTENSION: retained
+  *     time-travel coordinates (with `info=true`, each with its
+  *     operation-audit JSON); `asof=<gen>` on `/api/logs` and
   *     `spanAsof`+`logAsof` on `/api/traces` answer from pinned
   *     generations; `GET /api/changes?table&from&to[&keys][&removed]
   *     [&limit]` serves the generation-diff CDC (see [[changes]])
@@ -137,7 +138,7 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
             .stripSuffix("/operations"))
         case "/api/ingest/logs" => ingestLogs(ex)
         case p if p.startsWith("/api/generations/") =>
-          generations(ex, p.stripPrefix("/api/generations/"))
+          generations(ex, p.stripPrefix("/api/generations/"), q)
         case "/api/changes" => changes(ex, q)
         case "/api/logs" => logs(ex, q)
         case "/api/logs/schema" =>
@@ -203,10 +204,24 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
   /** EXTENSION: the retained time-travel coordinates of one table's
     * store, oldest → newest — what an operator passes as `asof` /
     * `spanAsof` / `logAsof` / the CDC bounds. Unknown table is 404.
+    * With `info=true`, each coordinate comes as `{"gen":…,"info":…}`
+    * where info is the generation's operation-audit JSON (null for
+    * pre-audit generations) — which commit was the compaction, what
+    * did expire cut.
     */
-  private def generations(ex: HttpExchange, table: String): Unit =
+  private def generations(ex: HttpExchange, table: String,
+      q: Map[String, String]): Unit =
     scala.util.Try(engine.generations(table)).toOption match {
       case None => text(ex, 404, s"unknown table '$table'")
+      case Some(gens) if q.get("info").contains("true") =>
+        val items = gens.map { g =>
+          val info = engine.generationInfo(table, g)
+            .flatMap(i => scala.util.Try(JsonMethods.parse(i)).toOption)
+            .getOrElse(JNull)
+          JObject("gen" -> JString(g), "info" -> info)
+        }
+        json(ex, 200,
+          JsonMethods.compact(JsonMethods.render(JArray(items.toList))))
       case Some(gens) => json(ex, 200, Jaeger.renderNames(gens))
     }
 

@@ -111,6 +111,15 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   def generations(): Seq[String] = manifest.genNames()
 
+  /** One retained generation's operation-audit string (the Delta
+    * commitInfo idea): which operation published it and its shape,
+    * e.g. `{"op":"compact","granularity":"day","wrote":3,
+    * "retired":7}`. None for pruned/corrupt generations and for
+    * pre-audit ones (the line is optional in the format).
+    */
+  def generationInfo(gen: String): Option[String] =
+    manifest.readGen(gen).flatMap(_.info)
+
   /** The MAIN table as of one retained generation — time travel, the
     * capability the commit protocol gives for free: a generation's
     * entries still name on-disk files until vacuum's grace passes, so
@@ -654,11 +663,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     val now = System.currentTimeMillis()
     val kept = mainEntries.filterNot(e =>
       logicalRel(e.rel).startsWith(part + "/"))
-    manifest.publish(kept ++ manifest.walkSubtree(gen),
+    val rewritten = manifest.walkSubtree(gen)
+    manifest.publish(kept ++ rewritten,
       t.flatMap(_.schema),
       t.map(_.dead).getOrElse(Nil) ++
         eD.map(e => StoreManifest.Dead(e.rel, now)),
-      parent = t.map(_.gen))
+      parent = t.map(_.gen),
+      info = Some(s"""{"op":"compactDate","date":"$part",""" +
+        s""""wrote":${rewritten.size},"retired":${eD.size}}"""))
   }
 
   /** Compact the small files the minute-grained ingest leaves behind:
@@ -797,12 +809,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     beforeCommit()
     fence()
     val now = System.currentTimeMillis()
-    manifest.publish(manifest.walkSubtree(gen), Some(all.get.schema),
+    val rewritten = manifest.walkSubtree(gen)
+    manifest.publish(rewritten, Some(all.get.schema),
       t.map(_.dead).getOrElse(Nil) ++
         (mainEntries.map(_.rel) ++
           stagedF.map(s => s"_staging/${s.getPath.getName}"))
           .map(StoreManifest.Dead(_, now)),
-      parent = t.map(_.gen))
+      parent = t.map(_.gen),
+      info = Some(s"""{"op":"compact","granularity":"$granularity",""" +
+        s""""wrote":${rewritten.size},""" +
+        s""""retired":${mainEntries.size + stagedF.size}}"""))
     if (crashAfterStep <= 2) return
     // the legacy extras this pass folded are now in the manifest —
     // clear exactly the markers observed at the snapshot (a marker
@@ -872,7 +888,8 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       val ripeSet = ripe.map(_.rel).toSet
       fence()
       manifest.publish(s.entries, s.schema,
-        s.dead.filterNot(d => ripeSet(d.rel)), parent = Some(s.gen))
+        s.dead.filterNot(d => ripeSet(d.rel)), parent = Some(s.gen),
+        info = Some(s"""{"op":"vacuum","reclaimed":${ripe.size}}"""))
     }
     // 3. prune retained generations past the grace window (newest kept
     // unconditionally — it IS the table) BEFORE the orphan scan, so a
@@ -1086,7 +1103,9 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           t.dead ++ (droppedE.map(_.rel) ++
             stagedDead.map(s => s"_staging/${s.getPath.getName}"))
             .map(StoreManifest.Dead(_, now)),
-          parent = Some(t.gen))
+          parent = Some(t.gen),
+          info = Some(s"""{"op":"expire","cutoffDate":"$cutoffDate",""" +
+            s""""retired":${droppedE.size + stagedDead.size}}"""))
         (droppedE.map(e => logicalRel(e.rel).takeWhile(_ != '/'))
           .distinct.size, stagedDead.size)
       case None =>

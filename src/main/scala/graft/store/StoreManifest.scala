@@ -155,11 +155,12 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private final case class FullGen(parent: Option[String],
       entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
-      dead: Seq[Dead]) extends RawGen
+      dead: Seq[Dead], info: Option[String]) extends RawGen
   private final case class DeltaGen(parent: String,
       schema: Option[org.apache.spark.sql.types.StructType],
       adds: Seq[Entry], drops: Seq[String],
-      deadPlus: Seq[Dead], deadMinus: Seq[String]) extends RawGen
+      deadPlus: Seq[Dead], deadMinus: Seq[String],
+      info: Option[String]) extends RawGen
 
   /** Immutable-file parse memo: generation files are written once via
     * temp+rename and never modified, so a parse keyed by
@@ -232,10 +233,12 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     }
   }
 
-  /** The pre-round-18 full-list body, unchanged: `count=N` (entry
-    * lines only — they come last, so a torn suffix always breaks the
-    * count), optional `parent`, optional `schema`, `dead` lines,
-    * entry lines.
+  /** The full-list body: `count=N` (entry lines only — they come
+    * last, so a torn suffix always breaks the count), optional
+    * `parent`, optional `schema`, optional `info` (the operation that
+    * published this generation — audit metadata, opaque here), `dead`
+    * lines, entry lines. Pre-round-18 bodies simply lack the optional
+    * lines.
     */
   private def parseFull(h: String, rest: Seq[String]): Option[RawGen] = {
     val parentName = rest.headOption
@@ -245,7 +248,11 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
     val afterSchema = if (schemaJson.isDefined) afterParent.drop(1)
       else afterParent
-    val (deadLines, entryLines) = afterSchema.span(_.startsWith("dead\t"))
+    val info = afterSchema.headOption
+      .filter(_.startsWith("info\t")).map(_.stripPrefix("info\t"))
+    val afterInfo = if (info.isDefined) afterSchema.drop(1)
+      else afterSchema
+    val (deadLines, entryLines) = afterInfo.span(_.startsWith("dead\t"))
     if (!h.stripPrefix("count=").toIntOption.contains(entryLines.size))
       None
     else {
@@ -253,7 +260,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       val dead = deadLines.map(l => parseDead(l.stripPrefix("dead\t")))
       val entries = entryLines.map(parseEntry)
       if (entries.forall(_.isDefined) && dead.forall(_.isDefined))
-        Some(FullGen(parentName, entries.flatten, schema, dead.flatten))
+        Some(FullGen(parentName, entries.flatten, schema, dead.flatten,
+          info))
       else None
     }
   }
@@ -261,8 +269,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   /** One commit's patch: `delta=N` counts EVERY following line (any
     * torn suffix breaks it — deltas can be adds-free, so an entry-only
     * count would miss a truncation through the tombstone lines),
-    * required `parent`, optional `schema` (ABSOLUTE state), then
-    * `del` / `dead-` / `dead+` / `add` lines.
+    * required `parent`, optional `schema` (ABSOLUTE state), optional
+    * `info` (operation audit), then `del` / `dead-` / `dead+` /
+    * `add` lines.
     */
   private def parseDelta(h: String, rest: Seq[String]): Option[RawGen] = {
     if (!h.stripPrefix("delta=").toIntOption.contains(rest.size))
@@ -275,6 +284,10 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
     val afterSchema = if (schemaJson.isDefined) afterParent.drop(1)
       else afterParent
+    val info = afterSchema.headOption
+      .filter(_.startsWith("info\t")).map(_.stripPrefix("info\t"))
+    val afterInfo = if (info.isDefined) afterSchema.drop(1)
+      else afterSchema
     try {
       val schema = schemaJson.map(parseSchema)
       val drops = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -282,7 +295,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       val deadPlus = scala.collection.mutable.ArrayBuffer.empty[Option[Dead]]
       val adds = scala.collection.mutable.ArrayBuffer.empty[Option[Entry]]
       var malformed = false
-      afterSchema.foreach {
+      afterInfo.foreach {
         case l if l.startsWith("del\t") => drops += l.stripPrefix("del\t")
         case l if l.startsWith("dead-\t") =>
           deadMinus += l.stripPrefix("dead-\t")
@@ -295,7 +308,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       if (malformed || deadPlus.exists(_.isEmpty) || adds.exists(_.isEmpty))
         None
       else Some(DeltaGen(parentName.get, schema, adds.toSeq.flatten,
-        drops.toSeq, deadPlus.toSeq.flatten, deadMinus.toSeq))
+        drops.toSeq, deadPlus.toSeq.flatten, deadMinus.toSeq, info))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -399,13 +412,13 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         schema = d.schema // ABSOLUTE per commit, like a checkpoint's
       case _ => // unreachable: only the chain tail is a FullGen
     }
-    val parent = chain.head._2 match {
-      case d: DeltaGen => Some(d.parent)
-      case f: FullGen => f.parent
+    val (parent, headInfo) = chain.head._2 match {
+      case d: DeltaGen => (Some(d.parent), d.info)
+      case f: FullGen => (f.parent, f.info)
     }
     Some(Snapshot(name, parent,
       entryMap.values.toSeq.sortBy(_.rel), schema,
-      deadMap.values.toSeq, depth = chain.size - 1))
+      deadMap.values.toSeq, depth = chain.size - 1, info = headInfo))
   }
 
   /** The file names `name`'s fold reads, itself included (delta chain
@@ -453,7 +466,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   def publish(entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
-      dead: Seq[Dead], parent: Option[String]): Unit = {
+      dead: Seq[Dead], parent: Option[String],
+      info: Option[String] = None): Unit = {
     // rel first so sorted lines sort by path; size + mtime ride along
     // so reads can hand Spark complete FileStatuses and plan with ZERO
     // filesystem calls (see [[ManifestFileIndex]]). The merged data
@@ -490,7 +504,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         if (patchLines >= math.max(1, entries.size)) (None, ".list")
         else {
           val schemaLine = normSchema.toSeq.map(s => s"schema\t${s.json}")
+          val infoLine = infoLineOf(info)
           val lines = s"parent\t${parent.get}" +: (schemaLine ++
+            infoLine ++
             drops.sorted.map(r => s"del\t$r") ++
             deadMinus.sorted.map(r => s"dead-\t$r") ++
             deadPlus.map(d => s"dead+\t${d.rel}\t${d.millis}")
@@ -512,7 +528,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       val schemaLine = normSchema.toSeq.map(s => s"schema\t${s.json}")
       val deadLines = dead.map(d => s"dead\t${d.rel}\t${d.millis}")
       Iterator(s"count=${lines.size}") ++ parentLine ++ schemaLine ++
-        deadLines.sorted ++ lines.sorted
+        infoLineOf(info) ++ deadLines.sorted ++ lines.sorted
     }
     fs.mkdirs(mdir): Unit
     val uuid = java.util.UUID.randomUUID().toString
@@ -614,6 +630,14 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     statuses.keys.filterNot(keep).foreach(n =>
       fs.delete(new Path(mdir, n), false): Unit)
   }
+
+  /** The operation-audit line, newline-scrubbed: the body is
+    * line-oriented and self-counted, so a caller's stray newline must
+    * not be able to tear every generation it publishes.
+    */
+  private def infoLineOf(info: Option[String]): Seq[String] =
+    info.toSeq.map(i =>
+      s"info\t${i.replace('\n', ' ').replace('\r', ' ')}")
 
   /** Generation file names, oldest → newest (vacuum's pruning input
     * and the time-travel coordinate list — checkpoints and deltas
@@ -741,12 +765,16 @@ object StoreManifest {
     * (0 = this file IS a checkpoint — what the publish cadence
     * rolls over on). The recorded parent makes each generation's
     * lineage auditable and is what the expected-parent CAS in
-    * [[StoreManifest.publish]] verifies.
+    * [[StoreManifest.publish]] verifies. `info` is this generation's
+    * OWN operation-audit string (the Delta commitInfo idea —
+    * `{"op":"compact",…}`), not folded through the chain: each
+    * commit describes itself.
     */
   final case class Snapshot(gen: String, parent: Option[String],
       entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
-      dead: Seq[Dead], depth: Int = 0) {
+      dead: Seq[Dead], depth: Int = 0,
+      info: Option[String] = None) {
     def deadRels: Set[String] = dead.map(_.rel).toSet
   }
 

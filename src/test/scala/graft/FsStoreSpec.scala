@@ -938,6 +938,38 @@ class FsStoreSpec extends SparkSpec {
     assert(store.read(None, None).get.count() == live)
   }
 
+  test("each generation records its operation: compact/expire/vacuum " +
+      "audit lines survive the fold; pre-audit generations read as None") {
+    import graft.store.{StoreFs, StoreManifest}
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day = 86400L * 1000000L
+    store.writeStaged((1L to 8L).map(i =>
+        (i, t0 + (i % 4) * day + i * 60L * 1000000L, i))
+      .toDF("id", "start", "trace_id"))
+    store.compact(granularity = "day")
+    def newestInfo() = store.generationInfo(store.generations().last)
+    assert(newestInfo().exists(i =>
+      i.contains(""""op":"compact"""") &&
+        i.contains(""""granularity":"day"""")), s"got ${newestInfo()}")
+    store.expire(t0 + 2L * day): Unit
+    assert(newestInfo().exists(i => i.contains(""""op":"expire"""") &&
+      i.contains("\"retired\":")), s"got ${newestInfo()}")
+    store.vacuum(graceMs = 0L)
+    assert(newestInfo().exists(_.contains(""""op":"vacuum"""")),
+      s"got ${newestInfo()}")
+    // every retained generation still folds, each with its OWN info
+    // (the audit is per-commit, not inherited through the chain)
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(s"$root/span"))
+    val m = new StoreManifest(fsys, s"$root/span")
+    store.generations().foreach(g => assert(m.readGen(g).isDefined))
+    // a pre-audit generation (no info line — the old on-disk form, or
+    // any third-party publisher that omits it) reads as None
+    val snap = m.read().get
+    m.publish(snap.entries, snap.schema, snap.dead, Some(snap.gen))
+    assert(store.generationInfo(store.generations().last).isEmpty)
+  }
+
   test("checkpoint bodies are gzip on disk, read back exactly; plain " +
       "legacy checkpoints still read; truncated gzip falls back whole") {
     import graft.store.{StoreFs, StoreManifest}

@@ -253,6 +253,11 @@ class HttpApiSpec extends SparkSpec {
       val (scG, gensBody) = get(port, "/api/generations/log")
       assert(scG == 200 && gensBody.contains("gen-"), gensBody)
       assert(get(port, "/api/generations/nope")._1 == 404)
+      // info=true: each coordinate carries its operation audit —
+      // which commit was the compaction, what the expiry cut
+      val (scI, infoBody) = get(port, "/api/generations/log?info=true")
+      assert(scI == 200 && infoBody.contains("\"op\":\"compact\"") &&
+        infoBody.contains("\"op\":\"expire\""), infoBody)
       val gens = engine.generations("log")
       assert(gens.size == 2)
       val win = s"start=${t0 - 1000000L}&end=${t0 + day + 1000000L}"
