@@ -583,12 +583,18 @@ object ScaleProbe {
       var rollNs = 0L; var rollBytes = 0L; var rolls = 0
       val pubs = 10
       (0 until pubs).foreach { k =>
-        // the flush-cadence shape: each commit lands 10 new files
-        entries = entries ++ (0 until 10).map(i => StoreManifest.Entry(
+        // the flush-cadence shape: each commit lands 10 new files,
+        // patch-shaped like the store's own mutations (round 18:
+        // compactDate/expire/vacuum publish their KNOWN deltas, so
+        // the commit is O(delta) CPU — no full-list diff)
+        val newFiles = (0 until 10).map(i => StoreManifest.Entry(
           f"date=2024-01-16/part-$k%03d-$i.parquet", 1234567L,
           1700000100000L + k))
+        entries = entries ++ newFiles
         val t0 = System.nanoTime()
-        m.publish(entries, None, Nil, parent)
+        m.publishPatch(adds = newFiles, drops = Nil,
+          deadPlus = Nil, deadMinus = Nil, schema = None,
+          parent = parent.get)
         val dt = System.nanoTime() - t0
         val t1 = System.nanoTime()
         val snap = m.readState()._1.get

@@ -661,16 +661,26 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     beforeCommit()
     fence()
     val now = System.currentTimeMillis()
-    val kept = mainEntries.filterNot(e =>
-      logicalRel(e.rel).startsWith(part + "/"))
     val rewritten = manifest.walkSubtree(gen)
-    manifest.publish(kept ++ rewritten,
-      t.flatMap(_.schema),
-      t.map(_.dead).getOrElse(Nil) ++
-        eD.map(e => StoreManifest.Dead(e.rel, now)),
-      parent = t.map(_.gen),
-      info = Some(s"""{"op":"compactDate","date":"$part",""" +
-        s""""wrote":${rewritten.size},"retired":${eD.size}}"""))
+    val info = Some(s"""{"op":"compactDate","date":"$part",""" +
+      s""""wrote":${rewritten.size},"retired":${eD.size}}""")
+    t match {
+      case Some(snap) =>
+        // patch-shaped: this mutation KNOWS its delta (the one date it
+        // rewrote) — O(date), not O(table), per commit
+        manifest.publishPatch(
+          adds = rewritten,
+          drops = eD.map(_.rel),
+          deadPlus = eD.map(e => StoreManifest.Dead(e.rel, now)),
+          deadMinus = Nil,
+          schema = snap.schema, parent = snap.gen, info = info)
+      case None => // first ever publish: absolute by construction
+        val kept = mainEntries.filterNot(e =>
+          logicalRel(e.rel).startsWith(part + "/"))
+        manifest.publish(kept ++ rewritten, None,
+          eD.map(e => StoreManifest.Dead(e.rel, now)),
+          parent = None, info = info)
+    }
   }
 
   /** Compact the small files the minute-grained ingest leaves behind:
@@ -887,8 +897,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     if (ripe.nonEmpty) snap.foreach { s =>
       val ripeSet = ripe.map(_.rel).toSet
       fence()
-      manifest.publish(s.entries, s.schema,
-        s.dead.filterNot(d => ripeSet(d.rel)), parent = Some(s.gen),
+      // patch-shaped: the reclaim's delta is exactly the ripe
+      // tombstone list — no O(table) entry diff on a maintenance tick
+      manifest.publishPatch(adds = Nil, drops = Nil,
+        deadPlus = Nil, deadMinus = ripe.map(_.rel),
+        schema = s.schema, parent = s.gen,
         info = Some(s"""{"op":"vacuum","reclaimed":${ripe.size}}"""))
     }
     // 3. prune retained generations past the grace window (newest kept
@@ -1099,11 +1112,17 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         if (droppedE.isEmpty && stagedDead.isEmpty) return (0, 0)
         val now = System.currentTimeMillis()
         fence()
-        manifest.publish(kept, None,
-          t.dead ++ (droppedE.map(_.rel) ++
+        // patch-shaped: the expiry's delta is exactly the dropped
+        // dates' entries. schema=None keeps the documented
+        // drifted-column contract (readers fall back to footer
+        // inference after an expire), same as the absolute form.
+        manifest.publishPatch(adds = Nil,
+          drops = droppedE.map(_.rel),
+          deadPlus = (droppedE.map(_.rel) ++
             stagedDead.map(s => s"_staging/${s.getPath.getName}"))
             .map(StoreManifest.Dead(_, now)),
-          parent = Some(t.gen),
+          deadMinus = Nil,
+          schema = None, parent = t.gen,
           info = Some(s"""{"op":"expire","cutoffDate":"$cutoffDate",""" +
             s""""retired":${droppedE.size + stagedDead.size}}"""))
         (droppedE.map(e => logicalRel(e.rel).takeWhile(_ != '/'))

@@ -530,6 +530,15 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       Iterator(s"count=${lines.size}") ++ parentLine ++ schemaLine ++
         infoLineOf(info) ++ deadLines.sorted ++ lines.sorted
     }
+    commitBody(bodyLines, ext, parent)
+  }
+
+  /** The shared commit tail both publish forms go through: stream the
+    * body into a temp file (gzip for checkpoints), expected-parent
+    * CAS, the rename atom, post-rename conflict rollback, retention.
+    */
+  private def commitBody(bodyLines: Iterator[String], ext: String,
+      parent: Option[String]): Unit = {
     fs.mkdirs(mdir): Unit
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(mdir, s".tmp-$uuid")
@@ -629,6 +638,89 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     val keep = heads.flatMap(chainNames(_, statuses)).toSet
     statuses.keys.filterNot(keep).foreach(n =>
       fs.delete(new Path(mdir, n), false): Unit)
+  }
+
+  /** Patch-shaped publish — O(delta) CPU per commit, the form the
+    * store's own mutations use: they KNOW their deltas (the date they
+    * rewrote, the files they retired, the tombstones they reclaimed),
+    * so re-deriving the patch by diffing two full entry lists — the
+    * absolute-signature [[publish]]'s measured bulk at 10⁶ files — is
+    * pure waste on the flush/maintenance cadence. Writes a `.delta`
+    * directly from the caller's patch when the chain is short; folds
+    * the parent and writes the absolute checkpoint on cadence
+    * rollover, or when the patch rivals the table's size (same
+    * size heuristic as the absolute form, parent size approximated
+    * from the raw chain's counts — the choice is cosmetic, both forms
+    * fold identically). `schema` carries the same ABSOLUTE semantics
+    * as a delta body's schema line (None = readers fall back to
+    * footer inference — expire's drifted-column contract). Same CAS +
+    * rename atom + rollback + retention as [[publish]]. Requires a
+    * parent by construction: a first publish has no delta to speak
+    * of. Throws IllegalStateException when the parent no longer folds
+    * at rollover time (the caller's planning snapshot is gone —
+    * re-plan, like a CAS failure).
+    */
+  def publishPatch(adds: Seq[Entry], drops: Seq[String],
+      deadPlus: Seq[Dead], deadMinus: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      parent: String, info: Option[String] = None): Unit = {
+    val normSchema = schema.map(StoreManifest.allNullable)
+    val statuses = genStatuses()
+    // raw-chain walk (memoized parses, no entry fold): depth for the
+    // rollover decision and an approximate parent size for the
+    // delta-vs-checkpoint heuristic
+    val chain = chainNames(parent, statuses)
+    val chainRaws = chain.flatMap(n => statuses.get(n).flatMap(parseRaw))
+    val chainWhole = chainRaws.size == chain.size &&
+      chainRaws.lastOption.exists(_.isInstanceOf[FullGen])
+    val depth = chain.size - 1
+    // what a checkpoint would cost ≈ the RESULTING table's size (the
+    // same yardstick the absolute form uses); approximated from the
+    // raw chain's counts — adds that overwrite and drops of absent
+    // rels skew it, but the choice is cosmetic: both forms fold
+    // identically
+    val approxNewSize = chainRaws.map {
+      case f: FullGen => f.entries.size.toLong
+      case d: DeltaGen => (d.adds.size - d.drops.size).toLong
+    }.sum + adds.size - drops.size
+    val patchLines = adds.size + drops.size +
+      deadPlus.size + deadMinus.size
+    if (chainWhole && depth + 1 < CheckpointEvery &&
+        patchLines < math.max(1L, approxNewSize)) {
+      val lines = s"parent\t$parent" +:
+        (normSchema.toSeq.map(s => s"schema\t${s.json}") ++
+          infoLineOf(info) ++
+          drops.sorted.map(r => s"del\t$r") ++
+          deadMinus.sorted.map(r => s"dead-\t$r") ++
+          deadPlus.map(d => s"dead+\t${d.rel}\t${d.millis}").sorted ++
+          adds.map(e => s"add\t${e.rel}\t${e.size}\t${e.mtime}").sorted)
+      commitBody((s"delta=${lines.size}" +: lines).iterator, ".delta",
+        Some(parent))
+    } else {
+      // rollover (or outsized patch / broken chain): fold the parent
+      // once — the amortized O(table) the cadence pays every
+      // CheckpointEvery commits — apply the patch, checkpoint
+      val ps = fold(parent, statuses).getOrElse(throw new
+        IllegalStateException(s"$tableDir: publishPatch parent " +
+          s"$parent no longer folds — re-plan and retry"))
+      val entryMap = scala.collection.mutable.LinkedHashMap
+        .from(ps.entries.map(e => e.rel -> e))
+      drops.foreach(entryMap.remove(_): Unit)
+      adds.foreach(e => entryMap(e.rel) = e)
+      val deadMap = scala.collection.mutable.LinkedHashMap
+        .from(ps.dead.map(d => d.rel -> d))
+      deadMinus.foreach(deadMap.remove(_): Unit)
+      deadPlus.foreach(d => deadMap(d.rel) = d)
+      val lines = entryMap.valuesIterator
+        .map(e => s"${e.rel}\t${e.size}\t${e.mtime}").toSeq
+      val deadLines = deadMap.valuesIterator
+        .map(d => s"dead\t${d.rel}\t${d.millis}").toSeq
+      commitBody(
+        Iterator(s"count=${lines.size}", s"parent\t$parent") ++
+          normSchema.toSeq.map(s => s"schema\t${s.json}") ++
+          infoLineOf(info) ++ deadLines.sorted ++ lines.sorted,
+        ".list", Some(parent))
+    }
   }
 
   /** The operation-audit line, newline-scrubbed: the body is

@@ -938,6 +938,65 @@ class FsStoreSpec extends SparkSpec {
     assert(store.read(None, None).get.count() == live)
   }
 
+  test("publishPatch writes O(delta) commits: folds agree with the " +
+      "absolute form, rollover and outsized patches checkpoint, " +
+      "stale parents are rejected") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("patchpub")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    val mdir = new org.apache.hadoop.fs.Path(local.toString, "_manifest")
+    def newest() = fsys.listStatus(mdir)
+      .filter(_.getPath.getName.startsWith("gen-"))
+      .maxBy(_.getPath.getName).getPath.getName
+    val base = (0 until 1000).map(i => StoreManifest.Entry(
+      f"date=2024-01-15/part-$i%04d.parquet", 100L + i, 1L))
+    m.publish(base, None, Nil, None)
+    // a small patch lands as a delta and folds exactly
+    m.publishPatch(
+      adds = Seq(StoreManifest.Entry("date=2024-01-16/a.parquet", 1L, 2L)),
+      drops = Seq(base.head.rel),
+      deadPlus = Seq(StoreManifest.Dead(base.head.rel, 5L)),
+      deadMinus = Nil, schema = None, parent = m.read().get.gen,
+      info = Some("""{"op":"spec"}"""))
+    assert(newest().endsWith(".delta"))
+    val snap = m.read().get
+    assert(snap.entries.size == 1000 &&
+      snap.entries.exists(_.rel == "date=2024-01-16/a.parquet") &&
+      !snap.entries.exists(_.rel == base.head.rel) &&
+      snap.dead.map(_.rel) == Seq(base.head.rel) &&
+      snap.info.contains("""{"op":"spec"}"""))
+    // tombstone reclaim (vacuum's shape) is a delta too
+    m.publishPatch(Nil, Nil, Nil, deadMinus = Seq(base.head.rel),
+      schema = None, parent = snap.gen)
+    assert(newest().endsWith(".delta") && m.read().get.dead.isEmpty)
+    // a patch that rivals the table's size rolls a checkpoint instead
+    m.publishPatch(Nil, drops = base.drop(1).map(_.rel),
+      deadPlus = Nil, deadMinus = Nil, schema = None,
+      parent = m.read().get.gen)
+    assert(newest().endsWith(".list"),
+      "an outsized patch must write a checkpoint")
+    assert(m.read().get.entries.map(_.rel) ==
+      Seq("date=2024-01-16/a.parquet"))
+    // cadence rollover: CheckpointEvery patches on, a fresh checkpoint
+    var parent = m.read().get.gen
+    (0 until StoreManifest.CheckpointEvery + 1).foreach { k =>
+      m.publishPatch(Seq(StoreManifest.Entry(s"date=2024-01-17/p$k.parquet",
+        1L, 1L)), Nil, Nil, Nil, None, parent)
+      parent = m.read().get.gen
+    }
+    assert(m.genNames().count(_.endsWith(".list")) >= 2 ||
+      m.read().get.depth < StoreManifest.CheckpointEvery)
+    assert(m.read().get.entries.size ==
+      1 + StoreManifest.CheckpointEvery + 1)
+    // a stale parent is rejected whole, nothing lands
+    val before = m.genNames()
+    intercept[StoreManifest.ConcurrentCommitException] {
+      m.publishPatch(Nil, Nil, Nil, Nil, None, before.head)
+    }
+    assert(m.genNames() == before)
+  }
+
   test("each generation records its operation: compact/expire/vacuum " +
       "audit lines survive the fold; pre-audit generations read as None") {
     import graft.store.{StoreFs, StoreManifest}
