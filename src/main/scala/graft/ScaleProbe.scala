@@ -564,7 +564,7 @@ object ScaleProbe {
       val fs = StoreFs.fs(new Path(local.toString))
       val m = new StoreManifest(fs, local.toString)
       val mdir = new Path(local.toString, "_manifest")
-      var entries = (0 until n).map(i => StoreManifest.Entry(
+      val entries = (0 until n).map(i => StoreManifest.Entry(
         f"date=2024-01-15/hour=${i / 3600 % 24}%02d/minute=${i / 60 % 60}%02d/part-$i%07d.parquet",
         1234567L, 1700000000000L + i))
       // the checkpoint: the once-per-CheckpointEvery O(files) cost
@@ -590,7 +590,6 @@ object ScaleProbe {
         val newFiles = (0 until 10).map(i => StoreManifest.Entry(
           f"date=2024-01-16/part-$k%03d-$i.parquet", 1234567L,
           1700000100000L + k))
-        entries = entries ++ newFiles
         val t0 = System.nanoTime()
         m.publishPatch(adds = newFiles, drops = Nil,
           deadPlus = Nil, deadMinus = Nil, schema = None,

@@ -118,7 +118,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * pre-audit ones (the line is optional in the format).
     */
   def generationInfo(gen: String): Option[String] =
-    manifest.readGen(gen).flatMap(_.info)
+    manifest.genInfo(gen)
 
   /** The MAIN table as of one retained generation — time travel, the
     * capability the commit protocol gives for free: a generation's
@@ -662,7 +662,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     fence()
     val now = System.currentTimeMillis()
     val rewritten = manifest.walkSubtree(gen)
-    val info = Some(s"""{"op":"compactDate","date":"$part",""" +
+    val info = Some(s"""{"op":"compactDate","date":"$date",""" +
       s""""wrote":${rewritten.size},"retired":${eD.size}}""")
     t match {
       case Some(snap) =>

@@ -33,6 +33,14 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * generation file is immutable, so parses are memoized by
   * name/size/mtime and a warm planner re-GETs nothing).
   *
+  * Format-compat contract: the delta-log form (and the optional
+  * `info` audit line) is FORWARD-only — a pre-round-18 binary cannot
+  * read `.delta` generations or info-bearing bodies (its self-count
+  * rejects them whole and it degrades to listing mode). Single-
+  * engine-version deployments are assumed, the same contract as
+  * Delta's writer-version features; the NEW code reads every older
+  * on-disk form forever (plain checkpoints, info-less bodies).
+  *
   * Snapshot-isolation contract (round-16, unchanged): the manifest
   * generation IS the commit point for every layout mutation. Rewrites
   * land in immutable `_gen-*` trees and become visible only when a new
@@ -172,6 +180,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private val parseMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Long), Option[RawGen]]
   private val parseMemoEntries = new java.util.concurrent.atomic.AtomicLong
+  private val parseMemoLargest = new java.util.concurrent.atomic.AtomicLong
 
   private def parseRaw(st: FileStatus): Option[RawGen] = {
     // bound the memo two ways: by FILE count (a cadence-committing
@@ -179,23 +188,31 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // every checkpoint ever retained) and by cumulative cached ENTRY
     // count — at the 100 TB tier one checkpoint's parse holds ~10⁶
     // Entry objects (~150 MB), so a count-only cap would admit
-    // gigabytes. The working set is the current chain + retained
-    // heads (≤ KeepGens + CheckpointEvery files, usually one
-    // checkpoint among them), so a whole-cache reset on overflow
-    // costs one re-read of exactly that working set.
+    // gigabytes. The entry bound scales with the largest single item:
+    // one checkpoint of a huge table legitimately exceeds the static
+    // cap on its own, and clearing the irreducible working head (the
+    // chain's one checkpoint + its tiny deltas) on every parse would
+    // re-gunzip the multi-MB body per plan — so a reset fires only
+    // once a SECOND item of that magnitude accumulates. The working
+    // set re-read after a reset is the current chain + retained heads
+    // (≤ KeepGens + CheckpointEvery files).
+    val entryCap = math.max(StoreManifest.MemoEntryCap,
+      2L * parseMemoLargest.get)
     if (parseMemo.size > StoreManifest.ParseMemoCap ||
-        parseMemoEntries.get > StoreManifest.MemoEntryCap) {
+        parseMemoEntries.get > entryCap) {
       parseMemo.clear()
       parseMemoEntries.set(0)
     }
     parseMemo.getOrElseUpdate(
       (st.getPath.getName, st.getLen, st.getModificationTime), {
         val parsed = parseRawUncached(st.getPath)
-        parseMemoEntries.addAndGet(parsed match {
+        val n = parsed match {
           case Some(f: FullGen) => f.entries.size.toLong
           case Some(d: DeltaGen) => d.adds.size.toLong
           case None => 0L
-        }): Unit
+        }
+        parseMemoEntries.addAndGet(n): Unit
+        parseMemoLargest.getAndAccumulate(n, math.max(_, _)): Unit
         parsed
       })
   }
@@ -360,6 +377,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private val foldMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Long), Option[Snapshot]]
   private val foldMemoEntries = new java.util.concurrent.atomic.AtomicLong
+  private val foldMemoLargest = new java.util.concurrent.atomic.AtomicLong
 
   private def fold(name: String,
       statuses: Map[String, FileStatus]): Option[Snapshot] =
@@ -368,17 +386,23 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       case Some(st) =>
         // double cap like parseMemo's: each cached fold holds a FULL
         // entry list, so 16 heads of a million-file table would be
-        // ~2.4 GB under a count-only bound
-        if (foldMemo.size > 16 ||
-            foldMemoEntries.get > StoreManifest.MemoEntryCap) {
+        // ~2.4 GB under a count-only bound. Scaled by the largest
+        // single fold for the same reason as parseMemo's — the one
+        // working head must stay cached however large the table.
+        val entryCap = math.max(StoreManifest.MemoEntryCap,
+          2L * foldMemoLargest.get)
+        if (foldMemo.size > 16 || foldMemoEntries.get > entryCap) {
           foldMemo.clear()
           foldMemoEntries.set(0)
         }
         foldMemo.getOrElseUpdate(
           (name, st.getLen, st.getModificationTime), {
             val snap = foldUncached(name, statuses)
-            snap.foreach(s =>
-              foldMemoEntries.addAndGet(s.entries.size.toLong): Unit)
+            snap.foreach { s =>
+              foldMemoEntries.addAndGet(s.entries.size.toLong): Unit
+              foldMemoLargest.getAndAccumulate(
+                s.entries.size.toLong, math.max(_, _)): Unit
+            }
             snap
           })
     }
@@ -751,6 +775,19 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   def readGen(name: String): Option[Snapshot] =
     if (!name.startsWith("gen-")) None
     else fold(name, genStatuses())
+
+  /** One generation's OWN operation-audit string WITHOUT folding its
+    * chain: the info line is per-commit raw metadata, so a memoized
+    * single-file parse answers it — listing every retained
+    * generation's audit (the `?info=true` route) must not pay
+    * KeepGens × O(table) folds.
+    */
+  def genInfo(name: String): Option[String] =
+    if (!name.startsWith("gen-")) None
+    else genStatuses().get(name).flatMap(parseRaw).flatMap {
+      case f: FullGen => f.info
+      case d: DeltaGen => d.info
+    }
 
   /** The newest READABLE generation's snapshot, or None when no
     * generation folds whole — the caller then treats the store as
