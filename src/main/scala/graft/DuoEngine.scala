@@ -367,6 +367,18 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def generationInfo(table: String, gen: String): Option[String] =
     if (memoryMode) None else storeOf(table).generationInfo(gen)
 
+  /** A named durable incremental CDC consumer over one table's
+    * generation history (see [[graft.store.CdcFeed]]): poll the
+    * unconsumed increment, commit the cursor when it is safely down —
+    * at-least-once, resync-on-retention-gap. Unavailable in memory
+    * mode (no generations to feed from).
+    */
+  def cdcFeed(table: String, consumer: String,
+      keyCols: Seq[String] = Nil): graft.store.CdcFeed = {
+    require(!memoryMode, "cdcFeed needs a parquet store (memory mode)")
+    storeOf(table).cdcFeed(consumer, keyCols)
+  }
+
   private def storeOf(table: String): ParquetStore = table match {
     case "span" => spanStore
     case "log" => logStore

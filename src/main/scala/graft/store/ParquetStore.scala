@@ -120,6 +120,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def generationInfo(gen: String): Option[String] =
     manifest.genInfo(gen)
 
+  /** A named durable incremental CDC consumer over this store's
+    * generation history — see [[CdcFeed]]. `keyCols` nonEmpty makes
+    * increments row-exact under any lineage (the g16 semantics);
+    * empty keeps them file-granular.
+    */
+  def cdcFeed(consumer: String, keyCols: Seq[String] = Nil): CdcFeed =
+    new CdcFeed(this, fs, dir, consumer, keyCols)
+
   /** The MAIN table as of one retained generation — time travel, the
     * capability the commit protocol gives for free: a generation's
     * entries still name on-disk files until vacuum's grace passes, so

@@ -938,6 +938,58 @@ class FsStoreSpec extends SparkSpec {
     assert(store.read(None, None).get.count() == live)
   }
 
+  test("CdcFeed: snapshot resync first, row-exact increments after, " +
+      "cursor survives restarts, retention gap forces a flagged resync") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day = 86400L * 1000000L
+    def batch(ids: Seq[Long], dayOff: Long) =
+      ids.map(i => (i, t0 + dayOff * day + i * 60L * 1000000L, i * 10L))
+        .toDF("id", "start", "trace_id")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+    store.writeStaged(batch(Seq(1L, 2L, 3L), 0))
+    store.compact()
+    val feed = store.cdcFeed("spec-consumer", keyCols = Seq("id"))
+    // first poll: the full snapshot, flagged resync
+    val first = feed.poll().get
+    assert(first.resync && ids(first.added) == Set(1L, 2L, 3L) &&
+      first.removed.isEmpty)
+    feed.commit(first.toGen)
+    assert(feed.poll().isEmpty, "committed to newest = caught up")
+    // a whole-table compact between generations: keyed increments are
+    // row-exact — only the truly-new rows, despite every file moving
+    store.writeStaged(batch(Seq(4L, 5L), 1))
+    store.compact()
+    val inc = feed.poll().get
+    assert(!inc.resync && ids(inc.added) == Set(4L, 5L))
+    assert(inc.removed.forall(r => ids(r).isEmpty))
+    // polling again before commit re-delivers (at-least-once)
+    assert(ids(feed.poll().get.added) == Set(4L, 5L))
+    feed.commit(inc.toGen)
+    // the delete side: expire cuts day 0 — the increment carries the
+    // invalidated keys
+    store.expire(t0 + day): Unit
+    val del = feed.poll().get
+    assert(!del.resync && ids(del.added).isEmpty &&
+      del.removed.exists(r => ids(r) == Set(1L, 2L, 3L)))
+    feed.commit(del.toGen)
+    // a NEW instance (restart) reads the same durable cursor
+    assert(store.cdcFeed("spec-consumer", Seq("id")).poll().isEmpty)
+    // independent consumers have independent cursors
+    assert(store.cdcFeed("other", Seq("id")).poll().get.resync)
+    // retention gap: churn enough commits that the cursor's
+    // generation is pruned, then vacuum — poll must RESYNC, flagged,
+    // with the full current table
+    (0 until graft.store.StoreManifest.KeepGens + 1).foreach { _ =>
+      store.compact() }
+    store.vacuum(graceMs = 0L)
+    val gap = feed.poll().get
+    assert(gap.resync && ids(gap.added) == Set(4L, 5L))
+    feed.commit(gap.toGen)
+    assert(feed.poll().isEmpty)
+  }
+
   test("publishPatch writes O(delta) commits: folds agree with the " +
       "absolute form, rollover and outsized patches checkpoint, " +
       "stale parents are rejected") {
