@@ -19,6 +19,17 @@ import org.apache.spark.sql.DataFrame
   * build by committing the cursor transactionally with its sink —
   * the same contract as a Kafka consumer group's offsets.
   *
+  * Increment sides are Options because "no rows on this side" and
+  * "diff not computable" are different facts: a pure-housekeeping
+  * commit (vacuum's tombstone reclaim) or a delete-only commit
+  * (expire) still delivers, with the empty side None — the consumer
+  * advances its cursor through data-less generations instead of
+  * misreading them as a gap. Computability is verified against the
+  * retained generation set BEFORE and AFTER the diffs are built, so a
+  * vacuum pruning the cursor's generation mid-poll can never yield a
+  * half-increment (adds without their deletes): the post-check
+  * downgrades it to a resync.
+  *
   * Retention interaction: an increment is computable only while the
   * cursor's generation is retained (manifest heads + vacuum grace —
   * the window that also bounds time travel). A consumer that falls
@@ -39,82 +50,116 @@ final class CdcFeed private[store] (store: ParquetStore,
     c.isLetterOrDigit || c == '-' || c == '_'),
     s"consumer name must be [A-Za-z0-9_-]+: '$consumer'")
 
-  private def cursorPath = new Path(tableDir, s"_cdc/$consumer.cursor")
+  private def cdcDir = new Path(tableDir, "_cdc")
+
+  // cursor commits rename to a NEW unique name (like manifest
+  // generations) and prune older ones afterwards — there is never a
+  // delete-then-recreate window on a single path, so a crash at any
+  // point leaves the previous cursor standing and a concurrent reader
+  // always finds A maximum. <consumer>.cursor-<millis>-<uuid>
+  private def cursorFiles(): Seq[String] =
+    StoreFs.list(fs, cdcDir).map(_.getPath.getName)
+      .filter(_.startsWith(s"$consumer.cursor-"))
 
   /** The committed cursor: the newest generation this consumer has
     * fully processed. None before the first [[commit]].
     */
-  def cursor(): Option[String] =
-    if (!fs.exists(cursorPath)) None
-    else {
-      val in = fs.open(cursorPath)
-      val raw = try in.readAllBytes() finally in.close()
-      Some(new String(raw, java.nio.charset.StandardCharsets.UTF_8).trim)
-        .filter(_.startsWith("gen-"))
+  def cursor(): Option[String] = cursor(retriesLeft = 1)
+
+  private def cursor(retriesLeft: Int): Option[String] =
+    cursorFiles().maxOption.flatMap { name =>
+      // a concurrent commit may prune `name` between the listing and
+      // the read — re-list once; the newer cursor it renamed in is
+      // there (prune runs strictly after the rename)
+      try StoreFs.readString(
+          new Path(cdcDir, name).toString)
+        .map(_.trim).filter(_.startsWith("gen-"))
+      catch {
+        case _: java.io.IOException if retriesLeft > 0 =>
+          cursor(retriesLeft - 1)
+      }
     }
 
   /** The unconsumed increment, or None when the consumer is caught up
     * (or the table has no generation yet). `added` rows are inserts
     * since the cursor (row-exact when the feed was built with
     * `keyCols`, file-granular otherwise — same caveats as the diff
-    * surfaces); `removed` is the delete side, None on resync. Call
-    * [[commit]] with the increment's `toGen` once the rows are safely
-    * down; polling again before that re-delivers.
+    * surfaces) and `removed` the delete side; either is None when
+    * that side has no rows. Call [[commit]] with the increment's
+    * `toGen` once the rows are safely down; polling again before
+    * that re-delivers.
     */
   def poll(): Option[CdcFeed.Increment] = {
-    val gens = store.generations()
-    val newest = gens.lastOption.getOrElse(return None)
+    val newest = store.generations().lastOption.getOrElse(return None)
     cursor() match {
       case Some(c) if c == newest => None // caught up
-      case Some(c) =>
+      case Some(c) if store.generationReadable(c) &&
+          store.generationReadable(newest) =>
         val added =
           if (keyCols.nonEmpty) store.changesBetween(c, newest, keyCols)
           else store.changesBetween(c, newest)
-        added match {
-          case Some(df) =>
-            val removed =
-              if (keyCols.nonEmpty)
-                store.removedBetween(c, newest, keyCols)
-              else store.removedBetween(c, newest)
-            Some(CdcFeed.Increment(newest, df, removed, resync = false))
-          case None => resyncTo(newest) // cursor outran by retention
-        }
+        val removed =
+          if (keyCols.nonEmpty) store.removedBetween(c, newest, keyCols)
+          else store.removedBetween(c, newest)
+        // post-check: if retention pruned c while the diffs were being
+        // planned, one side may have quietly come back None-for-the-
+        // wrong-reason — a half increment (adds without their deletes)
+        // must downgrade to a resync, never commit as truth
+        if (store.generationReadable(c))
+          Some(CdcFeed.Increment(newest, added, removed, resync = false))
+        else resyncTo(newest)
+      case Some(_) => resyncTo(newest) // cursor outran by retention
       case None => resyncTo(newest) // first poll: snapshot, like
                                     // Delta's startingVersion=latest-full
     }
   }
 
+  /** Full-snapshot delivery: `added` is the whole table as of
+    * `newest` (None when that table is EMPTY — an empty resync still
+    * delivers, so a consumer that fell behind a delete-everything
+    * expiry learns to truncate).
+    */
   private def resyncTo(newest: String): Option[CdcFeed.Increment] =
-    store.readGeneration(newest)
-      .map(df => CdcFeed.Increment(newest, df, None, resync = true))
+    if (!store.generationReadable(newest)) None // corrupt head: retry later
+    else Some(CdcFeed.Increment(newest, store.readGeneration(newest),
+      None, resync = true))
 
-  /** Durably advance the cursor to `gen` (an increment's `toGen`) —
-    * temp-write + rename, the same atom as a manifest commit, so a
-    * torn cursor can never be read (rename publishes whole files) and
-    * a crash mid-commit leaves the previous cursor standing.
+  /** Durably advance the cursor to `gen` (an increment's `toGen`):
+    * temp-write + rename to a fresh unique cursor file, then best-
+    * effort prune of the older ones — the same publish discipline as
+    * a manifest generation, so a crash at ANY point leaves a readable
+    * cursor (the previous one, or both with the new one winning the
+    * max), never none and never a torn body.
     */
   def commit(gen: String): Unit = {
     require(gen.startsWith("gen-"), s"not a generation name: '$gen'")
-    fs.mkdirs(cursorPath.getParent): Unit
-    val tmp = new Path(cursorPath.getParent,
-      s".tmp-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(cdcDir): Unit
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new Path(cdcDir, s".tmp-$uuid")
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(cursorPath)) fs.delete(cursorPath, false): Unit
-    if (!fs.rename(tmp, cursorPath))
-      throw new java.io.IOException(s"cursor commit failed: $cursorPath")
+    val cur = new Path(cdcDir,
+      f"$consumer.cursor-${System.currentTimeMillis()}%019d-$uuid")
+    if (!fs.rename(tmp, cur)) {
+      fs.delete(tmp, false): Unit
+      throw new java.io.IOException(s"cursor commit failed: $cur")
+    }
+    cursorFiles().filter(_ < cur.getName).foreach(n =>
+      fs.delete(new Path(cdcDir, n), false): Unit)
   }
 }
 
 object CdcFeed {
-  /** One unconsumed increment: consume `added` (and invalidate
-    * `removed` when present), then [[CdcFeed.commit]] `toGen`. When
+  /** One unconsumed increment: consume `added` (inserts) and
+    * `removed` (invalidations) — None on a side means no rows there,
+    * e.g. a housekeeping commit delivers with both None and the
+    * consumer just advances — then [[CdcFeed.commit]] `toGen`. When
     * `resync` is true the poll could not compute a diff (first poll,
     * or the cursor's generation was pruned by retention): `added` is
-    * the FULL table as of `toGen` and the consumer must
-    * truncate-and-reload rather than append.
+    * the FULL table as of `toGen` (None = that table is empty) and
+    * the consumer must truncate-and-reload rather than append.
     */
-  final case class Increment(toGen: String, added: DataFrame,
+  final case class Increment(toGen: String, added: Option[DataFrame],
       removed: Option[DataFrame], resync: Boolean)
 }

@@ -114,11 +114,23 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   /** One retained generation's operation-audit string (the Delta
     * commitInfo idea): which operation published it and its shape,
     * e.g. `{"op":"compact","granularity":"day","wrote":3,
-    * "retired":7}`. None for pruned/corrupt generations and for
-    * pre-audit ones (the line is optional in the format).
+    * "retired":7}`. None for pruned generations, torn generation
+    * FILES, and pre-audit ones (the line is optional in the format).
+    * The audit is per-commit metadata read from the head file alone —
+    * a head whose delta CHAIN lost a link still reports its own line
+    * even though [[readGeneration]] rejects it; audit and readability
+    * are separate claims.
     */
   def generationInfo(gen: String): Option[String] =
     manifest.genInfo(gen)
+
+  /** Whether one generation currently FOLDS whole (named, uncorrupt,
+    * full chain) — the readability probe [[CdcFeed]] brackets its
+    * diffs with. Distinct from "has rows": an empty table's
+    * generation is readable.
+    */
+  def generationReadable(gen: String): Boolean =
+    manifest.readGen(gen).isDefined
 
   /** A named durable incremental CDC consumer over this store's
     * generation history — see [[CdcFeed]]. `keyCols` nonEmpty makes

@@ -196,12 +196,18 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // once a SECOND item of that magnitude accumulates. The working
     // set re-read after a reset is the current chain + retained heads
     // (≤ KeepGens + CheckpointEvery files).
+    // (transiently up to cap + one item before the NEXT call's check
+    // fires — the cap bounds steady state, not a single insert).
+    // largest resets with the cache so a table compacted DOWN a tier
+    // re-learns its working size instead of keeping the historical
+    // high-water cap forever.
     val entryCap = math.max(StoreManifest.MemoEntryCap,
       2L * parseMemoLargest.get)
     if (parseMemo.size > StoreManifest.ParseMemoCap ||
         parseMemoEntries.get > entryCap) {
       parseMemo.clear()
       parseMemoEntries.set(0)
+      parseMemoLargest.set(0)
     }
     parseMemo.getOrElseUpdate(
       (st.getPath.getName, st.getLen, st.getModificationTime), {
@@ -394,6 +400,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         if (foldMemo.size > 16 || foldMemoEntries.get > entryCap) {
           foldMemo.clear()
           foldMemoEntries.set(0)
+          foldMemoLargest.set(0)
         }
         foldMemo.getOrElseUpdate(
           (name, st.getLen, st.getModificationTime), {

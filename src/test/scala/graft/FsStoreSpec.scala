@@ -948,12 +948,14 @@ class FsStoreSpec extends SparkSpec {
         .toDF("id", "start", "trace_id")
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("id").as[Long].collect().toSet
+    def oids(d: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      d.map(ids).getOrElse(Set.empty)
     store.writeStaged(batch(Seq(1L, 2L, 3L), 0))
     store.compact()
     val feed = store.cdcFeed("spec-consumer", keyCols = Seq("id"))
     // first poll: the full snapshot, flagged resync
     val first = feed.poll().get
-    assert(first.resync && ids(first.added) == Set(1L, 2L, 3L) &&
+    assert(first.resync && oids(first.added) == Set(1L, 2L, 3L) &&
       first.removed.isEmpty)
     feed.commit(first.toGen)
     assert(feed.poll().isEmpty, "committed to newest = caught up")
@@ -962,22 +964,29 @@ class FsStoreSpec extends SparkSpec {
     store.writeStaged(batch(Seq(4L, 5L), 1))
     store.compact()
     val inc = feed.poll().get
-    assert(!inc.resync && ids(inc.added) == Set(4L, 5L))
-    assert(inc.removed.forall(r => ids(r).isEmpty))
+    assert(!inc.resync && oids(inc.added) == Set(4L, 5L))
+    assert(oids(inc.removed).isEmpty)
     // polling again before commit re-delivers (at-least-once)
-    assert(ids(feed.poll().get.added) == Set(4L, 5L))
+    assert(oids(feed.poll().get.added) == Set(4L, 5L))
     feed.commit(inc.toGen)
     // the delete side: expire cuts day 0 — the increment carries the
-    // invalidated keys
+    // invalidated keys and is NOT a resync
     store.expire(t0 + day): Unit
     val del = feed.poll().get
-    assert(!del.resync && ids(del.added).isEmpty &&
-      del.removed.exists(r => ids(r) == Set(1L, 2L, 3L)))
+    assert(!del.resync && oids(del.added).isEmpty &&
+      oids(del.removed) == Set(1L, 2L, 3L))
     feed.commit(del.toGen)
     // a NEW instance (restart) reads the same durable cursor
     assert(store.cdcFeed("spec-consumer", Seq("id")).poll().isEmpty)
     // independent consumers have independent cursors
     assert(store.cdcFeed("other", Seq("id")).poll().get.resync)
+    // a NON-keyed feed sees the same delete-only commit as a plain
+    // increment (file-granular removed side), never a spurious resync
+    val plain = store.cdcFeed("plain")
+    plain.commit(first.toGen)
+    val pdel = plain.poll().get
+    assert(!pdel.resync && oids(pdel.removed) == Set(1L, 2L, 3L),
+      s"non-keyed delete-only increment: $pdel")
     // retention gap: churn enough commits that the cursor's
     // generation is pruned, then vacuum — poll must RESYNC, flagged,
     // with the full current table
@@ -985,8 +994,18 @@ class FsStoreSpec extends SparkSpec {
       store.compact() }
     store.vacuum(graceMs = 0L)
     val gap = feed.poll().get
-    assert(gap.resync && ids(gap.added) == Set(4L, 5L))
+    assert(gap.resync && oids(gap.added) == Set(4L, 5L))
     feed.commit(gap.toGen)
+    assert(feed.poll().isEmpty)
+    // delete-EVERYTHING reaches the consumer: expire past all days
+    // publishes an empty-table generation, and the caught-up check
+    // must not swallow it
+    store.expire(t0 + 10L * day): Unit
+    val purge = feed.poll().get
+    assert(oids(purge.added).isEmpty &&
+      (purge.resync || oids(purge.removed) == Set(4L, 5L)),
+      s"a purge must deliver: $purge")
+    feed.commit(purge.toGen)
     assert(feed.poll().isEmpty)
   }
 
