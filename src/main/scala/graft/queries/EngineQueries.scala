@@ -473,7 +473,8 @@ object EngineQueries {
     "g13_maintain_live" -> (maintainGate _),
     "g14_time_travel" -> (timeTravelGate _),
     "g15_cdc_incremental" -> (cdcIncrementalGate _),
-    "g16_cdc_keyed" -> (cdcKeyedGate _))
+    "g16_cdc_keyed" -> (cdcKeyedGate _),
+    "g17_cdc_feed" -> (cdcFeedGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -1099,6 +1100,73 @@ object EngineQueries {
       .toDF("kind", "n").orderBy(col("kind"))
   }
 
+  /** g17: the durable CDC consumer FEED driven end-to-end under the
+    * oracle hash — the poll/commit lifecycle over the same pinned
+    * lineage as g16 (gen A = landed evens, gen B = pure hour-grain
+    * re-layout, gen C = the true day-2 odd increment). One result
+    * pins: the first poll is a flagged RESYNC carrying the full
+    * current table; a committed-to-newest consumer is caught up; a
+    * cursor rewound to gen A receives the keyed increment (odd count
+    * + id-sum, zero removals) as a PLAIN increment despite the
+    * re-layout between; and a cursor at the re-layout generation B
+    * receives the identical increment (a re-layout is invisible to a
+    * keyed consumer). The consumer name is fresh per invocation so
+    * repeated runs replay the whole lifecycle against the memoized
+    * store instead of reading a stale cursor.
+    */
+  def cdcFeedGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g17", d) { root =>
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      def timed(df: DataFrame, dayOff: Long) = df.withColumn("time",
+        lit(G06BaseUs + dayOff * 86400000000L) +
+          pmod(col("doc_id"), lit(60)) * 1000000L)
+      val st = new graft.store.ParquetStore(s, root, "documents", "time")
+      st.write(timed(docs.filter(col("doc_id") % 2 === 0), 0L))
+      st.compact() // gen A: the landed corpus
+      st.compact(granularity = "hour") // gen B: pure re-layout
+      st.write(timed(docs.filter(col("doc_id") % 2 =!= 0), 1L))
+      val zone = java.time.ZoneId.of(
+        s.conf.get("spark.sql.session.timeZone"))
+      val day2 = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochSecond(G06BaseUs / 1000000L + 86400L),
+        zone).toString
+      st.compactDate(day2) // gen C: the true day-2 increment
+    }
+    val st = new graft.store.ParquetStore(s, root, "documents", "time")
+    val gens = st.generations()
+    if (gens.size < 3) sys.error(
+      s"g17: expected 3 generations, got ${gens.size}")
+    val consumer = "g17-" + java.util.UUID.randomUUID().toString
+    val feed = st.cdcFeed(consumer, keyCols = Seq("doc_id"))
+    def n(df: Option[DataFrame]): Long = df.map(_.count()).getOrElse(0L)
+    val s0 = feed.poll().getOrElse(sys.error("g17: first poll empty"))
+    if (!s0.resync) sys.error("g17: first poll must be a resync")
+    val resyncN = n(s0.added)
+    feed.commit(s0.toGen)
+    val caughtUp = if (feed.poll().isEmpty) 0L else 1L
+    feed.commit(gens.head) // rewind the cursor to gen A deliberately
+    val i1 = feed.poll().getOrElse(sys.error("g17: rewound poll empty"))
+    if (i1.resync) sys.error("g17: a retained cursor must not resync")
+    val incAgg = i1.added.map(_.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("s")).collect()(0))
+    val incN = incAgg.map(_.getAs[Long]("n")).getOrElse(0L)
+    val incSum = incAgg.map(_.getAs[Long]("s")).getOrElse(0L)
+    val incRemoved = n(i1.removed)
+    feed.commit(gens(1)) // cursor at B: the pure re-layout
+    val i2 = feed.poll().getOrElse(sys.error("g17: B-cursor poll empty"))
+    val incBN = n(i2.added)
+    import s.implicits._
+    Seq(
+      ("caught_up", caughtUp),
+      ("inc_a_n", incN),
+      ("inc_a_removed", incRemoved),
+      ("inc_a_sum", incSum),
+      ("inc_b_n", incBN),
+      ("resync_n", resyncN))
+      .toDF("kind", "n").orderBy(col("kind"))
+  }
+
   /** g07's DuckDB replay — shared VERBATIM with g09 (the coarse-layout
     * read must be observationally identical to the minute layout).
     */
@@ -1228,6 +1296,26 @@ object EngineQueries {
         |UNION ALL SELECT 'keyed_sum_ac',
         |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
         |    WHERE doc_id % 2 = 1)
+        |ORDER BY kind""".stripMargin,
+    // the CDC FEED lifecycle: first poll = full-table resync, a
+    // rewound retained cursor receives the keyed odd increment (zero
+    // removals) as a plain increment across the re-layout, the
+    // re-layout generation itself is invisible to a keyed consumer,
+    // and committed-to-newest is caught up
+    "g17_cdc_feed" ->
+      """SELECT 'caught_up' AS kind, CAST(0 AS BIGINT) AS n
+        |UNION ALL SELECT 'inc_a_n',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 2 = 1)
+        |UNION ALL SELECT 'inc_a_removed', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'inc_a_sum',
+        |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+        |    WHERE doc_id % 2 = 1)
+        |UNION ALL SELECT 'inc_b_n',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 2 = 1)
+        |UNION ALL SELECT 'resync_n',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
         |ORDER BY kind""".stripMargin,
     // expiry at a mid-day cutoff must read as a DAY-FLOOR time filter
     // (directory-granular retention; see expireGate)
