@@ -367,6 +367,13 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def generationInfo(table: String, gen: String): Option[String] =
     if (memoryMode) None else storeOf(table).generationInfo(gen)
 
+  /** All retained generations' audit strings from one listing (see
+    * [[graft.store.ParquetStore.generationInfos]]). Empty in memory
+    * mode.
+    */
+  def generationInfos(table: String): Map[String, Option[String]] =
+    if (memoryMode) Map.empty else storeOf(table).generationInfos()
+
   /** A named durable incremental CDC consumer over one table's
     * generation history (see [[graft.store.CdcFeed]]): poll the
     * unconsumed increment, commit the cursor when it is safely down —

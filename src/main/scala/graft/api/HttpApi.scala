@@ -214,8 +214,10 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
     scala.util.Try(engine.generations(table)).toOption match {
       case None => text(ex, 404, s"unknown table '$table'")
       case Some(gens) if q.get("info").contains("true") =>
+        // one batch lookup (one store listing), not one per generation
+        val infos = engine.generationInfos(table)
         val items = gens.map { g =>
-          val info = engine.generationInfo(table, g)
+          val info = infos.getOrElse(g, None)
             .flatMap(i => scala.util.Try(JsonMethods.parse(i)).toOption)
             .getOrElse(JNull)
           JObject("gen" -> JString(g), "info" -> info)
@@ -533,6 +535,12 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
           ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
         ex.setAttribute(HttpApi.SentAttr, java.lang.Boolean.TRUE)
         if (ex.getRequestMethod == "HEAD") {
+          // HEAD must advertise the asset's size (caches and probes
+          // read it); sendResponseHeaders would treat a positive
+          // length as a promise of a body, so set the header directly
+          // and send a no-body response.
+          ex.getResponseHeaders.set("Content-Length",
+            java.nio.file.Files.size(target).toString)
           ex.sendResponseHeaders(200, -1L)
         } else {
           ex.sendResponseHeaders(200, java.nio.file.Files.size(target))

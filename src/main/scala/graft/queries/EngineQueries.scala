@@ -1156,6 +1156,9 @@ object EngineQueries {
     feed.commit(gens(1)) // cursor at B: the pure re-layout
     val i2 = feed.poll().getOrElse(sys.error("g17: B-cursor poll empty"))
     val incBN = n(i2.added)
+    // throwaway per-run consumer: deregister, or every bench/verify
+    // invocation leaves cursor files under _cdc forever
+    feed.reset()
     import s.implicits._
     Seq(
       ("caught_up", caughtUp),

@@ -101,13 +101,17 @@ final class CdcFeed private[store] (store: ParquetStore,
         val removed =
           if (keyCols.nonEmpty) store.removedBetween(c, newest, keyCols)
           else store.removedBetween(c, newest)
-        // post-check: if retention pruned c while the diffs were being
-        // planned, one side may have quietly come back None-for-the-
-        // wrong-reason — a half increment (adds without their deletes)
-        // must downgrade to a resync, never commit as truth
-        if (store.generationReadable(c))
+        // post-check BOTH ends: if retention pruned c — or newer
+        // commits landed and vacuum pruned the captured `newest` —
+        // while the diffs were being planned, one side may have
+        // quietly come back None-for-the-wrong-reason. A half
+        // increment (adds without their deletes, or both sides None
+        // with real changes in between) must downgrade to a resync,
+        // never commit as truth.
+        if (store.generationReadable(c) && store.generationReadable(newest))
           Some(CdcFeed.Increment(newest, added, removed, resync = false))
-        else resyncTo(newest)
+        else // re-fetch: the captured newest itself may be the pruned one
+          store.generations().lastOption.flatMap(resyncTo)
       case Some(_) => resyncTo(newest) // cursor outran by retention
       case None => resyncTo(newest) // first poll: snapshot, like
                                     // Delta's startingVersion=latest-full
@@ -148,6 +152,15 @@ final class CdcFeed private[store] (store: ParquetStore,
     cursorFiles().filter(_ < cur.getName).foreach(n =>
       fs.delete(new Path(cdcDir, n), false): Unit)
   }
+
+  /** Deregister this consumer: delete its cursor files, so the next
+    * [[poll]] starts over with a first-poll resync. Decommissioned
+    * consumers (and throwaway ones — probes, gates) call this instead
+    * of leaving a dead cursor under `_cdc` forever.
+    */
+  def reset(): Unit =
+    cursorFiles().foreach(n =>
+      fs.delete(new Path(cdcDir, n), false): Unit)
 }
 
 object CdcFeed {

@@ -124,6 +124,13 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def generationInfo(gen: String): Option[String] =
     manifest.genInfo(gen)
 
+  /** All retained generations' audit strings from one listing (the
+    * batch form the `?info=true` route uses — per-name lookups would
+    * pay one listing each).
+    */
+  def generationInfos(): Map[String, Option[String]] =
+    manifest.genInfos()
+
   /** Whether one generation currently FOLDS whole (named, uncorrupt,
     * full chain) — the readability probe [[CdcFeed]] brackets its
     * diffs with. Distinct from "has rows": an empty table's

@@ -791,10 +791,20 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   def genInfo(name: String): Option[String] =
     if (!name.startsWith("gen-")) None
-    else genStatuses().get(name).flatMap(parseRaw).flatMap {
-      case f: FullGen => f.info
-      case d: DeltaGen => d.info
-    }
+    else genStatuses().get(name).flatMap(parseRaw).flatMap(infoOf)
+
+  /** Every retained generation's own audit string, resolved from ONE
+    * `_manifest` listing — the `?info=true` route renders all retained
+    * generations per request, and a per-name [[genInfo]] loop would
+    * pay O(gens) directory listings (noticeable on object stores).
+    */
+  def genInfos(): Map[String, Option[String]] =
+    genStatuses().map { case (n, st) => n -> parseRaw(st).flatMap(infoOf) }
+
+  private def infoOf(r: RawGen): Option[String] = r match {
+    case f: FullGen => f.info
+    case d: DeltaGen => d.info
+  }
 
   /** The newest READABLE generation's snapshot, or None when no
     * generation folds whole — the caller then treats the store as
