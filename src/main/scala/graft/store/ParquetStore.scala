@@ -407,8 +407,20 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       schema: Option[StructType], deadRels: Set[String],
       dirtyNames: Seq[String], dead: Seq[StoreManifest.Dead])
 
-  private def truth(): Option[Truth] = {
-    val (snapOpt, dirty) = manifest.readState()
+  private def truth(): Option[Truth] = truthFor(None)
+
+  /** [[truth]] restricted to the partitions `admit` passes (see
+    * [[StoreManifest.readStateFor]]): only admitted partitions'
+    * manifest files are read and only their entries assemble — the
+    * windowed-read planning path whose wall scales with the window,
+    * not the table. The pruned entry list is a PLANNING view;
+    * mutations that republish absolute state use the full form.
+    */
+  private def truthFor(admit: Option[String => Boolean]): Option[Truth] = {
+    val (snapOpt, dirty) = admit match {
+      case Some(a) => manifest.readStateFor(a)
+      case None => manifest.readState()
+    }
     snapOpt.map { snap =>
     val deadRels = snap.deadRels
     if (dirty.isEmpty)
@@ -418,10 +430,13 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       // last publish — union a walk in, minus files the manifest
       // already lists (a legacy rel can be IN the manifest: a store
       // that never gen-compacted publishes legacy rels) and minus
-      // tombstones (superseded files still on disk until vacuum)
+      // tombstones (superseded files still on disk until vacuum).
+      // The walk's extras honor the same partition pruning.
       val known = snap.entries.map(_.rel).toSet
       val extras = manifest.walkLegacy()
         .filterNot(e => known(e.rel) || deadRels(e.rel))
+        .filter(e => admit.forall(_(
+          StoreManifest.partKeyOf(e.rel))))
       // the recorded schema can't cover columns the dirty appends
       // introduced — drop to footer inference until the next compact
       Truth(snap.gen, snap.entries ++ extras, None, deadRels, dirty,
@@ -429,6 +444,32 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     }
     }
   }
+
+  /** Partition-admit function for a µs time window: the session-zone
+    * calendar dates the window can touch (the same derivation the
+    * write path's date_format uses for the dir names), boundary dates
+    * kept whole — conservative at day granularity, so tightening only
+    * changes the MANIFESTS READ, never the rows returned (the row
+    * predicate stays exact). The catch-all `""` partition always
+    * passes. None (= no pruning) for an unbounded read.
+    */
+  private def dateAdmitOf(startUs: Option[Long],
+      endUs: Option[Long]): Option[String => Boolean] =
+    if (startUs.isEmpty && endUs.isEmpty) None
+    else {
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone"))
+      def dayOf(us: Long): String = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L)),
+        zone).toString
+      val lo = startUs.map(dayOf)
+      val hi = endUs.map(dayOf)
+      // ISO dates compare chronologically as strings
+      Some(pk => pk.isEmpty || {
+        val d = pk.stripPrefix("date=")
+        lo.forall(_ <= d) && hi.forall(d <= _)
+      })
+    }
 
   /** Test seam (specs only): runs after a mutation's rewrite fully
     * lands, immediately before its commit (the lease re-verify +
@@ -517,7 +558,9 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       case (None, Some(e)) => Some(col(timeCol) <= e)
       case _ => None
     }
-    val t = truth()
+    // windowed reads assemble only the dates the window admits — the
+    // manifest prune that keeps plan wall ∝ window as the table grows
+    val t = truthFor(dateAdmitOf(startUs, endUs))
     val (mainOpt, grainDepth) = t match {
       case Some(tr) =>
         // partition grain from the entries themselves (logical rel
@@ -645,9 +688,14 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       blockSize: Option[Long] = None,
       crashAfterStep: Int = Int.MaxValue): Unit = {
     fence()
-    val t = truth()
+    val part0 = s"date=$date"
+    // the rolling heal only needs ITS date's entries (plus the
+    // catch-all) — the patch-shaped commit below never republishes
+    // the rest of the table, so the other partitions' manifests are
+    // never read: per-date maintenance is O(date) metadata end to end
+    val t = truthFor(Some(pk => pk.isEmpty || pk == part0))
     val mainEntries = t.map(_.entries).getOrElse(manifest.walkLegacy())
-    val part = s"date=$date"
+    val part = part0
     val eD = mainEntries.filter(e => logicalRel(e.rel).startsWith(part + "/"))
     if (eD.isEmpty) return
     // partition columns re-derived from the row's own time (the store
@@ -944,6 +992,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     val needed = manifest.neededFor(roots)
     val pruned = gens.filterNot(needed)
     pruned.foreach(manifest.deleteGen)
+    // 3b. partition-manifest files no surviving generation references
+    // and older than the grace — crashed in-flight commits' debris
+    // (commit-time retention prunes the referenced ones with their
+    // generations)
+    manifest.vacuumOrphanManifests(graceMs, now): Unit
     // 4. orphan gen trees: referenced (live OR tombstoned) by NO
     // retained generation and older than the grace window — crashed
     // rewrites, or trees whose last live file a prior vacuum
@@ -1125,7 +1178,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       zone)
     val dayFloorUs = cutoffDate.atStartOfDay(zone)
       .toInstant.toEpochMilli * 1000L
-    truth() match {
+    // retention only needs the EXPIRED dates' entries (the patch's
+    // drops) — surviving partitions' manifests are never read, so a
+    // retention tick is O(expired dates), not O(table)
+    truthFor(Some(pk => pk.isEmpty ||
+        pk.stripPrefix("date=") < cutoffDate.toString)) match {
       case Some(t) =>
         // ISO dates compare chronologically as strings
         def dateOf(rel: String): String = {
@@ -1299,7 +1356,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       schema: Option[StructType] = None): Option[DataFrame] = {
     val wantedRel = TimePrefix.generatePrefixes(startUs, endUs)
       .map(_.stripSuffix("/"))
-    val t = truth()
+    val t = truthFor(dateAdmitOf(Some(startUs), Some(endUs)))
     val entryByLogical: Map[String, Seq[StoreManifest.Entry]] =
       t.map(_.entries.groupBy(e => logicalRel(e.rel)))
         .getOrElse(Map.empty)

@@ -13,59 +13,72 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * (Reference storage layer: duo/src/partition/query.rs lists per
   * prefix; its FIXME'd cost at scale is what this removes.)
   *
-  * Commit format (round 18 — the Delta-log discipline): a generation
-  * file is either a CHECKPOINT (`gen-*.list`: the complete live-file
-  * list — the pre-round-18 body, now gzip-compressed on write; reads
-  * sniff the gzip magic, so existing plain-text stores read
-  * unchanged) or a DELTA (`gen-*.delta`: only this commit's adds,
-  * drops, tombstone changes and parent pointer). [[publish]] keeps its
-  * absolute-state signature — callers still hand it the full intended
-  * table state — and the manifest itself diffs that against the parent
-  * snapshot to decide the form: a delta when the diff is smaller than
-  * the table and the chain since the last checkpoint is shorter than
-  * [[StoreManifest.CheckpointEvery]]; a checkpoint otherwise (first
-  * publish, whole-table rewrites, cadence rollover). Reading folds
-  * checkpoint + delta suffix. Per-commit manifest bytes therefore
-  * scale with the MUTATION, not the table — the measured O(files)
-  * publish cost at 10⁶ files (SCALE.md "Manifest publish cost") drops
-  * to O(delta) for the flush/compactDate/expire cadence that dominates
-  * at 100 TB — while planning stays one LIST + cached GETs (each
-  * generation file is immutable, so parses are memoized by
-  * name/size/mtime and a warm planner re-GETs nothing).
+  * TWO-LEVEL layout (round 19 — the Iceberg manifest-list shape,
+  * replacing round 18's single-body generations): entry lists live in
+  * immutable per-partition MANIFEST FILES (`mf-*`: one `date=…`
+  * partition's entries — the partition key of every rel under it),
+  * and a generation file references manifests instead of carrying
+  * entries:
   *
-  * Format-compat contract: the delta-log form (and the optional
-  * `info` audit line) is FORWARD-only — a pre-round-18 binary cannot
-  * read `.delta` generations or info-bearing bodies (its self-count
-  * rejects them whole and it degrades to listing mode). Single-
-  * engine-version deployments are assumed, the same contract as
-  * Delta's writer-version features; the NEW code reads every older
-  * on-disk form forever (plain checkpoints, info-less bodies).
+  *  - a CHECKPOINT (`gen-*.list`, header `mlist=N`) lists the live
+  *    manifest files — one line per manifest with its partition key
+  *    and entry count — plus the absolute schema/tombstone state;
+  *  - a DELTA (`gen-*.delta`) patches the manifest SET: `madd`/`mdel`
+  *    lines plus tombstone changes and the required parent pointer.
+  *
+  * Why two levels: with entries inline, every plan folded the FULL
+  * entry list (~320 ms of assembly at 10⁶ files) and every checkpoint
+  * rollover rewrote an O(table) body (~6 MB gz at 10⁶, ~60 MB at
+  * 10⁷). Now [[readStateFor]] assembles only the partitions a query's
+  * time window admits — plan wall ∝ admitted partitions, flat as the
+  * table grows — and a rollover rewrites manifests only for
+  * partitions touched since the last checkpoint (untouched partitions
+  * REUSE their manifest file by name, the Iceberg discipline), so
+  * rollover bytes ∝ touched partitions. Commit cadence unchanged:
+  * an append's delta writes one small manifest holding JUST the new
+  * files (manifests per partition accumulate between checkpoints;
+  * assembly resolves duplicate rels newest-manifest-wins, and the
+  * rollover merges each partition back to one file); a drop rewrites
+  * only the affected partitions' manifests. Entries with no `date=…`
+  * leading segment (spec fixtures, `_staging` rels in tombstones)
+  * group under the catch-all partition key `""`, which every admit
+  * function must pass.
+  *
+  * Format-compat contract: FORWARD-only, like round 18's delta-log
+  * bump — a pre-round-19 binary sees `mlist=`/`madd`/`mdel` bodies as
+  * unreadable generations and degrades to legacy listing mode; a
+  * `protocol` marker file under `_manifest` names the format for
+  * operators debugging a mixed-version rollout. THIS binary reads
+  * every older on-disk form forever: plain or gzip `count=`
+  * checkpoints with inline entries, file-level `add`/`del` deltas,
+  * info-less bodies. A chain must be form-homogeneous (file-level
+  * patches cannot soundly apply to a manifest set, and vice versa);
+  * the fold rejects mixed chains whole, and writers never produce
+  * them — a commit atop a legacy-form parent folds it and writes a
+  * two-level CHECKPOINT (the upgrade path).
   *
   * Snapshot-isolation contract (round-16, unchanged): the manifest
   * generation IS the commit point for every layout mutation. Rewrites
   * land in immutable `_gen-*` trees and become visible only when a new
   * generation referencing them publishes (single temp-write + rename —
-  * the SAME rename atom whichever form the body takes); files a
-  * mutation supersedes are never deleted inline — they are recorded as
-  * tombstones IN the new generation (atomically visible with the
-  * entries that replace them) and reclaimed later by
-  * [[ParquetStore.vacuum]] once a grace window has passed. A reader
-  * that planned from generation G therefore holds `FileStatus`es for
-  * files that remain on disk until G's successors are at least the
-  * grace window old — a query can overlap a compaction in another
-  * session (the Iceberg/Delta discipline). [[publish]] retains the
-  * newest [[StoreManifest.KeepGens]] generations PLUS every older file
-  * their delta chains fold through (corruption insurance: [[read]]
-  * falls back newest→oldest to the first generation that folds whole);
-  * vacuum prunes retained generations past the grace window,
-  * chain-aware the same way.
+  * the SAME rename atom whichever form the body takes; manifest files
+  * are written BEFORE the generation that references them, so a
+  * reader can never see a half-written manifest through a committed
+  * generation). Files a mutation supersedes are never deleted inline —
+  * they are recorded as tombstones IN the new generation and reclaimed
+  * later by [[ParquetStore.vacuum]] once a grace window has passed.
+  * [[publish]] retains the newest [[StoreManifest.KeepGens]]
+  * generations PLUS every older file their delta chains fold through,
+  * PLUS every manifest file a retained generation references;
+  * unreferenced manifest files are pruned with the generations that
+  * referenced them. Torn bodies are rejected whole at every level
+  * (self-counts + gzip CRC): a torn generation falls back to the
+  * previous retained one, and a torn manifest file poisons exactly
+  * the generations that reference it.
   *
-  * Direct minute-grained [[ParquetStore.write]]s do not republish (a
-  * full-walk rebuild per flush would defeat the append's cheapness);
-  * they drop a `dirty-*` marker instead, telling readers the legacy
-  * tree holds files beyond the manifest — reads then union a legacy
-  * walk in (minus tombstones) until the next compaction folds the
-  * extras and clears the markers. The LSM-shaped ingest
+  * Direct minute-grained [[ParquetStore.write]]s do not republish;
+  * they drop a `dirty-*` marker instead (readers union a legacy walk
+  * until the next compaction folds the extras). The LSM-shaped ingest
   * ([[ParquetStore.writeStaged]]) never touches the manifest at all.
   *
   * The underscore prefix hides `_manifest` from Spark's partition
@@ -73,7 +86,8 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   */
 final class StoreManifest(fs: FileSystem, tableDir: String) {
 
-  import StoreManifest.{CheckpointEvery, Dead, Entry, KeepGens, Snapshot}
+  import StoreManifest.{CheckpointEvery, Dead, Entry, KeepGens, MfRef,
+    Snapshot, partKeyOf}
 
   /** Test seam (specs only): runs after [[publish]]'s expected-parent
     * pre-check passes, immediately before its rename — the only way a
@@ -152,21 +166,25 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
 
   // ---- raw generation bodies (parse layer) ----
 
-  /** One parsed generation FILE, before chain folding: a checkpoint
-    * carries the absolute state, a delta carries one commit's patch
-    * plus its required parent pointer. Both carry the ABSOLUTE schema
-    * state (a publisher that no longer knows the exact schema writes
-    * none, and readers must drop to footer inference — expire's
-    * drifted-column contract).
+  /** One parsed generation FILE, before chain folding. A checkpoint
+    * carries the absolute state — inline `entries` (pre-round-19
+    * bodies) OR `manifests` refs (two-level), with `twoLevel` naming
+    * the form so the fold can reject mixed chains; a delta carries one
+    * commit's patch plus its required parent pointer, file-level
+    * (`adds`/`drops`, legacy) or manifest-level (`mAdds`/`mDels`).
+    * Both carry the ABSOLUTE schema state (a publisher that no longer
+    * knows the exact schema writes none, and readers must drop to
+    * footer inference — expire's drifted-column contract).
     */
   private sealed trait RawGen
   private final case class FullGen(parent: Option[String],
-      entries: Seq[Entry],
+      entries: Seq[Entry], manifests: Seq[MfRef], twoLevel: Boolean,
       schema: Option[org.apache.spark.sql.types.StructType],
       dead: Seq[Dead], info: Option[String]) extends RawGen
   private final case class DeltaGen(parent: String,
       schema: Option[org.apache.spark.sql.types.StructType],
       adds: Seq[Entry], drops: Seq[String],
+      mAdds: Seq[MfRef], mDels: Seq[String],
       deadPlus: Seq[Dead], deadMinus: Seq[String],
       info: Option[String]) extends RawGen
 
@@ -185,22 +203,14 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private def parseRaw(st: FileStatus): Option[RawGen] = {
     // bound the memo two ways: by FILE count (a cadence-committing
     // engine publishes every flush; months of cadences must not pin
-    // every checkpoint ever retained) and by cumulative cached ENTRY
-    // count — at the 100 TB tier one checkpoint's parse holds ~10⁶
-    // Entry objects (~150 MB), so a count-only cap would admit
-    // gigabytes. The entry bound scales with the largest single item:
-    // one checkpoint of a huge table legitimately exceeds the static
-    // cap on its own, and clearing the irreducible working head (the
-    // chain's one checkpoint + its tiny deltas) on every parse would
-    // re-gunzip the multi-MB body per plan — so a reset fires only
-    // once a SECOND item of that magnitude accumulates. The working
-    // set re-read after a reset is the current chain + retained heads
-    // (≤ KeepGens + CheckpointEvery files).
-    // (transiently up to cap + one item before the NEXT call's check
-    // fires — the cap bounds steady state, not a single insert).
-    // largest resets with the cache so a table compacted DOWN a tier
-    // re-learns its working size instead of keeping the historical
-    // high-water cap forever.
+    // every generation ever retained) and by cumulative cached ENTRY
+    // count — a legacy inline checkpoint of a 10⁶-file table holds
+    // ~150 MB of Entry objects, so a count-only cap would admit
+    // gigabytes. The entry bound scales with the largest single item
+    // (one legitimately-huge parse must stay cacheable without being
+    // evicted by its own size); two-level bodies are O(partitions)
+    // and barely register. largest resets with the cache so a table
+    // compacted DOWN a tier re-learns its working size.
     val entryCap = math.max(StoreManifest.MemoEntryCap,
       2L * parseMemoLargest.get)
     if (parseMemo.size > StoreManifest.ParseMemoCap ||
@@ -213,8 +223,10 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       (st.getPath.getName, st.getLen, st.getModificationTime), {
         val parsed = parseRawUncached(st.getPath)
         val n = parsed match {
-          case Some(f: FullGen) => f.entries.size.toLong
-          case Some(d: DeltaGen) => d.adds.size.toLong
+          case Some(f: FullGen) =>
+            f.entries.size.toLong + f.manifests.size.toLong
+          case Some(d: DeltaGen) =>
+            d.adds.size.toLong + d.mAdds.size.toLong
           case None => 0L
         }
         parseMemoEntries.addAndGet(n): Unit
@@ -223,28 +235,31 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       })
   }
 
+  /** Read one small metadata file whole, gzip-sniffed (magic 1f 8b):
+    * checkpoints and large manifest files compress ~13× (shared path
+    * prefixes); legacy plain bodies and small deltas/manifests stay
+    * uncompressed — both forms must read forever. A TRUNCATED gzip
+    * body throws (missing CRC trailer), the same whole-file rejection
+    * a torn plain self-count gets.
+    */
+  private def readBody(p: Path): String = {
+    val in = fs.open(p)
+    val raw = try in.readAllBytes() finally in.close()
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+        (raw(1) & 0xff) == 0x8b) {
+      val gz = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw), 64 * 1024)
+      try new String(gz.readAllBytes(), StandardCharsets.UTF_8)
+      finally gz.close()
+    } else new String(raw, StandardCharsets.UTF_8)
+  }
+
   private def parseRawUncached(p: Path): Option[RawGen] = {
     try {
-      val in = fs.open(p)
-      val raw = try in.readAllBytes() finally in.close()
-      // gzip-sniff (magic 1f 8b): checkpoints compress ~13× (shared
-      // path prefixes), legacy plain bodies and the small deltas stay
-      // uncompressed — both forms must read forever. A TRUNCATED gzip
-      // body throws (missing CRC trailer) into the catch below, the
-      // same whole-generation rejection a torn plain count gets.
-      // readAllBytes grows its own buffer — no presize arithmetic to
-      // overflow, and one fewer O(body) copy per uncached parse.
-      val body =
-        if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
-            (raw(1) & 0xff) == 0x8b) {
-          val gz = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(raw), 64 * 1024)
-          try new String(gz.readAllBytes(), StandardCharsets.UTF_8)
-          finally gz.close()
-        } else new String(raw, StandardCharsets.UTF_8)
-      val lines = body.split("\n", -1).toSeq.dropRight(1)
+      val lines = readBody(p).split("\n", -1).toSeq.dropRight(1)
       lines.headOption.flatMap { h =>
         if (h.startsWith("count=")) parseFull(h, lines.drop(1))
+        else if (h.startsWith("mlist=")) parseMlist(h, lines.drop(1))
         else if (h.startsWith("delta=")) parseDelta(h, lines.drop(1))
         else None
       }
@@ -256,14 +271,12 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     }
   }
 
-  /** The full-list body: `count=N` (entry lines only — they come
-    * last, so a torn suffix always breaks the count), optional
-    * `parent`, optional `schema`, optional `info` (the operation that
-    * published this generation — audit metadata, opaque here), `dead`
-    * lines, entry lines. Pre-round-18 bodies simply lack the optional
-    * lines.
+  /** Shared optional-header prefix of every body form: optional
+    * `parent`, optional `schema`, optional `info`, in that order.
+    * Returns (parent, schemaJson, info, remaining lines).
     */
-  private def parseFull(h: String, rest: Seq[String]): Option[RawGen] = {
+  private def parseHeader(rest: Seq[String])
+      : (Option[String], Option[String], Option[String], Seq[String]) = {
     val parentName = rest.headOption
       .filter(_.startsWith("parent\t")).map(_.stripPrefix("parent\t"))
     val afterParent = if (parentName.isDefined) rest.drop(1) else rest
@@ -275,6 +288,17 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       .filter(_.startsWith("info\t")).map(_.stripPrefix("info\t"))
     val afterInfo = if (info.isDefined) afterSchema.drop(1)
       else afterSchema
+    (parentName, schemaJson, info, afterInfo)
+  }
+
+  /** The legacy full-list body: `count=N` (inline entry lines only —
+    * they come last, so a torn suffix always breaks the count),
+    * optional headers, `dead` lines, entry lines. Read-only since
+    * round 19 (writers emit `mlist=` checkpoints), kept forever for
+    * pre-round-19 stores.
+    */
+  private def parseFull(h: String, rest: Seq[String]): Option[RawGen] = {
+    val (parentName, schemaJson, info, afterInfo) = parseHeader(rest)
     val (deadLines, entryLines) = afterInfo.span(_.startsWith("dead\t"))
     if (!h.stripPrefix("count=").toIntOption.contains(entryLines.size))
       None
@@ -283,40 +307,52 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       val dead = deadLines.map(l => parseDead(l.stripPrefix("dead\t")))
       val entries = entryLines.map(parseEntry)
       if (entries.forall(_.isDefined) && dead.forall(_.isDefined))
-        Some(FullGen(parentName, entries.flatten, schema, dead.flatten,
-          info))
+        Some(FullGen(parentName, entries.flatten, Nil, twoLevel = false,
+          schema, dead.flatten, info))
       else None
     }
+  }
+
+  /** The two-level checkpoint body: `mlist=N` (manifest-ref lines
+    * only — last, so a torn suffix breaks the count), optional
+    * headers, `dead` lines, `m` lines.
+    */
+  private def parseMlist(h: String, rest: Seq[String]): Option[RawGen] = {
+    val (parentName, schemaJson, info, afterInfo) = parseHeader(rest)
+    val (deadLines, mLines) = afterInfo.span(_.startsWith("dead\t"))
+    if (!h.stripPrefix("mlist=").toIntOption.contains(mLines.size))
+      None
+    else try {
+      val schema = schemaJson.map(parseSchema)
+      val dead = deadLines.map(l => parseDead(l.stripPrefix("dead\t")))
+      val refs = mLines.map(parseMfRef(_, "m\t"))
+      if (refs.forall(_.isDefined) && dead.forall(_.isDefined))
+        Some(FullGen(parentName, Nil, refs.flatten, twoLevel = true,
+          schema, dead.flatten, info))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** One commit's patch: `delta=N` counts EVERY following line (any
     * torn suffix breaks it — deltas can be adds-free, so an entry-only
     * count would miss a truncation through the tombstone lines),
     * required `parent`, optional `schema` (ABSOLUTE state), optional
-    * `info` (operation audit), then `del` / `dead-` / `dead+` /
-    * `add` lines.
+    * `info`, then `del`/`dead-`/`dead+`/`add` (legacy file-level) or
+    * `mdel`/`madd` (two-level) lines.
     */
   private def parseDelta(h: String, rest: Seq[String]): Option[RawGen] = {
     if (!h.stripPrefix("delta=").toIntOption.contains(rest.size))
       return None
-    val parentName = rest.headOption
-      .filter(_.startsWith("parent\t")).map(_.stripPrefix("parent\t"))
+    val (parentName, schemaJson, info, afterInfo) = parseHeader(rest)
     if (parentName.isEmpty) return None // a delta without a parent is torn
-    val afterParent = rest.drop(1)
-    val schemaJson = afterParent.headOption
-      .filter(_.startsWith("schema\t")).map(_.stripPrefix("schema\t"))
-    val afterSchema = if (schemaJson.isDefined) afterParent.drop(1)
-      else afterParent
-    val info = afterSchema.headOption
-      .filter(_.startsWith("info\t")).map(_.stripPrefix("info\t"))
-    val afterInfo = if (info.isDefined) afterSchema.drop(1)
-      else afterSchema
     try {
       val schema = schemaJson.map(parseSchema)
       val drops = scala.collection.mutable.ArrayBuffer.empty[String]
       val deadMinus = scala.collection.mutable.ArrayBuffer.empty[String]
       val deadPlus = scala.collection.mutable.ArrayBuffer.empty[Option[Dead]]
       val adds = scala.collection.mutable.ArrayBuffer.empty[Option[Entry]]
+      val mDels = scala.collection.mutable.ArrayBuffer.empty[String]
+      val mAdds = scala.collection.mutable.ArrayBuffer.empty[Option[MfRef]]
       var malformed = false
       afterInfo.foreach {
         case l if l.startsWith("del\t") => drops += l.stripPrefix("del\t")
@@ -326,12 +362,17 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           deadPlus += parseDead(l.stripPrefix("dead+\t"))
         case l if l.startsWith("add\t") =>
           adds += parseEntry(l.stripPrefix("add\t"))
+        case l if l.startsWith("mdel\t") =>
+          mDels += l.stripPrefix("mdel\t")
+        case l if l.startsWith("madd\t") =>
+          mAdds += parseMfRef(l, "madd\t")
         case _ => malformed = true
       }
-      if (malformed || deadPlus.exists(_.isEmpty) || adds.exists(_.isEmpty))
-        None
+      if (malformed || deadPlus.exists(_.isEmpty) ||
+          adds.exists(_.isEmpty) || mAdds.exists(_.isEmpty)) None
       else Some(DeltaGen(parentName.get, schema, adds.toSeq.flatten,
-        drops.toSeq, deadPlus.toSeq.flatten, deadMinus.toSeq, info))
+        drops.toSeq, mAdds.toSeq.flatten, mDels.toSeq,
+        deadPlus.toSeq.flatten, deadMinus.toSeq, info))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -354,68 +395,178 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     case _ => None
   }
 
+  /** `<prefix><name>\t<partKey>\t<n>` — partKey may be the empty
+    * catch-all, so the split must keep empty fields.
+    */
+  private def parseMfRef(l: String, prefix: String): Option[MfRef] =
+    l.stripPrefix(prefix).split("\t", -1) match {
+      case Array(name, part, n) if name.startsWith("mf-") =>
+        n.toLongOption.map(MfRef(name, part, _))
+      case _ => None
+    }
+
+  // ---- partition manifest files (mf layer) ----
+
+  /** Immutable-file manifest parse memo, the same (name, size, mtime)
+    * discipline and double cap as [[parseRaw]]'s: warm planners
+    * re-GET nothing, and a window-pruned read concatenates cached
+    * per-partition parses instead of re-reading bodies.
+    */
+  private val mfMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), Option[(String, Seq[Entry])]]
+  private val mfMemoEntries = new java.util.concurrent.atomic.AtomicLong
+  private val mfMemoLargest = new java.util.concurrent.atomic.AtomicLong
+
+  private def parseMf(st: FileStatus): Option[(String, Seq[Entry])] = {
+    val entryCap = math.max(StoreManifest.MemoEntryCap,
+      2L * mfMemoLargest.get)
+    if (mfMemo.size > StoreManifest.MfMemoCap ||
+        mfMemoEntries.get > entryCap) {
+      mfMemo.clear()
+      mfMemoEntries.set(0)
+      mfMemoLargest.set(0)
+    }
+    mfMemo.getOrElseUpdate(
+      (st.getPath.getName, st.getLen, st.getModificationTime), {
+        val parsed = parseMfUncached(st.getPath)
+        val n = parsed.map(_._2.size.toLong).getOrElse(0L)
+        mfMemoEntries.addAndGet(n): Unit
+        mfMemoLargest.getAndAccumulate(n, math.max(_, _)): Unit
+        parsed
+      })
+  }
+
+  /** Manifest body: `mf=N` (N counts every following line), one
+    * `part` line, then entry lines — self-counted and typed like a
+    * generation body, so a torn manifest reads as None and poisons
+    * exactly the generations referencing it.
+    */
+  private def parseMfUncached(p: Path): Option[(String, Seq[Entry])] = {
+    try {
+      val lines = readBody(p).split("\n", -1).toSeq.dropRight(1)
+      val rest = lines.drop(1)
+      if (!lines.headOption.exists(h => h.startsWith("mf=") &&
+          h.stripPrefix("mf=").toIntOption.contains(rest.size)))
+        return None
+      val part = rest.headOption.filter(_.startsWith("part\t"))
+        .map(_.stripPrefix("part\t")).getOrElse(return None)
+      val entries = rest.drop(1).map(parseEntry)
+      if (entries.forall(_.isDefined)) Some((part, entries.flatten))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Write one partition's manifest file. No rename needed: a
+    * manifest is unreachable until a generation referencing it
+    * commits (which happens strictly after this returns), so a crash
+    * mid-write leaves an unreferenced torn file for vacuum, never a
+    * readable half-manifest. Gzip above a threshold — large bodies
+    * are ~90% shared path prefixes, small ones stay greppable.
+    */
+  private def writeMf(partKey: String, entries: Seq[Entry]): MfRef = {
+    fs.mkdirs(mdir): Unit
+    val name = f"mf-${System.currentTimeMillis()}%019d-" +
+      java.util.UUID.randomUUID().toString
+    val sorted = entries.sortBy(_.rel)
+    val raw = fs.create(new Path(mdir, name), true)
+    val sink: java.io.OutputStream =
+      if (sorted.size > StoreManifest.MfGzipAbove)
+        new java.util.zip.GZIPOutputStream(raw, 64 * 1024) {
+          `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+        }
+      else raw
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(sink, StandardCharsets.UTF_8),
+      64 * 1024)
+    try {
+      w.write(s"mf=${sorted.size + 1}"); w.write('\n')
+      w.write(s"part\t$partKey"); w.write('\n')
+      sorted.foreach { e =>
+        w.write(s"${e.rel}\t${e.size}\t${e.mtime}"); w.write('\n')
+      }
+    } finally w.close()
+    MfRef(name, partKey, sorted.size.toLong)
+  }
+
   // ---- chain folding (snapshot layer) ----
 
-  private def genStatuses(): Map[String, FileStatus] =
-    StoreFs.list(fs, mdir).filter(_.getPath.getName.startsWith("gen-"))
-      .map(s => s.getPath.getName -> s).toMap
-
-  /** Fold one generation's chain into its absolute snapshot: a
-    * checkpoint IS its snapshot; a delta patches its parent's fold.
-    * None when this generation — or ANY link its chain needs — is
-    * missing, torn or cyclic: half a chain must read as no chain, the
-    * same all-or-nothing contract a torn full list has. `statuses`
-    * comes from the ONE listing the calling read performed, so folding
-    * costs zero extra filesystem calls when the parse memo is warm.
-    * Iterative one-pass application (collect the chain, patch one
-    * keyed map, sort ONCE): a per-link rebuild of a 10⁵-entry list
-    * would make planning O(files × depth) in memory — measured 10×
-    * the checkpoint-read cost at depth 9 — for no semantic gain.
+  /** One `_manifest` listing split into the three populations every
+    * read and commit needs: generation files, manifest files, dirty
+    * markers.
     */
-  /** Folded-snapshot memo, HEAD-keyed by (name, size, mtime): chain
-    * files are immutable (temp-write + rename, never modified), so a
-    * head's fold is valid as long as the head file itself is — the
-    * planning read before a mutation and the mutation's own
-    * parent-fold then share one fold instead of paying the O(files)
-    * assembly twice (measured 1.2 s each at 10⁶ entries). Tightly
-    * capped: each cached snapshot holds a full entry list.
+  private def listState(): (Map[String, FileStatus],
+      Map[String, FileStatus], Seq[String]) = {
+    val all = StoreFs.list(fs, mdir)
+    val gens = all.filter(_.getPath.getName.startsWith("gen-"))
+      .map(s => s.getPath.getName -> s).toMap
+    val mfs = all.filter(_.getPath.getName.startsWith("mf-"))
+      .map(s => s.getPath.getName -> s).toMap
+    val dirty = all.map(_.getPath.getName).filter(_.startsWith("dirty-"))
+    (gens, mfs, dirty)
+  }
+
+  private def genStatuses(): Map[String, FileStatus] = listState()._1
+
+  /** One generation's chain-folded state at the MANIFEST level: the
+    * live manifest refs (two-level chains) or the inline entry list
+    * (legacy chains) — exactly one side populated, plus the
+    * chain-absolute schema/tombstones. Cheap for two-level chains
+    * (O(partitions), no entry assembly) — what commits plan from.
+    */
+  private final case class GenState(gen: String, parent: Option[String],
+      inline: Seq[Entry], mfs: Seq[MfRef], twoLevel: Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dead: Seq[Dead], depth: Int, info: Option[String]) {
+    def approxSize: Long = inline.size.toLong + mfs.map(_.n).sum
+  }
+
+  /** Head-keyed fold memo, (name, size, mtime) like every other memo:
+    * chain files are immutable, so a head's fold is valid as long as
+    * the head file itself is. Two-level states are tiny; the entry
+    * cap only matters for legacy inline chains.
     */
   private val foldMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Option[Snapshot]]
+    .empty[(String, Long, Long), Option[GenState]]
   private val foldMemoEntries = new java.util.concurrent.atomic.AtomicLong
   private val foldMemoLargest = new java.util.concurrent.atomic.AtomicLong
 
   private def fold(name: String,
-      statuses: Map[String, FileStatus]): Option[Snapshot] =
+      statuses: Map[String, FileStatus]): Option[GenState] =
     statuses.get(name) match {
       case None => None
       case Some(st) =>
-        // double cap like parseMemo's: each cached fold holds a FULL
-        // entry list, so 16 heads of a million-file table would be
-        // ~2.4 GB under a count-only bound. Scaled by the largest
-        // single fold for the same reason as parseMemo's — the one
-        // working head must stay cached however large the table.
         val entryCap = math.max(StoreManifest.MemoEntryCap,
           2L * foldMemoLargest.get)
-        if (foldMemo.size > 16 || foldMemoEntries.get > entryCap) {
+        if (foldMemo.size > StoreManifest.ParseMemoCap ||
+            foldMemoEntries.get > entryCap) {
           foldMemo.clear()
           foldMemoEntries.set(0)
           foldMemoLargest.set(0)
         }
         foldMemo.getOrElseUpdate(
           (name, st.getLen, st.getModificationTime), {
-            val snap = foldUncached(name, statuses)
-            snap.foreach { s =>
-              foldMemoEntries.addAndGet(s.entries.size.toLong): Unit
-              foldMemoLargest.getAndAccumulate(
-                s.entries.size.toLong, math.max(_, _)): Unit
+            val state = foldUncached(name, statuses)
+            state.foreach { s =>
+              val n = s.inline.size.toLong + s.mfs.size.toLong
+              foldMemoEntries.addAndGet(n): Unit
+              foldMemoLargest.getAndAccumulate(n, math.max(_, _)): Unit
             }
-            snap
+            state
           })
     }
 
+  /** Fold one generation's chain: a checkpoint IS its state; a delta
+    * patches its parent's fold — manifest-set patches for two-level
+    * chains, entry patches for legacy ones, and a MIXED chain is
+    * rejected whole (a file-level patch cannot soundly apply to a
+    * manifest set). None when this generation — or ANY link its chain
+    * needs — is missing, torn, mixed or cyclic: half a chain must
+    * read as no chain. Iterative one-pass application (collect the
+    * chain, patch one keyed map): a per-link rebuild would make
+    * folding O(size × depth) for no semantic gain.
+    */
   private def foldUncached(name: String,
-      statuses: Map[String, FileStatus]): Option[Snapshot] = {
+      statuses: Map[String, FileStatus]): Option[GenState] = {
     val chain =
       scala.collection.mutable.ArrayBuffer.empty[(String, RawGen)]
     var cur = name
@@ -431,26 +582,102 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     val fg = full.get
     val entryMap = scala.collection.mutable.LinkedHashMap
       .from(fg.entries.map(e => e.rel -> e))
+    val mfMap = scala.collection.mutable.LinkedHashMap
+      .from(fg.manifests.map(r => r.name -> r))
     val deadMap = scala.collection.mutable.LinkedHashMap
       .from(fg.dead.map(d => d.rel -> d))
     var schema = fg.schema
+    var mixed = false
     chain.dropRight(1).reverseIterator.foreach {
       case (_, d: DeltaGen) =>
+        if ((d.adds.nonEmpty || d.drops.nonEmpty) && fg.twoLevel)
+          mixed = true
+        if ((d.mAdds.nonEmpty || d.mDels.nonEmpty) && !fg.twoLevel)
+          mixed = true
         d.drops.foreach(entryMap.remove(_): Unit)
         d.adds.foreach(e => entryMap(e.rel) = e)
+        d.mDels.foreach(mfMap.remove(_): Unit)
+        d.mAdds.foreach(r => mfMap(r.name) = r)
         d.deadMinus.foreach(deadMap.remove(_): Unit)
         d.deadPlus.foreach(x => deadMap(x.rel) = x)
         schema = d.schema // ABSOLUTE per commit, like a checkpoint's
       case _ => // unreachable: only the chain tail is a FullGen
     }
+    if (mixed) return None
     val (parent, headInfo) = chain.head._2 match {
       case d: DeltaGen => (Some(d.parent), d.info)
       case f: FullGen => (f.parent, f.info)
     }
-    Some(Snapshot(name, parent,
-      entryMap.values.toSeq.sortBy(_.rel), schema,
-      deadMap.values.toSeq, depth = chain.size - 1, info = headInfo))
+    Some(GenState(name, parent, entryMap.values.toSeq,
+      mfMap.values.toSeq, fg.twoLevel, schema, deadMap.values.toSeq,
+      depth = chain.size - 1, info = headInfo))
   }
+
+  /** Assemble a folded state into its absolute entry-level
+    * [[Snapshot]], reading only the manifests `admit` passes (by
+    * partition key; the catch-all `""` must always pass). Duplicate
+    * rels across one partition's accumulated manifests resolve
+    * newest-manifest-wins — the same overwrite semantics a legacy
+    * chain's entry patches had. None when any ADMITTED manifest is
+    * missing or torn: half a snapshot must read as no snapshot (an
+    * unreadable manifest OUTSIDE the admitted window deliberately
+    * does not poison the window's answer).
+    */
+  private def assemble(st: GenState, mfSt: Map[String, FileStatus],
+      admit: String => Boolean): Option[Snapshot] = {
+    val inlineAdm =
+      if (st.inline.isEmpty) st.inline
+      else st.inline.filter(e => admit(partKeyOf(e.rel)))
+    val refsAdm = st.mfs.filter(r => admit(r.partKey))
+    val map = scala.collection.mutable.LinkedHashMap
+      .from(inlineAdm.map(e => e.rel -> e))
+    refsAdm.foreach { r =>
+      mfSt.get(r.name).flatMap(parseMf) match {
+        case None => return None // torn/missing admitted manifest
+        case Some((_, es)) => es.foreach(e => map(e.rel) = e)
+      }
+    }
+    Some(Snapshot(st.gen, st.parent,
+      map.values.toSeq.sortBy(_.rel), st.schema, st.dead,
+      depth = st.depth, info = st.info))
+  }
+
+  /** Full-assembly memo, head-keyed: the planning read before a
+    * mutation and the mutation's own parent fold share one assembly
+    * instead of paying the O(files) concat+sort twice. Keyed on the
+    * head generation file alone — manifest files it references are
+    * immutable and outlive the head's retention, so the memo is valid
+    * for the head file's lifetime.
+    */
+  private val snapMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), Option[Snapshot]]
+  private val snapMemoEntries = new java.util.concurrent.atomic.AtomicLong
+  private val snapMemoLargest = new java.util.concurrent.atomic.AtomicLong
+
+  private def assembleFull(name: String, statuses: Map[String, FileStatus],
+      mfSt: Map[String, FileStatus]): Option[Snapshot] =
+    statuses.get(name) match {
+      case None => None
+      case Some(st) =>
+        val entryCap = math.max(StoreManifest.MemoEntryCap,
+          2L * snapMemoLargest.get)
+        if (snapMemo.size > 16 || snapMemoEntries.get > entryCap) {
+          snapMemo.clear()
+          snapMemoEntries.set(0)
+          snapMemoLargest.set(0)
+        }
+        snapMemo.getOrElseUpdate(
+          (name, st.getLen, st.getModificationTime), {
+            val snap = fold(name, statuses)
+              .flatMap(assemble(_, mfSt, _ => true))
+            snap.foreach { s =>
+              snapMemoEntries.addAndGet(s.entries.size.toLong): Unit
+              snapMemoLargest.getAndAccumulate(
+                s.entries.size.toLong, math.max(_, _)): Unit
+            }
+            snap
+          })
+    }
 
   /** The file names `name`'s fold reads, itself included (delta chain
     * back to its checkpoint) — what retention and vacuum must keep for
@@ -472,46 +699,54 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     acc.toSeq
   }
 
-  /** Every file name needed to fold ANY of the given heads (vacuum's
-    * and retention's keep-set).
+  /** Every generation file name needed to fold ANY of the given heads
+    * (vacuum's and retention's keep-set).
     */
   private[graft] def neededFor(heads: Seq[String]): Set[String] = {
     val statuses = genStatuses()
     heads.flatMap(chainNames(_, statuses)).toSet
   }
 
+  /** The manifest files DIRECTLY referenced by the given generation
+    * files' raw bodies (checkpoint `m` lines and delta `madd` lines) —
+    * a superset of what any fold rooted in those files can read, so
+    * keeping exactly these keeps every retained head assemblable.
+    */
+  private def mfsReferencedBy(gens: Iterable[FileStatus]): Set[String] =
+    gens.flatMap(s => parseRaw(s).toSeq.flatMap {
+      case f: FullGen => f.manifests.map(_.name)
+      case d: DeltaGen => d.mAdds.map(_.name)
+    }).toSet
+
   // ---- publish (commit layer) ----
 
   /** Publish a new generation carrying the ABSOLUTE intended state:
     * the complete live-file list, the merged data schema when the
-    * publisher knows it, and the cumulative tombstone list (files
-    * superseded but not yet vacuumed). The manifest diffs that state
-    * against the parent snapshot and writes a DELTA file when the diff
-    * is small and the chain short, a full CHECKPOINT otherwise —
-    * either way the temp-write + single-file rename is the atomic
-    * commit point, and the self-count plus per-line field checks
-    * reject a torn body on read. Prior generations are retained
-    * (newest [[StoreManifest.KeepGens]] heads plus their chains) so a
-    * corrupt latest degrades to the previous consistent snapshot
-    * instead of a tree walk.
+    * publisher knows it, and the cumulative tombstone list. The
+    * manifest diffs that state against the parent snapshot and
+    * commits the diff through [[publishPatch]]'s machinery — a
+    * manifest-level DELTA when the diff is small and the chain short,
+    * a CHECKPOINT otherwise — either way the temp-write + single-file
+    * rename is the atomic commit point. Prior generations are
+    * retained (newest [[StoreManifest.KeepGens]] heads plus their
+    * chains and referenced manifests) so a corrupt latest degrades to
+    * the previous consistent snapshot instead of a tree walk.
     */
   def publish(entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
       dead: Seq[Dead], parent: Option[String],
       info: Option[String] = None): Unit = {
-    // rel first so sorted lines sort by path; size + mtime ride along
-    // so reads can hand Spark complete FileStatuses and plan with ZERO
-    // filesystem calls (see [[ManifestFileIndex]]). The merged data
-    // schema (when the publisher knows it — compact just wrote every
-    // file from one DataFrame) rides as a single JSON line, so reads
-    // skip per-file footer inference entirely.
     val normSchema = schema.map(StoreManifest.allNullable)
-    val parentSnap = parent.flatMap(p => fold(p, genStatuses()))
-    val (body, ext) = parentSnap match {
-      case Some(ps) if ps.depth + 1 < CheckpointEvery =>
-        // presized java maps: the diff runs once per commit over the
-        // FULL entry lists, and an immutable .toMap of 10⁶ tuples was
-        // the measured bulk of a 1M-file delta publish
+    val (gens, mfs, _) = listState()
+    val parentSnap = parent.flatMap(p => assembleFull(p, gens, mfs))
+    parentSnap match {
+      case Some(ps) =>
+        // entry-level diff against the parent snapshot, full-Entry
+        // comparison: a rel whose size/mtime changed (a re-walked
+        // legacy file) re-publishes as drop+add so folds carry the
+        // fresh FileStatus. Presized java maps — the diff runs once
+        // per commit over the full lists and an immutable .toMap of
+        // 10⁶ tuples was the measured bulk of a 1M-file publish.
         def byRel(es: Seq[Entry]): java.util.HashMap[String, Entry] = {
           val m = new java.util.HashMap[String, Entry](es.size * 2)
           es.foreach(e => m.put(e.rel, e))
@@ -519,9 +754,6 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         }
         val pByRel = byRel(ps.entries)
         val nByRel = byRel(entries)
-        // full-Entry comparison: a rel whose size/mtime changed (a
-        // re-walked legacy file) re-publishes as drop+add so folds
-        // carry the fresh FileStatus
         val adds = entries.filter(e => pByRel.get(e.rel) != e)
         val drops = ps.entries.collect {
           case e if nByRel.get(e.rel) != e => e.rel }
@@ -530,57 +762,224 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         val deadPlus = dead.filter(d => !pDead.get(d.rel).contains(d))
         val deadMinus = ps.dead.collect {
           case d if !nDead.get(d.rel).contains(d) => d.rel }
-        val patchLines = adds.size + drops.size +
-          deadPlus.size + deadMinus.size
-        if (patchLines >= math.max(1, entries.size)) (None, ".list")
-        else {
-          val schemaLine = normSchema.toSeq.map(s => s"schema\t${s.json}")
-          val infoLine = infoLineOf(info)
-          val lines = s"parent\t${parent.get}" +: (schemaLine ++
-            infoLine ++
-            drops.sorted.map(r => s"del\t$r") ++
+        commitTwoLevel(fold(parent.get, gens), parent, adds, drops,
+          deadPlus, deadMinus, Some(dead), normSchema, info,
+          newSize = entries.size.toLong, mfSt = mfs)
+      case None =>
+        // first publish, or the parent no longer folds/assembles: the
+        // absolute state is in hand, write a fresh checkpoint (the
+        // CAS below still verifies `parent` is the newest name)
+        commitTwoLevel(None, parent, adds = entries, drops = Nil,
+          deadPlus = Nil, deadMinus = Nil, absDead = Some(dead),
+          schema = normSchema, info = info,
+          newSize = entries.size.toLong, mfSt = mfs)
+    }
+  }
+
+  /** Patch-shaped publish — O(delta) CPU and bytes per commit, the
+    * form the store's own mutations use: they KNOW their deltas (the
+    * date they rewrote, the files they retired), so re-deriving the
+    * patch by diffing two full entry lists is pure waste on the
+    * flush/maintenance cadence. Adds-only partitions get a new
+    * manifest holding JUST the adds (accumulation — merged back to
+    * one file per partition at the next checkpoint); partitions with
+    * drops rewrite their manifests (cost ∝ touched partition, never
+    * the table). Rolls a checkpoint on cadence ([[CheckpointEvery]]),
+    * outsized patches, or a legacy-form parent (the upgrade path).
+    * Same CAS + rename atom + rollback + retention as [[publish]].
+    * Throws IllegalStateException when the parent no longer folds or
+    * a touched partition's manifest is unreadable (the caller's
+    * planning snapshot is gone — re-plan, like a CAS failure).
+    */
+  def publishPatch(adds: Seq[Entry], drops: Seq[String],
+      deadPlus: Seq[Dead], deadMinus: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      parent: String, info: Option[String] = None): Unit = {
+    val normSchema = schema.map(StoreManifest.allNullable)
+    val (gens, mfs, _) = listState()
+    val ps = fold(parent, gens).getOrElse(throw new
+      IllegalStateException(s"$tableDir: publishPatch parent " +
+        s"$parent no longer folds — re-plan and retry"))
+    // approximate resulting size for the delta-vs-checkpoint
+    // heuristic (duplicate rels across accumulated manifests skew it,
+    // but the choice is cosmetic — both forms fold identically)
+    val approxNewSize = ps.approxSize + adds.size - drops.size
+    commitTwoLevel(Some(ps), Some(parent), adds, drops, deadPlus,
+      deadMinus, absDead = None, schema = normSchema, info = info,
+      newSize = approxNewSize, mfSt = mfs)
+  }
+
+  /** The shared two-level commit: decide delta vs checkpoint, write
+    * the touched partitions' manifest files, then commit the
+    * generation body through the CAS + rename atom. Any failure after
+    * manifests were written deletes them before rethrowing (they are
+    * unreferenced, but eager cleanup beats waiting for vacuum).
+    *
+    * `absDead` carries the absolute resulting tombstone list when the
+    * caller knows it ([[publish]]); otherwise the checkpoint form
+    * computes it from the parent's list ± the patch.
+    */
+  private def commitTwoLevel(parentState: Option[GenState],
+      parentName: Option[String],
+      adds: Seq[Entry], drops: Seq[String],
+      deadPlus: Seq[Dead], deadMinus: Seq[String],
+      absDead: Option[Seq[Dead]],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      info: Option[String], newSize: Long,
+      mfSt: Map[String, FileStatus]): Unit = {
+    val patchLines = adds.size.toLong + drops.size + deadPlus.size +
+      deadMinus.size
+    // delta only atop a two-level parent (a legacy parent converts via
+    // checkpoint), within the cadence, for a patch smaller than the
+    // resulting table — the same size heuristic the single-level form
+    // used, so commit-form decisions (and the specs pinning them) are
+    // unchanged
+    val isDelta = parentState.exists(ps => ps.twoLevel &&
+      ps.depth + 1 < CheckpointEvery &&
+      patchLines < math.max(1L, newSize))
+    val addsByPart = adds.groupBy(e => partKeyOf(e.rel))
+    val dropsByPart = drops.groupBy(partKeyOf)
+      .view.mapValues(_.toSet).toMap
+    val newMfs = scala.collection.mutable.ArrayBuffer.empty[MfRef]
+    def readPartition(refs: Seq[MfRef])
+        : scala.collection.mutable.LinkedHashMap[String, Entry] = {
+      val cur = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+      refs.foreach { r =>
+        val parsed = mfSt.get(r.name).flatMap(parseMf).getOrElse(
+          throw new IllegalStateException(s"$tableDir: partition " +
+            s"manifest ${r.name} unreadable — re-plan and retry"))
+        parsed._2.foreach(e => cur(e.rel) = e)
+      }
+      cur
+    }
+    try {
+      val bodyLines: Iterator[String] = if (isDelta) {
+        val ps = parentState.get
+        val mDels = scala.collection.mutable.ArrayBuffer.empty[String]
+        val mAdds = scala.collection.mutable.ArrayBuffer.empty[MfRef]
+        (addsByPart.keySet ++ dropsByPart.keySet).toSeq.sorted
+          .foreach { part =>
+            val pAdds = addsByPart.getOrElse(part, Nil)
+            val pDrops = dropsByPart.getOrElse(part, Set.empty)
+            if (pDrops.isEmpty) {
+              // pure append: one small manifest with just the adds —
+              // the O(delta) cadence path
+              if (pAdds.nonEmpty) {
+                val r = writeMf(part, pAdds); newMfs += r; mAdds += r
+              }
+            } else {
+              // partition rewrite: retire its manifests, re-emit the
+              // survivors (plus adds) as one fresh manifest
+              val refs = ps.mfs.filter(_.partKey == part)
+              val cur = readPartition(refs)
+              pDrops.foreach(cur.remove(_): Unit)
+              pAdds.foreach(e => cur(e.rel) = e)
+              mDels ++= refs.map(_.name)
+              if (cur.nonEmpty) {
+                val r = writeMf(part, cur.values.toSeq)
+                newMfs += r; mAdds += r
+              }
+            }
+          }
+        val lines = s"parent\t${parentName.get}" +:
+          (schema.toSeq.map(s => s"schema\t${s.json}") ++
+            infoLineOf(info) ++
             deadMinus.sorted.map(r => s"dead-\t$r") ++
             deadPlus.map(d => s"dead+\t${d.rel}\t${d.millis}")
               .sorted ++
-            adds.map(e => s"add\t${e.rel}\t${e.size}\t${e.mtime}")
+            mDels.sorted.map(n => s"mdel\t$n") ++
+            mAdds.map(r => s"madd\t${r.name}\t${r.partKey}\t${r.n}")
               .sorted)
-          (Some((s"delta=${lines.size}" +: lines).iterator), ".delta")
+        (s"delta=${lines.size}" +: lines).iterator
+      } else {
+        // checkpoint: final per-partition manifest set. Untouched
+        // single-manifest partitions REUSE their file by name; touched
+        // or accumulated (multi-manifest) partitions merge to one
+        // fresh file — rollover bytes ∝ partitions touched since the
+        // last checkpoint, never the table.
+        val finalRefs = scala.collection.mutable.ArrayBuffer.empty[MfRef]
+        val touched = addsByPart.keySet ++ dropsByPart.keySet
+        parentState match {
+          case Some(ps) if ps.twoLevel =>
+            val byPart = ps.mfs.groupBy(_.partKey)
+            (byPart.keySet ++ touched).toSeq.sorted.foreach { part =>
+              val refs = byPart.getOrElse(part, Nil)
+              if (!touched(part) && refs.size == 1) finalRefs += refs.head
+              else {
+                val cur = readPartition(refs)
+                dropsByPart.getOrElse(part, Set.empty)
+                  .foreach(cur.remove(_): Unit)
+                addsByPart.getOrElse(part, Nil)
+                  .foreach(e => cur(e.rel) = e)
+                if (cur.nonEmpty) {
+                  val r = writeMf(part, cur.values.toSeq)
+                  newMfs += r; finalRefs += r
+                }
+              }
+            }
+          case Some(ps) => // legacy inline parent: convert whole
+            val cur = scala.collection.mutable.LinkedHashMap
+              .from(ps.inline.map(e => e.rel -> e))
+            drops.foreach(cur.remove(_): Unit)
+            adds.foreach(e => cur(e.rel) = e)
+            cur.values.toSeq.groupBy(e => partKeyOf(e.rel))
+              .toSeq.sortBy(_._1).foreach { case (part, es) =>
+                val r = writeMf(part, es); newMfs += r; finalRefs += r
+              }
+          case None => // first publish (or absolute re-publish over
+                       // an unreadable parent): all partitions fresh
+            adds.groupBy(e => partKeyOf(e.rel)).toSeq.sortBy(_._1)
+              .foreach { case (part, es) =>
+                val r = writeMf(part, es); newMfs += r; finalRefs += r
+              }
         }
-      case _ => (None, ".list") // first publish, deep chain, or the
-                                // parent no longer folds → checkpoint
+        val deadFinal: Seq[Dead] = absDead.getOrElse {
+          val m = scala.collection.mutable.LinkedHashMap
+            .from(parentState.map(_.dead).getOrElse(Nil)
+              .map(d => d.rel -> d))
+          deadMinus.foreach(m.remove(_): Unit)
+          deadPlus.foreach(d => m(d.rel) = d)
+          m.values.toSeq
+        }
+        val mLines = finalRefs.sortBy(_.name)
+          .map(r => s"m\t${r.name}\t${r.partKey}\t${r.n}")
+        Iterator(s"mlist=${mLines.size}") ++
+          parentName.toSeq.map(p => s"parent\t$p") ++
+          schema.toSeq.map(s => s"schema\t${s.json}") ++
+          infoLineOf(info) ++
+          deadFinal.map(d => s"dead\t${d.rel}\t${d.millis}").sorted ++
+          mLines
+      }
+      commitBody(bodyLines, if (isDelta) ".delta" else ".list",
+        parentName)
+    } catch {
+      case e: Throwable =>
+        // the generation never committed (CAS rejection, rolled-back
+        // race, I/O): the manifests written for it are unreferenced —
+        // delete eagerly rather than leaving them for vacuum
+        newMfs.foreach(r =>
+          fs.delete(new Path(mdir, r.name), false): Unit)
+        throw e
     }
-    val bodyLines = body.getOrElse {
-      // the line SEQ must exist for the sort, but nothing bigger: the
-      // write below streams it, so no 77 MB concatenated body string /
-      // byte array / compression buffer ever materializes (three
-      // O(files) driver allocations at the 10⁶-file tier)
-      val lines = entries.map(e => s"${e.rel}\t${e.size}\t${e.mtime}")
-      val parentLine = parent.toSeq.map(p => s"parent\t$p")
-      val schemaLine = normSchema.toSeq.map(s => s"schema\t${s.json}")
-      val deadLines = dead.map(d => s"dead\t${d.rel}\t${d.millis}")
-      Iterator(s"count=${lines.size}") ++ parentLine ++ schemaLine ++
-        infoLineOf(info) ++ deadLines.sorted ++ lines.sorted
-    }
-    commitBody(bodyLines, ext, parent)
   }
 
-  /** The shared commit tail both publish forms go through: stream the
-    * body into a temp file (gzip for checkpoints), expected-parent
-    * CAS, the rename atom, post-rename conflict rollback, retention.
+  /** The shared commit tail: stream the body into a temp file (gzip
+    * for checkpoints), expected-parent CAS, the rename atom,
+    * post-rename conflict rollback, retention (generations AND the
+    * manifest files only pruned generations referenced).
     */
   private def commitBody(bodyLines: Iterator[String], ext: String,
       parent: Option[String]): Unit = {
     fs.mkdirs(mdir): Unit
+    writeProtocolMarker()
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(mdir, s".tmp-$uuid")
-    // checkpoints gzip (the O(files) body is ~90% shared path/digit
-    // prefixes — measured ~13× smaller, and the CRC trailer makes a
-    // torn body loudly unreadable); deltas stay plain text: they are
-    // hundreds of bytes, and a greppable commit log is worth more
-    // than the ~300 saved. BEST_SPEED: at 10⁶ entries the default
-    // level's extra ratio is not worth tripling the compress wall on
-    // every cadence rollover. Lines stream straight through the
-    // (optionally gzip) writer into the temp file.
+    // checkpoints gzip (shared path/digit prefixes compress ~13×, and
+    // the CRC trailer makes a torn body loudly unreadable); deltas
+    // stay plain text: they are hundreds of bytes, and a greppable
+    // commit log is worth more than the ~300 saved. BEST_SPEED: the
+    // extra ratio of the default level is not worth tripling the
+    // compress wall on every cadence rollover.
     val raw = fs.create(tmp, true)
     val sink: java.io.OutputStream =
       if (ext == ".list")
@@ -640,16 +1039,13 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // closable on a plain filesystem — rename is the only atom):
     // inside the loser's rename→rollback window (microseconds), a
     // READER that lists then may briefly adopt the rolled-back
-    // generation as truth (its files exist on disk, so the query
-    // executes; it observed a commit that never became durable), and
-    // a THIRD publisher that plans from it would chain onto a lineage
-    // omitting the race winner's commit. The writer lease
-    // ([[ParquetStore]] fencing, re-verified at every commit point)
-    // is the actual mutual exclusion that makes racing publishers
-    // impossible; this CAS + rollback is its belt-and-braces for the
-    // misconfigured-second-writer case it exists to catch, and its
-    // anomalies are strictly narrower than the silent lost update it
-    // replaces.
+    // generation as truth, and a THIRD publisher planning from it
+    // would chain onto a lineage omitting the race winner's commit.
+    // The writer lease ([[ParquetStore]] fencing, re-verified at every
+    // commit point) is the actual mutual exclusion that makes racing
+    // publishers impossible; this CAS + rollback is its
+    // belt-and-braces for the misconfigured-second-writer case it
+    // exists to catch.
     val conflicting = StoreFs.list(fs, mdir).map(_.getPath.getName)
       .filter(n => n.startsWith("gen-") && n != gen.getName &&
         parent.forall(_ < n))
@@ -661,7 +1057,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           "— rolled back; re-plan from the new newest generation")
     }
     // retain the newest KeepGens generation HEADS plus every older
-    // file their delta chains fold through (best effort; readers take
+    // file their delta chains fold through, then every manifest file
+    // a surviving generation references (best effort; readers take
     // the newest FOLDABLE head, so a failed delete costs bytes, not
     // truth). Age-based pruning beyond this is vacuum's job.
     val statuses = genStatuses()
@@ -669,88 +1066,37 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     val keep = heads.flatMap(chainNames(_, statuses)).toSet
     statuses.keys.filterNot(keep).foreach(n =>
       fs.delete(new Path(mdir, n), false): Unit)
+    // manifest retention: any mf a kept generation's raw body names
+    // must survive (it is what makes that head assemblable); the rest
+    // belonged to pruned generations (or crashed commits) and go with
+    // them. Single-writer fencing means no other publisher has
+    // written-but-not-yet-committed manifests to protect.
+    val (gensAfter, mfsAfter, _) = listState()
+    val neededMfs = mfsReferencedBy(gensAfter.values)
+    mfsAfter.keys.filterNot(neededMfs).foreach(n =>
+      fs.delete(new Path(mdir, n), false): Unit)
   }
 
-  /** Patch-shaped publish — O(delta) CPU per commit, the form the
-    * store's own mutations use: they KNOW their deltas (the date they
-    * rewrote, the files they retired, the tombstones they reclaimed),
-    * so re-deriving the patch by diffing two full entry lists — the
-    * absolute-signature [[publish]]'s measured bulk at 10⁶ files — is
-    * pure waste on the flush/maintenance cadence. Writes a `.delta`
-    * directly from the caller's patch when the chain is short; folds
-    * the parent and writes the absolute checkpoint on cadence
-    * rollover, or when the patch rivals the table's size (same
-    * size heuristic as the absolute form, parent size approximated
-    * from the raw chain's counts — the choice is cosmetic, both forms
-    * fold identically). `schema` carries the same ABSOLUTE semantics
-    * as a delta body's schema line (None = readers fall back to
-    * footer inference — expire's drifted-column contract). Same CAS +
-    * rename atom + rollback + retention as [[publish]]. Requires a
-    * parent by construction: a first publish has no delta to speak
-    * of. Throws IllegalStateException when the parent no longer folds
-    * at rollover time (the caller's planning snapshot is gone —
-    * re-plan, like a CAS failure).
+  /** One-time advisory marker naming the on-disk protocol, so an
+    * operator (or an older binary's logs) can see WHY a pre-round-19
+    * reader degrades to listing mode instead of silently serving
+    * stale truth. Advisory only — the real contract is the header
+    * self-describing each body.
     */
-  def publishPatch(adds: Seq[Entry], drops: Seq[String],
-      deadPlus: Seq[Dead], deadMinus: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType],
-      parent: String, info: Option[String] = None): Unit = {
-    val normSchema = schema.map(StoreManifest.allNullable)
-    val statuses = genStatuses()
-    // raw-chain walk (memoized parses, no entry fold): depth for the
-    // rollover decision and an approximate parent size for the
-    // delta-vs-checkpoint heuristic
-    val chain = chainNames(parent, statuses)
-    val chainRaws = chain.flatMap(n => statuses.get(n).flatMap(parseRaw))
-    val chainWhole = chainRaws.size == chain.size &&
-      chainRaws.lastOption.exists(_.isInstanceOf[FullGen])
-    val depth = chain.size - 1
-    // what a checkpoint would cost ≈ the RESULTING table's size (the
-    // same yardstick the absolute form uses); approximated from the
-    // raw chain's counts — adds that overwrite and drops of absent
-    // rels skew it, but the choice is cosmetic: both forms fold
-    // identically
-    val approxNewSize = chainRaws.map {
-      case f: FullGen => f.entries.size.toLong
-      case d: DeltaGen => (d.adds.size - d.drops.size).toLong
-    }.sum + adds.size - drops.size
-    val patchLines = adds.size + drops.size +
-      deadPlus.size + deadMinus.size
-    if (chainWhole && depth + 1 < CheckpointEvery &&
-        patchLines < math.max(1L, approxNewSize)) {
-      val lines = s"parent\t$parent" +:
-        (normSchema.toSeq.map(s => s"schema\t${s.json}") ++
-          infoLineOf(info) ++
-          drops.sorted.map(r => s"del\t$r") ++
-          deadMinus.sorted.map(r => s"dead-\t$r") ++
-          deadPlus.map(d => s"dead+\t${d.rel}\t${d.millis}").sorted ++
-          adds.map(e => s"add\t${e.rel}\t${e.size}\t${e.mtime}").sorted)
-      commitBody((s"delta=${lines.size}" +: lines).iterator, ".delta",
-        Some(parent))
-    } else {
-      // rollover (or outsized patch / broken chain): fold the parent
-      // once — the amortized O(table) the cadence pays every
-      // CheckpointEvery commits — apply the patch, checkpoint
-      val ps = fold(parent, statuses).getOrElse(throw new
-        IllegalStateException(s"$tableDir: publishPatch parent " +
-          s"$parent no longer folds — re-plan and retry"))
-      val entryMap = scala.collection.mutable.LinkedHashMap
-        .from(ps.entries.map(e => e.rel -> e))
-      drops.foreach(entryMap.remove(_): Unit)
-      adds.foreach(e => entryMap(e.rel) = e)
-      val deadMap = scala.collection.mutable.LinkedHashMap
-        .from(ps.dead.map(d => d.rel -> d))
-      deadMinus.foreach(deadMap.remove(_): Unit)
-      deadPlus.foreach(d => deadMap(d.rel) = d)
-      val lines = entryMap.valuesIterator
-        .map(e => s"${e.rel}\t${e.size}\t${e.mtime}").toSeq
-      val deadLines = deadMap.valuesIterator
-        .map(d => s"dead\t${d.rel}\t${d.millis}").toSeq
-      commitBody(
-        Iterator(s"count=${lines.size}", s"parent\t$parent") ++
-          normSchema.toSeq.map(s => s"schema\t${s.json}") ++
-          infoLineOf(info) ++ deadLines.sorted ++ lines.sorted,
-        ".list", Some(parent))
+  private def writeProtocolMarker(): Unit = {
+    val proto = new Path(mdir, "protocol")
+    if (!fs.exists(proto)) {
+      try {
+        val o = fs.create(proto, false)
+        try o.write(("duospark manifest protocol: two-level (round 19)\n" +
+          "generations: gen-*.list (mlist manifest-list), " +
+          "gen-*.delta (madd/mdel manifest patches)\n" +
+          "partition manifests: mf-* (one date partition's entries)\n" +
+          "readers older than this protocol cannot fold these " +
+          "generations and degrade to legacy listing mode.\n")
+          .getBytes(StandardCharsets.UTF_8))
+        finally o.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -774,14 +1120,35 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   def deleteGen(name: String): Unit =
     fs.delete(new Path(mdir, name), false): Unit
 
+  /** Delete manifest files no retained generation references and
+    * older than the grace window — crashed commits' debris (the
+    * commit-time retention already prunes manifests with the
+    * generations that referenced them; the grace guard here is
+    * belt-and-braces for a torn in-flight commit). Returns the count.
+    */
+  private[graft] def vacuumOrphanManifests(graceMs: Long,
+      now: Long = System.currentTimeMillis()): Int = {
+    val (gens, mfs, _) = listState()
+    val needed = mfsReferencedBy(gens.values)
+    val orphans = mfs.keys.toSeq.filter { n =>
+      !needed(n) && n.stripPrefix("mf-").takeWhile(_.isDigit)
+        .toLongOption.forall(_ + graceMs <= now)
+    }
+    orphans.foreach(n => fs.delete(new Path(mdir, n), false): Unit)
+    orphans.size
+  }
+
   /** One SPECIFIC retained generation's snapshot (time travel: its
     * data files live until vacuum's grace passes). None when the name
-    * is gone, the body fails the self-checks, or its delta chain lost
-    * a link.
+    * is gone, the body fails the self-checks, its delta chain lost a
+    * link, or a referenced partition manifest is torn.
     */
   def readGen(name: String): Option[Snapshot] =
     if (!name.startsWith("gen-")) None
-    else fold(name, genStatuses())
+    else {
+      val (gens, mfs, _) = listState()
+      assembleFull(name, gens, mfs)
+    }
 
   /** One generation's OWN operation-audit string WITHOUT folding its
     * chain: the info line is per-commit raw metadata, so a memoized
@@ -813,25 +1180,41 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * only, and the self-count plus per-line field checks reject a
     * truncated or malformed body — which then falls back to the
     * PREVIOUS retained generation (a stale-but-consistent snapshot)
-    * rather than to half a snapshot; a delta whose chain lost a link
-    * is rejected the same all-or-nothing way.
+    * rather than to half a snapshot; a delta whose chain lost a link,
+    * and a generation whose partition manifest is torn, are rejected
+    * the same all-or-nothing way.
     */
   def read(): Option[Snapshot] = readState()._1
 
   /** [[read]] plus the current dirty markers, resolved from ONE
     * `_manifest` listing — the planning state every read and mutation
-    * starts from (two separate calls would double the metadata LIST
-    * bill on the hot path). Folding the newest head's delta chain
-    * costs no further filesystem calls once the immutable-file parse
-    * memo is warm.
+    * starts from. Folding and assembling the newest head costs no
+    * further filesystem calls once the immutable-file memos are warm.
     */
   def readState(): (Option[Snapshot], Seq[String]) = {
-    val names = StoreFs.list(fs, mdir)
-    val dirty = names.map(_.getPath.getName).filter(_.startsWith("dirty-"))
-    val statuses = names.filter(_.getPath.getName.startsWith("gen-"))
-      .map(s => s.getPath.getName -> s).toMap
-    val heads = statuses.keys.toSeq.sorted(Ordering[String].reverse)
-    (heads.iterator.flatMap(fold(_, statuses)).nextOption(), dirty)
+    val (gens, mfs, dirty) = listState()
+    val heads = gens.keys.toSeq.sorted(Ordering[String].reverse)
+    (heads.iterator.flatMap(assembleFull(_, gens, mfs)).nextOption(),
+      dirty)
+  }
+
+  /** [[readState]] restricted to the partitions `admit` passes (by
+    * partition key — `date=…` or the catch-all `""`, which admit must
+    * always pass): the snapshot's entries cover ONLY admitted
+    * partitions, and only their manifest files are read — the plan
+    * wall of a windowed query scales with the partitions the window
+    * admits, flat as the table grows. The pruned snapshot is a
+    * PLANNING view: publishing it as absolute truth would drop every
+    * non-admitted partition, so mutations that republish must use the
+    * full [[readState]] (or patch-shaped commits).
+    */
+  def readStateFor(admit: String => Boolean)
+      : (Option[Snapshot], Seq[String]) = {
+    val (gens, mfs, dirty) = listState()
+    val heads = gens.keys.toSeq.sorted(Ordering[String].reverse)
+    (heads.iterator
+      .flatMap(h => fold(h, gens).flatMap(assemble(_, mfs, admit)))
+      .nextOption(), dirty)
   }
 
   /** Every retained readable generation, newest first (vacuum's
@@ -839,9 +1222,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * not an orphan).
     */
   def readAll(): Seq[Snapshot] = {
-    val statuses = genStatuses()
-    statuses.keys.toSeq.sorted(Ordering[String].reverse)
-      .flatMap(fold(_, statuses))
+    val (gens, mfs, _) = listState()
+    gens.keys.toSeq.sorted(Ordering[String].reverse)
+      .flatMap(assembleFull(_, gens, mfs))
   }
 
   /** Whether a readable manifest generation is present (specs/gates). */
@@ -850,20 +1233,20 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
 
 object StoreManifest {
   /** Generation HEADS retained by [[StoreManifest.publish]] (plus the
-    * chain files each head's fold needs): newest is the truth, older
-    * ones are corruption insurance and the snapshot-isolation window's
-    * metadata (their data files live until vacuum's grace passes).
+    * chain files each head's fold needs and the manifest files they
+    * reference): newest is the truth, older ones are corruption
+    * insurance and the snapshot-isolation window's metadata (their
+    * data files live until vacuum's grace passes).
     */
   val KeepGens: Int = 3
 
   /** Checkpoint cadence: a publish whose parent chain has already
     * grown this long folds the chain into a full `.list` checkpoint
     * instead of appending another delta — bounding both the fold
-    * depth a read pays and the file count retention must keep.
+    * depth a read pays and the per-partition manifest accumulation
+    * (the rollover merges each touched partition back to one file).
     * Ten is Delta Lake's own default ratio of commits per checkpoint
-    * neighborhood at this metadata scale: deltas stay a few hundred
-    * bytes for flush-sized commits, so a chain of ten costs less to
-    * read than one extra full list costs to write per commit.
+    * neighborhood at this metadata scale.
     */
   val CheckpointEvery: Int = 10
 
@@ -873,22 +1256,33 @@ object StoreManifest {
     */
   private[store] val MaxChain: Int = 64
 
-  /** Parse-memo bound: comfortably above the live working set
-    * (KeepGens heads + one chain ≤ ~13 files) so steady-state reads
-    * never evict, while a months-long cadence can't pin every
-    * checkpoint ever published.
+  /** Generation parse/fold memo bound: comfortably above the live
+    * working set (KeepGens heads + one chain ≤ ~13 files) so
+    * steady-state reads never evict, while a months-long cadence
+    * can't pin every generation ever published.
     */
   private[store] val ParseMemoCap: Int = 64
 
-  /** Cumulative cached-ENTRY bound shared by both memos' overflow
-    * checks: ~4M entries ≈ 600 MB of cached metadata at most, i.e. a
-    * few checkpoints of a million-file table — enough for the live
-    * working set (one chain's checkpoint + KeepGens folds), small
-    * enough that time-traveling across many retained generations of a
-    * huge table cycles the cache instead of exhausting the driver
-    * heap.
+  /** Manifest-file memo bound: the live working set is one manifest
+    * per partition the active queries' windows admit plus the
+    * accumulation tail — hundreds, not thousands; eviction just
+    * re-GETs an immutable file.
+    */
+  private[store] val MfMemoCap: Int = 4096
+
+  /** Cumulative cached-ENTRY bound shared by the memos' overflow
+    * checks: ~4M entries ≈ 600 MB of cached metadata at most — enough
+    * for the live working set of a million-file table, small enough
+    * that time-traveling across many retained generations cycles the
+    * cache instead of exhausting the driver heap.
     */
   private[store] val MemoEntryCap: Long = 4L * 1000L * 1000L
+
+  /** Manifest bodies above this entry count gzip on write (shared
+    * path prefixes compress ~13×); smaller ones stay plain — a
+    * greppable flush-sized manifest is worth more than the bytes.
+    */
+  private[store] val MfGzipAbove: Int = 256
 
   /** One data file: path relative to the table dir (a leading
     * `_gen-…` segment names the rewrite tree it lives in), plus the
@@ -903,18 +1297,45 @@ object StoreManifest {
     */
   final case class Dead(rel: String, millis: Long)
 
-  /** One manifest generation's FOLDED state: its own file name, the
-    * parent generation it committed over (None = first ever), the
-    * complete live-file list, the merged data schema when the
-    * publishing operation knew it, the cumulative not-yet-vacuumed
-    * tombstones, and the delta-chain depth since the last checkpoint
-    * (0 = this file IS a checkpoint — what the publish cadence
-    * rolls over on). The recorded parent makes each generation's
-    * lineage auditable and is what the expected-parent CAS in
-    * [[StoreManifest.publish]] verifies. `info` is this generation's
-    * OWN operation-audit string (the Delta commitInfo idea —
-    * `{"op":"compact",…}`), not folded through the chain: each
-    * commit describes itself.
+  /** One partition-manifest reference as a generation body carries
+    * it: the immutable `mf-*` file name, the partition key its
+    * entries share (`date=…`, or `""` for the catch-all), and its
+    * entry count (pruning and size heuristics — duplicates across a
+    * partition's accumulated manifests make it an upper bound).
+    */
+  private[graft] final case class MfRef(name: String, partKey: String,
+      n: Long)
+
+  /** The partition key a rel groups under: its leading `date=…` path
+    * segment (a rewrite-tree `_gen-…` prefix is stripped first — a
+    * tree is WHERE bytes live, not what partition they belong to), or `""`
+    * for anything else (root-level files, `_staging` rels). The admit
+    * functions [[StoreManifest.readStateFor]] takes receive exactly
+    * these keys and must always pass `""`.
+    */
+  private[graft] def partKeyOf(rel: String): String = {
+    val l = if (rel.startsWith("_gen-"))
+      rel.substring(rel.indexOf('/') + 1)
+    else rel
+    val i = l.indexOf('/')
+    if (i > 0) {
+      val seg = l.substring(0, i)
+      if (seg.startsWith("date=")) seg else ""
+    } else ""
+  }
+
+  /** One manifest generation's FOLDED, ASSEMBLED state: its own file
+    * name, the parent generation it committed over (None = first
+    * ever), the live-file list (complete, or window-pruned when it
+    * came from [[StoreManifest.readStateFor]]), the merged data
+    * schema when the publishing operation knew it, the cumulative
+    * not-yet-vacuumed tombstones, and the delta-chain depth since the
+    * last checkpoint (0 = this generation IS a checkpoint). The
+    * recorded parent makes each generation's lineage auditable and is
+    * what the expected-parent CAS verifies. `info` is this
+    * generation's OWN operation-audit string (the Delta commitInfo
+    * idea), not folded through the chain: each commit describes
+    * itself.
     */
   final case class Snapshot(gen: String, parent: Option[String],
       entries: Seq[Entry],

@@ -823,18 +823,28 @@ class FsStoreSpec extends SparkSpec {
     val mdir = new org.apache.hadoop.fs.Path(local.toString, "_manifest")
     def genFiles() = fsys.listStatus(mdir)
       .filter(_.getPath.getName.startsWith("gen-")).sortBy(_.getPath.getName)
-    // a large table: the checkpoint is O(files), each append's delta
-    // must NOT be
+    // per-commit TOTAL bytes = the generation file plus the partition
+    // manifests that commit wrote (round 19: entries live in mf-*
+    // files, the generation only references them) — measured as the
+    // growth of the whole _manifest dir minus retention's deletions,
+    // i.e. the footprint after each commit vs before
+    def metaBytes() = fsys.listStatus(mdir)
+      .filter(s => s.getPath.getName.startsWith("gen-") ||
+        s.getPath.getName.startsWith("mf-")).map(_.getLen).sum
+    // a large table: the checkpoint writes O(files) manifest bytes,
+    // each append's commit must NOT
     val base = (0 until 5000).map(i => StoreManifest.Entry(
       f"date=2024-01-15/part-$i%05d.parquet", 1000L + i, 1700000000000L + i))
     m.publish(base, None, Nil, parent = None)
     assert(genFiles().last.getPath.getName.endsWith(".list"),
       "first publish must be a checkpoint")
-    val checkpointBytes = genFiles().last.getLen
-    // flush-cadence commits: +5 files each → tiny .delta files
+    val checkpointBytes = metaBytes()
+    // flush-cadence commits: +5 files each → a tiny .delta plus one
+    // 5-entry manifest
     var entries = base
     var parent = m.read().map(_.gen)
     val deltaSizes = (0 until 6).map { k =>
+      val before = metaBytes()
       entries = entries ++ (0 until 5).map(i => StoreManifest.Entry(
         f"date=2024-01-16/part-$k%02d-$i.parquet", 999L, 1700000100000L + k))
       m.publish(entries, None, Nil, parent)
@@ -842,11 +852,11 @@ class FsStoreSpec extends SparkSpec {
       parent = Some(newest.getPath.getName)
       assert(newest.getPath.getName.endsWith(".delta"),
         s"append commit $k should be a delta")
-      newest.getLen
+      metaBytes() - before
     }
     assert(deltaSizes.max < checkpointBytes / 10,
-      s"delta bytes ${deltaSizes.max} must be far below the " +
-        s"checkpoint's $checkpointBytes")
+      s"per-commit delta bytes ${deltaSizes.max} must be far below " +
+        s"the checkpoint's $checkpointBytes")
     // the folded head equals the absolute state, depth counts the chain
     val snap = m.read().get
     assert(snap.entries.size == 5030 && snap.depth == 6)
