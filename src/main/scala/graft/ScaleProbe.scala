@@ -532,28 +532,31 @@ object ScaleProbe {
   }
 
   /** The commit protocol's metadata write amplification, measured —
-    * round 18 closes VERDICT r17 #1 with the Delta-log discipline:
-    * a flush-cadence commit now writes only its DELTA (adds +
-    * tombstone changes + parent pointer) behind the same CAS rename
-    * atom, with a periodic full checkpoint folding the chain
-    * ([[graft.store.StoreManifest.CheckpointEvery]]). This probe runs
-    * a w11-like commit cadence (10 sequential commits, each adding 10
-    * files and CAS-chained on its predecessor like a real mutation)
-    * on top of a checkpointed table at 1×/10×/100× file counts,
-    * purely driver-side (no Spark jobs — the cost under measurement
-    * is filesystem metadata I/O). The flat-curve claim: per-commit
-    * manifest bytes track the DELTA (constant across table size),
-    * not the table, and planning (`readState`) stays flat-ish because
-    * it folds one cached checkpoint + a bounded delta suffix. The
-    * checkpoint write itself stays O(files) — paid once per
-    * CheckpointEvery commits instead of on every flush.
+    * round 19 closes VERDICT r18 #1 with the TWO-LEVEL layout
+    * (per-date manifest files + a manifest-list per generation, the
+    * Iceberg shape): a flush-cadence commit writes one small manifest
+    * + a delta behind the same CAS rename atom; the periodic
+    * checkpoint REUSES untouched dates' manifests by name and merges
+    * only the accumulated ones, so rollover bytes track partitions
+    * touched since the last checkpoint; and a WINDOWED plan
+    * ([[graft.store.StoreManifest.readStateFor]]) reads only the
+    * window's manifests. This probe runs a w11-like commit cadence
+    * (10 hot-date commits of 10 files, CAS-chained, plus enough more
+    * to force one rollover) on a multi-date table at growing file
+    * counts, purely driver-side (no Spark jobs — the cost under
+    * measurement is filesystem metadata I/O). The flat-curve claims:
+    * per-commit delta bytes, rollover bytes, and the cold windowed
+    * plan wall all stay constant as the table grows 10×/100×; only
+    * the deliberate full assembly (`read_full_cold_ms`) and the
+    * first-ever checkpoint remain O(files).
     */
   private def publishCostProbe(): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.store.{StoreFs, StoreManifest}
     // default tiers cover the per-round record; the 100-TB
-    // extrapolation target (~10⁶ files) is opt-in via env because its
-    // checkpoint writes cost real wall/disk on every probe run
+    // extrapolation targets (10⁶ and, since the two-level layout,
+    // 10⁷ files) are opt-in via env because their checkpoint writes
+    // cost real wall/disk on every probe run
     val tiers = sys.env.get("SPARK_GRAFT_PUBCOST_TIERS")
       .map(_.split(",").toSeq.flatMap(_.trim.toIntOption))
       .filter(_.nonEmpty)
@@ -564,58 +567,117 @@ object ScaleProbe {
       val fs = StoreFs.fs(new Path(local.toString))
       val m = new StoreManifest(fs, local.toString)
       val mdir = new Path(local.toString, "_manifest")
+      def metaBytes(): Long =
+        StoreFs.list(fs, mdir)
+          .filter(_.getPath.getName.startsWith("gen-"))
+          .map(_.getLen).sum +
+        StoreFs.list(fs, new Path(mdir, "mf")).map(_.getLen).sum
+      // the realistic shape of a big table: ~1000 files per date
+      // partition, dates growing with the table (10⁶ files = ~3
+      // years of dates; 10⁷ = the multi-tenant tier) — what the
+      // two-level layout prunes on
+      val filesPerDate = 1000
+      def dateOf(i: Int): String =
+        java.time.LocalDate.ofEpochDay(19700L + i / filesPerDate).toString
       val entries = (0 until n).map(i => StoreManifest.Entry(
-        f"date=2024-01-15/hour=${i / 3600 % 24}%02d/minute=${i / 60 % 60}%02d/part-$i%07d.parquet",
+        f"date=${dateOf(i)}/hour=${i / 60 % 24}%02d/part-$i%08d.parquet",
         1234567L, 1700000000000L + i))
-      // the checkpoint: the once-per-CheckpointEvery O(files) cost
+      // the checkpoint: the once-per-CheckpointEvery O(touched) cost
+      // (here everything is touched — it is the FIRST publish)
       val tc = System.nanoTime()
       m.publish(entries, None, Nil, None)
       val ckptMs = (System.nanoTime() - tc) / 1e6
       var parent = m.read().map(_.gen)
-      val ckptBytes = StoreFs.list(fs, mdir)
-        .filter(_.getPath.getName.endsWith(".list")).map(_.getLen).max
-      var readNs = 0L
+      val ckptBytes = metaBytes()
       // delta commits and the cadence-rollover checkpoint are costed
       // separately: the flat-curve claim is about the DELTAS (every
-      // flush pays one), while the rollover re-pays O(files) once per
-      // CheckpointEvery commits (the amortization knob)
+      // flush pays one), while the rollover pays ∝ partitions touched
+      // since the last checkpoint (manifest merge + reuse), never the
+      // table
       var deltaNs = 0L; var deltaBytes = 0L; var deltas = 0
       var rollNs = 0L; var rollBytes = 0L; var rolls = 0
       val pubs = 10
+      val hotDate = java.time.LocalDate.ofEpochDay(
+        19700L + n / filesPerDate + 1L).toString
       (0 until pubs).foreach { k =>
-        // the flush-cadence shape: each commit lands 10 new files,
-        // patch-shaped like the store's own mutations (round 18:
-        // compactDate/expire/vacuum publish their KNOWN deltas, so
-        // the commit is O(delta) CPU — no full-list diff)
+        // the flush-cadence shape: each commit lands 10 new files in
+        // the hot (current) date, patch-shaped like the store's own
+        // mutations — the commit writes one small manifest + a delta
         val newFiles = (0 until 10).map(i => StoreManifest.Entry(
-          f"date=2024-01-16/part-$k%03d-$i.parquet", 1234567L,
+          f"date=$hotDate/part-$k%03d-$i.parquet", 1234567L,
           1700000100000L + k))
+        val before = metaBytes()
         val t0 = System.nanoTime()
         m.publishPatch(adds = newFiles, drops = Nil,
           deadPlus = Nil, deadMinus = Nil, schema = None,
           parent = parent.get)
         val dt = System.nanoTime() - t0
-        val t1 = System.nanoTime()
         val snap = m.readState()._1.get
-        readNs += System.nanoTime() - t1
-        val bytes = StoreFs.list(fs, mdir)
-          .filter(_.getPath.getName == snap.gen).map(_.getLen).sum
+        // commit footprint = growth of the whole _manifest dir
+        // (generation + manifests written, minus retention's prunes)
+        val bytes = math.max(0L, metaBytes() - before)
         if (snap.gen.endsWith(".delta")) {
           deltaNs += dt; deltaBytes += bytes; deltas += 1
         } else { rollNs += dt; rollBytes += bytes; rolls += 1 }
         parent = Some(snap.gen)
       }
-      val retained = StoreFs.list(fs, mdir)
-        .filter(_.getPath.getName.startsWith("gen-")).map(_.getLen).sum
+      // drive the chain to its rollover so every tier reports one:
+      // the checkpoint must REUSE the untouched dates' manifests (its
+      // bytes ∝ the hot date, not the table)
+      while (rolls == 0) {
+        val newFiles = Seq(StoreManifest.Entry(
+          f"date=$hotDate/part-roll-${deltas + rolls}.parquet",
+          1234567L, 1700000200000L))
+        val before = metaBytes()
+        val t0 = System.nanoTime()
+        m.publishPatch(adds = newFiles, drops = Nil, deadPlus = Nil,
+          deadMinus = Nil, schema = None, parent = parent.get)
+        val dt = System.nanoTime() - t0
+        val snap = m.readState()._1.get
+        val bytes = math.max(0L, metaBytes() - before)
+        if (snap.gen.endsWith(".delta")) {
+          deltaNs += dt; deltaBytes += bytes; deltas += 1
+        } else { rollNs += dt; rollBytes += bytes; rolls += 1 }
+        parent = Some(snap.gen)
+      }
+      // plan-wall measurements on a COLD planner (fresh StoreManifest
+      // = empty memos, like a new driver): the two-level claim is
+      // that a windowed plan reads only the window's manifests — flat
+      // as the table grows — while the full assembly stays O(files)
+      val coldFull = new StoreManifest(fs, local.toString)
+      val tf = System.nanoTime()
+      val fullEntries = coldFull.readState()._1.map(_.entries.size).getOrElse(0)
+      val fullColdMs = (System.nanoTime() - tf) / 1e6
+      val windowAdmit: String => Boolean = {
+        val d0 = dateOf(0)
+        pk => pk.isEmpty || pk == s"date=$d0"
+      }
+      val coldWin = new StoreManifest(fs, local.toString)
+      val tw = System.nanoTime()
+      val winEntries = coldWin.readStateFor(windowAdmit)._1
+        .map(_.entries.size).getOrElse(0)
+      val winColdMs = (System.nanoTime() - tw) / 1e6
+      // min of 3: the full-assembly garbage above makes a single
+      // warm sample GC-noisy at the big tiers
+      val winWarmMs = (0 until 3).map { _ =>
+        val t = System.nanoTime()
+        coldWin.readStateFor(windowAdmit): Unit
+        (System.nanoTime() - t) / 1e6
+      }.min
       println(f"""{"query":"manifest_publish_cost","files":$n,""" +
+        f""""dates":${(n + filesPerDate - 1) / filesPerDate},""" +
         f""""delta_commits":$deltas,""" +
         f""""avg_delta_ms":${deltaNs / 1e6 / math.max(1, deltas)}%.2f,""" +
         f""""avg_delta_bytes":${deltaBytes / math.max(1, deltas)},""" +
         f""""rollover_checkpoints":$rolls,""" +
         f""""avg_rollover_ms":${rollNs / 1e6 / math.max(1, rolls)}%.2f,""" +
-        f""""avg_read_ms":${readNs / 1e6 / pubs}%.2f,""" +
+        f""""avg_rollover_bytes":${rollBytes / math.max(1, rolls)},""" +
+        f""""read_full_cold_ms":$fullColdMs%.2f,""" +
+        f""""read_window_cold_ms":$winColdMs%.2f,""" +
+        f""""read_window_warm_ms":$winWarmMs%.2f,""" +
+        f""""window_entries":$winEntries,"full_entries":$fullEntries,""" +
         f""""checkpoint_ms":$ckptMs%.2f,"checkpoint_bytes":$ckptBytes,""" +
-        f""""retained_bytes":$retained,"gens":${m.genNames().size}}""")
+        f""""retained_bytes":${metaBytes()},"gens":${m.genNames().size}}""")
     }
   }
 

@@ -88,29 +88,53 @@ final class CdcFeed private[store] (store: ParquetStore,
     * that side has no rows. Call [[commit]] with the increment's
     * `toGen` once the rows are safely down; polling again before
     * that re-delivers.
+    *
+    * `maxGenerations` bounds the step: a consumer that fell several
+    * commits behind gets an increment spanning at most that many
+    * generations (default unbounded — one jump to newest, the
+    * smallest total work but an unbounded batch a lagging consumer
+    * cannot size or attribute). With `maxGenerations = 1` the feed
+    * replays the commit history one generation at a time, each
+    * increment carrying that generation's own `info` audit line —
+    * bounded batches, attributable to the operation that produced
+    * them; the union of the stepped increments equals the single
+    * jump (spec-pinned). Resyncs ignore the bound (a snapshot is not
+    * a step through history).
     */
-  def poll(): Option[CdcFeed.Increment] = {
-    val newest = store.generations().lastOption.getOrElse(return None)
+  def poll(maxGenerations: Int = Int.MaxValue): Option[CdcFeed.Increment] = {
+    require(maxGenerations >= 1,
+      s"maxGenerations must be >= 1, got $maxGenerations")
+    val gens = store.generations()
+    val newest = gens.lastOption.getOrElse(return None)
     cursor() match {
       case Some(c) if c == newest => None // caught up
       case Some(c) if store.generationReadable(c) &&
           store.generationReadable(newest) =>
+        // the stepped target: at most maxGenerations past the cursor
+        // (gens is oldest → newest; a cursor no longer listed falls
+        // to the resync arm below via the readability check)
+        val idx = gens.indexOf(c)
+        val target =
+          if (idx < 0) newest
+          else gens(math.min(gens.size - 1L,
+            idx.toLong + maxGenerations).toInt)
         val added =
-          if (keyCols.nonEmpty) store.changesBetween(c, newest, keyCols)
-          else store.changesBetween(c, newest)
+          if (keyCols.nonEmpty) store.changesBetween(c, target, keyCols)
+          else store.changesBetween(c, target)
         val removed =
-          if (keyCols.nonEmpty) store.removedBetween(c, newest, keyCols)
-          else store.removedBetween(c, newest)
+          if (keyCols.nonEmpty) store.removedBetween(c, target, keyCols)
+          else store.removedBetween(c, target)
         // post-check BOTH ends: if retention pruned c — or newer
-        // commits landed and vacuum pruned the captured `newest` —
+        // commits landed and vacuum pruned the captured `target` —
         // while the diffs were being planned, one side may have
         // quietly come back None-for-the-wrong-reason. A half
         // increment (adds without their deletes, or both sides None
         // with real changes in between) must downgrade to a resync,
         // never commit as truth.
-        if (store.generationReadable(c) && store.generationReadable(newest))
-          Some(CdcFeed.Increment(newest, added, removed, resync = false))
-        else // re-fetch: the captured newest itself may be the pruned one
+        if (store.generationReadable(c) && store.generationReadable(target))
+          Some(CdcFeed.Increment(target, added, removed, resync = false,
+            info = store.generationInfo(target)))
+        else // re-fetch: the captured target itself may be the pruned one
           store.generations().lastOption.flatMap(resyncTo)
       case Some(_) => resyncTo(newest) // cursor outran by retention
       case None => resyncTo(newest) // first poll: snapshot, like
@@ -126,7 +150,7 @@ final class CdcFeed private[store] (store: ParquetStore,
   private def resyncTo(newest: String): Option[CdcFeed.Increment] =
     if (!store.generationReadable(newest)) None // corrupt head: retry later
     else Some(CdcFeed.Increment(newest, store.readGeneration(newest),
-      None, resync = true))
+      None, resync = true, info = store.generationInfo(newest)))
 
   /** Durably advance the cursor to `gen` (an increment's `toGen`):
     * temp-write + rename to a fresh unique cursor file, then best-
@@ -161,6 +185,69 @@ final class CdcFeed private[store] (store: ParquetStore,
   def reset(): Unit =
     cursorFiles().foreach(n =>
       fs.delete(new Path(cdcDir, n), false): Unit)
+
+  /** EXACTLY-ONCE delivery of the feed's `added` rows into another
+    * [[ParquetStore]] — the transactional consumer the at-least-once
+    * [[poll]]/[[commit]] contract otherwise pushes onto every
+    * downstream: one increment's rows land in the sink THROUGH its
+    * manifest commit ([[ParquetStore.writeCommitted]]), whose
+    * generation info durably records `{"op":"cdcConsume","consumer":…,
+    * "toGen":…}` in the SAME rename that makes the rows visible; the
+    * cursor advances after. A crash at any step replays safely:
+    * before the sink publish, nothing landed (the orphan `_gen-*`
+    * tree is sink-vacuum's) and the re-run re-polls the same
+    * increment; between publish and cursor-advance, the heal step at
+    * the start of every run reads the landed `toGen` back from the
+    * sink's generation info and advances the cursor WITHOUT
+    * re-landing. Returns the consumed `toGen`, None when caught up.
+    *
+    * Contract edges: `transform` must leave the sink's time column in
+    * place (it drives the landing's partition derivation); the
+    * `removed` side is NOT applied (an append-only sink — consumers
+    * that must invalidate build on the raw diffs); a RESYNC is only
+    * accepted on a first-ever consumption (bootstrap snapshot) —
+    * a mid-life resync means retention outran this consumer and an
+    * append would silently double the sink, so it throws instead.
+    */
+  def consumeInto(sink: ParquetStore,
+      transform: DataFrame => DataFrame = identity,
+      maxGenerations: Int = Int.MaxValue): Option[String] = {
+    landedToGen(sink).foreach { g =>
+      if (cursor().forall(_ < g)) commit(g) // heal: landed, un-advanced
+    }
+    poll(maxGenerations) match {
+      case None => None
+      case Some(inc) =>
+        if (inc.resync && cursor().isDefined)
+          throw new IllegalStateException(
+            s"$tableDir: consumer '$consumer' needs a resync (cursor " +
+              "outran by retention) but the sink already holds " +
+              "appended increments — reload the sink manually, " +
+              "reset() the consumer, and re-bootstrap")
+        inc.added.foreach(df => sink.writeCommitted(transform(df),
+          Some(consumeInfoOf(inc.toGen))))
+        commit(inc.toGen)
+        Some(inc.toGen)
+    }
+  }
+
+  private def consumeInfoOf(toGen: String): String =
+    s"""{"op":"cdcConsume","consumer":"$consumer","toGen":"$toGen"}"""
+
+  /** The newest increment this consumer has LANDED in `sink`, read
+    * back from the sink's own generation audit lines — the durable
+    * half of the exactly-once handshake. String-prefix parsing is
+    * sound here because [[consumeInfoOf]] wrote the exact bytes
+    * (consumer names are `[A-Za-z0-9_-]+` by construction).
+    */
+  private def landedToGen(sink: ParquetStore): Option[String] = {
+    val prefix =
+      s"""{"op":"cdcConsume","consumer":"$consumer","toGen":""""
+    sink.generationInfos().values.flatten
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).takeWhile(_ != '"'))
+      .maxOption
+  }
 }
 
 object CdcFeed {
@@ -172,7 +259,12 @@ object CdcFeed {
     * or the cursor's generation was pruned by retention): `added` is
     * the FULL table as of `toGen` (None = that table is empty) and
     * the consumer must truncate-and-reload rather than append.
+    * `info` is `toGen`'s own operation-audit JSON (the commit this
+    * increment steps TO — exact attribution under
+    * `poll(maxGenerations = 1)`, the last spanned commit otherwise);
+    * None for pre-audit generations.
     */
   final case class Increment(toGen: String, added: Option[DataFrame],
-      removed: Option[DataFrame], resync: Boolean)
+      removed: Option[DataFrame], resync: Boolean,
+      info: Option[String] = None)
 }

@@ -365,6 +365,55 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       .parquet(dir)
   }
 
+  /** Append a batch THROUGH the manifest commit protocol: the rows
+    * land in a fresh immutable `_gen-*` tree (invisible — no dirty
+    * marker, no staging), and one generation publish makes them the
+    * table's truth, carrying the caller's `info` audit line. This is
+    * the transactional landing [[CdcFeed.consumeInto]] builds
+    * exactly-once delivery on: the rename that makes the rows
+    * VISIBLE is the same rename that durably records WHICH increment
+    * they came from, so a consumer crashing between landing and
+    * cursor-advance can detect the landed increment from the sink's
+    * own generation info and skip the replay. A crash before the
+    * publish leaves an orphan tree for [[vacuum]]. Requires a batch
+    * whose `timeCol` drives the partition derivation, like [[write]].
+    * The recorded schema drops to footer inference (None) — the
+    * batch may carry drifted columns the prior schema lacks, same
+    * contract as [[expire]].
+    */
+  def writeCommitted(batch: DataFrame,
+      info: Option[String] = None): Unit = {
+    fence()
+    val t = truth()
+    val gen = newGenName()
+    batch
+      .withColumn("__ts", timestamp_micros(col(timeCol)))
+      .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("__ts"), "HH"))
+      .withColumn("minute", date_format(col("__ts"), "mm"))
+      .drop("__ts")
+      .repartition(col("date"), col("hour"), col("minute"))
+      .write
+      .mode("overwrite")
+      .option("parquet.bloom.filter.enabled#trace_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#trace_id",
+        bloomNdv.toString)
+      .partitionBy("date", "hour", "minute")
+      .parquet(s"$dir/$gen")
+    beforeCommit()
+    fence()
+    val landed = manifest.walkSubtree(gen)
+    t match {
+      case Some(snap) =>
+        manifest.publishPatch(adds = landed, drops = Nil,
+          deadPlus = Nil, deadMinus = Nil, schema = None,
+          parent = snap.gen, info = info)
+      case None => // first commit ever: absolute, legacy files folded
+        manifest.publish(manifest.walkLegacy() ++ landed, None, Nil,
+          parent = None, info = info)
+    }
+  }
+
   def exists: Boolean = fs.exists(new Path(dir))
 
   private def stagingDir = s"$dir/_staging"

@@ -15,9 +15,12 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   *
   * TWO-LEVEL layout (round 19 — the Iceberg manifest-list shape,
   * replacing round 18's single-body generations): entry lists live in
-  * immutable per-partition MANIFEST FILES (`mf-*`: one `date=…`
-  * partition's entries — the partition key of every rel under it),
-  * and a generation file references manifests instead of carrying
+  * immutable per-partition MANIFEST FILES (`_manifest/mf/mf-*`: one
+  * `date=…` partition's entries — the partition key of every rel
+  * under it; the subdirectory keeps the `_manifest` listing
+  * O(generations) at any partition count), and a generation file
+  * references manifests — by name, entry count and exact byte size,
+  * so planning GETs them with no listing — instead of carrying
   * entries:
   *
   *  - a CHECKPOINT (`gen-*.list`, header `mlist=N`) lists the live
@@ -395,29 +398,45 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     case _ => None
   }
 
-  /** `<prefix><name>\t<partKey>\t<n>` — partKey may be the empty
-    * catch-all, so the split must keep empty fields.
+  /** `<prefix><name>\t<partKey>\t<n>\t<size>` — partKey may be the
+    * empty catch-all, so the split must keep empty fields. The ref
+    * carries the manifest file's byte size so planning can GET it by
+    * name with no listing or stat (and reject a torn copy by length
+    * before parsing).
     */
   private def parseMfRef(l: String, prefix: String): Option[MfRef] =
     l.stripPrefix(prefix).split("\t", -1) match {
-      case Array(name, part, n) if name.startsWith("mf-") =>
-        n.toLongOption.map(MfRef(name, part, _))
+      case Array(name, part, n, size) if name.startsWith("mf-") =>
+        (n.toLongOption, size.toLongOption) match {
+          case (Some(nn), Some(sz)) => Some(MfRef(name, part, nn, sz))
+          case _ => None
+        }
       case _ => None
     }
 
   // ---- partition manifest files (mf layer) ----
 
-  /** Immutable-file manifest parse memo, the same (name, size, mtime)
-    * discipline and double cap as [[parseRaw]]'s: warm planners
-    * re-GET nothing, and a window-pruned read concatenates cached
-    * per-partition parses instead of re-reading bodies.
+  /** Manifest files live in their own `_manifest/mf/` SUBDIRECTORY so
+    * the `_manifest` listing every plan and commit performs stays
+    * O(generations) — with manifests inline, a 10⁴-partition table
+    * made every LIST a 10⁴-entry scan and the "flat" windowed plan
+    * grew with the table (measured 46→402 ms at 10⁶→10⁷ files).
+    * Plans never list this directory at all: refs carry name + size,
+    * so admitted manifests are GET-by-name; only checkpoint-commit
+    * retention and vacuum list it.
+    */
+  private def mfdir = new Path(mdir, "mf")
+
+  /** Immutable-file manifest parse memo keyed by (name, size) — the
+    * ref IS the key, so a warm window plan re-GETs nothing and a
+    * pruned read concatenates cached per-partition parses.
     */
   private val mfMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Option[(String, Seq[Entry])]]
+    .empty[(String, Long), Option[(String, Seq[Entry])]]
   private val mfMemoEntries = new java.util.concurrent.atomic.AtomicLong
   private val mfMemoLargest = new java.util.concurrent.atomic.AtomicLong
 
-  private def parseMf(st: FileStatus): Option[(String, Seq[Entry])] = {
+  private def parseMf(ref: MfRef): Option[(String, Seq[Entry])] = {
     val entryCap = math.max(StoreManifest.MemoEntryCap,
       2L * mfMemoLargest.get)
     if (mfMemo.size > StoreManifest.MfMemoCap ||
@@ -426,24 +445,37 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       mfMemoEntries.set(0)
       mfMemoLargest.set(0)
     }
-    mfMemo.getOrElseUpdate(
-      (st.getPath.getName, st.getLen, st.getModificationTime), {
-        val parsed = parseMfUncached(st.getPath)
-        val n = parsed.map(_._2.size.toLong).getOrElse(0L)
-        mfMemoEntries.addAndGet(n): Unit
-        mfMemoLargest.getAndAccumulate(n, math.max(_, _)): Unit
-        parsed
-      })
+    mfMemo.getOrElseUpdate((ref.name, ref.size), {
+      val parsed = parseMfUncached(ref)
+      val n = parsed.map(_._2.size.toLong).getOrElse(0L)
+      mfMemoEntries.addAndGet(n): Unit
+      mfMemoLargest.getAndAccumulate(n, math.max(_, _)): Unit
+      parsed
+    })
   }
 
   /** Manifest body: `mf=N` (N counts every following line), one
     * `part` line, then entry lines — self-counted and typed like a
-    * generation body, so a torn manifest reads as None and poisons
-    * exactly the generations referencing it.
+    * generation body. The referencing generation recorded the exact
+    * byte size, so a mismatched length rejects before parsing; either
+    * tear-check makes a torn manifest read as None and poison exactly
+    * the generations referencing it.
     */
-  private def parseMfUncached(p: Path): Option[(String, Seq[Entry])] = {
+  private def parseMfUncached(ref: MfRef): Option[(String, Seq[Entry])] = {
     try {
-      val lines = readBody(p).split("\n", -1).toSeq.dropRight(1)
+      val p = new Path(mfdir, ref.name)
+      val in = fs.open(p)
+      val raw = try in.readAllBytes() finally in.close()
+      if (raw.length.toLong != ref.size) return None
+      val body =
+        if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+            (raw(1) & 0xff) == 0x8b) {
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw), 64 * 1024)
+          try new String(gz.readAllBytes(), StandardCharsets.UTF_8)
+          finally gz.close()
+        } else new String(raw, StandardCharsets.UTF_8)
+      val lines = body.split("\n", -1).toSeq.dropRight(1)
       val rest = lines.drop(1)
       if (!lines.headOption.exists(h => h.startsWith("mf=") &&
           h.stripPrefix("mf=").toIntOption.contains(rest.size)))
@@ -461,20 +493,23 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * commits (which happens strictly after this returns), so a crash
     * mid-write leaves an unreferenced torn file for vacuum, never a
     * readable half-manifest. Gzip above a threshold — large bodies
-    * are ~90% shared path prefixes, small ones stay greppable.
+    * are ~90% shared path prefixes, small ones stay greppable. The
+    * written byte count rides in the returned ref (and from there in
+    * the generation body), so readers GET with no stat.
     */
   private def writeMf(partKey: String, entries: Seq[Entry]): MfRef = {
-    fs.mkdirs(mdir): Unit
+    fs.mkdirs(mfdir): Unit
     val name = f"mf-${System.currentTimeMillis()}%019d-" +
       java.util.UUID.randomUUID().toString
     val sorted = entries.sortBy(_.rel)
-    val raw = fs.create(new Path(mdir, name), true)
+    val counted = new StoreManifest.CountingOutputStream(
+      fs.create(new Path(mfdir, name), true))
     val sink: java.io.OutputStream =
       if (sorted.size > StoreManifest.MfGzipAbove)
-        new java.util.zip.GZIPOutputStream(raw, 64 * 1024) {
+        new java.util.zip.GZIPOutputStream(counted, 64 * 1024) {
           `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
         }
-      else raw
+      else counted
     val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(sink, StandardCharsets.UTF_8),
       64 * 1024)
@@ -485,24 +520,23 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         w.write(s"${e.rel}\t${e.size}\t${e.mtime}"); w.write('\n')
       }
     } finally w.close()
-    MfRef(name, partKey, sorted.size.toLong)
+    MfRef(name, partKey, sorted.size.toLong, counted.count)
   }
 
   // ---- chain folding (snapshot layer) ----
 
-  /** One `_manifest` listing split into the three populations every
-    * read and commit needs: generation files, manifest files, dirty
-    * markers.
+  /** One `_manifest` listing split into the two populations every
+    * read and commit needs: generation files and dirty markers. The
+    * manifest files live under `mf/` and are never listed on this
+    * path — refs carry name + size, so the listing stays
+    * O(generations) whatever the partition count.
     */
-  private def listState(): (Map[String, FileStatus],
-      Map[String, FileStatus], Seq[String]) = {
+  private def listState(): (Map[String, FileStatus], Seq[String]) = {
     val all = StoreFs.list(fs, mdir)
     val gens = all.filter(_.getPath.getName.startsWith("gen-"))
       .map(s => s.getPath.getName -> s).toMap
-    val mfs = all.filter(_.getPath.getName.startsWith("mf-"))
-      .map(s => s.getPath.getName -> s).toMap
     val dirty = all.map(_.getPath.getName).filter(_.startsWith("dirty-"))
-    (gens, mfs, dirty)
+    (gens, dirty)
   }
 
   private def genStatuses(): Map[String, FileStatus] = listState()._1
@@ -623,7 +657,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * unreadable manifest OUTSIDE the admitted window deliberately
     * does not poison the window's answer).
     */
-  private def assemble(st: GenState, mfSt: Map[String, FileStatus],
+  private def assemble(st: GenState,
       admit: String => Boolean): Option[Snapshot] = {
     val inlineAdm =
       if (st.inline.isEmpty) st.inline
@@ -632,7 +666,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     val map = scala.collection.mutable.LinkedHashMap
       .from(inlineAdm.map(e => e.rel -> e))
     refsAdm.foreach { r =>
-      mfSt.get(r.name).flatMap(parseMf) match {
+      parseMf(r) match {
         case None => return None // torn/missing admitted manifest
         case Some((_, es)) => es.foreach(e => map(e.rel) = e)
       }
@@ -654,8 +688,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private val snapMemoEntries = new java.util.concurrent.atomic.AtomicLong
   private val snapMemoLargest = new java.util.concurrent.atomic.AtomicLong
 
-  private def assembleFull(name: String, statuses: Map[String, FileStatus],
-      mfSt: Map[String, FileStatus]): Option[Snapshot] =
+  private def assembleFull(name: String,
+      statuses: Map[String, FileStatus]): Option[Snapshot] =
     statuses.get(name) match {
       case None => None
       case Some(st) =>
@@ -669,7 +703,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         snapMemo.getOrElseUpdate(
           (name, st.getLen, st.getModificationTime), {
             val snap = fold(name, statuses)
-              .flatMap(assemble(_, mfSt, _ => true))
+              .flatMap(assemble(_, _ => true))
             snap.foreach { s =>
               snapMemoEntries.addAndGet(s.entries.size.toLong): Unit
               snapMemoLargest.getAndAccumulate(
@@ -737,8 +771,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       dead: Seq[Dead], parent: Option[String],
       info: Option[String] = None): Unit = {
     val normSchema = schema.map(StoreManifest.allNullable)
-    val (gens, mfs, _) = listState()
-    val parentSnap = parent.flatMap(p => assembleFull(p, gens, mfs))
+    val (gens, _) = listState()
+    val parentSnap = parent.flatMap(p => assembleFull(p, gens))
     parentSnap match {
       case Some(ps) =>
         // entry-level diff against the parent snapshot, full-Entry
@@ -764,7 +798,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           case d if !nDead.get(d.rel).contains(d) => d.rel }
         commitTwoLevel(fold(parent.get, gens), parent, adds, drops,
           deadPlus, deadMinus, Some(dead), normSchema, info,
-          newSize = entries.size.toLong, mfSt = mfs)
+          newSize = entries.size.toLong)
       case None =>
         // first publish, or the parent no longer folds/assembles: the
         // absolute state is in hand, write a fresh checkpoint (the
@@ -772,7 +806,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         commitTwoLevel(None, parent, adds = entries, drops = Nil,
           deadPlus = Nil, deadMinus = Nil, absDead = Some(dead),
           schema = normSchema, info = info,
-          newSize = entries.size.toLong, mfSt = mfs)
+          newSize = entries.size.toLong)
     }
   }
 
@@ -796,7 +830,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       schema: Option[org.apache.spark.sql.types.StructType],
       parent: String, info: Option[String] = None): Unit = {
     val normSchema = schema.map(StoreManifest.allNullable)
-    val (gens, mfs, _) = listState()
+    val (gens, _) = listState()
     val ps = fold(parent, gens).getOrElse(throw new
       IllegalStateException(s"$tableDir: publishPatch parent " +
         s"$parent no longer folds — re-plan and retry"))
@@ -806,7 +840,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     val approxNewSize = ps.approxSize + adds.size - drops.size
     commitTwoLevel(Some(ps), Some(parent), adds, drops, deadPlus,
       deadMinus, absDead = None, schema = normSchema, info = info,
-      newSize = approxNewSize, mfSt = mfs)
+      newSize = approxNewSize)
   }
 
   /** The shared two-level commit: decide delta vs checkpoint, write
@@ -825,8 +859,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       deadPlus: Seq[Dead], deadMinus: Seq[String],
       absDead: Option[Seq[Dead]],
       schema: Option[org.apache.spark.sql.types.StructType],
-      info: Option[String], newSize: Long,
-      mfSt: Map[String, FileStatus]): Unit = {
+      info: Option[String], newSize: Long): Unit = {
     val patchLines = adds.size.toLong + drops.size + deadPlus.size +
       deadMinus.size
     // delta only atop a two-level parent (a legacy parent converts via
@@ -845,7 +878,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         : scala.collection.mutable.LinkedHashMap[String, Entry] = {
       val cur = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
       refs.foreach { r =>
-        val parsed = mfSt.get(r.name).flatMap(parseMf).getOrElse(
+        val parsed = parseMf(r).getOrElse(
           throw new IllegalStateException(s"$tableDir: partition " +
             s"manifest ${r.name} unreadable — re-plan and retry"))
         parsed._2.foreach(e => cur(e.rel) = e)
@@ -888,7 +921,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
             deadPlus.map(d => s"dead+\t${d.rel}\t${d.millis}")
               .sorted ++
             mDels.sorted.map(n => s"mdel\t$n") ++
-            mAdds.map(r => s"madd\t${r.name}\t${r.partKey}\t${r.n}")
+            mAdds.map(r =>
+              s"madd\t${r.name}\t${r.partKey}\t${r.n}\t${r.size}")
               .sorted)
         (s"delta=${lines.size}" +: lines).iterator
       } else {
@@ -942,7 +976,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           m.values.toSeq
         }
         val mLines = finalRefs.sortBy(_.name)
-          .map(r => s"m\t${r.name}\t${r.partKey}\t${r.n}")
+          .map(r => s"m\t${r.name}\t${r.partKey}\t${r.n}\t${r.size}")
         Iterator(s"mlist=${mLines.size}") ++
           parentName.toSeq.map(p => s"parent\t$p") ++
           schema.toSeq.map(s => s"schema\t${s.json}") ++
@@ -958,7 +992,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         // race, I/O): the manifests written for it are unreferenced —
         // delete eagerly rather than leaving them for vacuum
         newMfs.foreach(r =>
-          fs.delete(new Path(mdir, r.name), false): Unit)
+          fs.delete(new Path(mfdir, r.name), false): Unit)
         throw e
     }
   }
@@ -1046,7 +1080,14 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // publishers impossible; this CAS + rollback is its
     // belt-and-braces for the misconfigured-second-writer case it
     // exists to catch.
-    val conflicting = StoreFs.list(fs, mdir).map(_.getPath.getName)
+    // ONE post-rename listing serves the conflict check, generation
+    // retention and manifest retention below: `_manifest` now holds a
+    // manifest file per partition, so each extra LIST costs
+    // O(partitions) round-trip work — three separate listings made
+    // the delta commit's wall grow with the table for no reason
+    // (measured 25→248 ms at 10³→10⁶ files before consolidation).
+    val postList = StoreFs.list(fs, mdir)
+    val conflicting = postList.map(_.getPath.getName)
       .filter(n => n.startsWith("gen-") && n != gen.getName &&
         parent.forall(_ < n))
     if (conflicting.nonEmpty) {
@@ -1061,20 +1102,29 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // a surviving generation references (best effort; readers take
     // the newest FOLDABLE head, so a failed delete costs bytes, not
     // truth). Age-based pruning beyond this is vacuum's job.
-    val statuses = genStatuses()
+    val statuses = postList
+      .filter(_.getPath.getName.startsWith("gen-"))
+      .map(s => s.getPath.getName -> s).toMap
     val heads = statuses.keys.toSeq.sorted.takeRight(KeepGens)
     val keep = heads.flatMap(chainNames(_, statuses)).toSet
     statuses.keys.filterNot(keep).foreach(n =>
       fs.delete(new Path(mdir, n), false): Unit)
-    // manifest retention: any mf a kept generation's raw body names
-    // must survive (it is what makes that head assemblable); the rest
-    // belonged to pruned generations (or crashed commits) and go with
-    // them. Single-writer fencing means no other publisher has
+    // manifest retention — on CHECKPOINT commits only: any mf a KEPT
+    // generation's raw body names must survive (it is what makes that
+    // head assemblable); the rest belonged to pruned generations (or
+    // crashed commits) and go with them. Deltas skip this — mf
+    // garbage only accrues from mdels and generation pruning, both
+    // bounded between checkpoints, and skipping keeps the delta
+    // commit's filesystem work O(generations), never O(partitions).
+    // Single-writer fencing means no other publisher has
     // written-but-not-yet-committed manifests to protect.
-    val (gensAfter, mfsAfter, _) = listState()
-    val neededMfs = mfsReferencedBy(gensAfter.values)
-    mfsAfter.keys.filterNot(neededMfs).foreach(n =>
-      fs.delete(new Path(mdir, n), false): Unit)
+    if (ext == ".list") {
+      val neededMfs = mfsReferencedBy(
+        keep.toSeq.sorted.flatMap(statuses.get))
+      StoreFs.list(fs, mfdir).map(_.getPath.getName)
+        .filter(n => n.startsWith("mf-") && !neededMfs(n))
+        .foreach(n => fs.delete(new Path(mfdir, n), false): Unit)
+    }
   }
 
   /** One-time advisory marker naming the on-disk protocol, so an
@@ -1128,13 +1178,15 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   private[graft] def vacuumOrphanManifests(graceMs: Long,
       now: Long = System.currentTimeMillis()): Int = {
-    val (gens, mfs, _) = listState()
+    val (gens, _) = listState()
     val needed = mfsReferencedBy(gens.values)
-    val orphans = mfs.keys.toSeq.filter { n =>
-      !needed(n) && n.stripPrefix("mf-").takeWhile(_.isDigit)
-        .toLongOption.forall(_ + graceMs <= now)
-    }
-    orphans.foreach(n => fs.delete(new Path(mdir, n), false): Unit)
+    val orphans = StoreFs.list(fs, mfdir).map(_.getPath.getName)
+      .filter { n =>
+        n.startsWith("mf-") && !needed(n) &&
+          n.stripPrefix("mf-").takeWhile(_.isDigit)
+            .toLongOption.forall(_ + graceMs <= now)
+      }
+    orphans.foreach(n => fs.delete(new Path(mfdir, n), false): Unit)
     orphans.size
   }
 
@@ -1145,10 +1197,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   def readGen(name: String): Option[Snapshot] =
     if (!name.startsWith("gen-")) None
-    else {
-      val (gens, mfs, _) = listState()
-      assembleFull(name, gens, mfs)
-    }
+    else assembleFull(name, genStatuses())
 
   /** One generation's OWN operation-audit string WITHOUT folding its
     * chain: the info line is per-commit raw metadata, so a memoized
@@ -1192,10 +1241,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * further filesystem calls once the immutable-file memos are warm.
     */
   def readState(): (Option[Snapshot], Seq[String]) = {
-    val (gens, mfs, dirty) = listState()
+    val (gens, dirty) = listState()
     val heads = gens.keys.toSeq.sorted(Ordering[String].reverse)
-    (heads.iterator.flatMap(assembleFull(_, gens, mfs)).nextOption(),
-      dirty)
+    (heads.iterator.flatMap(assembleFull(_, gens)).nextOption(), dirty)
   }
 
   /** [[readState]] restricted to the partitions `admit` passes (by
@@ -1210,10 +1258,10 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   def readStateFor(admit: String => Boolean)
       : (Option[Snapshot], Seq[String]) = {
-    val (gens, mfs, dirty) = listState()
+    val (gens, dirty) = listState()
     val heads = gens.keys.toSeq.sorted(Ordering[String].reverse)
     (heads.iterator
-      .flatMap(h => fold(h, gens).flatMap(assemble(_, mfs, admit)))
+      .flatMap(h => fold(h, gens).flatMap(assemble(_, admit)))
       .nextOption(), dirty)
   }
 
@@ -1222,9 +1270,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * not an orphan).
     */
   def readAll(): Seq[Snapshot] = {
-    val (gens, mfs, _) = listState()
+    val (gens, _) = listState()
     gens.keys.toSeq.sorted(Ordering[String].reverse)
-      .flatMap(assembleFull(_, gens, mfs))
+      .flatMap(assembleFull(_, gens))
   }
 
   /** Whether a readable manifest generation is present (specs/gates). */
@@ -1298,13 +1346,29 @@ object StoreManifest {
   final case class Dead(rel: String, millis: Long)
 
   /** One partition-manifest reference as a generation body carries
-    * it: the immutable `mf-*` file name, the partition key its
-    * entries share (`date=…`, or `""` for the catch-all), and its
+    * it: the immutable file name under `_manifest/mf/`, the partition
+    * key its entries share (`date=…`, or `""` for the catch-all), its
     * entry count (pruning and size heuristics — duplicates across a
-    * partition's accumulated manifests make it an upper bound).
+    * partition's accumulated manifests make it an upper bound), and
+    * its exact byte size (planning GETs by name with no listing or
+    * stat, and rejects a torn copy by length).
     */
   private[graft] final case class MfRef(name: String, partKey: String,
-      n: Long)
+      n: Long, size: Long)
+
+  /** Byte counter for manifest writes: the ref records the exact
+    * on-disk size without a post-write stat round trip.
+    */
+  private[store] final class CountingOutputStream(
+      out: java.io.OutputStream) extends java.io.OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+    override def flush(): Unit = out.flush()
+    override def close(): Unit = out.close()
+  }
 
   /** The partition key a rel groups under: its leading `date=…` path
     * segment (a rewrite-tree `_gen-…` prefix is stripped first — a

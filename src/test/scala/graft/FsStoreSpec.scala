@@ -824,13 +824,18 @@ class FsStoreSpec extends SparkSpec {
     def genFiles() = fsys.listStatus(mdir)
       .filter(_.getPath.getName.startsWith("gen-")).sortBy(_.getPath.getName)
     // per-commit TOTAL bytes = the generation file plus the partition
-    // manifests that commit wrote (round 19: entries live in mf-*
-    // files, the generation only references them) — measured as the
-    // growth of the whole _manifest dir minus retention's deletions,
-    // i.e. the footprint after each commit vs before
-    def metaBytes() = fsys.listStatus(mdir)
-      .filter(s => s.getPath.getName.startsWith("gen-") ||
-        s.getPath.getName.startsWith("mf-")).map(_.getLen).sum
+    // manifests that commit wrote (round 19: entries live in
+    // _manifest/mf/ files, the generation only references them) —
+    // measured as the growth of the whole metadata footprint after
+    // each commit vs before (retention's deletions included)
+    def metaBytes() = {
+      val gens = fsys.listStatus(mdir)
+        .filter(_.getPath.getName.startsWith("gen-")).map(_.getLen).sum
+      val mfp = new org.apache.hadoop.fs.Path(mdir, "mf")
+      val mfs = if (fsys.exists(mfp))
+        fsys.listStatus(mfp).map(_.getLen).sum else 0L
+      gens + mfs
+    }
     // a large table: the checkpoint writes O(files) manifest bytes,
     // each append's commit must NOT
     val base = (0 until 5000).map(i => StoreManifest.Entry(
@@ -1213,5 +1218,165 @@ class FsStoreSpec extends SparkSpec {
     assert(after.contains(gens.last), "newest head must survive")
     assert(store.read(None, None).get.select("id").as[Long]
       .collect().toSet == liveIds)
+  }
+
+  test("stepped CDC: poll(maxGenerations=1) replays the commit history " +
+      "one generation at a time, each attributed to its operation; the " +
+      "stepped union equals the single jump") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day = 86400L * 1000000L
+    def batch(ids: Seq[Long], dayOff: Long) =
+      ids.map(i => (i, t0 + dayOff * day + i * 60L * 1000000L, i * 10L))
+        .toDF("id", "start", "trace_id")
+    def oids(d: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      d.map(_.select("id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    def dayStr(off: Long): String = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond((t0 + off * day) / 1000000L),
+      zone).toString
+    // bulky base: the date-scoped heals below must land as DELTAS
+    // (proportions drive the commit-form heuristic), which also keeps
+    // gen A alive in the retained heads' chains
+    store.writeStaged(batch((1L to 10L).toSeq, 0L))
+    store.compact()
+    val genA = store.generations().last
+    // three commits behind: one date-scoped heal per day, each a
+    // distinct auditable operation
+    Seq((Seq(24L, 25L), 1L), (Seq(26L, 27L), 2L), (Seq(28L, 29L), 3L))
+      .foreach { case (ids, off) =>
+        store.write(batch(ids, off))
+        store.compactDate(dayStr(off))
+      }
+    assert(store.generations().size == 4,
+      s"gens: ${store.generations()}")
+    val jumper = store.cdcFeed("jumper", keyCols = Seq("id"))
+    jumper.commit(genA)
+    val jump = jumper.poll().get
+    val jumpIds = oids(jump.added)
+    assert(jumpIds == Set(24L, 25L, 26L, 27L, 28L, 29L))
+    // the stepped replay: exactly three bounded increments, in commit
+    // order, none a resync, each carrying ITS generation's info line
+    val feed = store.cdcFeed("stepper", keyCols = Seq("id"))
+    feed.commit(genA)
+    val steps = Iterator
+      .continually(feed.poll(maxGenerations = 1))
+      .takeWhile(_.isDefined).map(_.get)
+      .map { inc => feed.commit(inc.toGen); inc }
+      .toSeq
+    assert(steps.size == 3, s"expected 3 stepped increments: $steps")
+    assert(steps.map(i => oids(i.added)) ==
+      Seq(Set(24L, 25L), Set(26L, 27L), Set(28L, 29L)))
+    assert(steps.forall(i => !i.resync && oids(i.removed).isEmpty))
+    assert(steps.flatMap(i => oids(i.added)).toSet == jumpIds,
+      "the stepped union must equal the single-jump increment")
+    steps.zip(Seq(1L, 2L, 3L)).foreach { case (inc, off) =>
+      assert(inc.info.exists(s => s.contains(""""op":"compactDate"""") &&
+        s.contains(dayStr(off))),
+        s"step to ${inc.toGen} must name its operation, got ${inc.info}")
+    }
+    assert(feed.poll(maxGenerations = 1).isEmpty, "stepped to newest")
+    jumper.reset(); feed.reset()
+  }
+
+  test("consumeInto is exactly-once into a sink store: crash between " +
+      "land and cursor-advance heals forward, crash before land " +
+      "replays, never a duplicate row") {
+    val root = newRoot()
+    val src = new ParquetStore(spark, root, "src", "start")
+    val sink = new ParquetStore(spark, root, "sink", "start")
+    val day = 86400L * 1000000L
+    def batch(ids: Seq[Long], dayOff: Long) =
+      ids.map(i => (i, t0 + dayOff * day + i * 60L * 1000000L, i * 10L))
+        .toDF("id", "start", "trace_id")
+    def sinkIds(): Seq[Long] = sink.read(None, None)
+      .map(_.select("id").as[Long].collect().toSeq.sorted)
+      .getOrElse(Nil)
+    src.writeStaged(batch(Seq(1L, 2L, 3L), 0L))
+    src.compact()
+    val feed = src.cdcFeed("mover", keyCols = Seq("id"))
+    // bootstrap: the first consumption lands the snapshot
+    assert(feed.consumeInto(sink).isDefined)
+    assert(sinkIds() == Seq(1L, 2L, 3L))
+    assert(feed.consumeInto(sink).isEmpty, "caught up")
+    assert(sinkIds() == Seq(1L, 2L, 3L), "a caught-up run lands nothing")
+    // CRASH WINDOW A — landed but cursor not advanced: simulate by
+    // landing the polled increment with the consumer's exact info
+    // line and NOT committing. The next run must heal the cursor
+    // forward from the sink's generation audit without re-landing.
+    src.writeStaged(batch(Seq(4L, 5L), 1L))
+    src.compact()
+    val inc = feed.poll().get
+    sink.writeCommitted(inc.added.get,
+      Some(s"""{"op":"cdcConsume","consumer":"mover",""" +
+        s""""toGen":"${inc.toGen}"}"""))
+    assert(feed.consumeInto(sink).isEmpty,
+      "healed forward: the landed increment must not re-consume")
+    assert(sinkIds() == Seq(1L, 2L, 3L, 4L, 5L),
+      "exactly one copy after the land/advance crash")
+    assert(feed.poll().isEmpty, "cursor healed to the landed toGen")
+    // CRASH WINDOW B — polled but nothing landed: the re-run
+    // re-delivers and lands exactly once
+    src.writeStaged(batch(Seq(6L), 2L))
+    src.compact()
+    feed.poll(): Unit // "crash" after delivery, before any landing
+    assert(feed.consumeInto(sink).isDefined)
+    assert(sinkIds() == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // transform applies on the landing path
+    src.writeStaged(batch(Seq(7L), 3L))
+    src.compact()
+    assert(feed.consumeInto(sink,
+      df => df.withColumn("id", col("id") + 100L)).isDefined)
+    assert(sinkIds() == Seq(1L, 2L, 3L, 4L, 5L, 6L, 107L))
+    // a mid-life resync (retention outran the cursor) must REFUSE to
+    // append — silent doubling is worse than a loud stop
+    (0 until graft.store.StoreManifest.KeepGens + 1)
+      .foreach(_ => src.compact())
+    src.vacuum(graceMs = 0L): Unit
+    intercept[IllegalStateException] { feed.consumeInto(sink) }
+    assert(sinkIds() == Seq(1L, 2L, 3L, 4L, 5L, 6L, 107L),
+      "the refused resync landed nothing")
+    feed.reset()
+  }
+
+  test("keyed CDC under schema drift: a column appearing between " +
+      "generations surfaces in the increment; the key anti-join " +
+      "conforms across the drifted sides") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day = 86400L * 1000000L
+    store.writeStaged(Seq((1L, t0, 10L), (2L, t0 + 60L * 1000000L, 20L))
+      .toDF("id", "start", "trace_id"))
+    store.compact() // gen A: no `env` column anywhere
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val day2 = java.time.LocalDate.ofInstant(java.time.Instant
+      .ofEpochSecond((t0 + day) / 1000000L), zone).toString
+    // day-2 rows carry a NEW column — the dynamic-log-schema shape
+    // (g06) hitting the CDC surfaces
+    store.write(Seq((3L, t0 + day + 60L * 1000000L, 30L, "prod"),
+        (4L, t0 + day + 120L * 1000000L, 40L, "dev"))
+      .toDF("id", "start", "trace_id", "env"))
+    store.compactDate(day2) // gen B: adds only day-2 files (with env)
+    val gens = store.generations()
+    val added = store.changesBetween(gens.head, gens.last, Seq("id")).get
+    assert(added.columns.contains("env"),
+      s"the drifted column must surface in added: ${added.columns.toSeq}")
+    assert(added.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    assert(added.select("env").as[String].collect().toSet ==
+      Set("prod", "dev"))
+    // the delete side across the drift conforms too (empty but typed)
+    val removed = store.removedBetween(gens.head, gens.last, Seq("id")).get
+    assert(removed.count() == 0L)
+    // and the keyed feed end-to-end: a consumer cursored at A gets
+    // the drifted rows as a plain increment
+    val feed = store.cdcFeed("drift", keyCols = Seq("id"))
+    feed.commit(gens.head)
+    val inc = feed.poll().get
+    assert(!inc.resync &&
+      inc.added.exists(_.columns.contains("env")) &&
+      inc.added.get.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    feed.reset()
   }
 }
