@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cross-process two-writer contention harness: a SECOND engine
+  * process that claims and mutates an existing store root, reporting
+  * how its mutations fared. The single-writer contract
+  * ([[graft.store.ParquetStore]] epoch leases + the expected-parent
+  * CAS in [[graft.store.StoreManifest]]) is spec-pinned in-JVM via
+  * the `beforeRename`/`beforeCommit` seams; this probe is the
+  * cross-PROCESS half — FsStoreSpec launches it as a real child JVM
+  * against a live parent's store and asserts the parent is fenced
+  * loudly, the child's commits land, and no committed row is lost.
+  *
+  * Args: `<root> <iterations> <reportPath>`. Each iteration attempts
+  * one whole-table compact; the JSON report counts clean commits,
+  * writer-fence rejections and CAS rejections.
+  */
+object ContendProbe {
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val iters = args(1).toInt
+    val outPath = args(2)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("contend-probe")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val store =
+        new graft.store.ParquetStore(spark, root, "span", "start")
+      var ok = 0; var fenced = 0; var cas = 0
+      var i = 0
+      while (i < iters) {
+        try { store.compact(); ok += 1 }
+        catch {
+          case _: graft.store.ParquetStore.WriterFencedException =>
+            fenced += 1
+          case _: graft.store.StoreManifest.ConcurrentCommitException =>
+            cas += 1
+        }
+        Thread.sleep(100L)
+        i += 1
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(outPath),
+        s"""{"ok":$ok,"fenced":$fenced,"cas":$cas}"""): Unit
+    } finally spark.stop()
+  }
+}

@@ -390,7 +390,12 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
           limit = q.get("limit").flatMap(_.toIntOption).getOrElse(50))
         // EXTENSION: `asof=<generation>` answers from the pinned
         // retained log-store generation (time travel over HTTP); the
-        // plain route stays the current truth
+        // plain route stays the current truth. A generation is a
+        // STORAGE coordinate, not a wall clock: un-flushed hot rows
+        // have no coordinate yet, so they answer on the plain route
+        // and are invisible to asof-at-newest (spec-pinned in
+        // EngineSpec) — the same contract as Delta/Iceberg version
+        // queries.
         val searched = q.get("asof") match {
           case None => Some(engine.searchLogs(p))
           case Some(gen) => engine.searchLogsAsOf(p, gen)

@@ -854,6 +854,40 @@ class EngineSpec extends SparkSpec {
     assert(engine.searchLogs(lp).count() == 3)
   }
 
+  test("AS-OF vs the hot view: un-flushed rows answer the plain " +
+      "search and are invisible to asof-at-newest — a generation is " +
+      "a storage coordinate, not a wall clock") {
+    val root = tmpRoot()
+    val engine = new DuoEngine(spark, root)
+    val base = 1760000000000000L
+    def line(msg: String, offUs: Long) =
+      s"""{"process_id":"svc-0","time":${base + offUs},""" +
+        s""""level":"INFO","message":"$msg"}"""
+    def msgs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("message").as[String].collect().toSet
+    // two flush cycles into the same minute fragment the date, so the
+    // maintenance heal below commits a generation
+    engine.ingestJsonLogs(Seq(line("cold-1", 0L),
+      line("cold-2", 1000000L))): Unit
+    engine.flush()
+    engine.ingestJsonLogs(Seq(line("cold-3", 2000000L))): Unit
+    engine.flush()
+    val healed = engine.maintain(maxFilesPerDate = 1)
+    assert(healed("log").nonEmpty, s"heal must have run: $healed")
+    val gens = engine.generations("log")
+    assert(gens.nonEmpty)
+    // a hot row: ingested, WAL'd, NOT flushed
+    engine.ingestJsonLogs(Seq(line("hot-1", 3000000L))): Unit
+    val lp = LogSearchParams(service = "svc", unbounded = true)
+    assert(msgs(engine.searchLogs(lp)) ==
+      Set("cold-1", "cold-2", "cold-3", "hot-1"),
+      "the plain search answers hot ∪ flushed")
+    assert(msgs(engine.searchLogsAsOf(lp, gens.last).get) ==
+      Set("cold-1", "cold-2", "cold-3"),
+      "asof-at-newest answers the pinned generation ONLY — the " +
+        "un-flushed tail has no storage coordinate")
+  }
+
   test("writer fencing: a second writer on the same root fences the first") {
     val root = tmpRoot()
     val a = new ParquetStore(spark, root, "span", "start")

@@ -1220,6 +1220,66 @@ class FsStoreSpec extends SparkSpec {
       .collect().toSet == liveIds)
   }
 
+  test("cross-process two-writer contention: a second engine PROCESS " +
+      "claims the store, the first is fenced loudly at its next " +
+      "mutation, the child's commits land, and no committed row is " +
+      "lost") {
+    import scala.jdk.CollectionConverters._
+    val local = java.nio.file.Files.createTempDirectory("contend").toString
+    val store = new ParquetStore(spark, local, "span", "start")
+    store.writeStaged(Seq((1L, t0, 10L), (2L, t0 + 60000000L, 20L),
+      (3L, t0 + 120000000L, 30L)).toDF("id", "start", "trace_id"))
+    store.compact() // the parent claims the writer lease
+    assert(store.read(None, None).get.count() == 3)
+    val out = java.nio.file.Files.createTempFile("contend_", ".json")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp",
+      System.getProperty("java.class.path"), "graft.ContendProbe",
+      local, "3", out.toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(java.nio.file.Files
+      .createTempFile("contend_", ".log").toFile)
+    val proc = pb.start()
+    try {
+      // wait until the child has CLAIMED the store: its lease epoch
+      // outranks the parent's in the real shared filesystem — the
+      // interleaving the in-JVM seam specs cannot produce
+      val lockDir = new org.apache.hadoop.fs.Path(s"$local/span/_lock")
+      val fsys = graft.store.StoreFs.fs(lockDir)
+      def topLease() = graft.store.StoreFs.list(fsys, lockDir)
+        .map(_.getPath.getName).filter(_.startsWith("lease-")).max
+      val mine = topLease()
+      val deadline = System.currentTimeMillis() + 180000L
+      while (topLease() == mine &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(200L)
+      assert(topLease() != mine, "the child never claimed the store")
+      // the superseded parent fails LOUDLY at its next mutation —
+      // never a silent interleaving
+      intercept[ParquetStore.WriterFencedException] { store.compact() }
+      // …but its READS stay green across the child's concurrent
+      // rewrites (snapshot isolation holds across processes)
+      assert(store.read(None, None).get.count() == 3)
+      assert(proc.waitFor(4, java.util.concurrent.TimeUnit.MINUTES),
+        "the child process timed out")
+    } finally { if (proc.isAlive) proc.destroyForcibly(): Unit }
+    val report = java.nio.file.Files.readString(out)
+    assert(report.contains("\"ok\":") && !report.startsWith("""{"ok":0"""),
+      s"the child must have committed cross-process: $report")
+    // post-contention: the store is whole — a fresh reader answers
+    // every committed row and every retained generation still folds
+    val after = new ParquetStore(spark, local, "span", "start")
+    assert(after.read(None, None).get.select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    assert(after.manifestPresent)
+    after.generations().foreach(g =>
+      assert(after.generationReadable(g), s"$g must fold whole"))
+  }
+
   test("stepped CDC: poll(maxGenerations=1) replays the commit history " +
       "one generation at a time, each attributed to its operation; the " +
       "stepped union equals the single jump") {

@@ -341,6 +341,45 @@ class HttpApiSpec extends SparkSpec {
       "the cadence flush must have cleared the WAL")
   }
 
+  test("WAL replay alone recovers a crash INSIDE the first cadence " +
+      "window: HTTP ingest → kill without hook before any flush → a " +
+      "fresh engine answers from the replayed WAL") {
+    val root = java.nio.file.Files.createTempDirectory("walwindow").toString
+    val engine = new DuoEngine(spark, root, nowUs = () => t0 + 60000000L)
+    // cadences armed but the first flush tick is an hour away — the
+    // crash lands in the window where recovery is WAL replay alone
+    val cadences = engine.startCadences(flushEveryMs = 3600L * 1000L)
+    val api = new HttpApi(engine)
+    api.start()
+    try {
+      val line = s"""{"process_id":"svc-0","time":${t0 + 1000L},""" +
+        """"level":"INFO","message":"pre-flush"}"""
+      assert(post(api.boundPort, "/api/ingest/logs", line)._1 == 200)
+      // nothing has flushed: no parquet landed; the synchronous WAL
+      // append is the row's only durability
+      val logDir = java.nio.file.Paths.get(root, "log")
+      val landed = java.nio.file.Files.exists(logDir) && {
+        val s = java.nio.file.Files.walk(logDir)
+        try s.anyMatch(_.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      assert(!landed, "no flush may have run inside the window")
+      val walLog = java.nio.file.Paths.get(root, "wal", "log")
+      assert(java.nio.file.Files.exists(walLog) && {
+        val s = java.nio.file.Files.list(walLog)
+        try s.findAny().isPresent finally s.close()
+      }, "the WAL must hold the un-flushed row")
+    } finally { api.stop(); cadences.close() }
+    // "kill -9": no shutdown hook, no flush — the fresh engine's
+    // constructor-time walReplay must restore the hot view
+    val fresh = new DuoEngine(spark, root, nowUs = () => t0 + 60000000L)
+    val found = fresh.searchLogs(graft.query.LogQueries.LogSearchParams(
+      service = "svc", unbounded = true))
+    assert(found.count() == 1, "WAL replay must restore the hot row")
+    assert(found.select("message").collect()(0).getString(0) ==
+      "pre-flush")
+  }
+
   test("static UI serving: reference rewrites, mime types, traversal " +
       "rejected; API routes win; default stays API-only") {
     val root = java.nio.file.Files.createTempDirectory("uiroot").toString
