@@ -474,7 +474,8 @@ object EngineQueries {
     "g14_time_travel" -> (timeTravelGate _),
     "g15_cdc_incremental" -> (cdcIncrementalGate _),
     "g16_cdc_keyed" -> (cdcKeyedGate _),
-    "g17_cdc_feed" -> (cdcFeedGate _))
+    "g17_cdc_feed" -> (cdcFeedGate _),
+    "g18_cdc_consume" -> (cdcConsumeGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -1170,6 +1171,84 @@ object EngineQueries {
       .toDF("kind", "n").orderBy(col("kind"))
   }
 
+  /** g18: the EXACTLY-ONCE consumer pipeline driven end-to-end under
+    * the oracle hash — stepped replay (`poll(maxGenerations = 1)`)
+    * plus `consumeInto` landing each bounded increment in a SINK
+    * store through its manifest commit. The pinned lineage: gen A
+    * lands the evens (compact), gen B the true day-2 odd increment
+    * (compactDate — its audit line names the operation), gen C the
+    * day-1 expiry (delete-only: nothing to land, the consumer just
+    * advances). A consumer rewound to A steps through B then C one
+    * generation at a time, each step attributed by the commit's own
+    * info JSON; the sink ends holding exactly the odd rows once —
+    * count and id-sum hash-compared against DuckDB — and a further
+    * consume is caught up. Sink and consumer are fresh per
+    * invocation (janitor-deleted / reset) so repeated runs replay
+    * the whole lifecycle against the memoized source.
+    */
+  def cdcConsumeGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g18", d) { root =>
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      def timed(df: DataFrame, dayOff: Long) = df.withColumn("time",
+        lit(G06BaseUs + dayOff * 86400000000L) +
+          pmod(col("doc_id"), lit(60)) * 1000000L)
+      val st = new graft.store.ParquetStore(s, root, "documents", "time")
+      st.write(timed(docs.filter(col("doc_id") % 2 === 0), 0L))
+      st.compact() // gen A: the landed evens
+      st.write(timed(docs.filter(col("doc_id") % 2 =!= 0), 1L))
+      val zone = java.time.ZoneId.of(
+        s.conf.get("spark.sql.session.timeZone"))
+      val day2 = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochSecond(G06BaseUs / 1000000L + 86400L),
+        zone).toString
+      st.compactDate(day2) // gen B: the true day-2 odd increment
+      st.expire(G06BaseUs + 86400000000L): Unit // gen C: day 1 retired
+    }
+    val st = new graft.store.ParquetStore(s, root, "documents", "time")
+    val gens = st.generations()
+    if (gens.size < 3) sys.error(
+      s"g18: expected 3 generations, got ${gens.size}")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("g18_sink")
+    graft.util.StreamGate.deferDelete(sinkRoot)
+    val sink = new graft.store.ParquetStore(s, sinkRoot.toString,
+      "documents", "time")
+    val consumer = "g18-" + java.util.UUID.randomUUID().toString
+    val feed = st.cdcFeed(consumer, keyCols = Seq("doc_id"))
+    feed.commit(gens.head) // rewind: replay history from gen A
+    // peek each step's attribution BEFORE consuming it (poll is
+    // read-only; consumeInto re-polls the same increment)
+    val p1 = feed.poll(maxGenerations = 1)
+      .getOrElse(sys.error("g18: step-1 poll empty"))
+    val step1Op = if (p1.info.exists(_.contains(""""op":"compactDate""""))
+      && !p1.resync) 1L else 0L
+    val c1 = feed.consumeInto(sink, maxGenerations = 1)
+    val p2 = feed.poll(maxGenerations = 1)
+      .getOrElse(sys.error("g18: step-2 poll empty"))
+    val step2Op = if (p2.info.exists(_.contains(""""op":"expire""""))
+      && !p2.resync) 1L else 0L
+    val step2Added = p2.added.map(_.count()).getOrElse(0L)
+    val c2 = feed.consumeInto(sink, maxGenerations = 1)
+    val steps = Seq(c1, c2).count(_.isDefined).toLong
+    val caughtUp = if (feed.consumeInto(sink).isEmpty) 1L else 0L
+    val agg = sink.read(None, None)
+      .map(_.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("s")).collect()(0))
+    val sinkN = agg.map(_.getAs[Long]("n")).getOrElse(0L)
+    val sinkSum = agg.map(_.getAs[Long]("s")).getOrElse(0L)
+    feed.reset()
+    import s.implicits._
+    Seq(
+      ("caught_up", caughtUp),
+      ("sink_n", sinkN),
+      ("sink_sum", sinkSum),
+      ("step1_compact_date", step1Op),
+      ("step2_added", step2Added),
+      ("step2_expire", step2Op),
+      ("steps", steps))
+      .toDF("kind", "n").orderBy(col("kind"))
+  }
+
   /** g07's DuckDB replay — shared VERBATIM with g09 (the coarse-layout
     * read must be observationally identical to the minute layout).
     */
@@ -1319,6 +1398,23 @@ object EngineQueries {
         |    WHERE doc_id % 2 = 1)
         |UNION ALL SELECT 'resync_n',
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+        |ORDER BY kind""".stripMargin,
+    // the exactly-once consumer pipeline: a cursor rewound to gen A
+    // steps through the compactDate and expire commits one at a time
+    // (two steps, each attributed by its op), lands exactly the odd
+    // rows ONCE in the sink, and is then caught up
+    "g18_cdc_consume" ->
+      """SELECT 'caught_up' AS kind, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'sink_n',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 2 = 1)
+        |UNION ALL SELECT 'sink_sum',
+        |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+        |    WHERE doc_id % 2 = 1)
+        |UNION ALL SELECT 'step1_compact_date', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'step2_added', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'step2_expire', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'steps', CAST(2 AS BIGINT)
         |ORDER BY kind""".stripMargin,
     // expiry at a mid-day cutoff must read as a DAY-FLOOR time filter
     // (directory-granular retention; see expireGate)
