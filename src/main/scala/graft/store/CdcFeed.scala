@@ -97,9 +97,15 @@ final class CdcFeed private[store] (store: ParquetStore,
     * replays the commit history one generation at a time, each
     * increment carrying that generation's own `info` audit line —
     * bounded batches, attributable to the operation that produced
-    * them; the union of the stepped increments equals the single
-    * jump (spec-pinned). Resyncs ignore the bound (a snapshot is not
-    * a step through history).
+    * them. On an add-only stretch of history the union of the
+    * stepped `added` sides equals the single jump's (spec-pinned);
+    * when a key is added AND removed between the cursor and newest,
+    * stepping surfaces both events while the jump nets them out —
+    * MORE information, but an append-only consumer that ignores
+    * `removed` will keep the netted-out rows it would never have
+    * seen on the jump. Resyncs ignore the bound (a snapshot is not
+    * a step through history), and a torn intermediate generation
+    * widens the step to newest rather than resyncing.
     */
   def poll(maxGenerations: Int = Int.MaxValue): Option[CdcFeed.Increment] = {
     require(maxGenerations >= 1,
@@ -112,12 +118,21 @@ final class CdcFeed private[store] (store: ParquetStore,
           store.generationReadable(newest) =>
         // the stepped target: at most maxGenerations past the cursor
         // (gens is oldest → newest; a cursor no longer listed falls
-        // to the resync arm below via the readability check)
+        // to the resync arm below via the readability check). A TORN
+        // intermediate target widens the step to newest (readable by
+        // the case guard) rather than mis-reading the situation as
+        // retention loss — the cursor is intact, so a plain (just
+        // unbounded) increment is computable and a resync would make
+        // [[consumeInto]] hard-fail for nothing.
         val idx = gens.indexOf(c)
-        val target =
+        val stepped =
           if (idx < 0) newest
           else gens(math.min(gens.size - 1L,
             idx.toLong + maxGenerations).toInt)
+        val target =
+          if (stepped == newest || store.generationReadable(stepped))
+            stepped
+          else newest
         val added =
           if (keyCols.nonEmpty) store.changesBetween(c, target, keyCols)
           else store.changesBetween(c, target)
@@ -204,7 +219,10 @@ final class CdcFeed private[store] (store: ParquetStore,
     * Contract edges: `transform` must leave the sink's time column in
     * place (it drives the landing's partition derivation); the
     * `removed` side is NOT applied (an append-only sink — consumers
-    * that must invalidate build on the raw diffs); a RESYNC is only
+    * that must invalidate build on the raw diffs), so with
+    * `maxGenerations` stepping the sink may retain rows a mid-history
+    * removal would have netted out of the unbounded jump — pick the
+    * jump when the sink must mirror net state; a RESYNC is only
     * accepted on a first-ever consumption (bootstrap snapshot) —
     * a mid-life resync means retention outran this consumer and an
     * append would silently double the sink, so it throws instead.

@@ -191,52 +191,62 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       deadPlus: Seq[Dead], deadMinus: Seq[String],
       info: Option[String]) extends RawGen
 
-  /** Immutable-file parse memo: generation files are written once via
-    * temp+rename and never modified, so a parse keyed by
-    * (name, size, mtime) stays valid for the file's lifetime — a warm
-    * planner's readState re-GETs nothing, and the delta chain costs
-    * one LIST however often the table is planned. The size/mtime key
-    * (not name alone) keeps spec-style in-place corruption visible.
+  /** Clear-on-cap memo for derived views of IMMUTABLE files (written
+    * once via temp+rename, never modified): a value keyed by
+    * (name, size[, mtime]) stays valid for the file's lifetime, so a
+    * warm planner re-GETs nothing. Bounded two ways: by KEY count (a
+    * cadence-committing engine publishes every flush; months of
+    * cadences must not pin every generation ever retained) and by
+    * cumulative cached WEIGHT — a legacy inline checkpoint of a
+    * 10⁶-file table holds ~150 MB of Entry objects, so a count-only
+    * cap would admit gigabytes. The weight bound scales with the
+    * largest single item (one legitimately-huge parse must stay
+    * cacheable without being evicted by its own size); `largest`
+    * resets with the cache so a table compacted DOWN a tier
+    * re-learns its working size. Only SUCCESSFUL computes are
+    * cached: a None can be a transient I/O failure (an object-store
+    * throttle), and caching it under an immutable key would make one
+    * hiccup permanent until process restart — torn files therefore
+    * re-read per plan, which is the right trade (they are rare and
+    * small, and self-heal the moment the fault clears).
     */
-  private val parseMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Option[RawGen]]
-  private val parseMemoEntries = new java.util.concurrent.atomic.AtomicLong
-  private val parseMemoLargest = new java.util.concurrent.atomic.AtomicLong
-
-  private def parseRaw(st: FileStatus): Option[RawGen] = {
-    // bound the memo two ways: by FILE count (a cadence-committing
-    // engine publishes every flush; months of cadences must not pin
-    // every generation ever retained) and by cumulative cached ENTRY
-    // count — a legacy inline checkpoint of a 10⁶-file table holds
-    // ~150 MB of Entry objects, so a count-only cap would admit
-    // gigabytes. The entry bound scales with the largest single item
-    // (one legitimately-huge parse must stay cacheable without being
-    // evicted by its own size); two-level bodies are O(partitions)
-    // and barely register. largest resets with the cache so a table
-    // compacted DOWN a tier re-learns its working size.
-    val entryCap = math.max(StoreManifest.MemoEntryCap,
-      2L * parseMemoLargest.get)
-    if (parseMemo.size > StoreManifest.ParseMemoCap ||
-        parseMemoEntries.get > entryCap) {
-      parseMemo.clear()
-      parseMemoEntries.set(0)
-      parseMemoLargest.set(0)
-    }
-    parseMemo.getOrElseUpdate(
-      (st.getPath.getName, st.getLen, st.getModificationTime), {
-        val parsed = parseRawUncached(st.getPath)
-        val n = parsed match {
-          case Some(f: FullGen) =>
-            f.entries.size.toLong + f.manifests.size.toLong
-          case Some(d: DeltaGen) =>
-            d.adds.size.toLong + d.mAdds.size.toLong
-          case None => 0L
-        }
-        parseMemoEntries.addAndGet(n): Unit
-        parseMemoLargest.getAndAccumulate(n, math.max(_, _)): Unit
-        parsed
-      })
+  private final class CappedMemo[K, V](sizeCap: Int,
+      weigh: V => Long) {
+    private val m = scala.collection.concurrent.TrieMap.empty[K, V]
+    private val entries = new java.util.concurrent.atomic.AtomicLong
+    private val largest = new java.util.concurrent.atomic.AtomicLong
+    def getOrCompute(key: K)(compute: => Option[V]): Option[V] =
+      m.get(key) match {
+        case hit @ Some(_) => hit
+        case None =>
+          val cap = math.max(StoreManifest.MemoEntryCap,
+            2L * largest.get)
+          if (m.size > sizeCap || entries.get > cap) {
+            m.clear(); entries.set(0); largest.set(0)
+          }
+          val v = compute
+          v.foreach { x =>
+            val w = weigh(x)
+            entries.addAndGet(w): Unit
+            largest.getAndAccumulate(w, math.max(_, _)): Unit
+            m.put(key, x): Unit
+          }
+          v
+      }
   }
+
+  private val parseMemo =
+    new CappedMemo[(String, Long, Long), RawGen](
+      StoreManifest.ParseMemoCap, {
+        case f: FullGen =>
+          f.entries.size.toLong + f.manifests.size.toLong
+        case d: DeltaGen => d.adds.size.toLong + d.mAdds.size.toLong
+      })
+
+  private def parseRaw(st: FileStatus): Option[RawGen] =
+    parseMemo.getOrCompute(
+      (st.getPath.getName, st.getLen, st.getModificationTime))(
+      parseRawUncached(st.getPath))
 
   /** Read one small metadata file whole, gzip-sniffed (magic 1f 8b):
     * checkpoints and large manifest files compress ~13× (shared path
@@ -248,6 +258,14 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private def readBody(p: Path): String = {
     val in = fs.open(p)
     val raw = try in.readAllBytes() finally in.close()
+    bodyOf(raw)
+  }
+
+  /** Decode one metadata body from its raw bytes (the gzip-sniff
+    * shared by generation and manifest parses — one place to keep the
+    * torn-body/compat semantics).
+    */
+  private def bodyOf(raw: Array[Byte]): String =
     if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
         (raw(1) & 0xff) == 0x8b) {
       val gz = new java.util.zip.GZIPInputStream(
@@ -255,7 +273,6 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       try new String(gz.readAllBytes(), StandardCharsets.UTF_8)
       finally gz.close()
     } else new String(raw, StandardCharsets.UTF_8)
-  }
 
   private def parseRawUncached(p: Path): Option[RawGen] = {
     try {
@@ -431,28 +448,12 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * ref IS the key, so a warm window plan re-GETs nothing and a
     * pruned read concatenates cached per-partition parses.
     */
-  private val mfMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), Option[(String, Seq[Entry])]]
-  private val mfMemoEntries = new java.util.concurrent.atomic.AtomicLong
-  private val mfMemoLargest = new java.util.concurrent.atomic.AtomicLong
+  private val mfMemo =
+    new CappedMemo[(String, Long), (String, Seq[Entry])](
+      StoreManifest.MfMemoCap, _._2.size.toLong)
 
-  private def parseMf(ref: MfRef): Option[(String, Seq[Entry])] = {
-    val entryCap = math.max(StoreManifest.MemoEntryCap,
-      2L * mfMemoLargest.get)
-    if (mfMemo.size > StoreManifest.MfMemoCap ||
-        mfMemoEntries.get > entryCap) {
-      mfMemo.clear()
-      mfMemoEntries.set(0)
-      mfMemoLargest.set(0)
-    }
-    mfMemo.getOrElseUpdate((ref.name, ref.size), {
-      val parsed = parseMfUncached(ref)
-      val n = parsed.map(_._2.size.toLong).getOrElse(0L)
-      mfMemoEntries.addAndGet(n): Unit
-      mfMemoLargest.getAndAccumulate(n, math.max(_, _)): Unit
-      parsed
-    })
-  }
+  private def parseMf(ref: MfRef): Option[(String, Seq[Entry])] =
+    mfMemo.getOrCompute((ref.name, ref.size))(parseMfUncached(ref))
 
   /** Manifest body: `mf=N` (N counts every following line), one
     * `part` line, then entry lines — self-counted and typed like a
@@ -556,37 +557,21 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
 
   /** Head-keyed fold memo, (name, size, mtime) like every other memo:
     * chain files are immutable, so a head's fold is valid as long as
-    * the head file itself is. Two-level states are tiny; the entry
+    * the head file itself is. Two-level states are tiny; the weight
     * cap only matters for legacy inline chains.
     */
-  private val foldMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Option[GenState]]
-  private val foldMemoEntries = new java.util.concurrent.atomic.AtomicLong
-  private val foldMemoLargest = new java.util.concurrent.atomic.AtomicLong
+  private val foldMemo = new CappedMemo[(String, Long, Long), GenState](
+    StoreManifest.ParseMemoCap,
+    s => s.inline.size.toLong + s.mfs.size.toLong)
 
   private def fold(name: String,
       statuses: Map[String, FileStatus]): Option[GenState] =
     statuses.get(name) match {
       case None => None
       case Some(st) =>
-        val entryCap = math.max(StoreManifest.MemoEntryCap,
-          2L * foldMemoLargest.get)
-        if (foldMemo.size > StoreManifest.ParseMemoCap ||
-            foldMemoEntries.get > entryCap) {
-          foldMemo.clear()
-          foldMemoEntries.set(0)
-          foldMemoLargest.set(0)
-        }
-        foldMemo.getOrElseUpdate(
-          (name, st.getLen, st.getModificationTime), {
-            val state = foldUncached(name, statuses)
-            state.foreach { s =>
-              val n = s.inline.size.toLong + s.mfs.size.toLong
-              foldMemoEntries.addAndGet(n): Unit
-              foldMemoLargest.getAndAccumulate(n, math.max(_, _)): Unit
-            }
-            state
-          })
+        foldMemo.getOrCompute(
+          (name, st.getLen, st.getModificationTime))(
+          foldUncached(name, statuses))
     }
 
   /** Fold one generation's chain: a checkpoint IS its state; a delta
@@ -683,34 +668,17 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * immutable and outlive the head's retention, so the memo is valid
     * for the head file's lifetime.
     */
-  private val snapMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Option[Snapshot]]
-  private val snapMemoEntries = new java.util.concurrent.atomic.AtomicLong
-  private val snapMemoLargest = new java.util.concurrent.atomic.AtomicLong
+  private val snapMemo = new CappedMemo[(String, Long, Long), Snapshot](
+    16, _.entries.size.toLong) // full snapshots are the heavy items
 
   private def assembleFull(name: String,
       statuses: Map[String, FileStatus]): Option[Snapshot] =
     statuses.get(name) match {
       case None => None
       case Some(st) =>
-        val entryCap = math.max(StoreManifest.MemoEntryCap,
-          2L * snapMemoLargest.get)
-        if (snapMemo.size > 16 || snapMemoEntries.get > entryCap) {
-          snapMemo.clear()
-          snapMemoEntries.set(0)
-          snapMemoLargest.set(0)
-        }
-        snapMemo.getOrElseUpdate(
-          (name, st.getLen, st.getModificationTime), {
-            val snap = fold(name, statuses)
-              .flatMap(assemble(_, _ => true))
-            snap.foreach { s =>
-              snapMemoEntries.addAndGet(s.entries.size.toLong): Unit
-              snapMemoLargest.getAndAccumulate(
-                s.entries.size.toLong, math.max(_, _)): Unit
-            }
-            snap
-          })
+        snapMemo.getOrCompute(
+          (name, st.getLen, st.getModificationTime))(
+          fold(name, statuses).flatMap(assemble(_, _ => true)))
     }
 
   /** The file names `name`'s fold reads, itself included (delta chain
@@ -1097,34 +1065,44 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           s"${parent.getOrElse("(none)")} to ${conflicting.sorted.last} " +
           "— rolled back; re-plan from the new newest generation")
     }
-    // retain the newest KeepGens generation HEADS plus every older
-    // file their delta chains fold through, then every manifest file
-    // a surviving generation references (best effort; readers take
-    // the newest FOLDABLE head, so a failed delete costs bytes, not
-    // truth). Age-based pruning beyond this is vacuum's job.
-    val statuses = postList
-      .filter(_.getPath.getName.startsWith("gen-"))
-      .map(s => s.getPath.getName -> s).toMap
-    val heads = statuses.keys.toSeq.sorted.takeRight(KeepGens)
-    val keep = heads.flatMap(chainNames(_, statuses)).toSet
-    statuses.keys.filterNot(keep).foreach(n =>
-      fs.delete(new Path(mdir, n), false): Unit)
-    // manifest retention — on CHECKPOINT commits only: any mf a KEPT
-    // generation's raw body names must survive (it is what makes that
-    // head assemblable); the rest belonged to pruned generations (or
-    // crashed commits) and go with them. Deltas skip this — mf
-    // garbage only accrues from mdels and generation pruning, both
-    // bounded between checkpoints, and skipping keeps the delta
-    // commit's filesystem work O(generations), never O(partitions).
-    // Single-writer fencing means no other publisher has
-    // written-but-not-yet-committed manifests to protect.
-    if (ext == ".list") {
-      val neededMfs = mfsReferencedBy(
-        keep.toSeq.sorted.flatMap(statuses.get))
-      StoreFs.list(fs, mfdir).map(_.getPath.getName)
-        .filter(n => n.startsWith("mf-") && !neededMfs(n))
-        .foreach(n => fs.delete(new Path(mfdir, n), false): Unit)
-    }
+    // THE COMMIT IS DURABLE FROM HERE. Everything below is
+    // best-effort housekeeping and must not be able to fail the
+    // publish: an exception escaping after the rename would make the
+    // caller's cleanup treat a LANDED commit as never-committed and
+    // delete the manifests its generation references — permanently
+    // poisoning the newest head. A throttled LIST/DELETE costs
+    // retained bytes until the next commit retries, never truth.
+    try {
+      // retain the newest KeepGens generation HEADS plus every older
+      // file their delta chains fold through, then every manifest
+      // file a surviving generation references (readers take the
+      // newest FOLDABLE head, so a failed delete costs bytes, not
+      // truth). Age-based pruning beyond this is vacuum's job.
+      val statuses = postList
+        .filter(_.getPath.getName.startsWith("gen-"))
+        .map(s => s.getPath.getName -> s).toMap
+      val heads = statuses.keys.toSeq.sorted.takeRight(KeepGens)
+      val keep = heads.flatMap(chainNames(_, statuses)).toSet
+      statuses.keys.filterNot(keep).foreach(n =>
+        fs.delete(new Path(mdir, n), false): Unit)
+      // manifest retention — on CHECKPOINT commits only: any mf a
+      // KEPT generation's raw body names must survive (it is what
+      // makes that head assemblable); the rest belonged to pruned
+      // generations (or crashed commits) and go with them. Deltas
+      // skip this — mf garbage only accrues from mdels and
+      // generation pruning, both bounded between checkpoints, and
+      // skipping keeps the delta commit's filesystem work
+      // O(generations), never O(partitions). Single-writer fencing
+      // means no other publisher has written-but-not-yet-committed
+      // manifests to protect.
+      if (ext == ".list") {
+        val neededMfs = mfsReferencedBy(
+          keep.toSeq.sorted.flatMap(statuses.get))
+        StoreFs.list(fs, mfdir).map(_.getPath.getName)
+          .filter(n => n.startsWith("mf-") && !neededMfs(n))
+          .foreach(n => fs.delete(new Path(mfdir, n), false): Unit)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** One-time advisory marker naming the on-disk protocol, so an
@@ -1133,9 +1111,15 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * stale truth. Advisory only — the real contract is the header
     * self-describing each body.
     */
-  private def writeProtocolMarker(): Unit = {
+  /** Set once the marker is known present: the exists-probe must not
+    * cost every commit a metadata round trip on a long-lived writer.
+    */
+  @volatile private var protocolKnown = false
+
+  private def writeProtocolMarker(): Unit = if (!protocolKnown) {
     val proto = new Path(mdir, "protocol")
-    if (!fs.exists(proto)) {
+    if (fs.exists(proto)) protocolKnown = true
+    else {
       try {
         val o = fs.create(proto, false)
         try o.write(("duospark manifest protocol: two-level (round 19)\n" +
@@ -1146,7 +1130,10 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           "generations and degrade to legacy listing mode.\n")
           .getBytes(StandardCharsets.UTF_8))
         finally o.close()
+        protocolKnown = true
       } catch { case scala.util.control.NonFatal(_) => () }
+      // advisory either way: a racing creator's failure is fine, the
+      // next commit re-probes
     }
   }
 
