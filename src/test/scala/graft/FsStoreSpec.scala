@@ -1400,6 +1400,98 @@ class FsStoreSpec extends SparkSpec {
     feed.reset()
   }
 
+  test("a transiently unreadable partition manifest is NOT cached as " +
+      "failure: windowed reads outside it still serve, and the same " +
+      "planner instance heals the moment the bytes are back") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("mfheal")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    def e(rel: String) = StoreManifest.Entry(rel, 1L, 1L)
+    m.publish(Seq(e("date=2024-01-15/a.parquet"),
+      e("date=2024-01-16/b.parquet")), None, Nil, parent = None)
+    assert(m.read().get.entries.size == 2)
+    // locate day-16's manifest and tear it IN PLACE (half the bytes:
+    // the ref-recorded length check rejects it)
+    val mfDir = new org.apache.hadoop.fs.Path(local.toString,
+      "_manifest/mf")
+    val mfs = fsys.listStatus(mfDir).map(_.getPath)
+    val torn = mfs.find { p =>
+      val in = fsys.open(p)
+      val body = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+      body.contains("2024-01-16")
+    }.get
+    val in0 = fsys.open(torn)
+    val original = try in0.readAllBytes() finally in0.close()
+    val o = fsys.create(torn, true)
+    o.write(original, 0, original.length / 2); o.close()
+    // a COLD planner (fresh instance = new process; the instance
+    // above holds the pre-tear snapshot under its head-keyed memo,
+    // which in-place corruption of an mf deliberately cannot
+    // invalidate — manifest files are immutable in the protocol):
+    // full assembly rejects the generation whole (no older one
+    // exists → listing mode), but a window that does not ADMIT the
+    // torn partition still answers — pruning is also availability
+    val m2 = new StoreManifest(fsys, local.toString)
+    assert(m2.read().isEmpty, "full read must reject the torn head")
+    val (pruned, _) = m2.readStateFor(pk =>
+      pk.isEmpty || pk == "date=2024-01-15")
+    assert(pruned.exists(_.entries.map(_.rel) ==
+      Seq("date=2024-01-15/a.parquet")),
+      "the un-torn partition's window must keep serving")
+    // restore the exact bytes: the SAME (m2) instance must read them
+    // — a cached failure here would require a process restart to heal
+    val o2 = fsys.create(torn, true)
+    o2.write(original); o2.close()
+    assert(m2.read().exists(_.entries.size == 2),
+      "the planner must re-attempt the manifest once it is back")
+  }
+
+  test("stepped CDC widens past a TORN intermediate generation to " +
+      "newest instead of mis-reading it as retention loss") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val day = 86400L * 1000000L
+    def batch(ids: Seq[Long], dayOff: Long) =
+      ids.map(i => (i, t0 + dayOff * day + i * 60L * 1000000L, i * 10L))
+        .toDF("id", "start", "trace_id")
+    def oids(d: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      d.map(_.select("id").as[Long].collect().toSet).getOrElse(Set.empty)
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    def dayStr(off: Long): String = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond((t0 + off * day) / 1000000L),
+      zone).toString
+    store.writeStaged(batch((1L to 10L).toSeq, 0L))
+    store.compact() // gen A
+    store.write(batch(Seq(24L, 25L), 1L))
+    store.compactDate(dayStr(1L)) // gen B: the delta to tear
+    store.writeStaged(batch(Seq(26L, 27L), 2L))
+    store.compact() // gen C: a CHECKPOINT (folds without B)
+    val gens = store.generations()
+    assert(gens.size == 3)
+    // tear B's generation FILE in place
+    val fsys = graft.store.StoreFs.fs(
+      new org.apache.hadoop.fs.Path(s"$root/span"))
+    val bPath = new org.apache.hadoop.fs.Path(
+      s"$root/span/_manifest/${gens(1)}")
+    val o = fsys.create(bPath, true)
+    o.write("delta=9\nparent\tgen-x\n".getBytes("UTF-8")); o.close()
+    assert(!store.generationReadable(gens(1)))
+    assert(store.generationReadable(gens.last), "C must fold without B")
+    val feed = store.cdcFeed("widener", keyCols = Seq("id"))
+    feed.commit(gens.head)
+    // the bounded step lands on torn B → widened to newest C, a PLAIN
+    // increment (the cursor is intact; resync would be wrong and
+    // consumeInto would hard-fail on it)
+    val inc = feed.poll(maxGenerations = 1).get
+    assert(!inc.resync, "a torn intermediate must not read as a resync")
+    assert(inc.toGen == gens.last)
+    assert(oids(inc.added) == Set(24L, 25L, 26L, 27L))
+    feed.reset()
+  }
+
   test("keyed CDC under schema drift: a column appearing between " +
       "generations surfaces in the increment; the key anti-join " +
       "conforms across the drifted sides") {
