@@ -80,8 +80,10 @@ final class CdcFeed private[store] (store: ParquetStore,
       }
     }
 
-  /** The unconsumed increment, or None when the consumer is caught up
-    * (or the table has no generation yet). `added` rows are inserts
+  /** The unconsumed increment, or None when the consumer is caught up,
+    * the table has no generation yet, or a concurrent vacuum pruned
+    * the polled target mid-poll (transient — the next poll recomputes
+    * against the new newest). `added` rows are inserts
     * since the cursor (row-exact when the feed was built with
     * `keyCols`, file-granular otherwise — same caveats as the diff
     * surfaces) and `removed` the delete side; either is None when
@@ -139,18 +141,22 @@ final class CdcFeed private[store] (store: ParquetStore,
         val removed =
           if (keyCols.nonEmpty) store.removedBetween(c, target, keyCols)
           else store.removedBetween(c, target)
-        // post-check BOTH ends: if retention pruned c — or newer
-        // commits landed and vacuum pruned the captured `target` —
+        // post-check BOTH ends: if retention pruned a generation
         // while the diffs were being planned, one side may have
-        // quietly come back None-for-the-wrong-reason. A half
-        // increment (adds without their deletes, or both sides None
-        // with real changes in between) must downgrade to a resync,
-        // never commit as truth.
+        // quietly come back None-for-the-wrong-reason — a half
+        // increment (adds without their deletes) must never commit
+        // as truth. The downgrade is PROPORTIONATE: a lost CURSOR is
+        // real retention loss → resync; a vanished target with the
+        // cursor intact is a transient race against vacuum → None,
+        // and the next poll recomputes against the new newest (a
+        // resync here would make [[consumeInto]] hard-fail a
+        // recoverable situation).
         if (store.generationReadable(c) && store.generationReadable(target))
           Some(CdcFeed.Increment(target, added, removed, resync = false,
             info = store.generationInfo(target)))
-        else // re-fetch: the captured target itself may be the pruned one
+        else if (!store.generationReadable(c))
           store.generations().lastOption.flatMap(resyncTo)
+        else None // target pruned mid-poll, cursor intact: retry
       case Some(_) => resyncTo(newest) // cursor outran by retention
       case None => resyncTo(newest) // first poll: snapshot, like
                                     // Delta's startingVersion=latest-full

@@ -377,14 +377,20 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * own generation info and skip the replay. A crash before the
     * publish leaves an orphan tree for [[vacuum]]. Requires a batch
     * whose `timeCol` drives the partition derivation, like [[write]].
-    * The recorded schema drops to footer inference (None) — the
-    * batch may carry drifted columns the prior schema lacks, same
-    * contract as [[expire]].
+    * The recorded schema stays EXACT when it provably can: a batch
+    * whose (all-nullable) schema equals the parent's recorded one
+    * keeps it, and the first commit into an empty table records the
+    * batch's — so a sink fed only by uniform committed appends (the
+    * CDC-consumer shape) plans from the manifest schema forever,
+    * never paying per-file footer inference. A DRIFTED batch drops
+    * the recorded schema to None (footer inference until the next
+    * compact), the same conservative contract as [[expire]].
     */
   def writeCommitted(batch: DataFrame,
       info: Option[String] = None): Unit = {
     fence()
     val t = truth()
+    val batchSchema = StoreManifest.allNullable(batch.schema)
     val gen = newGenName()
     batch
       .withColumn("__ts", timestamp_micros(col(timeCol)))
@@ -405,11 +411,17 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     val landed = manifest.walkSubtree(gen)
     t match {
       case Some(snap) =>
+        // keep the parent's recorded schema only when the batch
+        // provably conforms to it (order-sensitive equality — a
+        // mismatch is just conservative: footer inference)
         manifest.publishPatch(adds = landed, drops = Nil,
-          deadPlus = Nil, deadMinus = Nil, schema = None,
+          deadPlus = Nil, deadMinus = Nil,
+          schema = snap.schema.filter(_ == batchSchema),
           parent = snap.gen, info = info)
       case None => // first commit ever: absolute, legacy files folded
-        manifest.publish(manifest.walkLegacy() ++ landed, None, Nil,
+        val legacy = manifest.walkLegacy()
+        manifest.publish(legacy ++ landed,
+          if (legacy.isEmpty) Some(batchSchema) else None, Nil,
           parent = None, info = info)
     }
   }
@@ -480,12 +492,13 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       // already lists (a legacy rel can be IN the manifest: a store
       // that never gen-compacted publishes legacy rels) and minus
       // tombstones (superseded files still on disk until vacuum).
-      // The walk's extras honor the same partition pruning.
+      // The walk itself honors the partition pruning — recursing the
+      // whole tree and filtering after would pay O(table) listings on
+      // every windowed read of a dirty store.
       val known = snap.entries.map(_.rel).toSet
-      val extras = manifest.walkLegacy()
+      val extras = admit.fold(manifest.walkLegacy())(
+          manifest.walkLegacyFor)
         .filterNot(e => known(e.rel) || deadRels(e.rel))
-        .filter(e => admit.forall(_(
-          StoreManifest.partKeyOf(e.rel))))
       // the recorded schema can't cover columns the dirty appends
       // introduced — drop to footer inference until the next compact
       Truth(snap.gen, snap.entries ++ extras, None, deadRels, dirty,

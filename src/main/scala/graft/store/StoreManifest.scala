@@ -142,6 +142,30 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     */
   def walkLegacy(): Seq[Entry] = walkEntries(new Path(tableDir))
 
+  /** [[walkLegacy]] restricted to the partitions `admit` passes: the
+    * walk recurses only into top-level `date=…` dirs the window
+    * admits (plus non-partition dirs and root files, keyed `""`), so
+    * a windowed read or per-date maintenance tick on a DIRTY store
+    * pays listings ∝ admitted partitions, not the whole tree — the
+    * same discipline the manifest side's pruned assembly has.
+    */
+  def walkLegacyFor(admit: String => Boolean): Seq[Entry] = {
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) return Seq.empty
+    StoreFs.list(fs, root).flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) Nil
+      else if (st.isDirectory) {
+        val pk = if (name.startsWith("date=")) name else ""
+        if (admit(pk)) walkEntries(st.getPath) else Nil
+      } else if (name.endsWith(".parquet") && admit("")) {
+        val full = st.getPath.toUri.getPath
+        val rel = full.stripPrefix(root.toUri.getPath).stripPrefix("/")
+        Seq(Entry(rel, st.getLen, st.getModificationTime))
+      } else Nil
+    }
+  }
+
   /** Walk one subtree (a just-written `_gen-*` dir) into entries whose
     * rels are relative to the TABLE dir (so they carry the gen
     * prefix). Bounded by the files the rewrite just wrote.
@@ -468,15 +492,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       val in = fs.open(p)
       val raw = try in.readAllBytes() finally in.close()
       if (raw.length.toLong != ref.size) return None
-      val body =
-        if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
-            (raw(1) & 0xff) == 0x8b) {
-          val gz = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(raw), 64 * 1024)
-          try new String(gz.readAllBytes(), StandardCharsets.UTF_8)
-          finally gz.close()
-        } else new String(raw, StandardCharsets.UTF_8)
-      val lines = body.split("\n", -1).toSeq.dropRight(1)
+      val lines = bodyOf(raw).split("\n", -1).toSeq.dropRight(1)
       val rest = lines.drop(1)
       if (!lines.headOption.exists(h => h.startsWith("mf=") &&
           h.stripPrefix("mf=").toIntOption.contains(rest.size)))
@@ -1049,16 +1065,27 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     // belt-and-braces for the misconfigured-second-writer case it
     // exists to catch.
     // ONE post-rename listing serves the conflict check, generation
-    // retention and manifest retention below: `_manifest` now holds a
-    // manifest file per partition, so each extra LIST costs
-    // O(partitions) round-trip work — three separate listings made
-    // the delta commit's wall grow with the table for no reason
-    // (measured 25→248 ms at 10³→10⁶ files before consolidation).
-    val postList = StoreFs.list(fs, mdir)
+    // retention and manifest retention below (separate listings made
+    // the delta commit's wall grow for no reason — measured 25→248 ms
+    // at 10³→10⁶ files before consolidation). THE COMMIT IS DURABLE
+    // FROM THE RENAME: a transient failure of this listing must not
+    // escape as a publish failure — the caller's cleanup would treat
+    // the landed commit as never-committed and delete the manifests
+    // its generation references, permanently poisoning the newest
+    // head. An empty list skips the belt-and-braces conflict check
+    // (the writer lease is the actual mutual exclusion) and makes
+    // this commit's retention a no-op — bytes until the next commit
+    // retries, never truth.
+    val postList = try StoreFs.list(fs, mdir)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val conflicting = postList.map(_.getPath.getName)
       .filter(n => n.startsWith("gen-") && n != gen.getName &&
         parent.forall(_ < n))
     if (conflicting.nonEmpty) {
+      // rollback; if this delete itself fails, the loser generation
+      // stays on disk but its manifests are deleted by the caller's
+      // cleanup — readers then reject it whole and fall back to the
+      // race winner, which IS the correct truth either way
       fs.delete(gen, false): Unit
       throw new StoreManifest.ConcurrentCommitException(
         s"$tableDir: publish of ${gen.getName} lost a race over parent " +
@@ -1105,17 +1132,17 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** Set once the marker is known present: the exists-probe must not
+    * cost every commit a metadata round trip on a long-lived writer.
+    */
+  @volatile private var protocolKnown = false
+
   /** One-time advisory marker naming the on-disk protocol, so an
     * operator (or an older binary's logs) can see WHY a pre-round-19
     * reader degrades to listing mode instead of silently serving
     * stale truth. Advisory only — the real contract is the header
     * self-describing each body.
     */
-  /** Set once the marker is known present: the exists-probe must not
-    * cost every commit a metadata round trip on a long-lived writer.
-    */
-  @volatile private var protocolKnown = false
-
   private def writeProtocolMarker(): Unit = if (!protocolKnown) {
     val proto = new Path(mdir, "protocol")
     if (fs.exists(proto)) protocolKnown = true

@@ -1383,6 +1383,10 @@ class FsStoreSpec extends SparkSpec {
     feed.poll(): Unit // "crash" after delivery, before any landing
     assert(feed.consumeInto(sink).isDefined)
     assert(sinkIds() == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // uniform committed appends keep the sink's recorded schema exact
+    // — a pure-CDC sink plans from the manifest, no footer inference
+    assert(sink.manifestSchema.isDefined,
+      "uniform writeCommitted appends must preserve the schema")
     // transform applies on the landing path
     src.writeStaged(batch(Seq(7L), 3L))
     src.compact()
