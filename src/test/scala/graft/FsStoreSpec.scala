@@ -1404,6 +1404,71 @@ class FsStoreSpec extends SparkSpec {
     feed.reset()
   }
 
+  test("two-level folds equal a reference model under a mixed mutation " +
+      "sequence: accumulating appends, partition rewrites, absolute " +
+      "republish, rollover merges and retention all agree") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("mixedseq")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    val rnd = new scala.util.Random(42)
+    val dates = (15 to 19).map(d => s"date=2024-01-$d")
+    val model = scala.collection.mutable.LinkedHashMap.empty[
+      String, StoreManifest.Entry]
+    var fileNo = 0
+    def mk(part: String): StoreManifest.Entry = {
+      fileNo += 1
+      StoreManifest.Entry(f"$part/part-$fileNo%05d.parquet",
+        100L + fileNo, 1700000000000L + fileNo)
+    }
+    val init = dates.flatMap(p => (0 until 5).map(_ => mk(p)))
+    init.foreach(e => model(e.rel) = e)
+    m.publish(init, None, Nil, parent = None)
+    (0 until 30).foreach { i =>
+      val parent = m.read().get.gen
+      if (i % 7 == 6) {
+        // absolute republish of the whole intended state (the
+        // publish() diff path over whatever mf accumulation exists)
+        m.publish(model.values.toSeq, None, Nil, Some(parent))
+      } else if (i % 3 == 2 && model.nonEmpty) {
+        // partition rewrite: drop 1-2 random rels, add one — the
+        // mdel + madd arm, plus newest-wins dedupe
+        val victims = rnd.shuffle(model.keys.toSeq)
+          .take(1 + rnd.nextInt(2))
+        val add = mk(dates(rnd.nextInt(dates.size)))
+        victims.foreach(model.remove(_): Unit)
+        model(add.rel) = add
+        m.publishPatch(adds = Seq(add), drops = victims,
+          deadPlus = Nil, deadMinus = Nil, schema = None,
+          parent = parent)
+      } else {
+        // accumulating append: 1-3 files into 1-2 partitions
+        val adds = (0 until 1 + rnd.nextInt(3))
+          .map(_ => mk(dates(rnd.nextInt(dates.size))))
+        adds.foreach(e => model(e.rel) = e)
+        m.publishPatch(adds = adds, drops = Nil, deadPlus = Nil,
+          deadMinus = Nil, schema = None, parent = parent)
+      }
+      // the fold must equal the model after EVERY commit — across
+      // delta accumulation, rollover checkpoints (CheckpointEvery
+      // boundaries land inside these 30 commits), mf reuse and
+      // retention pruning
+      val snap = m.read().get
+      assert(snap.entries == model.values.toSeq.sortBy(_.rel),
+        s"fold diverged from the model at commit $i (${snap.gen})")
+      // and a window over one partition equals the model's slice
+      val d = dates(i % dates.size)
+      val (win, _) = m.readStateFor(pk => pk.isEmpty || pk == d)
+      assert(win.get.entries ==
+        model.values.toSeq.filter(_.rel.startsWith(d + "/"))
+          .sortBy(_.rel),
+        s"window $d diverged at commit $i")
+    }
+    // every retained generation still folds whole at the end
+    m.genNames().foreach(g => assert(m.readGen(g).isDefined,
+      s"retained $g must fold"))
+  }
+
   test("a transiently unreadable partition manifest is NOT cached as " +
       "failure: windowed reads outside it still serve, and the same " +
       "planner instance heals the moment the bytes are back") {
