@@ -527,8 +527,74 @@ object ScaleProbe {
     }
     if (only.isEmpty || only.exists("manifest_publish_cost".startsWith))
       publishCostProbe()
+    if (only.isEmpty || only.exists("hot_date_split".startsWith))
+      hotDateProbe()
     if (tiers.contains("100x")) run100x()
     spark.stop()
+  }
+
+  /** The hot-date split measured at the residual's own scale: EVERY
+    * file in ONE date — the pathological concentration the round-19
+    * residual named (a date-granular manifest a window touching that
+    * date reads whole). Each tier builds the same table twice — split
+    * engaged (default threshold) vs disabled — and cold-plans a
+    * one-hour window on each. The claims: the split hot date stores
+    * ~24 hour manifests; the hour plan's entries are ~1/24 of the
+    * date's; its wall beats the unsplit single-manifest parse and
+    * stays ~flat as the date grows another decade (hour manifests
+    * grow, but parse ∝ admitted entries, not the date).
+    */
+  private def hotDateProbe(): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.store.{StoreFs, StoreManifest}
+    val tiers = sys.env.get("SPARK_GRAFT_HOTDATE_TIERS")
+      .map(_.split(",").toSeq.flatMap(_.trim.toIntOption))
+      .filter(_.nonEmpty)
+      .getOrElse(Seq(200 * 1000))
+    // discarded warmup tier: the first publish+plan in a JVM pays
+    // classloading+JIT that would otherwise pollute the first row
+    for (n <- -1000 +: tiers; mode <- Seq("split", "unsplit")) {
+      val warmup = n < 0
+      val files = math.abs(n)
+      val local = java.nio.file.Files
+        .createTempDirectory(s"hotdate_${mode}_$files")
+      graft.util.StreamGate.deferDelete(local)
+      val fs = StoreFs.fs(new Path(local.toString))
+      val m = new StoreManifest(fs, local.toString)
+      if (mode == "unsplit") m.hotSplitFiles = Int.MaxValue
+      if (warmup && mode == "split") m.hotSplitFiles = 100
+      val entries = (0 until files).map(i => StoreManifest.Entry(
+        f"date=2024-06-01/hour=${i % 24}%02d/minute=${i / 24 % 60}%02d/" +
+          f"part-$i%08d.parquet", 1234567L, 1700000000000L + i))
+      m.publish(entries, None, Nil, None)
+      val mfCount = m.mfRefs().size
+      // one-hour window on a COLD planner (fresh instance = new
+      // driver): date admitted, hour refined — exactly what
+      // dateAdmitOf emits for an in-hour time range
+      val hourAdmit: String => Boolean = pk => pk.isEmpty ||
+        pk == "date=2024-06-01" || pk == "date=2024-06-01/hour=03"
+      val cold = new StoreManifest(fs, local.toString)
+      val t0 = System.nanoTime()
+      val hourEntries = cold.readStateFor(hourAdmit)._1
+        .map(_.entries.size).getOrElse(0)
+      val hourColdMs = (System.nanoTime() - t0) / 1e6
+      val warmMs = (0 until 3).map { _ =>
+        val t = System.nanoTime()
+        cold.readStateFor(hourAdmit): Unit
+        (System.nanoTime() - t) / 1e6
+      }.min
+      val t1 = System.nanoTime()
+      val fullEntries = new StoreManifest(fs, local.toString)
+        .readState()._1.map(_.entries.size).getOrElse(0)
+      val fullColdMs = (System.nanoTime() - t1) / 1e6
+      if (warmup) () else
+      println(f"""{"query":"hot_date_split","files":$files,"mode":"$mode",""" +
+        f""""manifests":$mfCount,"hour_entries":$hourEntries,""" +
+        f""""hour_plan_cold_ms":$hourColdMs%.2f,""" +
+        f""""hour_plan_warm_ms":$warmMs%.2f,""" +
+        f""""full_entries":$fullEntries,""" +
+        f""""full_plan_cold_ms":$fullColdMs%.2f}""")
+    }
   }
 
   /** The commit protocol's metadata write amplification, measured —
@@ -650,7 +716,7 @@ object ScaleProbe {
       val fullColdMs = (System.nanoTime() - tf) / 1e6
       val windowAdmit: String => Boolean = {
         val d0 = dateOf(0)
-        pk => pk.isEmpty || pk == s"date=$d0"
+        pk => pk.isEmpty || StoreManifest.dateKeyOf(pk) == s"date=$d0"
       }
       val coldWin = new StoreManifest(fs, local.toString)
       val tw = System.nanoTime()

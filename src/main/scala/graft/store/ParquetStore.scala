@@ -104,6 +104,19 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   private[graft] def manifestDead: Option[Seq[String]] =
     manifest.read().map(_.dead.map(_.rel))
 
+  /** The newest generation's (manifest name, partition key) refs
+    * (specs/probes: hot-split shape and reuse-by-name assertions).
+    */
+  private[graft] def manifestRefs: Seq[(String, String)] =
+    manifest.mfRefs()
+
+  /** Hot-date split threshold seam (specs/probes — see
+    * [[StoreManifest.HotSplitDefault]]).
+    */
+  private[graft] def hotSplitFiles_=(n: Int): Unit =
+    manifest.hotSplitFiles = n
+  private[graft] def hotSplitFiles: Int = manifest.hotSplitFiles
+
   /** Retained manifest generations, oldest → newest — the snapshots
     * [[readGeneration]] can time-travel to. Retention is
     * [[StoreManifest.KeepGens]] generations, pruned past the grace by
@@ -512,8 +525,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * write path's date_format uses for the dir names), boundary dates
     * kept whole — conservative at day granularity, so tightening only
     * changes the MANIFESTS READ, never the rows returned (the row
-    * predicate stays exact). The catch-all `""` partition always
-    * passes. None (= no pruning) for an unbounded read.
+    * predicate stays exact). A hot-date HOUR sub-key
+    * (`date=…/hour=…`, [[StoreManifest.subPartKeyOf]]) additionally
+    * refines the window's boundary dates to whole hours — the split's
+    * entire point: a one-hour query on a split date plans ~1/24 of
+    * its metadata. The catch-all `""` partition always passes. None
+    * (= no pruning) for an unbounded read.
     */
   private def dateAdmitOf(startUs: Option[Long],
       endUs: Option[Long]): Option[String => Boolean] =
@@ -521,15 +538,25 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     else {
       val zone = java.time.ZoneId.of(
         spark.conf.get("spark.sql.session.timeZone"))
-      def dayOf(us: Long): String = java.time.LocalDate.ofInstant(
-        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L)),
-        zone).toString
-      val lo = startUs.map(dayOf)
-      val hi = endUs.map(dayOf)
-      // ISO dates compare chronologically as strings
+      def dayHourOf(us: Long): (String, String) = {
+        val zdt = java.time.Instant
+          .ofEpochSecond(Math.floorDiv(us, 1000000L)).atZone(zone)
+        (zdt.toLocalDate.toString, f"${zdt.getHour}%02d")
+      }
+      val lo = startUs.map(dayHourOf)
+      val hi = endUs.map(dayHourOf)
+      // ISO dates and zero-padded hours compare chronologically as
+      // strings; an hour-less key checks its date only (kept whole)
       Some(pk => pk.isEmpty || {
-        val d = pk.stripPrefix("date=")
-        lo.forall(_ <= d) && hi.forall(d <= _)
+        val slash = pk.indexOf('/')
+        val d = (if (slash > 0) pk.substring(0, slash) else pk)
+          .stripPrefix("date=")
+        val h = if (slash > 0)
+          Some(pk.substring(slash + 1).stripPrefix("hour=")) else None
+        lo.forall { case (ld, lh) =>
+          ld < d || (ld == d && h.forall(lh <= _)) } &&
+        hi.forall { case (hd, hh) =>
+          d < hd || (d == hd && h.forall(_ <= hh)) }
       })
     }
 
@@ -755,7 +782,9 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // catch-all) — the patch-shaped commit below never republishes
     // the rest of the table, so the other partitions' manifests are
     // never read: per-date maintenance is O(date) metadata end to end
-    val t = truthFor(Some(pk => pk.isEmpty || pk == part0))
+    // (a hot-split date's hour sub-keys all group under this date)
+    val t = truthFor(Some(pk =>
+      pk.isEmpty || StoreManifest.dateKeyOf(pk) == part0))
     val mainEntries = t.map(_.entries).getOrElse(manifest.walkLegacy())
     val part = part0
     val eD = mainEntries.filter(e => logicalRel(e.rel).startsWith(part + "/"))
@@ -1243,8 +1272,8 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // retention only needs the EXPIRED dates' entries (the patch's
     // drops) — surviving partitions' manifests are never read, so a
     // retention tick is O(expired dates), not O(table)
-    truthFor(Some(pk => pk.isEmpty ||
-        pk.stripPrefix("date=") < cutoffDate.toString)) match {
+    truthFor(Some(pk => pk.isEmpty || StoreManifest.dateKeyOf(pk)
+        .stripPrefix("date=") < cutoffDate.toString)) match {
       case Some(t) =>
         // ISO dates compare chronologically as strings
         def dateOf(rel: String): String = {

@@ -90,7 +90,13 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 final class StoreManifest(fs: FileSystem, tableDir: String) {
 
   import StoreManifest.{CheckpointEvery, Dead, Entry, KeepGens, MfRef,
-    Snapshot, partKeyOf}
+    Snapshot, dateKeyOf, partKeyOf, subPartKeyOf}
+
+  /** Hot-date split threshold (see [[StoreManifest.HotSplitDefault]]);
+    * instance-level so specs and probes can engage the split on small
+    * fixtures without a 10⁵-file build.
+    */
+  private[graft] var hotSplitFiles: Int = StoreManifest.HotSplitDefault
 
   /** Test seam (specs only): runs after [[publish]]'s expected-parent
     * pre-check passes, immediately before its rename — the only way a
@@ -540,6 +546,19 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     MfRef(name, partKey, sorted.size.toLong, counted.count)
   }
 
+  /** Write one DATE partition's final entry set: a single manifest
+    * normally; above [[hotSplitFiles]] entries, one manifest per hour
+    * sub-key (entries without an `hour=` segment keep the date key) —
+    * the hot-date split, engaged only where a partition's manifests
+    * are being (re)written anyway, so it costs no extra rewrite.
+    */
+  private def writeMfs(part: String, entries: Seq[Entry],
+      forceSplit: Boolean = false): Seq[MfRef] =
+    if (part.isEmpty || (!forceSplit && entries.size < hotSplitFiles))
+      Seq(writeMf(part, entries))
+    else entries.groupBy(e => subPartKeyOf(e.rel)).toSeq.sortBy(_._1)
+      .map { case (sub, es) => writeMf(sub, es) }
+
   // ---- chain folding (snapshot layer) ----
 
   /** One `_manifest` listing split into the two populations every
@@ -878,23 +897,45 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           .foreach { part =>
             val pAdds = addsByPart.getOrElse(part, Nil)
             val pDrops = dropsByPart.getOrElse(part, Set.empty)
+            val refs = ps.mfs.filter(r => dateKeyOf(r.partKey) == part)
             if (pDrops.isEmpty) {
-              // pure append: one small manifest with just the adds —
-              // the O(delta) cadence path
+              // pure append: small manifests with just the adds — the
+              // O(delta) cadence path. A split date's appends follow
+              // its form (hour sub-keys) so hour-window plans can
+              // prune them too; an unsplit date appends one manifest.
               if (pAdds.nonEmpty) {
-                val r = writeMf(part, pAdds); newMfs += r; mAdds += r
+                val rs =
+                  if (refs.exists(_.partKey != part))
+                    pAdds.groupBy(e => subPartKeyOf(e.rel)).toSeq
+                      .sortBy(_._1).map { case (s, es) => writeMf(s, es) }
+                  else Seq(writeMf(part, pAdds))
+                newMfs ++= rs; mAdds ++= rs
               }
             } else {
-              // partition rewrite: retire its manifests, re-emit the
-              // survivors (plus adds) as one fresh manifest
-              val refs = ps.mfs.filter(_.partKey == part)
-              val cur = readPartition(refs)
+              // partition rewrite: retire the manifests the patch can
+              // touch and re-emit their survivors (plus adds) fresh —
+              // where a date crossing the hot threshold splits. A
+              // sub-keyed manifest holds ONLY its own hour's rels
+              // (writeMfs/append grouping invariant — sub-keys are a
+              // pure function of the rel), so on a split date only the
+              // TOUCHED hours' manifests rewrite: per-hour maintenance
+              // of a hot date is O(touched hours), not O(date). A
+              // date-keyed manifest can hold any of the date's rels
+              // and always rewrites.
+              val touchedSubs = (pAdds.view.map(e => subPartKeyOf(e.rel))
+                ++ pDrops.view.map(subPartKeyOf)).toSet
+              val (hit, kept) = refs.partition(r =>
+                r.partKey == part || touchedSubs(r.partKey))
+              val cur = readPartition(hit)
               pDrops.foreach(cur.remove(_): Unit)
               pAdds.foreach(e => cur(e.rel) = e)
-              mDels ++= refs.map(_.name)
+              mDels ++= hit.map(_.name)
               if (cur.nonEmpty) {
-                val r = writeMf(part, cur.values.toSeq)
-                newMfs += r; mAdds += r
+                // a split date's rewrites stay split whatever the
+                // touched subset's size, so the invariant above holds
+                val rs = writeMfs(part, cur.values.toSeq,
+                  forceSplit = kept.exists(_.partKey != part))
+                newMfs ++= rs; mAdds ++= rs
               }
             }
           }
@@ -919,10 +960,17 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         val touched = addsByPart.keySet ++ dropsByPart.keySet
         parentState match {
           case Some(ps) if ps.twoLevel =>
-            val byPart = ps.mfs.groupBy(_.partKey)
+            val byPart = ps.mfs.groupBy(r => dateKeyOf(r.partKey))
             (byPart.keySet ++ touched).toSeq.sorted.foreach { part =>
               val refs = byPart.getOrElse(part, Nil)
-              if (!touched(part) && refs.size == 1) finalRefs += refs.head
+              // canonical = one manifest per (sub-)key: a single
+              // date-keyed file, or a split date whose hour manifests
+              // are distinct. Reused BY NAME; anything accumulated
+              // (same key twice: parent + appends) merges fresh.
+              val canonical =
+                refs.map(_.partKey).distinct.size == refs.size
+              if (!touched(part) && refs.nonEmpty && canonical)
+                finalRefs ++= refs
               else {
                 val cur = readPartition(refs)
                 dropsByPart.getOrElse(part, Set.empty)
@@ -930,8 +978,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
                 addsByPart.getOrElse(part, Nil)
                   .foreach(e => cur(e.rel) = e)
                 if (cur.nonEmpty) {
-                  val r = writeMf(part, cur.values.toSeq)
-                  newMfs += r; finalRefs += r
+                  val rs = writeMfs(part, cur.values.toSeq)
+                  newMfs ++= rs; finalRefs ++= rs
                 }
               }
             }
@@ -942,13 +990,15 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
             adds.foreach(e => cur(e.rel) = e)
             cur.values.toSeq.groupBy(e => partKeyOf(e.rel))
               .toSeq.sortBy(_._1).foreach { case (part, es) =>
-                val r = writeMf(part, es); newMfs += r; finalRefs += r
+                val rs = writeMfs(part, es)
+                newMfs ++= rs; finalRefs ++= rs
               }
           case None => // first publish (or absolute re-publish over
                        // an unreadable parent): all partitions fresh
             adds.groupBy(e => partKeyOf(e.rel)).toSeq.sortBy(_._1)
               .foreach { case (part, es) =>
-                val r = writeMf(part, es); newMfs += r; finalRefs += r
+                val rs = writeMfs(part, es)
+                newMfs ++= rs; finalRefs ++= rs
               }
         }
         val deadFinal: Seq[Dead] = absDead.getOrElse {
@@ -1261,8 +1311,10 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   }
 
   /** [[readState]] restricted to the partitions `admit` passes (by
-    * partition key — `date=…` or the catch-all `""`, which admit must
-    * always pass): the snapshot's entries cover ONLY admitted
+    * partition key — `date=…`, a hot-split date's `date=…/hour=…`
+    * sub-key, or the catch-all `""`, which admit must always pass;
+    * an admit that groups at date level must accept every key whose
+    * [[StoreManifest.dateKeyOf]] matches): the snapshot's entries cover ONLY admitted
     * partitions, and only their manifest files are read — the plan
     * wall of a windowed query scales with the partitions the window
     * admits, flat as the table grows. The pruned snapshot is a
@@ -1291,6 +1343,18 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
 
   /** Whether a readable manifest generation is present (specs/gates). */
   def present: Boolean = read().isDefined
+
+  /** The newest foldable generation's manifest refs as (name,
+    * partKey) — spec/probe introspection for hot-split shape and
+    * checkpoint reuse-by-name assertions. Nil for legacy (inline)
+    * states.
+    */
+  private[graft] def mfRefs(): Seq[(String, String)] = {
+    val (gens, _) = listState()
+    gens.keys.toSeq.sorted(Ordering[String].reverse).iterator
+      .flatMap(h => fold(h, gens)).nextOption()
+      .map(_.mfs.map(r => (r.name, r.partKey))).getOrElse(Nil)
+  }
 }
 
 object StoreManifest {
@@ -1346,6 +1410,53 @@ object StoreManifest {
     */
   private[store] val MfGzipAbove: Int = 256
 
+  /** Files-per-date threshold above which a freshly-written date
+    * partition's manifest splits into HOUR-keyed manifests
+    * (`date=…/hour=…`), so a window plan on a pathologically hot date
+    * reads ~1/24 of its metadata instead of the whole date. Sized
+    * where the single-manifest parse wall becomes the plan's dominant
+    * term (~10⁵ entries ≈ 60 ms; SCALE.md round-19 residual) — the
+    * 1,000-files/date shape observability tables actually have never
+    * crosses it, so normal tables keep one manifest per date. The
+    * split engages only when a partition's manifest is (re)written —
+    * merge at checkpoint, rewrite, convert or first publish — never
+    * by re-keying untouched manifests. `SPARK_GRAFT_MF_SPLIT`
+    * overrides for probes.
+    */
+  private[store] val HotSplitDefault: Int =
+    sys.env.get("SPARK_GRAFT_MF_SPLIT").flatMap(_.toIntOption)
+      .getOrElse(100 * 1000)
+
+  /** The finer storage key a hot date's manifests carry: the leading
+    * `date=…/hour=…` segments when both exist (rewrite-tree prefixes
+    * stripped like [[partKeyOf]]), else [[partKeyOf]]'s key. A pure
+    * function of the rel, so one rel can never live under two
+    * sub-keys.
+    */
+  private[graft] def subPartKeyOf(rel: String): String = {
+    val l = if (rel.startsWith("_gen-"))
+      rel.substring(rel.indexOf('/') + 1)
+    else rel
+    val i = l.indexOf('/')
+    if (i > 0 && l.startsWith("date=")) {
+      val j = l.indexOf('/', i + 1)
+      if (j > 0 && l.substring(i + 1, j).startsWith("hour="))
+        l.substring(0, j)
+      else l.substring(0, i)
+    } else ""
+  }
+
+  /** A manifest partKey's DATE-level group: the leading segment of an
+    * hour sub-key, identity for date-only keys and the catch-all.
+    * Commit-side grouping and per-date admit functions operate at
+    * this level so a split date's manifests keep behaving as one
+    * partition.
+    */
+  private[graft] def dateKeyOf(partKey: String): String = {
+    val i = partKey.indexOf('/')
+    if (i > 0) partKey.substring(0, i) else partKey
+  }
+
   /** One data file: path relative to the table dir (a leading
     * `_gen-…` segment names the rewrite tree it lives in), plus the
     * size and mtime a read plan needs to construct the `FileStatus`
@@ -1361,7 +1472,8 @@ object StoreManifest {
 
   /** One partition-manifest reference as a generation body carries
     * it: the immutable file name under `_manifest/mf/`, the partition
-    * key its entries share (`date=…`, or `""` for the catch-all), its
+    * key its entries share (`date=…`; `date=…/hour=…` when a hot date
+    * split, [[subPartKeyOf]]; or `""` for the catch-all), its
     * entry count (pruning and size heuristics — duplicates across a
     * partition's accumulated manifests make it an upper bound), and
     * its exact byte size (planning GETs by name with no listing or

@@ -1406,11 +1406,19 @@ class FsStoreSpec extends SparkSpec {
 
   test("two-level folds equal a reference model under a mixed mutation " +
       "sequence: accumulating appends, partition rewrites, absolute " +
-      "republish, rollover merges and retention all agree") {
+      "republish, rollover merges and retention all agree — with and " +
+      "without the hot-date hour split engaged") {
     import graft.store.{StoreFs, StoreManifest}
+    // run the same seeded sequence twice: once with the split never
+    // engaging (the pre-split layout) and once with a threshold so low
+    // every merge/rewrite splits by hour — folds must agree with the
+    // model identically, since the split only changes WHERE entries
+    // are stored, never what a fold returns
+    for (split <- Seq(Int.MaxValue, 4)) {
     val local = java.nio.file.Files.createTempDirectory("mixedseq")
     val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
     val m = new StoreManifest(fsys, local.toString)
+    m.hotSplitFiles = split
     val rnd = new scala.util.Random(42)
     val dates = (15 to 19).map(d => s"date=2024-01-$d")
     val model = scala.collection.mutable.LinkedHashMap.empty[
@@ -1418,7 +1426,8 @@ class FsStoreSpec extends SparkSpec {
     var fileNo = 0
     def mk(part: String): StoreManifest.Entry = {
       fileNo += 1
-      StoreManifest.Entry(f"$part/part-$fileNo%05d.parquet",
+      StoreManifest.Entry(
+        f"$part/hour=${fileNo % 3}%02d/part-$fileNo%05d.parquet",
         100L + fileNo, 1700000000000L + fileNo)
     }
     val init = dates.flatMap(p => (0 until 5).map(_ => mk(p)))
@@ -1455,18 +1464,150 @@ class FsStoreSpec extends SparkSpec {
       // retention pruning
       val snap = m.read().get
       assert(snap.entries == model.values.toSeq.sortBy(_.rel),
-        s"fold diverged from the model at commit $i (${snap.gen})")
-      // and a window over one partition equals the model's slice
+        s"fold diverged from the model at commit $i (${snap.gen}, " +
+          s"split=$split)")
+      // and a window over one partition equals the model's slice —
+      // date-level admits must accept the date's hour sub-keys
       val d = dates(i % dates.size)
-      val (win, _) = m.readStateFor(pk => pk.isEmpty || pk == d)
+      val (win, _) = m.readStateFor(pk =>
+        pk.isEmpty || StoreManifest.dateKeyOf(pk) == d)
       assert(win.get.entries ==
         model.values.toSeq.filter(_.rel.startsWith(d + "/"))
           .sortBy(_.rel),
-        s"window $d diverged at commit $i")
+        s"window $d diverged at commit $i (split=$split)")
     }
     // every retained generation still folds whole at the end
     m.genNames().foreach(g => assert(m.readGen(g).isDefined,
-      s"retained $g must fold"))
+      s"retained $g must fold (split=$split)"))
+    }
+  }
+
+  test("hot-date hour split: a date crossing the threshold stores as " +
+      "hour-keyed manifests, hour windows assemble only their hour, " +
+      "appends follow the split, rewrites retire it whole, and " +
+      "rollover checkpoints reuse split manifests by name") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("hotsplit")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    m.hotSplitFiles = 6
+    def e(rel: String) = StoreManifest.Entry(rel, 1L, 1L)
+    val hot = (0 until 12).map(i =>
+      e(f"date=2024-01-15/hour=${i / 4}%02d/minute=00/p$i.parquet"))
+    val cold = (0 until 3).map(i =>
+      e(s"date=2024-01-16/hour=05/minute=00/q$i.parquet"))
+    val loose = Seq(e("loose.parquet"))
+    m.publish(hot ++ cold ++ loose, None, Nil, parent = None)
+    // shape: the hot date split into its 3 hours; the cold date and
+    // the catch-all kept single keys — and the full fold is complete
+    assert(m.mfRefs().map(_._2).sorted == Seq("",
+      "date=2024-01-15/hour=00", "date=2024-01-15/hour=01",
+      "date=2024-01-15/hour=02", "date=2024-01-16"))
+    assert(m.read().get.entries.size == 16)
+    // hour-window pruning: only that hour's entries (+ catch-all)
+    // assemble — the metadata win the split exists for
+    val hourAdmit: String => Boolean = pk => pk.isEmpty ||
+      pk == "date=2024-01-15" || pk == "date=2024-01-15/hour=01"
+    val (win, _) = m.readStateFor(hourAdmit)
+    assert(win.get.entries.map(_.rel) ==
+      (hot.slice(4, 8).map(_.rel) ++ loose.map(_.rel)).sorted)
+    // a pure append to the split date lands hour-keyed (prunable too)
+    val add1 = e("date=2024-01-15/hour=01/minute=30/extra.parquet")
+    m.publishPatch(adds = Seq(add1), drops = Nil, deadPlus = Nil,
+      deadMinus = Nil, schema = None, parent = m.read().get.gen)
+    assert(m.mfRefs().map(_._2)
+      .count(_ == "date=2024-01-15/hour=01") == 2)
+    val (win2, _) = m.readStateFor(hourAdmit)
+    assert(win2.get.entries.map(_.rel) ==
+      (hot.slice(4, 8).map(_.rel) ++ Seq(add1.rel) ++
+        loose.map(_.rel)).sorted)
+    // an append to the UNSPLIT date stays date-keyed
+    m.publishPatch(
+      adds = Seq(e("date=2024-01-16/hour=06/minute=00/q3.parquet")),
+      drops = Nil, deadPlus = Nil, deadMinus = Nil, schema = None,
+      parent = m.read().get.gen)
+    assert(m.mfRefs().map(_._2).count(_ == "date=2024-01-16") == 2)
+    // a rewrite touching ONE hour of the split date is surgical:
+    // only that hour's manifest retires (per-hour maintenance is
+    // O(touched hours)); the other hours' manifests survive by name
+    def dateRefs() = m.mfRefs().filter(r =>
+      StoreManifest.dateKeyOf(r._2) == "date=2024-01-15")
+    val beforeByKey = dateRefs().groupBy(_._2)
+    val r0 = e("date=2024-01-15/hour=00/minute=00/r0.parquet")
+    m.publishPatch(adds = Seq(r0), drops = hot.take(2).map(_.rel),
+      deadPlus = Nil, deadMinus = Nil, schema = None,
+      parent = m.read().get.gen)
+    val afterByKey = dateRefs().groupBy(_._2)
+    assert(afterByKey("date=2024-01-15/hour=00").map(_._1).toSet
+      .intersect(beforeByKey("date=2024-01-15/hour=00").map(_._1).toSet)
+      .isEmpty, "the touched hour's manifest must be rewritten")
+    assert(afterByKey("date=2024-01-15/hour=01") ==
+      beforeByKey("date=2024-01-15/hour=01") &&
+      afterByKey("date=2024-01-15/hour=02") ==
+        beforeByKey("date=2024-01-15/hour=02"),
+      "untouched hours of a split date must keep their manifests")
+    val wantRels = (hot.drop(2) ++ Seq(add1, r0) ++ cold ++
+      Seq(e("date=2024-01-16/hour=06/minute=00/q3.parquet")) ++ loose)
+      .map(_.rel).sorted
+    assert(m.read().get.entries.map(_.rel) == wantRels)
+    // drive cold-date commits across TWO rollover checkpoints: the
+    // first merges the split date's accumulated hour=01 pair back to
+    // one manifest per hour (canonical); the second — the date now
+    // untouched AND canonical — must REUSE those manifests by name
+    var k = 0
+    def driveToCheckpoint(): Unit = {
+      var ckpt = false
+      while (!ckpt) {
+        m.publishPatch(adds =
+          Seq(e(s"date=2024-01-16/hour=07/minute=00/c$k.parquet")),
+          drops = Nil, deadPlus = Nil, deadMinus = Nil, schema = None,
+          parent = m.read().get.gen)
+        k += 1
+        ckpt = m.read().get.gen.endsWith(".list")
+      }
+    }
+    driveToCheckpoint()
+    val canonical = dateRefs()
+    assert(canonical.map(_._2).sorted == Seq("date=2024-01-15/hour=00",
+      "date=2024-01-15/hour=01", "date=2024-01-15/hour=02"),
+      "the rollover must merge the split date back to one manifest " +
+        "per hour")
+    driveToCheckpoint()
+    assert(dateRefs() == canonical,
+      "an untouched canonical split date must ride through a rollover " +
+        "with its manifests reused by name")
+    // the accumulated cold date crossed the threshold at its rollover
+    // merge — it split too, and the fold still matches
+    assert(m.mfRefs().map(_._2)
+      .count(_.startsWith("date=2024-01-16/hour=")) >= 2)
+    assert(m.read().get.entries.size == wantRels.size + k)
+  }
+
+  test("hot-split store end-to-end: a one-hour windowed search over " +
+      "a split date returns the same rows as before the split") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val hourUs = 3600L * 1000000L
+    // 12 spans across 3 hours of one UTC date (t0 is mid-day)
+    def batch(ids: Seq[Long]) =
+      ids.map(i => (i, t0 + (i % 3) * hourUs + (i % 60) * 60L * 1000000L,
+        i * 10L)).toDF("id", "start", "trace_id")
+    store.write(batch(1L to 12L))
+    store.hotSplitFiles = 4
+    store.compact()
+    assert(store.manifestRefs.exists(_._2.contains("/hour=")),
+      "the date must have split at compaction")
+    // a one-hour window: rows equal the unsplit semantics (hour 1 of
+    // the three — ids ≡ 1 mod 3), via both read APIs
+    val lo = t0 + hourUs
+    val hi = t0 + 2L * hourUs - 1L
+    val want = (1L to 12L).filter(i => i % 3 == 1).toSet
+    assert(store.read(Some(lo), Some(hi)).get.select("id").as[Long]
+      .collect().toSet == want)
+    assert(store.readPrefixes(lo, hi).get.select("id").as[Long]
+      .collect().toSet == want)
+    // unbounded and date-wide reads still see everything
+    assert(store.read(None, None).get.count() == 12)
   }
 
   test("a transiently unreadable partition manifest is NOT cached as " +
