@@ -561,8 +561,11 @@ object ScaleProbe {
       graft.util.StreamGate.deferDelete(local)
       val fs = StoreFs.fs(new Path(local.toString))
       val m = new StoreManifest(fs, local.toString)
+      // "split" must MEAN split at every tier: clamp the threshold to
+      // the tier size so a below-default tier doesn't silently
+      // measure the unsplit layout under a split label
       if (mode == "unsplit") m.hotSplitFiles = Int.MaxValue
-      if (warmup && mode == "split") m.hotSplitFiles = 100
+      else m.hotSplitFiles = math.min(m.hotSplitFiles, math.max(files, 1))
       val entries = (0 until files).map(i => StoreManifest.Entry(
         f"date=2024-06-01/hour=${i % 24}%02d/minute=${i / 24 % 60}%02d/" +
           f"part-$i%08d.parquet", 1234567L, 1700000000000L + i))

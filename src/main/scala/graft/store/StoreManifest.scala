@@ -341,6 +341,27 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     (parentName, schemaJson, info, afterInfo)
   }
 
+  /** Optional `protocol\t<name>` line after the headers — the Delta
+    * protocol-action idea: a generation whose semantics need reader
+    * capabilities beyond the base format names them, and a reader
+    * that lacks the capability rejects the generation WHOLE (falls
+    * back to an older generation or listing mode — stale but correct,
+    * never silent wrong reads). Pre-protocol binaries get the same
+    * loud degrade for free: their body parsers reject unknown lines
+    * (count mismatch / malformed), and the expected-parent CAS makes
+    * any mutation they then plan from the stale fallback fail loudly.
+    * Emitted ONLY when needed, so stores that never split carry
+    * byte-identical bodies.
+    */
+  private def parseProtocol(rest: Seq[String]): Option[Seq[String]] =
+    rest.headOption.filter(_.startsWith("protocol\t")) match {
+      case Some(l) =>
+        if (StoreManifest.SupportedProtocols(
+            l.stripPrefix("protocol\t"))) Some(rest.drop(1))
+        else None // unknown capability: do not interpret the body
+      case None => Some(rest)
+    }
+
   /** The legacy full-list body: `count=N` (inline entry lines only —
     * they come last, so a torn suffix always breaks the count),
     * optional headers, `dead` lines, entry lines. Read-only since
@@ -368,7 +389,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * headers, `dead` lines, `m` lines.
     */
   private def parseMlist(h: String, rest: Seq[String]): Option[RawGen] = {
-    val (parentName, schemaJson, info, afterInfo) = parseHeader(rest)
+    val (parentName, schemaJson, info, afterInfo0) = parseHeader(rest)
+    val afterInfo = parseProtocol(afterInfo0).getOrElse(return None)
     val (deadLines, mLines) = afterInfo.span(_.startsWith("dead\t"))
     if (!h.stripPrefix("mlist=").toIntOption.contains(mLines.size))
       None
@@ -393,7 +415,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private def parseDelta(h: String, rest: Seq[String]): Option[RawGen] = {
     if (!h.stripPrefix("delta=").toIntOption.contains(rest.size))
       return None
-    val (parentName, schemaJson, info, afterInfo) = parseHeader(rest)
+    val (parentName, schemaJson, info, afterInfo0) = parseHeader(rest)
+    val afterInfo = parseProtocol(afterInfo0).getOrElse(return None)
     if (parentName.isEmpty) return None // a delta without a parent is torn
     try {
       val schema = schemaJson.map(parseSchema)
@@ -891,24 +914,25 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     try {
       val bodyLines: Iterator[String] = if (isDelta) {
         val ps = parentState.get
+        val mfsByDate = ps.mfs.groupBy(r => dateKeyOf(r.partKey))
         val mDels = scala.collection.mutable.ArrayBuffer.empty[String]
         val mAdds = scala.collection.mutable.ArrayBuffer.empty[MfRef]
         (addsByPart.keySet ++ dropsByPart.keySet).toSeq.sorted
           .foreach { part =>
             val pAdds = addsByPart.getOrElse(part, Nil)
             val pDrops = dropsByPart.getOrElse(part, Set.empty)
-            val refs = ps.mfs.filter(r => dateKeyOf(r.partKey) == part)
+            val refs = mfsByDate.getOrElse(part, Nil)
             if (pDrops.isEmpty) {
               // pure append: small manifests with just the adds — the
               // O(delta) cadence path. A split date's appends follow
               // its form (hour sub-keys) so hour-window plans can
-              // prune them too; an unsplit date appends one manifest.
+              // prune them too; an unsplit date appends one manifest —
+              // unless the append alone crosses the hot threshold, in
+              // which case it splits right here (a giant first append
+              // must not park a never-resplit manifest).
               if (pAdds.nonEmpty) {
-                val rs =
-                  if (refs.exists(_.partKey != part))
-                    pAdds.groupBy(e => subPartKeyOf(e.rel)).toSeq
-                      .sortBy(_._1).map { case (s, es) => writeMf(s, es) }
-                  else Seq(writeMf(part, pAdds))
+                val rs = writeMfs(part, pAdds,
+                  forceSplit = refs.exists(_.partKey != part))
                 newMfs ++= rs; mAdds ++= rs
               }
             } else {
@@ -931,10 +955,12 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
               pAdds.foreach(e => cur(e.rel) = e)
               mDels ++= hit.map(_.name)
               if (cur.nonEmpty) {
-                // a split date's rewrites stay split whatever the
-                // touched subset's size, so the invariant above holds
+                // kept non-empty ⇔ untouched hour manifests survive
+                // (the partition above puts every date-keyed ref in
+                // `hit`) — the rewritten subset must stay sub-keyed
+                // then, whatever its size, so the invariant holds
                 val rs = writeMfs(part, cur.values.toSeq,
-                  forceSplit = kept.exists(_.partKey != part))
+                  forceSplit = kept.nonEmpty)
                 newMfs ++= rs; mAdds ++= rs
               }
             }
@@ -942,6 +968,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         val lines = s"parent\t${parentName.get}" +:
           (schema.toSeq.map(s => s"schema\t${s.json}") ++
             infoLineOf(info) ++
+            (if (mAdds.exists(_.partKey.contains('/')))
+              Seq(s"protocol\t${StoreManifest.HourSplitProtocol}")
+            else Nil) ++
             deadMinus.sorted.map(r => s"dead-\t$r") ++
             deadPlus.map(d => s"dead+\t${d.rel}\t${d.millis}")
               .sorted ++
@@ -1015,6 +1044,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
           parentName.toSeq.map(p => s"parent\t$p") ++
           schema.toSeq.map(s => s"schema\t${s.json}") ++
           infoLineOf(info) ++
+          (if (finalRefs.exists(_.partKey.contains('/')))
+            Iterator(s"protocol\t${StoreManifest.HourSplitProtocol}")
+          else Iterator.empty) ++
           deadFinal.map(d => s"dead\t${d.rel}\t${d.millis}").sorted ++
           mLines
       }
@@ -1427,22 +1459,45 @@ object StoreManifest {
     sys.env.get("SPARK_GRAFT_MF_SPLIT").flatMap(_.toIntOption)
       .getOrElse(100 * 1000)
 
+  /** Reader-capability name a generation with hour sub-keyed
+    * manifests declares (see `parseProtocol`); the set is every
+    * capability THIS binary can interpret.
+    */
+  private[store] val HourSplitProtocol: String = "hour-split"
+  private[store] val SupportedProtocols: Set[String] =
+    Set(HourSplitProtocol)
+
+  /** rel → rel without its leading `_gen-…` rewrite-tree segment: the
+    * logical path both key derivations below parse, factored out so
+    * they cannot diverge (the surgical-rewrite argument depends on
+    * [[partKeyOf]] and [[subPartKeyOf]] agreeing on the date).
+    */
+  private def stripTree(rel: String): String =
+    if (rel.startsWith("_gen-")) rel.substring(rel.indexOf('/') + 1)
+    else rel
+
   /** The finer storage key a hot date's manifests carry: the leading
-    * `date=…/hour=…` segments when both exist (rewrite-tree prefixes
-    * stripped like [[partKeyOf]]), else [[partKeyOf]]'s key. A pure
-    * function of the rel, so one rel can never live under two
-    * sub-keys.
+    * `date=…/hour=…` segments when both exist, else [[partKeyOf]]'s
+    * key. A pure function of the rel, so one rel can never live under
+    * two sub-keys. The hour value is NORMALIZED to two digits
+    * (`hour=3` → `hour=03` — Spark's partitionBy on a numeric hour
+    * column writes unpadded) so the admit functions' string compare
+    * is chronological; a non-numeric hour falls back to the date key
+    * (no refinement, never a wrong one).
     */
   private[graft] def subPartKeyOf(rel: String): String = {
-    val l = if (rel.startsWith("_gen-"))
-      rel.substring(rel.indexOf('/') + 1)
-    else rel
+    val l = stripTree(rel)
     val i = l.indexOf('/')
     if (i > 0 && l.startsWith("date=")) {
       val j = l.indexOf('/', i + 1)
-      if (j > 0 && l.substring(i + 1, j).startsWith("hour="))
-        l.substring(0, j)
-      else l.substring(0, i)
+      val hour =
+        if (j > 0 && l.substring(i + 1, j).startsWith("hour="))
+          l.substring(i + 6, j).toIntOption.filter(h => h >= 0 && h < 24)
+        else None
+      hour match {
+        case Some(h) => f"${l.substring(0, i)}/hour=$h%02d"
+        case None => l.substring(0, i)
+      }
     } else ""
   }
 
@@ -1504,9 +1559,7 @@ object StoreManifest {
     * these keys and must always pass `""`.
     */
   private[graft] def partKeyOf(rel: String): String = {
-    val l = if (rel.startsWith("_gen-"))
-      rel.substring(rel.indexOf('/') + 1)
-    else rel
+    val l = stripTree(rel)
     val i = l.indexOf('/')
     if (i > 0) {
       val seg = l.substring(0, i)

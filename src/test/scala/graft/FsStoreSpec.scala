@@ -1504,6 +1504,21 @@ class FsStoreSpec extends SparkSpec {
       "date=2024-01-15/hour=00", "date=2024-01-15/hour=01",
       "date=2024-01-15/hour=02", "date=2024-01-16"))
     assert(m.read().get.entries.size == 16)
+    // generations referencing sub-keys declare the capability (the
+    // mixed-version gate); ones that don't stay byte-compatible
+    def genBody(name: String): String = {
+      val gp = new org.apache.hadoop.fs.Path(local.toString,
+        s"_manifest/$name")
+      val gin = fsys.open(gp)
+      val raw = try gin.readAllBytes() finally gin.close()
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+          (raw(1) & 0xff) == 0x8b) {
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try new String(gz.readAllBytes(), "UTF-8") finally gz.close()
+      } else new String(raw, "UTF-8")
+    }
+    assert(genBody(m.read().get.gen).contains("protocol\thour-split"))
     // hour-window pruning: only that hour's entries (+ catch-all)
     // assemble — the metadata win the split exists for
     val hourAdmit: String => Boolean = pk => pk.isEmpty ||
@@ -1521,12 +1536,16 @@ class FsStoreSpec extends SparkSpec {
     assert(win2.get.entries.map(_.rel) ==
       (hot.slice(4, 8).map(_.rel) ++ Seq(add1.rel) ++
         loose.map(_.rel)).sorted)
+    // the hour-keyed append's delta itself declares the capability…
+    assert(genBody(m.read().get.gen).contains("protocol\thour-split"))
     // an append to the UNSPLIT date stays date-keyed
     m.publishPatch(
       adds = Seq(e("date=2024-01-16/hour=06/minute=00/q3.parquet")),
       drops = Nil, deadPlus = Nil, deadMinus = Nil, schema = None,
       parent = m.read().get.gen)
     assert(m.mfRefs().map(_._2).count(_ == "date=2024-01-16") == 2)
+    // …while a date-keyed-only delta stays byte-compatible (no marker)
+    assert(!genBody(m.read().get.gen).contains("protocol\t"))
     // a rewrite touching ONE hour of the split date is surgical:
     // only that hour's manifest retires (per-hour maintenance is
     // O(touched hours)); the other hours' manifests survive by name
@@ -1581,6 +1600,54 @@ class FsStoreSpec extends SparkSpec {
     assert(m.mfRefs().map(_._2)
       .count(_.startsWith("date=2024-01-16/hour=")) >= 2)
     assert(m.read().get.entries.size == wantRels.size + k)
+  }
+
+  test("hour sub-keys normalize unpadded hours; generations carrying " +
+      "sub-keys declare the capability, and an unknown capability " +
+      "rejects the generation whole (stale fallback, not wrong reads)") {
+    import graft.store.{StoreFs, StoreManifest}
+    // normalization: Spark's partitionBy on a numeric hour column
+    // writes hour=3 — the sub-key must pad it or the admit functions'
+    // string compare would silently reject in-window hours
+    assert(StoreManifest.subPartKeyOf(
+      "date=2024-01-15/hour=3/x.parquet") == "date=2024-01-15/hour=03")
+    assert(StoreManifest.subPartKeyOf(
+      "_gen-5/date=2024-01-15/hour=23/x.parquet") ==
+      "date=2024-01-15/hour=23")
+    // a non-numeric hour refines nothing (date key, never a wrong key)
+    assert(StoreManifest.subPartKeyOf(
+      "date=2024-01-15/hour=xx/x.parquet") == "date=2024-01-15")
+    // an UNKNOWN protocol capability (a future format this binary
+    // cannot interpret) must poison the generation, not be skipped:
+    // the reader falls back to the previous generation — exactly what
+    // a pre-hour-split binary reading a split store gets via its
+    // count/malformed checks
+    val local = java.nio.file.Files.createTempDirectory("protogate")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    def e(rel: String) = StoreManifest.Entry(rel, 1L, 1L)
+    m.publish(Seq(e("date=2024-01-15/a.parquet")), None, Nil,
+      parent = None)
+    m.publishPatch(adds = Seq(e("date=2024-01-15/b.parquet")),
+      drops = Nil, deadPlus = Nil, deadMinus = Nil, schema = None,
+      parent = m.read().get.gen)
+    val gen2 = m.read().get.gen
+    assert(gen2.endsWith(".delta"))
+    val p = new org.apache.hadoop.fs.Path(local.toString,
+      s"_manifest/$gen2")
+    val in = fsys.open(p)
+    val body = try new String(in.readAllBytes(), "UTF-8")
+    finally in.close()
+    val lines = body.split("\n", -1).toBuffer
+    lines(0) = s"delta=${lines.head.stripPrefix("delta=").toInt + 1}"
+    lines.insert(2, "protocol\tfrom-the-future")
+    val o = fsys.create(p, true)
+    o.write(lines.mkString("\n").getBytes("UTF-8")); o.close()
+    val m2 = new StoreManifest(fsys, local.toString)
+    assert(m2.read().get.entries.map(_.rel) ==
+      Seq("date=2024-01-15/a.parquet"),
+      "an unknown capability must reject the generation whole and " +
+        "fall back to the previous one")
   }
 
   test("hot-split store end-to-end: a one-hour windowed search over " +
