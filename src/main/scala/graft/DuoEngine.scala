@@ -222,6 +222,10 @@ final class DuoEngine(val spark: SparkSession, root: String,
       val dates = st.planCompactions(maxFilesPerDate, minAvgBytes)
         .take(maxHeals)
       dates.foreach(d => st.compactDate(d))
+      // granularity heal: a date that concentrated files past the hot
+      // threshold before ever being rewritten adopts the hour-split
+      // manifest layout — one metadata commit, no data movement
+      st.resplitHotDates(): Unit
       // reclaim what previous mutations deferred (tombstoned files,
       // orphan rewrite trees, aged manifest generations) — the other
       // half of the maintenance cadence; a no-op when nothing is ripe

@@ -1203,6 +1203,20 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       .toSeq.sortBy { case (d, n) => (-n, d) }.map(_._1)
   }
 
+  /** Metadata-only granularity heal (maintenance): split any hot
+    * UNSPLIT date's giant manifest into hour sub-keys — one manifest
+    * commit, zero data movement (see
+    * [[StoreManifest.resplitHot]]). Lets a table that concentrated
+    * files before the threshold (or under an older binary) adopt the
+    * hour layout without waiting for a data rewrite of that date.
+    * Returns the dates re-keyed; no-op (and no commit) otherwise.
+    */
+  def resplitHotDates(): Seq[String] = {
+    if (!exists || !manifestPresent) return Nil
+    fence()
+    manifest.read().map(s => manifest.resplitHot(s.gen)).getOrElse(Nil)
+  }
+
   /** Compaction as a POLICY, not a tool (the LSM background cadence):
     * drain the staging tree into the partitioned layout when it is
     * deep enough (`maxStagedFiles`) or old enough (`maxAgeUs`) — the

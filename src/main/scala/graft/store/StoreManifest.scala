@@ -869,6 +869,34 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       newSize = approxNewSize)
   }
 
+  /** Metadata-only granularity heal: re-key each hot UNSPLIT date's
+    * manifests by hour — a date whose giant single manifest predates
+    * the split threshold (or was written by an older binary, or under
+    * a larger `SPARK_GRAFT_MF_SPLIT`) adopts the hour layout through
+    * ONE manifest-set commit with ZERO data movement; dates already
+    * split, under the threshold, or merely accumulated (those merge
+    * and threshold-split at the next rollover anyway) are untouched.
+    * Returns the dates re-keyed (empty = nothing hot, no commit).
+    * Same CAS + rename atom as every publish; the caller fences.
+    */
+  private[graft] def resplitHot(parent: String): Seq[String] = {
+    val (gens, _) = listState()
+    val ps = fold(parent, gens).getOrElse(return Nil)
+    if (!ps.twoLevel) return Nil
+    val hot = ps.mfs.groupBy(r => StoreManifest.dateKeyOf(r.partKey))
+      .collect { case (part, refs) if part.nonEmpty &&
+          refs.exists(r => r.partKey == part && r.n >= hotSplitFiles) =>
+        part
+      }.toSeq.sorted
+    if (hot.nonEmpty)
+      commitTwoLevel(Some(ps), Some(parent), adds = Nil, drops = Nil,
+        deadPlus = Nil, deadMinus = Nil, absDead = None,
+        schema = ps.schema,
+        info = Some(s"""{"op":"resplit","dates":${hot.size}}"""),
+        newSize = ps.approxSize, resplit = hot.toSet)
+    hot
+  }
+
   /** The shared two-level commit: decide delta vs checkpoint, write
     * the touched partitions' manifest files, then commit the
     * generation body through the CAS + rename atom. Any failure after
@@ -885,7 +913,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       deadPlus: Seq[Dead], deadMinus: Seq[String],
       absDead: Option[Seq[Dead]],
       schema: Option[org.apache.spark.sql.types.StructType],
-      info: Option[String], newSize: Long): Unit = {
+      info: Option[String], newSize: Long,
+      resplit: Set[String] = Set.empty): Unit = {
     val patchLines = adds.size.toLong + drops.size + deadPlus.size +
       deadMinus.size
     // delta only atop a two-level parent (a legacy parent converts via
@@ -917,12 +946,12 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         val mfsByDate = ps.mfs.groupBy(r => dateKeyOf(r.partKey))
         val mDels = scala.collection.mutable.ArrayBuffer.empty[String]
         val mAdds = scala.collection.mutable.ArrayBuffer.empty[MfRef]
-        (addsByPart.keySet ++ dropsByPart.keySet).toSeq.sorted
+        (addsByPart.keySet ++ dropsByPart.keySet ++ resplit).toSeq.sorted
           .foreach { part =>
             val pAdds = addsByPart.getOrElse(part, Nil)
             val pDrops = dropsByPart.getOrElse(part, Set.empty)
             val refs = mfsByDate.getOrElse(part, Nil)
-            if (pDrops.isEmpty) {
+            if (pDrops.isEmpty && !resplit(part)) {
               // pure append: small manifests with just the adds — the
               // O(delta) cadence path. A split date's appends follow
               // its form (hour sub-keys) so hour-window plans can
@@ -948,7 +977,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
               // and always rewrites.
               val touchedSubs = (pAdds.view.map(e => subPartKeyOf(e.rel))
                 ++ pDrops.view.map(subPartKeyOf)).toSet
-              val (hit, kept) = refs.partition(r =>
+              // a resplit part rewrites ALL its manifests (the point
+              // is re-keying them)
+              val (hit, kept) = refs.partition(r => resplit(part) ||
                 r.partKey == part || touchedSubs(r.partKey))
               val cur = readPartition(hit)
               pDrops.foreach(cur.remove(_): Unit)
@@ -986,7 +1017,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         // fresh file — rollover bytes ∝ partitions touched since the
         // last checkpoint, never the table.
         val finalRefs = scala.collection.mutable.ArrayBuffer.empty[MfRef]
-        val touched = addsByPart.keySet ++ dropsByPart.keySet
+        val touched = addsByPart.keySet ++ dropsByPart.keySet ++ resplit
         parentState match {
           case Some(ps) if ps.twoLevel =>
             val byPart = ps.mfs.groupBy(r => dateKeyOf(r.partKey))

@@ -1677,6 +1677,68 @@ class FsStoreSpec extends SparkSpec {
     assert(store.read(None, None).get.count() == 12)
   }
 
+  test("metadata-only re-split: one commit re-keys a pre-existing " +
+      "giant date manifest by hour, untouched dates keep their " +
+      "manifests by name, the fold is unchanged, and it is idempotent") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("resplit")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    m.hotSplitFiles = Int.MaxValue // build the pre-split world
+    def e(rel: String) = StoreManifest.Entry(rel, 1L, 1L)
+    val hot = (0 until 12).map(i =>
+      e(f"date=2024-01-15/hour=${i / 4}%02d/minute=00/p$i.parquet"))
+    val cold = (0 until 2).map(i =>
+      e(s"date=2024-01-16/hour=05/minute=00/q$i.parquet"))
+    m.publish(hot ++ cold, None, Nil, parent = None)
+    assert(m.mfRefs().map(_._2).sorted ==
+      Seq("date=2024-01-15", "date=2024-01-16"))
+    val coldName = m.mfRefs().find(_._2 == "date=2024-01-16").get._1
+    // the threshold drops (config change / newer binary): ONE commit
+    // adopts the hour layout, no data rewrite
+    m.hotSplitFiles = 6
+    assert(m.resplitHot(m.read().get.gen) == Seq("date=2024-01-15"))
+    val refs = m.mfRefs()
+    assert(refs.map(_._2).sorted == Seq("date=2024-01-15/hour=00",
+      "date=2024-01-15/hour=01", "date=2024-01-15/hour=02",
+      "date=2024-01-16"))
+    assert(refs.find(_._2 == "date=2024-01-16").get._1 == coldName,
+      "dates that are not hot must keep their manifests by name")
+    val snap = m.read().get
+    assert(snap.entries == (hot ++ cold).sortBy(_.rel),
+      "a re-split changes WHERE entries are stored, never the fold")
+    assert(snap.gen.endsWith(".delta"))
+    assert(snap.info.contains("""{"op":"resplit","dates":1}"""))
+    // idempotent: nothing hot remains → no commit at all
+    assert(m.resplitHot(snap.gen).isEmpty)
+    assert(m.read().get.gen == snap.gen)
+  }
+
+  test("resplitHotDates on a live store: hour-keyed manifests appear, " +
+      "data rels stay byte-identical (zero movement), reads unchanged") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val hourUs = 3600L * 1000000L
+    def batch(ids: Seq[Long]) =
+      ids.map(i => (i, t0 + (i % 3) * hourUs + (i % 60) * 60L * 1000000L,
+        i * 10L)).toDF("id", "start", "trace_id")
+    store.write(batch(1L to 12L))
+    store.compact() // default threshold: the date stays unsplit
+    assert(!store.manifestRefs.exists(_._2.contains("/hour=")))
+    val relsBefore = store.manifestFiles.get.sorted
+    store.hotSplitFiles = 4
+    assert(store.resplitHotDates().nonEmpty)
+    assert(store.manifestRefs.exists(_._2.contains("/hour=")))
+    assert(store.manifestFiles.get.sorted == relsBefore,
+      "metadata-only: the data rels must be untouched")
+    assert(store.resplitHotDates().isEmpty, "idempotent at store level")
+    val lo = t0 + hourUs
+    val hi = t0 + 2L * hourUs - 1L
+    assert(store.read(Some(lo), Some(hi)).get.select("id").as[Long]
+      .collect().toSet == (1L to 12L).filter(_ % 3 == 1).toSet)
+    assert(store.read(None, None).get.count() == 12)
+  }
+
   test("a transiently unreadable partition manifest is NOT cached as " +
       "failure: windowed reads outside it still serve, and the same " +
       "planner instance heals the moment the bytes are back") {
