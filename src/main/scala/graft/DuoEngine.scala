@@ -224,13 +224,14 @@ final class DuoEngine(val spark: SparkSession, root: String,
       dates.foreach(d => st.compactDate(d))
       // granularity heal: a date that concentrated files past the hot
       // threshold before ever being rewritten adopts the hour-split
-      // manifest layout — one metadata commit, no data movement
-      st.resplitHotDates(): Unit
+      // manifest layout — one metadata commit, no data movement; its
+      // dates count as healed in the returned map
+      val resplit = st.resplitHotDates()
       // reclaim what previous mutations deferred (tombstoned files,
       // orphan rewrite trees, aged manifest generations) — the other
       // half of the maintenance cadence; a no-op when nothing is ripe
       st.vacuum(vacuumGraceMs): Unit
-      n -> dates
+      n -> (dates ++ resplit.map(_.stripPrefix("date=")))
     }.toMap
 
   /** Opt-in background cadences — the reference binary's timer loops

@@ -1212,9 +1212,9 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * Returns the dates re-keyed; no-op (and no commit) otherwise.
     */
   def resplitHotDates(): Seq[String] = {
-    if (!exists || !manifestPresent) return Nil
+    if (!exists) return Nil
     fence()
-    manifest.read().map(s => manifest.resplitHot(s.gen)).getOrElse(Nil)
+    manifest.resplitHot()
   }
 
   /** Compaction as a POLICY, not a tool (the LSM background cadence):

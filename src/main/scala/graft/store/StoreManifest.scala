@@ -876,16 +876,29 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * ONE manifest-set commit with ZERO data movement; dates already
     * split, under the threshold, or merely accumulated (those merge
     * and threshold-split at the next rollover anyway) are untouched.
+    * A candidate must actually RE-KEY: a hot manifest whose entries
+    * all fall back to the date key (no usable `hour=` segment —
+    * foreign layouts) is skipped, so the heal converges instead of
+    * rewriting the same bytes every tick, and a mixed date converges
+    * after one pass (its hour-less residual manifest re-parses as
+    * all-date-keyed). The parse this check pays is memoized and is
+    * the same one the commit itself would pay. Plans from fold-level
+    * state (O(partitions), no entry assembly) off the newest head.
     * Returns the dates re-keyed (empty = nothing hot, no commit).
     * Same CAS + rename atom as every publish; the caller fences.
     */
-  private[graft] def resplitHot(parent: String): Seq[String] = {
+  private[graft] def resplitHot(): Seq[String] = {
     val (gens, _) = listState()
-    val ps = fold(parent, gens).getOrElse(return Nil)
+    val parent = gens.keys.toSeq.sorted(Ordering[String].reverse)
+      .find(h => fold(h, gens).isDefined).getOrElse(return Nil)
+    val ps = fold(parent, gens).get
     if (!ps.twoLevel) return Nil
     val hot = ps.mfs.groupBy(r => StoreManifest.dateKeyOf(r.partKey))
       .collect { case (part, refs) if part.nonEmpty &&
-          refs.exists(r => r.partKey == part && r.n >= hotSplitFiles) =>
+          refs.exists(r => r.partKey == part &&
+            r.n >= hotSplitFiles &&
+            parseMf(r).exists(_._2.exists(e =>
+              StoreManifest.subPartKeyOf(e.rel) != part))) =>
         part
       }.toSeq.sorted
     if (hot.nonEmpty)

@@ -1697,7 +1697,7 @@ class FsStoreSpec extends SparkSpec {
     // the threshold drops (config change / newer binary): ONE commit
     // adopts the hour layout, no data rewrite
     m.hotSplitFiles = 6
-    assert(m.resplitHot(m.read().get.gen) == Seq("date=2024-01-15"))
+    assert(m.resplitHot() == Seq("date=2024-01-15"))
     val refs = m.mfRefs()
     assert(refs.map(_._2).sorted == Seq("date=2024-01-15/hour=00",
       "date=2024-01-15/hour=01", "date=2024-01-15/hour=02",
@@ -1710,8 +1710,24 @@ class FsStoreSpec extends SparkSpec {
     assert(snap.gen.endsWith(".delta"))
     assert(snap.info.contains("""{"op":"resplit","dates":1}"""))
     // idempotent: nothing hot remains → no commit at all
-    assert(m.resplitHot(snap.gen).isEmpty)
+    assert(m.resplitHot().isEmpty)
     assert(m.read().get.gen == snap.gen)
+    // a hot date whose rels have NO usable hour segment (a foreign
+    // layout subPartKeyOf deliberately falls back on) is never a
+    // candidate: re-keying would change nothing, so re-splitting it
+    // every tick would be pure churn — the heal must converge
+    val m2 = new StoreManifest(fsys,
+      java.nio.file.Files.createTempDirectory("resplitforeign").toString)
+    m2.hotSplitFiles = 4
+    m2.publish((0 until 8).map(i =>
+      e(s"date=2024-02-01/region=r$i/f$i.parquet")), None, Nil, None)
+    // first publish groups by date (writeMfs splits only on usable
+    // sub-keys — all fall back here, one group, one manifest)
+    assert(m2.mfRefs().map(_._2) == Seq("date=2024-02-01"))
+    val g2 = m2.read().get.gen
+    assert(m2.resplitHot().isEmpty,
+      "an un-re-keyable hot date must not be a resplit candidate")
+    assert(m2.read().get.gen == g2, "…and must cost no commit")
   }
 
   test("resplitHotDates on a live store: hour-keyed manifests appear, " +
