@@ -590,8 +590,22 @@ object ScaleProbe {
       val fullEntries = new StoreManifest(fs, local.toString)
         .readState()._1.map(_.entries.size).getOrElse(0)
       val fullColdMs = (System.nanoTime() - t1) / 1e6
+      // the unsplit table then ADOPTS the layout by the metadata-only
+      // heal — the one-commit migration wall a pre-split deployment
+      // pays once per hot date, no data movement
+      val resplitMs = if (mode == "unsplit" && !warmup) {
+        m.hotSplitFiles = math.min(100 * 1000, files)
+        val t2 = System.nanoTime()
+        val dates = m.resplitHot()
+        val ms = (System.nanoTime() - t2) / 1e6
+        require(dates.nonEmpty && m.mfRefs().size >= 24,
+          "resplit must have adopted the hour layout")
+        ms
+      } else -1.0
       if (warmup) () else
       println(f"""{"query":"hot_date_split","files":$files,"mode":"$mode",""" +
+        (if (resplitMs >= 0) f""""resplit_adopt_ms":$resplitMs%.2f,"""
+         else "") +
         f""""manifests":$mfCount,"hour_entries":$hourEntries,""" +
         f""""hour_plan_cold_ms":$hourColdMs%.2f,""" +
         f""""hour_plan_warm_ms":$warmMs%.2f,""" +
