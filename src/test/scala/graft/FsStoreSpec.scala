@@ -1730,6 +1730,60 @@ class FsStoreSpec extends SparkSpec {
     assert(m2.read().get.gen == g2, "…and must cost no commit")
   }
 
+  test("mixed hot date converges in one resplit pass, and a CDC " +
+      "consumer sees the resplit as a zero-row increment, not a resync") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("resplitmixed")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    m.hotSplitFiles = Int.MaxValue
+    def e(rel: String) = StoreManifest.Entry(rel, 1L, 1L)
+    // a MIXED hot date: hour-keyed rels plus hour-less foreign rels
+    val houred = (0 until 8).map(i =>
+      e(f"date=2024-03-01/hour=${i / 4}%02d/minute=00/h$i.parquet"))
+    val hourless = (0 until 8).map(i =>
+      e(s"date=2024-03-01/region=r$i/f$i.parquet"))
+    m.publish(houred ++ hourless, None, Nil, parent = None)
+    m.hotSplitFiles = 6
+    // pass 1: re-keys into hour manifests + a date-keyed residual
+    assert(m.resplitHot() == Seq("date=2024-03-01"))
+    assert(m.mfRefs().map(_._2).sorted == Seq("date=2024-03-01",
+      "date=2024-03-01/hour=00", "date=2024-03-01/hour=01"))
+    // pass 2: the ≥-threshold residual is all-hourless — converged
+    val gen = m.read().get.gen
+    assert(m.resplitHot().isEmpty, "the residual must not re-trigger")
+    assert(m.read().get.gen == gen)
+    assert(m.read().get.entries == (houred ++ hourless).sortBy(_.rel))
+  }
+
+  test("resplit through a live store's CDC feed: a caught-up consumer " +
+      "receives the re-layout as a plain zero-row increment") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    val hourUs = 3600L * 1000000L
+    def batch(ids: Seq[Long]) =
+      ids.map(i => (i, t0 + (i % 3) * hourUs + (i % 60) * 60L * 1000000L,
+        i * 10L)).toDF("id", "start", "trace_id")
+    store.write(batch(1L to 12L))
+    store.compact()
+    val feed = store.cdcFeed("resplit-consumer", keyCols = Seq("id"))
+    val first = feed.poll().get // flagged first-poll resync
+    assert(first.resync)
+    feed.commit(first.toGen)
+    assert(feed.poll().isEmpty, "caught up before the resplit")
+    store.hotSplitFiles = 4
+    assert(store.resplitHotDates().nonEmpty)
+    val inc = feed.poll().get
+    assert(!inc.resync,
+      "a metadata-only re-layout must not force a resync")
+    assert(inc.added.forall(_.isEmpty) && inc.removed.forall(_.isEmpty),
+      "no entry changed, so both sides must be empty")
+    assert(inc.info.exists(_.contains("\"op\":\"resplit\"")),
+      "the increment must attribute the commit to the resplit")
+    feed.commit(inc.toGen)
+    assert(feed.poll().isEmpty)
+  }
+
   test("resplitHotDates on a live store: hour-keyed manifests appear, " +
       "data rels stay byte-identical (zero movement), reads unchanged") {
     val root = newRoot()
