@@ -1756,6 +1756,62 @@ class FsStoreSpec extends SparkSpec {
     assert(m.read().get.entries == (houred ++ hourless).sortBy(_.rel))
   }
 
+  test("resplit crash- and race-atomicity: a failure before the rename " +
+      "leaves the old layout whole and no orphan manifests; a lost CAS " +
+      "race rolls back loudly and a retry heals") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("resplitcrash")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    m.hotSplitFiles = Int.MaxValue
+    def e(rel: String) = StoreManifest.Entry(rel, 1L, 1L)
+    val hot = (0 until 8).map(i =>
+      e(f"date=2024-04-01/hour=${i / 4}%02d/minute=00/p$i.parquet"))
+    m.publish(hot, None, Nil, parent = None)
+    m.hotSplitFiles = 4
+    def mfCount(): Int = StoreFs.list(fsys,
+      new org.apache.hadoop.fs.Path(local.toString, "_manifest/mf")).size
+    val mfsBefore = mfCount()
+    // crash immediately before the commit's rename: the written split
+    // manifests are unreferenced and must be eagerly deleted; readers
+    // keep the old single-manifest truth
+    m.beforeRename = () => throw new RuntimeException("crash-at-rename")
+    val ex = intercept[RuntimeException](m.resplitHot())
+    assert(ex.getMessage == "crash-at-rename")
+    m.beforeRename = () => ()
+    assert(m.mfRefs().map(_._2) == Seq("date=2024-04-01"),
+      "the old layout must still be the truth after the crash")
+    assert(mfCount() == mfsBefore,
+      "the crashed commit's split manifests must be cleaned up eagerly")
+    // lost CAS race: a competitor commits inside the pre-check→rename
+    // window; the resplit must roll its generation back and throw,
+    // with the competitor's commit as the surviving truth
+    val competitor = e("date=2024-04-02/hour=00/minute=00/c.parquet")
+    // one-shot seam: fire only for the resplit's own commit (the
+    // competitor publishes through a SEPARATE instance whose seam is
+    // the default no-op)
+    m.beforeRename = { var fired = false
+      () => if (!fired) { fired = true
+        val other = new StoreManifest(fsys, local.toString)
+        other.publishPatch(adds = Seq(competitor), drops = Nil,
+          deadPlus = Nil, deadMinus = Nil, schema = None,
+          parent = other.read().get.gen)
+      }
+    }
+    intercept[StoreManifest.ConcurrentCommitException](m.resplitHot())
+    m.beforeRename = () => ()
+    assert(m.read().get.entries.map(_.rel).contains(competitor.rel),
+      "the race winner's commit must be the surviving truth")
+    assert(m.mfRefs().map(_._2).count(_.startsWith("date=2024-04-01")) == 1,
+      "the loser's split manifests must not be referenced")
+    // the retry (next maintenance tick) heals cleanly
+    assert(m.resplitHot() == Seq("date=2024-04-01"))
+    assert(m.mfRefs().map(_._2).sorted == Seq("date=2024-04-01/hour=00",
+      "date=2024-04-01/hour=01", "date=2024-04-02"))
+    assert(m.read().get.entries.map(_.rel).sorted ==
+      (hot.map(_.rel) :+ competitor.rel).sorted)
+  }
+
   test("resplit through a live store's CDC feed: a caught-up consumer " +
       "receives the re-layout as a plain zero-row increment") {
     val root = newRoot()
