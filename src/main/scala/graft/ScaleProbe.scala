@@ -598,7 +598,8 @@ object ScaleProbe {
         val t2 = System.nanoTime()
         val dates = m.resplitHot()
         val ms = (System.nanoTime() - t2) / 1e6
-        require(dates.nonEmpty && m.mfRefs().size >= 24,
+        require(dates.nonEmpty &&
+            m.mfRefs().size >= math.min(files, 24),
           "resplit must have adopted the hour layout")
         ms
       } else -1.0

@@ -1056,11 +1056,23 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           cur = cur.getParent
         }
       }
+    // DESTRUCTIVE-SWEEP GATE: if ANY retained generation is in a
+    // format this binary cannot interpret (unknown body form or a
+    // future `protocol` capability — NOT torn debris), a newer binary
+    // owns this store's tail. Steps 3/3b/4 decide what to delete by
+    // "what do the generations I can read reference" — running them
+    // here would destroy the newer binary's manifests and data trees
+    // (the rollback-then-vacuum hazard). Stand down on those steps
+    // and on step 2's republish (its CAS against the future head
+    // would only fail loudly); the ripe-tombstone reclaim above is
+    // still safe — a tombstone in a readable generation stays dead
+    // in every later one, rels are never reused.
+    val futureGens = manifest.futureFormatGens()
     // 2. republish with the reclaimed tombstones pruned (entries and
     // schema unchanged) so the dead list never grows unboundedly —
     // lease re-verified and CAS'd on the snapshot read at step 1,
     // like every commit
-    if (ripe.nonEmpty) snap.foreach { s =>
+    if (ripe.nonEmpty && futureGens.isEmpty) snap.foreach { s =>
       val ripeSet = ripe.map(_.rel).toSet
       fence()
       // patch-shaped: the reclaim's delta is exactly the ripe
@@ -1070,6 +1082,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
         schema = s.schema, parent = s.gen,
         info = Some(s"""{"op":"vacuum","reclaimed":${ripe.size}}"""))
     }
+    if (futureGens.nonEmpty) return (ripe.size, 0, 0)
     // 3. prune retained generations past the grace window (newest kept
     // unconditionally — it IS the table) BEFORE the orphan scan, so a
     // tree referenced only by an out-of-grace generation is reclaimed

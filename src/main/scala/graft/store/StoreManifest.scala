@@ -888,11 +888,9 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * Same CAS + rename atom as every publish; the caller fences.
     */
   private[graft] def resplitHot(): Seq[String] = {
-    val (gens, _) = listState()
-    val parent = gens.keys.toSeq.sorted(Ordering[String].reverse)
-      .find(h => fold(h, gens).isDefined).getOrElse(return Nil)
-    val ps = fold(parent, gens).get
+    val ps = newestFold().getOrElse(return Nil)
     if (!ps.twoLevel) return Nil
+    val parent = ps.gen
     val hot = ps.mfs.groupBy(r => StoreManifest.dateKeyOf(r.partKey))
       .collect { case (part, refs) if part.nonEmpty &&
           refs.exists(r => r.partKey == part &&
@@ -992,8 +990,22 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
                 ++ pDrops.view.map(subPartKeyOf)).toSet
               // a resplit part rewrites ALL its manifests (the point
               // is re-keying them)
-              val (hit, kept) = refs.partition(r => resplit(part) ||
+              val (hit0, kept0) = refs.partition(r => resplit(part) ||
                 r.partKey == part || touchedSubs(r.partKey))
+              // a hit DATE-keyed manifest may carry stale duplicates
+              // of rels whose fresh copies live in kept hour
+              // manifests (re-adds without drops are legal: publish()
+              // diffs a changed entry as a bare add) — re-emitting
+              // its survivors in a NEWER manifest would invert
+              // assemble's newest-wins, so the rewrite widens to the
+              // whole partition then (the merge dedups in fold order;
+              // later manifests win, matching the documented
+              // resolution). Pure split dates — the steady state —
+              // keep the O(touched hours) surgical path.
+              val (hit, kept) =
+                if (kept0.nonEmpty && hit0.exists(_.partKey == part))
+                  (refs, Seq.empty[MfRef])
+                else (hit0, kept0)
               val cur = readPartition(hit)
               pDrops.foreach(cur.remove(_): Unit)
               pAdds.foreach(e => cur(e.rel) = e)
@@ -1407,6 +1419,31 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       .nextOption(), dirty)
   }
 
+  /** Generation files this binary cannot INTERPRET that are not mere
+    * crash debris: an unknown body-form header, or a `protocol`
+    * capability outside [[StoreManifest.SupportedProtocols]] — the
+    * shape a FUTURE binary's commits take. Vacuum's destructive
+    * sweeps must treat any of these as "a newer binary owns this
+    * store's tail" and stand down: pruning manifests or trees that
+    * "no readable generation references" would destroy the newer
+    * binary's commits (the mixed-version rollback hazard the
+    * protocol gate exists for). A torn-but-known-form generation
+    * (bad count, truncated gzip) stays prunable debris and does NOT
+    * trip this.
+    */
+  private[graft] def futureFormatGens(): Seq[String] = {
+    val (gens, _) = listState()
+    gens.toSeq.sortBy(_._1).collect { case (n, st) if {
+      try {
+        val lines = readBody(st.getPath).split("\n", -1).toSeq
+        val known = lines.headOption.exists(h => h.startsWith("count=") ||
+          h.startsWith("mlist=") || h.startsWith("delta="))
+        !known || lines.exists(l => l.startsWith("protocol\t") &&
+          !StoreManifest.SupportedProtocols(l.stripPrefix("protocol\t")))
+      } catch { case scala.util.control.NonFatal(_) => false }
+    } => n }
+  }
+
   /** Every retained readable generation, newest first (vacuum's
     * reference set: a tree referenced by ANY retained generation is
     * not an orphan).
@@ -1425,11 +1462,17 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * checkpoint reuse-by-name assertions. Nil for legacy (inline)
     * states.
     */
-  private[graft] def mfRefs(): Seq[(String, String)] = {
+  private[graft] def mfRefs(): Seq[(String, String)] =
+    newestFold().map(_.mfs.map(r => (r.name, r.partKey))).getOrElse(Nil)
+
+  /** The newest FOLDABLE generation's manifest-level state — the one
+    * head-selection policy (newest first, skip unreadable heads)
+    * shared by every fold-level consumer.
+    */
+  private def newestFold(): Option[GenState] = {
     val (gens, _) = listState()
     gens.keys.toSeq.sorted(Ordering[String].reverse).iterator
       .flatMap(h => fold(h, gens)).nextOption()
-      .map(_.mfs.map(r => (r.name, r.partKey))).getOrElse(Nil)
   }
 }
 

@@ -1756,6 +1756,97 @@ class FsStoreSpec extends SparkSpec {
     assert(m.read().get.entries == (houred ++ hourless).sortBy(_.rel))
   }
 
+  test("vacuum stands down when a FUTURE-format generation is present: " +
+      "no sweep deletes what this binary cannot vouch for; torn " +
+      "known-form debris does not trip the gate") {
+    import graft.store.StoreFs
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    def batch(ids: Seq[Long]) =
+      ids.map(i => (i, t0 + i * 60L * 1000000L, i * 10L))
+        .toDF("id", "start", "trace_id")
+    store.write(batch(1L to 4L))
+    store.compact() // tombstones the legacy files
+    assert(store.manifestDead.exists(_.nonEmpty))
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(root))
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/span/_manifest")
+    def mfCount(): Int = StoreFs.list(fsys,
+      new org.apache.hadoop.fs.Path(mdir, "mf")).size
+    val mfsBefore = mfCount()
+    // plant a future binary's commit: valid gen- name, body form this
+    // binary does not know (old-sorting name so reads are unaffected)
+    val future = new org.apache.hadoop.fs.Path(mdir,
+      f"gen-${0L}%019d-future.v9")
+    val o = fsys.create(future, true)
+    o.write("v9=1\nsomething-new\n".getBytes("UTF-8")); o.close()
+    // grace 0: everything is ripe/out-of-grace — maximal deletion
+    // pressure, exactly when the gate matters
+    val (ripe1, orphans1, pruned1) = store.vacuum(0)
+    assert(orphans1 == 0 && pruned1 == 0,
+      "destructive sweeps must stand down under a future generation")
+    assert(mfCount() == mfsBefore, "manifest files must survive")
+    assert(store.manifestDead.exists(_.nonEmpty),
+      "the dead-list republish must be skipped too (its CAS would " +
+        "only fail against the future head)")
+    assert(ripe1 >= 0 && store.read(None, None).get.count() == 4)
+    // the future generation gone (the newer binary's cleanup), the
+    // same vacuum proceeds: dead list pruned, sweeps run
+    fsys.delete(future, false): Unit
+    store.vacuum(0): Unit
+    assert(store.manifestDead.exists(_.isEmpty),
+      "with the gate clear the republish must prune the dead list")
+    // a TORN known-form generation (crash debris) must NOT trip the
+    // gate — and being unneeded and out-of-grace, it gets pruned
+    val torn = new org.apache.hadoop.fs.Path(mdir,
+      f"gen-${1L}%019d-torn.delta")
+    val o2 = fsys.create(torn, true)
+    o2.write("delta=3\nparent\tgen-nope\n".getBytes("UTF-8")); o2.close()
+    val (_, _, pruned3) = store.vacuum(0)
+    assert(pruned3 >= 1 && !fsys.exists(torn),
+      "torn known-form debris stays prunable")
+    assert(store.read(None, None).get.count() == 4)
+  }
+
+  test("a re-added rel's fresh entry survives a later surgical " +
+      "rewrite of a different hour: the split never inverts " +
+      "newest-manifest-wins") {
+    import graft.store.{StoreFs, StoreManifest}
+    val local = java.nio.file.Files.createTempDirectory("dupadd")
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(local.toString))
+    val m = new StoreManifest(fsys, local.toString)
+    m.hotSplitFiles = 4
+    def e(rel: String, size: Long) = StoreManifest.Entry(rel, size, 1L)
+    val r = "date=2024-05-01/hour=00/minute=00/r.parquet"
+    // 3 files: below the threshold, ONE date-keyed manifest holds R@1
+    m.publish(Seq(e(r, 1L),
+      e("date=2024-05-01/hour=00/minute=01/x.parquet", 1L),
+      e("date=2024-05-01/hour=01/minute=00/y.parquet", 1L)),
+      None, Nil, parent = None)
+    assert(m.mfRefs().map(_._2) == Seq("date=2024-05-01"))
+    // a bare re-add of R with a new size (publish() diffs a changed
+    // entry exactly this way) inside an append big enough to split:
+    // the fresh R@2 now lives in an hour manifest; the stale R@1
+    // stays in the date-keyed one — newest-wins must return R@2
+    val adds = e(r, 2L) +: (0 until 4).map(i =>
+      e(s"date=2024-05-01/hour=01/minute=1$i/a$i.parquet", 1L))
+    m.publishPatch(adds = adds, drops = Nil, deadPlus = Nil,
+      deadMinus = Nil, schema = None, parent = m.read().get.gen)
+    assert(m.read().get.entries.find(_.rel == r).map(_.size)
+      .contains(2L))
+    // a rewrite touching ONLY the other hour hits the date-keyed
+    // manifest (it can hold any hour) — its stale R@1 must not be
+    // re-emitted over the fresh copy
+    m.publishPatch(adds = Nil,
+      drops = Seq("date=2024-05-01/hour=01/minute=00/y.parquet"),
+      deadPlus = Nil, deadMinus = Nil, schema = None,
+      parent = m.read().get.gen)
+    assert(m.read().get.entries.find(_.rel == r).map(_.size)
+      .contains(2L),
+      "the stale duplicate must not shadow the fresh entry")
+    assert(!m.read().get.entries.exists(
+      _.rel == "date=2024-05-01/hour=01/minute=00/y.parquet"))
+  }
+
   test("resplit crash- and race-atomicity: a failure before the rename " +
       "leaves the old layout whole and no orphan manifests; a lost CAS " +
       "race rolls back loudly and a retry heals") {
