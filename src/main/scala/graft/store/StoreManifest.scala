@@ -1435,7 +1435,38 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     val (gens, _) = listState()
     gens.toSeq.sortBy(_._1).collect { case (n, st) if {
       try {
-        val lines = readBody(st.getPath).split("\n", -1).toSeq
+        // classification needs only the header region (form header +
+        // optional parent/schema/info/protocol lines, all up top) —
+        // reading a big checkpoint's whole gz body per maintenance
+        // tick would be waste, so decompress at most 64 KB. A
+        // protocol line is always well inside that (it precedes the
+        // dead/entry bulk in both body forms).
+        val in = fs.open(st.getPath)
+        val head = try {
+          val raw = new Array[Byte](64 * 1024)
+          var off = 0; var r = 0
+          while (off < raw.length && { r = in.read(raw, off,
+            raw.length - off); r > 0 }) off += r
+          val bytes = java.util.Arrays.copyOf(raw, off)
+          if (off >= 2 && (bytes(0) & 0xff) == 0x1f &&
+              (bytes(1) & 0xff) == 0x8b) {
+            val gz = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val out = new Array[Byte](64 * 1024)
+            var o2 = 0; var r2 = 0
+            try {
+              while (o2 < out.length && { r2 = gz.read(out, o2,
+                out.length - o2); r2 > 0 }) o2 += r2
+            } catch {
+              // the 64 KB raw cap truncates the stream mid-member:
+              // keep whatever decompressed — the header region is in
+              // the first bytes out, which is all this check reads
+              case scala.util.control.NonFatal(_) => ()
+            }
+            new String(out, 0, o2, StandardCharsets.UTF_8)
+          } else new String(bytes, StandardCharsets.UTF_8)
+        } finally in.close()
+        val lines = head.split("\n", -1).toSeq
         val known = lines.headOption.exists(h => h.startsWith("count=") ||
           h.startsWith("mlist=") || h.startsWith("delta="))
         !known || lines.exists(l => l.startsWith("protocol\t") &&
