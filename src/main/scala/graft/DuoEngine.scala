@@ -379,6 +379,15 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def generationInfos(table: String): Map[String, Option[String]] =
     if (memoryMode) Map.empty else storeOf(table).generationInfos()
 
+  /** Generation files currently standing a table's vacuum destructive
+    * sweeps down, with reasons (see
+    * [[graft.store.ParquetStore.vacuumStandDowns]]) — the operator
+    * probe behind the [[maintain]] cadence's warn log. Empty ⇔ the
+    * sweeps run (and in memory mode).
+    */
+  def vacuumStandDowns(table: String): Seq[(String, String)] =
+    if (memoryMode) Seq.empty else storeOf(table).vacuumStandDowns()
+
   /** A named durable incremental CDC consumer over one table's
     * generation history (see [[graft.store.CdcFeed]]): poll the
     * unconsumed increment, commit the cursor when it is safely down —
@@ -421,6 +430,10 @@ final class DuoEngine(val spark: SparkSession, root: String,
     * this trace look like before the last expiry?" as one call. The
     * search params' time window applies as a row predicate (partition
     * pruning still applies inside the pinned generation's trees).
+    * NOTE: the two pins are independent coordinates with no
+    * consistency guarantee between them — the caller owns their
+    * compatibility. For a CONSISTENT cross-table coordinate use the
+    * timestamp overload, which resolves both pins from one instant.
     */
   def searchTracesAsOf(p: TraceQueries.TraceSearchParams,
       spanGen: String, logGen: String): Option[DataFrame] =
@@ -429,6 +442,31 @@ final class DuoEngine(val spark: SparkSession, root: String,
       lg <- logTableAsOf(logGen)
     } yield TraceQueries.filterTraces(spark, sp, lg, p)
 
+  /** The newest retained generation of `table` committed at or before
+    * wall-clock `tsMillis` (generation names embed their commit
+    * millis — see [[graft.store.ParquetStore.generationAsOf]]). None
+    * when T predates retention, before the store's first commit, or
+    * in memory mode. This is the resolution step that makes a single
+    * timestamp a CONSISTENT cross-table AS-OF coordinate.
+    */
+  def generationAsOf(table: String, tsMillis: Long): Option[String] =
+    if (memoryMode) None else storeOf(table).generationAsOf(tsMillis)
+
+  /** Trace search AS OF one instant — "the store as of time T", both
+    * tables pinned to their newest generation committed ≤ T, so later
+    * commits landing on only ONE table (the normal skew: spans flush
+    * while logs idle) can never mix epochs in one answer. None (the
+    * HTTP route's 404) when either table cannot truthfully answer T:
+    * no commit yet, or T predates its retention.
+    */
+  def searchTracesAsOf(p: TraceQueries.TraceSearchParams,
+      asOfMillis: Long): Option[DataFrame] =
+    for {
+      sg <- generationAsOf("span", asOfMillis)
+      lg <- generationAsOf("log", asOfMillis)
+      r <- searchTracesAsOf(p, sg, lg)
+    } yield r
+
   /** Log search AS OF a retained log-store generation — the log-side
     * twin of [[searchTracesAsOf]]. The search window applies as a row
     * predicate inside the pinned generation.
@@ -436,6 +474,14 @@ final class DuoEngine(val spark: SparkSession, root: String,
   def searchLogsAsOf(p: LogQueries.LogSearchParams,
       gen: String): Option[DataFrame] =
     logTableAsOf(gen).map(LogQueries.search(_, p))
+
+  /** Log search AS OF one instant (timestamp coordinate — see the
+    * trace-side overload for the contract).
+    */
+  def searchLogsAsOf(p: LogQueries.LogSearchParams,
+      asOfMillis: Long): Option[DataFrame] =
+    generationAsOf("log", asOfMillis)
+      .flatMap(g => searchLogsAsOf(p, g))
 
   /** Generation-diff CDC at the engine surface (the remote-facade
     * backing for `GET /api/changes`): rows added between two retained

@@ -41,7 +41,10 @@ import graft.query.{LogQueries, TraceQueries}
   *     time-travel coordinates (with `info=true`, each with its
   *     operation-audit JSON); `asof=<gen>` on `/api/logs` and
   *     `spanAsof`+`logAsof` on `/api/traces` answer from pinned
-  *     generations; `GET /api/changes?table&from&to[&keys][&removed]
+  *     generations, and `asofTs=<millis>` on both answers from ONE
+  *     wall-clock coordinate (each table pinned to its newest
+  *     generation ≤ T — consistent across tables by construction);
+  *     `GET /api/changes?table&from&to[&keys][&removed]
   *     [&limit]` serves the generation-diff CDC (see [[changes]])
   *
   * Query-parameter leniency mirrors deser.rs: `limit`/`skip` ignore
@@ -183,13 +186,26 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
             .flatMap(graft.functions.Timing.parseDuration),
           limit = q.get("limit").flatMap(_.toIntOption).getOrElse(20))
         // EXTENSION: AS-OF search over pinned retained generations of
-        // BOTH stores (spanAsof + logAsof, required together) — the
-        // engine's time-travel surface made remotely reachable
-        (q.get("spanAsof"), q.get("logAsof")) match {
-          case (None, None) =>
+        // BOTH stores (spanAsof + logAsof, required together), or over
+        // ONE wall-clock instant (`asofTs=<millis>` — both tables pin
+        // to their newest generation committed ≤ T, so the answer can
+        // never mix epochs when later commits landed on only one
+        // table) — the engine's time-travel surface made remotely
+        // reachable
+        (q.get("spanAsof"), q.get("logAsof"),
+            q.get("asofTs").flatMap(_.toLongOption)) match {
+          case (None, None, None) =>
             json(ex, 200,
               Jaeger.renderTraces(collectTraces(engine.searchTraces(p))))
-          case (Some(sg), Some(lg)) =>
+          case (None, None, Some(ts)) =>
+            engine.searchTracesAsOf(p, ts) match {
+              case None => text(ex, 404,
+                "no generation at or before asofTs on both tables " +
+                  "(predates retention, or never committed)")
+              case Some(df) =>
+                json(ex, 200, Jaeger.renderTraces(collectTraces(df)))
+            }
+          case (Some(sg), Some(lg), None) =>
             engine.searchTracesAsOf(p, sg, lg) match {
               case None => text(ex, 404,
                 "generation not retained (pruned or never committed)")
@@ -197,7 +213,7 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
                 json(ex, 200, Jaeger.renderTraces(collectTraces(df)))
             }
           case _ => text(ex, 400,
-            "spanAsof and logAsof must be supplied together")
+            "pass spanAsof and logAsof together, or asofTs alone")
         }
     }
 
@@ -396,18 +412,27 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
         // and are invisible to asof-at-newest (spec-pinned in
         // EngineSpec) — the same contract as Delta/Iceberg version
         // queries.
-        val searched = q.get("asof") match {
-          case None => Some(engine.searchLogs(p))
-          case Some(gen) => engine.searchLogsAsOf(p, gen)
-        }
-        searched match {
-          case None => text(ex, 404,
-            "generation not retained (pruned or never committed)")
-          case Some(df) =>
-            val cols = df.columns.toSeq
-            val rows = df.collect().toSeq.map(r => logJson(cols, r))
-            json(ex, 200,
-              JsonMethods.compact(JsonMethods.render(JArray(rows.toList))))
+        // `asofTs=<millis>` is the timestamp twin of `asof` (newest
+        // generation committed ≤ T — the one-coordinate form)
+        val asofTs = q.get("asofTs").flatMap(_.toLongOption)
+        if (q.contains("asof") && asofTs.isDefined)
+          text(ex, 400, "pass asof or asofTs, not both")
+        else {
+          val searched = (q.get("asof"), asofTs) match {
+            case (None, None) => Some(engine.searchLogs(p))
+            case (Some(gen), _) => engine.searchLogsAsOf(p, gen)
+            case (None, Some(ts)) => engine.searchLogsAsOf(p, ts)
+          }
+          searched match {
+            case None => text(ex, 404,
+              "generation not retained (pruned or never committed), " +
+                "or asofTs predates retention")
+            case Some(df) =>
+              val cols = df.columns.toSeq
+              val rows = df.collect().toSeq.map(r => logJson(cols, r))
+              json(ex, 200, JsonMethods.compact(
+                JsonMethods.render(JArray(rows.toList))))
+          }
         }
     }
 

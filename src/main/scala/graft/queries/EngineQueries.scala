@@ -475,7 +475,8 @@ object EngineQueries {
     "g15_cdc_incremental" -> (cdcIncrementalGate _),
     "g16_cdc_keyed" -> (cdcKeyedGate _),
     "g17_cdc_feed" -> (cdcFeedGate _),
-    "g18_cdc_consume" -> (cdcConsumeGate _))
+    "g18_cdc_consume" -> (cdcConsumeGate _),
+    "g19_cdc_mirror" -> (cdcMirrorGate _))
 
   /** g06: the dynamic log-schema ingest path END TO END — the
     * reference's hardest semantics (raw-JSON field inference,
@@ -1249,6 +1250,90 @@ object EngineQueries {
       .toDF("kind", "n").orderBy(col("kind"))
   }
 
+  /** g19: the NET-STATE CDC mirror driven end-to-end under the oracle
+    * hash — [[graft.store.CdcFeed.consumeInto]]'s mirror mode applies
+    * each stepped increment's REMOVED side transactionally in the
+    * same sink commit as its added side
+    * ([[graft.store.ParquetStore.applyMirror]]), so the sink equals
+    * the source's net state as of every consumed generation — the
+    * invalidation g18's append-only consumer deliberately leaves to
+    * the caller, made first-class. Same pinned lineage as g18 (gen A
+    * = landed evens, gen B = the day-2 odd compactDate increment,
+    * gen C = the day-1 expiry that REMOVES the evens). The mirror
+    * bootstraps at source@A through the documented rebootstrap
+    * procedure (transactional [[graft.store.ParquetStore.replaceCommitted]]
+    * + cursor commit), then steps one generation at a time; after
+    * EACH step the sink is compared row-for-row (count + key-sum)
+    * against `readGeneration(toGen)` — a mirror that drifted from
+    * net state at any step breaks the hash. The final sink holds
+    * exactly the odd rows (the expire's removals applied), checked
+    * against DuckDB constants.
+    */
+  def cdcMirrorGate(s: SparkSession, d: String): DataFrame = {
+    val root = memoStore("g19", d) { root =>
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      def timed(df: DataFrame, dayOff: Long) = df.withColumn("time",
+        lit(G06BaseUs + dayOff * 86400000000L) +
+          pmod(col("doc_id"), lit(60)) * 1000000L)
+      val st = new graft.store.ParquetStore(s, root, "documents", "time")
+      st.write(timed(docs.filter(col("doc_id") % 2 === 0), 0L))
+      st.compact() // gen A: the landed evens
+      st.write(timed(docs.filter(col("doc_id") % 2 =!= 0), 1L))
+      val zone = java.time.ZoneId.of(
+        s.conf.get("spark.sql.session.timeZone"))
+      val day2 = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochSecond(G06BaseUs / 1000000L + 86400L),
+        zone).toString
+      st.compactDate(day2) // gen B: the true day-2 odd increment
+      st.expire(G06BaseUs + 86400000000L): Unit // gen C: day 1 retired
+    }
+    val st = new graft.store.ParquetStore(s, root, "documents", "time")
+    val gens = st.generations()
+    if (gens.size < 3) sys.error(
+      s"g19: expected 3 generations, got ${gens.size}")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("g19_sink")
+    graft.util.StreamGate.deferDelete(sinkRoot)
+    val sink = new graft.store.ParquetStore(s, sinkRoot.toString,
+      "documents", "time")
+    val consumer = "g19-" + java.util.UUID.randomUUID().toString
+    val feed = st.cdcFeed(consumer, keyCols = Seq("doc_id"))
+    // bootstrap the mirror at source@A (a first poll resyncs to
+    // NEWEST; a stepped-replay mirror instead reloads the sink at the
+    // rewind point and commits the cursor there — the documented
+    // rebootstrap procedure, both halves transactional)
+    sink.replaceCommitted(st.readGeneration(gens.head),
+      Some(s"""{"op":"mirrorBootstrap","toGen":"${gens.head}"}"""))
+    feed.commit(gens.head)
+    def agg(df: Option[DataFrame]): (Long, Long) = df.map { f =>
+      val r = f.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("s")).collect()(0)
+      (r.getAs[Long]("n"), r.getAs[Long]("s"))
+    }.getOrElse((0L, 0L))
+    def stepMatches(): Long = {
+      val toGen = feed.consumeInto(sink, maxGenerations = 1,
+        mirror = true).getOrElse(sys.error("g19: step poll empty"))
+      val sinkAgg = agg(sink.read(None, None))
+      val srcAgg = agg(st.readGeneration(toGen))
+      if (sinkAgg == srcAgg) 1L else 0L
+    }
+    val step1 = stepMatches() // A→B: the odd append mirrors in
+    val step2 = stepMatches() // B→C: the expiry's removals apply
+    val caughtUp =
+      if (feed.consumeInto(sink, mirror = true).isEmpty) 1L else 0L
+    val (sinkN, sinkSum) = agg(sink.read(None, None))
+    feed.reset()
+    import s.implicits._
+    Seq(
+      ("caught_up", caughtUp),
+      ("sink_n", sinkN),
+      ("sink_sum", sinkSum),
+      ("step1_matches_source", step1),
+      ("step2_matches_source", step2),
+      ("steps", 2L))
+      .toDF("kind", "n").orderBy(col("kind"))
+  }
+
   /** g07's DuckDB replay — shared VERBATIM with g09 (the coarse-layout
     * read must be observationally identical to the minute layout).
     */
@@ -1414,6 +1499,23 @@ object EngineQueries {
         |UNION ALL SELECT 'step1_compact_date', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'step2_added', CAST(0 AS BIGINT)
         |UNION ALL SELECT 'step2_expire', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'steps', CAST(2 AS BIGINT)
+        |ORDER BY kind""".stripMargin,
+    // the net-state mirror: a stepped mirror across a compactDate AND
+    // an expire equals the source as-of each consumed generation
+    // (per-step count+key-sum match flags), and the final sink holds
+    // exactly the odd rows — the expiry's removals applied in the
+    // same commit as the cursor's landing
+    "g19_cdc_mirror" ->
+      """SELECT 'caught_up' AS kind, CAST(1 AS BIGINT) AS n
+        |UNION ALL SELECT 'sink_n',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 2 = 1)
+        |UNION ALL SELECT 'sink_sum',
+        |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+        |    WHERE doc_id % 2 = 1)
+        |UNION ALL SELECT 'step1_matches_source', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'step2_matches_source', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'steps', CAST(2 AS BIGINT)
         |ORDER BY kind""".stripMargin,
     // expiry at a mid-day cutoff must read as a DAY-FLOOR time filter

@@ -223,40 +223,74 @@ final class CdcFeed private[store] (store: ParquetStore,
     * re-landing. Returns the consumed `toGen`, None when caught up.
     *
     * Contract edges: `transform` must leave the sink's time column in
-    * place (it drives the landing's partition derivation); the
-    * `removed` side is NOT applied (an append-only sink — consumers
-    * that must invalidate build on the raw diffs), so with
-    * `maxGenerations` stepping the sink may retain rows a mid-history
-    * removal would have netted out of the unbounded jump — pick the
-    * jump when the sink must mirror net state; a RESYNC is only
-    * accepted on a first-ever consumption (bootstrap snapshot) —
-    * a mid-life resync means retention outran this consumer and an
-    * append would silently double the sink, so it throws instead.
+    * place (it drives the landing's partition derivation); in the
+    * default APPEND mode the `removed` side is NOT applied (an
+    * append-only sink — consumers that must invalidate build on the
+    * raw diffs), so with `maxGenerations` stepping the sink may
+    * retain rows a mid-history removal would have netted out of the
+    * unbounded jump — pick the jump, or MIRROR mode, when the sink
+    * must track net state; an append-mode RESYNC is only accepted on
+    * a first-ever consumption (bootstrap snapshot) — a mid-life
+    * resync means retention outran this consumer and an append would
+    * silently double the sink, so it throws instead.
+    *
+    * MIRROR mode (`mirror = true`, requires the feed's `keyCols` —
+    * the row identity removals are applied by): each increment's
+    * `removed` side is applied TRANSACTIONALLY in the same sink
+    * commit as its `added` side ([[ParquetStore.applyMirror]] — a
+    * partition-scoped keyed anti-join rewrite, O(touched dates)), so
+    * the sink equals the source's net state as of every consumed
+    * `toGen`, under any `maxGenerations` stepping and across
+    * compaction/expiry lineages. A mid-life resync is ACCEPTED here:
+    * a mirror's correct response to retention outrunning the cursor
+    * is truncate-and-reload, which
+    * [[ParquetStore.replaceCommitted]] performs in one commit. The
+    * exactly-once handshake is identical — the rewrite's generation
+    * info records the consumed increment, and the heal step reads it
+    * back. `transform` must additionally preserve `keyCols` (it maps
+    * both sides, so removal identity must survive it).
     */
   def consumeInto(sink: ParquetStore,
       transform: DataFrame => DataFrame = identity,
-      maxGenerations: Int = Int.MaxValue): Option[String] = {
+      maxGenerations: Int = Int.MaxValue,
+      mirror: Boolean = false): Option[String] = {
+    require(!mirror || keyCols.nonEmpty,
+      "mirror mode needs the feed's keyCols (the row identity " +
+        "removals are applied by) — build the feed with keyCols")
     landedToGen(sink).foreach { g =>
       if (cursor().forall(_ < g)) commit(g) // heal: landed, un-advanced
     }
     poll(maxGenerations) match {
       case None => None
       case Some(inc) =>
-        if (inc.resync && cursor().isDefined)
+        if (inc.resync && !mirror && cursor().isDefined)
           throw new IllegalStateException(
             s"$tableDir: consumer '$consumer' needs a resync (cursor " +
               "outran by retention) but the sink already holds " +
               "appended increments — reload the sink manually, " +
-              "reset() the consumer, and re-bootstrap")
-        inc.added.foreach(df => sink.writeCommitted(transform(df),
+              "reset() the consumer, and re-bootstrap (or consume " +
+              "with mirror = true, which reloads transactionally)")
+        if (mirror) {
+          if (inc.resync)
+            sink.replaceCommitted(inc.added.map(transform),
+              Some(consumeInfoOf(inc.toGen, mirror = true)))
+          else if (inc.added.isDefined || inc.removed.isDefined)
+            sink.applyMirror(inc.added.map(transform),
+              inc.removed.map(transform), keyCols,
+              Some(consumeInfoOf(inc.toGen, mirror = true)))
+          // both sides None (housekeeping commit): nothing to land,
+          // the cursor advance below is the whole consumption
+        } else inc.added.foreach(df => sink.writeCommitted(transform(df),
           Some(consumeInfoOf(inc.toGen))))
         commit(inc.toGen)
         Some(inc.toGen)
     }
   }
 
-  private def consumeInfoOf(toGen: String): String =
-    s"""{"op":"cdcConsume","consumer":"$consumer","toGen":"$toGen"}"""
+  private def consumeInfoOf(toGen: String,
+      mirror: Boolean = false): String =
+    s"""{"op":"cdcConsume","consumer":"$consumer","toGen":"$toGen"""" +
+      (if (mirror) ""","mode":"mirror"}""" else "}")
 
   /** The newest increment this consumer has LANDED in `sink`, read
     * back from the sink's own generation audit lines — the durable

@@ -152,6 +152,19 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def generationReadable(gen: String): Boolean =
     manifest.readGen(gen).isDefined
 
+  /** The newest retained generation committed at or before `tsMillis`
+    * — generation names embed their commit wall-clock millis, so a
+    * TIMESTAMP is a complete AS-OF coordinate (and, resolved against
+    * several stores, a CONSISTENT one: each pins its newest
+    * generation ≤ T, whatever mix of commits landed after). None when
+    * T predates retention (nothing retained is old enough to answer
+    * T truthfully — serving the oldest surviving generation instead
+    * would silently misdate the answer) or no generation exists.
+    */
+  def generationAsOf(tsMillis: Long): Option[String] =
+    generations().filter(g => genFileMillis(g).exists(_ <= tsMillis))
+      .lastOption
+
   /** A named durable incremental CDC consumer over this store's
     * generation history — see [[CdcFeed]]. `keyCols` nonEmpty makes
     * increments row-exact under any lineage (the g16 semantics);
@@ -437,6 +450,150 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           if (legacy.isEmpty) Some(batchSchema) else None, Nil,
           parent = None, info = info)
     }
+  }
+
+  /** Apply one CDC increment to this store AS A MIRROR, in ONE
+    * manifest commit: rows whose `keyCols` match `removed` leave the
+    * table and `adds` land, so a sink fed by
+    * [[CdcFeed.consumeInto]]'s mirror mode equals the source's NET
+    * state as of the consumed generation — the invalidation the
+    * append-only `writeCommitted` path deliberately leaves to the
+    * consumer ([[CdcFeed]] `maxGenerations` stepping surfaces
+    * mid-history removals a single jump would net out).
+    *
+    * Partition-scoped, the [[compactDate]] discipline: only the sink
+    * date partitions the removed rows' own times touch are read,
+    * anti-joined (key set distinct'd and broadcast by AQE when small)
+    * and rewritten into the fresh `_gen-*` tree the adds land in —
+    * O(touched dates) data movement, never the table. The one
+    * generation publish (drops = the touched partitions' prior files,
+    * adds = the rewrite + appends, caller `info` recording which
+    * increment landed) is the same rename atom every commit uses, so
+    * the exactly-once handshake holds: a crash before it leaves an
+    * orphan tree and a replayable increment, after it a healable
+    * cursor. Contract: the store must be commit-owned (no direct
+    * [[write]]s — mirror removal rewrites manifested files only), and
+    * a consumer `transform` must preserve `keyCols` and the time
+    * column (they are the row identity and the partition coordinate
+    * the removal is applied in).
+    */
+  def applyMirror(adds: Option[DataFrame], removed: Option[DataFrame],
+      keyCols: Seq[String], info: Option[String] = None): Unit = {
+    require(keyCols.nonEmpty, "applyMirror needs row-identity keyCols")
+    fence()
+    // affected sink dates from the REMOVED rows' own times — bounded
+    // driver collect (distinct DATES, not rows; an increment touches
+    // the handful of partitions its mutation did)
+    val affectedDates: Set[String] = removed.map(
+      _.select(date_format(timestamp_micros(col(timeCol)), "yyyy-MM-dd")
+        .as("d")).distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    def admits(pk: String): Boolean = pk.isEmpty ||
+      affectedDates(StoreManifest.dateKeyOf(pk).stripPrefix("date="))
+    val t = truthFor(Some(admits))
+    val allEntries = t.map(_.entries)
+      .getOrElse(manifest.walkLegacyFor(admits))
+    val affected = allEntries.filter { e =>
+      val l = logicalRel(e.rel)
+      val i = l.indexOf('/')
+      i > 0 && affectedDates(l.substring(0, i).stripPrefix("date="))
+    }
+    val survivors = removed.flatMap { r =>
+      relationFor(affected, t.flatMap(_.schema)).map(
+        _.drop("date", "hour", "minute")
+          .join(r.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti"))
+    }
+    val toLand: Option[DataFrame] = (survivors, adds) match {
+      case (Some(sv), Some(ad)) =>
+        Some(sv.unionByName(ad, allowMissingColumns = true))
+      case (sv, ad) => sv.orElse(ad)
+    }
+    val gen = newGenName()
+    toLand.foreach { rows =>
+      rows
+        .withColumn("__ts", timestamp_micros(col(timeCol)))
+        .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
+        .withColumn("hour", date_format(col("__ts"), "HH"))
+        .withColumn("minute", date_format(col("__ts"), "mm"))
+        .drop("__ts")
+        .repartition(col("date"), col("hour"), col("minute"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#trace_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#trace_id",
+          bloomNdv.toString)
+        .partitionBy("date", "hour", "minute")
+        .parquet(s"$dir/$gen")
+    }
+    beforeCommit()
+    fence()
+    val landed =
+      if (toLand.isDefined) manifest.walkSubtree(gen) else Nil
+    val now = System.currentTimeMillis()
+    val landedSchema = toLand.map(r =>
+      StoreManifest.allNullable(r.schema))
+    t match {
+      case Some(snap) =>
+        manifest.publishPatch(adds = landed,
+          drops = affected.map(_.rel),
+          deadPlus = affected.map(e => StoreManifest.Dead(e.rel, now)),
+          deadMinus = Nil,
+          // keep the recorded schema only when the landing provably
+          // conforms (else footer inference — the drift contract)
+          schema = snap.schema.filter(s => landedSchema.forall(_ == s)),
+          parent = snap.gen, info = info)
+      case None => // first commit ever: absolute
+        val full = manifest.walkLegacy()
+        val affectedSet = affected.map(_.rel).toSet
+        manifest.publish(full.filterNot(e => affectedSet(e.rel)) ++ landed,
+          None, affected.map(e => StoreManifest.Dead(e.rel, now)),
+          parent = None, info = info)
+    }
+  }
+
+  /** Replace the WHOLE table with `batch` in one manifest commit
+    * (None = truncate): every prior main and staged file is
+    * tombstoned, the new rows (if any) land in a fresh `_gen-*` tree,
+    * and the single generation publish flips the truth — the
+    * transactional landing a mirror consumer's RESYNC takes
+    * ([[CdcFeed.consumeInto]]: retention outran the cursor, so the
+    * sink must truncate-and-reload rather than append). Concurrent
+    * readers planned before the replace stay green until the vacuum
+    * grace passes, like every mutation.
+    */
+  def replaceCommitted(batch: Option[DataFrame],
+      info: Option[String] = None): Unit = {
+    fence()
+    val t = truth()
+    val gen = newGenName()
+    batch.foreach { b =>
+      b.withColumn("__ts", timestamp_micros(col(timeCol)))
+        .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
+        .withColumn("hour", date_format(col("__ts"), "HH"))
+        .withColumn("minute", date_format(col("__ts"), "mm"))
+        .drop("__ts")
+        .repartition(col("date"), col("hour"), col("minute"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#trace_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#trace_id",
+          bloomNdv.toString)
+        .partitionBy("date", "hour", "minute")
+        .parquet(s"$dir/$gen")
+    }
+    beforeCommit()
+    fence()
+    val landed =
+      if (batch.isDefined) manifest.walkSubtree(gen) else Nil
+    val now = System.currentTimeMillis()
+    val priorEntries = t.map(_.entries).getOrElse(manifest.walkLegacy())
+    val priorStaged = stagedStatuses(t.map(_.deadRels).getOrElse(Set.empty))
+    manifest.publish(landed,
+      batch.map(b => StoreManifest.allNullable(b.schema)),
+      t.map(_.dead).getOrElse(Nil) ++
+        (priorEntries.map(_.rel) ++
+          priorStaged.map(s => s"_staging/${s.getPath.getName}"))
+          .map(StoreManifest.Dead(_, now)),
+      parent = t.map(_.gen), info = info)
   }
 
   def exists: Boolean = fs.exists(new Path(dir))
@@ -1014,8 +1171,37 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * Idempotent; crash at any point leaves strictly less to reclaim.
     * Returns (tombstonedFilesDeleted, orphanTreesDeleted, gensPruned).
     */
-  def vacuum(graceMs: Long): (Int, Int, Int) = {
+  /** The generation files currently standing vacuum's destructive
+    * sweeps down, with their classification reasons — the operator
+    * observability surface of the future-format gate (empty ⇔ sweeps
+    * run). A name here is either a NEWER binary's commit (leave it;
+    * roll this binary forward) or provably-dead debris (a zero-byte /
+    * header-torn artifact from a non-atomic copy) the operator can
+    * acknowledge via [[vacuum]]'s `reclaimUnknown`.
+    */
+  def vacuumStandDowns(): Seq[(String, String)] =
+    manifest.futureFormatGens().map(u => (u.name, u.reason))
+
+  /** @param reclaimUnknown generation file names the OPERATOR
+    *   acknowledges as dead debris (from [[vacuumStandDowns]]): they
+    *   are deleted before the gate is evaluated, so a permanently-torn
+    *   artifact cannot disable reclaim forever. Every named file must
+    *   currently classify as uninterpretable — acknowledging a
+    *   readable generation (or a name the gate isn't holding) throws,
+    *   because that acknowledgment was written against stale facts.
+    */
+  def vacuum(graceMs: Long,
+      reclaimUnknown: Seq[String] = Nil): (Int, Int, Int) = {
     fence()
+    if (reclaimUnknown.nonEmpty) {
+      val unknown = manifest.futureFormatGens().map(_.name).toSet
+      val bad = reclaimUnknown.filterNot(unknown)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$dir: reclaimUnknown names not currently classified " +
+          s"uninterpretable: ${bad.mkString(", ")} — re-check " +
+          "vacuumStandDowns() and acknowledge only what it reports")
+      reclaimUnknown.foreach(manifest.deleteGen)
+    }
     val now = System.currentTimeMillis()
     // 0. lease housekeeping: claims leave a bounded trickle of
     // superseded lease files (each claim prunes to the top few), but a
@@ -1068,6 +1254,17 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // still safe — a tombstone in a readable generation stays dead
     // in every later one, rels are never reused.
     val futureGens = manifest.futureFormatGens()
+    if (futureGens.nonEmpty)
+      // the stand-down must be LOUD: silently skipping reclaim forever
+      // reads as "vacuum runs but the store grows" to an operator
+      org.slf4j.LoggerFactory.getLogger(classOf[ParquetStore]).warn(
+        s"$dir: vacuum destructive sweeps STANDING DOWN — " +
+          s"${futureGens.size} generation(s) this binary cannot " +
+          "interpret: " + futureGens.map(u =>
+            s"${u.name} (${u.reason})").mkString("; ") +
+          " — a newer binary's commits must not be swept; if this is " +
+          "provably-dead debris, acknowledge it via " +
+          "vacuum(reclaimUnknown = ...)")
     // 2. republish with the reclaimed tombstones pruned (entries and
     // schema unchanged) so the dead list never grows unboundedly —
     // lease re-verified and CAS'd on the snapshot read at step 1,

@@ -1051,9 +1051,21 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
               // canonical = one manifest per (sub-)key: a single
               // date-keyed file, or a split date whose hour manifests
               // are distinct. Reused BY NAME; anything accumulated
-              // (same key twice: parent + appends) merges fresh.
+              // (same key twice: parent + appends) merges fresh. A
+              // date-keyed ref MIXED with hour-keyed ones is NOT
+              // canonical even when the keys are distinct: the two
+              // can share rels (a threshold-crossing append re-adds a
+              // changed entry the date manifest still carries), and a
+              // reused checkpoint resolves duplicates by mf-NAME
+              // order — wall-clock timestamps a same-millisecond tie
+              // or clock step can invert, resurrecting the stale
+              // entry the delta fold order resolved correctly. Merge
+              // such partitions fresh (the merge dedups in fold
+              // order); pure hour-split sets can't share rels
+              // (sub-keys are a pure function of the rel).
               val canonical =
-                refs.map(_.partKey).distinct.size == refs.size
+                refs.map(_.partKey).distinct.size == refs.size &&
+                  (refs.size <= 1 || refs.forall(_.partKey != part))
               if (!touched(part) && refs.nonEmpty && canonical)
                 finalRefs ++= refs
               else {
@@ -1420,59 +1432,120 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   }
 
   /** Generation files this binary cannot INTERPRET that are not mere
-    * crash debris: an unknown body-form header, or a `protocol`
-    * capability outside [[StoreManifest.SupportedProtocols]] — the
-    * shape a FUTURE binary's commits take. Vacuum's destructive
-    * sweeps must treat any of these as "a newer binary owns this
-    * store's tail" and stand down: pruning manifests or trees that
-    * "no readable generation references" would destroy the newer
-    * binary's commits (the mixed-version rollback hazard the
-    * protocol gate exists for). A torn-but-known-form generation
-    * (bad count, truncated gzip) stays prunable debris and does NOT
-    * trip this.
+    * crash debris: an unknown body-form header, a `protocol`
+    * capability outside [[StoreManifest.SupportedProtocols]] (the
+    * shape a FUTURE binary's commits take), or a header region this
+    * pass could not read whole (zero-byte / header-torn artifacts —
+    * a non-atomic object-store copy can produce them — and transient
+    * I/O faults, which must fail CLOSED: a throttle mis-classifying a
+    * future generation as interpretable would run the destructive
+    * sweeps in exactly the rollback scenario the gate exists for).
+    * Vacuum treats any of these as "a newer binary owns this store's
+    * tail" and stands its destructive sweeps down; each name carries
+    * its classification reason so the stand-down is observable and an
+    * operator can acknowledge-and-reclaim provably-dead debris
+    * ([[ParquetStore.vacuum]]'s `reclaimUnknown`). A
+    * torn-but-known-form generation (bad count, body truncated past
+    * the header region) stays prunable debris and does NOT trip this;
+    * a name pruned between the listing and the read is a raced
+    * cleanup, not a hazard.
+    *
+    * The scan is bounded to the HEADER REGION — the form header plus
+    * the optional parent/schema/info/protocol lines, which writers
+    * always emit before any dead/entry/manifest line — and reads
+    * line-streamed until the first complete non-header line, however
+    * wide the header grows (a drifted-schema `schema\t` line can run
+    * to megabytes; a fixed read cap would truncate the `protocol`
+    * line away and silently fail the gate open). A `protocol\t` match
+    * must carry exactly one value token: a KNOWN-form body whose
+    * first entry names a root-level rel literally `protocol`
+    * (`protocol\t<size>\t<mtime>`) is an entry line ending the header
+    * region, not a capability.
     */
-  private[graft] def futureFormatGens(): Seq[String] = {
+  private[graft] def futureFormatGens(): Seq[StoreManifest.UnknownGen] = {
     val (gens, _) = listState()
-    gens.toSeq.sortBy(_._1).collect { case (n, st) if {
-      try {
-        // classification needs only the header region (form header +
-        // optional parent/schema/info/protocol lines, all up top) —
-        // reading a big checkpoint's whole gz body per maintenance
-        // tick would be waste, so decompress at most 64 KB. A
-        // protocol line is always well inside that (it precedes the
-        // dead/entry bulk in both body forms).
-        val in = fs.open(st.getPath)
-        val head = try {
-          val raw = new Array[Byte](64 * 1024)
-          var off = 0; var r = 0
-          while (off < raw.length && { r = in.read(raw, off,
-            raw.length - off); r > 0 }) off += r
-          val bytes = java.util.Arrays.copyOf(raw, off)
-          if (off >= 2 && (bytes(0) & 0xff) == 0x1f &&
-              (bytes(1) & 0xff) == 0x8b) {
-            val gz = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val out = new Array[Byte](64 * 1024)
-            var o2 = 0; var r2 = 0
-            try {
-              while (o2 < out.length && { r2 = gz.read(out, o2,
-                out.length - o2); r2 > 0 }) o2 += r2
-            } catch {
-              // the 64 KB raw cap truncates the stream mid-member:
-              // keep whatever decompressed — the header region is in
-              // the first bytes out, which is all this check reads
-              case scala.util.control.NonFatal(_) => ()
-            }
-            new String(out, 0, o2, StandardCharsets.UTF_8)
-          } else new String(bytes, StandardCharsets.UTF_8)
-        } finally in.close()
-        val lines = head.split("\n", -1).toSeq
-        val known = lines.headOption.exists(h => h.startsWith("count=") ||
-          h.startsWith("mlist=") || h.startsWith("delta="))
-        !known || lines.exists(l => l.startsWith("protocol\t") &&
-          !StoreManifest.SupportedProtocols(l.stripPrefix("protocol\t")))
-      } catch { case scala.util.control.NonFatal(_) => false }
-    } => n }
+    gens.toSeq.sortBy(_._1).flatMap { case (n, st) =>
+      try classifyHeader(n, st.getPath)
+      catch {
+        case _: java.io.FileNotFoundException => None // raced prune
+        case scala.util.control.NonFatal(e) =>
+          // fail CLOSED: an unreadable header stands the sweeps down
+          // for THIS pass; the next tick re-reads (never memoized)
+          Some(StoreManifest.UnknownGen(n,
+            s"header unreadable this pass: ${e.getClass.getSimpleName}"))
+      }
+    }
+  }
+
+  /** One generation's header-region classification: None =
+    * interpretable (known form, no unknown capability — includes torn
+    * known-form debris whose tear lies PAST the header region);
+    * Some(reason) = this binary cannot vouch for it.
+    */
+  private def classifyHeader(n: String,
+      p: Path): Option[StoreManifest.UnknownGen] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.BufferedInputStream(in, 64 * 1024)
+      buf.mark(2)
+      val b0 = buf.read(); val b1 = buf.read()
+      buf.reset()
+      val data: java.io.InputStream =
+        if (b0 == 0x1f && b1 == 0x8b)
+          new java.io.BufferedInputStream(
+            new java.util.zip.GZIPInputStream(buf, 64 * 1024), 64 * 1024)
+        else buf
+      // a gzip tear INSIDE the header region throws mid-read and the
+      // caller's fail-closed catch stands down; a tear past the first
+      // non-header line is never reached (the scan stops there)
+      val headerPrefixes =
+        Seq("parent\t", "schema\t", "info\t", "protocol\t")
+      val sb = new java.lang.StringBuilder
+      var lineNo = 0
+      var read = 0L
+      while (true) {
+        val c = data.read()
+        read += 1
+        if (read > StoreManifest.ClassifyMaxBytes)
+          return Some(StoreManifest.UnknownGen(n,
+            s"header region exceeds ${StoreManifest.ClassifyMaxBytes} B"))
+        if (c < 0) {
+          // EOF: a clean end after complete header lines is a whole
+          // (header-only) body; anything short of that is torn inside
+          // the header region — uninterpretable, stand down
+          return if (lineNo == 0 || sb.length > 0)
+            Some(StoreManifest.UnknownGen(n,
+              if (lineNo == 0 && sb.length == 0) "empty generation file"
+              else "torn inside the header region"))
+          else None
+        }
+        if (c == '\n') {
+          val line = sb.toString; sb.setLength(0)
+          if (lineNo == 0) {
+            if (!(line.startsWith("count=") || line.startsWith("mlist=") ||
+                line.startsWith("delta=")))
+              return Some(StoreManifest.UnknownGen(n,
+                s"unknown body form '${line.take(32)}'"))
+          } else if (line.startsWith("protocol\t")) {
+            val cap = line.stripPrefix("protocol\t")
+            // more than one value token ⇒ an ENTRY line whose rel is
+            // literally `protocol` (rel\tsize\tmtime) — the header
+            // region ended, known form, interpretable
+            if (cap.contains('\t')) return None
+            if (!StoreManifest.SupportedProtocols(cap))
+              return Some(StoreManifest.UnknownGen(n,
+                s"future protocol capability '${cap.take(32)}'"))
+          } else if (!headerPrefixes.exists(line.startsWith)) {
+            // first complete non-header line: the header region is
+            // whole and named no unknown capability — interpretable
+            // (body-level tears are parse-layer debris, not a hazard)
+            return None
+          }
+          lineNo += 1
+        } else sb.append(c.toChar)
+      }
+      None // unreachable
+    } finally in.close()
   }
 
   /** Every retained readable generation, newest first (vacuum's
@@ -1584,6 +1657,19 @@ object StoreManifest {
   private[store] val HourSplitProtocol: String = "hour-split"
   private[store] val SupportedProtocols: Set[String] =
     Set(HourSplitProtocol)
+
+  /** One generation this binary cannot vouch for (vacuum's stand-down
+    * set): the file name and WHY it classified — the observability
+    * half of the destructive-sweep gate.
+    */
+  final case class UnknownGen(name: String, reason: String)
+
+  /** Header-region read bound for the future-format classifier: far
+    * above any real header (the widest drifted-schema line measured is
+    * hundreds of KB) while still bounding a corrupt no-newline blob's
+    * scan. Exceeding it is uninterpretable — stand down, never assume.
+    */
+  private[store] val ClassifyMaxBytes: Long = 64L * 1024 * 1024
 
   /** rel → rel without its leading `_gen-…` rewrite-tree segment: the
     * logical path both key derivations below parse, factored out so

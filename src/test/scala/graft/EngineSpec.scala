@@ -888,6 +888,56 @@ class EngineSpec extends SparkSpec {
         "un-flushed tail has no storage coordinate")
   }
 
+  test("one AS-OF timestamp is a consistent cross-table coordinate: " +
+      "both tables pin to their newest generation committed ≤ T " +
+      "while later commits land on only one table; T before the " +
+      "first commit answers None") {
+    import graft.model.Span
+    val root = tmpRoot()
+    val day1 = 1760000000000000L
+    val sst = new ParquetStore(spark, root, "span", "start")
+    val lst = new ParquetStore(spark, root, "log", "time")
+    def spanRow(tid: Long) = Seq(Span(tid * 10, None, tid, "op",
+      "svc-0", day1 + tid, Some(day1 + tid + 1000L), None)).toDF()
+    val tBefore = System.currentTimeMillis() - 1L
+    sst.write(spanRow(9001L)); sst.compact()
+    lst.write(Seq(("svc-0", day1 + 1L, "INFO"))
+      .toDF("process_id", "time", "level")); lst.compact()
+    Thread.sleep(3L)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3L)
+    // later commits land on ONLY the span table — the normal skew
+    // (spans flush while logs idle) that makes independent per-table
+    // pins inconsistent
+    sst.write(spanRow(9002L)); sst.compact()
+    val engine = new DuoEngine(spark, root)
+    assert(engine.generations("span").size == 2 &&
+      engine.generations("log").size == 1)
+    // resolution: newest generation ≤ T per table
+    assert(engine.generationAsOf("span", t1)
+      .contains(engine.generations("span").head))
+    assert(engine.generationAsOf("log", t1)
+      .contains(engine.generations("log").last))
+    val p = graft.query.TraceQueries.TraceSearchParams(
+      service = "svc", unbounded = true)
+    def tids(df: org.apache.spark.sql.DataFrame) =
+      df.select("trace_id").as[Long].collect().toSet
+    // ONE timestamp answers the pre-skew epoch on both tables at once
+    assert(tids(engine.searchTracesAsOf(p, t1).get) == Set(9001L))
+    // now-ish: both pins resolve to newest — the late commit shows
+    assert(tids(engine.searchTracesAsOf(p,
+      System.currentTimeMillis()).get) == Set(9001L, 9002L))
+    // log-side twin on the same coordinate
+    assert(engine.searchLogsAsOf(
+      LogSearchParams(service = "svc", unbounded = true), t1)
+      .get.count() == 1L)
+    // T predating the first commit: no generation can truthfully
+    // answer it — None (the HTTP route's 404), never the oldest
+    // surviving generation misdated as T
+    assert(engine.generationAsOf("span", tBefore).isEmpty)
+    assert(engine.searchTracesAsOf(p, tBefore).isEmpty)
+  }
+
   test("writer fencing: a second writer on the same root fences the first") {
     val root = tmpRoot()
     val a = new ParquetStore(spark, root, "span", "start")

@@ -2087,4 +2087,392 @@ class FsStoreSpec extends SparkSpec {
       inc.added.get.select("id").as[Long].collect().toSet == Set(3L, 4L))
     feed.reset()
   }
+
+  test("mirror consumeInto applies removals transactionally: a " +
+      "stepped mirror across a compactDate AND an expire equals the " +
+      "source net state at every step; crash at every step replays " +
+      "or heals; a mid-life resync truncate-and-reloads") {
+    val root = newRoot()
+    val src = new ParquetStore(spark, root, "src", "start")
+    val sink = new ParquetStore(spark, root, "sink", "start")
+    val day = 86400L * 1000000L
+    def batch(ids: Seq[Long], dayOff: Long) =
+      ids.map(i => (i, t0 + dayOff * day + i * 60L * 1000000L, i * 10L))
+        .toDF("id", "start", "trace_id")
+    def ids(st: ParquetStore): Set[Long] = st.read(None, None)
+      .map(_.select("id").as[Long].collect().toSet).getOrElse(Set.empty)
+    def genIds(st: ParquetStore, g: String): Set[Long] =
+      st.readGeneration(g).map(_.select("id").as[Long].collect().toSet)
+        .getOrElse(Set.empty)
+    // lineage: A = {1,2,3} (day 1); B = A + {4,5} (day-2 compactDate);
+    // C = expire day 1 → {4,5} (the mid-history REMOVAL the
+    // append-only consumer retains and a mirror must net out)
+    src.writeStaged(batch(Seq(1L, 2L, 3L), 0L))
+    src.compact() // gen A
+    src.write(batch(Seq(4L, 5L), 1L))
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val day2 = java.time.LocalDate.ofInstant(java.time.Instant
+      .ofEpochSecond((t0 + day) / 1000000L), zone).toString
+    src.compactDate(day2) // gen B
+    src.expire(t0 + day): Unit // gen C: day-1 rows removed
+    val gens = src.generations()
+    assert(gens.size >= 3)
+    val feed = src.cdcFeed("mirror", keyCols = Seq("id"))
+    // rebootstrap procedure: sink reloaded at the rewind point
+    // transactionally, cursor committed there
+    sink.replaceCommitted(src.readGeneration(gens.head),
+      Some("""{"op":"mirrorBootstrap"}"""))
+    feed.commit(gens.head)
+    assert(ids(sink) == Set(1L, 2L, 3L))
+    // CRASH at step 1's sink commit point: the rewrite tree is
+    // written but unpublished — nothing visible, cursor unmoved
+    sink.beforeCommit = () => sys.error("crash-at-commit")
+    intercept[RuntimeException] {
+      feed.consumeInto(sink, maxGenerations = 1, mirror = true)
+    }
+    sink.beforeCommit = () => ()
+    assert(ids(sink) == Set(1L, 2L, 3L), "the crashed step landed nothing")
+    // replay lands step 1; sink == source@B
+    assert(feed.consumeInto(sink, maxGenerations = 1, mirror = true)
+      .contains(gens(1)))
+    assert(ids(sink) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(sink) == genIds(src, gens(1)))
+    // CRASH between step 2's sink commit and cursor advance: land the
+    // polled increment with the consumer's exact audit line, do NOT
+    // commit — the next run must heal forward without re-applying
+    val inc = feed.poll(maxGenerations = 1).get
+    sink.applyMirror(inc.added, inc.removed, Seq("id"),
+      Some("""{"op":"cdcConsume","consumer":"mirror","toGen":"""" +
+        inc.toGen + """","mode":"mirror"}"""))
+    assert(ids(sink) == Set(4L, 5L), "the expire's removals applied")
+    val sinkGens = sink.generations().size
+    assert(feed.consumeInto(sink, mirror = true).isEmpty,
+      "healed forward: the landed step must not re-apply")
+    assert(sink.generations().size == sinkGens, "heal lands nothing")
+    assert(ids(sink) == Set(4L, 5L))
+    assert(ids(sink) == genIds(src, gens(2)))
+    feed.reset()
+    // SINGLE-JUMP transactionality: a second mirror bootstrapped at A
+    // consumes A→C in ONE sink commit that applies adds {4,5} AND
+    // removals {1,2,3} together — never an intermediate state
+    val sink2 = new ParquetStore(spark, root, "sink2", "start")
+    val feed2 = src.cdcFeed("mirror2", keyCols = Seq("id"))
+    sink2.replaceCommitted(src.readGeneration(gens.head),
+      Some("""{"op":"mirrorBootstrap"}"""))
+    feed2.commit(gens.head)
+    assert(feed2.consumeInto(sink2, mirror = true).contains(gens.last))
+    assert(ids(sink2) == Set(4L, 5L))
+    assert(sink2.generations().size == 2,
+      "adds and removals must land in ONE commit (bootstrap + jump)")
+    // MID-LIFE RESYNC: retention outruns the cursor — a mirror
+    // truncate-and-reloads transactionally instead of refusing
+    (0 until graft.store.StoreManifest.KeepGens + 1)
+      .foreach(_ => src.compact())
+    src.vacuum(graceMs = 0L): Unit
+    val r = feed2.consumeInto(sink2, mirror = true)
+    assert(r.isDefined, "a mirror accepts the resync")
+    assert(ids(sink2) == Set(4L, 5L),
+      "the reload equals the source — never doubled")
+    assert(sink2.read(None, None).get.count() == 2L)
+    feed2.reset()
+  }
+
+  test("consumeInto under sink-side schema drift: an increment " +
+      "carrying a column the sink's earlier generations lack lands " +
+      "committed and reads back merged — append and mirror modes") {
+    val root = newRoot()
+    val src = new ParquetStore(spark, root, "src", "start")
+    val sinkA = new ParquetStore(spark, root, "sinkA", "start")
+    val sinkM = new ParquetStore(spark, root, "sinkM", "start")
+    val day = 86400L * 1000000L
+    src.writeStaged(Seq((1L, t0, 10L), (2L, t0 + 60L * 1000000L, 20L))
+      .toDF("id", "start", "trace_id"))
+    src.compact() // gen A: no `env` anywhere
+    val feedA = src.cdcFeed("driftA", keyCols = Seq("id"))
+    val feedM = src.cdcFeed("driftM", keyCols = Seq("id"))
+    assert(feedA.consumeInto(sinkA).isDefined) // append bootstrap
+    assert(feedM.consumeInto(sinkM, mirror = true).isDefined,
+      "a mirror's FIRST consumption bootstraps through the resync")
+    assert(sinkA.manifestSchema.isDefined,
+      "uniform committed appends keep the recorded schema")
+    // the drifted increment: day-2 rows carry a NEW column
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val day2 = java.time.LocalDate.ofInstant(java.time.Instant
+      .ofEpochSecond((t0 + day) / 1000000L), zone).toString
+    src.write(Seq((3L, t0 + day + 60L * 1000000L, 30L, "prod"))
+      .toDF("id", "start", "trace_id", "env"))
+    src.compactDate(day2)
+    assert(feedA.consumeInto(sinkA).isDefined)
+    assert(feedM.consumeInto(sinkM, mirror = true).isDefined)
+    for (sink <- Seq(sinkA, sinkM)) {
+      val df = sink.read(None, None).get
+      assert(df.columns.contains("env"),
+        s"drifted column must read back: ${df.columns.toSeq}")
+      assert(df.select("id").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L))
+      assert(df.filter(col("env") === "prod").select("id").as[Long]
+        .collect().toSet == Set(3L))
+      assert(df.filter(col("env").isNull).count() == 2L,
+        "pre-drift rows read the new column as null")
+    }
+    // the drifted landing drops the RECORDED schema (conservative:
+    // footer inference until the next compact — the writeCommitted
+    // contract), it never drops the data
+    assert(sinkA.manifestSchema.isEmpty)
+    feedA.reset(); feedM.reset()
+  }
+
+  test("future-format classifier reads the WHOLE header region: a " +
+      "future protocol behind a megabyte schema line stands vacuum " +
+      "down; header-torn and empty debris stand down with reasons; a " +
+      "body rel literally named 'protocol' does not; acknowledged " +
+      "debris reclaims and the sweeps resume") {
+    import graft.store.StoreFs
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    store.write((1L to 4L).map(i =>
+      (i, t0 + i * 60L * 1000000L, i * 10L))
+      .toDF("id", "start", "trace_id"))
+    store.compact() // tombstones the legacy files
+    assert(store.manifestDead.exists(_.nonEmpty))
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(root))
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/span/_manifest")
+    def plant(name: String, body: Array[Byte]): String = {
+      val p = new org.apache.hadoop.fs.Path(mdir, name)
+      val o = fsys.create(p, true); o.write(body); o.close(); name
+    }
+    // 1. the ADVICE medium: a future `protocol` line behind a 3 MB
+    // drifted-schema header line, gzipped — a fixed 64 KB read cap
+    // would truncate the protocol away and classify known-format,
+    // silently failing the gate open in exactly the rollback scenario
+    // it exists for
+    val wideBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(("mlist=0\nparent\tgen-x\nschema\t" +
+        ("x" * (3 * 1024 * 1024)) + "\nprotocol\tfuture-v99\n")
+        .getBytes("UTF-8"))
+      gz.close(); bos.toByteArray
+    }
+    val wide = plant(f"gen-${2L}%019d-wide.list", wideBody)
+    // 2. torn INSIDE the header region (a non-atomic copy's tear):
+    // unterminated schema line, nothing after
+    val torn = plant(f"gen-${3L}%019d-headtorn.list",
+      "mlist=0\nparent\tgen-x\nschema\t{trunc".getBytes("UTF-8"))
+    // 3. zero-byte artifact
+    val empty = plant(f"gen-${4L}%019d-zero.list", Array.empty[Byte])
+    // 4. the ADVICE low: a KNOWN-form body whose first entry line
+    // names a root-level rel literally `protocol` — an entry, not a
+    // capability; must NOT trip the gate
+    plant(f"gen-${5L}%019d-prot.list",
+      "count=1\nprotocol\t10\t20\n".getBytes("UTF-8"))
+    val stand = store.vacuumStandDowns()
+    assert(stand.exists { case (n, r) =>
+      n == wide && r.contains("future protocol") },
+      s"wide-header future protocol must classify: $stand")
+    assert(stand.exists { case (n, r) =>
+      n == torn && r.contains("torn inside the header region") }, s"$stand")
+    assert(stand.exists { case (n, r) =>
+      n == empty && r.contains("empty") }, s"$stand")
+    assert(!stand.exists(_._1.contains("prot")),
+      "an entry rel named 'protocol' is not a capability")
+    assert(stand.size == 3)
+    // stand-down holds under maximal deletion pressure
+    val (_, orphans1, pruned1) = store.vacuum(0)
+    assert(orphans1 == 0 && pruned1 == 0)
+    assert(store.manifestDead.exists(_.nonEmpty),
+      "the dead-list republish must stand down too")
+    // acknowledging a READABLE generation throws — the acknowledgment
+    // was written against stale facts
+    intercept[IllegalArgumentException] {
+      store.vacuum(0, reclaimUnknown = Seq(store.generations().last))
+    }
+    intercept[IllegalArgumentException] {
+      store.vacuum(0, reclaimUnknown = Seq("gen-not-there.list"))
+    }
+    assert(store.vacuumStandDowns().size == 3, "failed acks reclaim nothing")
+    // the operator acknowledges the three dead artifacts: they are
+    // reclaimed and THE SAME PASS's sweeps resume
+    store.vacuum(0, reclaimUnknown = Seq(wide, torn, empty)): Unit
+    assert(store.vacuumStandDowns().isEmpty)
+    assert(store.manifestDead.exists(_.isEmpty),
+      "with the gate clear the republish prunes the dead list")
+    assert(store.read(None, None).get.count() == 4)
+    store.generations().foreach(g => assert(store.generationReadable(g)))
+  }
+
+  test("checkpoint reuse never mixes a stale date-keyed manifest with " +
+      "fresh hour-keyed ones: the partition merges fresh in fold " +
+      "order, so a re-added rel's newest copy wins regardless of " +
+      "mf-name timestamps") {
+    import graft.store.{StoreFs, StoreManifest}
+    val root = newRoot()
+    val fsys = StoreFs.fs(new org.apache.hadoop.fs.Path(root))
+    val m = new StoreManifest(fsys, s"$root/t")
+    m.hotSplitFiles = 4
+    def e(rel: String, sz: Long) = StoreManifest.Entry(rel, sz, 1L)
+    val d = "date=2024-01-01"
+    // checkpoint: one date-keyed manifest holding a.parquet@size1
+    m.publish(Seq(e(s"$d/hour=00/minute=00/a.parquet", 1L),
+      e(s"$d/hour=00/minute=01/b.parquet", 1L)), None, Nil, parent = None)
+    // threshold-crossing pure APPEND that re-adds a.parquet with a
+    // new size: the append splits into hour manifests carrying the
+    // fresh copy while the stale copy stays in the date-keyed one —
+    // the mixed state the reuse rule must refuse
+    m.publishPatch(adds = Seq(
+      e(s"$d/hour=00/minute=00/a.parquet", 2L),
+      e(s"$d/hour=00/minute=02/c.parquet", 1L),
+      e(s"$d/hour=01/minute=00/x.parquet", 1L),
+      e(s"$d/hour=01/minute=01/y.parquet", 1L)),
+      drops = Nil, deadPlus = Nil, deadMinus = Nil,
+      schema = None, parent = m.genNames().last)
+    val refsMid = m.mfRefs().map(_._2).filter(_.startsWith(d))
+    assert(refsMid.contains(d) && refsMid.exists(_.contains("/hour=")),
+      s"fixture must be mixed: $refsMid")
+    // fold-order resolution is already right mid-chain
+    assert(m.read().get.entries
+      .find(_.rel == s"$d/hour=00/minute=00/a.parquet").get.size == 2L)
+    // roll a checkpoint with the partition UNTOUCHED (other-partition
+    // patches up to the cadence): reuse must refuse the mixed set
+    (0 until 9).foreach { i =>
+      m.publishPatch(adds = Seq(
+        e(s"date=2024-02-02/hour=00/minute=0$i/z$i.parquet", 1L)),
+        drops = Nil, deadPlus = Nil, deadMinus = Nil,
+        schema = None, parent = m.genNames().last)
+    }
+    val snap = m.read().get
+    assert(snap.depth == 0, "the cadence must have rolled a checkpoint")
+    val refsAfter = m.mfRefs().map(_._2).filter(_.startsWith(d))
+    assert(!(refsAfter.contains(d) && refsAfter.exists(_ != d)),
+      s"a checkpoint must not reuse a mixed partition: $refsAfter")
+    assert(snap.entries
+      .find(_.rel == s"$d/hour=00/minute=00/a.parquet").get.size == 2L,
+      "the fresh copy survives the rollover merge")
+    assert(snap.entries.count(_.rel.startsWith(d + "/")) == 5)
+  }
+
+  test("the maintenance cadence adopts the hot-date hour split " +
+      "MID-INGEST: a lowered threshold re-keys the live date in one " +
+      "metadata commit while staged flushes keep landing and reads " +
+      "stay green throughout") {
+    val root = newRoot()
+    val store = new ParquetStore(spark, root, "span", "start")
+    def batch(ids: Seq[Long]) = ids.map(i =>
+      (i, t0 + (i / 5L) * 3600000000L + (i % 5L) * 60L * 1000000L,
+        i * 10L)).toDF("id", "start", "trace_id")
+    def ids(): Set[Long] = store.read(None, None).get
+      .select("id").as[Long].collect().toSet
+    val all = (0L until 15L).toSet
+    // phase 1 — default threshold: staged flushes drain to ONE
+    // date-keyed manifest (8 minute files, nowhere near 10⁵)
+    store.writeStaged(batch((0L until 8L).toSeq))
+    assert(store.maybeCompact(maxStagedFiles = 1))
+    assert(store.resplitHotDates().isEmpty,
+      "under the default threshold nothing is hot")
+    val refs0 = store.manifestRefs.filter(_._2.nonEmpty)
+    assert(refs0.nonEmpty && refs0.forall(!_._2.contains("/")),
+      s"unsplit date-keyed start: $refs0")
+    // rollout lowers the knob (SPARK_GRAFT_MF_SPLIT in a deployment;
+    // the instance seam here) while ingest keeps flowing
+    store.hotSplitFiles = 6
+    store.writeStaged(batch((8L until 15L).toSeq))
+    assert(ids() == all, "staged tail reads green pre-adoption")
+    // cadence tick — the maintain() body in order: heal (nothing to
+    // heal), drain policy (not deep enough), RESPLIT (adopts the hour
+    // layout: one metadata commit, zero data movement, staged tail
+    // untouched), vacuum
+    val gensBefore = store.generations().size
+    assert(store.planCompactions().isEmpty)
+    assert(!store.maybeCompact(maxStagedFiles = 64))
+    val resplit = store.resplitHotDates()
+    assert(resplit.nonEmpty, "the cadence performs the adoption")
+    store.vacuum(graceMs = 3600000L): Unit
+    assert(store.generations().size == gensBefore + 1)
+    assert(store.generationInfo(store.generations().last)
+      .exists(_.contains("resplit")))
+    val refs1 = store.manifestRefs.filter(_._2.nonEmpty)
+    assert(refs1.forall(_._2.contains("/hour=")),
+      s"hour-keyed after adoption: $refs1")
+    assert(ids() == all, "reads green mid-adoption, staged included")
+    // a one-hour window prunes to its hour and answers exactly its rows
+    assert(store.read(Some(t0), Some(t0 + 3599L * 1000000L)).get
+      .select("id").as[Long].collect().toSet == all.filter(_ / 5L == 0L))
+    // the next drain keeps the split (the threshold holds at rewrite)
+    assert(store.maybeCompact(maxStagedFiles = 1))
+    assert(ids() == all)
+    assert(store.manifestRefs.filter(_._2.nonEmpty)
+      .forall(_._2.contains("/hour=")))
+  }
+
+  test("cross-process maintenance races: a child process runs " +
+      "compactDate/resplitHotDates/vacuum against a table the parent " +
+      "keeps mutating — every interleaving lands cleanly or rejects " +
+      "loudly, zero rows lost, every retained generation folds after") {
+    import scala.jdk.CollectionConverters._
+    val local = java.nio.file.Files.createTempDirectory("contendm").toString
+    val store = new ParquetStore(spark, local, "span", "start")
+    store.writeStaged((1L to 6L).map(i =>
+      (i, t0 + i * 60L * 1000000L, i * 10L))
+      .toDF("id", "start", "trace_id"))
+    store.compact()
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val date1 = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(t0 / 1000000L), zone).toString
+    val out = java.nio.file.Files.createTempFile("contendm_", ".json")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val iters = 4
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp",
+      System.getProperty("java.class.path"), "graft.ContendProbe",
+      local, iters.toString, out.toString, "maintenance", date1)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(java.nio.file.Files
+      .createTempFile("contendm_", ".log").toFile)
+    val proc = pb.start()
+    try {
+      // the parent keeps mutating with FRESH instances (each claims a
+      // new lease) — racing the child's maintenance ops both ways:
+      // every op on either side lands cleanly or rejects loudly
+      var parentOk = 0
+      val deadline = System.currentTimeMillis() + 180000L
+      while (proc.isAlive && System.currentTimeMillis() < deadline) {
+        try {
+          new ParquetStore(spark, local, "span", "start").compact()
+          parentOk += 1
+        } catch {
+          case _: ParquetStore.WriterFencedException => ()
+          case _: graft.store.StoreManifest.ConcurrentCommitException => ()
+          case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("re-plan") => ()
+        }
+        Thread.sleep(150L)
+      }
+      assert(proc.waitFor(4, java.util.concurrent.TimeUnit.MINUTES),
+        "the child process timed out")
+      assert(parentOk > 0,
+        "the parent must land at least one commit through the storm")
+    } finally { if (proc.isAlive) proc.destroyForcibly(): Unit }
+    // the child wrote its report ⇔ every one of its ops either landed
+    // or was rejected by a COUNTED loud path (anything else crashes
+    // the probe before the write); the counts must account for every
+    // attempted op
+    val report = java.nio.file.Files.readString(out)
+    val counts = """-?\d+""".r.findAllIn(report).map(_.toInt).toSeq
+    assert(counts.size == 3 && counts.sum == iters * 3,
+      s"every maintenance op must land or reject loudly: $report")
+    // post-storm: the table is whole — zero lost rows, every retained
+    // generation folds, the manifest is live
+    val after = new ParquetStore(spark, local, "span", "start")
+    assert(after.read(None, None).get.select("id").as[Long]
+      .collect().toSet == (1L to 6L).toSet)
+    assert(after.manifestPresent)
+    after.generations().foreach(g =>
+      assert(after.generationReadable(g), s"$g must fold whole"))
+  }
 }
