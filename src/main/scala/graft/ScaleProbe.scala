@@ -269,6 +269,10 @@ object ScaleProbe {
             stateBackend = Some(graft.util.StateBackend
               .forExpectedKeys(60L * 1000 * 1000))))
       }
+      if (only.exists("qsurf".startsWith))
+        querySurfaceProbe(spark, scale,
+          spansN(100).localCheckpoint(true),
+          logsN(100).localCheckpoint(true))
       Dedup.releaseIntermediates()
     }
 
@@ -472,6 +476,11 @@ object ScaleProbe {
       // landed store
       measureStream("w11_ingest_loop", scale,
         graft.queries.EngineQueries.ingestLoopRun(spark, sp, lg))
+      // round 20 (VERDICT r19 #7): the reference-shaped QUERY surface
+      // per decade — g01/g03/g05 over real landed stores; see
+      // querySurfaceProbe
+      if (only.isEmpty || only.exists("qsurf".startsWith))
+        querySurfaceProbe(spark, scale, sp, lg)
       // bounded-state streamed sketches: the state story is the
       // INVERSE of w07/w09's — feed grows 10×, state stays pinned by
       // the sketch bound (≤ ~50 buckets/type, ≤ K hashes/source,
@@ -531,6 +540,78 @@ object ScaleProbe {
       hotDateProbe()
     if (tiers.contains("100x")) run100x()
     spark.stop()
+  }
+
+  /** Round-20 decade probe for the REFERENCE-SHAPED query surface
+    * (VERDICT r19 #7): the pipeline operators had 10×/100× rows; the
+    * g01 log search / g03 trace search / g05 trace-id lookup shapes
+    * did not. Each tier lands the m× span/log corpora (structure-
+    * preserving copies: per-trace span trees replicate, the ~7-year
+    * event-time spread stays) in real stores — staged flush →
+    * day-grain compact, the backfill shape — then measures:
+    *
+    *  - a fixed ONE-DAY windowed log search and trace search (wall +
+    *    the manifest-ADMITTED file count vs the table total: the
+    *    "plan ∝ window, not table" claim as per-decade numbers — the
+    *    admitted count must stay ~flat while the total grows 10×/
+    *    decade, because a day window admits the same dates whatever
+    *    the corpus size; per-file ROWS grow, which the wall tracks);
+    *  - an UNBOUNDED trace-id point lookup — the parquet bloom
+    *    filter's path: every file is admitted, the bloom consults
+    *    per row group before scanning, so the wall must grow with
+    *    bytes scanned, never explode with candidate row groups.
+    */
+  private def querySurfaceProbe(spark: SparkSession, scale: String,
+      spans: DataFrame, logs: DataFrame): Unit = {
+    import graft.query.{LogQueries, TraceQueries}
+    val root = java.nio.file.Files
+      .createTempDirectory(s"qsurf_$scale").toString
+    val sst = new graft.store.ParquetStore(spark, root, "span", "start")
+    val lst = new graft.store.ParquetStore(spark, root, "log", "time")
+    sst.writeStaged(spans)
+    sst.compact(granularity = "day")
+    lst.writeStaged(logs)
+    lst.compact(granularity = "day")
+    val mm = spans.agg(min(col("start")).as("lo"), max(col("start"))
+      .as("hi"), min(col("trace_id")).as("t")).collect()(0)
+    val dayUs = 86400L * 1000000L
+    val wLo = mm.getAs[Long]("lo") +
+      (mm.getAs[Long]("hi") - mm.getAs[Long]("lo")) / 2
+    val wHi = wLo + dayUs
+    val probeTid = mm.getAs[Long]("t")
+    val sTotal = sst.manifestFiles.map(_.size).getOrElse(-1)
+    val lTotal = lst.manifestFiles.map(_.size).getOrElse(-1)
+    def probe(name: String, planned: Long, total: Long)
+        (df: => DataFrame): Unit = {
+      val d = df
+      d.count() // warm: plan + codegen outside the clock
+      val t0 = System.nanoTime()
+      val rows = d.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"query":"$name","scale":"$scale","rows":$rows,""" +
+        f""""sec":$sec%.2f,"files_planned":$planned,""" +
+        f""""files_total":$total}""")
+    }
+    val logWin = lst.read(Some(wLo), Some(wHi)).get
+    probe("qsurf_g01_log_search",
+      logWin.inputFiles.length.toLong, lTotal.toLong) {
+      LogQueries.search(logWin, LogQueries.LogSearchParams(
+        service = "oltp", startUs = Some(wLo), endUs = Some(wHi),
+        limit = 1000))
+    }
+    val spanWin = sst.read(Some(wLo), Some(wHi)).get
+    probe("qsurf_g03_trace_search",
+      spanWin.inputFiles.length.toLong, sTotal.toLong) {
+      TraceQueries.filterTraces(spark, spanWin, logWin,
+        graft.query.TraceQueries.TraceSearchParams(service = "oltp",
+          startUs = Some(wLo), endUs = Some(wHi), limit = 100))
+    }
+    // the bloom path: unbounded window, every file admitted — the
+    // per-row-group bloom consult is what keeps the lookup cheap
+    val spanAll = sst.read(None, None).get
+    probe("qsurf_g05_trace_lookup", sTotal.toLong, sTotal.toLong) {
+      spanAll.filter(col("trace_id") === probeTid)
+    }
   }
 
   /** The hot-date split measured at the residual's own scale: EVERY

@@ -244,6 +244,8 @@ class HttpApiSpec extends SparkSpec {
     engine.flush()
     val st = new graft.store.ParquetStore(spark, root, "log", "time")
     st.compact() // gen A: both days committed
+    Thread.sleep(5L) // distinct commit millis: the asofTs coordinate
+                     // below must separate the two generations
     st.expire(t0 + day): Unit // gen B: day 1 retired
     val api = new HttpApi(engine)
     api.start()
@@ -272,9 +274,29 @@ class HttpApiSpec extends SparkSpec {
       // a pruned/unknown generation is 404, not a silent fall-through
       assert(get(port,
         s"/api/logs?service=svc&$win&asof=gen-0000-nope.list")._1 == 404)
-      // the trace route requires BOTH pins together
+      // asofTs: ONE wall-clock coordinate — an instant before the
+      // expiry resolves to gen A (both days), now-ish to the current
+      // truth; an instant predating retention is 404; both
+      // coordinates at once is a 400
+      def genMillis(g: String): Long =
+        g.stripPrefix("gen-").takeWhile(_.isDigit).toLong
+      val preExpiryTs = genMillis(gens.last) - 1L
+      val (scT, oldT) = get(port,
+        s"/api/logs?service=svc&$win&asofTs=$preExpiryTs")
+      assert(scT == 200 && oldT.contains("old-day") &&
+        oldT.contains("new-day"), oldT)
+      val (scN, curT) = get(port, s"/api/logs?service=svc&$win" +
+        s"&asofTs=${System.currentTimeMillis()}")
+      assert(scN == 200 && !curT.contains("old-day"), curT)
+      assert(get(port, s"/api/logs?service=svc&$win" +
+        s"&asofTs=${genMillis(gens.head) - 1L}")._1 == 404)
+      assert(get(port, s"/api/logs?service=svc&$win" +
+        s"&asof=${gens.head}&asofTs=$preExpiryTs")._1 == 400)
+      // the trace route requires BOTH pins together (or asofTs alone)
       assert(get(port,
         s"/api/traces?service=svc&spanAsof=${gens.head}")._1 == 400)
+      assert(get(port, s"/api/traces?service=svc&spanAsof=${gens.head}" +
+        s"&logAsof=${gens.head}&asofTs=$preExpiryTs")._1 == 400)
       // CDC: expiry between the generations is a REMOVED diff — the
       // retired day-1 row pages out; the insert side has no diff
       val (scR, removed) = get(port, s"/api/changes?table=log&" +
