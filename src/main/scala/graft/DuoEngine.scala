@@ -380,12 +380,12 @@ final class DuoEngine(val spark: SparkSession, root: String,
     if (memoryMode) Map.empty else storeOf(table).generationInfos()
 
   /** Generation files currently standing a table's vacuum destructive
-    * sweeps down, with reasons (see
-    * [[graft.store.ParquetStore.vacuumStandDowns]]) — the operator
+    * sweeps down, as (name, reason, reclaimable) — see
+    * [[graft.store.ParquetStore.vacuumStandDowns]]; the operator
     * probe behind the [[maintain]] cadence's warn log. Empty ⇔ the
     * sweeps run (and in memory mode).
     */
-  def vacuumStandDowns(table: String): Seq[(String, String)] =
+  def vacuumStandDowns(table: String): Seq[(String, String, Boolean)] =
     if (memoryMode) Seq.empty else storeOf(table).vacuumStandDowns()
 
   /** A named durable incremental CDC consumer over one table's

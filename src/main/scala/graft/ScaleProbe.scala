@@ -269,7 +269,7 @@ object ScaleProbe {
             stateBackend = Some(graft.util.StateBackend
               .forExpectedKeys(60L * 1000 * 1000))))
       }
-      if (only.exists("qsurf".startsWith))
+      if (only.isEmpty || only.exists("qsurf".startsWith))
         querySurfaceProbe(spark, scale,
           spansN(100).localCheckpoint(true),
           logsN(100).localCheckpoint(true))

@@ -192,6 +192,11 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
         // never mix epochs when later commits landed on only one
         // table) — the engine's time-travel surface made remotely
         // reachable
+        // a time-travel request with an unparseable coordinate must
+        // fail, never silently answer from the present epoch
+        if (q.contains("asofTs") &&
+            q.get("asofTs").flatMap(_.toLongOption).isEmpty)
+          return text(ex, 400, "asofTs must be epoch milliseconds")
         (q.get("spanAsof"), q.get("logAsof"),
             q.get("asofTs").flatMap(_.toLongOption)) match {
           case (None, None, None) =>
@@ -415,7 +420,11 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
         // `asofTs=<millis>` is the timestamp twin of `asof` (newest
         // generation committed ≤ T — the one-coordinate form)
         val asofTs = q.get("asofTs").flatMap(_.toLongOption)
-        if (q.contains("asof") && asofTs.isDefined)
+        if (q.contains("asofTs") && asofTs.isEmpty)
+          // unparseable time-travel coordinate: fail, never silently
+          // answer from the present epoch
+          text(ex, 400, "asofTs must be epoch milliseconds")
+        else if (q.contains("asof") && asofTs.isDefined)
           text(ex, 400, "pass asof or asofTs, not both")
         else {
           val searched = (q.get("asof"), asofTs) match {

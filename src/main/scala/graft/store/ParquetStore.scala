@@ -152,18 +152,26 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
   def generationReadable(gen: String): Boolean =
     manifest.readGen(gen).isDefined
 
-  /** The newest retained generation committed at or before `tsMillis`
-    * — generation names embed their commit wall-clock millis, so a
-    * TIMESTAMP is a complete AS-OF coordinate (and, resolved against
-    * several stores, a CONSISTENT one: each pins its newest
-    * generation ≤ T, whatever mix of commits landed after). None when
-    * T predates retention (nothing retained is old enough to answer
-    * T truthfully — serving the oldest surviving generation instead
-    * would silently misdate the answer) or no generation exists.
+  /** The newest retained READABLE generation committed at or before
+    * `tsMillis` — generation names embed their commit wall-clock
+    * millis, so a TIMESTAMP is a complete AS-OF coordinate (and,
+    * resolved against several stores, a CONSISTENT one: each pins its
+    * newest generation ≤ T, whatever mix of commits landed after).
+    * Unreadable names are skipped, not resolved: a torn/foreign
+    * gen-file whose name sorts into the range must degrade to the
+    * previous readable coordinate (the same fallback every read
+    * takes), not turn every asofTs query into a 404. None when T
+    * predates retention (nothing retained is old enough to answer T
+    * truthfully — serving the oldest surviving generation instead
+    * would silently misdate the answer) or no readable generation
+    * exists. Note the empty-table edge: a readable generation with
+    * ZERO entries resolves here, but [[readGeneration]] then answers
+    * None (no files to plan) — callers surface that as "no data",
+    * the same answer the plain read gives an empty store.
     */
   def generationAsOf(tsMillis: Long): Option[String] =
     generations().filter(g => genFileMillis(g).exists(_ <= tsMillis))
-      .lastOption
+      .reverseIterator.find(generationReadable)
 
   /** A named durable incremental CDC consumer over this store's
     * generation history — see [[CdcFeed]]. `keyCols` nonEmpty makes
@@ -418,20 +426,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     val t = truth()
     val batchSchema = StoreManifest.allNullable(batch.schema)
     val gen = newGenName()
-    batch
-      .withColumn("__ts", timestamp_micros(col(timeCol)))
-      .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
-      .withColumn("hour", date_format(col("__ts"), "HH"))
-      .withColumn("minute", date_format(col("__ts"), "mm"))
-      .drop("__ts")
-      .repartition(col("date"), col("hour"), col("minute"))
-      .write
-      .mode("overwrite")
-      .option("parquet.bloom.filter.enabled#trace_id", "true")
-      .option("parquet.bloom.filter.expected.ndv#trace_id",
-        bloomNdv.toString)
-      .partitionBy("date", "hour", "minute")
-      .parquet(s"$dir/$gen")
+    landGenTree(batch, gen)
     beforeCommit()
     fence()
     val landed = manifest.walkSubtree(gen)
@@ -510,21 +505,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       case (sv, ad) => sv.orElse(ad)
     }
     val gen = newGenName()
-    toLand.foreach { rows =>
-      rows
-        .withColumn("__ts", timestamp_micros(col(timeCol)))
-        .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
-        .withColumn("hour", date_format(col("__ts"), "HH"))
-        .withColumn("minute", date_format(col("__ts"), "mm"))
-        .drop("__ts")
-        .repartition(col("date"), col("hour"), col("minute"))
-        .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#trace_id", "true")
-        .option("parquet.bloom.filter.expected.ndv#trace_id",
-          bloomNdv.toString)
-        .partitionBy("date", "hour", "minute")
-        .parquet(s"$dir/$gen")
-    }
+    toLand.foreach(landGenTree(_, gen))
     beforeCommit()
     fence()
     val landed =
@@ -566,20 +547,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     fence()
     val t = truth()
     val gen = newGenName()
-    batch.foreach { b =>
-      b.withColumn("__ts", timestamp_micros(col(timeCol)))
-        .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
-        .withColumn("hour", date_format(col("__ts"), "HH"))
-        .withColumn("minute", date_format(col("__ts"), "mm"))
-        .drop("__ts")
-        .repartition(col("date"), col("hour"), col("minute"))
-        .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#trace_id", "true")
-        .option("parquet.bloom.filter.expected.ndv#trace_id",
-          bloomNdv.toString)
-        .partitionBy("date", "hour", "minute")
-        .parquet(s"$dir/$gen")
-    }
+    batch.foreach(landGenTree(_, gen))
     beforeCommit()
     fence()
     val landed =
@@ -595,6 +563,30 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           .map(StoreManifest.Dead(_, now)),
       parent = t.map(_.gen), info = info)
   }
+
+  /** Land `rows` in the immutable `_gen-*` tree `gen`: partition
+    * columns derived from the row's own time, one file per touched
+    * minute dir, trace_id bloom — the shared landing block of every
+    * manifest-committed write ([[writeCommitted]] / [[applyMirror]] /
+    * [[replaceCommitted]]); a change here (bloom knobs, partition
+    * scheme) must reach all three or an unbounded trace lookup
+    * silently loses its pruning on one path.
+    */
+  private def landGenTree(rows: DataFrame, gen: String): Unit =
+    rows
+      .withColumn("__ts", timestamp_micros(col(timeCol)))
+      .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("__ts"), "HH"))
+      .withColumn("minute", date_format(col("__ts"), "mm"))
+      .drop("__ts")
+      .repartition(col("date"), col("hour"), col("minute"))
+      .write
+      .mode("overwrite")
+      .option("parquet.bloom.filter.enabled#trace_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#trace_id",
+        bloomNdv.toString)
+      .partitionBy("date", "hour", "minute")
+      .parquet(s"$dir/$gen")
 
   def exists: Boolean = fs.exists(new Path(dir))
 
@@ -1172,34 +1164,45 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * Returns (tombstonedFilesDeleted, orphanTreesDeleted, gensPruned).
     */
   /** The generation files currently standing vacuum's destructive
-    * sweeps down, with their classification reasons — the operator
+    * sweeps down, as (name, reason, reclaimable) — the operator
     * observability surface of the future-format gate (empty ⇔ sweeps
-    * run). A name here is either a NEWER binary's commit (leave it;
-    * roll this binary forward) or provably-dead debris (a zero-byte /
-    * header-torn artifact from a non-atomic copy) the operator can
-    * acknowledge via [[vacuum]]'s `reclaimUnknown`.
+    * run). `reclaimable = true` marks provably-dead debris (a
+    * zero-byte / header-torn artifact from a non-atomic copy) the
+    * operator can acknowledge via [[vacuum]]'s `reclaimUnknown`;
+    * false means a NEWER binary's commit (leave it; roll this binary
+    * forward) or a transient read fault (retries next pass).
     */
-  def vacuumStandDowns(): Seq[(String, String)] =
-    manifest.futureFormatGens().map(u => (u.name, u.reason))
+  def vacuumStandDowns(): Seq[(String, String, Boolean)] =
+    manifest.futureFormatGens().map(u => (u.name, u.reason, u.reclaimable))
 
   /** @param reclaimUnknown generation file names the OPERATOR
     *   acknowledges as dead debris (from [[vacuumStandDowns]]): they
     *   are deleted before the gate is evaluated, so a permanently-torn
     *   artifact cannot disable reclaim forever. Every named file must
-    *   currently classify as uninterpretable — acknowledging a
-    *   readable generation (or a name the gate isn't holding) throws,
-    *   because that acknowledgment was written against stale facts.
+    *   currently classify as PROVABLY-DEAD debris (zero-byte,
+    *   header-torn, torn gzip, oversized header — shapes no whole-file
+    *   rename publish produces). Acknowledging anything else throws:
+    *   a readable generation or an unheld name means the
+    *   acknowledgment was written against stale facts, and an
+    *   unknown-form / future-protocol / transient-I/O classification
+    *   may be a NEWER binary's live commit — the acknowledge path
+    *   must not become the rollback hazard's own delete button.
     */
   def vacuum(graceMs: Long,
       reclaimUnknown: Seq[String] = Nil): (Int, Int, Int) = {
     fence()
     if (reclaimUnknown.nonEmpty) {
-      val unknown = manifest.futureFormatGens().map(_.name).toSet
-      val bad = reclaimUnknown.filterNot(unknown)
+      val unknown = manifest.futureFormatGens()
+        .map(u => u.name -> u).toMap
+      val bad = reclaimUnknown.filter(n =>
+        !unknown.get(n).exists(_.reclaimable))
       if (bad.nonEmpty) throw new IllegalArgumentException(
-        s"$dir: reclaimUnknown names not currently classified " +
-          s"uninterpretable: ${bad.mkString(", ")} — re-check " +
-          "vacuumStandDowns() and acknowledge only what it reports")
+        s"$dir: reclaimUnknown names not currently classified as " +
+          s"provably-dead debris: ${bad.map(n => unknown.get(n)
+            .map(u => s"$n (${u.reason})").getOrElse(s"$n (not held)"))
+            .mkString(", ")} — re-check vacuumStandDowns() and " +
+          "acknowledge only reclaimable entries; a future binary's " +
+          "commit is never acknowledgeable")
       reclaimUnknown.foreach(manifest.deleteGen)
     }
     val now = System.currentTimeMillis()

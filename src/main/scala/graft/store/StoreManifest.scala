@@ -1468,9 +1468,19 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       try classifyHeader(n, st.getPath)
       catch {
         case _: java.io.FileNotFoundException => None // raced prune
+        case e @ (_: java.io.EOFException |
+            _: java.util.zip.ZipException) =>
+          // a gzip stream torn INSIDE the header region: dead debris
+          // (our own writers publish whole files via rename; only a
+          // non-atomic copy produces this) — reclaimable on ack
+          Some(StoreManifest.UnknownGen(n,
+            s"torn gzip inside the header region " +
+              s"(${e.getClass.getSimpleName})", reclaimable = true))
         case scala.util.control.NonFatal(e) =>
           // fail CLOSED: an unreadable header stands the sweeps down
-          // for THIS pass; the next tick re-reads (never memoized)
+          // for THIS pass; the next tick re-reads (never memoized).
+          // NOT reclaimable — a transient fault must not make a
+          // healthy generation acknowledgeable for deletion.
           Some(StoreManifest.UnknownGen(n,
             s"header unreadable this pass: ${e.getClass.getSimpleName}"))
       }
@@ -1502,36 +1512,46 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         Seq("parent\t", "schema\t", "info\t", "protocol\t")
       val sb = new java.lang.StringBuilder
       var lineNo = 0
+      var legacyForm = false
       var read = 0L
       while (true) {
         val c = data.read()
         read += 1
         if (read > StoreManifest.ClassifyMaxBytes)
           return Some(StoreManifest.UnknownGen(n,
-            s"header region exceeds ${StoreManifest.ClassifyMaxBytes} B"))
+            s"header region exceeds ${StoreManifest.ClassifyMaxBytes} B",
+            reclaimable = true))
         if (c < 0) {
           // EOF: a clean end after complete header lines is a whole
           // (header-only) body; anything short of that is torn inside
-          // the header region — uninterpretable, stand down
+          // the header region — uninterpretable, stand down (and
+          // RECLAIMABLE: whole-file rename publishing means only dead
+          // debris can look like this)
           return if (lineNo == 0 || sb.length > 0)
             Some(StoreManifest.UnknownGen(n,
               if (lineNo == 0 && sb.length == 0) "empty generation file"
-              else "torn inside the header region"))
+              else "torn inside the header region", reclaimable = true))
           else None
         }
         if (c == '\n') {
           val line = sb.toString; sb.setLength(0)
           if (lineNo == 0) {
-            if (!(line.startsWith("count=") || line.startsWith("mlist=") ||
+            legacyForm = line.startsWith("count=")
+            if (!(legacyForm || line.startsWith("mlist=") ||
                 line.startsWith("delta=")))
               return Some(StoreManifest.UnknownGen(n,
                 s"unknown body form '${line.take(32)}'"))
           } else if (line.startsWith("protocol\t")) {
+            // LEGACY (count=) bodies have no protocol concept at all:
+            // their parser reads such a line as a (malformed or
+            // rel-literally-named-`protocol`) ENTRY — interpretable
+            // form either way, never a capability. In the two-level
+            // forms `parseProtocol` rejects ANY unrecognized value
+            // whole — multi-token included — so the classifier must
+            // flag exactly what the reader refuses to interpret, or
+            // the gate fails open on a future multi-token capability.
+            if (legacyForm) return None
             val cap = line.stripPrefix("protocol\t")
-            // more than one value token ⇒ an ENTRY line whose rel is
-            // literally `protocol` (rel\tsize\tmtime) — the header
-            // region ended, known form, interpretable
-            if (cap.contains('\t')) return None
             if (!StoreManifest.SupportedProtocols(cap))
               return Some(StoreManifest.UnknownGen(n,
                 s"future protocol capability '${cap.take(32)}'"))
@@ -1659,10 +1679,18 @@ object StoreManifest {
     Set(HourSplitProtocol)
 
   /** One generation this binary cannot vouch for (vacuum's stand-down
-    * set): the file name and WHY it classified — the observability
-    * half of the destructive-sweep gate.
+    * set): the file name, WHY it classified — the observability half
+    * of the destructive-sweep gate — and whether the classification
+    * PROVES it dead debris (`reclaimable`): zero-byte, torn inside
+    * the header region, or an absurdly oversized header, which no
+    * whole-file rename publish can produce. Only reclaimable entries
+    * may be acknowledged through `vacuum(reclaimUnknown)`; an
+    * unknown-form or future-protocol generation is (or may be) a
+    * NEWER binary's live commit, and a transient-I/O classification
+    * proves nothing — neither is acknowledgeable for deletion.
     */
-  final case class UnknownGen(name: String, reason: String)
+  final case class UnknownGen(name: String, reason: String,
+      reclaimable: Boolean = false)
 
   /** Header-region read bound for the future-format classifier: far
     * above any real header (the widest drifted-schema line measured is

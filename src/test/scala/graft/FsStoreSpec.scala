@@ -2263,39 +2263,59 @@ class FsStoreSpec extends SparkSpec {
       "mlist=0\nparent\tgen-x\nschema\t{trunc".getBytes("UTF-8"))
     // 3. zero-byte artifact
     val empty = plant(f"gen-${4L}%019d-zero.list", Array.empty[Byte])
+    // 3b. a gzip body torn INSIDE the header region (non-atomic copy
+    // of a checkpoint): the inflater hits EOF mid-header — provably
+    // dead (whole-file rename publishing never produces it)
+    val tornGz = plant(f"gen-${6L}%019d-gztorn.list",
+      wideBody.take(400).toArray)
     // 4. the ADVICE low: a KNOWN-form body whose first entry line
     // names a root-level rel literally `protocol` — an entry, not a
     // capability; must NOT trip the gate
     plant(f"gen-${5L}%019d-prot.list",
       "count=1\nprotocol\t10\t20\n".getBytes("UTF-8"))
     val stand = store.vacuumStandDowns()
-    assert(stand.exists { case (n, r) =>
-      n == wide && r.contains("future protocol") },
-      s"wide-header future protocol must classify: $stand")
-    assert(stand.exists { case (n, r) =>
-      n == torn && r.contains("torn inside the header region") }, s"$stand")
-    assert(stand.exists { case (n, r) =>
-      n == empty && r.contains("empty") }, s"$stand")
+    assert(stand.exists { case (n, r, rec) =>
+      n == wide && r.contains("future protocol") && !rec },
+      s"wide-header future protocol must classify, NOT reclaimable: $stand")
+    assert(stand.exists { case (n, r, rec) =>
+      n == torn && r.contains("torn inside the header region") && rec },
+      s"$stand")
+    assert(stand.exists { case (n, r, rec) =>
+      n == empty && r.contains("empty") && rec }, s"$stand")
+    assert(stand.exists { case (n, r, rec) =>
+      n == tornGz && r.contains("torn gzip") && rec }, s"$stand")
     assert(!stand.exists(_._1.contains("prot")),
       "an entry rel named 'protocol' is not a capability")
-    assert(stand.size == 3)
+    assert(stand.size == 4)
     // stand-down holds under maximal deletion pressure
     val (_, orphans1, pruned1) = store.vacuum(0)
     assert(orphans1 == 0 && pruned1 == 0)
     assert(store.manifestDead.exists(_.nonEmpty),
       "the dead-list republish must stand down too")
-    // acknowledging a READABLE generation throws — the acknowledgment
-    // was written against stale facts
+    // acknowledging a READABLE generation, an unheld name, or — the
+    // critical one — a FUTURE-PROTOCOL generation (a newer binary's
+    // live commit) throws: the acknowledge path must never become
+    // the rollback hazard's own delete button
     intercept[IllegalArgumentException] {
       store.vacuum(0, reclaimUnknown = Seq(store.generations().last))
     }
     intercept[IllegalArgumentException] {
       store.vacuum(0, reclaimUnknown = Seq("gen-not-there.list"))
     }
-    assert(store.vacuumStandDowns().size == 3, "failed acks reclaim nothing")
-    // the operator acknowledges the three dead artifacts: they are
-    // reclaimed and THE SAME PASS's sweeps resume
-    store.vacuum(0, reclaimUnknown = Seq(wide, torn, empty)): Unit
+    intercept[IllegalArgumentException] {
+      store.vacuum(0, reclaimUnknown = Seq(wide))
+    }
+    assert(store.vacuumStandDowns().size == 4, "failed acks reclaim nothing")
+    // the operator acknowledges the provably-dead debris: reclaimed,
+    // but the future-protocol generation still gates the sweeps
+    store.vacuum(0, reclaimUnknown = Seq(torn, empty, tornGz)): Unit
+    assert(store.vacuumStandDowns().map(_._1) == Seq(wide))
+    assert(store.manifestDead.exists(_.nonEmpty),
+      "sweeps stay down while the future commit is present")
+    // the future generation gone (the newer binary's cleanup), the
+    // same pass's sweeps resume
+    fsys.delete(new org.apache.hadoop.fs.Path(mdir, wide), false): Unit
+    store.vacuum(0): Unit
     assert(store.vacuumStandDowns().isEmpty)
     assert(store.manifestDead.exists(_.isEmpty),
       "with the gate clear the republish prunes the dead list")
