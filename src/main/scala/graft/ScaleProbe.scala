@@ -538,8 +538,52 @@ object ScaleProbe {
       publishCostProbe()
     if (only.isEmpty || only.exists("hot_date_split".startsWith))
       hotDateProbe()
+    if (only.isEmpty || only.exists("mirror_step".startsWith))
+      mirrorProbe(spark)
     if (tiers.contains("100x")) run100x()
     spark.stop()
+  }
+
+  /** Round-20: the mirror consumer's per-step cost measured against
+    * table size — the claim in [[graft.store.ParquetStore.applyMirror]]
+    * is O(touched dates) data movement per step, never the table. Two
+    * sink sizes (4× apart in dates), the same mutation on each: the
+    * source expires its oldest date, the mirror consumes the removal.
+    * The step must tombstone only the touched date's sink files
+    * (files_rewritten flat) and take ~the same wall on both sizes.
+    */
+  private def mirrorProbe(spark: SparkSession): Unit = {
+    for (dates <- Seq(50, 200)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"mirror_$dates").toString
+      val src = new graft.store.ParquetStore(spark, root, "src", "start")
+      val sink = new graft.store.ParquetStore(spark, root, "sink", "start")
+      val day = 86400L * 1000000L
+      val base = 1760000000000000L
+      val rowsPerDate = 200L
+      val df = spark.range(dates.toLong * rowsPerDate).select(
+        col("id"),
+        (lit(base) + (col("id") % dates) * day +
+          floor(col("id") / dates).cast("long") % 5L * 60L * 1000000L)
+          .as("start"),
+        col("id").as("trace_id"))
+      src.writeStaged(df)
+      src.compact(granularity = "day")
+      val feed = src.cdcFeed(s"mprobe$dates", keyCols = Seq("id"))
+      feed.consumeInto(sink, mirror = true): Unit // bootstrap snapshot
+      src.expire(base + day): Unit // the mutation: oldest date retired
+      val sinkFiles = sink.manifestFiles.map(_.size).getOrElse(0)
+      val deadBefore = sink.manifestDead.map(_.size).getOrElse(0)
+      val ta = System.nanoTime()
+      feed.consumeInto(sink, mirror = true): Unit
+      val applySec = (System.nanoTime() - ta) / 1e9
+      val rewritten = sink.manifestDead.map(_.size).getOrElse(0) - deadBefore
+      val rows = sink.read(None, None).map(_.count()).getOrElse(0L)
+      println(f"""{"query":"mirror_step","dates":$dates,""" +
+        f""""sink_files":$sinkFiles,"files_rewritten":$rewritten,""" +
+        f""""rows_after":$rows,"sec":$applySec%.2f}""")
+      feed.reset()
+    }
   }
 
   /** Round-20 decade probe for the REFERENCE-SHAPED query surface
