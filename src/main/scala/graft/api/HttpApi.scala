@@ -193,12 +193,12 @@ final class HttpApi(engine: DuoEngine, port: Int = 0,
         // table) — the engine's time-travel surface made remotely
         // reachable
         // a time-travel request with an unparseable coordinate must
-        // fail, never silently answer from the present epoch
-        if (q.contains("asofTs") &&
-            q.get("asofTs").flatMap(_.toLongOption).isEmpty)
+        // fail, never silently answer from the present epoch (same
+        // rule as the logs handler)
+        val asofTs = q.get("asofTs").flatMap(_.toLongOption)
+        if (q.contains("asofTs") && asofTs.isEmpty)
           return text(ex, 400, "asofTs must be epoch milliseconds")
-        (q.get("spanAsof"), q.get("logAsof"),
-            q.get("asofTs").flatMap(_.toLongOption)) match {
+        (q.get("spanAsof"), q.get("logAsof"), asofTs) match {
           case (None, None, None) =>
             json(ex, 200,
               Jaeger.renderTraces(collectTraces(engine.searchTraces(p))))

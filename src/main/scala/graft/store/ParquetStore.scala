@@ -160,7 +160,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * Unreadable names are skipped, not resolved: a torn/foreign
     * gen-file whose name sorts into the range must degrade to the
     * previous readable coordinate (the same fallback every read
-    * takes), not turn every asofTs query into a 404. None when T
+    * takes), not turn every asofTs query into a 404. This keeps the
+    * cross-table consistency claim honest under the store's OWN truth
+    * rule: a torn generation is not a commit anywhere — the live read
+    * path serves the newest READABLE head too — so "each table's
+    * newest readable generation ≤ T" is exactly "each table's truth
+    * at instant T", torn debris or not. None when T
     * predates retention (nothing retained is old enough to answer T
     * truthfully — serving the oldest surviving generation instead
     * would silently misdate the answer) or no readable generation
@@ -1192,17 +1197,26 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       reclaimUnknown: Seq[String] = Nil): (Int, Int, Int) = {
     fence()
     if (reclaimUnknown.nonEmpty) {
-      val unknown = manifest.futureFormatGens()
-        .map(u => u.name -> u).toMap
-      val bad = reclaimUnknown.filter(n =>
-        !unknown.get(n).exists(_.reclaimable))
+      // the classification is RE-VERIFIED twice, on two independent
+      // header reads inside this call (never memoized): an ack racing
+      // one transient read fault must not delete a healthy file — a
+      // reclaim proceeds only when both fresh passes prove the same
+      // dead-debris shape
+      def unknownNow() =
+        manifest.futureFormatGens().map(u => u.name -> u).toMap
+      val (u1, u2) = (unknownNow(), unknownNow())
+      def reclaimableTwice(n: String): Boolean =
+        u1.get(n).exists(_.reclaimable) && u2.get(n).exists(_.reclaimable)
+      val bad = reclaimUnknown.filterNot(reclaimableTwice)
       if (bad.nonEmpty) throw new IllegalArgumentException(
-        s"$dir: reclaimUnknown names not currently classified as " +
-          s"provably-dead debris: ${bad.map(n => unknown.get(n)
+        s"$dir: reclaimUnknown names not (repeatably) classified as " +
+          s"provably-dead debris: ${bad.map(n => u2.get(n)
             .map(u => s"$n (${u.reason})").getOrElse(s"$n (not held)"))
             .mkString(", ")} — re-check vacuumStandDowns() and " +
           "acknowledge only reclaimable entries; a future binary's " +
-          "commit is never acknowledgeable")
+          "commit is never acknowledgeable, and a persistently " +
+          "I/O-unreadable artifact is out-of-band operator surgery " +
+          "on the named file, never an API call")
       reclaimUnknown.foreach(manifest.deleteGen)
     }
     val now = System.currentTimeMillis()

@@ -1468,19 +1468,17 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       try classifyHeader(n, st.getPath)
       catch {
         case _: java.io.FileNotFoundException => None // raced prune
-        case e @ (_: java.io.EOFException |
-            _: java.util.zip.ZipException) =>
-          // a gzip stream torn INSIDE the header region: dead debris
-          // (our own writers publish whole files via rename; only a
-          // non-atomic copy produces this) — reclaimable on ack
-          Some(StoreManifest.UnknownGen(n,
-            s"torn gzip inside the header region " +
-              s"(${e.getClass.getSimpleName})", reclaimable = true))
         case scala.util.control.NonFatal(e) =>
           // fail CLOSED: an unreadable header stands the sweeps down
           // for THIS pass; the next tick re-reads (never memoized).
-          // NOT reclaimable — a transient fault must not make a
-          // healthy generation acknowledgeable for deletion.
+          // NOT reclaimable — a transient I/O fault must not make a
+          // healthy generation acknowledgeable for deletion. (A
+          // PERSISTENTLY unreadable artifact at this layer — e.g. a
+          // bit-rotted file behind a stale checksum — is the one
+          // stand-down with no in-API acknowledge path by design:
+          // the store cannot distinguish it from a fault that will
+          // clear, so removing it is deliberate out-of-band operator
+          // surgery on the named file, never an API call.)
           Some(StoreManifest.UnknownGen(n,
             s"header unreadable this pass: ${e.getClass.getSimpleName}"))
       }
@@ -1500,14 +1498,35 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       buf.mark(2)
       val b0 = buf.read(); val b1 = buf.read()
       buf.reset()
+      val isGzip = b0 == 0x1f && b1 == 0x8b
       val data: java.io.InputStream =
-        if (b0 == 0x1f && b1 == 0x8b)
+        if (isGzip)
           new java.io.BufferedInputStream(
             new java.util.zip.GZIPInputStream(buf, 64 * 1024), 64 * 1024)
         else buf
-      // a gzip tear INSIDE the header region throws mid-read and the
-      // caller's fail-closed catch stands down; a tear past the first
-      // non-header line is never reached (the scan stops there)
+      try scanHeader(n, data)
+      catch {
+        // confined to the DECODE layer: the gzip magic matched and
+        // the inflater then hit a tear/corruption inside the header
+        // region — a fact about the bytes, not a transient I/O fault
+        // (plain-stream EOFs fall through to the caller's fail-closed
+        // non-reclaimable arm). A tear PAST the first non-header line
+        // is never reached: the scan stops there.
+        case e @ (_: java.io.EOFException |
+            _: java.util.zip.ZipException) if isGzip =>
+          Some(StoreManifest.UnknownGen(n,
+            s"torn gzip inside the header region " +
+              s"(${e.getClass.getSimpleName})", reclaimable = true))
+      }
+    } finally in.close()
+  }
+
+  /** The header-region line scan of [[classifyHeader]] (split out so
+    * the gzip-decode catch above wraps exactly the decode reads).
+    */
+  private def scanHeader(n: String,
+      data: java.io.InputStream): Option[StoreManifest.UnknownGen] = {
+    {
       val headerPrefixes =
         Seq("parent\t", "schema\t", "info\t", "protocol\t")
       val sb = new java.lang.StringBuilder
@@ -1517,10 +1536,13 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       while (true) {
         val c = data.read()
         read += 1
+        // NOT reclaimable: ClassifyMaxBytes is a READER-local bound,
+        // not a format invariant — a future binary can legitimately
+        // rename-publish a wider header, and the acknowledge path
+        // must never be able to delete it
         if (read > StoreManifest.ClassifyMaxBytes)
           return Some(StoreManifest.UnknownGen(n,
-            s"header region exceeds ${StoreManifest.ClassifyMaxBytes} B",
-            reclaimable = true))
+            s"header region exceeds ${StoreManifest.ClassifyMaxBytes} B"))
         if (c < 0) {
           // EOF: a clean end after complete header lines is a whole
           // (header-only) body; anything short of that is torn inside
@@ -1565,7 +1587,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
         } else sb.append(c.toChar)
       }
       None // unreachable
-    } finally in.close()
+    }
   }
 
   /** Every retained readable generation, newest first (vacuum's
@@ -1682,12 +1704,14 @@ object StoreManifest {
     * set): the file name, WHY it classified — the observability half
     * of the destructive-sweep gate — and whether the classification
     * PROVES it dead debris (`reclaimable`): zero-byte, torn inside
-    * the header region, or an absurdly oversized header, which no
-    * whole-file rename publish can produce. Only reclaimable entries
-    * may be acknowledged through `vacuum(reclaimUnknown)`; an
-    * unknown-form or future-protocol generation is (or may be) a
-    * NEWER binary's live commit, and a transient-I/O classification
-    * proves nothing — neither is acknowledgeable for deletion.
+    * the header region (plain-text incomplete line at true EOF, or a
+    * gzip decode failure after the magic matched) — shapes a
+    * whole-file rename publish cannot produce. Only reclaimable
+    * entries may be acknowledged through `vacuum(reclaimUnknown)`;
+    * an unknown-form / future-protocol / oversized-header generation
+    * is (or may be) a NEWER binary's live commit, and a
+    * transient-I/O classification proves nothing — none of those is
+    * acknowledgeable for deletion.
     */
   final case class UnknownGen(name: String, reason: String,
       reclaimable: Boolean = false)
