@@ -2321,6 +2321,21 @@ class FsStoreSpec extends SparkSpec {
       "with the gate clear the republish prunes the dead list")
     assert(store.read(None, None).get.count() == 4)
     store.generations().foreach(g => assert(store.generationReadable(g)))
+    // an OVERSIZED header (no newline inside the classify bound)
+    // stands down but is NOT reclaimable: the bound is reader-local,
+    // not a format invariant — a future binary's wide-header commit
+    // must never become deletable through the acknowledge path
+    val big = new Array[Byte](65 * 1024 * 1024)
+    java.util.Arrays.fill(big, 'x'.toByte)
+    val oversize = plant(f"gen-${7L}%019d-oversize.list", big)
+    assert(store.vacuumStandDowns().exists { case (n, r, rec) =>
+      n == oversize && r.contains("exceeds") && !rec })
+    intercept[IllegalArgumentException] {
+      store.vacuum(0, reclaimUnknown = Seq(oversize))
+    }
+    fsys.delete(new org.apache.hadoop.fs.Path(mdir, oversize),
+      false): Unit
+    assert(store.vacuumStandDowns().isEmpty)
   }
 
   test("checkpoint reuse never mixes a stale date-keyed manifest with " +
