@@ -247,9 +247,11 @@ object ScaleProbe {
         measure("t23_lr_train_score", scale,
           TextAnalysis.lrQualityScore(d100,
             TextAnalysis.trainQualityLr(d100)))
+      // the heaviest corpora in the suite: built and checkpointed at
+      // most ONCE, shared by the w11 and qsurf rows
+      lazy val sp100 = spansN(100).localCheckpoint(true)
+      lazy val lg100 = logsN(100).localCheckpoint(true)
       if (only.isEmpty || only.exists("w11_ingest_loop".startsWith)) {
-        val sp100 = spansN(100).localCheckpoint(true)
-        val lg100 = logsN(100).localCheckpoint(true)
         // 60M-key merge state exceeds any reasonable JVM heap under
         // the default in-heap HDFS state store (measured: OOM at 48g —
         // the provider holds 2 in-memory versions of a ~30 GB object
@@ -270,9 +272,7 @@ object ScaleProbe {
               .forExpectedKeys(60L * 1000 * 1000))))
       }
       if (only.isEmpty || only.exists("qsurf".startsWith))
-        querySurfaceProbe(spark, scale,
-          spansN(100).localCheckpoint(true),
-          logsN(100).localCheckpoint(true))
+        querySurfaceProbe(spark, scale, sp100, lg100)
       Dedup.releaseIntermediates()
     }
 

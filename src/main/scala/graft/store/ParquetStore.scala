@@ -481,10 +481,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       keyCols: Seq[String], info: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "applyMirror needs row-identity keyCols")
     fence()
+    // the removed side is read TWICE (affected dates here, the
+    // anti-join build below) and it is a generation-diff plan over
+    // source files — persist so each mirror step scans those files
+    // once, not per consumer of the frame
+    val removedCached = removed.map(_.persist())
+    try {
     // affected sink dates from the REMOVED rows' own times — bounded
     // driver collect (distinct DATES, not rows; an increment touches
     // the handful of partitions its mutation did)
-    val affectedDates: Set[String] = removed.map(
+    val affectedDates: Set[String] = removedCached.map(
       _.select(date_format(timestamp_micros(col(timeCol)), "yyyy-MM-dd")
         .as("d")).distinct().collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
@@ -498,7 +504,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       val i = l.indexOf('/')
       i > 0 && affectedDates(l.substring(0, i).stripPrefix("date="))
     }
-    val survivors = removed.flatMap { r =>
+    val survivors = removedCached.flatMap { r =>
       relationFor(affected, t.flatMap(_.schema)).map(
         _.drop("date", "hour", "minute")
           .join(r.select(keyCols.map(col): _*).distinct(),
@@ -535,6 +541,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
           None, affected.map(e => StoreManifest.Dead(e.rel, now)),
           parent = None, info = info)
     }
+    } finally removedCached.foreach(_.unpersist(): Unit)
   }
 
   /** Replace the WHOLE table with `batch` in one manifest commit
@@ -1175,10 +1182,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * zero-byte / header-torn artifact from a non-atomic copy) the
     * operator can acknowledge via [[vacuum]]'s `reclaimUnknown`;
     * false means a NEWER binary's commit (leave it; roll this binary
-    * forward) or a transient read fault (retries next pass).
+    * forward) or a transient read fault (retries next pass). The flag
+    * here agrees with the ack path's full rule: an artifact the PARSE
+    * layer can still fold (a tear that happens to leave a
+    * self-consistent header-only body) reports non-reclaimable even
+    * when its header scan says torn — deleting a foldable generation
+    * through the ack is never allowed.
     */
   def vacuumStandDowns(): Seq[(String, String, Boolean)] =
-    manifest.futureFormatGens().map(u => (u.name, u.reason, u.reclaimable))
+    manifest.futureFormatGens().map(u => (u.name, u.reason,
+      u.reclaimable && !generationReadable(u.name)))
 
   /** @param reclaimUnknown generation file names the OPERATOR
     *   acknowledges as dead debris (from [[vacuumStandDowns]]): they
@@ -1205,8 +1218,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       def unknownNow() =
         manifest.futureFormatGens().map(u => u.name -> u).toMap
       val (u1, u2) = (unknownNow(), unknownNow())
+      // classification-reclaimable on BOTH fresh reads AND not
+      // parser-readable: the parse layer is more lenient than the
+      // header scan in one corner (a legacy header-only body whose
+      // final newline a copy clipped still folds), and a generation
+      // ANY reader can fold must never be deletable through the ack
+      // path — deleting a foldable newest head would silently roll
+      // the table back
       def reclaimableTwice(n: String): Boolean =
-        u1.get(n).exists(_.reclaimable) && u2.get(n).exists(_.reclaimable)
+        u1.get(n).exists(_.reclaimable) &&
+          u2.get(n).exists(_.reclaimable) && !generationReadable(n)
       val bad = reclaimUnknown.filterNot(reclaimableTwice)
       if (bad.nonEmpty) throw new IllegalArgumentException(
         s"$dir: reclaimUnknown names not (repeatably) classified as " +

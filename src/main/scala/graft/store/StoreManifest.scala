@@ -1465,7 +1465,7 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
   private[graft] def futureFormatGens(): Seq[StoreManifest.UnknownGen] = {
     val (gens, _) = listState()
     gens.toSeq.sortBy(_._1).flatMap { case (n, st) =>
-      try classifyHeader(n, st.getPath)
+      try classifyHeader(n, st.getPath, st.getLen)
       catch {
         case _: java.io.FileNotFoundException => None // raced prune
         case scala.util.control.NonFatal(e) =>
@@ -1490,8 +1490,8 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
     * known-form debris whose tear lies PAST the header region);
     * Some(reason) = this binary cannot vouch for it.
     */
-  private def classifyHeader(n: String,
-      p: Path): Option[StoreManifest.UnknownGen] = {
+  private def classifyHeader(n: String, p: Path,
+      expectedLen: Long): Option[StoreManifest.UnknownGen] = {
     val in = fs.open(p)
     try {
       val buf = new java.io.BufferedInputStream(in, 64 * 1024)
@@ -1508,18 +1508,47 @@ final class StoreManifest(fs: FileSystem, tableDir: String) {
       catch {
         // confined to the DECODE layer: the gzip magic matched and
         // the inflater then hit a tear/corruption inside the header
-        // region — a fact about the bytes, not a transient I/O fault
-        // (plain-stream EOFs fall through to the caller's fail-closed
-        // non-reclaimable arm). A tear PAST the first non-header line
-        // is never reached: the scan stops there.
+        // region (plain-stream EOFs fall through to the caller's
+        // fail-closed non-reclaimable arm; a tear PAST the first
+        // non-header line is never reached — the scan stops there).
+        // Even here the tear is a fact about THE BYTES only if the
+        // stream delivered the file's whole recorded length: an
+        // object-store transport that truncates under connection
+        // resets surfaces the same EOFException from the inflater, so
+        // the raw length is re-verified before the artifact becomes
+        // acknowledgeable — a short raw read classifies as the
+        // transient non-reclaimable shape instead.
         case e @ (_: java.io.EOFException |
             _: java.util.zip.ZipException) if isGzip =>
-          Some(StoreManifest.UnknownGen(n,
-            s"torn gzip inside the header region " +
-              s"(${e.getClass.getSimpleName})", reclaimable = true))
+          if (rawLengthConsistent(p, expectedLen))
+            Some(StoreManifest.UnknownGen(n,
+              s"torn gzip inside the header region " +
+                s"(${e.getClass.getSimpleName})", reclaimable = true))
+          else
+            Some(StoreManifest.UnknownGen(n,
+              "gzip header unreadable this pass (raw stream shorter " +
+                "than the recorded length — transport fault, retried " +
+                "next tick)"))
       }
     } finally in.close()
   }
+
+  /** Whether a fresh raw read of `p` delivers exactly `expectedLen`
+    * bytes — the transport-truncation probe behind the torn-gzip
+    * reclaimability decision. Any failure reads as inconsistent
+    * (fail closed).
+    */
+  private def rawLengthConsistent(p: Path, expectedLen: Long): Boolean =
+    try {
+      val in2 = fs.open(p)
+      try {
+        var total = 0L
+        val b = new Array[Byte](64 * 1024)
+        var r = in2.read(b)
+        while (r > 0) { total += r; r = in2.read(b) }
+        total == expectedLen
+      } finally in2.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** The header-region line scan of [[classifyHeader]] (split out so
     * the gzip-decode catch above wraps exactly the decode reads).

@@ -2258,8 +2258,16 @@ class FsStoreSpec extends SparkSpec {
     }
     val wide = plant(f"gen-${2L}%019d-wide.list", wideBody)
     // 2. torn INSIDE the header region (a non-atomic copy's tear):
-    // unterminated schema line, nothing after
+    // unterminated schema line, self-count broken — unreadable at the
+    // parse layer too, the acknowledgeable shape
     val torn = plant(f"gen-${3L}%019d-headtorn.list",
+      "mlist=2\nparent\tgen-x\nschema\t{trunc".getBytes("UTF-8"))
+    // 2b. the PERVERSE tear: truncating after "mlist=0\n…" leaves a
+    // body the parse layer folds as a self-consistent EMPTY
+    // checkpoint — header-scan-torn but READABLE, so it must report
+    // non-reclaimable and refuse the ack (deleting a foldable
+    // generation is never allowed through the API)
+    val tornReadable = plant(f"gen-${8L}%019d-headtornreadable.list",
       "mlist=0\nparent\tgen-x\nschema\t{trunc".getBytes("UTF-8"))
     // 3. zero-byte artifact
     val empty = plant(f"gen-${4L}%019d-zero.list", Array.empty[Byte])
@@ -2284,9 +2292,12 @@ class FsStoreSpec extends SparkSpec {
       n == empty && r.contains("empty") && rec }, s"$stand")
     assert(stand.exists { case (n, r, rec) =>
       n == tornGz && r.contains("torn gzip") && rec }, s"$stand")
+    assert(stand.exists { case (n, r, rec) =>
+      n == tornReadable && r.contains("torn inside the header region") &&
+        !rec }, s"a foldable tear must report non-reclaimable: $stand")
     assert(!stand.exists(_._1.contains("prot")),
       "an entry rel named 'protocol' is not a capability")
-    assert(stand.size == 4)
+    assert(stand.size == 5)
     // stand-down holds under maximal deletion pressure
     val (_, orphans1, pruned1) = store.vacuum(0)
     assert(orphans1 == 0 && pruned1 == 0)
@@ -2305,16 +2316,23 @@ class FsStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       store.vacuum(0, reclaimUnknown = Seq(wide))
     }
-    assert(store.vacuumStandDowns().size == 4, "failed acks reclaim nothing")
+    intercept[IllegalArgumentException] {
+      store.vacuum(0, reclaimUnknown = Seq(tornReadable))
+    }
+    assert(store.vacuumStandDowns().size == 5, "failed acks reclaim nothing")
     // the operator acknowledges the provably-dead debris: reclaimed,
     // but the future-protocol generation still gates the sweeps
     store.vacuum(0, reclaimUnknown = Seq(torn, empty, tornGz)): Unit
-    assert(store.vacuumStandDowns().map(_._1) == Seq(wide))
+    assert(store.vacuumStandDowns().map(_._1).sorted ==
+      Seq(wide, tornReadable).sorted)
     assert(store.manifestDead.exists(_.nonEmpty),
       "sweeps stay down while the future commit is present")
-    // the future generation gone (the newer binary's cleanup), the
-    // same pass's sweeps resume
+    // the future generation and the foldable tear gone (the newer
+    // binary's / the operator's out-of-band cleanup), the same pass's
+    // sweeps resume
     fsys.delete(new org.apache.hadoop.fs.Path(mdir, wide), false): Unit
+    fsys.delete(new org.apache.hadoop.fs.Path(mdir, tornReadable),
+      false): Unit
     store.vacuum(0): Unit
     assert(store.vacuumStandDowns().isEmpty)
     assert(store.manifestDead.exists(_.isEmpty),
