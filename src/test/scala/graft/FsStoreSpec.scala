@@ -2178,6 +2178,76 @@ class FsStoreSpec extends SparkSpec {
     feed2.reset()
   }
 
+  test("mirror model check: a stepped mirror equals the source at " +
+      "every consumed generation across a SEEDED random mutation " +
+      "sequence (appends, date compactions, expiries, whole-table " +
+      "re-layouts, vacuums)") {
+    val root = newRoot()
+    val src = new ParquetStore(spark, root, "src", "start")
+    val sink = new ParquetStore(spark, root, "sink", "start")
+    val day = 86400L * 1000000L
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    def dateOf(off: Long): String = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond((t0 + off * day) / 1000000L),
+      zone).toString
+    def batch(ids: Seq[Long], dayOff: Long) =
+      ids.map(i => (i, t0 + dayOff * day + (i % 60) * 60L * 1000000L,
+        i * 10L)).toDF("id", "start", "trace_id")
+    def ids(df: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      df.map(_.select("id").as[Long].collect().toSet)
+        .getOrElse(Set.empty)
+    val rnd = new scala.util.Random(20L)
+    var nextId = 0L
+    var nextDay = 0L
+    var oldestDay = 0L
+    // bootstrap: day 0 landed, mirror snapshot + cursor at gen 1
+    src.writeStaged(batch(Seq(0L, 1L, 2L), 0L)); nextId = 3L
+    src.compact(granularity = "day"); nextDay = 1L
+    val feed = src.cdcFeed("model-mirror", keyCols = Seq("id"))
+    assert(feed.consumeInto(sink, mirror = true).isDefined)
+    assert(ids(sink.read(None, None)) == Set(0L, 1L, 2L))
+    var steps = 0
+    for (op <- 0 until 8) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append a fresh day, folded by compactDate
+          val fresh = (nextId until nextId + 2 + rnd.nextInt(3)).toSeq
+          nextId = fresh.last + 1
+          src.write(batch(fresh, nextDay))
+          src.compactDate(dateOf(nextDay))
+          nextDay += 1
+        case 2 if oldestDay < nextDay - 1 => // expire the oldest day
+          src.expire(t0 + (oldestDay + 1) * day): Unit
+          oldestDay += 1
+        case 2 => src.vacuum(graceMs = 7L * 86400000L): Unit
+        case 3 => // whole-table re-layout: every row moves files —
+          // invisible to a keyed mirror
+          src.compact(granularity = "day")
+      }
+      // drain the feed one bounded step at a time; after EVERY step
+      // the sink must equal the source AS OF the consumed generation
+      var consumed = feed.consumeInto(sink, maxGenerations = 1,
+        mirror = true)
+      while (consumed.isDefined) {
+        steps += 1
+        assert(ids(sink.read(None, None)) ==
+          ids(src.readGeneration(consumed.get)),
+          s"mirror diverged at op $op, gen ${consumed.get}")
+        consumed = feed.consumeInto(sink, maxGenerations = 1,
+          mirror = true)
+      }
+      // caught up ⇒ the sink equals the CURRENT source table
+      assert(ids(sink.read(None, None)) == ids(src.read(None, None)),
+        s"mirror diverged from current truth at op $op")
+    }
+    // some seeded ops are legitimate no-commit no-ops (a vacuum with
+    // nothing ripe publishes nothing), so the floor is below the op
+    // count — it exists to catch a feed that silently stopped
+    // delivering, not to pin the op mix
+    assert(steps >= 5, s"the sequence must have consumed steps: $steps")
+    feed.reset()
+  }
+
   test("consumeInto under sink-side schema drift: an increment " +
       "carrying a column the sink's earlier generations lack lands " +
       "committed and reads back merged — append and mirror modes") {
