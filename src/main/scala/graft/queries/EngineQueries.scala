@@ -291,14 +291,17 @@ object EngineQueries {
           .select(col("span_id"), col("trace_id"), col("name"),
             col("process_id"), col("time").as("log_time"), col("level"),
             col("start").as("span_start"), col("end").as("span_end"))
-      // state sizing, measured uncapped at sf0.1 (warm repeat-3): a
-      // stream-stream join carries FOUR stores per partition, so the
-      // commit term (partitions × 4 × batches) dominates well before
-      // per-store volume does — 8 partitions 9.4 s, 16 → 12.8 s,
-      // 32 → 18.4 s, while ~100k buffered rows/store at 8 is nowhere
-      // near memory pressure. Deployments size stores to state volume;
-      // at THIS state volume the floor partition count wins.
-      }, statePartitions = Some(8))
+      // state sizing, measured uncapped at sf0.1: a stream-stream join
+      // carries FOUR stores per partition, so the commit term
+      // (partitions × 4 × batches) dominates well before per-store
+      // volume does — earlier ladder: 8 → 9.4 s, 16 → 12.8 s,
+      // 32 → 18.4 s; r21 remeasure (median of 5 warmed repeats, same
+      // feed fan-in): 4 partitions 8.9 s vs 8 → 10.6 s, and an
+      // isolated repeat-3 pair agreed (10.6 vs 12.2 s) — while ~200k
+      // buffered rows/store at 4 is nowhere near memory pressure.
+      // Deployments size stores to state volume; at THIS state volume
+      // the floor partition count wins.
+      }, statePartitions = Some(4))
       .orderBy(col("span_id"), col("log_time"))
   }
 
@@ -364,7 +367,17 @@ object EngineQueries {
         // query pass) — writeStaged lands each flush as ONE appended
         // file, read() unions it in, and compact() owns the layout,
         // the LSM split a real deployment's flush cadence uses
-        batch => if (!batch.isEmpty) store.writeStaged(batch),
+        // persist before the two actions: foreachBatch hands a plain
+        // DataFrame, so isEmpty and writeStaged would otherwise each
+        // re-execute the whole upstream stateful merge (guide §5
+        // caching: reused AND expensive to recompute). With the cache,
+        // the merge's shuffle map stage runs once and isEmpty's
+        // take(1) partitions are reused by the write.
+        batch => {
+          val b = batch.localCheckpoint(true)
+          try { if (!b.isEmpty) store.writeStaged(b) }
+          finally b.unpersist(): Unit
+        },
         // same state sizing as w07 — the stateful operator is the same
         statePartitions = Some(16),
         // backend is the caller's StateBackend pick: the gate map

@@ -407,7 +407,25 @@ private[graft] object StreamGate {
       watch: java.nio.file.Path, tag: String): Unit = {
     import scala.jdk.CollectionConverters._
     val staged = root.resolve(s"stage_$tag")
-    df.write.parquet(staged.toString)
+    // Feed-file fan-in (guide §6 small files; the round-15 floor
+    // probe apportioned ~0.15 s/batch of warm drain time to feed
+    // file/task count — 32-file feed 0.42 s/batch vs 4-file 0.25 s,
+    // SCALE.md round 15). Writing the batch at full scan parallelism
+    // landed one near-empty file per task; cap the part-file count so
+    // each micro-batch lists and opens a few well-sized files instead.
+    // Scale-adaptive (defaultParallelism/8, floor 2), not a local[32]
+    // constant: at probe tiers the same cap yields fewer, LARGER files
+    // — the layout guide §6 asks for. Batch boundaries (one move per
+    // processAllAvailable) are untouched, and every runParquet* gate's
+    // operator is arrival-layout-independent by design (the w03/w04
+    // MemoryStream gates, which do encode arrival order, don't land
+    // through this path).
+    // coalesce never RAISES a partition count, so applying it
+    // unconditionally is a no-op for the already-narrow feeds (and
+    // avoids a second plan→RDD compile just to read numPartitions)
+    val maxFiles =
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism / 8)
+    df.coalesce(maxFiles).write.parquet(staged.toString)
     val parts = java.nio.file.Files.list(staged).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     parts.zipWithIndex.foreach { case (p, j) =>
