@@ -187,6 +187,7 @@ final class DuoEngine(val spark: SparkSession, root: String,
     val logs = logMemory.drain()
     if (!logs.isEmpty) logStore.write(logs)
     walClear()
+    invalidateColdReads()
   } }
 
   /** Periodic storage maintenance (the operator cadence the reference
@@ -218,7 +219,7 @@ final class DuoEngine(val spark: SparkSession, root: String,
       maxHeals: Int = 2,
       vacuumGraceMs: Long = 30L * 60L * 1000L): Map[String, Seq[String]] =
     if (memoryMode) Map.empty
-    else Seq("span" -> spanStore, "log" -> logStore).map { case (n, st) =>
+    else try Seq("span" -> spanStore, "log" -> logStore).map { case (n, st) =>
       val dates = st.planCompactions(maxFilesPerDate, minAvgBytes)
         .take(maxHeals)
       dates.foreach(d => st.compactDate(d))
@@ -232,7 +233,7 @@ final class DuoEngine(val spark: SparkSession, root: String,
       // half of the maintenance cadence; a no-op when nothing is ripe
       st.vacuum(vacuumGraceMs): Unit
       n -> (dates ++ resplit.map(_.stripPrefix("date=")))
-    }.toMap
+    }.toMap finally invalidateColdReads()
 
   /** Opt-in background cadences — the reference binary's timer loops
     * (duo/src/grpc/server.rs:31-120 drives a 1 s ingest tick, a 10 s
@@ -285,19 +286,51 @@ final class DuoEngine(val spark: SparkSession, root: String,
 
   // ---- query surface (memory ∪ parquet, SURVEY §3) ----
 
+  /** Cold-read plan memo: `ParquetStore.read` pays its planning cost —
+    * a file listing plus, on a drifted store with no recorded schema, a
+    * DISTRIBUTED footer-merge job — every time it is called, and the
+    * query surface calls it once per query (a single fieldStats page
+    * over a 3-field drift store re-listed and re-inferred the same
+    * files three times; measured as 2/3 of g06/g08's warm scan stages).
+    * The returned DataFrame is a lazy PLAN over an immutable file set,
+    * so per (store, window) it is reusable until the file set changes —
+    * and every path that changes it from inside this engine
+    * ([[flush]], [[maintain]], the direct-landing branch of
+    * [[ingestJsonLogDir]]) invalidates below, and the key carries the
+    * store's process-wide mutation epoch
+    * ([[graft.store.ParquetStore.mutationEpoch]]), so ANY in-process
+    * mutator of the same table root — this engine or a store handle
+    * beside it — invalidates without an I/O round trip. Cross-process
+    * writers are outside the contract (the engine's hot view + WAL are
+    * process-local; tables are single-writer, fenced at the store).
+    * Default-window queries key on a now()-derived range and never
+    * repeat, hence the size cap instead of an eviction policy.
+    */
+  private val coldReadMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Option[Long], Option[Long]), Option[DataFrame]]
+  private def invalidateColdReads(): Unit = coldReadMemo.clear()
+  private def coldRead(store: ParquetStore, name: String,
+      startUs: Option[Long], endUs: Option[Long]): Option[DataFrame] = {
+    if (coldReadMemo.size > 64) coldReadMemo.clear()
+    coldReadMemo.computeIfAbsent(
+      (name, store.mutationEpoch, startUs, endUs),
+      _ => store.read(startUs, endUs))
+  }
+
   /** Queryable log table: hot view ∪ parquet pruned to [start,end]. */
   def logTable(startUs: Option[Long] = None, endUs: Option[Long] = None): DataFrame = {
     val mem = SchemaRegistry.conform(logMemory.snapshot(), logSchema)
     if (memoryMode) mem
     else LogQueries.unionStore(mem,
-      logStore.read(startUs, endUs).map(SchemaRegistry.conform(_, logSchema)))
+      coldRead(logStore, "log", startUs, endUs)
+        .map(SchemaRegistry.conform(_, logSchema)))
   }
 
   /** Queryable span table. */
   def spanTable(startUs: Option[Long] = None, endUs: Option[Long] = None): DataFrame = {
     val mem = spanMemory.snapshot()
     if (memoryMode) mem
-    else LogQueries.unionStore(mem, spanStore.read(startUs, endUs))
+    else LogQueries.unionStore(mem, coldRead(spanStore, "span", startUs, endUs))
   }
 
   /** Resolve the cold-storage read range for a query: an unset bound
@@ -733,6 +766,7 @@ final class DuoEngine(val spark: SparkSession, root: String,
         SchemaRegistry.save(logSchema, logSchemaPath)
       }
       logStore.write(norm)
+      invalidateColdReads()
     } else appendLogBatch(norm)
     dropped
   }

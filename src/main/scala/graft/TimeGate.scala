@@ -48,8 +48,35 @@ object TimeGate {
             : Unit = {
           stages.incrementAndGet(): Unit
           tasks.addAndGet(s.stageInfo.numTasks.toLong): Unit
+          // opt-in per-stage breakdown for attributing task counts
+          if (sys.env.contains("SPARK_GRAFT_TIME_STAGES"))
+            System.err.println(s"[stage] ${s.stageInfo.numTasks} tasks  " +
+              s.stageInfo.name.takeWhile(_ != '\n').take(140))
         }
       })
+    // opt-in micro-batch duration breakdown: where a streaming gate's
+    // wall time goes (queryPlanning / addBatch / walCommit / ...)
+    if (sys.env.contains("SPARK_GRAFT_TIME_STREAMS"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            val d = p.durationMs
+            System.err.println(s"[batch] ${p.name} b=${p.batchId} " +
+              s"rows=${p.numInputRows} total=${d.get("triggerExecution")} " +
+              s"plan=${d.get("queryPlanning")} add=${d.get("addBatch")} " +
+              s"getB=${d.get("getBatch")} off=${d.get("latestOffset")} " +
+              s"wal=${d.get("walCommit")} commit=${d.get("commitOffsets")}")
+            Option(p.stateOperators).foreach(_.foreach(so =>
+              System.err.println(s"[state] ${p.name} b=${p.batchId} " +
+                s"op=${so.operatorName} commitMs=${so.allUpdatesTimeMs}+" +
+                s"${so.commitTimeMs} rows=${so.numRowsTotal} " +
+                s"mem=${so.memoryUsedBytes}")))
+          }
+        })
     // same warmup discipline as Bench: plans + codegen compile off-clock
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count(): Unit

@@ -519,13 +519,14 @@ object Similarity {
     */
   private[graft] def ivfStreamRun(s: SparkSession, embs: DataFrame,
       queryMaxId: Long, k: Int, nProbe: Int,
-      cents: Seq[Array[Double]]): DataFrame = {
+      cents: Seq[Array[Double]],
+      feedKey: Option[String] = None): DataFrame = {
     graft.functions.VectorExprs.register(s)
     val e = embs.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     val batches = (0 until 3).map(i =>
       e.filter(pmod(col("vec_id"), lit(3)) === i))
     val landed = graft.util.StreamGate.runParquet(s, "w16_ivf_stream",
-      batches, df => ivfAssign(df, cents))
+      batches, df => ivfAssign(df, cents), feedKey = feedKey)
     ivfProbeRank(landed, queryMaxId, k, nProbe, cents)
   }
 
@@ -842,7 +843,8 @@ object Similarity {
     // the INCREMENTALLY-maintained index must answer s04's probe
     // identically (shared oracle, see ivfStreamRun)
     "w16_ivf_stream" -> ((s, d) =>
-      ivfStreamRun(s, Tables.embeddings(s, d), 5L, 10, 2, gateCents(s, d))
+      ivfStreamRun(s, Tables.embeddings(s, d), 5L, 10, 2, gateCents(s, d),
+        feedKey = Some(s"w16|$d"))
         .orderBy(col("query_id"), col("rank"))),
     "s02_lsh_buckets" -> ((s, d) =>
       lshBuckets(Tables.embeddings(s, d)).orderBy(col("vec_id"))),

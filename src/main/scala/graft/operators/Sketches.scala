@@ -422,7 +422,8 @@ object Sketches {
         ev.filter(col("user_id") % 2 =!= 0)),
       "complete",
       df => hllRegisters(df, col("event_type"), col("user_id"), "x01u:"),
-      statePartitions = Some(8))
+      statePartitions = Some(8),
+      feedKey = Some(s"w08|$d"))
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     hllEstimate(regs).withColumnRenamed("g", "event_type")
@@ -459,7 +460,8 @@ object Sketches {
           .as("jc"))
         .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
         .agg(count(lit(1)).as("c")),
-      statePartitions = Some(8))
+      statePartitions = Some(8),
+      feedKey = Some(s"w10|$d"))
       .orderBy(col("j"), col("cell"))
   }
 
@@ -480,10 +482,10 @@ object Sketches {
     * against batch x04 too). Oracle: x04's histogram CTEs.
     */
   def histStreamGate(s: SparkSession, d: String): DataFrame =
-    histStreamRun(s, Tables.events(s, d))
+    histStreamRun(s, Tables.events(s, d), Some(s"w12|$d"))
 
   private[graft] def histStreamRun(s: SparkSession,
-      events: DataFrame): DataFrame = {
+      events: DataFrame, feedKey: Option[String] = None): DataFrame = {
     val ev = events.select(col("event_id"), col("event_type"), col("value"))
     def half(r: Int) = ev.filter(col("event_id") % 2 === r)
       .select(col("event_type"), col("value"))
@@ -491,7 +493,8 @@ object Sketches {
       Seq(half(0), half(1)),
       "complete",
       df => histBuckets(df),
-      statePartitions = Some(8))
+      statePartitions = Some(8),
+      feedKey = feedKey)
       .orderBy(col("event_type"), col("bucket"))
   }
 
@@ -514,10 +517,10 @@ object Sketches {
     * comparator, t12's discipline).
     */
   def kmvStreamGate(s: SparkSession, d: String): DataFrame =
-    kmvStreamRun(s, Tables.documents(s, d))
+    kmvStreamRun(s, Tables.documents(s, d), Some(s"w13|$d"))
 
   private[graft] def kmvStreamRun(s: SparkSession,
-      documents: DataFrame): DataFrame = {
+      documents: DataFrame, feedKey: Option[String] = None): DataFrame = {
     graft.functions.VectorExprs.register(s)
     val docs = documents
       .select(col("doc_id"), col("source"), col("text"))
@@ -532,7 +535,8 @@ object Sketches {
             .as("h"))
         .groupBy(col("source"))
         .agg(call_function("bottom_k_agg", col("h"), lit(KmvK)).as("sk")),
-      statePartitions = Some(8))
+      statePartitions = Some(8),
+      feedKey = feedKey)
       .select(col("source"), explode(col("sk")).as("h"))
       .orderBy(col("source"), col("h"))
   }
@@ -557,10 +561,10 @@ object Sketches {
     * incremental sketch-view maintenance.
     */
   def rollupStreamGate(s: SparkSession, d: String): DataFrame =
-    rollupStreamRun(s, Tables.events(s, d))
+    rollupStreamRun(s, Tables.events(s, d), Some(s"w14|$d"))
 
   private[graft] def rollupStreamRun(s: SparkSession,
-      events: DataFrame): DataFrame = {
+      events: DataFrame, feedKey: Option[String] = None): DataFrame = {
     val ev = events
       .select(col("event_id"), col("event_type"), col("user_id"), col("ts"))
     def half(r: Int) = ev.filter(col("event_id") % 2 === r)
@@ -571,7 +575,8 @@ object Sketches {
       Seq(half(0), half(1)),
       df => df,
       batch => rollupSketchTable(batch)
-        .write.mode("append").parquet(store))
+        .write.mode("append").parquet(store),
+      feedKey = feedKey)
     rollupQuery(s.read.parquet(store),
       ev.select(col("event_type"), col("user_id"), col("ts")),
       RollupLoDay, RollupHiDay)

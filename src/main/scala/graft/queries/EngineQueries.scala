@@ -186,14 +186,16 @@ object EngineQueries {
   }
 
   def spanMergeStreamGate(s: SparkSession, d: String): DataFrame =
-    spanMergeStreamRun(s, ordersAsSpans(s, d)._1)
+    spanMergeStreamRun(s, ordersAsSpans(s, d)._1,
+      feedKey = Some(s"w07|$d"))
 
   /** w07's streaming execution over a caller-supplied raw span table —
     * the gate passes the sf feed; ScaleProbe passes a 10× replica to
     * measure how merge state and commit cadence grow with key count.
     */
   private[graft] def spanMergeStreamRun(s: SparkSession,
-      raw: DataFrame, stateBackend: Option[String] = None): DataFrame = {
+      raw: DataFrame, stateBackend: Option[String] = None,
+      feedKey: Option[String] = None): DataFrame = {
     import graft.ingest.{SpanMerger, SpanRecord}
     val (opens, rearrivals, closes, base) = spanRecordFeedFrom(raw)
     try {
@@ -212,7 +214,8 @@ object EngineQueries {
         // rule's own pick for ~600k keys); ScaleProbe's big tiers pass
         // StateBackend.forExpectedKeys so the backend flip is the
         // config rule, not a hand-set conf
-        stateBackend = stateBackend)
+        stateBackend = stateBackend,
+        feedKey = feedKey)
         .orderBy(col("id"))
     } finally base.unpersist(): Unit
   }
@@ -243,7 +246,7 @@ object EngineQueries {
     */
   def spanLogJoinStreamGate(s: SparkSession, d: String): DataFrame = {
     val (spans, logs) = ordersAsSpans(s, d)
-    spanLogJoinStreamRun(s, spans, logs)
+    spanLogJoinStreamRun(s, spans, logs, feedKey = Some(s"w09|$d"))
   }
 
   /** w09's streaming execution over caller-supplied span/log tables —
@@ -251,7 +254,8 @@ object EngineQueries {
     * measure buffered-join state growth.
     */
   private[graft] def spanLogJoinStreamRun(s: SparkSession,
-      spans: DataFrame, logs: DataFrame): DataFrame = {
+      spans: DataFrame, logs: DataFrame,
+      feedKey: Option[String] = None): DataFrame = {
     // UNCAPPED since round 13: rounds 11-12 ran a deterministic
     // ¼-trace cap because the full feed cost ~20.5 s — that cost was
     // the state-store maintenance lag StreamGate now reclaims plus an
@@ -267,12 +271,13 @@ object EngineQueries {
         col("process_id"), col("start"), col("end")).cache()
     val lg = logs
       .select(col("span_id"), col("time"), col("level")).cache()
-    try spanLogJoinStreamBody(s, sp, lg)
+    try spanLogJoinStreamBody(s, sp, lg, feedKey)
     finally { sp.unpersist(): Unit; lg.unpersist(): Unit }
   }
 
   private def spanLogJoinStreamBody(s: SparkSession,
-      sp: DataFrame, lg: DataFrame): DataFrame = {
+      sp: DataFrame, lg: DataFrame,
+      feedKey: Option[String] = None): DataFrame = {
     def parity(c: Column, want: Int) = (c % 2).cast("int") === want
     graft.util.StreamGate.runParquet2(s, "w09_spanlog_join_stream",
       Seq(sp.filter(parity(col("trace_id"), 0)),
@@ -301,7 +306,7 @@ object EngineQueries {
       // buffered rows/store at 4 is nowhere near memory pressure.
       // Deployments size stores to state volume; at THIS state volume
       // the floor partition count wins.
-      }, statePartitions = Some(4))
+      }, statePartitions = Some(4), feedKey = feedKey)
       .orderBy(col("span_id"), col("log_time"))
   }
 
@@ -330,7 +335,7 @@ object EngineQueries {
     */
   def ingestLoopGate(s: SparkSession, d: String): DataFrame = {
     val (raw, logs) = ordersAsSpans(s, d)
-    ingestLoopRun(s, raw, logs)
+    ingestLoopRun(s, raw, logs, feedKey = Some(s"w11|$d"))
   }
 
   /** w11's streaming execution over caller-supplied raw span/log
@@ -346,7 +351,8 @@ object EngineQueries {
     */
   private[graft] def ingestLoopRun(s: SparkSession, raw: DataFrame,
       logs: DataFrame, stateBackend: Option[String] = None,
-      storeRoot: Option[String] = None): DataFrame = {
+      storeRoot: Option[String] = None,
+      feedKey: Option[String] = None): DataFrame = {
     import graft.ingest.{SpanMerger, SpanRecord}
     val (opens, rearrivals, closes, base) = spanRecordFeedFrom(raw)
     val root = storeRoot.getOrElse(
@@ -391,7 +397,8 @@ object EngineQueries {
         // configuring against the sizing rule the config exists to
         // encode. Hash invariance across backends is pinned by spec
         // (SpanMergerSpec runs the same merge under REAL RocksDB).
-        stateBackend = stateBackend)
+        stateBackend = stateBackend,
+        feedKey = feedKey)
     } finally base.unpersist(): Unit
     // the landed store is read lazily by the frame returned below, so
     // its tree is registered AFTER the stream run (a registration

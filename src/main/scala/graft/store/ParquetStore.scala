@@ -88,6 +88,21 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     */
   private val manifest = new StoreManifest(fs, dir)
 
+  /** Process-wide mutation epoch for this table root, shared by every
+    * in-process instance over the same (root, table): bumped after any
+    * mutation that can change what a read plans (writes, commits,
+    * compactions, expiry, vacuum). Pure memory — readers that memoize
+    * a read PLAN (e.g. [[graft.DuoEngine]]'s cold-read memo) key on it
+    * so any in-process writer — same instance or not — invalidates
+    * them without an I/O round trip. Cross-process mutations are
+    * outside this signal by design: tables are single-writer (fenced),
+    * and cross-process readers construct fresh instances/plans.
+    */
+  private val epoch = ParquetStore.epochs.getOrElseUpdate(
+    dir, new java.util.concurrent.atomic.AtomicLong)
+  private[graft] def mutationEpoch: Long = epoch.get()
+  private def bumpEpoch(): Unit = epoch.incrementAndGet(): Unit
+
   /** Whether reads currently plan from the manifest (specs/gates). */
   def manifestPresent: Boolean = manifest.present
 
@@ -336,7 +351,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * verify. One LIST per mutation; mutations are heavyweight
     * (rewrites, flushes), so the fence is noise against them.
     */
-  private def fence(): Unit = myLease match {
+  private def fence(): Unit = {
+    // every mutator fences before touching state, so the fence is the
+    // one choke point where the in-process mutation epoch must bump —
+    // an entry-side bump invalidates any read plan memoized before the
+    // mutation regardless of how the mutator exits
+    bumpEpoch()
+    fenceLease()
+  }
+
+  private def fenceLease(): Unit = myLease match {
     case None =>
       val existing = leaseNames().sorted
       val epoch = existing.lastOption
@@ -1828,6 +1852,10 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
 }
 
 object ParquetStore {
+  /** Per-table-dir mutation epochs (see the instance field). */
+  private val epochs = new scala.collection.concurrent.TrieMap[
+    String, java.util.concurrent.atomic.AtomicLong]
+
   /** A mutation was attempted by a store instance whose writer lease
     * has been superseded: a second writer claimed the store root. The
     * single-writer contract is enforced, not narrated — the loser

