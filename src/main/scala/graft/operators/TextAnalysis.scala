@@ -365,10 +365,10 @@ object TextAnalysis {
   def surprisalScore(docs: DataFrame, lo: Double = SurprisalGateLo,
       hi: Double = SurprisalGateHi): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    // the census feeds both the total and the scoring join — cache the
-    // vocab-sized table so the corpus isn't re-aggregated per branch
-    val tf = Dedup.scopedCache(
-      tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+    // the census feeds both the total and the scoring join — both in
+    // ONE query, so exchange reuse serves the repeat from the same
+    // shuffle files (no cache; see bigramSurprisal's note)
+    val tf = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = tf.select(sum(col("cnt")).as("total"))
     tok.join(tf, "tok")
       .crossJoin(broadcast(total))
@@ -768,11 +768,16 @@ object TextAnalysis {
         .as("p"))
       .select(col("doc_id"), col("p.v"), col("p.w"))
     val toks = t.select(col("doc_id"), explode(col("t")).as("w"))
-    val uni = Dedup.scopedCache(
-      toks.groupBy(col("w")).agg(count(lit(1)).as("cw")))
+    // no .cache() on the census tables: all consumers live in ONE
+    // query, where Spark's exchange reuse serves the repeated
+    // subtrees from the same shuffle files — the InMemoryRelation
+    // wrapper DEFEATED that (24 cache scans + their materialization
+    // jobs in the t20 plan; r21 A/B medians: t19 2.39->1.35 s with
+    // jobs 23->14 / tasks 399->18, t20 5.03->2.08 s with 727->26
+    // tasks, results hash-identical)
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val total = uni.select(sum(col("cw")).as("n"))
-    val biCnt = Dedup.scopedCache(
-      bg.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw")))
+    val biCnt = bg.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
     val leftCnt = biCnt.groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
     val lam = BigramLambda
     val bgScored = bg.groupBy(col("doc_id"), col("v"), col("w"))
@@ -837,8 +842,9 @@ object TextAnalysis {
   def trigramSurprisal(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("t"))
     val toks = t.select(col("doc_id"), explode(col("t")).as("w"))
-    val uni = Dedup.scopedCache(
-      toks.groupBy(col("w")).agg(count(lit(1)).as("cw")))
+    // censuses uncached — exchange reuse covers the repeats, see
+    // bigramSurprisal's note
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val total = uni.select(sum(col("cw")).as("n"))
     val bg = t.filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -846,8 +852,7 @@ object TextAnalysis {
           "i -> struct(element_at(t, i) AS v, element_at(t, i+1) AS w))"))
         .as("p"))
       .select(col("doc_id"), col("p.v"), col("p.w"))
-    val biCnt = Dedup.scopedCache(
-      bg.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw")))
+    val biCnt = bg.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
     val leftCnt = biCnt.groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
     val tg = t.filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -855,8 +860,8 @@ object TextAnalysis {
           "i -> struct(element_at(t, i) AS u, element_at(t, i+1) AS v, " +
           "element_at(t, i+2) AS w))")).as("p"))
       .select(col("doc_id"), col("p.u"), col("p.v"), col("p.w"))
-    val triCnt = Dedup.scopedCache(
-      tg.groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("cuvw")))
+    val triCnt =
+      tg.groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("cuvw"))
     val triLeft = triCnt.groupBy(col("u"), col("v"))
       .agg(sum(col("cuvw")).as("cuv"))
     val l3 = TrigramL3; val l2 = TrigramL2; val l1 = TrigramL1

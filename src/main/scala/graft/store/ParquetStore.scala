@@ -190,8 +190,10 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * the same answer the plain read gives an empty store.
     */
   def generationAsOf(tsMillis: Long): Option[String] =
-    generations().filter(g => genFileMillis(g).exists(_ <= tsMillis))
-      .reverseIterator.find(generationReadable)
+    ParquetStore.resolveAsOf(
+      generations().filter(g => genFileMillis(g).exists(_ <= tsMillis)),
+      genFileMillis, g => manifest.readGen(g).flatMap(_.parent),
+      generationReadable)
 
   /** A named durable incremental CDC consumer over this store's
     * generation history — see [[CdcFeed]]. `keyCols` nonEmpty makes
@@ -505,6 +507,19 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       keyCols: Seq[String], info: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "applyMirror needs row-identity keyCols")
     fence()
+    // commit-owned contract ENFORCED, not narrated (ADVICE r20):
+    // staged files and dirty-marked direct-write landings are
+    // invisible to the manifest truth this rewrite plans from, so a
+    // removed key living in one would silently survive the mirror —
+    // the worst failure class. A mirror sink fed by anything other
+    // than manifest commits fails loudly here instead.
+    val stagedN = stagedFileCount
+    val dirtyN = manifest.dirtyMarkers().size
+    require(stagedN == 0 && dirtyN == 0,
+      s"applyMirror requires a commit-owned sink: $stagedN staged " +
+        s"file(s), $dirtyN dirty marker(s) under $dir — direct " +
+        "write()/writeStaged() landings cannot participate in mirror " +
+        "removal")
     // the removed side is read TWICE (affected dates here, the
     // anti-join build below) and it is a generation-diff plan over
     // source files — persist so each mirror step scans those files
@@ -1855,6 +1870,36 @@ object ParquetStore {
   /** Per-table-dir mutation epochs (see the instance field). */
   private val epochs = new scala.collection.concurrent.TrieMap[
     String, java.util.concurrent.atomic.AtomicLong]
+
+  /** AS-OF resolution over the eligible (committed ≤ T) generations,
+    * newest readable wins. Same-millisecond commits (ADVICE r20): the
+    * gen file name's UUID suffix is creation entropy, not a lineage
+    * order, so among candidates sharing the max millis the one whose
+    * fold SUPERSEDES the others — the one no other tied candidate
+    * names as parent — resolves T; parent reads happen only on a tie.
+    * An ambiguous tie (several non-parents) keeps the stable name
+    * order, and an unreadable winner falls back exactly as before.
+    */
+  private[graft] def resolveAsOf(eligible: Seq[String],
+      millisOf: String => Option[Long],
+      parentOf: String => Option[String],
+      readable: String => Boolean): Option[String] = {
+    val byMs = eligible.flatMap(g => millisOf(g).map(_ -> g))
+    if (byMs.isEmpty) return None
+    val maxMs = byMs.map(_._1).max
+    val (tied, earlier) = byMs.partition(_._1 == maxMs)
+    val tiedReadable = tied.map(_._2).filter(readable)
+    val winner =
+      if (tiedReadable.size > 1) {
+        val parents = tiedReadable.flatMap(parentOf).toSet
+        tiedReadable.filterNot(parents) match {
+          case Seq(only) => Some(only)
+          case _ => tiedReadable.lastOption
+        }
+      } else tiedReadable.lastOption
+    winner.orElse(
+      earlier.map(_._2).reverseIterator.find(readable))
+  }
 
   /** A mutation was attempted by a store instance whose writer lease
     * has been superseded: a second writer claimed the store root. The

@@ -2178,6 +2178,61 @@ class FsStoreSpec extends SparkSpec {
     feed2.reset()
   }
 
+  test("applyMirror refuses a sink that is not commit-owned: staged " +
+      "or dirty-marked direct-write files would silently keep removed " +
+      "keys alive, so the mirror fails loudly before any mutation") {
+    val root = newRoot()
+    def batch(ids: Seq[Long]) =
+      ids.map(i => (i, t0 + i * 60L * 1000000L, i * 10L))
+        .toDF("id", "start", "trace_id")
+    // staged file → refused
+    val s1 = new ParquetStore(spark, root, "m1", "start")
+    s1.writeCommitted(batch(Seq(1L, 2L)))
+    s1.writeStaged(batch(Seq(3L)))
+    val gensBefore = s1.generations()
+    val ex1 = intercept[IllegalArgumentException] {
+      s1.applyMirror(None, Some(batch(Seq(1L))), Seq("id"))
+    }
+    assert(ex1.getMessage.contains("commit-owned"))
+    assert(s1.generations() == gensBefore, "refusal mutated nothing")
+    // dirty marker (direct write) → refused
+    val s2 = new ParquetStore(spark, root, "m2", "start")
+    s2.writeCommitted(batch(Seq(1L, 2L)))
+    s2.write(batch(Seq(3L))) // direct write drops a dirty marker
+    val ex2 = intercept[IllegalArgumentException] {
+      s2.applyMirror(None, Some(batch(Seq(1L))), Seq("id"))
+    }
+    assert(ex2.getMessage.contains("commit-owned"))
+  }
+
+  test("generationAsOf same-millisecond tie resolves by fold lineage, " +
+      "not UUID order: the child no tied candidate names as parent " +
+      "wins; ambiguity and unreadable winners degrade as before") {
+    import graft.store.ParquetStore.resolveAsOf
+    val ms = Map("a" -> 1L, "b" -> 2L, "c" -> 2L)
+    def millis(g: String) = ms.get(g)
+    // c is b's child committed in the same millisecond, but sorts
+    // BEFORE b lexicographically — the UUID-order hazard
+    val names = Seq("a", "c", "b")
+    val parent = Map("b" -> "a", "c" -> "b")
+    assert(resolveAsOf(names, millis, parent.get, _ => true)
+      .contains("c"), "the fold child supersedes its same-ms parent")
+    // no tie: plain newest-readable
+    assert(resolveAsOf(Seq("a", "b"), millis, parent.get, _ => true)
+      .contains("b"))
+    // tie with the child unreadable: the readable parent answers
+    assert(resolveAsOf(names, millis, parent.get, _ != "c")
+      .contains("b"))
+    // ambiguous tie (two roots, neither the other's parent): stable
+    // name order, never an exception
+    assert(resolveAsOf(Seq("x", "y"), Map("x" -> 5L, "y" -> 5L).get,
+      _ => None, _ => true).contains("y"))
+    // nothing eligible
+    assert(resolveAsOf(Nil, millis, parent.get, _ => true).isEmpty)
+    // all unreadable
+    assert(resolveAsOf(names, millis, parent.get, _ => false).isEmpty)
+  }
+
   test("mirror model check: a stepped mirror equals the source at " +
       "every consumed generation across a SEEDED random mutation " +
       "sequence (appends, date compactions, expiries, whole-table " +
