@@ -311,9 +311,23 @@ final class DuoEngine(val spark: SparkSession, root: String,
   private def invalidateColdReads(): Unit = coldReadMemo.clear()
   private def coldRead(store: ParquetStore, name: String,
       startUs: Option[Long], endUs: Option[Long]): Option[DataFrame] = {
-    if (coldReadMemo.size > 64) coldReadMemo.clear()
+    val epoch = store.mutationEpoch
+    if (coldReadMemo.size > 64) {
+      // evict this table's stale-epoch keys first — they are
+      // unreachable (every lookup keys on the CURRENT epoch), and a
+      // burst of one-shot now()-derived default-window keys must not
+      // take the hot reusable fixed-window entries down with it
+      // (ADVICE r21); the full clear is the fallback when the flood
+      // really is current-epoch one-shot windows
+      val it = coldReadMemo.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == name && k._2 < epoch) it.remove()
+      }
+      if (coldReadMemo.size > 64) coldReadMemo.clear()
+    }
     coldReadMemo.computeIfAbsent(
-      (name, store.mutationEpoch, startUs, endUs),
+      (name, epoch, startUs, endUs),
       _ => store.read(startUs, endUs))
   }
 

@@ -49,9 +49,14 @@ object TimeGate {
           stages.incrementAndGet(): Unit
           tasks.addAndGet(s.stageInfo.numTasks.toLong): Unit
           // opt-in per-stage breakdown for attributing task counts
-          if (sys.env.contains("SPARK_GRAFT_TIME_STAGES"))
-            System.err.println(s"[stage] ${s.stageInfo.numTasks} tasks  " +
-              s.stageInfo.name.takeWhile(_ != '\n').take(140))
+          if (sys.env.contains("SPARK_GRAFT_TIME_STAGES")) {
+            val ms = (for {
+              sub <- s.stageInfo.submissionTime
+              done <- s.stageInfo.completionTime
+            } yield done - sub).getOrElse(-1L)
+            System.err.println(s"[stage] ${s.stageInfo.numTasks} tasks " +
+              s"${ms}ms  " + s.stageInfo.name.takeWhile(_ != '\n').take(140))
+          }
         }
       })
     // opt-in micro-batch duration breakdown: where a streaming gate's

@@ -376,11 +376,16 @@ object EngineQueries {
         // persist before the two actions: foreachBatch hands a plain
         // DataFrame, so isEmpty and writeStaged would otherwise each
         // re-execute the whole upstream stateful merge (guide §5
-        // caching: reused AND expensive to recompute). With the cache,
-        // the merge's shuffle map stage runs once and isEmpty's
-        // take(1) partitions are reused by the write.
+        // caching: reused AND expensive to recompute). MEMORY_AND_DISK
+        // persist, NOT localCheckpoint (r21 VERDICT #6/ADVICE): the
+        // eager local checkpoint gave the same single execution but
+        // truncated lineage to executor-local blocks — on a real
+        // cluster an executor loss then FAILS the streaming query
+        // instead of recomputing — and paid its materialization job
+        // even for empty batches, where isEmpty alone is a take(1).
         batch => {
-          val b = batch.localCheckpoint(true)
+          val b = batch.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try { if (!b.isEmpty) store.writeStaged(b) }
           finally b.unpersist(): Unit
         },

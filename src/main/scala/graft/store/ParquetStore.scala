@@ -362,6 +362,18 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     fenceLease()
   }
 
+  /** Epoch bump on mutation EXIT, paired with the entry-side bump in
+    * [[fence]] (ADVICE r21): a concurrent reader that observes the
+    * post-entry epoch and plans BEFORE the mutation lands would
+    * otherwise memoize the pre-mutation plan under a key no later
+    * read distinguishes — the exit bump makes that key stale the
+    * moment the mutation completes (or aborts — a partial landing
+    * must not be memo-servable either). Wraps every public mutator
+    * body; early `return`s inside still run the finally.
+    */
+  private def bumpOnExit[A](body: => A): A =
+    try body finally bumpEpoch()
+
   private def fenceLease(): Unit = myLease match {
     case None =>
       val existing = leaseNames().sorted
@@ -397,7 +409,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * partitioned write is for the common observability case where a
     * flush touches the current few minutes.
     */
-  def write(batch: DataFrame): Unit = {
+  def write(batch: DataFrame): Unit = bumpOnExit {
     fence()
     // dirty-before-mutate: once a manifest exists, readers plan from
     // it — the marker (dropped BEFORE any new file can land) tells
@@ -452,7 +464,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * compact), the same conservative contract as [[expire]].
     */
   def writeCommitted(batch: DataFrame,
-      info: Option[String] = None): Unit = {
+      info: Option[String] = None): Unit = bumpOnExit {
     fence()
     val t = truth()
     val batchSchema = StoreManifest.allNullable(batch.schema)
@@ -504,7 +516,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * the removal is applied in).
     */
   def applyMirror(adds: Option[DataFrame], removed: Option[DataFrame],
-      keyCols: Seq[String], info: Option[String] = None): Unit = {
+      keyCols: Seq[String], info: Option[String] = None): Unit = bumpOnExit {
     require(keyCols.nonEmpty, "applyMirror needs row-identity keyCols")
     fence()
     // commit-owned contract ENFORCED, not narrated (ADVICE r20):
@@ -594,7 +606,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * grace passes, like every mutation.
     */
   def replaceCommitted(batch: Option[DataFrame],
-      info: Option[String] = None): Unit = {
+      info: Option[String] = None): Unit = bumpOnExit {
     fence()
     val t = truth()
     val gen = newGenName()
@@ -657,7 +669,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * layout. This is the LSM-shaped ingest split every real columnar
     * store uses: land fast now, organize in the background.
     */
-  def writeStaged(batch: DataFrame): Unit = {
+  def writeStaged(batch: DataFrame): Unit = bumpOnExit {
     fence()
     batch.write.mode("append")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
@@ -975,7 +987,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       zorderOn: Option[(org.apache.spark.sql.Column,
         org.apache.spark.sql.Column)] = None,
       blockSize: Option[Long] = None,
-      crashAfterStep: Int = Int.MaxValue): Unit = {
+      crashAfterStep: Int = Int.MaxValue): Unit = bumpOnExit {
     fence()
     val part0 = s"date=$date"
     // the rolling heal only needs ITS date's entries (plus the
@@ -1114,7 +1126,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       zorderOn: Option[(org.apache.spark.sql.Column,
         org.apache.spark.sql.Column)] = None,
       blockSize: Option[Long] = None,
-      granularity: String = "minute"): Unit = {
+      granularity: String = "minute"): Unit = bumpOnExit {
     val partCols = ParquetStore.partColsFor(granularity)
     fence()
     if (!exists) return
@@ -1246,7 +1258,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     *   must not become the rollback hazard's own delete button.
     */
   def vacuum(graceMs: Long,
-      reclaimUnknown: Seq[String] = Nil): (Int, Int, Int) = {
+      reclaimUnknown: Seq[String] = Nil): (Int, Int, Int) = bumpOnExit {
     fence()
     if (reclaimUnknown.nonEmpty) {
       // the classification is RE-VERIFIED twice, on two independent
@@ -1498,7 +1510,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * hour layout without waiting for a data rewrite of that date.
     * Returns the dates re-keyed; no-op (and no commit) otherwise.
     */
-  def resplitHotDates(): Seq[String] = {
+  def resplitHotDates(): Seq[String] = bumpOnExit {
     if (!exists) return Nil
     fence()
     manifest.resplitHot()
@@ -1556,7 +1568,7 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     * listing-mode stores always have. Returns
     * (datePartitionsDropped, stagedFilesDropped).
     */
-  def expire(cutoffUs: Long): (Int, Int) = {
+  def expire(cutoffUs: Long): (Int, Int) = bumpOnExit {
     fence()
     if (!exists) return (0, 0)
     // the cutoff's calendar day in the SESSION timezone — the same

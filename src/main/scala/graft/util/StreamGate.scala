@@ -194,6 +194,10 @@ private[graft] object StreamGate {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = MemoryStream[A]
     val out = build(input.toDF().toDF(columns: _*))
+    // prestage mode: the driver-side feed derivation (the expensive
+    // part of a MemoryStream gate's harness) already ran in the gate
+    // body; nothing to stage here — skip the stream itself
+    if (prestageMode) return emptyOf(s, out.schema)
     val qname = s"${name}_${seq.incrementAndGet()}"
     withStreamConf(s, statePartitions, stateBackend) {
       val query = out.writeStream.format("memory").queryName(qname)
@@ -240,6 +244,13 @@ private[graft] object StreamGate {
       feedKey: Option[String] = None): DataFrame = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
+    if (prestageMode) {
+      prestageAll(feedKey,
+        batches.zipWithIndex.map { case (df, i) => (s"b$i", df) })
+      val schema = build(fileSource(s, root, batches.head.schema)).schema
+      deferDelete(root)
+      return emptyOf(s, schema)
+    }
     val out = root.resolve("out").toString
     val schema = rootToJanitorOnFailure(root) {
       val stream = build(fileSource(s, root, batches.head.schema))
@@ -272,6 +283,13 @@ private[graft] object StreamGate {
       feedKey: Option[String] = None): DataFrame = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
+    if (prestageMode) {
+      prestageAll(feedKey,
+        batches.zipWithIndex.map { case (df, i) => (s"b$i", df) })
+      val schema = build(fileSource(s, root, batches.head.schema)).schema
+      deferDelete(root)
+      return emptyOf(s, schema)
+    }
     val qname = s"${name}_${seq.incrementAndGet()}"
     withStreamConf(s, statePartitions, stateBackend) {
       val query = build(fileSource(s, root, batches.head.schema))
@@ -306,6 +324,12 @@ private[graft] object StreamGate {
       feedKey: Option[String] = None): Unit = {
     require(batches.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
+    if (prestageMode) {
+      prestageAll(feedKey,
+        batches.zipWithIndex.map { case (df, i) => (s"b$i", df) })
+      deferDelete(root)
+      return
+    }
     val stream = build(fileSource(s, root, batches.head.schema))
     withStreamConf(s, statePartitions, stateBackend) {
       val query = stream.writeStream
@@ -342,6 +366,16 @@ private[graft] object StreamGate {
     require(left.nonEmpty && right.nonEmpty, s"$name: empty feed")
     val root = java.nio.file.Files.createTempDirectory(s"gate_$name")
     val wl = root.resolve("inL"); val wr = root.resolve("inR")
+    if (prestageMode) {
+      prestageAll(feedKey,
+        left.zipWithIndex.map { case (df, i) => (s"l$i", df) } ++
+          right.zipWithIndex.map { case (df, i) => (s"r$i", df) })
+      val schema = build(
+        fileSourceAt(s, wl, left.head.schema),
+        fileSourceAt(s, wr, right.head.schema)).schema
+      deferDelete(root)
+      return emptyOf(s, schema)
+    }
     val out = root.resolve("out").toString
     val schema = rootToJanitorOnFailure(root) {
       val stream = build(
@@ -422,9 +456,78 @@ private[graft] object StreamGate {
     * by key: only the fixed-corpus gate entries pass one; ScaleProbe's
     * replica feeds (same gate name, different data) pass None and
     * stage per run. Memo dirs live until JVM exit, like memoStore's.
+    *
+    * Since round 22 the population is DISCLOSED AND OFF-CLOCK in the
+    * bench: [[prestageMode]] below lets graft.Bench stage every
+    * fixed-corpus feed before its timed loop starts (the staging cost
+    * is timed and reported separately in the bench record), so the
+    * cold AND warm timed runs both link the same staged feeds and the
+    * gate clocks measure the streaming execution, not the harness's
+    * feed synthesis (r21 VERDICT #4: the cross-repeat memo alone made
+    * warm repeats measure a different harness than cold runs).
+    * Assumes a fixed immutable corpus per key for the JVM lifetime —
+    * the keys embed the corpus dir, which the bench/verify harnesses
+    * never rewrite mid-process.
     */
   private val feedMemo =
     new scala.collection.concurrent.TrieMap[String, Seq[java.nio.file.Path]]
+
+  /** Bench-only prestage mode (guide §1: time the operator, not the
+    * harness): while set, the run* harnesses STAGE each keyed feed
+    * into [[feedMemo]] — the same parquet staging a real run would pay
+    * on first invocation — and return WITHOUT starting a streaming
+    * query (an empty frame of the operator's output schema, or Unit
+    * for the foreach form). graft.Bench runs every streaming gate once
+    * in this mode before its timed loop; Verify and the oracle paths
+    * never set it, so correctness runs always execute the real stream.
+    */
+  @volatile private[graft] var prestageMode: Boolean = false
+
+  /** Populate the feed memo for one (key, tag) batch — the staging leg
+    * of [[landBatch]], shared with prestage-mode early exits.
+    */
+  private def memoStage(k: String, tag: String,
+      df: DataFrame): Seq[java.nio.file.Path] =
+    feedMemo.getOrElseUpdate(s"$k|$tag", {
+      val memoDir =
+        java.nio.file.Files.createTempDirectory(s"feed_$tag")
+      deleteOnExit(memoDir)
+      stageBatch(df, memoDir.resolve("data"))
+    })
+
+  private def prestageAll(feedKey: Option[String],
+      tagged: Seq[(String, DataFrame)]): Unit =
+    feedKey.foreach(k => tagged.foreach { case (tag, df) =>
+      memoStage(k, tag, df): Unit
+    })
+
+  private def emptyOf(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
+  /** Stage one feed batch as parquet part files under `dir`.
+    * Feed-file fan-in (guide §6 small files; the round-15 floor probe
+    * apportioned ~0.15 s/batch of warm drain time to feed file/task
+    * count — 32-file feed 0.42 s/batch vs 4-file 0.25 s, SCALE.md
+    * round 15): writing the batch at full scan parallelism landed one
+    * near-empty file per task; cap the part-file count so each
+    * micro-batch lists and opens a few well-sized files instead.
+    * Scale-adaptive (defaultParallelism/8, floor 2), not a local[32]
+    * constant: at probe tiers the same cap yields fewer, LARGER files
+    * — the layout guide §6 asks for. coalesce never RAISES a
+    * partition count, so applying it unconditionally is a no-op for
+    * the already-narrow feeds.
+    */
+  private def stageBatch(df: DataFrame,
+      dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val maxFiles =
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism / 8)
+    df.coalesce(maxFiles).write.parquet(dir.toString)
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+  }
 
   /** Land one batch as parquet part files moved (or, when memoized,
     * hard-linked) into the watched dir — one landing per micro-batch,
@@ -433,50 +536,39 @@ private[graft] object StreamGate {
   private def landBatch(df: DataFrame, root: java.nio.file.Path,
       watch: java.nio.file.Path, tag: String,
       feedKey: Option[String]): Unit = {
-    import scala.jdk.CollectionConverters._
-    // Feed-file fan-in (guide §6 small files; the round-15 floor
-    // probe apportioned ~0.15 s/batch of warm drain time to feed
-    // file/task count — 32-file feed 0.42 s/batch vs 4-file 0.25 s,
-    // SCALE.md round 15). Writing the batch at full scan parallelism
-    // landed one near-empty file per task; cap the part-file count so
-    // each micro-batch lists and opens a few well-sized files instead.
-    // Scale-adaptive (defaultParallelism/8, floor 2), not a local[32]
-    // constant: at probe tiers the same cap yields fewer, LARGER files
-    // — the layout guide §6 asks for. Batch boundaries (one move per
-    // processAllAvailable) are untouched, and every runParquet* gate's
-    // operator is arrival-layout-independent by design (the w03/w04
-    // MemoryStream gates, which do encode arrival order, don't land
-    // through this path).
-    // coalesce never RAISES a partition count, so applying it
-    // unconditionally is a no-op for the already-narrow feeds (and
-    // avoids a second plan→RDD compile just to read numPartitions)
-    def stage(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val maxFiles =
-        math.max(2, df.sparkSession.sparkContext.defaultParallelism / 8)
-      df.coalesce(maxFiles).write.parquet(dir.toString)
-      java.nio.file.Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    }
+    // Batch boundaries (one move/link set per processAllAvailable) are
+    // untouched by the staging fan-in (see stageBatch), and every
+    // runParquet* gate's operator is arrival-layout-independent by
+    // design (the w03/w04 MemoryStream gates, which do encode arrival
+    // order, don't land through this path).
     feedKey match {
       case Some(k) =>
-        val parts = feedMemo.getOrElseUpdate(s"$k|$tag", {
-          val memoDir =
-            java.nio.file.Files.createTempDirectory(s"feed_$tag")
-          deleteOnExit(memoDir)
-          stage(memoDir.resolve("data"))
-        })
-        parts.zipWithIndex.foreach { case (p, j) =>
-          val dst = watch.resolve(s"${tag}_$j.parquet")
-          // hard link (same tmp filesystem, instant, immutable src);
-          // copy is the cross-device / no-link-support fallback
-          try java.nio.file.Files.createLink(dst, p): Unit
-          catch { case _: UnsupportedOperationException |
-                       _: java.nio.file.FileSystemException =>
-            java.nio.file.Files.copy(p, dst): Unit
+        def linkAll(parts: Seq[java.nio.file.Path]): Unit =
+          parts.zipWithIndex.foreach { case (p, j) =>
+            val dst = watch.resolve(s"${tag}_$j.parquet")
+            // no-op on the happy path (fresh watch dir); makes the
+            // evict-and-restage retry below idempotent after a
+            // partial first landing
+            java.nio.file.Files.deleteIfExists(dst): Unit
+            // hard link (same tmp filesystem, instant, immutable src);
+            // copy is the cross-device / no-link-support fallback
+            try java.nio.file.Files.createLink(dst, p): Unit
+            catch { case _: UnsupportedOperationException |
+                         _: java.nio.file.FileSystemException =>
+              java.nio.file.Files.copy(p, dst): Unit
+            }
           }
+        try linkAll(memoStage(k, tag, df))
+        catch { case scala.util.control.NonFatal(_) =>
+          // a memoized source vanished (e.g. external /tmp cleanup of
+          // a long-lived session) or the link failed structurally:
+          // evict the entry and restage ONCE before giving up — a
+          // restage failure then propagates as itself
+          feedMemo.remove(s"$k|$tag"): Unit
+          linkAll(memoStage(k, tag, df))
         }
       case None =>
-        val parts = stage(root.resolve(s"stage_$tag"))
+        val parts = stageBatch(df, root.resolve(s"stage_$tag"))
         parts.zipWithIndex.foreach { case (p, j) =>
           java.nio.file.Files.move(p,
             watch.resolve(s"${tag}_$j.parquet")): Unit
