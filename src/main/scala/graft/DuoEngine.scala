@@ -127,9 +127,14 @@ final class DuoEngine(val spark: SparkSession, root: String,
     * its rows reach the store (crash = silent loss).
     */
   def appendSpanBatch(batch: DataFrame): Unit = this.synchronized {
-    if (!batch.isEmpty) {
-      spanMemory.append(batch)
-      if (!memoryMode) walAppend("span", batch)
+    // the view's append materializes the batch ONCE (eager local
+    // checkpoint) and returns the delta; the emptiness probe and the
+    // WAL append then read local blocks instead of each re-running
+    // the upstream lineage (guide §5 — measured on g13's six-flush
+    // build: three full derivations per append before this)
+    val delta = spanMemory.append(batch)
+    if (!delta.isEmpty) {
+      if (!memoryMode) walAppend("span", delta)
       maybeEarlyFlush()
     }
   }
@@ -144,13 +149,16 @@ final class DuoEngine(val spark: SparkSession, root: String,
     * also orders WAL appends against [[flush]]'s WAL clear.
     */
   def appendLogBatch(batch: DataFrame): Unit = this.synchronized {
-    if (!batch.isEmpty) {
-      logSchema = SchemaRegistry.merge(logSchema, batch.schema)
+    // single materialization per batch — see [[appendSpanBatch]]; an
+    // EMPTY batch still widens nothing (the registry merge stays
+    // behind the emptiness check, exactly as before)
+    val delta = logMemory.append(batch)
+    if (!delta.isEmpty) {
+      logSchema = SchemaRegistry.merge(logSchema, delta.schema)
       if (!memoryMode) {
         SchemaRegistry.save(logSchema, logSchemaPath)
-        walAppend("log", batch)
+        walAppend("log", delta)
       }
-      logMemory.append(batch)
       maybeEarlyFlush()
     }
   }

@@ -25,17 +25,37 @@ final class MemoryView(spark: SparkSession, baseSchema: org.apache.spark.sql.typ
   private var current: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
   private var n: Long = 0L
+  private var deltas: Int = 0
   private val lock = new Object
 
-  /** Append a micro-batch; the batch is materialized (localCheckpoint)
-    * so the view does not re-run upstream lineage on every query.
+  /** Append a micro-batch: the DELTA is materialized once (eager
+    * localCheckpoint) and the view becomes a lazy union of
+    * checkpointed deltas — O(batch) work per append. The prior form
+    * re-checkpointed the WHOLE accumulated view on every append
+    * (O(total) per append, O(n²) per flush interval). The union plan
+    * is collapsed back into one checkpoint every
+    * [[MemoryView.CollapseEvery]] appends so a long flush interval
+    * cannot grow an unbounded plan. Returns the materialized delta so
+    * the caller can reuse it (WAL append, emptiness probe) without
+    * re-running the upstream lineage — on the engine's append path
+    * that lineage otherwise executed three times per batch (guide §5:
+    * reused and expensive to recompute).
     */
-  def append(batch: DataFrame): Unit = lock.synchronized {
-    val merged = unionByNameAllowMissing(current, batch)
-    current = merged.localCheckpoint(eager = true)
+  def append(batch: DataFrame): DataFrame = lock.synchronized {
+    val delta = batch.localCheckpoint(eager = true)
     // counted on the checkpointed blocks (no upstream recompute) —
     // feeds the engine's hot-view size guard
-    n = current.count()
+    val dn = delta.count()
+    if (dn > 0L) {
+      current = unionByNameAllowMissing(current, delta)
+      n += dn
+      deltas += 1
+      if (deltas >= MemoryView.CollapseEvery) {
+        current = current.localCheckpoint(eager = true)
+        deltas = 0
+      }
+    }
+    delta
   }
 
   /** Buffered row count — the size signal [[graft.DuoEngine]]'s
@@ -54,8 +74,19 @@ final class MemoryView(spark: SparkSession, baseSchema: org.apache.spark.sql.typ
     current = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out.schema)
     n = 0L
+    deltas = 0
     out
   }
 
-  def isEmpty: Boolean = lock.synchronized(current.isEmpty)
+  // O(1): `n` is maintained at append time on checkpointed blocks
+  def isEmpty: Boolean = lock.synchronized(n == 0L)
+}
+
+object MemoryView {
+  /** Collapse the lazy union-of-deltas back into one local checkpoint
+    * after this many appends: bounds the snapshot plan's width while
+    * keeping the common flush interval (a handful of appends) at one
+    * materialization per batch.
+    */
+  val CollapseEvery: Int = 32
 }

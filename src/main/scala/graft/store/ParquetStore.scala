@@ -431,8 +431,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       // 32-partition batch wrote ~1,900 one-KB files and every later
       // read paid the listing). The exchange is bounded by the flush
       // batch — the store's write unit — and yields exactly one file
-      // per touched partition dir.
-      .repartition(col("date"), col("hour"), col("minute"))
+      // per touched partition dir. The partition count is EXPLICIT
+      // (defaultParallelism — scale-adaptive, cluster cores): a
+      // column-only repartition let AQE coalesce a small flush's
+      // shuffle to ONE task that then opened every touched dir's
+      // parquet writer serially (guide §2.6 idle capacity — measured
+      // on g13's 181-minute-spread flushes: 2-3.6 s single-task write
+      // stages, 31 of 32 cores idle). One-file-per-dir is partition-
+      // count-independent: each dir hashes wholly into one task.
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("date"), col("hour"), col("minute"))
       .write
       .mode("append")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
@@ -642,7 +650,11 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       .withColumn("hour", date_format(col("__ts"), "HH"))
       .withColumn("minute", date_format(col("__ts"), "mm"))
       .drop("__ts")
-      .repartition(col("date"), col("hour"), col("minute"))
+      // explicit count for the same reason as [[write]]: a wide-
+      // event-time landing must parallelize across dirs, not serialize
+      // behind AQE's byte-sized coalescing
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("date"), col("hour"), col("minute"))
       .write
       .mode("overwrite")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
@@ -1006,14 +1018,24 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
     // session zone) — one derivation path whatever trees the input
     // files lived in. compactDate targets the minute layout
     // (planCompactions only flags minute-grain dates).
-    val rows = relationFor(eD, t.flatMap(_.schema)).getOrElse(return)
+    val dataRows = relationFor(eD, t.flatMap(_.schema)).getOrElse(return)
       .drop("date", "hour", "minute")
+    val rows = dataRows
       .withColumn("__ts", timestamp_micros(col(timeCol)))
       .withColumn("date", date_format(col("__ts"), "yyyy-MM-dd"))
       .withColumn("hour", date_format(col("__ts"), "HH"))
       .withColumn("minute", date_format(col("__ts"), "mm"))
       .drop("__ts")
-    val base = rows.repartition(filesPerPartition, col("hour"), col("minute"))
+    // `filesPerPartition` is a hash-partition count, so one dir's rows
+    // land wholly in one task at ANY value — the file-per-dir layout
+    // is count-independent. Raise it to the cluster's parallelism so
+    // the rewrite spreads its dirs across cores instead of opening
+    // every parquet writer in one serial task (measured on g13's
+    // maintenance heals: 2-3 s single-task rewrite stages at the
+    // default 1).
+    val base = rows.repartition(
+      math.max(filesPerPartition, spark.sparkContext.defaultParallelism),
+      col("hour"), col("minute"))
     val sorted = zorderOn.fold(base) { case (x, y) =>
       base.sortWithinPartitions(col("hour"), col("minute"),
         graft.operators.Pipelines.zorderKey(x, y))
@@ -1055,7 +1077,16 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       case None => // first ever publish: absolute by construction
         val kept = mainEntries.filterNot(e =>
           logicalRel(e.rel).startsWith(part + "/"))
-        manifest.publish(kept ++ rewritten, None,
+        // when the rewrite IS the whole table (no kept files), its
+        // unified schema is exact — record it so later reads and
+        // rewrites plan from the manifest instead of re-running the
+        // distributed footer-merge inference every call (guide §6;
+        // measured on g13's maintenance cadence: one 32-task
+        // inferSchema job per read/heal without this)
+        manifest.publish(kept ++ rewritten,
+          if (kept.isEmpty)
+            Some(StoreManifest.allNullable(dataRows.schema))
+          else None,
           eD.map(e => StoreManifest.Dead(e.rel, now)),
           parent = None, info = info)
     }
@@ -1165,8 +1196,12 @@ final class ParquetStore(spark: SparkSession, root: String, table: String,
       (if (partCols.contains("minute"))
         derived1.withColumn("minute", date_format(col("__ts"), "mm"))
       else derived1).drop("__ts")
+    // hash-partition count raised to cluster parallelism — layout-
+    // neutral, write-parallel (see [[compactDate]])
     val base = derived
-      .repartition(filesPerPartition, partCols.map(col): _*)
+      .repartition(
+        math.max(filesPerPartition, spark.sparkContext.defaultParallelism),
+        partCols.map(col): _*)
     // partition columns lead the sort so the writer's own
     // required-ordering (it otherwise re-sorts each task by the
     // dynamic partition keys, unstably) is already satisfied and the
