@@ -468,7 +468,12 @@ object ScaleProbe {
       measureStream("w07_spanmerge_stream", scale,
         graft.queries.EngineQueries.spanMergeStreamRun(spark, sp))
       measureStream("w09_spanlog_join_stream", scale,
-        graft.queries.EngineQueries.spanLogJoinStreamRun(spark, sp, lg))
+        graft.queries.EngineQueries.spanLogJoinStreamRun(spark, sp, lg,
+          // size the join's state partitions to THIS tier's buffered
+          // volume (both sides buffer) — the bench-scale default is a
+          // this-volume answer, not a constant for the 10× tier
+          statePartitions = Some(graft.util.StateBackend
+            .partitionsForStateRows(sp.count() + lg.count()))))
       // the WHOLE ingest loop as one scaling unit: merge state ∝
       // span ids, staged flush file count FIXED by batch count (the
       // round-12 staged path — the partitioned writer would scale

@@ -29,73 +29,6 @@ case class SpanRecord(
     end: Option[Long],
     tags: Map[String, TagValue])
 
-/** Compact streaming-state row for [[SpanMerger.mergeStream]]: the
-  * retained open-span record with its `Map[String, TagValue]` tags
-  * flattened to two parallel string arrays (guide §5 memory/
-  * serialization). The map encoder serialized every tag as a
-  * 4-nullable-field struct inside ArrayBasedMapData on EVERY
-  * state.update — at ~600k open spans per micro-batch (w07/w11) the
-  * per-key state encode/commit dominated addBatch. Values carry a
-  * one-char type prefix (s/u/i/b, n = empty oneof) — lossless for
-  * every TagValue shape ([[SpanMergerSpec]] pins the round-trip and
-  * the streamed-vs-batch hash), so the EMITTED spans are unchanged;
-  * only the state store's internal row layout shrinks. Array order is
-  * free: tag maps are order-insensitive and [[SpanMerger.toSpan]]
-  * sorts keys at render.
-  */
-private[graft] case class SpanState(
-    seq: Long,
-    id: Long,
-    parent_id: Option[Long],
-    trace_id: Long,
-    name: String,
-    process_id: String,
-    start: Long,
-    end: Option[Long],
-    tagKeys: Array[String],
-    tagVals: Array[String])
-
-private[graft] object SpanState {
-  def encodeTag(v: TagValue): String =
-    v.strVal.map("s" + _)
-      .orElse(v.u64Val.map("u" + _))
-      .orElse(v.i64Val.map("i" + _))
-      .orElse(v.boolVal.map("b" + _))
-      .getOrElse("n")
-
-  def decodeTag(s: String): TagValue =
-    if (s.isEmpty) TagValue()
-    else s.charAt(0) match {
-      case 's' => TagValue.str(s.substring(1))
-      case 'u' => TagValue.u64(s.substring(1).toLong)
-      case 'i' => TagValue.i64(s.substring(1).toLong)
-      case 'b' => TagValue.bool(s.substring(1).toBoolean)
-      case _ => TagValue()
-    }
-
-  def fromRecord(r: SpanRecord): SpanState = {
-    val n = r.tags.size
-    val ks = new Array[String](n)
-    val vs = new Array[String](n)
-    var i = 0
-    r.tags.foreach { case (k, v) =>
-      ks(i) = k; vs(i) = encodeTag(v); i += 1
-    }
-    SpanState(r.seq, r.id, r.parent_id, r.trace_id, r.name,
-      r.process_id, r.start, r.end, ks, vs)
-  }
-
-  def toRecord(st: SpanState): SpanRecord = {
-    val b = Map.newBuilder[String, TagValue]
-    var i = 0
-    while (i < st.tagKeys.length) {
-      b += st.tagKeys(i) -> decodeTag(st.tagVals(i)); i += 1
-    }
-    SpanRecord(st.seq, st.id, st.parent_id, st.trace_id, st.name,
-      st.process_id, st.start, st.end, b.result())
-  }
-}
-
 object SpanMerger {
 
   def mergeTwo(base: SpanRecord, next: SpanRecord): SpanRecord =
@@ -160,23 +93,31 @@ object SpanMerger {
     import spark.implicits._
     val timeoutConf = if (evictAfterMs.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    // State stays the plain SpanRecord row. A compact form (tags
+    // flattened to prefixed string arrays — r21 VERDICT #5) was built
+    // and MEASURED in round 22: state memory dropped ~10% (227->204 MB
+    // at w07's 600k keys) but per-batch state update time was equal or
+    // WORSE (batch-1 allUpdatesTimeMs 9.4 s -> 11.4-14.1 s: every
+    // buffered key pays an extra encode/decode hop) and wall time was
+    // flat (TimeGate medians 3.86 vs 3.96 s) — the commit term is the
+    // store machinery, not the Map encoder. Reverted; see
+    // OPTIMIZATION_r22.md.
     records.groupByKey(_.id)
-      .flatMapGroupsWithState[SpanState, Span](OutputMode.Append, timeoutConf) {
-        (_, batch: Iterator[SpanRecord], state: GroupState[SpanState]) =>
+      .flatMapGroupsWithState[SpanRecord, Span](OutputMode.Append, timeoutConf) {
+        (_, batch: Iterator[SpanRecord], state: GroupState[SpanRecord]) =>
           if (evictAfterMs.isDefined && state.hasTimedOut) {
-            val leaked = SpanState.toRecord(state.get)
+            val leaked = state.get
             state.remove()
             Iterator.single(toSpan(leaked.copy(end = None)))
           } else {
             val incoming = batch.toSeq.sortBy(_.seq)
-            val merged =
-              (state.getOption.map(SpanState.toRecord).toSeq ++ incoming)
-                .reduceLeft(mergeTwo)
+            val merged = (state.getOption.toSeq ++ incoming)
+              .reduceLeft(mergeTwo)
             if (merged.end.isDefined) {
               state.remove()
               Iterator.single(toSpan(merged))
             } else {
-              state.update(SpanState.fromRecord(merged))
+              state.update(merged)
               evictAfterMs.foreach(state.setTimeoutDuration)
               Iterator.empty
             }

@@ -253,9 +253,18 @@ object EngineQueries {
     * the gate passes the sf feed; ScaleProbe passes 10× replicas to
     * measure buffered-join state growth.
     */
+  /** @param statePartitions streaming state-partition count for the
+    *   join (see [[graft.util.StateBackend.partitionsForStateRows]] —
+    *   a stream-stream join carries FOUR stores per partition, so the
+    *   per-batch commit term dominates until per-partition state
+    *   volume is large). The gate passes the rule's answer for the sf
+    *   feed; ScaleProbe sizes it to its replica volume instead of
+    *   inheriting a bench-scale constant (r21 VERDICT #2/#3).
+    */
   private[graft] def spanLogJoinStreamRun(s: SparkSession,
       spans: DataFrame, logs: DataFrame,
-      feedKey: Option[String] = None): DataFrame = {
+      feedKey: Option[String] = None,
+      statePartitions: Option[Int] = None): DataFrame = {
     // UNCAPPED since round 13: rounds 11-12 ran a deterministic
     // ¼-trace cap because the full feed cost ~20.5 s — that cost was
     // the state-store maintenance lag StreamGate now reclaims plus an
@@ -271,13 +280,14 @@ object EngineQueries {
         col("process_id"), col("start"), col("end")).cache()
     val lg = logs
       .select(col("span_id"), col("time"), col("level")).cache()
-    try spanLogJoinStreamBody(s, sp, lg, feedKey)
+    try spanLogJoinStreamBody(s, sp, lg, feedKey, statePartitions)
     finally { sp.unpersist(): Unit; lg.unpersist(): Unit }
   }
 
   private def spanLogJoinStreamBody(s: SparkSession,
       sp: DataFrame, lg: DataFrame,
-      feedKey: Option[String] = None): DataFrame = {
+      feedKey: Option[String] = None,
+      statePartitions: Option[Int] = None): DataFrame = {
     def parity(c: Column, want: Int) = (c % 2).cast("int") === want
     graft.util.StreamGate.runParquet2(s, "w09_spanlog_join_stream",
       Seq(sp.filter(parity(col("trace_id"), 0)),
@@ -301,12 +311,16 @@ object EngineQueries {
       // (partitions × 4 × batches) dominates well before per-store
       // volume does — earlier ladder: 8 → 9.4 s, 16 → 12.8 s,
       // 32 → 18.4 s; r21 remeasure (median of 5 warmed repeats, same
-      // feed fan-in): 4 partitions 8.9 s vs 8 → 10.6 s, and an
-      // isolated repeat-3 pair agreed (10.6 vs 12.2 s) — while ~200k
+      // feed fan-in): 4 partitions 8.9 s vs 8 → 10.6 s; r22 cold-JVM
+      // A/B with feeds prestaged off-clock (3 fresh JVMs per arm,
+      // interleaved) re-confirmed it driver-visibly — while ~200k
       // buffered rows/store at 4 is nowhere near memory pressure.
-      // Deployments size stores to state volume; at THIS state volume
-      // the floor partition count wins.
-      }, statePartitions = Some(4), feedKey = feedKey)
+      // The default is the partitionsForStateRows rule's answer for
+      // the sf feed; callers at other volumes size it themselves
+      // (ScaleProbe passes its replica row count — r21 VERDICT #2).
+      }, statePartitions = statePartitions.orElse(Some(
+        graft.util.StateBackend.partitionsForStateRows(900000L))),
+        feedKey = feedKey)
       .orderBy(col("span_id"), col("log_time"))
   }
 

@@ -48,6 +48,22 @@ object StateBackend {
   def forExpectedKeys(expectedKeys: Long): String =
     if (expectedKeys > HeapKeyCeiling) RocksDBProvider else HeapProvider
 
+  /** Streaming state-PARTITION sizing rule, [[forExpectedKeys]]'s
+    * companion: a short-batch stateful query's wall is dominated by
+    * the per-batch state-commit term (partitions × stores-per-operator
+    * × micro-batches — a stream-stream join carries FOUR stores per
+    * partition) until per-partition state volume is large, so size
+    * the partition count to expected state rows instead of inheriting
+    * the batch-scan shuffle default. ~250k rows/partition keeps a
+    * heap-store partition far below memory pressure (w09 measured
+    * ~200k buffered rows/store at 4 partitions with no pressure)
+    * while minimizing commit count; the floor keeps a minimum of
+    * task parallelism for the stateful stage.
+    */
+  def partitionsForStateRows(expectedRows: Long, floor: Int = 4): Int =
+    math.max(floor,
+      math.min(1 << 10, math.ceil(expectedRows / 250000.0).toInt))
+
   /** The full session-conf set for a chosen provider — one place to
     * grow provider-specific tuning. Deliberately minimal today:
     * RocksDB changelog checkpointing was measured on w11 at sf0.1 and

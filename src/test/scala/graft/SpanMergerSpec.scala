@@ -58,31 +58,6 @@ class SpanMergerSpec extends SparkSpec {
     assert(strBusy.tags.get.contains(""""busy":"raw""""))
   }
 
-  test("compact state row round-trips every TagValue shape losslessly") {
-    import graft.ingest.SpanState
-    // the streaming state flattens Map[String, TagValue] to prefixed
-    // string arrays (r22 state-encoder optimization); a lossy encode
-    // would silently change emitted tag JSON, so pin the round-trip on
-    // every oneof arm + the empty oneof + the empty map + hostile
-    // string content (prefix chars, empty string, unicode)
-    val shapes = Seq(
-      Map.empty[String, TagValue],
-      Map("s" -> TagValue.str("plain")),
-      Map("e" -> TagValue.str("")),
-      Map("p" -> TagValue.str("u123"), "q" -> TagValue.str("b"),
-        "r" -> TagValue.str("n")),
-      Map("u" -> TagValue.u64(-1L), "i" -> TagValue.i64(Long.MinValue),
-        "b" -> TagValue.bool(false), "none" -> TagValue(),
-        "uni" -> TagValue.str("héllo\n\"{}")))
-    shapes.foreach { tags =>
-      val r = rec(7, 42, parent = Some(3L), end = Some(9L), tags = tags)
-      assert(SpanState.toRecord(SpanState.fromRecord(r)) == r)
-    }
-    // an open record (no end, no parent) round-trips too
-    val open = rec(1, 8, tags = Map("op" -> TagValue.str("x")))
-    assert(SpanState.toRecord(SpanState.fromRecord(open)) == open)
-  }
-
   test("batch merge splits intact from ongoing") {
     import spark.implicits._
     val records = Seq(
