@@ -111,7 +111,11 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
       maxShingleDf: Long = 1000L): DataFrame = {
-    val sh = scopedCache(docShingles(docs, n))
+    // guide §2.5: the shingling kernel ran as ONE task on the bench's
+    // single-row-group corpus (measured 1.3 s of d02's 2.3 s wall);
+    // rebalanceIfNarrow is the identity on any ≥cores-split input
+    val sh = scopedCache(docShingles(
+      graft.util.Cols.rebalanceIfNarrow(docs), n))
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // Measured note: joining on the raw shingle string beats a
     // 60-bit-hash join key here (the hash projection loses the cache
@@ -1188,8 +1192,22 @@ object Dedup {
     // Measured at sf0.1 (2000 × dim-64, ~2M candidates): 11.9 s → ~3 s;
     // at 100 TB the array-free dedup shuffle is the difference between
     // a bounded exchange and re-shipping the corpus ×L.
+    //
+    // Explicit partition count on the bucket exchange (guide §2.6):
+    // the shuffle carries few BYTES (one row per (vector, table)), so
+    // AQE's byte-sized coalescing ran the whole Σ bucket² candidate
+    // scoring in ONE post-shuffle task (measured on s14 at sf0.1: a
+    // single 1.4-1.8 s task, 31 of 32 cores idle) — the compute
+    // explodes AFTER the exchange, where the coalescer cannot see it.
+    // A user-specified count disables coalescing for exactly this
+    // shuffle; (tbl, bucket) keys spread the groups across cores, and
+    // the join output is partitioning-independent (same keys, same
+    // rows, pair-dedup after).
+    val bkp = bk.repartition(
+      e.sparkSession.sparkContext.defaultParallelism,
+      col("tbl"), col("bucket"))
     if (flips == 0) {
-      bk.as("a").join(bk.as("b"),
+      bkp.as("a").join(bkp.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -1219,7 +1237,10 @@ object Dedup {
           explode(concat(array(col("ts.qb")),
             expr(s"transform(slice(array_sort(ts.ms), 1, $flips)," +
               " s -> ts.qb ^ shiftleft(1, s.j))"))).as("bucket"))
-      probes.as("a").join(bk.as("b"),
+      probes.repartition(
+          e.sparkSession.sparkContext.defaultParallelism,
+          col("tbl"), col("bucket"))
+        .as("a").join(bkp.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(

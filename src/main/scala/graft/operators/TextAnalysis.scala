@@ -1222,7 +1222,17 @@ object TextAnalysis {
     */
   def dsirSelect(docs: DataFrame, targetSource: String = DsirTargetSource,
       topK: Int = DsirTopK): DataFrame = {
-    val feats = docs
+    // guide §2.5 input skew: the corpus arrives as ONE unsplittable
+    // row group at bench scale, so the expensive tokenize + bigram
+    // md5 map phase (×2: census pass and scoring pass) ran as one
+    // task per pass (measured: 3 single-task stages of 450-760 ms =
+    // ~all of t17's 1.9 s, 31 of 32 cores idle). Rebalance right
+    // after the read ONLY when the scan's parallelism is actually
+    // below the cores — at 100 TB the input is thousands of splits
+    // and this branch never fires, so no corpus-wide shuffle is
+    // added at scale. Output is partitioning-invariant (integer
+    // censuses, decimal term sums, deterministic top-K ordering).
+    val feats = graft.util.Cols.rebalanceIfNarrow(docs)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(

@@ -30,6 +30,22 @@ object Cols {
   /** Exact mean of a 2-decimal double column (decimal sum / count). */
   def davg(c: Column): Column = asD(sum(dec2(c))) / count(c)
 
+  /** Guide §2.5 input-skew helper for compute-heavy map phases over
+    * possibly-unsplittable inputs: when the frame's scan parallelism
+    * is below the cluster's cores (e.g. one parquet row group — the
+    * bench corpora are single-row-group files), round-robin rebalance
+    * it so per-row kernels (tokenize, shingle, hash) spread across
+    * cores; when the input already arrives as ≥cores splits (any real
+    * deployment's table), this is the identity — no corpus-wide
+    * shuffle is ever added at scale. Use only above partitioning-
+    * invariant consumers (aggregations, joins, deterministic windows).
+    */
+  def rebalanceIfNarrow(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Epoch-nanos long column (by name) -> epoch-micros long. SQL `div` is
     * integer division; `/` on longs is double division, which loses
     * precision above 2^53 (epoch-ns is ~1.7e18).
